@@ -1,0 +1,125 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis primitives for large-scale training-data pipelines:
+  * language ID (marker-word n-gram heuristic), quality scoring, token
+  * counting (whitespace + BPE-ish lexer regex), and document
+  * fingerprinting (normalized content hash).
+  *
+  * Everything is built from codegen'd `functions._` expressions — no UDFs —
+  * so whole-stage codegen spans the full pipeline and the same definitions
+  * are mechanically rendered to oracle SQL (single source of truth for both
+  * engines; see the `*Sql` methods).
+  *
+  * Scale: all per-row expressions, embarrassingly parallel, no shuffle.
+  * Only arithmetic portable across engines is used (+ * / round, regex) —
+  * no exp/ln whose libm bits differ.
+  */
+object TextAnalysis {
+
+  // ── shared constants (drive BOTH the Spark exprs and the oracle SQL) ───
+  val stopwordsEn: Seq[String] =
+    Seq("the", "and", "of", "to", "in", "a", "is", "that", "it", "for")
+
+  /** Marker stopwords per language; zh is scored by CJK codepoint count. */
+  val langMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of", "to", "in"),
+    "es" -> Seq("el", "la", "de", "que", "los"),
+    "de" -> Seq("der", "die", "und", "das", "ist"),
+    "fr" -> Seq("le", "les", "et", "des", "une"))
+
+  val hanPattern = "[\\x{4e00}-\\x{9fff}]" // valid in both Java regex and RE2
+  val bpePattern = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
+  val punctPattern = "[.,;:!?()-]"
+  val alphaPattern = "[A-Za-z]"
+
+  def wordPattern(ws: Seq[String]): String = "\\b(" + ws.mkString("|") + ")\\b"
+
+  // ── Spark column forms ─────────────────────────────────────────────────
+  def countMatches(c: Column, pattern: String): Column =
+    size(regexp_extract_all(c, lit(pattern), lit(0)))
+
+  /** Whitespace token count. */
+  def tokenCountWs(c: Column): Column = size(split(trim(c), "\\s+"))
+
+  /** BPE-ish token count: letter runs + digit runs + lone symbols. */
+  def tokenCountBpe(c: Column): Column = countMatches(c, bpePattern)
+
+  def punctRatio(c: Column): Column =
+    round(countMatches(c, punctPattern).cast("double") / length(c), 6)
+
+  def alphaRatio(c: Column): Column =
+    round(countMatches(c, alphaPattern).cast("double") / length(c), 6)
+
+  def stopwordRatio(c: Column): Column =
+    round(countMatches(lower(c), wordPattern(stopwordsEn)).cast("double") /
+      tokenCountWs(c), 6)
+
+  /** Composite quality score in [0,1]-ish: stopword density + letter
+    * density - punctuation noise. Deliberately linear (portable bits).
+    */
+  def qualityScore(c: Column): Column =
+    round(stopwordRatio(c) * lit(0.5) + alphaRatio(c) * lit(0.3) +
+      (lit(1.0) - punctRatio(c)) * lit(0.2), 4)
+
+  /** Language ID: marker-word counts per language, CJK script beats all,
+    * deterministic priority order on ties (en > es > de > fr).
+    */
+  def langScores(c: Column): Seq[(String, Column)] =
+    langMarkers.map { case (l, ws) =>
+      l -> countMatches(lower(c), wordPattern(ws))
+    } :+ ("zh" -> countMatches(c, hanPattern))
+
+  def langId(c: Column): Column = {
+    val s = langScores(c).toMap
+    when(s("zh") > 0, "zh")
+      .when(s("en") >= s("es") && s("en") >= s("de") && s("en") >= s("fr"), "en")
+      .when(s("es") >= s("de") && s("es") >= s("fr"), "es")
+      .when(s("de") >= s("fr"), "de")
+      .otherwise("fr")
+  }
+
+  /** Canonical-form fingerprint: lowercase, strip non-alphanumerics,
+    * collapse whitespace, md5 — the rolling-hash-style doc identity used
+    * for fuzzy-exact dedup.
+    */
+  def fingerprint(c: Column): Column =
+    md5(trim(regexp_replace(regexp_replace(lower(c), "[^a-z0-9 ]", ""), " +", " ")))
+
+  // ── identical logic rendered as DuckDB SQL (oracle side) ───────────────
+  private def cnt(expr: String, pattern: String): String =
+    s"len(regexp_extract_all($expr, '$pattern'))"
+
+  def tokenCountWsSql(c: String): String =
+    s"len(regexp_split_to_array(trim($c), '\\s+'))"
+
+  def tokenCountBpeSql(c: String): String = cnt(c, bpePattern)
+
+  def punctRatioSql(c: String): String =
+    s"round(${cnt(c, punctPattern)}::DOUBLE / length($c), 6)"
+
+  def alphaRatioSql(c: String): String =
+    s"round(${cnt(c, alphaPattern)}::DOUBLE / length($c), 6)"
+
+  def stopwordRatioSql(c: String): String =
+    s"round(${cnt(s"lower($c)", wordPattern(stopwordsEn))}::DOUBLE / ${tokenCountWsSql(c)}, 6)"
+
+  def qualityScoreSql(c: String): String =
+    s"round(${stopwordRatioSql(c)} * 0.5 + ${alphaRatioSql(c)} * 0.3 + " +
+      s"(1.0 - ${punctRatioSql(c)}) * 0.2, 4)"
+
+  def langIdSql(c: String): String = {
+    val s = (langMarkers.map { case (l, ws) =>
+      l -> cnt(s"lower($c)", wordPattern(ws))
+    } :+ ("zh" -> cnt(c, hanPattern))).toMap
+    s"CASE WHEN ${s("zh")} > 0 THEN 'zh' " +
+      s"WHEN ${s("en")} >= ${s("es")} AND ${s("en")} >= ${s("de")} AND ${s("en")} >= ${s("fr")} THEN 'en' " +
+      s"WHEN ${s("es")} >= ${s("de")} AND ${s("es")} >= ${s("fr")} THEN 'es' " +
+      s"WHEN ${s("de")} >= ${s("fr")} THEN 'de' ELSE 'fr' END"
+  }
+
+  def fingerprintSql(c: String): String =
+    s"md5(trim(regexp_replace(regexp_replace(lower($c), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')))"
+}

@@ -1,0 +1,138 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.dsl.{KGlobalTable, KStream}
+import graft.queries.Tables.t
+
+/** Headline analytical queries (TPC-H-shaped) exercising the engine the way
+  * a warehouse user would: scan → filter (pushed to parquet) → partial-agg
+  * shuffle → broadcast joins for dims. These are the bench workhorses.
+  *
+  * Numeric policy for oracle parity: money math is done in DECIMAL (base
+  * columns carry exactly 2 decimals, so decimal casts and products are
+  * exact in both engines) and cast to DOUBLE only at the very end —
+  * identical bits regardless of aggregation order, unlike double sums.
+  */
+object HeadlineQueries {
+
+  private val dec = DecimalType(18, 2)
+
+  val all: Seq[Q] = Seq(
+
+    // TPC-H Q1 shape: pricing summary. One partial-agg shuffle over 4 rows
+    // of groups; all heavy math inside whole-stage codegen.
+    Q("q1_pricing_summary", Some("""
+      |SELECT l_returnflag, l_linestatus,
+      |  sum(l_quantity) AS sum_qty,
+      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+      |           CAST(1 - l_discount AS DECIMAL(18,2))) AS DOUBLE) AS sum_disc_price,
+      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+      |           CAST(CAST(1 - l_discount AS DECIMAL(18,2)) *
+      |                CAST(1 + l_tax AS DECIMAL(18,2)) AS DECIMAL(8,4))) AS DOUBLE) AS sum_charge,
+      |  count(*) AS count_order
+      |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-01'
+      |GROUP BY l_returnflag, l_linestatus
+      |""".stripMargin.trim))(
+      (s, d) => {
+        val price = col("l_extendedprice").cast(dec)
+        val disc = (lit(1) - col("l_discount")).cast(dec)
+        val taxf = (lit(1) + col("l_tax")).cast(dec)
+        t(s, d, "lineitem")
+          .filter(col("l_shipdate") <= lit("1998-09-01").cast("timestamp"))
+          .groupBy("l_returnflag", "l_linestatus")
+          .agg(
+            sum("l_quantity").as("sum_qty"),
+            sum(price).cast("double").as("sum_base_price"),
+            sum(price * disc).cast("double").as("sum_disc_price"),
+            sum(price * (disc * taxf).cast(DecimalType(8, 4))).cast("double").as("sum_charge"),
+            count(lit(1)).as("count_order"))
+      }),
+
+    // TPC-H Q3 shape: top-10 revenue orders for one segment. customer dim
+    // is broadcast (global-table pattern); top-k via orderBy+limit, which
+    // Spark executes as per-partition TakeOrdered — no full sort.
+    Q("q3_top_orders", Some("""
+      |SELECT o_orderkey,
+      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+      |           CAST(1 - l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+      |  o_orderdate, o_orderpriority
+      |FROM customer JOIN orders ON c_custkey = o_custkey
+      |JOIN lineitem ON l_orderkey = o_orderkey
+      |WHERE c_mktsegment = 'BUILDING' AND o_orderdate < TIMESTAMP '1998-01-01'
+      |GROUP BY o_orderkey, o_orderdate, o_orderpriority
+      |ORDER BY revenue DESC, o_orderkey LIMIT 10
+      |""".stripMargin.trim))(
+      (s, d) => {
+        val cust = KGlobalTable.fromStatic(
+          t(s, d, "customer").filter(col("c_mktsegment") === "BUILDING")
+            .select("c_custkey"), "c_custkey")
+        val orders = KStream(t(s, d, "orders"), "o_orderkey")
+          .filter(col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+          .joinGlobalTable(cust, col("o_custkey")).toDF
+        val rev = (col("l_extendedprice").cast(dec) *
+          (lit(1) - col("l_discount")).cast(dec))
+        t(s, d, "lineitem")
+          .join(orders, col("l_orderkey") === col("o_orderkey"))
+          .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
+          .agg(sum(rev).cast("double").as("revenue"))
+          .select("o_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+          .orderBy(col("revenue").desc, col("o_orderkey"))
+          .limit(10)
+      }),
+
+    // TPC-H Q5 shape: revenue per nation for one region. All dims broadcast;
+    // single shuffle for the final group-by.
+    Q("q5_region_revenue", Some("""
+      |SELECT n_name,
+      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+      |           CAST(1 - l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+      |FROM region JOIN nation ON n_regionkey = r_regionkey
+      |JOIN customer ON c_nationkey = n_nationkey
+      |JOIN orders ON o_custkey = c_custkey
+      |JOIN lineitem ON l_orderkey = o_orderkey
+      |WHERE r_name = 'ASIA'
+      |GROUP BY n_name
+      |""".stripMargin.trim))(
+      (s, d) => {
+        val dims = t(s, d, "region").filter(col("r_name") === "ASIA")
+          .join(t(s, d, "nation"), col("n_regionkey") === col("r_regionkey"))
+          .join(t(s, d, "customer"), col("c_nationkey") === col("n_nationkey"))
+          .select("c_custkey", "n_name")
+        val orders = t(s, d, "orders")
+          .join(broadcast(dims), col("o_custkey") === col("c_custkey"))
+          .select("o_orderkey", "n_name")
+        val rev = (col("l_extendedprice").cast(dec) *
+          (lit(1) - col("l_discount")).cast(dec))
+        t(s, d, "lineitem")
+          .join(broadcast(orders), col("l_orderkey") === col("o_orderkey"))
+          .groupBy("n_name")
+          .agg(sum(rev).cast("double").as("revenue"))
+      }),
+
+    // Wide-agg shape: per-supplier part stats with a broadcast dim join.
+    Q("q_supplier_stats", Some("""
+      |SELECT l_suppkey, s_name, count(*) AS n_items,
+      |  sum(l_quantity) AS total_qty,
+      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price,
+      |  CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+      |       / count(*) AS DOUBLE) AS avg_price
+      |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+      |GROUP BY l_suppkey, s_name
+      |""".stripMargin.trim))(
+      (s, d) => {
+        val sup = KGlobalTable.fromStatic(
+          t(s, d, "supplier").select("s_suppkey", "s_name"), "s_suppkey")
+        KStream(t(s, d, "lineitem"), "l_orderkey")
+          .joinGlobalTable(sup, col("l_suppkey"))
+          .toDF.groupBy("l_suppkey", "s_name")
+          .agg(
+            count(lit(1)).as("n_items"),
+            sum("l_quantity").as("total_qty"),
+            sum(col("l_extendedprice").cast(dec)).cast("double").as("total_price"))
+          .withColumn("avg_price", (col("total_price") / col("n_items")).cast("double"))
+      }),
+  )
+}

@@ -1,0 +1,82 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextAnalysis._
+import graft.queries.Tables.t
+
+/** Text-analysis queries over the `documents` table — the LLM-pipeline
+  * operators (language ID, quality scoring, token counting, document
+  * fingerprinting). Spark exprs and oracle SQL both render from
+  * [[graft.functions.TextAnalysis]] so the two engines cannot drift.
+  */
+object TextQueries {
+
+  val all: Seq[Q] = Seq(
+
+    Q("q_token_count", Some(
+      s"SELECT doc_id, ${tokenCountWsSql("text")} AS ws_tokens, " +
+      s"${tokenCountBpeSql("text")} AS bpe_tokens FROM documents"))(
+      (s, d) => t(s, d, "documents").select(
+        col("doc_id"),
+        tokenCountWs(col("text")).as("ws_tokens"),
+        tokenCountBpe(col("text")).as("bpe_tokens"))),
+
+    Q("q_text_quality", Some(
+      s"SELECT doc_id, ${punctRatioSql("text")} AS punct_ratio, " +
+      s"${alphaRatioSql("text")} AS alpha_ratio, " +
+      s"${stopwordRatioSql("text")} AS stopword_ratio, " +
+      s"${qualityScoreSql("text")} AS quality FROM documents"))(
+      (s, d) => t(s, d, "documents").select(
+        col("doc_id"),
+        punctRatio(col("text")).as("punct_ratio"),
+        alphaRatio(col("text")).as("alpha_ratio"),
+        stopwordRatio(col("text")).as("stopword_ratio"),
+        qualityScore(col("text")).as("quality"))),
+
+    Q("q_lang_id", Some(
+      s"SELECT doc_id, lang, ${langIdSql("text")} AS pred_lang, " +
+      s"(${langIdSql("text")} = lang) AS is_correct FROM documents"))(
+      (s, d) => t(s, d, "documents").select(
+        col("doc_id"), col("lang"),
+        langId(col("text")).as("pred_lang"),
+        (langId(col("text")) === col("lang")).as("is_correct"))),
+
+    Q("q_fingerprint", Some(
+      s"SELECT doc_id, ${fingerprintSql("text")} AS fp FROM documents"))(
+      (s, d) => t(s, d, "documents").select(
+        col("doc_id"), fingerprint(col("text")).as("fp"))),
+
+    // corpus rollup: one partial-agg shuffle over (lang, source)
+    Q("q_doc_stats", Some(
+      "SELECT lang, source, count(*) AS n_docs, sum(n_chars) AS total_chars, " +
+      "CAST(sum(n_chars) AS DOUBLE) / count(*) AS avg_chars, " +
+      "min(doc_id) AS min_id, max(doc_id) AS max_id " +
+      "FROM documents GROUP BY lang, source"))(
+      (s, d) => t(s, d, "documents")
+        .groupBy("lang", "source")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum("n_chars").as("total_chars"),
+          (sum("n_chars").cast("double") / count(lit(1))).as("avg_chars"),
+          min("doc_id").as("min_id"),
+          max("doc_id").as("max_id"))),
+
+    // event-time tumbling window (1h), the windowed-agg form the reference
+    // lacks entirely (SURVEY §1.4) but Spark gives for free. ts is nanos-
+    // as-long; integer `div` keeps bucket math exact in both engines.
+    Q("q_window_tumbling", Some(
+      "SELECT CAST(floor(epoch_ns(ts) / 3600000000000) AS BIGINT) AS hour_bucket, " +
+      "event_type, count(*) AS n, " +
+      "CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value " +
+      "FROM events GROUP BY 1, 2"))(
+      (s, d) => t(s, d, "events")
+        .groupBy(
+          expr("ts div 3600000000000").as("hour_bucket"),
+          col("event_type"))
+        .agg(
+          count(lit(1)).as("n"),
+          sum(col("value").cast(org.apache.spark.sql.types.DecimalType(18, 2)))
+            .cast("double").as("total_value"))),
+  )
+}
