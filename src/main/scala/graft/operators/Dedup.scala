@@ -109,6 +109,78 @@ object Dedup {
       .select(col("a_id"), col("b_id"), round(col("jaccard"), 4).as("jaccard"))
   }
 
+  /** MinHash signatures via EXPLODE + AGGREGATE — the scale shape. The
+    * expression form ([[minHashSignature]]) evaluates `numHashes × |set|`
+    * interpreted lambda calls per row; this form hashes each element ONCE
+    * in whole-stage codegen and reduces through one partial-agg shuffle
+    * with `numHashes` codegen'd `min` columns (lane i = xxhash64(h, i) —
+    * an independent permutation per lane, re-derived from the single
+    * element hash instead of re-hashing the string).
+    *
+    * Output: one row per doc, columns (doc, _mh0.._mh{n-1}).
+    */
+  def minHashSignatures(docs: DataFrame, id: String, setCol: Column, numHashes: Int): DataFrame = {
+    val exploded = docs
+      .select(col(id).as("doc"), explode(setCol).as("tok"))
+      .select(col("doc"), xxhash64(col("tok")).as("h"))
+    val lanes = (0 until numHashes).map(i => min(xxhash64(col("h"), lit(i))).as(s"_mh$i"))
+    exploded.groupBy("doc").agg(lanes.head, lanes.tail: _*)
+  }
+
+  /** LSH candidate pairs over an arbitrary element-set column. Plan:
+    * signatures ([[minHashSignatures]]) → per-band bucket columns (band b =
+    * xxhash64 of its r lanes) → explode to (band, bucket) → self-join
+    * within buckets → dedup pair. Signatures travel as `bands` longs per
+    * doc — token sets are re-attached to the (few) surviving candidates by
+    * id join, never hauled through the bucket shuffle.
+    * Output: (a_id, b_id, a_set, b_set) with a_id < b_id.
+    */
+  def candidatePairs(
+      docs: DataFrame, id: String, setCol: Column,
+      numHashes: Int, bands: Int): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val r = numHashes / bands
+    val base = docs.select(col(id).as("doc"), setCol.as("elems"))
+    val sigs = minHashSignatures(docs, id, setCol, numHashes)
+    val bandCols = (0 until bands).map { b =>
+      struct(lit(b).as("band"),
+        xxhash64((b * r until (b + 1) * r).map(i => col(s"_mh$i")): _*).as("bucket"))
+    }
+    val keyed = sigs.select(col("doc"), explode(array(bandCols: _*)).as("bk"))
+      .select(col("doc"), col("bk.band").as("band"), col("bk.bucket").as("bucket"))
+    val cand = keyed.select(col("band"), col("bucket"), col("doc").as("a_id"))
+      .join(keyed.select(col("band"), col("bucket"), col("doc").as("b_id")),
+        Seq("band", "bucket"))
+      .filter(col("a_id") < col("b_id"))
+      .select("a_id", "b_id")
+      .dropDuplicates("a_id", "b_id")
+    cand
+      .join(base.select(col("doc").as("a_id"), col("elems").as("a_set")), Seq("a_id"))
+      .join(base.select(col("doc").as("b_id"), col("elems").as("b_set")), Seq("b_id"))
+      .select("a_id", "b_id", "a_set", "b_set")
+  }
+
+  /** Near-duplicate shingle pairs with EXACT integer outputs: MinHash+LSH
+    * candidates verified by true Jaccard, thresholded as the integer
+    * inequality `minDen·|A∩B| ≥ minNum·|A∪B|` (i.e. J ≥ minNum/minDen) so
+    * the result carries no floating point at all — bit-identical across
+    * engines. Output: (a_id, b_id, n_common, n_union), a_id < b_id.
+    *
+    * With numHashes=128, bands=32 (r=4): P[missed pair | J=0.8] =
+    * (1−0.8⁴)³² ≈ 4.6e-8 — recall vs the exact O(n²) answer is ~1, and the
+    * verification makes precision exact. The plan is linear in corpus size:
+    * tokenize+sign (narrow) → explode bands → bucket join → verify.
+    */
+  def nearDupPairs(
+      docs: DataFrame, id: String, text: String, shingleN: Int,
+      minNum: Int, minDen: Int,
+      numHashes: Int = 128, bands: Int = 32): DataFrame =
+    candidatePairs(docs, id, shingles(col(text), shingleN), numHashes, bands)
+      .withColumn("n_common", size(array_intersect(col("a_set"), col("b_set"))))
+      .withColumn("n_union", size(array_union(col("a_set"), col("b_set"))))
+      .filter(col("n_common") * minDen >= col("n_union") * minNum)
+      .select("a_id", "b_id", "n_common", "n_union")
+
   private val powers: Column = array((0 until 64).map(k => lit(1L << k)): _*)
 
   /** SimHash: 64-bit signature. Bit k is set iff the ±1 votes of bit k
@@ -125,6 +197,23 @@ object Dedup {
     aggregate(
       zip_with(counters, powers, (c, p) => when(c > 0, p).otherwise(0L)),
       lit(0L), (acc, v) => acc + v)
+  }
+
+  /** SimHash via explode + aggregate — the scale shape (cf.
+    * [[minHashSignatures]]): one codegen'd xxhash64 per token, 64 codegen'd
+    * conditional bit-vote sums in one partial-agg shuffle, bits OR-packed.
+    * Produces bit-identical signatures to the expression form [[simHash]].
+    * Output: (doc, simhash).
+    */
+  def simHashAgg(docs: DataFrame, id: String, tokens: Column): DataFrame = {
+    val exploded = docs.select(col(id).as("doc"), explode(tokens).as("tok"))
+      .select(col("doc"), xxhash64(col("tok")).as("h"))
+    val bitVotes = (0 until 64).map(k =>
+      sum(when(col("h").bitwiseAND(lit(1L << k)) =!= 0, 1).otherwise(-1)).as(s"_b$k"))
+    exploded.groupBy("doc").agg(bitVotes.head, bitVotes.tail: _*)
+      .select(col("doc"),
+        (0 until 64).map(k => when(col(s"_b$k") > 0, lit(1L << k)).otherwise(0L))
+          .reduce(_ bitwiseOR _).as("simhash"))
   }
 
   /** Hamming distance between two simhashes (popcount of XOR). */

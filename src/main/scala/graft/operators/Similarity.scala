@@ -1,0 +1,147 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import scala.util.hashing.MurmurHash3
+
+/** Approximate-nearest-neighbor / similarity search over an embedding
+  * column (`array<float>`), designed for a 100 TB corpus:
+  *
+  *  - brute-force cosine top-k: broadcast the (small) query set, stream the
+  *    corpus once, keep a bounded top-k per query via two-phase partial
+  *    aggregation — no global sort, no per-query corpus materialization
+  *  - LSH-bucketed ANN: random-hyperplane signatures (L tables × b bits),
+  *    candidates only from matching buckets, exact cosine re-rank — the
+  *    corpus-side work is one narrow projection + an equi-join per table
+  *
+  * All math is `functions._` higher-order expressions over doubles in a
+  * fixed fold order (deterministic bits, no UDFs). Hyperplanes are
+  * pseudo-random ±1 vectors seeded with MurmurHash3 so every executor and
+  * every run derives the identical planes from code alone — nothing is
+  * shipped from the driver but the literal expression tree.
+  */
+object Similarity {
+
+  /** Dot product with per-element double widening, left-to-right fold. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Exact top-k per key without a window sort: partial top-k per map
+    * partition (bounded memory: ≤k rows per (key, partition) group), then
+    * merge. Both stages are hash aggregates — at 100 TB the shuffle carries
+    * at most `k × partitions` rows per key instead of the full corpus.
+    *
+    * `ordStruct` must ascending-sort into the desired order (e.g.
+    * `struct(-score, id)` for score-descending with id tiebreak).
+    */
+  def topKPerKey(df: DataFrame, keyCols: Seq[String], ordStruct: Column, k: Int): DataFrame = {
+    val keys = keyCols.map(col)
+    df.groupBy((keys :+ spark_partition_id().as("_part")).toIndexedSeq: _*)
+      .agg(slice(array_sort(collect_list(ordStruct)), 1, k).as("_partial"))
+      .groupBy(keys.toIndexedSeq: _*)
+      .agg(slice(array_sort(flatten(collect_list(col("_partial")))), 1, k).as("topk"))
+  }
+
+  /** Brute-force cosine KNN: every corpus row scored against every query
+    * (queries broadcast — the O(|Q|·|C|) work streams through the corpus
+    * scan with no shuffle), exact top-k per query via [[topKPerKey]].
+    *
+    * Output: (query_id, rank, neighbor_id), rank 1..k by cosine descending,
+    * neighbor id ascending on ties. Self-pairs excluded.
+    */
+  def bruteForceKnn(
+      queries: DataFrame, corpus: DataFrame,
+      id: String, emb: String, k: Int): DataFrame = {
+    val q = queries.select(col(id).as("query_id"), col(emb).as("q_emb"))
+      .withColumn("q_norm", norm(col("q_emb")))
+    val c = corpus.select(col(id).as("neighbor_id"), col(emb).as("c_emb"))
+      .withColumn("c_norm", norm(col("c_emb")))
+    val scored = c.join(broadcast(q), col("neighbor_id") =!= col("query_id"))
+      .withColumn("score", dot(col("q_emb"), col("c_emb")) / (col("q_norm") * col("c_norm")))
+    topKPerKey(
+      scored.select(col("query_id"), col("score"), col("neighbor_id")),
+      Seq("query_id"), struct((-col("score")).as("ns"), col("neighbor_id").as("nid")), k)
+      .select(col("query_id"), posexplode(col("topk")))
+      .select(col("query_id"), (col("pos") + 1).as("rank"), col("col.nid").as("neighbor_id"))
+  }
+
+  /** Deterministic ±1 hyperplane matrix: `tables × bits` planes of `dim`
+    * components, derived from MurmurHash3 — identical on every executor.
+    */
+  private def planes(tables: Int, bits: Int, dim: Int): Seq[Seq[Seq[Double]]] =
+    (0 until tables).map(t => (0 until bits).map(b =>
+      (0 until dim).map(d =>
+        if ((MurmurHash3.productHash((t, b, d)) & 1) == 0) 1.0 else -1.0)))
+
+  /** Signed random-projection bucket id for one table: bit i = sign of the
+    * projection onto plane i, packed into an int.
+    */
+  private def bucketId(emb: Column, tablePlanes: Seq[Seq[Double]]): Column =
+    tablePlanes.foldLeft(lit(0)) { (acc, p) =>
+      val plane = array(p.map(lit): _*)
+      acc * 2 + when(dot(emb, plane) > 0, 1).otherwise(0)
+    }
+
+  /** All (table, bucket) keys for a vector — rows to explode. */
+  def lshKeys(emb: Column, tables: Int = 8, bits: Int = 8, dim: Int = 64): Column =
+    array((0 until tables).map { t =>
+      struct(lit(t).as("tbl"), bucketId(emb, planes(tables, bits, dim)(t)).as("bucket"))
+    }: _*)
+
+  /** LSH-bucketed ANN: candidates share ≥1 (table, bucket), re-ranked by
+    * exact cosine, top-k per query. Same output shape as [[bruteForceKnn]]
+    * but approximate — a neighbor landing in no common bucket is missed
+    * (P[miss] = (1 − (1 − θ/π)^bits)^tables per table-independence).
+    *
+    * Plan: corpus → explode keys (×tables rows, narrow) → equi-join on
+    * (tbl, bucket) against the exploded query keys [one hash shuffle] →
+    * dedup (query, neighbor) → exact cosine → [[topKPerKey]]. Never O(n²).
+    */
+  def lshKnn(
+      queries: DataFrame, corpus: DataFrame,
+      id: String, emb: String, k: Int,
+      tables: Int = 8, bits: Int = 8, dim: Int = 64): DataFrame = {
+    def keyed(df: DataFrame, idAs: String, embAs: String) =
+      df.select(col(id).as(idAs), col(emb).as(embAs))
+        .withColumn("_k", explode(lshKeys(col(embAs), tables, bits, dim)))
+        .select(col(idAs), col(embAs), col("_k.tbl"), col("_k.bucket"))
+
+    val q = keyed(queries, "query_id", "q_emb")
+    val c = keyed(corpus, "neighbor_id", "c_emb")
+    val cand = c.join(broadcast(q), Seq("tbl", "bucket"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .dropDuplicates("query_id", "neighbor_id")
+      .withColumn("score", cosine(col("q_emb"), col("c_emb")))
+    topKPerKey(
+      cand.select(col("query_id"), col("score"), col("neighbor_id")),
+      Seq("query_id"), struct((-col("score")).as("ns"), col("neighbor_id").as("nid")), k)
+      .select(col("query_id"), posexplode(col("topk")))
+      .select(col("query_id"), (col("pos") + 1).as("rank"), col("col.nid").as("neighbor_id"))
+  }
+
+  /** Embedding-cosine near-duplicate pairs (the embedding flavor of
+    * [[Dedup]]): all unordered pairs with cosine ≥ `minCosine`, found via
+    * LSH buckets + exact verification. Output: (a_id, b_id) with a < b.
+    */
+  def embeddingNearDups(
+      corpus: DataFrame, id: String, emb: String,
+      minCosine: Double, tables: Int = 8, bits: Int = 8, dim: Int = 64): DataFrame = {
+    val keyed = corpus.select(col(id).as("vid"), col(emb).as("v"))
+      .withColumn("_k", explode(lshKeys(col("v"), tables, bits, dim)))
+      .select(col("vid"), col("v"), col("_k.tbl"), col("_k.bucket"))
+    val a = keyed.select(col("tbl"), col("bucket"), col("vid").as("a_id"), col("v").as("a_v"))
+    val b = keyed.select(col("tbl"), col("bucket"), col("vid").as("b_id"), col("v").as("b_v"))
+    a.join(b, Seq("tbl", "bucket"))
+      .filter(col("a_id") < col("b_id"))
+      .dropDuplicates("a_id", "b_id")
+      .filter(cosine(col("a_v"), col("b_v")) >= minCosine)
+      .select("a_id", "b_id")
+  }
+}

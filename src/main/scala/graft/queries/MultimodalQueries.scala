@@ -1,0 +1,61 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Multimodal
+import graft.queries.Tables.t
+
+/** Multimodal-column queries: binary payloads (UTF-8 bytes of `documents.
+  * text` stand in for encoded media) with typed metadata, frame sampling,
+  * and the stubbed-but-deterministic feature decode. Every query — the
+  * per-partition mapPartitions decoder included — is verified byte-exact
+  * against DuckDB (the stub's integer bucket sums are engine-portable).
+  */
+object MultimodalQueries {
+
+  private def media(s: org.apache.spark.sql.SparkSession, d: String) =
+    Multimodal.attachBlob(t(s, d, "documents"), "doc_id", "text", "text/plain")
+
+  val all: Seq[Q] = Seq(
+
+    // typed metadata over the opaque payload
+    Q("q_media_meta", Some(
+      "SELECT doc_id, 'text/plain' AS mime, octet_length(encode(text)) AS byte_len, " +
+      "md5(hex(encode(text))) AS content_md5, " +
+      "substring(hex(encode(text)), 1, 16) AS header_hex FROM documents"))(
+      (s, d) =>
+        Multimodal.meta(media(s, d)).select(
+          col("media_id").as("doc_id"), col("mime"), col("byte_len"),
+          md5(col("hx")).as("content_md5"),
+          col("hx").substr(1, 16).as("header_hex"))),
+
+    // frame sampling: 64-byte frame every 256 bytes, digested per frame
+    Q("q_media_frames", Some(
+      """WITH b AS (SELECT doc_id, hex(encode(text)) AS hx,
+        |  octet_length(encode(text)) AS blen FROM documents),
+        |f AS (SELECT doc_id, unnest(list_transform(range((blen - 1) // 256 + 1),
+        |  i -> {'fno': i, 'fmd5': md5(substring(hx, (1 + i * 512)::BIGINT, 128))})) AS fr
+        |  FROM b)
+        |SELECT doc_id, fr.fno AS frame_no, fr.fmd5 AS frame_md5 FROM f""".stripMargin))(
+      (s, d) =>
+        Multimodal.sampleFrames(media(s, d), frameBytes = 64, strideBytes = 256)
+          .select(col("media_id").as("doc_id"), col("frame_no"), col("frame_md5"))),
+
+    // STUB decode → per-bucket unsigned-byte sums, exploded. This drives
+    // the typed mapPartitions path end-to-end; the oracle recomputes the
+    // same sums from hex pairs — exact integers.
+    Q("q_media_features", Some(
+      """WITH b AS (SELECT doc_id, hex(encode(text)) AS hx,
+        |  octet_length(encode(text)) AS blen FROM documents),
+        |f AS (SELECT doc_id, unnest(list_transform(range(8), j -> {'bucket': j,
+        |  'byte_sum': list_sum(list_transform(
+        |     list_filter(range(blen), i -> i % 8 = j),
+        |     i -> ('0x' || substring(hx, (i * 2 + 1)::BIGINT, 2))::BIGINT))})) AS e
+        |  FROM b)
+        |SELECT doc_id, e.bucket AS bucket, e.byte_sum AS byte_sum FROM f""".stripMargin))(
+      (s, d) =>
+        Multimodal.decodeFeaturesStub(media(s, d), dim = 8).toDF
+          .select(col("media_id").as("doc_id"), posexplode(col("features")))
+          .select(col("doc_id"), col("pos").as("bucket"), col("col").as("byte_sum"))),
+  )
+}

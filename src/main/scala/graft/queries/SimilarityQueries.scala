@@ -1,0 +1,74 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Similarity
+import graft.queries.Tables.t
+
+/** Similarity-search queries over the `embeddings` table (64-dim float
+  * vectors). The brute-force KNN is the oracled baseline (outputs are ids
+  * and ranks only — never float scores — so the compare is exact); the LSH
+  * path is the approximate scale variant, checked rows-only plus a
+  * recall unit test.
+  */
+object SimilarityQueries {
+
+  /** Oracle-side cosine, same fold: per-element double widening. */
+  private val cosineSql =
+    """WITH e AS (SELECT vec_id, embedding,
+      |  sqrt(list_sum(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE))) AS nrm
+      |  FROM embeddings)""".stripMargin
+
+  val all: Seq[Q] = Seq(
+
+    // brute-force cosine top-5 for the first 20 vectors. The engine path is
+    // broadcast-queries × corpus-scan with two-phase bounded top-k (no
+    // window sort, no per-query corpus materialization).
+    Q("q_knn_bruteforce", Some(cosineSql +
+      """
+        |, s AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |  list_sum(list_transform(range(1, 65), i -> q.embedding[i]::DOUBLE * c.embedding[i]::DOUBLE))
+        |    / (q.nrm * c.nrm) AS score
+        |  FROM e q JOIN e c ON c.vec_id <> q.vec_id WHERE q.vec_id < 20)
+        |SELECT query_id, rank, neighbor_id FROM (
+        |  SELECT query_id, neighbor_id,
+        |    row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rank
+        |  FROM s) WHERE rank <= 5""".stripMargin))(
+      (s, d) => {
+        val emb = t(s, d, "embeddings")
+        Similarity.bruteForceKnn(
+          emb.filter(col("vec_id") < 20), emb, "vec_id", "embedding", k = 5)
+      }),
+
+    // LSH-bucketed ANN, same shape — approximate (rows-only check;
+    // SimilaritySpec pins recall ≥ 0.5 vs brute force on this data).
+    Q("q_ann_lsh", None)(
+      (s, d) => {
+        val emb = t(s, d, "embeddings")
+        Similarity.lshKnn(
+          emb.filter(col("vec_id") < 20), emb, "vec_id", "embedding", k = 5,
+          tables = 8, bits = 6)
+      }),
+
+    // label centroids: the clustering-side consumer of embeddings.
+    // Scale shape: posexplode to (label, dim, component) → two partial-agg
+    // shuffles — never a per-group vector materialization (collect_list of
+    // embeddings would OOM a hot label at 100 TB). Output = per-label count
+    // and centroid L1 norm, integer count + scale-4 rounding.
+    Q("q_label_centroid", Some(
+      """WITH x AS (SELECT label,
+        |  unnest(list_transform(range(1, 65), i -> {'i': i, 'v': embedding[i]::DOUBLE})) AS e
+        |  FROM embeddings),
+        |m AS (SELECT label, e.i AS i, sum(e.v) AS s, count(*) AS c FROM x GROUP BY 1, 2)
+        |SELECT label, max(c) AS n, round(sum(abs(s / c)), 4) AS centroid_l1
+        |FROM m GROUP BY label""".stripMargin))(
+      (s, d) =>
+        t(s, d, "embeddings")
+          .select(col("label"), posexplode(col("embedding")))
+          .groupBy("label", "pos")
+          .agg(sum(col("col").cast("double")).as("s"), count(lit(1)).as("c"))
+          .groupBy("label")
+          .agg(max(col("c")).as("n"),
+            round(sum(abs(col("s") / col("c"))), 4).as("centroid_l1"))),
+  )
+}
