@@ -47,7 +47,7 @@ object SimilarityQueries {
         val emb = t(s, d, "embeddings")
         Similarity.lshKnn(
           emb.filter(col("vec_id") < 20), emb, "vec_id", "embedding", k = 5,
-          tables = 8, bits = 6)
+          tables = 16, bits = 4)
       }),
 
     // label centroids: the clustering-side consumer of embeddings.

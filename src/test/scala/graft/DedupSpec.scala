@@ -1,0 +1,66 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Dedup
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog"),
+    (2L, "the quick brown fox jumps over the lazy cat"), // near-dup of 1
+    (3L, "completely different content about spark engines and shuffles"),
+    (4L, "the quick brown fox jumps over the lazy dog") // exact dup of 1
+  ).toDF("doc_id", "text")
+
+  test("exact dedup groups identical content, smallest id survives") {
+    val out = Dedup.exact(docs, "doc_id", "text")
+    val dupGroup = out.filter(col("n_dups") === 2).select("keep_id").as[Long].collect()
+    assert(dupGroup === Seq(1L))
+    assert(out.count() === 3)
+  }
+
+  test("shingles: n-grams of words; short docs collapse to one shingle") {
+    val sh = docs.filter(col("doc_id") === 1)
+      .select(Dedup.shingles(col("text"), 3).as("s"))
+      .as[Seq[String]].head()
+    assert(sh.contains("the quick brown"))
+    assert(sh.size === 7) // 9 words -> 7 trigrams, all distinct
+    val short = Seq((1L, "two words")).toDF("doc_id", "text")
+      .select(Dedup.shingles(col("text"), 3).as("s")).as[Seq[String]].head()
+    assert(short === Seq("two words"))
+  }
+
+  test("minhash LSH near-dup pairs: finds planted near-dups, exact counts") {
+    val pairs = Dedup.nearDupPairs(docs, "doc_id", "text",
+        shingleN = 3, minNum = 1, minDen = 2) // J >= 0.5
+      .select("a_id", "b_id", "n_common", "n_union")
+      .as[(Long, Long, Int, Int)].collect().toSet
+    // docs 1,2 share 6 of 8 trigrams; 1,4 identical (7 of 7)
+    assert(pairs === Set((1L, 2L, 6, 8), (1L, 4L, 7, 7), (2L, 4L, 6, 8)))
+  }
+
+  test("simHash expression and aggregate forms agree; hamming tracks similarity") {
+    val exprSig = docs.select(col("doc_id"),
+      Dedup.simHash(Dedup.tokenSet(col("text"))).as("sig"))
+    val aggSig = Dedup.simHashAgg(docs, "doc_id", Dedup.tokenSet(col("text")))
+      .select(col("doc").as("doc_id"), col("simhash").as("sig"))
+    val e = exprSig.as[(Long, Long)].collect().toMap
+    val a = aggSig.as[(Long, Long)].collect().toMap
+    assert(e === a)
+    val d12 = java.lang.Long.bitCount(e(1L) ^ e(2L)) // near-dups
+    val d13 = java.lang.Long.bitCount(e(1L) ^ e(3L)) // unrelated
+    assert(e(1L) === e(4L)) // identical docs, identical signature
+    assert(d12 < d13)
+  }
+
+  test("ngramJaccard computes exact similarity between two columns") {
+    val df = Seq(("a b c d", "a b c d"), ("a b c d", "x y z w"))
+      .toDF("l", "r")
+      .select(Dedup.ngramJaccard(col("l"), col("r"), 2).as("j"))
+      .as[Double].collect()
+    assert(df(0) === 1.0)
+    assert(df(1) === 0.0)
+  }
+}

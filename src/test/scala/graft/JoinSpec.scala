@@ -1,0 +1,64 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.dsl.{KGlobalTable, KStream}
+
+/** Global-table join semantics — the reference's three oracle cases from
+  * /root/reference/kstream/processors/join/global_table_joiner_test.go:
+  * 70-168 (inner hit, inner miss ⇒ record dropped, left miss ⇒ nil right),
+  * with the same primary_key/foreign_key fixture shape (:15-42).
+  */
+class JoinSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def leftRecords = Seq((100, 1), (200, 2), (300, 9))
+    .toDF("primary_key", "foreign_key")
+  private def rightRecords = Seq((1, "one"), (2, "two"), (3, "three"))
+    .toDF("fk", "name")
+
+  test("inner join: hit enriches, miss drops the record (J1)") {
+    val table = KGlobalTable.fromStatic(rightRecords, "fk")
+    val out = KStream(leftRecords, "primary_key")
+      .joinGlobalTable(table, col("foreign_key"))
+      .toDF.select("primary_key", "name").as[(Int, String)].collect().toMap
+    assert(out === Map(100 -> "one", 200 -> "two")) // 300 dropped: fk 9 missing
+  }
+
+  test("left join: miss keeps the record with NULL right side (J2)") {
+    val table = KGlobalTable.fromStatic(rightRecords, "fk")
+    val out = KStream(leftRecords, "primary_key")
+      .joinGlobalTable(table, col("foreign_key"), "left")
+      .toDF.select("primary_key", "name").as[(Int, Option[String])].collect().toMap
+    assert(out === Map(100 -> Some("one"), 200 -> Some("two"), 300 -> None))
+  }
+
+  test("global table from changelog: latest wins, tombstone deletes (A1)") {
+    val changelog = Seq(
+      (1, 1L, Some("v1")), (1, 3L, Some("v3")), (1, 2L, Some("v2")),
+      (2, 1L, Some("x")), (2, 2L, None), // newest is a tombstone ⇒ deleted
+      (3, 1L, None), (3, 2L, Some("y")) // tombstone then value ⇒ alive
+    ).toDF("k", "off", "v")
+    val table = KGlobalTable.fromChangelog(changelog, "k", Seq(col("off")),
+      tombstoneCol = Some("v"))
+    val snap = table.all.select("k", "v").as[(Int, String)].collect().toMap
+    assert(snap === Map(1 -> "v3", 3 -> "y"))
+  }
+
+  test("stream-stream join pairs each left with the FIRST right per key (J3)") {
+    val left = Seq((10, "l1"), (20, "l2"), (30, "l3")).toDF("k", "lv")
+    val right = Seq((10, 1L, "rA"), (10, 2L, "rB"), (20, 5L, "rC"))
+      .toDF("rk", "off", "rv")
+    val out = KStream(left, "k")
+      .joinStream(KStream(right, "rk"), Seq(col("off")))
+      .toDF.select("k", "rv").as[(Int, String)].collect().toMap
+    // k=10 joins only the first (off=1) right record; k=30 has no match
+    assert(out === Map(10 -> "rA", 20 -> "rC"))
+  }
+
+  test("point lookup and range scan over the table (A4)") {
+    val table = KGlobalTable.fromStatic(rightRecords, "fk")
+    assert(table.get(2).select("name").as[String].collect() === Seq("two"))
+    assert(table.range(1, 2).count() === 2)
+  }
+}

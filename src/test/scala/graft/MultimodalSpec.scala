@@ -1,0 +1,37 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Multimodal
+
+class MultimodalSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docs = Seq(
+    (1L, "abcdefgh" * 40), // 320 bytes -> frames at 0 and 256
+    (2L, "xy") // 2 bytes -> one (short) frame
+  ).toDF("doc_id", "text")
+
+  test("attachBlob produces binary payload with stable byte length") {
+    val m = Multimodal.attachBlob(docs, "doc_id", "text", "text/plain")
+    val lens = Multimodal.meta(m).select("media_id", "byte_len")
+      .as[(Long, Int)].collect().toMap
+    assert(lens === Map(1L -> 320, 2L -> 2))
+  }
+
+  test("sampleFrames emits one frame per stride, hex-sliced") {
+    val m = Multimodal.attachBlob(docs, "doc_id", "text", "text/plain")
+    val frames = Multimodal.sampleFrames(m, frameBytes = 64, strideBytes = 256)
+    val counts = frames.groupBy("media_id").count().as[(Long, Long)].collect().toMap
+    assert(counts === Map(1L -> 2L, 2L -> 1L))
+  }
+
+  test("decodeFeaturesStub: deterministic bucket sums of unsigned bytes") {
+    val m = Multimodal.attachBlob(
+      Seq((7L, "ab")).toDF("doc_id", "text"), "doc_id", "text", "text/plain")
+    val f = Multimodal.decodeFeaturesStub(m, dim = 8).collect().head
+    assert(f.media_id === 7L)
+    assert(f.n_bytes === 2)
+    assert(f.features.toSeq === Seq('a'.toLong, 'b'.toLong, 0L, 0L, 0L, 0L, 0L, 0L))
+  }
+}

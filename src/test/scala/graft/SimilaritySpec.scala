@@ -1,0 +1,65 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Similarity
+
+class SimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  test("cosine: exact values on known vectors") {
+    val df = Seq(
+      (Seq(1f, 0f), Seq(1f, 0f)), // identical -> 1
+      (Seq(1f, 0f), Seq(0f, 1f)), // orthogonal -> 0
+      (Seq(1f, 0f), Seq(-1f, 0f)) // opposite -> -1
+    ).toDF("a", "b")
+    val out = df.select(Similarity.cosine(col("a"), col("b"))).as[Double].collect()
+    assert(out(0) === 1.0 && out(1) === 0.0 && out(2) === -1.0)
+  }
+
+  test("topKPerKey returns the exact global top-k without a window sort") {
+    val df = (1 to 100).map(i => ("g", i.toDouble, i.toLong)).toDF("g", "score", "id")
+      .repartition(7) // force multiple partial groups
+    val top = Similarity.topKPerKey(df, Seq("g"),
+        struct((-col("score")).as("ns"), col("id").as("nid")), 3)
+      .select(col("topk.nid")).as[Seq[Long]].head()
+    assert(top === Seq(100L, 99L, 98L))
+  }
+
+  test("bruteForceKnn ranks by cosine desc, excludes self") {
+    val vecs = Seq(
+      (0L, Seq(1f, 0f, 0f)),
+      (1L, Seq(0.9f, 0.1f, 0f)), // closest to 0
+      (2L, Seq(0.5f, 0.5f, 0f)),
+      (3L, Seq(0f, 0f, 1f)) // orthogonal to 0
+    ).toDF("vec_id", "embedding")
+    val out = Similarity.bruteForceKnn(
+        vecs.filter(col("vec_id") === 0), vecs, "vec_id", "embedding", k = 3)
+      .orderBy("rank").select("neighbor_id").as[Long].collect()
+    assert(out === Seq(1L, 2L, 3L))
+  }
+
+  test("lshKnn recall >= 0.5 vs brute force on real embeddings") {
+    val emb = queries.Tables.t(spark, sf, "embeddings")
+    val q = emb.filter(col("vec_id") < 10)
+    val exact = Similarity.bruteForceKnn(q, emb, "vec_id", "embedding", 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val approx = Similarity.lshKnn(q, emb, "vec_id", "embedding", 5,
+        tables = 16, bits = 4)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = (exact & approx).size.toDouble / exact.size
+    assert(recall >= 0.5, s"LSH recall $recall too low")
+  }
+
+  test("embeddingNearDups finds planted high-cosine pairs only") {
+    val vecs = Seq(
+      (0L, Seq(1f, 0.01f, 0f, 0f)),
+      (1L, Seq(1f, 0.02f, 0f, 0f)), // ~identical to 0
+      (2L, Seq(0f, 0f, 1f, 0.5f))
+    ).toDF("vec_id", "embedding")
+    val pairs = Similarity.embeddingNearDups(vecs, "vec_id", "embedding",
+        minCosine = 0.99, tables = 8, bits = 4, dim = 4)
+      .as[(Long, Long)].collect().toSet
+    assert(pairs === Set((0L, 1L)))
+  }
+}

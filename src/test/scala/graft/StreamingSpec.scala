@@ -1,0 +1,106 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+
+import graft.streaming.{KRecord, StreamingState}
+
+/** Streaming-state semantics over MemoryStream micro-batches, mirroring the
+  * reference's table-sync integration test
+  * (/root/reference/kstream/global_table_stream_test.go:22-442): feed
+  * records in controlled batches, assert the materialized state.
+  */
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+  implicit private lazy val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+  private var nextSink = 0
+  private def sinkName(): String = { nextSink += 1; s"graft_sink_$nextSink" }
+
+  /** Run a streaming Dataset to a memory sink, one batch per addData call. */
+  private def runBatches[T](
+      mem: MemoryStream[T], out: org.apache.spark.sql.Dataset[_],
+      mode: OutputMode)(batches: Seq[T]*): String = {
+    val name = sinkName()
+    val q = out.writeStream.format("memory").queryName(name).outputMode(mode).start()
+    try batches.foreach { b => mem.addData(b: _*); q.processAllAvailable() }
+    finally q.stop()
+    name
+  }
+
+  test("latestByKey: state keeps newest per key; tombstone deletes (A1 streaming)") {
+    val mem = MemoryStream[KRecord]
+    val name = runBatches(mem, StreamingState.latestByKey(mem.toDS()), OutputMode.Update())(
+      Seq(KRecord("a", 1, "a1"), KRecord("b", 1, "b1")),
+      Seq(KRecord("a", 2, "a2"), KRecord("a", 0, "stale")), // stale ord ignored
+      Seq(KRecord("b", 9, null)) // tombstone
+    )
+    val rows = spark.table(name).as[KRecord].collect()
+    // last emission per key reflects final state
+    val lastByKey = rows.groupBy(_.key).map { case (k, rs) => k -> rs.maxBy(_.ord) }
+    assert(lastByKey("a").value === "a2")
+    assert(lastByKey("b").value === null) // deletion surfaced downstream
+  }
+
+  test("versionedUpsert: strict > comparator, ties keep first-seen (A2 streaming)") {
+    val mem = MemoryStream[KRecord]
+    val name = runBatches(mem, StreamingState.versionedUpsert(mem.toDS()), OutputMode.Update())(
+      Seq(KRecord("k", 1, "v5-first", version = 5)),
+      Seq(KRecord("k", 2, "v5-second", version = 5)), // tie: rejected
+      Seq(KRecord("k", 3, "v6", version = 6)) // higher: wins
+    )
+    val emitted = spark.table(name).as[KRecord].collect().sortBy(_.ord).map(_.value)
+    assert(emitted === Seq("v5-first", "v5-first", "v6"))
+  }
+
+  test("dedupWithinWatermark drops repeated identities (A3 streaming)") {
+    val mem = MemoryStream[(String, Timestamp)]
+    val df = mem.toDF().toDF("uuid", "ts")
+    val out = StreamingState.dedupWithinWatermark(df, Seq("uuid"), "ts", "10 minutes")
+    val name = runBatches(mem, out, OutputMode.Append())(
+      Seq(("u1", Timestamp.valueOf("2024-01-01 00:00:00")),
+        ("u1", Timestamp.valueOf("2024-01-01 00:00:01")), // dup in-batch
+        ("u2", Timestamp.valueOf("2024-01-01 00:00:02"))),
+      Seq(("u1", Timestamp.valueOf("2024-01-01 00:01:00"))) // dup across batches
+    )
+    assert(spark.table(name).select("uuid").as[String].collect().sorted === Seq("u1", "u2"))
+  }
+
+  test("tumbling window counts with watermark (the operator class the reference lacks)") {
+    val mem = MemoryStream[(Timestamp, String)]
+    val df = mem.toDF().toDF("ts", "kind")
+    val out = StreamingState.tumblingCounts(df, "ts", "5 minutes", "10 minutes", Seq("kind"))
+    val name = runBatches(mem, out, OutputMode.Update())(
+      Seq((Timestamp.valueOf("2024-01-01 00:01:00"), "x"),
+        (Timestamp.valueOf("2024-01-01 00:09:00"), "x"),
+        (Timestamp.valueOf("2024-01-01 00:11:00"), "x"))
+    )
+    val counts = spark.table(name)
+      .select(col("window.start").cast("string"), col("n")).as[(String, Long)]
+      .collect().toMap
+    assert(counts === Map("2024-01-01 00:00:00" -> 2L, "2024-01-01 00:10:00" -> 1L))
+  }
+
+  test("stream-stream join matches within the time bound (J3 streaming)") {
+    val lMem = MemoryStream[(String, Timestamp)]
+    val rMem = MemoryStream[(String, Timestamp)]
+    val l = lMem.toDF().toDF("lk", "ts")
+    val r = rMem.toDF().toDF("rk", "ts")
+    val joined = StreamingState.streamStreamJoin(
+      l, r, "lk", "rk", "ts", "10 minutes", "5 minutes")
+    val name = sinkName()
+    val q = joined.writeStream.format("memory").queryName(name)
+      .outputMode(OutputMode.Append()).start()
+    try {
+      lMem.addData(("a", Timestamp.valueOf("2024-01-01 00:00:00")),
+        ("b", Timestamp.valueOf("2024-01-01 00:00:00")))
+      rMem.addData(("a", Timestamp.valueOf("2024-01-01 00:02:00")), // in window
+        ("b", Timestamp.valueOf("2024-01-01 00:30:00"))) // outside window
+      q.processAllAvailable()
+    } finally q.stop()
+    assert(spark.table(name).select("lk").as[String].collect() === Seq("a"))
+  }
+}
