@@ -123,7 +123,7 @@ final class KStream private (
     * over the keyed snapshot; `ord` orders arrivals (e.g. offset column).
     */
   def materialize(registry: StoreRegistry, storeName: String, ord: Seq[Column]): KStream = {
-    registry.register(storeName, Upserts.latestByKey(toDF, keyCols, ord))
+    registry.register(storeName, Upserts.latestByKey(toDF, keyCols, ord), keyCols.head)
     this
   }
 

@@ -24,17 +24,25 @@ object Dedup {
   /** Lowercased whitespace tokens, distinct (a set, for Jaccard). */
   def tokenSet(text: Column): Column = array_distinct(split(lower(text), "\\s+"))
 
-  /** Word n-gram shingle set. Documents shorter than n words collapse to a
-    * single whole-document shingle.
+  /** Word n-gram shingle set over a pre-tokenized array. Documents shorter
+    * than n words collapse to a single whole-document shingle.
     */
-  def shingles(text: Column, n: Int): Column = {
-    val toks = split(lower(text), "\\s+")
+  def shinglesFromTokens(toks: Column, n: Int): Column =
     array_distinct(
       when(size(toks) < n, array(concat_ws(" ", toks)))
         .otherwise(transform(
           sequence(lit(0), size(toks) - n),
           i => concat_ws(" ", slice(toks, i + lit(1), lit(n))))))
-  }
+
+  /** Word n-gram shingle set from raw text. The tokenization is bound once
+    * through a lambda variable (single-element array + transform) — the
+    * naive inline form would re-evaluate `split(lower(text))` for every one
+    * of its four occurrences in the shingle expression.
+    */
+  def shingles(text: Column, n: Int): Column =
+    element_at(
+      transform(array(split(lower(text), "\\s+")), tk => shinglesFromTokens(tk, n)),
+      1)
 
   /** Exact dedup: group identical content (by full-bytes hash), keep the
     * smallest id as the survivor. Output: (content_hash, keep_id, n_dups).

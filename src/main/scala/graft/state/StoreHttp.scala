@@ -1,0 +1,81 @@
+package graft.state
+
+import java.net.InetSocketAddress
+import java.nio.charset.StandardCharsets
+
+import com.sun.net.httpserver.{HttpExchange, HttpServer}
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions.{col, lit}
+
+/** Interactive queries over registered stores — the reference's REST
+  * surface (`/root/reference/kstream/store/http.go:120-399`):
+  *
+  *   GET /stores                      → store names
+  *   GET /stores/{s}?limit=N          → scan (default 1000 rows)
+  *   GET /stores/{s}/{key}            → point lookup on the store's key
+  *   GET /stores/{s}/indexes/{i}/{k}  → secondary-index lookup (A5)
+  *
+  * Rows render via `Dataset.toJSON` (schema-faithful JSON). Point lookups
+  * run as pushed-down predicates against the snapshot — the driver only
+  * collects the matching rows, so the surface works unchanged whether the
+  * snapshot is 100 rows or 100 TB of partitioned parquet. Built on the
+  * JDK's HttpServer: no dependencies, ephemeral port for tests.
+  */
+final class StoreHttp(registry: StoreRegistry, port: Int = 0) {
+
+  private var server: HttpServer = _
+
+  /** index name → (store name, index expression column name builder) */
+  private val indexes = scala.collection.concurrent.TrieMap
+    .empty[(String, String), org.apache.spark.sql.Column]
+
+  def registerIndex(store: String, indexName: String, expr: org.apache.spark.sql.Column): Unit =
+    indexes.put((store, indexName), expr)
+
+  def start(): Int = {
+    server = HttpServer.create(new InetSocketAddress(port), 0)
+    server.createContext("/stores", (ex: HttpExchange) => handle(ex))
+    server.setExecutor(null)
+    server.start()
+    server.getAddress.getPort
+  }
+
+  def stop(): Unit = if (server != null) server.stop(0)
+
+  private def handle(ex: HttpExchange): Unit = {
+    val resp =
+      try route(ex)
+      catch { case e: Throwable => (404, s"""{"error":"${e.getMessage}"}""") }
+    val bytes = resp._2.getBytes(StandardCharsets.UTF_8)
+    ex.getResponseHeaders.set("Content-Type", "application/json")
+    ex.sendResponseHeaders(resp._1, bytes.length)
+    ex.getResponseBody.write(bytes)
+    ex.close()
+  }
+
+  private def route(ex: HttpExchange): (Int, String) = {
+    val parts = ex.getRequestURI.getPath.stripPrefix("/").split("/").toList
+    val limit = Option(ex.getRequestURI.getQuery)
+      .flatMap(_.split("&").collectFirst {
+        case q if q.startsWith("limit=") => q.stripPrefix("limit=").toInt
+      }).getOrElse(1000)
+    parts match {
+      case "stores" :: Nil =>
+        (200, registry.storeNames.map(n => s""""$n"""").mkString("[", ",", "]"))
+      case "stores" :: s :: Nil =>
+        (200, rows(registry.store(s).limit(limit)))
+      case "stores" :: s :: key :: Nil =>
+        val df = registry.store(s)
+        (200, rows(df.filter(col(registry.keyOf(s)) === lit(key)
+          .cast(df.schema(registry.keyOf(s)).dataType))))
+      case "stores" :: s :: "indexes" :: i :: key :: Nil =>
+        val expr = indexes.getOrElse((s, i), sys.error(s"unknown index $i"))
+        (200, rows(registry.store(s).filter(expr.cast("string") === key).limit(limit)))
+      case _ => (404, """{"error":"not found"}""")
+    }
+  }
+
+  private def rows(df: DataFrame): String =
+    df.toJSON.collect().mkString("[", ",", "]")
+}

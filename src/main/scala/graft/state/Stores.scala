@@ -15,16 +15,45 @@ import org.apache.spark.sql.functions._
   */
 final class StoreRegistry(spark: SparkSession) {
   private val stores = TrieMap.empty[String, DataFrame]
+  private val keys = TrieMap.empty[String, String]
 
   def register(name: String, df: DataFrame): Unit = {
     stores.put(name, df)
+    keys.putIfAbsent(name, df.columns.head)
     df.createOrReplaceTempView(name)
+  }
+
+  def register(name: String, df: DataFrame, keyCol: String): Unit = {
+    keys.put(name, keyCol)
+    register(name, df)
+  }
+
+  /** Streaming materialize (S4): called per micro-batch from
+    * `writeStream.foreachBatch` — merge the batch into the keyed snapshot,
+    * latest `ord` wins. `localCheckpoint` truncates lineage so a
+    * long-running query doesn't accrete one union per batch; the durable
+    * production form of this is a MERGE into a transactional table or the
+    * state store itself ([[graft.streaming.StreamingState.latestByKey]]).
+    */
+  def upsert(name: String, batch: DataFrame, keyCols: Seq[String], ord: Seq[Column]): Unit = {
+    val merged = stores.get(name) match {
+      case Some(cur) => Upserts.latestByKey(cur.unionByName(batch), keyCols, ord)
+      case None      => Upserts.latestByKey(batch, keyCols, ord)
+    }
+    // foreachBatch hands us a DataFrame bound to a per-stream session
+    // clone; rebind the materialized snapshot to the registry's session so
+    // the temp view is visible to interactive queries.
+    val snap = merged.localCheckpoint(true)
+    keys.put(name, keyCols.head)
+    register(name, spark.createDataFrame(snap.rdd, snap.schema))
   }
 
   /** `GET /stores` — registry.go:131-141. */
   def storeNames: Seq[String] = stores.keys.toSeq.sorted
   def store(name: String): DataFrame =
     stores.getOrElse(name, sys.error(s"unknown store $name"))
+  def keyOf(name: String): String =
+    keys.getOrElse(name, sys.error(s"unknown store $name"))
   def sql(q: String): DataFrame = spark.sql(q)
 }
 

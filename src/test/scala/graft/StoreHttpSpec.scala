@@ -1,0 +1,63 @@
+package graft
+
+import java.net.URI
+import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+
+import org.apache.spark.sql.functions._
+
+import graft.state.{StoreHttp, StoreRegistry}
+
+/** Interactive-query REST surface, mirroring the reference's
+  * /root/reference/kstream/store/http.go endpoints over registered stores.
+  */
+class StoreHttpSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def get(port: Int, path: String): String = {
+    val client = HttpClient.newHttpClient()
+    client.send(
+      HttpRequest.newBuilder(URI.create(s"http://localhost:$port$path")).GET().build(),
+      HttpResponse.BodyHandlers.ofString()).body()
+  }
+
+  test("GET /stores, scan, point lookup, index lookup") {
+    val registry = new StoreRegistry(spark)
+    registry.register("accounts",
+      Seq((1L, "alice", 100.0), (2L, "bob", 250.0)).toDF("id", "name", "balance"),
+      keyCol = "id")
+    val http = new StoreHttp(registry)
+    http.registerIndex("accounts", "by_name", col("name"))
+    val port = http.start()
+    try {
+      assert(get(port, "/stores") === """["accounts"]""")
+      assert(get(port, "/stores/accounts").contains(""""name":"bob""""))
+      val point = get(port, "/stores/accounts/2")
+      assert(point.contains(""""balance":250.0""") && !point.contains("alice"))
+      val byIdx = get(port, "/stores/accounts/indexes/by_name/alice")
+      assert(byIdx.contains(""""id":1""") && !byIdx.contains("bob"))
+      assert(get(port, "/stores/nope").contains("error"))
+    } finally http.stop()
+  }
+
+  test("foreachBatch streaming materialize keeps latest per key (S4)") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val registry = new StoreRegistry(spark)
+    val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(String, Long, String)]
+    val q = mem.toDF().toDF("k", "off", "v").writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        registry.upsert("live_store", batch, Seq("k"), Seq(col("off")))
+      }.start()
+    try {
+      mem.addData(("a", 1L, "a1"), ("b", 1L, "b1"))
+      q.processAllAvailable()
+      mem.addData(("a", 2L, "a2"), ("a", 0L, "stale"))
+      q.processAllAvailable()
+    } finally q.stop()
+    val snap = registry.store("live_store")
+      .select("k", "v").as[(String, String)].collect().toMap
+    assert(snap === Map("a" -> "a2", "b" -> "b1"))
+    // and it is queryable as a temp view (the "interactive query" path)
+    assert(spark.sql("SELECT v FROM live_store WHERE k = 'a'")
+      .as[String].head() === "a2")
+  }
+}
