@@ -1,0 +1,60 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Skew
+import graft.queries.Tables.t
+
+/** Scale-technique queries: each demonstrates a 100 TB pattern and is
+  * oracle-checked to produce exactly the semantics of the naive form.
+  */
+object ScaleQueries {
+
+  val all: Seq[Q] = Seq(
+
+    // salted skew join: must equal the plain equi-join (the oracle IS the
+    // plain join) while spreading any hot o_custkey across 8 reducers.
+    Q("q_salted_join", Some(
+      "SELECT o_orderkey, o_custkey, c_name " +
+      "FROM orders JOIN customer ON o_custkey = c_custkey"))(
+      (s, d) =>
+        Skew.saltedJoin(
+          t(s, d, "orders"), t(s, d, "customer").select("c_custkey", "c_name"),
+          col("o_custkey"), col("c_custkey"), salts = 8)
+          .select("o_orderkey", "o_custkey", "c_name")),
+
+    // event-time sessionization (30-minute inactivity gap) via Spark's
+    // native session_window; oracle = the gaps-and-islands construction.
+    // ts is nanos-as-long; both engines work in exact integer micros.
+    Q("q_session_window", Some(
+      """WITH e AS (SELECT user_id, epoch_ns(ts) // 1000 AS us FROM events),
+        |marked AS (SELECT user_id, us,
+        |  CASE WHEN us - lag(us) OVER (PARTITION BY user_id ORDER BY us)
+        |       >= 1800000000 THEN 1 ELSE 0 END AS new_session
+        |  FROM e),
+        |sessions AS (SELECT user_id, us,
+        |  sum(new_session) OVER (PARTITION BY user_id ORDER BY us
+        |    ROWS UNBOUNDED PRECEDING) AS session_id
+        |  FROM marked)
+        |SELECT user_id, min(us) AS session_start, count(*) AS n_events
+        |FROM sessions GROUP BY user_id, session_id""".stripMargin))(
+      (s, d) =>
+        t(s, d, "events")
+          .select(col("user_id"), timestamp_micros(expr("ts div 1000")).as("tsm"))
+          .groupBy(session_window(col("tsm"), "30 minutes"), col("user_id"))
+          .agg(count(lit(1)).as("n_events"))
+          .select(col("user_id"),
+            unix_micros(col("session_window.start")).as("session_start"),
+            col("n_events"))),
+
+    // exact distinct cardinality per group — one partial-agg expand
+    Q("q_distinct_users", Some(
+      "SELECT event_type, count(DISTINCT user_id) AS n_users, count(*) AS n_events " +
+      "FROM events GROUP BY event_type"))(
+      (s, d) =>
+        t(s, d, "events")
+          .groupBy("event_type")
+          .agg(countDistinct(col("user_id")).as("n_users"),
+            count(lit(1)).as("n_events"))),
+  )
+}
