@@ -31,7 +31,17 @@ object Similarity {
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
+  /** Composable (interpreted higher-order-function) cosine. Bit-identical
+    * to [[cosineSim]]; kept as the dependency-free form and the parity
+    * check for the native expression.
+    */
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Native codegen'd cosine ([[graft.functions.CosineSimilarity]]) — the
+    * form the scoring loops use. Requires the function registered
+    * ([[graft.GraftExtensions]]); same bits as [[cosine]].
+    */
+  def cosineSim(a: Column, b: Column): Column = call_function("cosine_sim", a, b)
 
   /** Exact top-k per key without a window sort: partial top-k per map
     * partition (bounded memory: ≤k rows per (key, partition) group), then
@@ -60,11 +70,9 @@ object Similarity {
       queries: DataFrame, corpus: DataFrame,
       id: String, emb: String, k: Int): DataFrame = {
     val q = queries.select(col(id).as("query_id"), col(emb).as("q_emb"))
-      .withColumn("q_norm", norm(col("q_emb")))
     val c = corpus.select(col(id).as("neighbor_id"), col(emb).as("c_emb"))
-      .withColumn("c_norm", norm(col("c_emb")))
     val scored = c.join(broadcast(q), col("neighbor_id") =!= col("query_id"))
-      .withColumn("score", dot(col("q_emb"), col("c_emb")) / (col("q_norm") * col("c_norm")))
+      .withColumn("score", cosineSim(col("q_emb"), col("c_emb")))
     topKPerKey(
       scored.select(col("query_id"), col("score"), col("neighbor_id")),
       Seq("query_id"), struct((-col("score")).as("ns"), col("neighbor_id").as("nid")), k)
@@ -118,7 +126,7 @@ object Similarity {
     val cand = c.join(broadcast(q), Seq("tbl", "bucket"))
       .filter(col("neighbor_id") =!= col("query_id"))
       .dropDuplicates("query_id", "neighbor_id")
-      .withColumn("score", cosine(col("q_emb"), col("c_emb")))
+      .withColumn("score", cosineSim(col("q_emb"), col("c_emb")))
     topKPerKey(
       cand.select(col("query_id"), col("score"), col("neighbor_id")),
       Seq("query_id"), struct((-col("score")).as("ns"), col("neighbor_id").as("nid")), k)
@@ -141,7 +149,7 @@ object Similarity {
     a.join(b, Seq("tbl", "bucket"))
       .filter(col("a_id") < col("b_id"))
       .dropDuplicates("a_id", "b_id")
-      .filter(cosine(col("a_v"), col("b_v")) >= minCosine)
+      .filter(cosineSim(col("a_v"), col("b_v")) >= minCosine)
       .select("a_id", "b_id")
   }
 }

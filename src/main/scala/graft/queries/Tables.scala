@@ -21,6 +21,9 @@ object Tables {
     // read as a raw long (nanos since epoch). Set dynamically so any
     // session (driver's, tests') can read the testdata.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // native engine expressions, for sessions built without
+    // spark.sql.extensions=graft.GraftExtensions
+    graft.GraftExtensions.ensure(spark)
     spark.read.parquet(s"$sfDir/$name.parquet")
   }
 

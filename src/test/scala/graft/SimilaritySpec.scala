@@ -17,6 +17,23 @@ class SimilaritySpec extends SparkSpec {
     assert(out(0) === 1.0 && out(1) === 0.0 && out(2) === -1.0)
   }
 
+  test("native cosine_sim expression matches the composable form bit-for-bit") {
+    graft.GraftExtensions.ensure(spark)
+    val emb = queries.Tables.t(spark, sf, "embeddings").limit(200)
+    val pairs = emb.select(col("vec_id").as("a"), col("embedding").as("ea"))
+      .crossJoin(emb.select(col("vec_id").as("b"), col("embedding").as("eb")))
+      .filter(col("a") < col("b")).limit(500)
+    val diff = pairs.select(
+      (Similarity.cosine(col("ea"), col("eb")) =!=
+        Similarity.cosineSim(col("ea"), col("eb"))).as("d"))
+      .filter(col("d")).count()
+    assert(diff === 0)
+    // and it resolves from SQL through the registered function
+    val viaSql = spark.sql(
+      "SELECT cosine_sim(array(1.0f, 0.0f), array(1.0f, 0.0f))").head().getDouble(0)
+    assert(viaSql === 1.0)
+  }
+
   test("topKPerKey returns the exact global top-k without a window sort") {
     val df = (1 to 100).map(i => ("g", i.toDouble, i.toLong)).toDF("g", "score", "id")
       .repartition(7) // force multiple partial groups
