@@ -4,7 +4,7 @@ import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.CosineSimilarity
+import graft.functions.{CosineSimilarity, RandomHyperplaneBuckets}
 
 /** Engine extension installer: `spark.sql.extensions=graft.GraftExtensions`
   * (or `builder.withExtensions`) registers the engine's native expressions
@@ -13,21 +13,30 @@ import graft.functions.CosineSimilarity
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit =
-    ext.injectFunction(GraftExtensions.cosineSim)
+    GraftExtensions.functions.foreach(ext.injectFunction)
 }
 
 object GraftExtensions {
-  private[graft] val cosineSim = (
-    FunctionIdentifier("cosine_sim"),
-    new ExpressionInfo(classOf[CosineSimilarity].getName, "cosine_sim"),
-    (children: Seq[Expression]) => CosineSimilarity(children.head, children(1)))
+
+  private def intLit(e: Expression): Int =
+    e.eval(null).asInstanceOf[Number].intValue()
+
+  private[graft] val functions: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
+    (FunctionIdentifier("cosine_sim"),
+      new ExpressionInfo(classOf[CosineSimilarity].getName, "cosine_sim"),
+      (children: Seq[Expression]) => CosineSimilarity(children.head, children(1))),
+    (FunctionIdentifier("rhp_buckets"),
+      new ExpressionInfo(classOf[RandomHyperplaneBuckets].getName, "rhp_buckets"),
+      (children: Seq[Expression]) => RandomHyperplaneBuckets(
+        children.head, intLit(children(1)), intLit(children(2)), intLit(children(3)))))
 
   /** Idempotent in-session registration, for sessions created without the
     * extensions config (tests, the driver harness).
     */
   def ensure(spark: SparkSession): Unit = {
     val registry = spark.sessionState.functionRegistry
-    if (!registry.functionExists(cosineSim._1))
-      registry.registerFunction(cosineSim._1, cosineSim._2, cosineSim._3)
+    functions.foreach { case (id, info, builder) =>
+      if (!registry.functionExists(id)) registry.registerFunction(id, info, builder)
+    }
   }
 }

@@ -80,28 +80,16 @@ object Similarity {
       .select(col("query_id"), (col("pos") + 1).as("rank"), col("col.nid").as("neighbor_id"))
   }
 
-  /** Deterministic ±1 hyperplane matrix: `tables × bits` planes of `dim`
-    * components, derived from MurmurHash3 — identical on every executor.
+  /** All (table, bucket) keys for a vector, as rows to explode. Bucket
+    * computation is the native one-pass expression
+    * ([[graft.functions.RandomHyperplaneBuckets]]); the transform that
+    * pairs each bucket with its table index runs over a `tables`-element
+    * array — negligible next to the projection work it wraps.
     */
-  private def planes(tables: Int, bits: Int, dim: Int): Seq[Seq[Seq[Double]]] =
-    (0 until tables).map(t => (0 until bits).map(b =>
-      (0 until dim).map(d =>
-        if ((MurmurHash3.productHash((t, b, d)) & 1) == 0) 1.0 else -1.0)))
-
-  /** Signed random-projection bucket id for one table: bit i = sign of the
-    * projection onto plane i, packed into an int.
-    */
-  private def bucketId(emb: Column, tablePlanes: Seq[Seq[Double]]): Column =
-    tablePlanes.foldLeft(lit(0)) { (acc, p) =>
-      val plane = array(p.map(lit): _*)
-      acc * 2 + when(dot(emb, plane) > 0, 1).otherwise(0)
-    }
-
-  /** All (table, bucket) keys for a vector — rows to explode. */
   def lshKeys(emb: Column, tables: Int = 8, bits: Int = 8, dim: Int = 64): Column =
-    array((0 until tables).map { t =>
-      struct(lit(t).as("tbl"), bucketId(emb, planes(tables, bits, dim)(t)).as("bucket"))
-    }: _*)
+    transform(
+      call_function("rhp_buckets", emb, lit(tables), lit(bits), lit(dim)),
+      (bucket, idx) => struct(idx.as("tbl"), bucket.as("bucket")))
 
   /** LSH-bucketed ANN: candidates share ≥1 (table, bucket), re-ranked by
     * exact cosine, top-k per query. Same output shape as [[bruteForceKnn]]
