@@ -5,6 +5,12 @@ import org.apache.spark.sql.functions._
 import graft.operators.Dedup
 import graft.queries.Tables.t
 
+/* Dedup inputs are re-spread across the cluster before the signature
+ * stage: the testdata ships one row group per file, so without this the
+ * map-side partial aggregation (where all MinHash/SimHash work happens)
+ * runs in a single scan task. Cost: one shuffle of (id, text) — trivial
+ * next to the signature computation it parallelizes. */
+
 /** Deduplication queries over the `documents` table. The near-dup oracle is
   * the exact O(n²) pair join — the MinHash+LSH path must reproduce it
   * row-for-row (it does: recall ≈ 1 − 4.6e-8 at the J=0.8 boundary with
@@ -18,6 +24,9 @@ object DedupQueries {
     * whitespace tokens → distinct 3-word shingles (docs shorter than 3
     * words collapse to one whole-doc shingle).
     */
+  private def spread(s: org.apache.spark.sql.SparkSession, d: String) =
+    t(s, d, "documents").repartition(s.sparkContext.defaultParallelism)
+
   private val shinglesSql =
     """WITH toks AS (SELECT doc_id, regexp_split_to_array(lower(text), '\s+') AS tk FROM documents),
       |sh AS (SELECT doc_id, CASE WHEN len(tk) < 3 THEN [array_to_string(tk, ' ')]
@@ -43,7 +52,7 @@ object DedupQueries {
         |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
         |WHERE 5 * len(list_intersect(a.s, b.s)) >= 4 * len(list_distinct(list_concat(a.s, b.s)))""".stripMargin))(
       (s, d) => Dedup.nearDupPairs(
-        t(s, d, "documents"), "doc_id", "text", shingleN = 3,
+        spread(s, d), "doc_id", "text", shingleN = 3,
         minNum = 4, minDen = 5)),
 
     // n-gram Jaccard similarity on a deterministic linear pairing
@@ -55,7 +64,7 @@ object DedupQueries {
         |  len(list_distinct(list_concat(a.s, b.s))) AS n_union
         |FROM sh a JOIN sh b ON b.doc_id = a.doc_id + 1""".stripMargin))(
       (s, d) => {
-        val docs = t(s, d, "documents")
+        val docs = spread(s, d)
         val a = docs.select(col("doc_id").as("a_id"),
           Dedup.shingles(col("text"), 3).as("a_set"))
         val b = docs.select(col("doc_id").as("b_id"),
@@ -71,7 +80,7 @@ object DedupQueries {
     // SimHashSpec unit test pins the semantics instead.
     Q("q_dedup_simhash", None)(
       (s, d) => Dedup.simHashAgg(
-          t(s, d, "documents"), "doc_id", Dedup.tokenSet(col("text")))
+          spread(s, d), "doc_id", Dedup.tokenSet(col("text")))
         .select(col("doc").as("doc_id"), col("simhash"))),
 
     // SimHash near-dup candidates: pairs within Hamming distance ≤ 8,
@@ -81,7 +90,7 @@ object DedupQueries {
     Q("q_simhash_pairs", None)(
       (s, d) => {
         val sigs = Dedup.simHashAgg(
-            t(s, d, "documents"), "doc_id", Dedup.tokenSet(col("text")))
+            spread(s, d), "doc_id", Dedup.tokenSet(col("text")))
           .select(col("doc").as("doc_id"), col("simhash").as("sig"))
         val banded = sigs.select(col("doc_id"), col("sig"),
           posexplode(array((0 until 4).map(b =>
