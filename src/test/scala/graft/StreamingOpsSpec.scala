@@ -1,0 +1,68 @@
+package graft
+
+import scala.collection.mutable
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.dsl.KGlobalTable
+import graft.streaming.{GlobalTableRefresh, MetricsListener, Resilience}
+
+class StreamingOpsSpec extends SparkSpec {
+  import spark.implicits._
+  implicit private lazy val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+  test("GlobalTable refreshes between micro-batches (§3.3 continuous sync)") {
+    @volatile var dim = Seq((1, "v1")).toDF("k", "name")
+    val collected = mutable.Buffer.empty[(Int, String)]
+    val mem = MemoryStream[Int]
+    val q = GlobalTableRefresh.enrichEachBatch(
+      mem.toDF().toDF("fk"),
+      () => KGlobalTable.fromStatic(dim, "k"),
+      col("fk")) { (batch, _) =>
+        collected.synchronized {
+          collected ++= batch.select("fk", "name").as[(Int, String)].collect()
+        }
+      }.start()
+    try {
+      mem.addData(1)
+      q.processAllAvailable()
+      dim = Seq((1, "v2")).toDF("k", "name") // table advances between batches
+      mem.addData(1)
+      q.processAllAvailable()
+    } finally q.stop()
+    assert(collected.toSeq === Seq((1, "v1"), (1, "v2")))
+  }
+
+  test("withRetries retries transient failures, then succeeds") {
+    var calls = 0
+    val out = Resilience.withRetries(attempts = 3, intervalMs = 1) {
+      calls += 1
+      if (calls < 3) sys.error("transient")
+      "ok"
+    }
+    assert(out === "ok" && calls === 3)
+    intercept[RuntimeException] {
+      Resilience.withRetries(attempts = 1, intervalMs = 1)(sys.error("always"))
+    }
+  }
+
+  test("MetricsListener records per-batch progress") {
+    val listener = new MetricsListener
+    spark.streams.addListener(listener)
+    val mem = MemoryStream[Int]
+    val q = mem.toDF().writeStream.format("noop").start()
+    try {
+      mem.addData(1, 2, 3)
+      q.processAllAvailable()
+    } finally {
+      q.stop()
+      spark.streams.removeListener(listener)
+    }
+    // listener events are delivered asynchronously
+    val deadline = System.currentTimeMillis() + 10000
+    while (listener.snapshots.isEmpty && System.currentTimeMillis() < deadline)
+      Thread.sleep(50)
+    assert(listener.snapshots.exists(_.numInputRows === 3))
+  }
+}
