@@ -122,6 +122,66 @@ object Similarity {
       .select(col("query_id"), (col("pos") + 1).as("rank"), col("col.nid").as("neighbor_id"))
   }
 
+  /** IVF (inverted-file) ANN: the corpus is coarsely quantized to `nlist`
+    * centroid cells; a query probes only its `nprobe` nearest cells and
+    * re-ranks exactly within them — the classic alternative scale path to
+    * [[lshKnn]] (probe lists shrink work by ~nprobe/nlist).
+    *
+    * Coarse centroids here are a deterministic sample (first `nlist`
+    * vectors by id) refined by one Lloyd step — entirely DataFrame ops, no
+    * driver-side iteration state; production would feed real k-means
+    * centroids in via `centroids`.
+    *
+    * Plan: centroids broadcast; corpus assigned to argmax-cosine cell (one
+    * narrow pass + small agg); queries explode their top-`nprobe` cells;
+    * equi-join on cell [one shuffle]; exact re-rank via [[topKPerKey]].
+    */
+  def ivfKnn(
+      queries: DataFrame, corpus: DataFrame,
+      id: String, emb: String, k: Int,
+      nlist: Int = 16, nprobe: Int = 4): DataFrame = {
+    val seeds = corpus.orderBy(col(id)).limit(nlist)
+      .select(col(id).as("cell"), col(emb).as("c_emb"))
+    // one Lloyd refinement: mean of the vectors nearest each seed
+    val assigned0 = assignCells(corpus, id, emb, seeds)
+    val centroids = assigned0
+      .select(col("cell"), posexplode(col(emb)))
+      .groupBy("cell", "pos").agg(avg(col("col").cast("double")).as("m"))
+      .groupBy("cell")
+      .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("ps"))
+      .select(col("cell"),
+        transform(col("ps"), p => p.getField("m").cast("float")).as("c_emb"))
+
+    val assigned = assignCells(corpus, id, emb, centroids)
+      .select(col(id).as("neighbor_id"), col(emb).as("n_emb"), col("cell"))
+    val probes = queries.select(col(id).as("query_id"), col(emb).as("q_emb"))
+      .join(broadcast(centroids))
+      .withColumn("cscore", cosineSim(col("q_emb"), col("c_emb")))
+      .transform(df => topKPerKey(
+        df.select(col("query_id"), col("q_emb"), col("cscore"), col("cell")),
+        Seq("query_id", "q_emb"), struct((-col("cscore")).as("ns"), col("cell").as("cell")), nprobe))
+      .select(col("query_id"), col("q_emb"), explode(col("topk.cell")).as("cell"))
+
+    val cand = assigned.join(broadcast(probes), Seq("cell"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .dropDuplicates("query_id", "neighbor_id")
+      .withColumn("score", cosineSim(col("q_emb"), col("n_emb")))
+    topKPerKey(
+      cand.select(col("query_id"), col("score"), col("neighbor_id")),
+      Seq("query_id"), struct((-col("score")).as("ns"), col("neighbor_id").as("nid")), k)
+      .select(col("query_id"), posexplode(col("topk")))
+      .select(col("query_id"), (col("pos") + 1).as("rank"), col("col.nid").as("neighbor_id"))
+  }
+
+  /** Nearest-centroid assignment (broadcast centroids, argmax cosine). */
+  private def assignCells(
+      corpus: DataFrame, id: String, emb: String, centroids: DataFrame): DataFrame = {
+    val scored = corpus.join(broadcast(centroids))
+      .withColumn("cscore", cosineSim(col(emb), col("c_emb")))
+    graft.state.Upserts.latestByKey(
+      scored.drop("c_emb"), Seq(id), Seq(col("cscore"), -col("cell")))
+  }
+
   /** Embedding-cosine near-duplicate pairs (the embedding flavor of
     * [[Dedup]]): all unordered pairs with cosine ≥ `minCosine`, found via
     * LSH buckets + exact verification. Output: (a_id, b_id) with a < b.

@@ -50,6 +50,16 @@ object SimilarityQueries {
           tables = 16, bits = 4)
       }),
 
+    // IVF ANN — the inverted-file scale path (probe 4 of 16 cells;
+    // SimilaritySpec pins recall ≥ 0.6 vs brute force).
+    Q("q_ann_ivf", None)(
+      (s, d) => {
+        val emb = t(s, d, "embeddings")
+        Similarity.ivfKnn(
+          emb.filter(col("vec_id") < 20), emb, "vec_id", "embedding", k = 5,
+          nlist = 16, nprobe = 4)
+      }),
+
     // label centroids: the clustering-side consumer of embeddings.
     // Scale shape: posexplode to (label, dim, component) → two partial-agg
     // shuffles — never a per-group vector materialization (collect_list of

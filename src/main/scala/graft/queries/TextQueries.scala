@@ -62,6 +62,29 @@ object TextQueries {
           min("doc_id").as("min_id"),
           max("doc_id").as("max_id"))),
 
+    // the composed training-data pipeline: language gate → quality floor →
+    // fingerprint dedup (first id wins) → per-source corpus stats. One
+    // narrow filter pass, one dedup shuffle, one agg shuffle.
+    Q("q_doc_pipeline", Some(
+      s"""WITH clean AS (SELECT doc_id, source, text FROM documents
+         |  WHERE ${langIdSql("text")} = 'en' AND ${qualityScoreSql("text")} >= 0.5),
+         |dedup AS (SELECT doc_id, source, text FROM (
+         |  SELECT doc_id, source, text, row_number() OVER (
+         |    PARTITION BY ${fingerprintSql("text")} ORDER BY doc_id) AS rn FROM clean)
+         |  WHERE rn = 1)
+         |SELECT source, count(*) AS n_docs,
+         |  sum(${tokenCountWsSql("text")}) AS total_tokens
+         |FROM dedup GROUP BY source""".stripMargin))(
+      (s, d) => {
+        val clean = t(s, d, "documents")
+          .filter(langId(col("text")) === "en" && qualityScore(col("text")) >= 0.5)
+          .withColumn("fp", fingerprint(col("text")))
+        graft.state.Upserts.firstByKey(clean, Seq("fp"), Seq(col("doc_id")))
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(tokenCountWs(col("text"))).as("total_tokens"))
+      }),
+
     // event-time tumbling window (1h), the windowed-agg form the reference
     // lacks entirely (SURVEY §1.4) but Spark gives for free. ts is nanos-
     // as-long; integer `div` keeps bucket math exact in both engines.

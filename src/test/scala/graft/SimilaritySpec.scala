@@ -68,6 +68,18 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.5, s"LSH recall $recall too low")
   }
 
+  test("ivfKnn recall >= 0.6 vs brute force (one Lloyd step, 4/16 probes)") {
+    val emb = queries.Tables.t(spark, sf, "embeddings")
+    val q = emb.filter(col("vec_id") < 10)
+    val exact = Similarity.bruteForceKnn(q, emb, "vec_id", "embedding", 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val approx = Similarity.ivfKnn(q, emb, "vec_id", "embedding", 5,
+        nlist = 16, nprobe = 4)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = (exact & approx).size.toDouble / exact.size
+    assert(recall >= 0.6, s"IVF recall $recall too low")
+  }
+
   test("embeddingNearDups finds planted high-cosine pairs only") {
     val vecs = Seq(
       (0L, Seq(1f, 0.01f, 0f, 0f)),
