@@ -4,7 +4,7 @@ import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{CosineSimilarity, RandomHyperplaneBuckets}
+import graft.functions.{BoundedTopK, CosineSimilarity, RandomHyperplaneBuckets}
 
 /** Engine extension installer: `spark.sql.extensions=graft.GraftExtensions`
   * (or `builder.withExtensions`) registers the engine's native expressions
@@ -28,7 +28,10 @@ object GraftExtensions {
     (FunctionIdentifier("rhp_buckets"),
       new ExpressionInfo(classOf[RandomHyperplaneBuckets].getName, "rhp_buckets"),
       (children: Seq[Expression]) => RandomHyperplaneBuckets(
-        children.head, intLit(children(1)), intLit(children(2)), intLit(children(3)))))
+        children.head, intLit(children(1)), intLit(children(2)), intLit(children(3)))),
+    (FunctionIdentifier("topk_agg"),
+      new ExpressionInfo(classOf[BoundedTopK].getName, "topk_agg"),
+      (children: Seq[Expression]) => BoundedTopK(children.head, intLit(children(1)))))
 
   /** Idempotent in-session registration, for sessions created without the
     * extensions config (tests, the driver harness).

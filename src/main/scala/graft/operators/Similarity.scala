@@ -43,21 +43,21 @@ object Similarity {
     */
   def cosineSim(a: Column, b: Column): Column = call_function("cosine_sim", a, b)
 
-  /** Exact top-k per key without a window sort: partial top-k per map
-    * partition (bounded memory: ≤k rows per (key, partition) group), then
-    * merge. Both stages are hash aggregates — at 100 TB the shuffle carries
-    * at most `k × partitions` rows per key instead of the full corpus.
+  /** Exact top-k per key without a window sort: one hash aggregate with the
+    * bounded-heap [[graft.functions.BoundedTopK]] — the buffer never holds
+    * more than k rows during map-side update OR reduce-side merge, and the
+    * shuffle carries at most k rows per key per map partition. (The
+    * `collect_list`-then-slice formulation would buffer every row of a
+    * (key, partition) group before truncating — a hot key can hold a whole
+    * partition in memory; a window `row_number` would sort entire
+    * partitions.)
     *
     * `ordStruct` must ascending-sort into the desired order (e.g.
     * `struct(-score, id)` for score-descending with id tiebreak).
     */
-  def topKPerKey(df: DataFrame, keyCols: Seq[String], ordStruct: Column, k: Int): DataFrame = {
-    val keys = keyCols.map(col)
-    df.groupBy((keys :+ spark_partition_id().as("_part")).toIndexedSeq: _*)
-      .agg(slice(array_sort(collect_list(ordStruct)), 1, k).as("_partial"))
-      .groupBy(keys.toIndexedSeq: _*)
-      .agg(slice(array_sort(flatten(collect_list(col("_partial")))), 1, k).as("topk"))
-  }
+  def topKPerKey(df: DataFrame, keyCols: Seq[String], ordStruct: Column, k: Int): DataFrame =
+    df.groupBy(keyCols.map(col).toIndexedSeq: _*)
+      .agg(call_function("topk_agg", ordStruct, lit(k)).as("topk"))
 
   /** Brute-force cosine KNN: every corpus row scored against every query
     * (queries broadcast — the O(|Q|·|C|) work streams through the corpus
