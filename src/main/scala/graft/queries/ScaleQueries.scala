@@ -47,6 +47,28 @@ object ScaleQueries {
             unix_micros(col("session_window.start")).as("session_start"),
             col("n_events"))),
 
+    // semi/anti joins — membership filtering against a keyed store without
+    // materializing the join (no right-side columns, no row duplication;
+    // the right side is broadcast). The reference can only express these
+    // as a global-table join + drop, paying full join output.
+    Q("q_join_semi", Some(
+      "SELECT c_custkey, c_name FROM customer WHERE EXISTS (" +
+      "SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_totalprice > 300000)"))(
+      (s, d) =>
+        t(s, d, "customer")
+          .join(
+            t(s, d, "orders").filter(col("o_totalprice") > 300000),
+            col("c_custkey") === col("o_custkey"), "left_semi")
+          .select("c_custkey", "c_name")),
+
+    Q("q_join_anti", Some(
+      "SELECT c_custkey, c_name FROM customer WHERE NOT EXISTS (" +
+      "SELECT 1 FROM orders WHERE o_custkey = c_custkey)"))(
+      (s, d) =>
+        t(s, d, "customer")
+          .join(t(s, d, "orders"), col("c_custkey") === col("o_custkey"), "left_anti")
+          .select("c_custkey", "c_name")),
+
     // exact distinct cardinality per group — one partial-agg expand
     Q("q_distinct_users", Some(
       "SELECT event_type, count(DISTINCT user_id) AS n_users, count(*) AS n_events " +

@@ -74,6 +74,29 @@ object StreamingState {
       }
   }
 
+  /** Change capture: emit a record only when its key's value CHANGES
+    * (suppress consecutive duplicates) — flatMapGroupsWithState in Append
+    * mode, 0 or 1 outputs per key per trigger. The streaming form of the
+    * reference's version-gate used as a change suppressor; downstream
+    * consumers see each distinct state exactly once.
+    */
+  def distinctUntilChanged(ds: Dataset[KRecord]): Dataset[KRecord] = {
+    import ds.sparkSession.implicits._
+    ds.groupByKey(_.key)
+      .flatMapGroupsWithState[KRecord, KRecord](
+        org.apache.spark.sql.streaming.OutputMode.Append(),
+        GroupStateTimeout.NoTimeout) {
+        (_, records, state: GroupState[KRecord]) =>
+          val incoming = records.maxBy(_.ord)
+          state.getOption match {
+            case Some(cur) if cur.value == incoming.value => Iterator.empty
+            case _ =>
+              state.update(incoming)
+              Iterator.single(incoming)
+          }
+      }
+  }
+
   /** A3 exactly-once dedup: drop records whose identity was already seen,
     * with state bounded by the event-time watermark (the streaming form of
     * the changelog replay dedup, state_changelog.go:285-305 — but with the

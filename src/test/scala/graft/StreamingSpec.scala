@@ -56,6 +56,19 @@ class StreamingSpec extends SparkSpec {
     assert(emitted === Seq("v5-first", "v5-first", "v6"))
   }
 
+  test("distinctUntilChanged suppresses consecutive duplicate values") {
+    val mem = MemoryStream[KRecord]
+    val name = runBatches(mem, StreamingState.distinctUntilChanged(mem.toDS()),
+      OutputMode.Append())(
+      Seq(KRecord("a", 1, "x")),
+      Seq(KRecord("a", 2, "x")), // same value: suppressed
+      Seq(KRecord("a", 3, "y")), // changed: emitted
+      Seq(KRecord("a", 4, "y")) // same again: suppressed
+    )
+    val emitted = spark.table(name).as[KRecord].collect().sortBy(_.ord)
+    assert(emitted.map(_.value).toSeq === Seq("x", "y"))
+  }
+
   test("dedupWithinWatermark drops repeated identities (A3 streaming)") {
     val mem = MemoryStream[(String, Timestamp)]
     val df = mem.toDF().toDF("uuid", "ts")
