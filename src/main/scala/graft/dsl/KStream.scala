@@ -140,6 +140,19 @@ final class KStream private (
 
   // ── Joins (SURVEY §2.3) ─────────────────────────────────────────────────
 
+  /** Typed view of the stream (Dataset API) when a case class models the
+    * record.
+    */
+  def as[T: org.apache.spark.sql.Encoder]: org.apache.spark.sql.Dataset[T] = toDF.as[T]
+
+  /** The stream's topology, rendered — the Spark analog of the reference's
+    * Graphviz topology dump (kstream/builder.go:181-188, graph/graph.go):
+    * here it is the actual optimized physical plan, not a picture of the
+    * authored one.
+    */
+  def describe(): String =
+    toDF.queryExecution.explainString(org.apache.spark.sql.execution.FormattedMode)
+
   /** J1/J2 JoinGlobalTable — see [[KGlobalTable.join]]. `fk` is the
     * reference's KeyMapper output (join/joiner.go:20).
     */

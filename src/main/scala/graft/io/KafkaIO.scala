@@ -33,8 +33,10 @@ object KafkaIO {
       case Some(t) => when(t.eqNullSafe(true), lit(null)).otherwise(valueExpr)
       case None    => valueExpr
     }
-    val base = df.select(keyExpr.as("key"), value.as("value"))
-    headers.fold(base)(h => base.withColumn("headers", h))
+    // headers must project in the SAME select — they reference source
+    // columns that the key/value projection drops
+    df.select((Seq(keyExpr.as("key"), value.as("value")) ++
+      headers.map(_.as("headers"))).toIndexedSeq: _*)
   }
 
   /** S6 DLQ split: records failing validation go to a dead-letter frame

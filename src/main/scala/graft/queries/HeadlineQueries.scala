@@ -112,6 +112,58 @@ object HeadlineQueries {
           .agg(sum(rev).cast("double").as("revenue"))
       }),
 
+    // TPC-H Q6 shape: pure scan-filter-agg, no join, no group — the
+    // pushdown/codegen speed-of-light test. Decimal math for exact parity.
+    Q("q6_forecast_revenue", Some("""
+      |SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+      |         CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+      |  count(*) AS n_items
+      |FROM lineitem
+      |WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+      |  AND l_shipdate < TIMESTAMP '1998-01-01'
+      |  AND l_discount BETWEEN 0.02 AND 0.04 AND l_quantity < 24
+      |""".stripMargin.trim))(
+      (s, d) =>
+        t(s, d, "lineitem")
+          .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+            col("l_shipdate") < lit("1998-01-01").cast("timestamp") &&
+            col("l_discount").between(0.02, 0.04) && col("l_quantity") < 24)
+          .agg(
+            sum(col("l_extendedprice").cast(dec) * col("l_discount").cast(dec))
+              .cast("double").as("revenue"),
+            count(lit(1)).as("n_items"))),
+
+    // TPC-H Q10 shape: top-20 customers by returned-item revenue. Broadcast
+    // dims, one agg shuffle, TakeOrdered for the limit.
+    Q("q10_returned_revenue", Some("""
+      |SELECT c_custkey, c_name, n_name,
+      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+      |           CAST(1 - l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+      |FROM customer JOIN nation ON c_nationkey = n_nationkey
+      |JOIN orders ON o_custkey = c_custkey
+      |JOIN lineitem ON l_orderkey = o_orderkey
+      |WHERE l_returnflag = 'R' AND o_orderdate >= TIMESTAMP '1997-06-01'
+      |GROUP BY c_custkey, c_name, n_name
+      |ORDER BY revenue DESC, c_custkey LIMIT 20
+      |""".stripMargin.trim))(
+      (s, d) => {
+        val rev = (col("l_extendedprice").cast(dec) *
+          (lit(1) - col("l_discount")).cast(dec))
+        val custDim = t(s, d, "customer")
+          .join(broadcast(t(s, d, "nation")), col("c_nationkey") === col("n_nationkey"))
+          .select("c_custkey", "c_name", "n_name")
+        t(s, d, "lineitem").filter(col("l_returnflag") === "R")
+          .join(t(s, d, "orders")
+              .filter(col("o_orderdate") >= lit("1997-06-01").cast("timestamp"))
+              .select("o_orderkey", "o_custkey"),
+            col("l_orderkey") === col("o_orderkey"))
+          .join(broadcast(custDim), col("o_custkey") === col("c_custkey"))
+          .groupBy("c_custkey", "c_name", "n_name")
+          .agg(sum(rev).cast("double").as("revenue"))
+          .orderBy(col("revenue").desc, col("c_custkey"))
+          .limit(20)
+      }),
+
     // Wide-agg shape: per-supplier part stats with a broadcast dim join.
     Q("q_supplier_stats", Some("""
       |SELECT l_suppkey, s_name, count(*) AS n_items,

@@ -47,4 +47,16 @@ class PipelineSpec extends SparkSpec {
       100L -> "alice credited 250.0",
       200L -> "bob credited 75.0"))
   }
+
+  test("sink frame carries headers and the topology renders") {
+    val ks = KStream(
+      Seq((1L, "v", "trace-1")).toDF("k", "v", "trace_id"), "k")
+    val framed = KafkaIO.sinkFrame(ks.toDF,
+      keyExpr = col("k"), valueExpr = col("v"),
+      headers = Some(array(struct(lit("trace").as("key"), col("trace_id").as("value")))))
+    val row = framed.select(col("headers")(0).getField("key"),
+      col("headers")(0).getField("value")).as[(String, String)].head()
+    assert(row === ("trace", "trace-1"))
+    assert(ks.describe().contains("Physical Plan"))
+  }
 }
