@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 
-import graft.operators.Skew
+import graft.operators.{Skew, Temporal}
 import graft.queries.Tables.t
 
 /** Scale-technique queries: each demonstrates a 100 TB pattern and is
@@ -46,6 +46,33 @@ object ScaleQueries {
           .select(col("user_id"),
             unix_micros(col("session_window.start")).as("session_start"),
             col("n_events"))),
+
+    // as-of join: each click paired with the user's latest purchase at or
+    // before the click time (point-in-time enrichment). Exact-integer nanos.
+    Q("q_asof_join", Some(
+      """WITH c AS (SELECT event_id, user_id, epoch_ns(ts) AS t FROM events
+        |  WHERE event_type = 'click'),
+        |p AS (SELECT event_id AS p_id, user_id AS p_uid, epoch_ns(ts) AS pt
+        |  FROM events WHERE event_type = 'purchase')
+        |SELECT event_id, user_id, p_id, pt // 1000 AS pt_us FROM (
+        |  SELECT c.event_id, c.user_id, p.p_id, p.pt, row_number() OVER (
+        |    PARTITION BY c.event_id ORDER BY p.pt DESC, p.p_id) AS rn
+        |  FROM c JOIN p ON c.user_id = p.p_uid AND p.pt <= c.t)
+        |WHERE rn = 1""".stripMargin))(
+      (s, d) => {
+        val ev = t(s, d, "events")
+        val clicks = ev.filter(col("event_type") === "click")
+          .select(col("event_id"), col("user_id"), col("ts").as("t"))
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .select(col("event_id").as("p_id"), col("user_id").as("p_uid"),
+            col("ts").as("pt"))
+        Temporal.asOfJoin(clicks, purchases,
+            col("user_id"), col("p_uid"), col("t"), col("pt"),
+            leftId = Seq("event_id"), tieBreak = Seq(-col("p_id")))
+          // micros on both sides: DuckDB truncates parquet nanos to micros
+          .select(col("event_id"), col("user_id"), col("p_id"),
+            expr("pt div 1000").as("pt_us"))
+      }),
 
     // semi/anti joins — membership filtering against a keyed store without
     // materializing the join (no right-side columns, no row duplication;

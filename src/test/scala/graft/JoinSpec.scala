@@ -56,6 +56,37 @@ class JoinSpec extends SparkSpec {
     assert(out === Map(10 -> "rA", 20 -> "rC"))
   }
 
+  test("as-of join picks the latest right row at or before the left time") {
+    val quotes = Seq( // (symbol, time, price)
+      ("A", 1L, 10.0), ("A", 5L, 11.0), ("A", 9L, 12.0),
+      ("B", 4L, 50.0)
+    ).toDF("q_sym", "q_t", "price")
+    val trades = Seq( // (trade id, symbol, time)
+      (100, "A", 5L), // exactly at a quote: inclusive
+      (101, "A", 8L), // between quotes: takes t=5
+      (102, "B", 2L), // before any quote
+      (103, "B", 99L)
+    ).toDF("trade_id", "sym", "t")
+
+    val inner = graft.operators.Temporal.asOfJoin(
+        trades, quotes, col("sym"), col("q_sym"), col("t"), col("q_t"),
+        leftId = Seq("trade_id"))
+      .select("trade_id", "price").as[(Int, Double)].collect().toMap
+    assert(inner === Map(100 -> 11.0, 101 -> 11.0, 103 -> 50.0)) // 102 dropped
+
+    val left = graft.operators.Temporal.asOfJoin(
+        trades, quotes, col("sym"), col("q_sym"), col("t"), col("q_t"),
+        leftId = Seq("trade_id"), joinType = "left")
+      .select("trade_id", "price").as[(Int, Option[Double])].collect().toMap
+    assert(left(102) === None)
+
+    val banded = graft.operators.Temporal.asOfJoin(
+        trades, quotes, col("sym"), col("q_sym"), col("t"), col("q_t"),
+        leftId = Seq("trade_id"), tolerance = Some(lit(10L)))
+      .select("trade_id", "price").as[(Int, Double)].collect().toMap
+    assert(!banded.contains(103)) // quote at t=4 is older than 99-10
+  }
+
   test("point lookup and range scan over the table (A4)") {
     val table = KGlobalTable.fromStatic(rightRecords, "fk")
     assert(table.get(2).select("name").as[String].collect() === Seq("two"))
