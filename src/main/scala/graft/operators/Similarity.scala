@@ -151,6 +151,10 @@ object Similarity {
       .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("ps"))
       .select(col("cell"),
         transform(col("ps"), p => p.getField("m").cast("float")).as("c_emb"))
+      // nlist rows referenced from three plan branches (corpus assignment,
+      // query probing) — materialize once instead of recomputing the
+      // seed→assign→average subtree per branch
+      .localCheckpoint(true)
 
     val assigned = assignCells(corpus, id, emb, centroids)
       .select(col(id).as("neighbor_id"), col(emb).as("n_emb"), col("cell"))
