@@ -24,6 +24,22 @@ object CoreQueries {
         KStream(decoded, "key").toDF.select("event_id", "key", "value")
       }),
 
+    // S1 decode, JSON body: the real Encoder.Decode analog
+    // (encoding/json_encoder.go:5-17) — typed fields out of a JSON value
+    // column via from_json, inside whole-stage codegen.
+    Q("q_json_decode", Some(
+      "SELECT event_id, user_id AS key, " +
+      "CAST(json_extract(props, '$.k') AS BIGINT) AS k_decoded " +
+      "FROM events"))(
+      (s, d) =>
+        t(s, d, "events").select(
+          col("event_id"), col("user_id").as("key"),
+          from_json(col("props"),
+            org.apache.spark.sql.types.StructType(Seq(
+              org.apache.spark.sql.types.StructField("k",
+                org.apache.spark.sql.types.LongType))))
+            .getField("k").as("k_decoded"))),
+
     // P1 filter (processors/filter.go:72-90)
     Q("q_filter", Some(
       "SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice " +

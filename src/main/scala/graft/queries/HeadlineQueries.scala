@@ -164,6 +164,34 @@ object HeadlineQueries {
           .limit(20)
       }),
 
+    // TPC-H Q14 shape: promo revenue share — lineitem joined to the part
+    // dim (broadcast), conditional aggregation, ratio of decimal sums.
+    Q("q14_promo_share", Some("""
+      |SELECT CAST(CAST(sum(CASE WHEN p_type LIKE 'PROMO%' THEN
+      |    CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(18,2))
+      |  ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE) * 100.0 /
+      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+      |           CAST(1 - l_discount AS DECIMAL(18,2))) AS DOUBLE) AS DOUBLE) AS promo_share,
+      |  count(*) AS n_items
+      |FROM lineitem JOIN part ON l_partkey = p_partkey
+      |WHERE l_shipdate >= TIMESTAMP '1997-03-01'
+      |  AND l_shipdate < TIMESTAMP '1997-06-01'
+      |""".stripMargin.trim))(
+      (s, d) => {
+        val rev = (col("l_extendedprice").cast(dec) *
+          (lit(1) - col("l_discount")).cast(dec))
+        t(s, d, "lineitem")
+          .filter(col("l_shipdate") >= lit("1997-03-01").cast("timestamp") &&
+            col("l_shipdate") < lit("1997-06-01").cast("timestamp"))
+          .join(broadcast(t(s, d, "part").select("p_partkey", "p_type")),
+            col("l_partkey") === col("p_partkey"))
+          .agg(
+            (sum(when(col("p_type").startsWith("PROMO"), rev)
+              .otherwise(lit(0).cast(dec))).cast("double") * 100.0 /
+              sum(rev).cast("double")).cast("double").as("promo_share"),
+            count(lit(1)).as("n_items"))
+      }),
+
     // Wide-agg shape: per-supplier part stats with a broadcast dim join.
     Q("q_supplier_stats", Some("""
       |SELECT l_suppkey, s_name, count(*) AS n_items,
