@@ -1,0 +1,72 @@
+package graft.dsl
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.operators.Temporal
+import graft.state.Upserts
+
+/** KTable: a changelog-backed table. In the reference this abstraction is
+  * dead code — `kstream/k_table.go:10-31` is entirely commented out and
+  * `JoinKTable` panics (`kstream/k_stream.go:518-520`) — so this is the
+  * implementation it declared but never shipped, done Spark-first:
+  *
+  *  - the table IS its changelog (key, ord, value-with-tombstones);
+  *  - [[snapshot]] = latest live value per key (one partial-agg shuffle);
+  *  - [[snapshotAt]] = the table as of an arbitrary point in the log —
+  *    time travel the reference's in-memory store cannot do;
+  *  - [[joinAsOf]] = the stream–table join `JoinKTable` promised, with
+  *    event-time-correct semantics: each stream record sees the table
+  *    state AS OF its own time, not whatever state the join task happens
+  *    to hold when the record arrives.
+  */
+final class KTable private (
+    val changelog: DataFrame,
+    val keyCol: String,
+    ordCol: String,
+    valueCol: Option[String]) {
+
+  private def latest(df: DataFrame): DataFrame = valueCol match {
+    case Some(v) => Upserts.latestByKeyWithTombstones(df, Seq(keyCol), Seq(col(ordCol)), v)
+    case None    => Upserts.latestByKey(df, Seq(keyCol), Seq(col(ordCol)))
+  }
+
+  /** Current table state: latest non-tombstoned value per key. */
+  def snapshot: DataFrame = latest(changelog)
+
+  /** Table state as of `ord` (inclusive) — replay the log up to a point. */
+  def snapshotAt(ord: Column): DataFrame = latest(changelog.filter(col(ordCol) <= ord))
+
+  /** The table as a broadcastable global table (J1/J2 joins). */
+  def toGlobalTable(broadcastSnapshot: Boolean = true): KGlobalTable =
+    KGlobalTable.fromStatic(snapshot, keyCol, broadcastSnapshot)
+
+  /** Stream–table join, point-in-time: each stream record pairs with the
+    * table's latest live value whose `ordCol` ≤ the record's `streamOrd`.
+    * A record whose as-of state is a tombstone (or has no state yet) is
+    * dropped — the inner-join semantics of the reference's global-table
+    * joiner applied through time. One range join + one argmax shuffle
+    * ([[Temporal.asOfJoin]]).
+    */
+  def joinAsOf(
+      stream: KStream, fk: Column, streamOrd: Column,
+      recordId: Seq[String], // unique per stream record (argmax group key)
+      tieBreak: Seq[Column] = Nil): KStream = {
+    val joined = Temporal.asOfJoin(
+      stream.toDF, changelog,
+      fk, col(keyCol), streamOrd, col(ordCol),
+      leftId = recordId, tieBreak = tieBreak)
+    val live = valueCol.fold(joined)(v => joined.filter(col(v).isNotNull))
+    KStream(live, stream.keyCols: _*)
+  }
+}
+
+object KTable {
+  /** @param valueCol value column; NULL there = tombstone (delete marker),
+    *                 matching kstream/global_table.go:36-44
+    */
+  def fromChangelog(
+      changelog: DataFrame, keyCol: String, ordCol: String,
+      valueCol: Option[String] = None): KTable =
+    new KTable(changelog, keyCol, ordCol, valueCol)
+}

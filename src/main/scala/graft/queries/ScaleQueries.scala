@@ -74,6 +74,37 @@ object ScaleQueries {
             expr("pt div 1000").as("pt_us"))
       }),
 
+    // stream-table (KTable) point-in-time join: clicks enriched with the
+    // user's purchase-props state AS OF the click (tombstoned by error
+    // events). The reference's JoinKTable, implemented. Exact micros.
+    Q("q_join_ktable", Some(
+      """WITH cl AS (SELECT user_id AS t_uid, epoch_ns(ts) AS t_ord,
+        |  event_id AS t_id,
+        |  CASE WHEN event_type = 'error' THEN NULL ELSE props END AS state
+        |  FROM events WHERE event_type IN ('purchase', 'error')),
+        |clicks AS (SELECT event_id, user_id, epoch_ns(ts) AS t FROM events
+        |  WHERE event_type = 'click')
+        |SELECT event_id, user_id, state FROM (
+        |  SELECT c.event_id, c.user_id, cl.state, row_number() OVER (
+        |    PARTITION BY c.event_id ORDER BY cl.t_ord DESC, cl.t_id) AS rn
+        |  FROM clicks c JOIN cl ON c.user_id = cl.t_uid AND cl.t_ord <= c.t)
+        |WHERE rn = 1 AND state IS NOT NULL""".stripMargin))(
+      (s, d) => {
+        val ev = t(s, d, "events")
+        val changelog = ev.filter(col("event_type").isin("purchase", "error"))
+          .select(col("user_id").as("t_uid"), col("ts").as("t_ord"),
+            col("event_id").as("t_id"),
+            when(col("event_type") === "error", lit(null))
+              .otherwise(col("props")).as("state"))
+        val clicks = graft.dsl.KStream(
+          ev.filter(col("event_type") === "click")
+            .select("event_id", "user_id", "ts"), "user_id")
+        graft.dsl.KTable.fromChangelog(changelog, "t_uid", "t_ord", Some("state"))
+          .joinAsOf(clicks, col("user_id"), col("ts"),
+            recordId = Seq("event_id"), tieBreak = Seq(-col("t_id")))
+          .toDF.select("event_id", "user_id", "state")
+      }),
+
     // semi/anti joins — membership filtering against a keyed store without
     // materializing the join (no right-side columns, no row duplication;
     // the right side is broadcast). The reference can only express these
