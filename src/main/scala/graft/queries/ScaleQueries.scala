@@ -127,6 +127,26 @@ object ScaleQueries {
           .join(t(s, d, "orders"), col("c_custkey") === col("o_custkey"), "left_anti")
           .select("c_custkey", "c_name")),
 
+    // the SQL entry point: the same engine drives plain spark.sql over
+    // registered views, with the native functions available
+    // (GraftExtensions) — here the codegen'd cosine_sim from SQL text.
+    Q("q_sql_surface", Some(
+      """WITH e AS (SELECT vec_id, embedding,
+        |  sqrt(list_sum(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE))) AS nrm
+        |  FROM embeddings)
+        |SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+        |  (list_sum(list_transform(range(1, 65),
+        |     i -> a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE))
+        |   / (a.nrm * b.nrm) >= 0.3) AS is_similar
+        |FROM e a JOIN e b ON b.vec_id = a.vec_id + 1""".stripMargin))(
+      (s, d) => {
+        t(s, d, "embeddings").createOrReplaceTempView("graft_embeddings")
+        s.sql("""
+          SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+            cosine_sim(a.embedding, b.embedding) >= 0.3 AS is_similar
+          FROM graft_embeddings a JOIN graft_embeddings b ON b.vec_id = a.vec_id + 1""")
+      }),
+
     // exact distinct cardinality per group — one partial-agg expand
     Q("q_distinct_users", Some(
       "SELECT event_type, count(DISTINCT user_id) AS n_users, count(*) AS n_events " +

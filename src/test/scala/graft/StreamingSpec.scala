@@ -82,6 +82,20 @@ class StreamingSpec extends SparkSpec {
     assert(spark.table(name).select("uuid").as[String].collect().sorted === Seq("u1", "u2"))
   }
 
+  test("streaming document dedup: fingerprint-duplicate docs dropped across batches") {
+    val mem = MemoryStream[(Long, String, Timestamp)]
+    val df = mem.toDF().toDF("doc_id", "text", "ts")
+      .withColumn("fp", graft.functions.TextAnalysis.fingerprint(col("text")))
+    val out = StreamingState.dedupWithinWatermark(df, Seq("fp"), "ts", "1 hour")
+    val name = runBatches(mem, out, OutputMode.Append())(
+      Seq((1L, "The Quick Fox!", Timestamp.valueOf("2024-01-01 00:00:00")),
+        (2L, "the quick fox", Timestamp.valueOf("2024-01-01 00:00:01"))), // dup modulo case/punct
+      Seq((3L, "  THE  QUICK  FOX ", Timestamp.valueOf("2024-01-01 00:10:00")), // dup again
+        (4L, "something new", Timestamp.valueOf("2024-01-01 00:10:01")))
+    )
+    assert(spark.table(name).select("doc_id").as[Long].collect().sorted === Seq(1L, 4L))
+  }
+
   test("tumbling window counts with watermark (the operator class the reference lacks)") {
     val mem = MemoryStream[(Timestamp, String)]
     val df = mem.toDF().toDF("ts", "kind")
