@@ -34,6 +34,29 @@ class StreamingOpsSpec extends SparkSpec {
     assert(collected.toSeq === Seq((1, "v1"), (1, "v2")))
   }
 
+  test("streaming near-dup: new doc matches an earlier batch's document") {
+    val mem = MemoryStream[(Long, String)]
+    val out = graft.streaming.StreamingDedup.nearDupCandidates(
+      mem.toDF().toDF("doc_id", "text"), "doc_id", "text",
+      numHashes = 64, bands = 16, minEstJaccard = 0.5)
+    val q = out.writeStream.format("memory").queryName("neardup_sink")
+      .outputMode("append").start()
+    try {
+      mem.addData(
+        (1L, "the quick brown fox jumps over the lazy dog today"),
+        (2L, "an entirely different document about spark shuffles"))
+      q.processAllAvailable()
+      mem.addData(
+        (3L, "the quick brown fox jumps over the lazy cat today"), // near-dup of 1
+        (4L, "yet another unrelated text body mentioning parquet files"))
+      q.processAllAvailable()
+    } finally q.stop()
+    val pairs = spark.table("neardup_sink")
+      .select("a_id", "b_id").distinct()
+      .as[(Long, Long)].collect().toSet
+    assert(pairs === Set((1L, 3L)))
+  }
+
   test("withRetries retries transient failures, then succeeds") {
     var calls = 0
     val out = Resilience.withRetries(attempts = 3, intervalMs = 1) {
