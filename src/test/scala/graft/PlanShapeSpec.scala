@@ -1,0 +1,60 @@
+package graft
+
+import graft.plans.PlanChecks._
+
+/** Scale properties asserted at the plan level: these are the shapes the
+  * queries were designed to have (SURVEY §4.3, README); a change that
+  * silently loses a pushdown, un-broadcasts a dim, or adds a shuffle
+  * fails here, not in a 100 TB run.
+  */
+class PlanShapeSpec extends SparkSpec {
+
+  private def q(name: String) = SparkEntry.queries(name)(spark, sf)
+
+  test("q1: filter pushed to the scan, pruned read schema, one agg shuffle") {
+    val df = q("q1_pricing_summary")
+    assert(pushedFilters(df).exists(_.contains("l_shipdate")))
+    val schema = readSchemas(df).head
+    assert(!schema.contains("l_comment") && !schema.contains("l_partkey"),
+      s"scan reads more than needed: $schema")
+    assert(countShuffles(df) === 1)
+  }
+
+  test("q5: every join broadcast, exactly one shuffle for the final group-by") {
+    val df = q("q5_region_revenue")
+    assert(countNodes(df, "BroadcastHashJoin") === 4)
+    assert(countNodes(df, "SortMergeJoin") === 0)
+    assert(countShuffles(df) === 1)
+  }
+
+  test("q3: top-k runs as TakeOrdered, not a global sort") {
+    val df = q("q3_top_orders")
+    assert(hasNode(df, "TakeOrderedAndProject"))
+    assert(countNodes(df, "Sort") === 0)
+  }
+
+  test("q6: no joins, no shuffle except the final single-row aggregate") {
+    val df = q("q6_forecast_revenue")
+    assert(countNodes(df, "Join") === 0)
+    assert(pushedFilters(df).exists(_.contains("l_shipdate")))
+  }
+
+  test("knn: no window operator; bounded topk aggregate with partial merge") {
+    val df = q("q_knn_bruteforce")
+    assert(countNodes(df, "Window") === 0)
+    assert(mentions(df, "topk_agg"))
+    assert(hasNode(df, "ObjectHashAggregate"))
+  }
+
+  test("global-table join keeps the table side broadcast (J1)") {
+    val df = q("q_join_global_inner")
+    assert(hasNode(df, "BroadcastHashJoin"))
+    assert(countShuffles(df) === 0) // stream side flows without shuffling
+  }
+
+  test("latest-by-key is a partial-agg max_by, not a window sort (A1)") {
+    val df = q("q_latest_by_key")
+    assert(countNodes(df, "Window") === 0)
+    assert(mentions(df, "max_by"))
+  }
+}
