@@ -44,4 +44,25 @@ object Sources {
     */
   def writePartitioned(df: DataFrame, path: String, partitionCols: Seq[String]): Unit =
     df.write.mode("overwrite").partitionBy(partitionCols: _*).parquet(path)
+
+  /** Small-file compaction: rewrite a parquet directory into
+    * `ceil(bytes / targetFileBytes)` files. Streaming sinks and
+    * fine-grained partitioned writes accumulate small files that tax the
+    * scan scheduler (one task per file) and the namenode; periodic
+    * compaction is standing maintenance for any long-lived table.
+    * Returns the new file count.
+    */
+  def compact(spark: SparkSession, path: String, targetFileBytes: Long = 128L << 20): Int = {
+    val in = spark.read.parquet(path)
+    val bytes = in.queryExecution.optimizedPlan.stats.sizeInBytes
+    val files = math.max(1, math.ceil(bytes.toDouble / targetFileBytes).toInt)
+    val tmp = path.stripSuffix("/") + "__compact_tmp"
+    in.repartition(files).write.mode("overwrite").parquet(tmp)
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(tmp), spark.sparkContext.hadoopConfiguration)
+    val dst = new org.apache.hadoop.fs.Path(path)
+    fs.delete(dst, true)
+    fs.rename(new org.apache.hadoop.fs.Path(tmp), dst)
+    files
+  }
 }

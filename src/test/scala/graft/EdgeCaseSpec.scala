@@ -1,0 +1,59 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.dsl.{KGlobalTable, KStream}
+import graft.operators.{Dedup, Similarity}
+import graft.state.Upserts
+
+/** Degenerate inputs: empty frames, single rows, all-duplicate corpora —
+  * the shapes that surface accidental head()/assumption bugs.
+  */
+class EdgeCaseSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def emptyDocs = Seq.empty[(Long, String)].toDF("doc_id", "text")
+
+  test("dedup operators on an empty corpus return empty, not errors") {
+    assert(Dedup.exact(emptyDocs, "doc_id", "text").count() === 0)
+    assert(Dedup.nearDupPairs(emptyDocs, "doc_id", "text", 3, 4, 5).count() === 0)
+    assert(Dedup.simHashAgg(emptyDocs, "doc_id", Dedup.tokenSet(col("text"))).count() === 0)
+  }
+
+  test("knn with empty corpus / empty query set returns empty") {
+    val emptyVecs = Seq.empty[(Long, Seq[Float])].toDF("vec_id", "embedding")
+    val one = Seq((1L, Seq(1f, 0f))).toDF("vec_id", "embedding")
+    assert(Similarity.bruteForceKnn(one, emptyVecs, "vec_id", "embedding", 3).count() === 0)
+    assert(Similarity.bruteForceKnn(emptyVecs, one, "vec_id", "embedding", 3).count() === 0)
+  }
+
+  test("topKPerKey with k larger than the group returns the whole group") {
+    val df = Seq(("g", 1.0, 1L), ("g", 2.0, 2L)).toDF("g", "score", "id")
+    val top = Similarity.topKPerKey(df, Seq("g"),
+        struct((-col("score")).as("ns"), col("id").as("nid")), 10)
+      .select(col("topk.nid")).as[Seq[Long]].head()
+    assert(top === Seq(2L, 1L))
+  }
+
+  test("upserts on empty input and single-record keys") {
+    val empty = Seq.empty[(String, Long, String)].toDF("k", "off", "v")
+    assert(Upserts.latestByKey(empty, Seq("k"), Seq(col("off"))).count() === 0)
+    val single = Seq(("a", 1L, "x")).toDF("k", "off", "v")
+    assert(Upserts.latestByKey(single, Seq("k"), Seq(col("off")))
+      .select("v").as[String].head() === "x")
+  }
+
+  test("branch with no matching records yields empty branches, not failures") {
+    val df = Seq((1L, 5.0)).toDF("id", "v")
+    val bs = KStream(df, "id").branch(col("v") > 100, col("v") > 50)
+    assert(bs.map(_.toDF.count()).sum === 0)
+  }
+
+  test("global-table join against an empty table: inner drops all, left keeps all") {
+    val stream = Seq((1L, 10L)).toDF("id", "fk")
+    val table = KGlobalTable.fromStatic(
+      Seq.empty[(Long, String)].toDF("k", "name"), "k")
+    assert(KStream(stream, "id").joinGlobalTable(table, col("fk")).toDF.count() === 0)
+    assert(KStream(stream, "id").joinGlobalTable(table, col("fk"), "left").toDF.count() === 1)
+  }
+}

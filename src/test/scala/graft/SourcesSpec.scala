@@ -30,6 +30,17 @@ class SourcesSpec extends SparkSpec {
     assert(fromJson.filter(col("id").isNotNull).count() === 2) // corrupt row tolerated
   }
 
+  test("compact rewrites a many-small-files table into few files") {
+    val dir = Files.createTempDirectory("graft_compact").toString + "/t"
+    queries.Tables.t(spark, sf, "orders").repartition(64).write.parquet(dir)
+    def files = new java.io.File(dir).listFiles().count(_.getName.endsWith(".parquet"))
+    val before = files
+    val rows = spark.read.parquet(dir).count()
+    Sources.compact(spark, dir)
+    assert(files < before)
+    assert(spark.read.parquet(dir).count() === rows)
+  }
+
   test("partitioned write prunes directories on read (PartitionFilters)") {
     val dir = Files.createTempDirectory("graft_part").toString + "/events"
     Sources.writePartitioned(
