@@ -1,0 +1,69 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.{Gen, Properties, Test}
+import org.scalacheck.Prop.forAll
+
+import graft.operators.{Dedup, Similarity}
+
+/** Randomized equivalence properties: the engine operators against
+  * straight-line Scala reimplementations of their semantics, over
+  * generated inputs. Few cases (each drives real Spark jobs), wide input
+  * shapes (duplicate-heavy vocab, tiny and medium corpora).
+  */
+object OperatorProperties extends Properties("graft.operators") {
+
+  override def overrideParameters(p: Test.Parameters): Test.Parameters =
+    p.withMinSuccessfulTests(5).withWorkers(1)
+
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val vocab = Seq("alpha", "beta", "gamma", "delta", "epsilon", "zeta")
+  private val docGen: Gen[List[(Long, String)]] = for {
+    n <- Gen.choose(2, 8)
+    texts <- Gen.listOfN(n, Gen.choose(3, 9).flatMap(len =>
+      Gen.listOfN(len, Gen.oneOf(vocab)).map(_.mkString(" "))))
+  } yield texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+
+  private def jaccardShingles(t: String, n: Int): Set[String] = {
+    val toks = t.toLowerCase.split("\\s+").toSeq
+    if (toks.size < n) Set(toks.mkString(" "))
+    else toks.sliding(n).map(_.mkString(" ")).toSet
+  }
+
+  property("nearDupPairs == brute-force shingle Jaccard") = forAll(docGen) { docs =>
+    val df = docs.toDF("doc_id", "text")
+    val got = Dedup.nearDupPairs(df, "doc_id", "text", shingleN = 2, minNum = 1, minDen = 2)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    val expected = (for {
+      (a, ta) <- docs
+      (b, tb) <- docs if a < b
+      sa = jaccardShingles(ta, 2)
+      sb = jaccardShingles(tb, 2)
+      if 2 * (sa & sb).size >= (sa | sb).size
+    } yield (a, b)).toSet
+    got == expected
+  }
+
+  private val scoreGen: Gen[List[(String, Double, Long)]] = for {
+    n <- Gen.choose(1, 30)
+    rows <- Gen.listOfN(n, for {
+      g <- Gen.oneOf("g1", "g2")
+      s <- Gen.choose(-100, 100)
+    } yield (g, s.toDouble))
+  } yield rows.zipWithIndex.map { case ((g, s), i) => (g, s, i.toLong) }
+
+  property("topKPerKey == sort-and-take per key") = forAll(scoreGen, Gen.choose(1, 6)) {
+    (rows, k) =>
+      val df = rows.toDF("g", "score", "id").repartition(5)
+      val got = Similarity.topKPerKey(df, Seq("g"),
+          struct((-col("score")).as("ns"), col("id").as("nid")), k)
+        .select(col("g"), col("topk.nid"))
+        .as[(String, Seq[Long])].collect().toMap
+      val expected = rows.groupBy(_._1).map { case (g, rs) =>
+        g -> rs.sortBy(r => (-r._2, r._3)).take(k).map(_._3)
+      }
+      got == expected
+  }
+}

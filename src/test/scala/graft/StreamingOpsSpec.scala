@@ -57,6 +57,26 @@ class StreamingOpsSpec extends SparkSpec {
     assert(pairs === Set((1L, 3L)))
   }
 
+  test("streaming similarity: arriving vector matches an earlier near-identical one") {
+    val mem = MemoryStream[(Long, Seq[Float])]
+    val out = graft.streaming.StreamingSimilarity.matchesAtIngest(
+      mem.toDF().toDF("vec_id", "embedding"), "vec_id", "embedding",
+      minCosine = 0.95, tables = 8, bits = 2, dim = 4)
+    val q = out.writeStream.format("memory").queryName("simmatch_sink")
+      .outputMode("append").start()
+    try {
+      mem.addData(
+        (1L, Seq(1f, 0.02f, 0f, 0f)),
+        (2L, Seq(0f, 0f, 1f, 0.3f))) // unrelated direction
+      q.processAllAvailable()
+      mem.addData((3L, Seq(1f, 0.01f, 0f, 0f))) // near-identical to 1
+      q.processAllAvailable()
+    } finally q.stop()
+    val pairs = spark.table("simmatch_sink")
+      .select("a_id", "b_id").distinct().as[(Long, Long)].collect().toSet
+    assert(pairs === Set((1L, 3L)))
+  }
+
   test("withRetries retries transient failures, then succeeds") {
     var calls = 0
     val out = Resilience.withRetries(attempts = 3, intervalMs = 1) {
