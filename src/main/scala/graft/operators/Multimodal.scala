@@ -67,6 +67,27 @@ object Multimodal {
       .select(col("media_id"), col("pos").as("frame_no"), col("col").as("frame_md5"))
   }
 
+  /** STUB resize (see class doc): downsample the payload by keeping every
+    * `factor`-th byte — the deterministic stand-in for an image resize
+    * kernel, operating on the same opaque-binary plumbing (a real decoder
+    * would resize pixels; the engine-side schema, slicing arithmetic, and
+    * verification are identical). Hex-plane slicing keeps the op
+    * engine-portable. Output: (media_id, resized_len, resized_md5).
+    */
+  def resizeStub(media: DataFrame, factor: Int): DataFrame = {
+    val m = meta(media)
+    val keptBytes = ((col("byte_len") - 1) / factor).cast("int") + 1
+    val resizedHex = array_join(
+      transform(
+        sequence(lit(0), keptBytes - 1),
+        i => col("hx").substr(i * (factor * 2) + 1, lit(2))),
+      "")
+    m.select(
+      col("media_id"),
+      keptBytes.as("resized_len"),
+      md5(resizedHex).as("resized_md5"))
+  }
+
   /** STUB feature extraction (see class doc): features[j] = Σ of unsigned
     * byte values at positions ≡ j (mod dim). Runs as a typed per-partition
     * batch transform — the exact execution shape a vectorized decoder

@@ -41,6 +41,19 @@ object MultimodalQueries {
         Multimodal.sampleFrames(media(s, d), frameBytes = 64, strideBytes = 256)
           .select(col("media_id").as("doc_id"), col("frame_no"), col("frame_md5"))),
 
+    // STUB resize: every-4th-byte downsample on the hex plane, digest
+    // verified exactly in both engines.
+    Q("q_media_resize", Some(
+      """WITH b AS (SELECT doc_id, hex(encode(text)) AS hx,
+        |  octet_length(encode(text)) AS blen FROM documents)
+        |SELECT doc_id, ((blen - 1) // 4 + 1) AS resized_len,
+        |  md5(array_to_string(list_transform(range((blen - 1) // 4 + 1),
+        |    i -> substring(hx, (i * 8 + 1)::BIGINT, 2)), '')) AS resized_md5
+        |FROM b""".stripMargin))(
+      (s, d) =>
+        Multimodal.resizeStub(media(s, d), factor = 4)
+          .select(col("media_id").as("doc_id"), col("resized_len"), col("resized_md5"))),
+
     // STUB decode → per-bucket unsigned-byte sums, exploded. This drives
     // the typed mapPartitions path end-to-end; the oracle recomputes the
     // same sums from hex pairs — exact integers.

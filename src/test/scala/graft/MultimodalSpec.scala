@@ -26,6 +26,19 @@ class MultimodalSpec extends SparkSpec {
     assert(counts === Map(1L -> 2L, 2L -> 1L))
   }
 
+  test("resizeStub keeps every factor-th byte") {
+    val m = Multimodal.attachBlob(
+      Seq((1L, "abcdefgh")).toDF("doc_id", "text"), "doc_id", "text", "text/plain")
+    val r = Multimodal.resizeStub(m, factor = 4)
+      .select("media_id", "resized_len", "resized_md5")
+      .as[(Long, Int, String)].head()
+    assert(r._2 === 2) // bytes at offsets 0 and 4: 'a', 'e'
+    // md5 of hex("a") + hex("e") = md5("6165")
+    val expect = java.security.MessageDigest.getInstance("MD5")
+      .digest("6165".getBytes).map("%02x".format(_)).mkString
+    assert(r._3 === expect)
+  }
+
   test("decodeFeaturesStub: deterministic bucket sums of unsigned bytes") {
     val m = Multimodal.attachBlob(
       Seq((7L, "ab")).toDF("doc_id", "text"), "doc_id", "text", "text/plain")
