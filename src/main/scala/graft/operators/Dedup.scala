@@ -72,51 +72,6 @@ object Dedup {
           slice(sig, b * lit(rowsPerBand) + lit(1), lit(rowsPerBand)),
           lit(17L), (acc, v) => xxhash64(acc, v)).as("bucket")))
 
-  /** Near-duplicate pairs via MinHash + LSH with exact-Jaccard verification.
-    *
-    * Plan shape (linear in corpus size, never O(n²)):
-    *   docs → tokenize + sign (narrow, no shuffle)
-    *        → explode band keys (×bands rows)
-    *        → self-join on (band, bucket)     [shuffle on bucket key]
-    *        → dedup candidate pair            [shuffle on (a,b)]
-    *        → exact Jaccard verify → filter ≥ minJaccard
-    *
-    * With numHashes=128, bands=32 (r=4): P[missed | J=0.8] = (1-0.8⁴)³² ≈
-    * 4.6e-8, so recall vs the exact O(n²) answer is ~1; the verification
-    * step makes precision exact.
-    *
-    * Skew: a pathological bucket self-joins quadratically — run `exact`
-    * dedup first so identical docs collapse, and leave AQE skew-join on.
-    *
-    * Output: (a_id, b_id, jaccard) with a_id < b_id.
-    */
-  def minHashLsh(
-      docs: DataFrame, id: String, text: String,
-      numHashes: Int = 128, bands: Int = 32,
-      minJaccard: Double = 0.8): DataFrame = {
-    require(numHashes % bands == 0, "bands must divide numHashes")
-    val r = numHashes / bands
-
-    val signed = docs.select(col(id).as("doc"), tokenSet(col(text)).as("toks"))
-      .withColumn("bk", explode(lshBandKeys(minHashSignature(col("toks"), numHashes), bands, r)))
-      .select(col("doc"), col("toks"), col("bk.band"), col("bk.bucket"))
-
-    val left = signed.select(col("band"), col("bucket"),
-      col("doc").as("a_id"), col("toks").as("a_toks"))
-    val right = signed.select(col("band"), col("bucket"),
-      col("doc").as("b_id"), col("toks").as("b_toks"))
-
-    left.join(right, Seq("band", "bucket"))
-      .filter(col("a_id") < col("b_id"))
-      .select("a_id", "b_id", "a_toks", "b_toks")
-      .dropDuplicates("a_id", "b_id")
-      .withColumn("jaccard",
-        size(array_intersect(col("a_toks"), col("b_toks"))).cast("double") /
-          size(array_union(col("a_toks"), col("b_toks"))))
-      .filter(col("jaccard") >= minJaccard)
-      .select(col("a_id"), col("b_id"), round(col("jaccard"), 4).as("jaccard"))
-  }
-
   /** MinHash signatures via EXPLODE + AGGREGATE — the scale shape. The
     * expression form ([[minHashSignature]]) evaluates `numHashes × |set|`
     * interpreted lambda calls per row; this form hashes each element ONCE

@@ -15,11 +15,12 @@ import scala.util.hashing.MurmurHash3
   *    candidates only from matching buckets, exact cosine re-rank — the
   *    corpus-side work is one narrow projection + an equi-join per table
   *
-  * All math is `functions._` higher-order expressions over doubles in a
-  * fixed fold order (deterministic bits, no UDFs). Hyperplanes are
-  * pseudo-random ±1 vectors seeded with MurmurHash3 so every executor and
-  * every run derives the identical planes from code alone — nothing is
-  * shipped from the driver but the literal expression tree.
+  * The scoring loops run on native codegen'd expressions (`cosine_sim`,
+  * `rhp_buckets`, `topk_agg` — [[graft.GraftExtensions]]) with the
+  * composable `functions._` forms kept as dependency-free references;
+  * both produce identical bits (fixed double fold order, no UDFs).
+  * Hyperplanes are pseudo-random ±1 vectors seeded with MurmurHash3, so
+  * every executor derives identical planes from code alone.
   */
 object Similarity {
 
