@@ -52,6 +52,40 @@ object StreamingState {
       }
   }
 
+  /** A1 with TTL: the reference's per-record expiry
+    * (backend/backend.go:14-28 `SetExpiry`, swept by a 1 s goroutine in
+    * backend/memory/memory.go) maps to `GroupStateTimeout`: a key whose
+    * state goes untouched for `ttl` is evicted and a tombstone is emitted
+    * so downstream stores delete too. Processing-time timeout — the same
+    * wall-clock semantics as the reference's sweeper.
+    */
+  def latestByKeyWithTTL(ds: Dataset[KRecord], ttl: java.time.Duration): Dataset[KRecord] = {
+    import ds.sparkSession.implicits._
+    ds.groupByKey(_.key)
+      .mapGroupsWithState[KRecord, KRecord](GroupStateTimeout.ProcessingTimeTimeout) {
+        (key, records, state: GroupState[KRecord]) =>
+          if (state.hasTimedOut) {
+            val last = state.get
+            state.remove()
+            KRecord(key, last.ord, null, last.version) // expiry tombstone
+          } else {
+            val incoming = records.maxBy(_.ord)
+            val winner = state.getOption match {
+              case Some(c) if c.ord >= incoming.ord => c
+              case _                                => incoming
+            }
+            if (winner.value == null) {
+              state.remove()
+              KRecord(key, winner.ord, null, winner.version)
+            } else {
+              state.update(winner)
+              state.setTimeoutDuration(ttl.toMillis)
+              winner
+            }
+          }
+      }
+  }
+
   /** A2 version-gated upsert (global_table_stream_instance.go:236-268):
     * a new record wins iff `version > stored.version` — STRICT, ties keep
     * the stored record (builder.go:231-233). Within one batch, the earliest

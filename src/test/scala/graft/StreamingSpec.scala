@@ -45,6 +45,30 @@ class StreamingSpec extends SparkSpec {
     assert(lastByKey("b").value === null) // deletion surfaced downstream
   }
 
+  test("latestByKeyWithTTL keeps state under the TTL and arms the timeout") {
+    // ProcessingTimeTimeout makes the query run no-data batches on its
+    // trigger cadence, so processAllAvailable never sees quiescence; poll
+    // the sink with a deadline instead.
+    val mem = MemoryStream[KRecord]
+    val name = sinkName()
+    val q = StreamingState.latestByKeyWithTTL(mem.toDS(), java.time.Duration.ofHours(1))
+      .writeStream.format("memory").queryName(name)
+      .outputMode(OutputMode.Update())
+      .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime("100 milliseconds"))
+      .start()
+    try {
+      mem.addData(KRecord("a", 1, "a1"))
+      mem.addData(KRecord("a", 2, "a2")) // within TTL: state alive, newest wins
+      val deadline = System.currentTimeMillis() + 60000
+      // batch boundaries are timing-dependent; assert the final state
+      def last = spark.table(name).as[KRecord].collect()
+        .sortBy(_.ord).lastOption.map(_.value)
+      while (!last.contains("a2") && System.currentTimeMillis() < deadline)
+        Thread.sleep(100)
+      assert(last === Some("a2"))
+    } finally q.stop()
+  }
+
   test("versionedUpsert: strict > comparator, ties keep first-seen (A2 streaming)") {
     val mem = MemoryStream[KRecord]
     val name = runBatches(mem, StreamingState.versionedUpsert(mem.toDS()), OutputMode.Update())(
