@@ -192,6 +192,35 @@ object HeadlineQueries {
             count(lit(1)).as("n_items"))
       }),
 
+    // TPC-H Q18 shape: customers with very large orders — an aggregate
+    // HAVING filter used as a semi-join back onto the fact tables. The
+    // qualifying-order set is tiny, so it broadcasts.
+    Q("q18_large_orders", Some("""
+      |WITH big AS (
+      |  SELECT l_orderkey AS bk FROM lineitem GROUP BY l_orderkey
+      |  HAVING sum(l_quantity) > 250)
+      |SELECT c_custkey, c_name, o_orderkey, o_totalprice,
+      |  sum(l_quantity) AS total_qty
+      |FROM customer JOIN orders ON o_custkey = c_custkey
+      |JOIN lineitem ON l_orderkey = o_orderkey
+      |WHERE o_orderkey IN (SELECT bk FROM big)
+      |GROUP BY c_custkey, c_name, o_orderkey, o_totalprice
+      |""".stripMargin.trim))(
+      (s, d) => {
+        val li = t(s, d, "lineitem")
+        val big = li.groupBy("l_orderkey")
+          .agg(sum("l_quantity").as("sq")).filter(col("sq") > 250)
+          .select(col("l_orderkey").as("bk"))
+        val orders = t(s, d, "orders")
+          .join(broadcast(big), col("o_orderkey") === col("bk"), "left_semi")
+        orders
+          .join(broadcast(t(s, d, "customer").select("c_custkey", "c_name")),
+            col("o_custkey") === col("c_custkey"))
+          .join(li, col("l_orderkey") === col("o_orderkey"))
+          .groupBy("c_custkey", "c_name", "o_orderkey", "o_totalprice")
+          .agg(sum("l_quantity").as("total_qty"))
+      }),
+
     // Wide-agg shape: per-supplier part stats with a broadcast dim join.
     Q("q_supplier_stats", Some("""
       |SELECT l_suppkey, s_name, count(*) AS n_items,

@@ -52,6 +52,14 @@ class PlanShapeSpec extends SparkSpec {
     assert(countShuffles(df) === 0) // stream side flows without shuffling
   }
 
+  test("as-of join runs as an equi-join with range predicate, not a nested loop") {
+    val df = q("q_asof_join")
+    assert(countNodes(df, "BroadcastNestedLoopJoin") === 0)
+    assert(countNodes(df, "CartesianProduct") === 0)
+    assert(mentions(df, "max_by")) // the argmax reduction, not a window
+    assert(countNodes(df, "Window") === 0)
+  }
+
   test("latest-by-key is a partial-agg max_by, not a window sort (A1)") {
     val df = q("q_latest_by_key")
     assert(countNodes(df, "Window") === 0)
