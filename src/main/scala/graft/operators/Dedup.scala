@@ -104,7 +104,11 @@ object Dedup {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val r = numHashes / bands
     val base = docs.select(col(id).as("doc"), setCol.as("elems"))
-    val sigs = minHashSignatures(docs, id, setCol, numHashes)
+    // both self-join sides consume the signatures; materialize the compact
+    // (doc, numHashes longs) table once instead of recomputing the
+    // tokenize+hash+aggregate pipeline per side. At extreme corpus sizes
+    // swap for a persisted signature table on storage.
+    val sigs = minHashSignatures(docs, id, setCol, numHashes).localCheckpoint(true)
     val bandCols = (0 until bands).map { b =>
       struct(lit(b).as("band"),
         xxhash64((b * r until (b + 1) * r).map(i => col(s"_mh$i")): _*).as("bucket"))

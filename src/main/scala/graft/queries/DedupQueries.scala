@@ -92,6 +92,7 @@ object DedupQueries {
         val sigs = Dedup.simHashAgg(
             spread(s, d), "doc_id", Dedup.tokenSet(col("text")))
           .select(col("doc").as("doc_id"), col("simhash").as("sig"))
+          .localCheckpoint(true) // both self-join sides read the signatures
         val banded = sigs.select(col("doc_id"), col("sig"),
           posexplode(array((0 until 4).map(b =>
             shiftright(col("sig"), b * 16).bitwiseAND(lit(0xffffL))): _*)))
