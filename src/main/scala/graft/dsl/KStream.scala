@@ -153,11 +153,31 @@ final class KStream private (
   def describe(): String =
     toDF.queryExecution.explainString(org.apache.spark.sql.execution.FormattedMode)
 
+  /** S2 To — frame the stream for a sink (the reference's terminal
+    * `stream.To(topic, ...)`, k_stream.go:575-610): key/value projection,
+    * optional tombstone predicate and headers. See
+    * [[graft.io.KafkaIO.sinkFrame]]; in production the result feeds
+    * `writeStream.format("kafka")` unchanged.
+    */
+  def to(
+      keyExpr: Column, valueExpr: Column,
+      tombstoneWhen: Option[Column] = None,
+      headers: Option[Column] = None): DataFrame =
+    graft.io.KafkaIO.sinkFrame(toDF, keyExpr, valueExpr, tombstoneWhen, headers)
+
   /** J1/J2 JoinGlobalTable — see [[KGlobalTable.join]]. `fk` is the
     * reference's KeyMapper output (join/joiner.go:20).
     */
   def joinGlobalTable(table: KGlobalTable, fk: Column, joinType: String = "inner"): KStream =
     next(table.join(toDF, fk, joinType))
+
+  /** J6 star join — multi-table enrichment in one call (the reference's
+    * global_table_star_joiner.go is fully commented out; here it is just a
+    * fold of broadcast joins, which Catalyst plans as a chain of
+    * BroadcastHashJoins with no shuffle on the stream side).
+    */
+  def starJoin(tables: (KGlobalTable, Column)*): KStream =
+    tables.foldLeft(this) { case (s, (table, fk)) => s.joinGlobalTable(table, fk) }
 
   /** J3 JoinStream (stream-stream) batch form: equi-join where each left
     * record pairs with at most ONE right record (the reference's buffer

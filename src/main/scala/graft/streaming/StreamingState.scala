@@ -152,6 +152,43 @@ object StreamingState {
       .groupBy((window(col(eventTime), windowLen) +: groupCols.map(col)).toIndexedSeq: _*)
       .agg(count(lit(1)).as("n"))
 
+  /** J3 with the reference's EXACT buffer semantics (join/side_joiner.go:
+    * 54-97, join/window.go:5-28): per key, each side holds a single-slot
+    * buffer; an arriving record that finds the other side's slot filled
+    * emits one joined pair (the stored entry LINGERS and keeps matching);
+    * on a miss it stashes itself and emits nothing. Unbounded state, no
+    * time bound — faithfully reproduced for parity; prefer
+    * [[streamStreamJoin]] (watermarked) for production, which is strictly
+    * safer. Both inputs are KRecords; output value = "left|right".
+    */
+  def firstMatchJoin(left: Dataset[KRecord], right: Dataset[KRecord]): Dataset[KRecord] = {
+    import left.sparkSession.implicits._
+    val tagged = left.map(r => (r, true)).unionByName(right.map(r => (r, false)))
+    tagged
+      .groupByKey(_._1.key)
+      .flatMapGroupsWithState[(Option[KRecord], Option[KRecord]), KRecord](
+        org.apache.spark.sql.streaming.OutputMode.Append(),
+        GroupStateTimeout.NoTimeout) {
+        (key, records, state: GroupState[(Option[KRecord], Option[KRecord])]) =>
+          var (l, r) = state.getOption.getOrElse((None, None))
+          val out = Seq.newBuilder[KRecord]
+          // arrival order within the batch approximated by ord
+          records.toSeq.sortBy(_._1.ord).foreach { case (rec, isLeft) =>
+            val other = if (isLeft) r else l
+            other match {
+              case Some(o) =>
+                val joined = if (isLeft) s"${rec.value}|${o.value}"
+                  else s"${o.value}|${rec.value}"
+                out += KRecord(key, math.max(rec.ord, o.ord), joined)
+              case None =>
+                if (isLeft) l = Some(rec) else r = Some(rec)
+            }
+          }
+          state.update((l, r))
+          out.result().iterator
+      }
+  }
+
   /** J3 stream-stream inner join with a watermarked time bound — the
     * reference buffers both sides in unbounded in-memory maps
     * (join/window.go:5-28, never evicted); Spark bounds the buffer with

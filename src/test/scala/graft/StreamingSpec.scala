@@ -135,6 +135,28 @@ class StreamingSpec extends SparkSpec {
     assert(counts === Map("2024-01-01 00:00:00" -> 2L, "2024-01-01 00:10:00" -> 1L))
   }
 
+  test("firstMatchJoin reproduces the reference's single-slot buffer semantics") {
+    val lMem = MemoryStream[KRecord]
+    val rMem = MemoryStream[KRecord]
+    val out = StreamingState.firstMatchJoin(lMem.toDS(), rMem.toDS())
+    val name = sinkName()
+    val q = out.writeStream.format("memory").queryName(name)
+      .outputMode(OutputMode.Append()).start()
+    try {
+      lMem.addData(KRecord("a", 1, "l1")) // miss -> stashed, no emit
+      q.processAllAvailable()
+      rMem.addData(KRecord("a", 2, "r1")) // hit -> emit, NOT stashed
+      q.processAllAvailable()
+      rMem.addData(KRecord("a", 3, "r2")) // stored left lingers -> emits again
+      q.processAllAvailable()
+      rMem.addData(KRecord("b", 4, "rb")) // miss -> stashed
+      lMem.addData(KRecord("b", 5, "lb")) // hit against stashed right
+      q.processAllAvailable()
+    } finally q.stop()
+    val emitted = spark.table(name).as[KRecord].collect().sortBy(_.ord).map(_.value)
+    assert(emitted.toSeq === Seq("l1|r1", "l1|r2", "lb|rb"))
+  }
+
   test("stream-stream join matches within the time bound (J3 streaming)") {
     val lMem = MemoryStream[(String, Timestamp)]
     val rMem = MemoryStream[(String, Timestamp)]
