@@ -34,13 +34,14 @@ class PipelineSpec extends SparkSpec {
 
     val enriched = branches(0)
       .filter(col("amount") > 0)
-      .joinGlobalTable(accounts, col("account_id"))
-      .joinGlobalTable(customers, col("customer_id"))
+      .starJoin( // J6: both dims in one fold of broadcast joins
+        accounts -> col("account_id"),
+        customers -> col("customer_id"))
       .transformValues("message" ->
         concat(col("cust_name"), lit(" credited "), col("amount").cast("string")))
 
-    val framed = KafkaIO.sinkFrame(enriched.toDF,
-      keyExpr = col("account_id"), valueExpr = col("message"))
+    val framed = enriched // S2 terminal verb
+      .to(keyExpr = col("account_id"), valueExpr = col("message"))
       .as[(Long, String)].collect().toMap
 
     assert(framed === Map(
