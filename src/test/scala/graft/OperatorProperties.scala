@@ -4,7 +4,8 @@ import org.apache.spark.sql.functions._
 import org.scalacheck.{Gen, Properties, Test}
 import org.scalacheck.Prop.forAll
 
-import graft.operators.{Dedup, Similarity}
+import graft.operators.{Dedup, Similarity, Skew, Temporal}
+import graft.state.Upserts
 
 /** Randomized equivalence properties: the engine operators against
   * straight-line Scala reimplementations of their semantics, over
@@ -44,6 +45,63 @@ object OperatorProperties extends Properties("graft.operators") {
       if 2 * (sa & sb).size >= (sa | sb).size
     } yield (a, b)).toSet
     got == expected
+  }
+
+  private val changelogGen: Gen[List[(String, Long, Long, String)]] = for {
+    n <- Gen.choose(1, 25)
+    rows <- Gen.listOfN(n, for {
+      k <- Gen.oneOf("a", "b", "c")
+      v <- Gen.choose(0L, 4L) // few versions -> frequent ties
+    } yield (k, v))
+  } yield rows.zipWithIndex.map { case ((k, v), i) => (k, i.toLong, v, s"val$i") }
+
+  property("versionedUpsert == sequential strict-> replay") = forAll(changelogGen) { rows =>
+    val df = rows.toDF("k", "arrival", "ver", "v")
+    val got = Upserts.versionedUpsert(df, Seq("k"), col("ver"), col("arrival"))
+      .select("k", "v").as[(String, String)].collect().toMap
+    val expected = rows.groupBy(_._1).map { case (k, rs) =>
+      k -> rs.sortBy(_._2).foldLeft(Option.empty[(String, Long, Long, String)]) {
+        case (Some(cur), r) if r._3 <= cur._3 => Some(cur)
+        case (_, r)                           => Some(r)
+      }.get._4
+    }
+    got == expected
+  }
+
+  private val asofGen: Gen[(List[(Long, String, Long)], List[(Long, String, Long)])] = for {
+    nl <- Gen.choose(1, 15)
+    nr <- Gen.choose(0, 15)
+    ls <- Gen.listOfN(nl, for { k <- Gen.oneOf("x", "y"); t <- Gen.choose(0L, 20L) } yield (k, t))
+    rs <- Gen.listOfN(nr, for { k <- Gen.oneOf("x", "y"); t <- Gen.choose(0L, 20L) } yield (k, t))
+  } yield (
+    ls.zipWithIndex.map { case ((k, t), i) => (i.toLong, k, t) },
+    rs.zipWithIndex.map { case ((k, t), i) => (i.toLong + 1000, k, t) })
+
+  property("asOfJoin == per-row latest-at-or-before lookup") = forAll(asofGen) {
+    case (ls, rs) =>
+      val left = ls.toDF("lid", "lk", "lt")
+      val right = rs.toDF("rid", "rk", "rt")
+      val got = Temporal.asOfJoin(left, right,
+          col("lk"), col("rk"), col("lt"), col("rt"),
+          leftId = Seq("lid"), tieBreak = Seq(col("rid")))
+        .select("lid", "rid").as[(Long, Long)].collect().toMap
+      val expected = (for {
+        (lid, lk, lt) <- ls
+        candidates = rs.filter { case (_, rk, rt) => rk == lk && rt <= lt }
+        if candidates.nonEmpty
+      } yield lid -> candidates.maxBy(r => (r._3, r._1))._1).toMap
+      got == expected
+  }
+
+  property("saltedJoin == plain equi-join") = forAll(changelogGen, Gen.choose(2, 6)) {
+    (rows, salts) =>
+      val skewed = rows.toDF("k", "arrival", "ver", "v")
+      val dim = Seq(("a", "A"), ("b", "B")).toDF("dk", "name")
+      val got = Skew.saltedJoin(skewed, dim, col("k"), col("dk"), salts)
+        .select("v", "name").as[(String, String)].collect().sorted.toSeq
+      val expected = skewed.join(dim, col("k") === col("dk"))
+        .select("v", "name").as[(String, String)].collect().sorted.toSeq
+      got == expected
   }
 
   private val scoreGen: Gen[List[(String, Double, Long)]] = for {
