@@ -14,10 +14,12 @@ import org.apache.spark.sql.functions._
   *    of the token multiset
   *  - n-gram Jaccard: exact shingle-set similarity
   *
-  * All signatures are built from `functions._` higher-order expressions
-  * (transform/aggregate/array_*) over `xxhash64` — fully codegen-able, no
-  * UDFs, no driver-side state. Seeded hashing is `xxhash64(token, seed)`
-  * so signatures are deterministic across runs and cluster sizes.
+  * Signatures are computed in the explode + partial-agg shape
+  * ([[minHashSignatures]], [[simHashAgg]]) — one codegen'd xxhash64 per
+  * element, per-lane codegen'd min/sum aggregate columns, no UDFs, no
+  * driver-side state; the single-row expression forms ([[minHashSignature]],
+  * [[simHash]]) remain for per-record streaming use. Seeded hashing makes
+  * signatures deterministic across runs and cluster sizes.
   */
 object Dedup {
 
