@@ -286,6 +286,22 @@ object CoreQueries {
           .toDF.select("event_id", "user_id", "latest_props")
       }),
 
+    // J6 star join — one fold of broadcast joins over two dimension tables
+    // (the reference's global_table_star_joiner.go, dead code there)
+    Q("q_star_join", Some(
+      "SELECT l_orderkey, l_linenumber, s_name, p_name FROM lineitem " +
+      "JOIN supplier ON l_suppkey = s_suppkey " +
+      "JOIN part ON l_partkey = p_partkey"))(
+      (s, d) => {
+        val sup = KGlobalTable.fromStatic(
+          t(s, d, "supplier").select("s_suppkey", "s_name"), "s_suppkey")
+        val part = KGlobalTable.fromStatic(
+          t(s, d, "part").select("p_partkey", "p_name"), "p_partkey")
+        KStream(t(s, d, "lineitem"), "l_orderkey")
+          .starJoin(sup -> col("l_suppkey"), part -> col("l_partkey"))
+          .toDF.select("l_orderkey", "l_linenumber", "s_name", "p_name")
+      }),
+
     // J3 stream-stream join, batch form: each left record pairs with the
     // FIRST right record per key (the single-slot buffer of
     // join/side_joiner.go:54-97 + join/window.go:5-28)
