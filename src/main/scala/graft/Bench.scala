@@ -10,6 +10,7 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    val failed = scala.collection.mutable.LinkedHashSet.empty[String]
     def run(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
       // noop sink: computes every output column (count() would let
@@ -17,6 +18,7 @@ object Bench {
       try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
       catch {
         case e: Throwable =>
+          failed += name
           System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
       }
       (System.nanoTime() - t0) / 1e9
@@ -24,13 +26,18 @@ object Bench {
     val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
     // untimed warmup pass: JIT, codegen cache, parquet footers — so the
     // timed numbers measure the queries, not session boot
-    if (sys.env.getOrElse("SPARK_GRAFT_WARMUP", "1") == "1")
+    if (sys.env.getOrElse("SPARK_GRAFT_WARMUP", "1") == "1") {
       ordered.foreach { case (n, fn) => run(n, fn) }
+      failed.clear() // only the timed pass decides the machine-readable marker
+    }
     val results = ordered.map { case (name, fn) => name -> run(name, fn) }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val qs = results.map { case (k, v) =>
+      // a crashed query reports -1, not its (short) failure time
+      s"\"" + k + "\":" + (if (failed(k)) "-1" else v.toString)
+    }.mkString("{", ",", "}")
+    val total = results.collect { case (k, v) if !failed(k) => v }.sum
+    val failedJson = failed.map(n => s""""$n"""").mkString("[", ",", "]")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.{Column, DataFrame, Dataset}
 import org.apache.spark.sql.functions._
 
 /** Multimodal-column handling for training-data pipelines: image/audio/
@@ -51,19 +51,27 @@ object Multimodal {
       length(col("payload")).as("byte_len"),
       hex(col("payload")).as("hx")) // uppercase in Spark AND DuckDB
 
+  /** Exact integer floor division (toward -inf, matching DuckDB `//`) —
+    * Spark's int `/` yields double and `cast("int")` truncates toward zero,
+    * which disagrees on negative numerators (byte_len = 0 ⇒ (0-1)/s).
+    */
+  private def floorDiv(a: Column, b: Int): Column =
+    ((a - pmod(a, lit(b))) / b).cast("int")
+
   /** Frame sampling: one `frameBytes`-sized frame every `strideBytes`,
     * digested. Slicing happens on the hex rendering (2 chars/byte) so the
     * identical arithmetic runs on engines without blob slicing. Output:
-    * (media_id, frame_no, frame_md5) — one row per sampled frame.
+    * (media_id, frame_no, frame_md5) — one row per sampled frame; empty
+    * payloads emit no frames (floor((0-1)/stride) = -1, as in the oracle).
     */
   def sampleFrames(media: DataFrame, frameBytes: Int, strideBytes: Int): DataFrame = {
     val m = meta(media)
-    val nFrames = ((col("byte_len") - 1) / strideBytes).cast("int") // 0-based max index
-    m.select(
-        col("media_id"),
-        posexplode(transform(
-          sequence(lit(0), nFrames),
-          i => md5(col("hx").substr(i * (strideBytes * 2) + 1, lit(frameBytes * 2))))))
+    val maxIdx = floorDiv(col("byte_len") - 1, strideBytes) // 0-based max index; -1 ⇒ none
+    val frames = when(maxIdx < 0, array().cast("array<string>"))
+      .otherwise(transform(
+        sequence(lit(0), greatest(maxIdx, lit(0))),
+        i => md5(col("hx").substr(i * (strideBytes * 2) + 1, lit(frameBytes * 2)))))
+    m.select(col("media_id"), posexplode(frames))
       .select(col("media_id"), col("pos").as("frame_no"), col("col").as("frame_md5"))
   }
 
@@ -76,11 +84,12 @@ object Multimodal {
     */
   def resizeStub(media: DataFrame, factor: Int): DataFrame = {
     val m = meta(media)
-    val keptBytes = ((col("byte_len") - 1) / factor).cast("int") + 1
+    val keptBytes = floorDiv(col("byte_len") - 1, factor) + 1 // 0 for empty payloads
     val resizedHex = array_join(
-      transform(
-        sequence(lit(0), keptBytes - 1),
-        i => col("hx").substr(i * (factor * 2) + 1, lit(2))),
+      when(keptBytes <= 0, array().cast("array<string>"))
+        .otherwise(transform(
+          sequence(lit(0), greatest(keptBytes - 1, lit(0))),
+          i => col("hx").substr(i * (factor * 2) + 1, lit(2)))),
       "")
     m.select(
       col("media_id"),

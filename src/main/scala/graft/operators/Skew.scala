@@ -22,6 +22,13 @@ object Skew {
       skewed: DataFrame, build: DataFrame,
       skewedKey: Column, buildKey: Column,
       salts: Int, joinType: String = "inner"): DataFrame = {
+    // The build side is replicated once per salt, so any join type that
+    // emits unmatched BUILD rows (right/full outer) would emit them `salts`
+    // times. Only probe-side-preserving types are equivalent to the plain
+    // equi-join under this construction.
+    require(Set("inner", "left", "left_outer", "leftouter").contains(joinType),
+      s"saltedJoin supports inner/left joins only, got '$joinType' " +
+        "(build side is replicated per salt; outer build rows would duplicate)")
     val salted = skewed.withColumn("_salt",
       pmod(xxhash64(struct(skewed.columns.map(skewed.col).toIndexedSeq: _*)), lit(salts)).cast("int"))
     val replicated = build.withColumn("_salt",

@@ -61,9 +61,9 @@ object MultimodalQueries {
       """WITH b AS (SELECT doc_id, hex(encode(text)) AS hx,
         |  octet_length(encode(text)) AS blen FROM documents),
         |f AS (SELECT doc_id, unnest(list_transform(range(8), j -> {'bucket': j,
-        |  'byte_sum': list_sum(list_transform(
+        |  'byte_sum': CAST(coalesce(list_sum(list_transform(
         |     list_filter(range(blen), i -> i % 8 = j),
-        |     i -> ('0x' || substring(hx, (i * 2 + 1)::BIGINT, 2))::BIGINT))})) AS e
+        |     i -> ('0x' || substring(hx, (i * 2 + 1)::BIGINT, 2))::BIGINT)), 0) AS BIGINT)})) AS e
         |  FROM b)
         |SELECT doc_id, e.bucket AS bucket, e.byte_sum AS byte_sum FROM f""".stripMargin))(
       (s, d) =>

@@ -49,7 +49,8 @@ object TextQueries {
 
     // corpus rollup: one partial-agg shuffle over (lang, source)
     Q("q_doc_stats", Some(
-      "SELECT lang, source, count(*) AS n_docs, sum(n_chars) AS total_chars, " +
+      "SELECT lang, source, count(*) AS n_docs, " +
+      "CAST(sum(n_chars) AS BIGINT) AS total_chars, " +
       "CAST(sum(n_chars) AS DOUBLE) / count(*) AS avg_chars, " +
       "min(doc_id) AS min_id, max(doc_id) AS max_id " +
       "FROM documents GROUP BY lang, source"))(
@@ -73,7 +74,7 @@ object TextQueries {
          |    PARTITION BY ${fingerprintSql("text")} ORDER BY doc_id) AS rn FROM clean)
          |  WHERE rn = 1)
          |SELECT source, count(*) AS n_docs,
-         |  sum(${tokenCountWsSql("text")}) AS total_tokens
+         |  CAST(sum(${tokenCountWsSql("text")}) AS BIGINT) AS total_tokens
          |FROM dedup GROUP BY source""".stripMargin))(
       (s, d) => {
         val clean = t(s, d, "documents")

@@ -43,10 +43,29 @@ final class StoreHttp(registry: StoreRegistry, port: Int = 0) {
 
   def stop(): Unit = if (server != null) server.stop(0)
 
+  /** JSON string escape — quotes/backslashes/control chars in an error
+    * message (easy via a store or SQL failure) must not break the payload.
+    */
+  private def jstr(s: String): String = "\"" + Option(s).getOrElse("null").flatMap {
+    case '"'  => "\\\""
+    case '\\' => "\\\\"
+    case '\n' => "\\n"
+    case '\r' => "\\r"
+    case '\t' => "\\t"
+    case c if c < ' ' => f"\\u${c.toInt}%04x"
+    case c => c.toString
+  } + "\""
+
+  /** Unknown store/index → 404; anything else is an internal failure. */
+  private final case class NotFound(msg: String) extends RuntimeException(msg)
+
   private def handle(ex: HttpExchange): Unit = {
     val resp =
       try route(ex)
-      catch { case e: Throwable => (404, s"""{"error":"${e.getMessage}"}""") }
+      catch {
+        case NotFound(m)  => (404, s"""{"error":${jstr(m)}}""")
+        case e: Throwable => (500, s"""{"error":${jstr(e.getMessage)}}""")
+      }
     val bytes = resp._2.getBytes(StandardCharsets.UTF_8)
     ex.getResponseHeaders.set("Content-Type", "application/json")
     ex.sendResponseHeaders(resp._1, bytes.length)
@@ -60,18 +79,22 @@ final class StoreHttp(registry: StoreRegistry, port: Int = 0) {
       .flatMap(_.split("&").collectFirst {
         case q if q.startsWith("limit=") => q.stripPrefix("limit=").toInt
       }).getOrElse(1000)
+    def storeOr404(s: String): DataFrame =
+      if (registry.storeNames.contains(s)) registry.store(s)
+      else throw NotFound(s"unknown store $s")
     parts match {
       case "stores" :: Nil =>
         (200, registry.storeNames.map(n => s""""$n"""").mkString("[", ",", "]"))
       case "stores" :: s :: Nil =>
-        (200, rows(registry.store(s).limit(limit)))
+        (200, rows(storeOr404(s).limit(limit)))
       case "stores" :: s :: key :: Nil =>
-        val df = registry.store(s)
+        val df = storeOr404(s)
         (200, rows(df.filter(col(registry.keyOf(s)) === lit(key)
           .cast(df.schema(registry.keyOf(s)).dataType))))
       case "stores" :: s :: "indexes" :: i :: key :: Nil =>
-        val expr = indexes.getOrElse((s, i), sys.error(s"unknown index $i"))
-        (200, rows(registry.store(s).filter(expr.cast("string") === key).limit(limit)))
+        val df = storeOr404(s)
+        val expr = indexes.getOrElse((s, i), throw NotFound(s"unknown index $i"))
+        (200, rows(df.filter(expr.cast("string") === key).limit(limit)))
       case _ => (404, """{"error":"not found"}""")
     }
   }

@@ -39,6 +39,24 @@ class MultimodalSpec extends SparkSpec {
     assert(r._3 === expect)
   }
 
+  test("empty payloads: zero frames, zero-length resize (floor-div parity)") {
+    // DuckDB's (blen-1)//stride floor-divides: blen=0 ⇒ -1 ⇒ no frames and
+    // resized_len 0. Truncating division would wrongly emit one frame.
+    val m = Multimodal.attachBlob(
+      Seq((1L, ""), (2L, "xy")).toDF("doc_id", "text"), "doc_id", "text", "text/plain")
+    val frames = Multimodal.sampleFrames(m, frameBytes = 64, strideBytes = 256)
+      .groupBy("media_id").count().as[(Long, Long)].collect().toMap
+    assert(frames === Map(2L -> 1L)) // media 1 emits no rows at all
+    val resized = Multimodal.resizeStub(m, factor = 4)
+      .select("media_id", "resized_len", "resized_md5")
+      .as[(Long, Int, String)].collect().sortBy(_._1).toSeq
+    assert(resized.head._1 === 1L && resized.head._2 === 0)
+    val md5empty = java.security.MessageDigest.getInstance("MD5")
+      .digest("".getBytes).map("%02x".format(_)).mkString
+    assert(resized.head._3 === md5empty)
+    assert(resized(1)._2 === 1)
+  }
+
   test("decodeFeaturesStub: deterministic bucket sums of unsigned bytes") {
     val m = Multimodal.attachBlob(
       Seq((7L, "ab")).toDF("doc_id", "text"), "doc_id", "text", "text/plain")

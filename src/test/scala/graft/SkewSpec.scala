@@ -26,6 +26,17 @@ class SkewSpec extends SparkSpec {
     assert(saltedLeft === plainLeft)
   }
 
+  test("saltedJoin rejects join types that duplicate unmatched build rows") {
+    val a = Seq((1L, "a")).toDF("k", "v")
+    val b = Seq((1L, "x")).toDF("dk", "name")
+    intercept[IllegalArgumentException] {
+      Skew.saltedJoin(a, b, col("k"), col("dk"), salts = 4, joinType = "right")
+    }
+    intercept[IllegalArgumentException] {
+      Skew.saltedJoin(a, b, col("k"), col("dk"), salts = 4, joinType = "full_outer")
+    }
+  }
+
   test("salt actually spreads a hot key across buckets") {
     val skewed = (1 to 100).map(i => (7L, s"r$i")).toDF("k", "v")
     val salts = skewed.withColumn("_salt",

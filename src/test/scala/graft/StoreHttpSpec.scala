@@ -39,6 +39,32 @@ class StoreHttpSpec extends SparkSpec {
     } finally http.stop()
   }
 
+  test("unknown store/index is 404; internal failures are 500 with valid JSON") {
+    val registry = new StoreRegistry(spark)
+    registry.register("acc", Seq((1L, "a\"b")).toDF("id", "name"), keyCol = "id")
+    val http = new StoreHttp(registry)
+    // an index expression that fails at evaluation: cast-invalid column ref
+    http.registerIndex("acc", "boom", col("does_not_exist"))
+    val port = http.start()
+    def getStatus(path: String): (Int, String) = {
+      val client = HttpClient.newHttpClient()
+      val r = client.send(
+        HttpRequest.newBuilder(URI.create(s"http://localhost:$port$path")).GET().build(),
+        HttpResponse.BodyHandlers.ofString())
+      (r.statusCode(), r.body())
+    }
+    try {
+      assert(getStatus("/stores/nope")._1 === 404)
+      assert(getStatus("/stores/acc/indexes/missing/x")._1 === 404)
+      val (code, body) = getStatus("/stores/acc/indexes/boom/x")
+      assert(code === 500)
+      // message must be escaped into parseable JSON (quotes, newlines)
+      assert(body.startsWith("""{"error":""") && body.endsWith("}"))
+      assert(!body.dropWhile(_ != ':').drop(1).dropRight(1).drop(1).dropRight(1)
+        .contains("\n"))
+    } finally http.stop()
+  }
+
   test("foreachBatch streaming materialize keeps latest per key (S4)") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val registry = new StoreRegistry(spark)
