@@ -26,6 +26,14 @@ object Dedup {
   /** Lowercased whitespace tokens, distinct (a set, for Jaccard). */
   def tokenSet(text: Column): Column = array_distinct(split(lower(text), "\\s+"))
 
+  /** Engine-portable 60-bit hash: the top 15 hex chars of md5, as a long.
+    * Unlike xxhash64 (Spark-native, no DuckDB twin), this is reproducible
+    * in any engine with md5 — used where a signature must be verifiable by
+    * the cross-engine oracle. Bits 60..63 are always 0.
+    */
+  def portableHash64(c: Column): Column =
+    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+
   /** Word n-gram shingle set over a pre-tokenized array. Documents shorter
     * than n words collapse to a single whole-document shingle.
     */
@@ -156,8 +164,8 @@ object Dedup {
     * across all token hashes sum positive. Single pass over the tokens:
     * one xxhash64 per token, 64 counters folded via zip_with.
     */
-  def simHash(tokens: Column): Column = {
-    val hashes = transform(tokens, t => xxhash64(t))
+  def simHash(tokens: Column, hash: Column => Column = xxhash64(_)): Column = {
+    val hashes = transform(tokens, t => hash(t))
     val counters = aggregate(
       hashes,
       array_repeat(lit(0L), 64),
@@ -174,9 +182,11 @@ object Dedup {
     * Produces bit-identical signatures to the expression form [[simHash]].
     * Output: (doc, simhash).
     */
-  def simHashAgg(docs: DataFrame, id: String, tokens: Column): DataFrame = {
+  def simHashAgg(
+      docs: DataFrame, id: String, tokens: Column,
+      hash: Column => Column = xxhash64(_)): DataFrame = {
     val exploded = docs.select(col(id).as("doc"), explode(tokens).as("tok"))
-      .select(col("doc"), xxhash64(col("tok")).as("h"))
+      .select(col("doc"), hash(col("tok")).as("h"))
     val bitVotes = (0 until 64).map(k =>
       sum(when(col("h").bitwiseAND(lit(1L << k)) =!= 0, 1).otherwise(-1)).as(s"_b$k"))
     exploded.groupBy("doc").agg(bitVotes.head, bitVotes.tail: _*)
@@ -187,6 +197,42 @@ object Dedup {
 
   /** Hamming distance between two simhashes (popcount of XOR). */
   def hammingDistance(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+
+  /** SimHash near-duplicate pairs within `maxHamming`, banded: the 64-bit
+    * signature splits into `bands` equal blocks; pairs sharing ≥1 exact
+    * block become candidates (one equi-join — never O(n²)), then the true
+    * Hamming filter verifies. By pigeonhole the result is EXACT (equal to
+    * the brute-force pair join) whenever `maxHamming < bands`: a pair
+    * differing in fewer bits than there are blocks must agree on some
+    * block. Wider thresholds are supported but approximate — candidates
+    * can miss pairs whose differing bits spread across every block.
+    * Narrower blocks raise the sound threshold but collide more; pick
+    * `bands` so 64/bands-bit buckets stay selective at the corpus size.
+    * Output: (a_id, b_id, hamming) with a_id < b_id.
+    */
+  def simHashPairs(
+      docs: DataFrame, id: String, tokens: Column,
+      maxHamming: Int, bands: Int = 8,
+      hash: Column => Column = xxhash64(_)): DataFrame = {
+    require(64 % bands == 0, "bands must divide 64")
+    val blockBits = 64 / bands
+    val mask = if (blockBits == 64) -1L else (1L << blockBits) - 1
+    val sigs = simHashAgg(docs, id, tokens, hash)
+      .select(col("doc").as("doc_id"), col("simhash").as("sig"))
+      .localCheckpoint(true) // both self-join sides read the signatures
+    val banded = sigs.select(col("doc_id"), col("sig"),
+      posexplode(array((0 until bands).map(b =>
+        shiftright(col("sig"), b * blockBits).bitwiseAND(lit(mask))): _*)))
+      .select(col("doc_id"), col("sig"), col("pos").as("band"), col("col").as("block"))
+    banded.select(col("band"), col("block"), col("doc_id").as("a_id"), col("sig").as("a_sig"))
+      .join(banded.select(col("band"), col("block"), col("doc_id").as("b_id"), col("sig").as("b_sig")),
+        Seq("band", "block"))
+      .filter(col("a_id") < col("b_id"))
+      .dropDuplicates("a_id", "b_id")
+      .select(col("a_id"), col("b_id"),
+        hammingDistance(col("a_sig"), col("b_sig")).as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+  }
 
   /** Exact n-gram Jaccard similarity between two text columns. */
   def ngramJaccard(a: Column, b: Column, n: Int): Column = {

@@ -75,38 +75,44 @@ object DedupQueries {
             size(array_union(col("a_set"), col("b_set"))).as("n_union"))
       }),
 
-    // SimHash signatures (64-bit; Hamming distance tracks similarity).
-    // xxhash64 is Spark-native with no DuckDB twin ⇒ rows-only check; the
-    // SimHashSpec unit test pins the semantics instead.
-    Q("q_dedup_simhash", None)(
+    // SimHash signatures, fully oracled: built on the portable md5-derived
+    // 60-bit token hash (Dedup.portableHash64), so DuckDB recomputes the
+    // identical bit votes. The xxhash64-seeded production path is pinned
+    // bit-equal to the expression form by DedupSpec instead.
+    Q("q_dedup_simhash", Some(simHashSql +
+      """
+        |SELECT doc_id, simhash FROM sigs""".stripMargin))(
       (s, d) => Dedup.simHashAgg(
-          spread(s, d), "doc_id", Dedup.tokenSet(col("text")))
+          spread(s, d), "doc_id", Dedup.tokenSet(col("text")),
+          hash = Dedup.portableHash64)
         .select(col("doc").as("doc_id"), col("simhash"))),
 
-    // SimHash near-dup candidates: pairs within Hamming distance ≤ 8,
-    // found by banding the 64-bit signature into 4 16-bit blocks (a pair
-    // within distance 3 shares ≥1 exact block; wider distances probed via
-    // the verified Hamming filter). Rows-only (xxhash64-seeded).
-    Q("q_simhash_pairs", None)(
-      (s, d) => {
-        val sigs = Dedup.simHashAgg(
-            spread(s, d), "doc_id", Dedup.tokenSet(col("text")))
-          .select(col("doc").as("doc_id"), col("simhash").as("sig"))
-          .localCheckpoint(true) // both self-join sides read the signatures
-        val banded = sigs.select(col("doc_id"), col("sig"),
-          posexplode(array((0 until 4).map(b =>
-            shiftright(col("sig"), b * 16).bitwiseAND(lit(0xffffL))): _*)))
-          .select(col("doc_id"), col("sig"), col("pos").as("band"), col("col").as("block"))
-        val a = banded.select(col("band"), col("block"),
-          col("doc_id").as("a_id"), col("sig").as("a_sig"))
-        val b = banded.select(col("band"), col("block"),
-          col("doc_id").as("b_id"), col("sig").as("b_sig"))
-        a.join(b, Seq("band", "block"))
-          .filter(col("a_id") < col("b_id"))
-          .dropDuplicates("a_id", "b_id")
-          .select(col("a_id"), col("b_id"),
-            Dedup.hammingDistance(col("a_sig"), col("b_sig")).as("hamming"))
-          .filter(col("hamming") <= 8)
-      }),
+    // SimHash near-dup pairs within Hamming ≤ 7, banded 8×8-bit — SOUND by
+    // pigeonhole (7 differing bits can't touch all 8 blocks), so the banded
+    // linear plan equals the brute-force O(n²) pair join the oracle runs.
+    Q("q_simhash_pairs", Some(simHashSql +
+      """
+        |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+        |  CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+        |FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
+        |WHERE bit_count(xor(a.simhash, b.simhash)) <= 7""".stripMargin))(
+      (s, d) => Dedup.simHashPairs(
+        spread(s, d), "doc_id", Dedup.tokenSet(col("text")),
+        maxHamming = 7, bands = 8, hash = Dedup.portableHash64)),
   )
+
+  /** Oracle-side SimHash over the portable hash: one row per (doc, token),
+    * 60 bit-vote sums, bits packed — the same fold [[Dedup.simHashAgg]]
+    * runs (bits 60..63 of the 60-bit hash are always 0 ⇒ vote −1 ⇒ unset).
+    */
+  private lazy val simHashSql =
+    """WITH toks AS (SELECT doc_id,
+      |  unnest(list_distinct(regexp_split_to_array(lower(text), '\s+'))) AS tok
+      |  FROM documents),
+      |h AS (SELECT doc_id, ('0x' || substring(md5(tok), 1, 15))::BIGINT AS h FROM toks),
+      |v AS (SELECT doc_id, j, sum(CASE WHEN (h >> j) & 1 = 1 THEN 1 ELSE -1 END) AS v
+      |  FROM h CROSS JOIN (SELECT unnest(range(60)) AS j) GROUP BY doc_id, j),
+      |sigs AS (SELECT doc_id,
+      |  CAST(coalesce(sum(CASE WHEN v > 0 THEN (1::BIGINT << j) ELSE 0 END), 0) AS BIGINT) AS simhash
+      |  FROM v GROUP BY doc_id)""".stripMargin
 }

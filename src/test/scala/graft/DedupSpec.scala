@@ -55,6 +55,30 @@ class DedupSpec extends SparkSpec {
     assert(d12 < d13)
   }
 
+  test("simHashPairs with maxHamming < bands equals brute-force pairs") {
+    val toks = Dedup.tokenSet(col("text"))
+    // brute force: all pairs within hamming <= 7 over the same signatures
+    val sigs = Dedup.simHashAgg(docs, "doc_id", toks)
+      .select(col("doc").as("doc_id"), col("simhash").as("sig"))
+    val brute = sigs.as[(Long, Long)].collect()
+    val expect = (for {
+      (a, sa) <- brute; (b, sb) <- brute if a < b
+      h = java.lang.Long.bitCount(sa ^ sb) if h <= 7
+    } yield (a, b, h)).toSet
+    val banded = Dedup.simHashPairs(docs, "doc_id", toks, maxHamming = 7, bands = 8)
+      .as[(Long, Long, Int)].collect().toSet
+    assert(banded === expect)
+    assert(expect.exists { case (a, b, h) => a == 1L && b == 4L && h == 0 })
+  }
+
+  test("portableHash64 matches the md5-prefix definition") {
+    val h = Seq(Tuple1("hello")).toDF("t")
+      .select(Dedup.portableHash64(col("t"))).as[Long].head()
+    val md5hex = java.security.MessageDigest.getInstance("MD5")
+      .digest("hello".getBytes("UTF-8")).map("%02x".format(_)).mkString
+    assert(h === java.lang.Long.parseLong(md5hex.take(15), 16))
+  }
+
   test("ngramJaccard computes exact similarity between two columns") {
     val df = Seq(("a b c d", "a b c d"), ("a b c d", "x y z w"))
       .toDF("l", "r")
