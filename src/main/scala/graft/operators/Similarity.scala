@@ -187,6 +187,22 @@ object Similarity {
       scored.drop("c_emb"), Seq(id), Seq(col("cscore"), -col("cell")))
   }
 
+  /** EXACT embedding-cosine near-duplicate pairs: every unordered pair
+    * with cosine ≥ `minCosine`. Inherently O(n²) — this is the correctness
+    * baseline the approximate [[embeddingNearDups]] is measured against;
+    * use it on corpora (or blocking partitions) small enough to pair
+    * exhaustively, and the LSH form beyond that. Output: (a_id, b_id),
+    * a < b — integer ids only, so cross-engine comparison is exact.
+    */
+  def exactNearDupPairs(
+      corpus: DataFrame, id: String, emb: String, minCosine: Double): DataFrame = {
+    val a = corpus.select(col(id).as("a_id"), col(emb).as("a_v"))
+    val b = corpus.select(col(id).as("b_id"), col(emb).as("b_v"))
+    a.join(broadcast(b), col("a_id") < col("b_id"))
+      .filter(cosineSim(col("a_v"), col("b_v")) >= minCosine)
+      .select("a_id", "b_id")
+  }
+
   /** Embedding-cosine near-duplicate pairs (the embedding flavor of
     * [[Dedup]]): all unordered pairs with cosine ≥ `minCosine`, found via
     * LSH buckets + exact verification. Output: (a_id, b_id) with a < b.

@@ -47,4 +47,58 @@ object Temporal {
     val joined = left.join(right, leftKey === rightKey && bound, joinType)
     Upserts.latestByKey(joined, leftId, rightTime +: tieBreak)
   }
+
+  /** Banded as-of join — the 100 TB form of [[asOfJoin]] with a tolerance.
+    *
+    * The plain form joins on key equality alone and filters the time range
+    * as a residual: every version of a key still pairs with every left row
+    * of that key first, so a key with V versions and E events does E×V
+    * comparisons. Here time is bucketed into tolerance-sized bands and the
+    * band becomes part of the join key: each left row probes its own band
+    * and the previous one (which together cover `[leftTime − tol,
+    * leftTime]`), so a right row pairs only with left rows at most one
+    * band away — E×V shrinks to pairs actually within tolerance, and the
+    * shuffle spreads a hot key across its time range.
+    *
+    * Same result as `asOfJoin(..., tolerance = Some(tol))` (a property
+    * test pins this). Times and tolerance must be non-negative integral
+    * values in the same unit (e.g. epoch nanos) — integral `div` keeps
+    * bucket math exact where double `floor` would lose precision above
+    * 2^53 (epoch nanos are ~2^60).
+    */
+  def asOfJoinBanded(
+      left: DataFrame, right: DataFrame,
+      leftKey: Column, rightKey: Column,
+      leftTime: Column, rightTime: Column,
+      leftId: Seq[String],
+      tolerance: Column,
+      tieBreak: Seq[Column] = Nil,
+      joinType: String = "inner"): DataFrame = {
+    require(joinType == "inner" || joinType == "left", s"as-of join is inner or left, got $joinType")
+    val l2 = left
+      .withColumn("_g_lt", leftTime.cast("long"))
+      .withColumn("_g_tol", tolerance.cast("long"))
+      .withColumn("_g_probe",
+        explode(array(expr("_g_lt div _g_tol"), expr("_g_lt div _g_tol") - 1)))
+    val r2 = right
+      .withColumn("_g_rt", rightTime.cast("long"))
+      .withColumn("_g_rtol", tolerance.cast("long"))
+      .withColumn("_g_rb", expr("_g_rt div _g_rtol"))
+    // a right row's band equals exactly one of the two probes ⇒ no dup pairs
+    val joined = l2.join(r2,
+      leftKey === rightKey && col("_g_probe") === col("_g_rb") &&
+        col("_g_rt") <= col("_g_lt") && col("_g_rt") >= col("_g_lt") - col("_g_tol"),
+      "inner")
+    val matched = Upserts.latestByKey(joined, leftId, rightTime +: tieBreak)
+      .drop("_g_lt", "_g_tol", "_g_probe", "_g_rt", "_g_rtol", "_g_rb")
+    joinType match {
+      case "inner" => matched
+      case _ =>
+        val rightCols = matched.columns.filterNot(left.columns.contains)
+        val unmatched = left.join(
+          matched.select(leftId.map(col).toIndexedSeq: _*), leftId, "left_anti")
+        matched.unionByName(rightCols.foldLeft(unmatched)((df, c) =>
+          df.withColumn(c, lit(null).cast(matched.schema(c).dataType))))
+    }
+  }
 }

@@ -221,6 +221,87 @@ object HeadlineQueries {
           .agg(sum("l_quantity").as("total_qty"))
       }),
 
+    // TPC-H Q4 shape: orders with at least one very late line item — a
+    // correlated EXISTS, planned as a left-semi join whose condition mixes
+    // an equi key with a range predicate between the two tables.
+    Q("q4_priority_late", Some("""
+      |SELECT o_orderpriority, count(*) AS n_orders
+      |FROM orders o
+      |WHERE o.o_orderdate >= TIMESTAMP '1997-01-01'
+      |  AND EXISTS (SELECT 1 FROM lineitem l
+      |    WHERE l.l_orderkey = o.o_orderkey
+      |      AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+      |GROUP BY o_orderpriority
+      |""".stripMargin.trim))(
+      (s, d) => {
+        val li = t(s, d, "lineitem").select("l_orderkey", "l_shipdate")
+        t(s, d, "orders")
+          .filter(col("o_orderdate") >= lit("1997-01-01").cast("timestamp"))
+          .join(li,
+            col("l_orderkey") === col("o_orderkey") &&
+              col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS"),
+            "left_semi")
+          .groupBy("o_orderpriority")
+          .agg(count(lit(1)).as("n_orders"))
+      }),
+
+    // TPC-H Q15 shape: the top-revenue supplier(s) — a global scalar max
+    // reused against the same aggregate (tiny 1-row broadcast, no window).
+    // Revenue stays DECIMAL through the equality compare; double at the end.
+    Q("q15_top_supplier", Some("""
+      |WITH r AS (
+      |  SELECT l_suppkey, sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+      |    CAST(1 - l_discount AS DECIMAL(18,2))) AS rev
+      |  FROM lineitem WHERE l_shipdate >= TIMESTAMP '1997-01-01' GROUP BY l_suppkey)
+      |SELECT s_suppkey, s_name, CAST(rev AS DOUBLE) AS total_revenue
+      |FROM r JOIN supplier ON s_suppkey = l_suppkey
+      |WHERE rev = (SELECT max(rev) FROM r)
+      |""".stripMargin.trim))(
+      (s, d) => {
+        val rev = (col("l_extendedprice").cast(dec) *
+          (lit(1) - col("l_discount")).cast(dec))
+        // one row per supplier — materialize once so the max and the join
+        // don't each rescan lineitem
+        val r = t(s, d, "lineitem")
+          .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp"))
+          .groupBy("l_suppkey").agg(sum(rev).as("rev"))
+          .localCheckpoint(true)
+        r.join(broadcast(r.agg(max(col("rev")).as("mx"))), col("rev") === col("mx"))
+          .join(broadcast(t(s, d, "supplier").select("s_suppkey", "s_name")),
+            col("l_suppkey") === col("s_suppkey"))
+          .select(col("s_suppkey"), col("s_name"),
+            col("rev").cast("double").as("total_revenue"))
+      }),
+
+    // TPC-H Q19 shape: OR-of-ANDs across both join sides — the disjunctive-
+    // predicate test (Catalyst extracts the common p_partkey equi key and
+    // pushes brand/size/quantity legs below the broadcast join).
+    Q("q19_disjunctive", Some("""
+      |SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+      |         CAST(1 - l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+      |  count(*) AS n_items
+      |FROM lineitem JOIN part ON p_partkey = l_partkey
+      |WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5  AND l_quantity BETWEEN 1 AND 11)
+      |   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10 AND l_quantity BETWEEN 10 AND 20)
+      |   OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 20 AND 30)
+      |""".stripMargin.trim))(
+      (s, d) => {
+        val rev = (col("l_extendedprice").cast(dec) *
+          (lit(1) - col("l_discount")).cast(dec))
+        val legs =
+          (col("p_brand") === "Brand#12" && col("p_size").between(1, 5) &&
+            col("l_quantity").between(1, 11)) ||
+          (col("p_brand") === "Brand#23" && col("p_size").between(1, 10) &&
+            col("l_quantity").between(10, 20)) ||
+          (col("p_brand") === "Brand#34" && col("p_size").between(1, 15) &&
+            col("l_quantity").between(20, 30))
+        t(s, d, "lineitem")
+          .join(broadcast(t(s, d, "part").select("p_partkey", "p_brand", "p_size")),
+            col("p_partkey") === col("l_partkey"))
+          .filter(legs)
+          .agg(sum(rev).cast("double").as("revenue"), count(lit(1)).as("n_items"))
+      }),
+
     // Wide-agg shape: per-supplier part stats with a broadcast dim join.
     Q("q_supplier_stats", Some("""
       |SELECT l_suppkey, s_name, count(*) AS n_items,

@@ -74,6 +74,36 @@ object ScaleQueries {
             expr("pt div 1000").as("pt_us"))
       }),
 
+    // banded as-of join: same point-in-time semantics bounded to a 3-day
+    // window, with the band in the join key — the form whose per-key work
+    // stays proportional to pairs actually within tolerance (see
+    // Temporal.asOfJoinBanded). Oracle = the naive range join.
+    Q("q_asof_banded", Some(
+      """WITH c AS (SELECT event_id, user_id, epoch_ns(ts) AS t FROM events
+        |  WHERE event_type = 'click'),
+        |p AS (SELECT event_id AS p_id, user_id AS p_uid, epoch_ns(ts) AS pt
+        |  FROM events WHERE event_type = 'purchase')
+        |SELECT event_id, user_id, p_id, pt // 1000 AS pt_us FROM (
+        |  SELECT c.event_id, c.user_id, p.p_id, p.pt, row_number() OVER (
+        |    PARTITION BY c.event_id ORDER BY p.pt DESC, p.p_id) AS rn
+        |  FROM c JOIN p ON c.user_id = p.p_uid AND p.pt <= c.t
+        |    AND p.pt >= c.t - 259200000000000)
+        |WHERE rn = 1""".stripMargin))(
+      (s, d) => {
+        val ev = t(s, d, "events")
+        val clicks = ev.filter(col("event_type") === "click")
+          .select(col("event_id"), col("user_id"), col("ts").as("t"))
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .select(col("event_id").as("p_id"), col("user_id").as("p_uid"),
+            col("ts").as("pt"))
+        Temporal.asOfJoinBanded(clicks, purchases,
+            col("user_id"), col("p_uid"), col("t"), col("pt"),
+            leftId = Seq("event_id"), tolerance = lit(259200000000000L),
+            tieBreak = Seq(-col("p_id")))
+          .select(col("event_id"), col("user_id"), col("p_id"),
+            expr("pt div 1000").as("pt_us"))
+      }),
+
     // stream-table (KTable) point-in-time join: clicks enriched with the
     // user's purchase-props state AS OF the click (tombstoned by error
     // events). The reference's JoinKTable, implemented. Exact micros.

@@ -60,6 +60,20 @@ object SimilarityQueries {
           nlist = 16, nprobe = 4)
       }),
 
+    // embedding-cosine near-dup pairs, exact all-pairs baseline (the
+    // corpus has no planted high-cosine dups — max pair ≈ 0.51 — so the
+    // threshold sits where real pairs exist; integer-id output keeps the
+    // compare exact). The LSH scale path (embeddingNearDups) is pinned
+    // against this baseline in SimilaritySpec.
+    Q("q_embed_neardup", Some(cosineSql +
+      """
+        |SELECT a.vec_id AS a_id, b.vec_id AS b_id
+        |FROM e a JOIN e b ON a.vec_id < b.vec_id
+        |WHERE list_sum(list_transform(range(1, 65), i -> a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE))
+        |  / (a.nrm * b.nrm) >= 0.45""".stripMargin))(
+      (s, d) => Similarity.exactNearDupPairs(
+        t(s, d, "embeddings"), "vec_id", "embedding", minCosine = 0.45)),
+
     // label centroids: the clustering-side consumer of embeddings.
     // Scale shape: posexplode to (label, dim, component) → two partial-agg
     // shuffles — never a per-group vector materialization (collect_list of

@@ -93,6 +93,26 @@ object OperatorProperties extends Properties("graft.operators") {
       got == expected
   }
 
+  property("asOfJoinBanded == asOfJoin with tolerance, inner and left") =
+    forAll(asofGen, Gen.choose(1L, 8L)) { case ((ls, rs), tol) =>
+      val left = ls.toDF("lid", "lk", "lt")
+      val right = rs.toDF("rid", "rk", "rt")
+      def run(jt: String) = {
+        val plain = Temporal.asOfJoin(left, right,
+            col("lk"), col("rk"), col("lt"), col("rt"),
+            leftId = Seq("lid"), tolerance = Some(lit(tol)),
+            tieBreak = Seq(col("rid")), joinType = jt)
+          .select("lid", "rid").as[(Long, Option[Long])].collect().toMap
+        val banded = Temporal.asOfJoinBanded(left, right,
+            col("lk"), col("rk"), col("lt"), col("rt"),
+            leftId = Seq("lid"), tolerance = lit(tol),
+            tieBreak = Seq(col("rid")), joinType = jt)
+          .select("lid", "rid").as[(Long, Option[Long])].collect().toMap
+        plain == banded
+      }
+      run("inner") && run("left")
+    }
+
   property("saltedJoin == plain equi-join") = forAll(changelogGen, Gen.choose(2, 6)) {
     (rows, salts) =>
       val skewed = rows.toDF("k", "arrival", "ver", "v")
