@@ -87,18 +87,20 @@ object DedupQueries {
           hash = Dedup.portableHash64)
         .select(col("doc").as("doc_id"), col("simhash"))),
 
-    // SimHash near-dup pairs within Hamming ≤ 7, banded 8×8-bit — SOUND by
-    // pigeonhole (7 differing bits can't touch all 8 blocks), so the banded
+    // SimHash near-dup pairs within Hamming ≤ 3, banded 4×16-bit — SOUND by
+    // pigeonhole (3 differing bits can't touch all 4 blocks), so the banded
     // linear plan equals the brute-force O(n²) pair join the oracle runs.
+    // 16-bit blocks keep buckets selective on this densely-packed corpus
+    // (short docs ⇒ close signatures; 8-bit blocks collide quadratically).
     Q("q_simhash_pairs", Some(simHashSql +
       """
         |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
         |  CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
         |FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
-        |WHERE bit_count(xor(a.simhash, b.simhash)) <= 7""".stripMargin))(
+        |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3""".stripMargin))(
       (s, d) => Dedup.simHashPairs(
         spread(s, d), "doc_id", Dedup.tokenSet(col("text")),
-        maxHamming = 7, bands = 8, hash = Dedup.portableHash64)),
+        maxHamming = 3, bands = 4, hash = Dedup.portableHash64)),
   )
 
   /** Oracle-side SimHash over the portable hash: one row per (doc, token),
