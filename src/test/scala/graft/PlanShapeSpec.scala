@@ -65,4 +65,34 @@ class PlanShapeSpec extends SparkSpec {
     assert(countNodes(df, "Window") === 0)
     assert(mentions(df, "max_by"))
   }
+
+  test("q4: EXISTS runs as a semi-join with the date filter pushed down") {
+    val df = q("q4_priority_late")
+    assert(mentions(df, "LeftSemi"))
+    assert(countNodes(df, "BroadcastNestedLoopJoin") === 0)
+    assert(pushedFilters(df).exists(_.contains("o_orderdate")))
+  }
+
+  test("q19: disjunctive legs pushed to BOTH scans, join stays broadcast") {
+    val df = q("q19_disjunctive")
+    assert(hasNode(df, "BroadcastHashJoin"))
+    // each side's OR-of-ANDs reaches its parquet scan
+    assert(pushedFilters(df).exists(f => f.contains("l_quantity") && f.contains("Or")))
+    assert(pushedFilters(df).exists(f => f.contains("p_brand") && f.contains("Or")))
+  }
+
+  test("banded as-of join is an equi-join on (key, band), never a nested loop") {
+    val df = q("q_asof_banded")
+    assert(countNodes(df, "BroadcastNestedLoopJoin") === 0)
+    assert(countNodes(df, "CartesianProduct") === 0)
+    assert(countNodes(df, "Window") === 0)
+    assert(mentions(df, "max_by"))
+  }
+
+  test("simhash pairs: signatures aggregate once, pair join is equi on (band, block)") {
+    val df = q("q_simhash_pairs")
+    assert(countNodes(df, "BroadcastNestedLoopJoin") === 0)
+    assert(countNodes(df, "CartesianProduct") === 0)
+    assert(countNodes(df, "Window") === 0)
+  }
 }
