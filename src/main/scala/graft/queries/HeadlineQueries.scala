@@ -302,6 +302,24 @@ object HeadlineQueries {
           .agg(sum(rev).cast("double").as("revenue"), count(lit(1)).as("n_items"))
       }),
 
+    // Rollup shape: hierarchical totals (flag, status) → (flag) → grand
+    // total in ONE pass — Spark expands grouping sets before the partial
+    // agg, so it is still a single shuffle, not three scans. Quantities
+    // are integer-valued doubles (< 2^53), so their sums are order-exact.
+    Q("q_rollup_pricing", Some("""
+      |SELECT l_returnflag, l_linestatus, count(*) AS n_items,
+      |  sum(l_quantity) AS total_qty,
+      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+      |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+      |""".stripMargin.trim))(
+      (s, d) =>
+        t(s, d, "lineitem")
+          .rollup("l_returnflag", "l_linestatus")
+          .agg(
+            count(lit(1)).as("n_items"),
+            sum("l_quantity").as("total_qty"),
+            sum(col("l_extendedprice").cast(dec)).cast("double").as("total_price"))),
+
     // Wide-agg shape: per-supplier part stats with a broadcast dim join.
     Q("q_supplier_stats", Some("""
       |SELECT l_suppkey, s_name, count(*) AS n_items,

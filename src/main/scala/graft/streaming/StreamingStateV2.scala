@@ -76,6 +76,71 @@ object StreamingStateV2 {
     }
   }
 
+  /** Input to [[asOfEnrich]]: table-side rows (`isTable = true`) carry a
+    * versioned value for the key; event-side rows query the state as of
+    * their own timestamp.
+    */
+  final case class AsOfInput(key: String, ts: Long, value: String, isTable: Boolean)
+
+  /** Output of [[asOfEnrich]]: the event row plus the table value that was
+    * current at the event's timestamp (None = no version at or before it).
+    */
+  final case class AsOfMatch(key: String, ts: Long, value: String, asOf: Option[String])
+
+  /** Streaming point-in-time (as-of) enrichment — the STREAMING form of
+    * the reference's JoinKTable, which it declares but panics on
+    * (/root/reference/kstream/k_stream.go:518-520), and the continuous
+    * twin of [[graft.operators.Temporal.asOfJoin]] / `KTable.joinAsOf`.
+    *
+    * Table-side records upsert (ts → value) into per-key `MapState` — the
+    * key's version history, partitioned across executors by the state
+    * store, never on the driver. Event-side records answer "latest version
+    * at or before my timestamp" against that history. Within a batch,
+    * records apply in timestamp order (the same per-key sequential
+    * semantics the reference's worker pool provides via key routing).
+    *
+    * `retainVersions` caps history per key (oldest evicted) — version
+    * history can't grow unboundedly at 100 TB; the cap is the analog of
+    * changelog compaction.
+    */
+  private final class AsOfEnrichProcessor(retainVersions: Int)
+      extends StatefulProcessor[String, AsOfInput, AsOfMatch] {
+    @transient private var versions: MapState[Long, String] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      versions = getHandle.getMapState[Long, String](
+        "versions", Encoders.scalaLong, Encoders.STRING, TTLConfig.NONE)
+
+    override def handleInputRows(
+        key: String, rows: Iterator[AsOfInput], tv: TimerValues): Iterator[AsOfMatch] = {
+      val out = Seq.newBuilder[AsOfMatch]
+      rows.toSeq.sortBy(_.ts).foreach { r =>
+        if (r.isTable) {
+          versions.updateValue(r.ts, r.value)
+          val all = versions.keys().toSeq
+          if (all.size > retainVersions)
+            all.sorted.dropRight(retainVersions).foreach(versions.removeKey)
+        } else {
+          val asOf = versions.iterator()
+            .filter(_._1 <= r.ts)
+            .foldLeft(Option.empty[(Long, String)]) {
+              case (acc, kv) if acc.forall(_._1 <= kv._1) => Some(kv)
+              case (acc, _)                               => acc
+            }
+          out += AsOfMatch(key, r.ts, r.value, asOf.map(_._2))
+        }
+      }
+      out.result().iterator
+    }
+  }
+
+  def asOfEnrich(ds: Dataset[AsOfInput], retainVersions: Int = 1000): Dataset[AsOfMatch] = {
+    import ds.sparkSession.implicits._
+    ds.groupByKey(_.key)
+      .transformWithState(
+        new AsOfEnrichProcessor(retainVersions), TimeMode.None(), OutputMode.Append())
+  }
+
   def latestByKey(ds: Dataset[KRecord], ttl: Option[Duration] = None): Dataset[KRecord] = {
     import ds.sparkSession.implicits._
     // state TTL is clocked by processing time; without one, no clock needed

@@ -82,6 +82,56 @@ class StreamingStateV2Spec extends SparkSpec {
     }
   }
 
+  test("asOfEnrich: events see the table value as of their own timestamp") {
+    import graft.streaming.StreamingStateV2.{AsOfInput, AsOfMatch}
+    val mem = MemoryStream[AsOfInput]
+    val out = withRocks {
+      val q = StreamingStateV2.asOfEnrich(mem.toDS())
+        .writeStream.format("memory").queryName("graft_tws_asof")
+        .outputMode(OutputMode.Append()).start()
+      try {
+        mem.addData(
+          AsOfInput("k", 10, "v10", isTable = true),
+          AsOfInput("k", 20, "v20", isTable = true))
+        q.processAllAvailable()
+        mem.addData(
+          AsOfInput("k", 15, "e15", isTable = false), // between versions ⇒ v10
+          AsOfInput("k", 25, "e25", isTable = false), // after both ⇒ v20
+          AsOfInput("k", 5, "e5", isTable = false))   // before any ⇒ none
+        q.processAllAvailable()
+        // a later version must not rewrite history for later events
+        mem.addData(AsOfInput("k", 30, "v30", isTable = true))
+        mem.addData(AsOfInput("k", 22, "e22", isTable = false)) // still v20
+        q.processAllAvailable()
+      } finally q.stop()
+      spark.table("graft_tws_asof").as[AsOfMatch].collect()
+        .map(m => m.ts -> m.asOf).toMap
+    }
+    assert(out === Map(15L -> Some("v10"), 25L -> Some("v20"),
+      5L -> None, 22L -> Some("v20")))
+  }
+
+  test("asOfEnrich caps retained versions per key") {
+    import graft.streaming.StreamingStateV2.{AsOfInput, AsOfMatch}
+    val mem = MemoryStream[AsOfInput]
+    val out = withRocks {
+      val q = StreamingStateV2.asOfEnrich(mem.toDS(), retainVersions = 1)
+        .writeStream.format("memory").queryName("graft_tws_asof_cap")
+        .outputMode(OutputMode.Append()).start()
+      try {
+        mem.addData(
+          AsOfInput("k", 10, "v10", isTable = true),
+          AsOfInput("k", 20, "v20", isTable = true))
+        q.processAllAvailable()
+        mem.addData(AsOfInput("k", 15, "e15", isTable = false)) // v10 evicted
+        q.processAllAvailable()
+      } finally q.stop()
+      spark.table("graft_tws_asof_cap").as[AsOfMatch].collect()
+        .map(m => m.ts -> m.asOf).toMap
+    }
+    assert(out === Map(15L -> None))
+  }
+
   test("transformWithState versionedUpsert: strict >, ties keep first-seen") {
     val mem = MemoryStream[KRecord]
     val name = run(mem, StreamingStateV2.versionedUpsert(mem.toDS()))(
