@@ -302,6 +302,52 @@ object HeadlineQueries {
           .agg(sum(rev).cast("double").as("revenue"), count(lit(1)).as("n_items"))
       }),
 
+    // Analytic window shape: per-customer running order total in order-date
+    // order (unique o_orderkey tiebreak ⇒ fully deterministic frame).
+    // Money stays DECIMAL through the running sum — identical bits in any
+    // evaluation order — and doubles only at the end.
+    Q("q_window_running", Some("""
+      |SELECT o_custkey, o_orderkey,
+      |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+      |    PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+      |    ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS running_total
+      |FROM orders WHERE o_custkey < 100
+      |""".stripMargin.trim))(
+      (s, d) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("o_custkey")
+          .orderBy(col("o_orderdate"), col("o_orderkey"))
+          .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+        t(s, d, "orders").filter(col("o_custkey") < 100)
+          .select(col("o_custkey"), col("o_orderkey"),
+            sum(col("o_totalprice").cast(dec)).over(w)
+              .cast("double").as("running_total"))
+      }),
+
+    // Top-N-per-group via the bounded topk_agg aggregate — at most N rows
+    // per key in the agg buffer AND in the shuffle (a window row_number
+    // would sort whole partitions; see Similarity.topKPerKey). Output is
+    // (segment, rank, orderkey) — integers only, exact compare.
+    Q("q_topn_per_group", Some("""
+      |SELECT c_mktsegment, rank, o_orderkey FROM (
+      |  SELECT c_mktsegment, o_orderkey, row_number() OVER (
+      |    PARTITION BY c_mktsegment
+      |    ORDER BY o_totalprice DESC, o_orderkey) AS rank
+      |  FROM orders JOIN customer ON c_custkey = o_custkey)
+      |WHERE rank <= 3
+      |""".stripMargin.trim))(
+      (s, d) => {
+        val joined = t(s, d, "orders")
+          .join(broadcast(t(s, d, "customer").select("c_custkey", "c_mktsegment")),
+            col("o_custkey") === col("c_custkey"))
+        graft.operators.Similarity.topKPerKey(
+            joined.select(col("c_mktsegment"), col("o_totalprice"), col("o_orderkey")),
+            Seq("c_mktsegment"),
+            struct((-col("o_totalprice")).as("np"), col("o_orderkey").as("k")), 3)
+          .select(col("c_mktsegment"), posexplode(col("topk")))
+          .select(col("c_mktsegment"), (col("pos") + 1).as("rank"), col("col.k").as("o_orderkey"))
+      }),
+
     // Rollup shape: hierarchical totals (flag, status) → (flag) → grand
     // total in ONE pass — Spark expands grouping sets before the partial
     // agg, so it is still a single shuffle, not three scans. Quantities

@@ -35,6 +35,37 @@ class EdgeCaseSpec extends SparkSpec {
     assert(top === Seq(2L, 1L))
   }
 
+  test("banded as-of join on empty sides; left keeps all with null right") {
+    import graft.operators.Temporal
+    val trades = Seq((1, "A", 5L), (2, "B", 9L)).toDF("tid", "sym", "t")
+    val noQuotes = Seq.empty[(String, Long, Double)].toDF("q_sym", "q_t", "price")
+    assert(Temporal.asOfJoinBanded(trades, noQuotes,
+      col("sym"), col("q_sym"), col("t"), col("q_t"),
+      leftId = Seq("tid"), tolerance = lit(10L)).count() === 0)
+    val left = Temporal.asOfJoinBanded(trades, noQuotes,
+        col("sym"), col("q_sym"), col("t"), col("q_t"),
+        leftId = Seq("tid"), tolerance = lit(10L), joinType = "left")
+      .select("tid", "price").as[(Int, Option[Double])].collect().toMap
+    assert(left === Map(1 -> None, 2 -> None))
+    val noTrades = Seq.empty[(Int, String, Long)].toDF("tid", "sym", "t")
+    val quotes = Seq(("A", 1L, 10.0)).toDF("q_sym", "q_t", "price")
+    assert(Temporal.asOfJoinBanded(noTrades, quotes,
+      col("sym"), col("q_sym"), col("t"), col("q_t"),
+      leftId = Seq("tid"), tolerance = lit(10L)).count() === 0)
+  }
+
+  test("simHashPairs and exactNearDupPairs on empty/singleton corpora") {
+    assert(Dedup.simHashPairs(emptyDocs, "doc_id", Dedup.tokenSet(col("text")),
+      maxHamming = 3, bands = 4).count() === 0)
+    val one = Seq((1L, "only doc")).toDF("doc_id", "text")
+    assert(Dedup.simHashPairs(one, "doc_id", Dedup.tokenSet(col("text")),
+      maxHamming = 3, bands = 4).count() === 0)
+    val emptyVecs = Seq.empty[(Long, Seq[Float])].toDF("vec_id", "embedding")
+    assert(Similarity.exactNearDupPairs(emptyVecs, "vec_id", "embedding", 0.5).count() === 0)
+    val oneVec = Seq((1L, Seq(1f, 0f))).toDF("vec_id", "embedding")
+    assert(Similarity.exactNearDupPairs(oneVec, "vec_id", "embedding", 0.5).count() === 0)
+  }
+
   test("upserts on empty input and single-record keys") {
     val empty = Seq.empty[(String, Long, String)].toDF("k", "off", "v")
     assert(Upserts.latestByKey(empty, Seq("k"), Seq(col("off"))).count() === 0)
