@@ -348,6 +348,26 @@ object HeadlineQueries {
           .select(col("c_mktsegment"), (col("pos") + 1).as("rank"), col("col.k").as("o_orderkey"))
       }),
 
+    // Distribution shape: exact per-group percentiles (both engines use
+    // the same (n−1)·p linear interpolation on the sorted values — verified
+    // bit-identical). Exact percentile sorts each group; at 100 TB swap in
+    // approx_percentile (t-digest, mergeable partial agg) — the oracle
+    // pins the exact form only.
+    Q("q_quantiles", Some("""
+      |SELECT l_returnflag,
+      |  quantile_cont(l_extendedprice, 0.5) AS p50,
+      |  quantile_cont(l_extendedprice, 0.9) AS p90,
+      |  quantile_cont(l_extendedprice, 0.99) AS p99
+      |FROM lineitem GROUP BY l_returnflag
+      |""".stripMargin.trim))(
+      (s, d) =>
+        t(s, d, "lineitem")
+          .groupBy("l_returnflag")
+          .agg(
+            percentile(col("l_extendedprice"), lit(0.5)).as("p50"),
+            percentile(col("l_extendedprice"), lit(0.9)).as("p90"),
+            percentile(col("l_extendedprice"), lit(0.99)).as("p99"))),
+
     // Rollup shape: hierarchical totals (flag, status) → (flag) → grand
     // total in ONE pass — Spark expands grouping sets before the partial
     // agg, so it is still a single shuffle, not three scans. Quantities

@@ -38,6 +38,16 @@ object Sources {
       .option("mode", "PERMISSIVE")
       .json(path)
 
+  /** ORC — the other columnar lakehouse format Spark ships natively.
+    * Same pushdown/pruning properties as parquet (predicate pushdown via
+    * ORC SearchArguments, column projection, vectorized read).
+    */
+  def orc(spark: SparkSession, path: String): DataFrame =
+    spark.read.orc(path)
+
+  def writeOrc(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").orc(path)
+
   /** Hive-style partitioned parquet write: one directory per value of
     * `partitionCols` — the layout that turns hot filters into directory
     * pruning instead of data reads.

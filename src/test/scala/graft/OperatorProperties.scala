@@ -47,6 +47,21 @@ object OperatorProperties extends Properties("graft.operators") {
     got == expected
   }
 
+  property("simHashPairs (sound banding) == brute-force hamming pairs") =
+    forAll(docGen, Gen.oneOf((3, 4), (7, 8), (1, 2))) { case (docs, (maxH, bands)) =>
+      val df = docs.toDF("doc_id", "text")
+      val toks = Dedup.tokenSet(col("text"))
+      val sigs = Dedup.simHashAgg(df, "doc_id", toks)
+        .as[(Long, Long)].collect()
+      val expected = (for {
+        (a, sa) <- sigs; (b, sb) <- sigs if a < b
+        h = java.lang.Long.bitCount(sa ^ sb) if h <= maxH
+      } yield (a, b, h)).toSet
+      val got = Dedup.simHashPairs(df, "doc_id", toks, maxH, bands)
+        .as[(Long, Long, Int)].collect().toSet
+      got == expected
+    }
+
   private val changelogGen: Gen[List[(String, Long, Long, String)]] = for {
     n <- Gen.choose(1, 25)
     rows <- Gen.listOfN(n, for {

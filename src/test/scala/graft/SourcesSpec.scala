@@ -30,6 +30,20 @@ class SourcesSpec extends SparkSpec {
     assert(fromJson.filter(col("id").isNotNull).count() === 2) // corrupt row tolerated
   }
 
+  test("orc round-trips and pushes filters down to the scan") {
+    val dir = Files.createTempDirectory("graft_orc").toString + "/lineitem"
+    val src = queries.Tables.t(spark, sf, "lineitem")
+      .select("l_orderkey", "l_quantity", "l_returnflag")
+    Sources.writeOrc(src, dir)
+    val back = Sources.orc(spark, dir)
+    assert(back.count() === src.count())
+    val filtered = back.filter(col("l_returnflag") === "R")
+    val scan = filtered.queryExecution.executedPlan.toString
+    assert(scan.contains("PushedFilters") && scan.contains("l_returnflag"),
+      s"expected ORC predicate pushdown in:\n$scan")
+    assert(filtered.count() === src.filter(col("l_returnflag") === "R").count())
+  }
+
   test("compact rewrites a many-small-files table into few files") {
     val dir = Files.createTempDirectory("graft_compact").toString + "/t"
     queries.Tables.t(spark, sf, "orders").repartition(64).write.parquet(dir)
