@@ -34,6 +34,34 @@ class StreamingOpsSpec extends SparkSpec {
     assert(collected.toSeq === Seq((1, "v1"), (1, "v2")))
   }
 
+  test("KStream DSL composes unchanged on a STREAMING frame (example_1 topology)") {
+    // the reference's example_1 shape — filter → branch-tag → global-table
+    // join → sink frame — built with the SAME combinators the batch
+    // queries use, applied to a readStream-style source. Proves the DSL
+    // carries no batch-only operations.
+    import graft.dsl.{KGlobalTable, KStream}
+    val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, Long, Double)]
+    val accounts = KGlobalTable.fromStatic(
+      Seq((10L, "savings"), (20L, "checking")).toDF("acct", "kind"), "acct")
+    val out = KStream(mem.toDF().toDF("txn_id", "acct_fk", "amount"), "txn_id")
+      .filter(col("amount") > 0)
+      .branchTag("size", col("amount") >= 100, col("amount") < 100)
+      .joinGlobalTable(accounts, col("acct_fk"))
+      .to(keyExpr = col("txn_id"), valueExpr = to_json(struct(col("kind"), col("size"))))
+    assert(out.isStreaming, "topology must stay a streaming frame")
+    val q = out.writeStream.format("memory").queryName("dsl_stream_sink").start()
+    try {
+      mem.addData((1L, 10L, 250.0), (2L, 20L, 5.0), (3L, 10L, -7.0), (4L, 99L, 50.0))
+      q.processAllAvailable()
+    } finally q.stop()
+    val rows = spark.table("dsl_stream_sink")
+      .select(col("key").cast("string"), col("value").cast("string"))
+      .as[(String, String)].collect().toMap
+    assert(rows.keySet === Set("1", "2")) // -7 filtered, 99 has no account
+    assert(rows("1").contains("\"savings\"") && rows("1").contains("\"size\":0"))
+    assert(rows("2").contains("\"checking\"") && rows("2").contains("\"size\":1"))
+  }
+
   test("streaming near-dup: new doc matches an earlier batch's document") {
     val mem = MemoryStream[(Long, String)]
     val out = graft.streaming.StreamingDedup.nearDupCandidates(
