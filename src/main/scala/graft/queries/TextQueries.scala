@@ -86,6 +86,27 @@ object TextQueries {
             sum(tokenCountWs(col("text"))).as("total_tokens"))
       }),
 
+    // context-window chunking: 8-token windows, 2-token overlap (stride 6).
+    // One narrow explode — chunk identity verified by digest.
+    Q("q_chunk", Some(
+      """WITH tk AS (SELECT doc_id, regexp_split_to_array(text, '\s+') AS t FROM documents),
+        |c AS (SELECT doc_id, t, unnest(range(0, greatest(len(t), 1), 6)) AS s FROM tk)
+        |SELECT doc_id, CAST(s // 6 AS INT) AS chunk_no,
+        |  CAST(least(8, len(t) - s) AS INT) AS chunk_tokens,
+        |  md5(array_to_string(t[s + 1 : s + 8], ' ')) AS chunk_md5
+        |FROM c""".stripMargin))(
+      (s, d) => graft.operators.Corpus.chunk(
+        t(s, d, "documents"), "doc_id", "text", chunkTokens = 8, overlapTokens = 2)),
+
+    // deterministic 1-in-5 hash sample: membership is a pure function of
+    // doc_id (auditable, engine-portable), not a random draw.
+    Q("q_sample_hash", Some(
+      "SELECT doc_id, lang FROM documents " +
+      "WHERE ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 5 < 1"))(
+      (s, d) => graft.operators.Corpus.sampleByHash(
+        t(s, d, "documents"), col("doc_id"), num = 1, den = 5)
+        .select("doc_id", "lang")),
+
     // event-time tumbling window (1h), the windowed-agg form the reference
     // lacks entirely (SURVEY §1.4) but Spark gives for free. ts is nanos-
     // as-long; integer `div` keeps bucket math exact in both engines.

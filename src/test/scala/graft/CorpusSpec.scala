@@ -1,0 +1,45 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Corpus
+
+class CorpusSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("chunk: windows advance by stride, overlap carried, tail short") {
+    // 10 tokens, chunk 4, overlap 1 -> stride 3: starts 0,3,6,9
+    val docs = Seq((1L, (1 to 10).map(i => s"t$i").mkString(" "))).toDF("doc_id", "text")
+    val chunks = Corpus.chunk(docs, "doc_id", "text", chunkTokens = 4, overlapTokens = 1)
+      .orderBy("chunk_no")
+      .select("chunk_no", "chunk_tokens").as[(Int, Int)].collect().toSeq
+    assert(chunks === Seq((0, 4), (1, 4), (2, 4), (3, 1)))
+    // overlap: chunk 1 starts at token 4 (t4..t7), sharing t4 with chunk 0
+    val md5 = Corpus.chunk(docs, "doc_id", "text", 4, 1)
+      .filter(col("chunk_no") === 1).select("chunk_md5").as[String].head()
+    val expect = java.security.MessageDigest.getInstance("MD5")
+      .digest("t4 t5 t6 t7".getBytes("UTF-8")).map("%02x".format(_)).mkString
+    assert(md5 === expect)
+  }
+
+  test("chunk: short and empty docs produce exactly one chunk") {
+    val docs = Seq((1L, "a b"), (2L, "")).toDF("doc_id", "text")
+    val n = Corpus.chunk(docs, "doc_id", "text", 8, 2)
+      .groupBy("doc_id").count().as[(Long, Long)].collect().toMap
+    assert(n === Map(1L -> 1L, 2L -> 1L))
+  }
+
+  test("sampleByHash is deterministic and roughly proportional") {
+    val docs = (1L to 1000L).map(i => (i, s"doc$i")).toDF("doc_id", "text")
+    val a = Corpus.sampleByHash(docs, col("doc_id"), 1, 5)
+      .select("doc_id").as[Long].collect().toSet
+    val b = Corpus.sampleByHash(docs, col("doc_id"), 1, 5)
+      .select("doc_id").as[Long].collect().toSet
+    assert(a === b) // pure function of the key
+    assert(a.size > 120 && a.size < 280, s"expected ~200 of 1000, got ${a.size}")
+    // monotone: a larger fraction strictly contains the smaller one
+    val wider = Corpus.sampleByHash(docs, col("doc_id"), 2, 5)
+      .select("doc_id").as[Long].collect().toSet
+    assert(a.subsetOf(wider))
+  }
+}
