@@ -178,6 +178,23 @@ object Similarity {
       .select(col("query_id"), (col("pos") + 1).as("rank"), col("col.nid").as("neighbor_id"))
   }
 
+  /** Symmetric int8 quantization per vector: scale = 127 / max|xᵢ|, each
+    * component mapped to floor(x·scale + 0.5) ∈ [−127, 127] (floor(+0.5)
+    * rather than round() — round-half semantics differ between engines,
+    * floor is identical everywhere). 4× smaller vectors for ANN probe
+    * storage; the all-zero vector quantizes to all zeros.
+    * Output: original columns + `q_emb` (array<int>) + `q_scale` (double).
+    */
+  def quantizeInt8(corpus: DataFrame, emb: String): DataFrame = {
+    val mx = array_max(transform(col(emb), x => abs(x.cast("double"))))
+    val scale = when(mx > 0, lit(127.0) / mx).otherwise(lit(0.0))
+    corpus
+      .withColumn("q_scale", scale)
+      .withColumn("q_emb",
+        transform(col(emb), x =>
+          floor(x.cast("double") * col("q_scale") + 0.5).cast("int")))
+  }
+
   /** Nearest-centroid assignment (broadcast centroids, argmax cosine). */
   private def assignCells(
       corpus: DataFrame, id: String, emb: String, centroids: DataFrame): DataFrame = {

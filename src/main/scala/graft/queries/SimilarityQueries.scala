@@ -74,6 +74,26 @@ object SimilarityQueries {
       (s, d) => Similarity.exactNearDupPairs(
         t(s, d, "embeddings"), "vec_id", "embedding", minCosine = 0.45)),
 
+    // int8 quantization: per-vector symmetric scale, floor(x·s + 0.5)
+    // mapping (identical in every engine, unlike round-half). Output is
+    // integer stats of the quantized vector — exact compare.
+    Q("q_embed_quantize", Some(
+      """WITH m AS (SELECT vec_id, embedding,
+        |  list_max(list_transform(embedding, x -> abs(x::DOUBLE))) AS mx FROM embeddings),
+        |q AS (SELECT vec_id, list_transform(embedding,
+        |  x -> CAST(floor(x::DOUBLE * (CASE WHEN mx > 0 THEN 127.0 / mx ELSE 0.0 END) + 0.5) AS INT)) AS qe
+        |  FROM m)
+        |SELECT vec_id, CAST(list_min(qe) AS INT) AS q_min,
+        |  CAST(list_max(qe) AS INT) AS q_max,
+        |  CAST(list_sum(qe) AS BIGINT) AS q_sum
+        |FROM q""".stripMargin))(
+      (s, d) =>
+        Similarity.quantizeInt8(t(s, d, "embeddings"), "embedding")
+          .select(col("vec_id"),
+            array_min(col("q_emb")).as("q_min"),
+            array_max(col("q_emb")).as("q_max"),
+            aggregate(col("q_emb"), lit(0L), (a, v) => a + v).as("q_sum"))),
+
     // label centroids: the clustering-side consumer of embeddings.
     // Scale shape: posexplode to (label, dim, component) → two partial-agg
     // shuffles — never a per-group vector materialization (collect_list of

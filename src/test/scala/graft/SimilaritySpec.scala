@@ -80,6 +80,17 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.6, s"IVF recall $recall too low")
   }
 
+  test("quantizeInt8: max component maps to ±127, zero vector to zeros") {
+    val vecs = Seq(
+      (1L, Seq(0.5f, -1.0f, 0.25f)), // max |x| = 1.0 ⇒ scale 127
+      (2L, Seq(0f, 0f, 0f))
+    ).toDF("vec_id", "embedding")
+    val q = Similarity.quantizeInt8(vecs, "embedding")
+      .select("vec_id", "q_emb").as[(Long, Seq[Int])].collect().toMap
+    assert(q(1L) === Seq(64, -127, 32)) // floor(63.5+0.5), floor(-126.5), floor(32.25)
+    assert(q(2L) === Seq(0, 0, 0))
+  }
+
   test("embeddingNearDups finds planted high-cosine pairs only") {
     val vecs = Seq(
       (0L, Seq(1f, 0.01f, 0f, 0f)),
