@@ -98,6 +98,29 @@ object TextQueries {
       (s, d) => graft.operators.Corpus.chunk(
         t(s, d, "documents"), "doc_id", "text", chunkTokens = 8, overlapTokens = 2)),
 
+    // chunk-level dedup — the modern pretraining shape: chunk every doc,
+    // dedup by chunk digest across the whole corpus (the first (doc,
+    // chunk) keeps each distinct window). Explode + one partial-agg
+    // shuffle on the digest.
+    Q("q_chunk_dedup", Some(
+      """WITH tk AS (SELECT doc_id, regexp_split_to_array(text, '\s+') AS t FROM documents),
+        |c AS (SELECT doc_id, t, unnest(range(0, greatest(len(t), 1), 6)) AS s FROM tk),
+        |ch AS (SELECT doc_id, CAST(s // 6 AS INT) AS chunk_no,
+        |  md5(array_to_string(t[s + 1 : s + 8], ' ')) AS chunk_md5 FROM c)
+        |SELECT chunk_md5, count(*) AS n_copies,
+        |  min(doc_id) AS keep_doc,
+        |  min_by(chunk_no, doc_id * 1000000 + chunk_no) AS keep_chunk
+        |FROM ch GROUP BY chunk_md5""".stripMargin))(
+      (s, d) => graft.operators.Corpus.chunk(
+          t(s, d, "documents"), "doc_id", "text", chunkTokens = 8, overlapTokens = 2)
+        .groupBy("chunk_md5")
+        .agg(
+          count(lit(1)).as("n_copies"),
+          min("doc_id").as("keep_doc"),
+          // composite scalar (docs have ≪ 10^6 chunks) — DuckDB's min_by
+          // has no struct-ordered overload
+          min_by(col("chunk_no"), col("doc_id") * 1000000 + col("chunk_no")).as("keep_chunk"))),
+
     // deterministic 1-in-5 hash sample: membership is a pure function of
     // doc_id (auditable, engine-portable), not a random draw.
     Q("q_sample_hash", Some(

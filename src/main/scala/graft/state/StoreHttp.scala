@@ -56,8 +56,7 @@ final class StoreHttp(registry: StoreRegistry, port: Int = 0) {
     case c => c.toString
   } + "\""
 
-  /** Unknown store/index → 404; anything else is an internal failure. */
-  private final case class NotFound(msg: String) extends RuntimeException(msg)
+  import StoreHttp.NotFound
 
   private def handle(ex: HttpExchange): Unit = {
     val resp =
@@ -101,4 +100,9 @@ final class StoreHttp(registry: StoreRegistry, port: Int = 0) {
 
   private def rows(df: DataFrame): String =
     df.toJSON.collect().mkString("[", ",", "]")
+}
+
+object StoreHttp {
+  /** Unknown store/index → 404; anything else is an internal failure. */
+  private final case class NotFound(msg: String) extends RuntimeException(msg)
 }
