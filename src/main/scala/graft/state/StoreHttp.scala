@@ -12,8 +12,10 @@ import org.apache.spark.sql.functions.{col, lit}
   * surface (`/root/reference/kstream/store/http.go:120-399`):
   *
   *   GET /stores                      → store names
+  *   GET /indexes                     → all (store, index) pairs
   *   GET /stores/{s}?limit=N          → scan (default 1000 rows)
   *   GET /stores/{s}/{key}            → point lookup on the store's key
+  *   GET /stores/{s}/indexes          → the store's index names
   *   GET /stores/{s}/indexes/{i}/{k}  → secondary-index lookup (A5)
   *
   * Rows render via `Dataset.toJSON` (schema-faithful JSON). Point lookups
@@ -36,6 +38,7 @@ final class StoreHttp(registry: StoreRegistry, port: Int = 0) {
   def start(): Int = {
     server = HttpServer.create(new InetSocketAddress(port), 0)
     server.createContext("/stores", (ex: HttpExchange) => handle(ex))
+    server.createContext("/indexes", (ex: HttpExchange) => handle(ex))
     server.setExecutor(null)
     server.start()
     server.getAddress.getPort
@@ -84,6 +87,14 @@ final class StoreHttp(registry: StoreRegistry, port: Int = 0) {
     parts match {
       case "stores" :: Nil =>
         (200, registry.storeNames.map(n => s""""$n"""").mkString("[", ",", "]"))
+      case "indexes" :: Nil => // store/http.go GET /indexes
+        (200, indexes.keys.toSeq.sorted
+          .map { case (s, i) => s"""{"store":${jstr(s)},"index":${jstr(i)}}""" }
+          .mkString("[", ",", "]"))
+      case "stores" :: s :: "indexes" :: Nil =>
+        val _ = storeOr404(s)
+        (200, indexes.keys.collect { case (`s`, i) => jstr(i) }
+          .toSeq.sorted.mkString("[", ",", "]"))
       case "stores" :: s :: Nil =>
         (200, rows(storeOr404(s).limit(limit)))
       case "stores" :: s :: key :: Nil =>

@@ -95,4 +95,24 @@ class PlanShapeSpec extends SparkSpec {
     assert(countNodes(df, "CartesianProduct") === 0)
     assert(countNodes(df, "Window") === 0)
   }
+
+  test("top-N per group uses the bounded aggregate, not a window sort") {
+    val df = q("q_topn_per_group")
+    assert(countNodes(df, "Window") === 0)
+    assert(mentions(df, "topk_agg"))
+    assert(hasNode(df, "BroadcastHashJoin"))
+  }
+
+  test("chunk dedup: one explode pass, one agg shuffle, no join") {
+    val df = q("q_chunk_dedup")
+    assert(countNodes(df, "Join") === 0)
+    assert(hasNode(df, "Generate")) // the chunk explode
+    assert(countShuffles(df) === 1)
+  }
+
+  test("hash sampling pushes nothing to the driver and stays a narrow filter") {
+    val df = q("q_sample_hash")
+    assert(countNodes(df, "Join") === 0)
+    assert(countShuffles(df) === 0)
+  }
 }

@@ -35,6 +35,9 @@ class StoreHttpSpec extends SparkSpec {
       assert(point.contains(""""balance":250.0""") && !point.contains("alice"))
       val byIdx = get(port, "/stores/accounts/indexes/by_name/alice")
       assert(byIdx.contains(""""id":1""") && !byIdx.contains("bob"))
+      assert(get(port, "/stores/accounts/indexes") === """["by_name"]""")
+      assert(get(port, "/indexes") ===
+        """[{"store":"accounts","index":"by_name"}]""")
       assert(get(port, "/stores/nope").contains("error"))
     } finally http.stop()
   }
