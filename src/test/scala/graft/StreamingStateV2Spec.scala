@@ -132,6 +132,34 @@ class StreamingStateV2Spec extends SparkSpec {
     assert(out === Map(15L -> None))
   }
 
+  test("asOfEnrich MapState survives a checkpointed restart") {
+    import graft.streaming.StreamingStateV2.{AsOfInput, AsOfMatch}
+    val dir = java.nio.file.Files.createTempDirectory("graft_tws_ckpt").toString
+    val mem = MemoryStream[AsOfInput]
+    def start() = StreamingStateV2.asOfEnrich(mem.toDS())
+      .writeStream.format("parquet")
+      .option("path", s"$dir/out")
+      .option("checkpointLocation", s"$dir/ckpt")
+      .outputMode(OutputMode.Append()).start()
+    withRocks {
+      // phase 1: load version history, then stop
+      val q1 = start()
+      try {
+        mem.addData(AsOfInput("k", 10, "v10", isTable = true))
+        q1.processAllAvailable()
+      } finally q1.stop()
+      // phase 2: restart from the checkpoint; an event must still see the
+      // pre-restart version
+      val q2 = start()
+      try {
+        mem.addData(AsOfInput("k", 15, "e15", isTable = false))
+        q2.processAllAvailable()
+      } finally q2.stop()
+    }
+    val out = spark.read.parquet(s"$dir/out").as[AsOfMatch].collect()
+    assert(out.map(m => m.ts -> m.asOf).toMap === Map(15L -> Some("v10")))
+  }
+
   test("transformWithState versionedUpsert: strict >, ties keep first-seen") {
     val mem = MemoryStream[KRecord]
     val name = run(mem, StreamingStateV2.versionedUpsert(mem.toDS()))(
