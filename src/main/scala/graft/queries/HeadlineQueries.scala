@@ -363,10 +363,14 @@ object HeadlineQueries {
       (s, d) =>
         t(s, d, "lineitem")
           .groupBy("l_returnflag")
-          .agg(
-            percentile(col("l_extendedprice"), lit(0.5)).as("p50"),
-            percentile(col("l_extendedprice"), lit(0.9)).as("p90"),
-            percentile(col("l_extendedprice"), lit(0.99)).as("p99"))),
+          // one percentile buffer computing all three points (three
+          // separate calls would accumulate the group three times)
+          .agg(percentile(col("l_extendedprice"),
+            array(lit(0.5), lit(0.9), lit(0.99))).as("ps"))
+          .select(col("l_returnflag"),
+            col("ps").getItem(0).as("p50"),
+            col("ps").getItem(1).as("p90"),
+            col("ps").getItem(2).as("p99"))),
 
     // Rollup shape: hierarchical totals (flag, status) → (flag) → grand
     // total in ONE pass — Spark expands grouping sets before the partial
