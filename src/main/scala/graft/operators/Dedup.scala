@@ -198,6 +198,49 @@ object Dedup {
   /** Hamming distance between two simhashes (popcount of XOR). */
   def hammingDistance(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 
+  /** Connected-component resolution over near-duplicate pairs — the stage
+    * after pair detection: every document in a duplicate cluster gets the
+    * cluster's minimum id as its canonical survivor, so "drop all rows
+    * where node ≠ canonical" dedups the corpus.
+    *
+    * Iterative min-label propagation: each round joins current labels
+    * across the (symmetrized) edge set and keeps the per-node min. Rounds
+    * needed = component diameter (near-dup clusters are shallow — pairs
+    * share content, so clusters are near-cliques with diameter ≲ 3). Each
+    * round is one distributed join + partial-agg; only the convergence
+    * check (a count) touches the driver. `maxIters` bounds pathological
+    * chains; the classic large-star/small-star contraction is the drop-in
+    * upgrade if a corpus ever produces deep chains.
+    *
+    * Output: (node, canonical) — every node appearing in a pair, labeled
+    * with its component's min id.
+    */
+  def resolveComponents(pairs: DataFrame, aCol: String, bCol: String,
+      maxIters: Int = 50): DataFrame = {
+    val edges = pairs.select(col(aCol).cast("long").as("a"), col(bCol).cast("long").as("b"))
+    val sym = edges
+      .unionByName(edges.select(col("b").as("a"), col("a").as("b")))
+      .distinct()
+      .localCheckpoint(true) // reused every round; keep the scan out of the loop
+    var labels = sym.select(col("a").as("node")).distinct()
+      .withColumn("label", col("node"))
+      .localCheckpoint(true)
+    var changed = 1L
+    var iters = 0
+    while (changed > 0 && iters < maxIters) {
+      val viaNeighbor = sym.join(labels, sym("b") === labels("node"))
+        .select(sym("a").as("node"), col("label"))
+      val next = labels.unionByName(viaNeighbor)
+        .groupBy("node").agg(min("label").as("label"))
+        .localCheckpoint(true)
+      changed = next.join(labels.withColumnRenamed("label", "prev"), Seq("node"))
+        .filter(col("label") =!= col("prev")).count()
+      labels = next
+      iters += 1
+    }
+    labels.select(col("node"), col("label").as("canonical"))
+  }
+
   /** SimHash near-duplicate pairs within `maxHamming`, banded: the 64-bit
     * signature splits into `bands` equal blocks; pairs sharing ≥1 exact
     * block become candidates (one equi-join — never O(n²)), then the true

@@ -75,6 +75,28 @@ object DedupQueries {
             size(array_union(col("a_set"), col("b_set"))).as("n_union"))
       }),
 
+    // near-dup cluster resolution: MinHash pairs → connected components →
+    // (doc, canonical survivor). Oracle recomputes the closure with a
+    // recursive CTE over the brute-force pair set.
+    Q("q_dedup_components", Some((shinglesSql +
+      """
+        |, pairs AS (
+        |  SELECT a.doc_id AS a_id, b.doc_id AS b_id
+        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |  WHERE 5 * len(list_intersect(a.s, b.s)) >= 4 * len(list_distinct(list_concat(a.s, b.s)))),
+        |edges AS (SELECT a_id AS a, b_id AS b FROM pairs
+        |  UNION SELECT b_id, a_id FROM pairs),
+        |reach(node, l) AS (
+        |  SELECT a, a FROM edges
+        |  UNION
+        |  SELECT e.a, r.l FROM edges e JOIN reach r ON e.b = r.node)
+        |SELECT node, min(l) AS canonical FROM reach GROUP BY node""".stripMargin)
+        .replaceFirst("WITH toks", "WITH RECURSIVE toks")))(
+      (s, d) => Dedup.resolveComponents(
+        Dedup.nearDupPairs(spread(s, d), "doc_id", "text", shingleN = 3,
+          minNum = 4, minDen = 5),
+        "a_id", "b_id")),
+
     // SimHash signatures, fully oracled: built on the portable md5-derived
     // 60-bit token hash (Dedup.portableHash64), so DuckDB recomputes the
     // identical bit votes. The xxhash64-seeded production path is pinned

@@ -71,6 +71,19 @@ class DedupSpec extends SparkSpec {
     assert(expect.exists { case (a, b, h) => a == 1L && b == 4L && h == 0 })
   }
 
+  test("resolveComponents labels chains, stars, and disjoint clusters") {
+    // chain 1-2-3-4 (diameter 3, exercises multi-round propagation),
+    // star 10-{11,12,13}, disjoint pair 20-21
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L), (10L, 12L),
+      (10L, 13L), (20L, 21L)).toDF("a_id", "b_id")
+    val labels = Dedup.resolveComponents(pairs, "a_id", "b_id")
+      .as[(Long, Long)].collect().toMap
+    assert(labels === Map(
+      1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L, 13L -> 10L,
+      20L -> 20L, 21L -> 20L))
+  }
+
   test("portableHash64 matches the md5-prefix definition") {
     val h = Seq(Tuple1("hello")).toDF("t")
       .select(Dedup.portableHash64(col("t"))).as[Long].head()
