@@ -126,6 +126,34 @@ object CoreQueries {
         clicks.merge(views).toDF
       }),
 
+    // set ops the reference's README advertises but never implements
+    // (SURVEY §2.4): distinct-set intersection/difference, planned as
+    // partial-agg'd semi/anti joins — no full materialization of either
+    // side. Users who clicked AND purchased; users who clicked but never
+    // purchased.
+    Q("q_set_intersect", Some(
+      "SELECT user_id FROM events WHERE event_type = 'click' " +
+      "INTERSECT SELECT user_id FROM events WHERE event_type = 'purchase'"))(
+      (s, d) => {
+        val ev = t(s, d, "events")
+        ev.filter(col("event_type") === "click").select("user_id")
+          .intersect(ev.filter(col("event_type") === "purchase").select("user_id"))
+      }),
+
+    // (user, day) pairs with clicks but no purchase — day granularity
+    // because every user has every event type over the full range.
+    Q("q_set_except", Some(
+      "SELECT user_id, epoch_ns(ts) // 86400000000000 AS day FROM events " +
+      "WHERE event_type = 'click' " +
+      "EXCEPT SELECT user_id, epoch_ns(ts) // 86400000000000 FROM events " +
+      "WHERE event_type = 'purchase'"))(
+      (s, d) => {
+        val ev = t(s, d, "events")
+          .withColumn("day", expr("ts div 86400000000000"))
+        ev.filter(col("event_type") === "click").select("user_id", "day")
+          .except(ev.filter(col("event_type") === "purchase").select("user_id", "day"))
+      }),
+
     // S3 through — explicit repartition point (k_stream.go:540-556)
     Q("q_through", Some(
       "SELECT user_id, event_id, value FROM events"))(
