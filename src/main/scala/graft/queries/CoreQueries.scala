@@ -154,6 +154,25 @@ object CoreQueries {
           .except(ev.filter(col("event_type") === "purchase").select("user_id", "day"))
       }),
 
+    // pivot/reshape: per-user event-type counts as columns — one
+    // partial-agg shuffle with the pivot values enumerated (never inferred:
+    // inference scans the data once to list values first).
+    Q("q_pivot", Some(
+      "SELECT user_id, " +
+      "count(*) FILTER (event_type = 'click') AS click, " +
+      "count(*) FILTER (event_type = 'view') AS view, " +
+      "count(*) FILTER (event_type = 'purchase') AS purchase, " +
+      "count(*) FILTER (event_type = 'signup') AS signup, " +
+      "count(*) FILTER (event_type = 'error') AS error " +
+      "FROM events GROUP BY user_id"))(
+      (s, d) =>
+        t(s, d, "events")
+          .groupBy("user_id")
+          .pivot("event_type", Seq("click", "view", "purchase", "signup", "error"))
+          .count()
+          // empty pivot cells are NULL in Spark but 0 under FILTER counts
+          .na.fill(0L, Seq("click", "view", "purchase", "signup", "error"))),
+
     // S3 through — explicit repartition point (k_stream.go:540-556)
     Q("q_through", Some(
       "SELECT user_id, event_id, value FROM events"))(
