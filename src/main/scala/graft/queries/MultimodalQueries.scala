@@ -67,7 +67,7 @@ object MultimodalQueries {
         |  FROM b)
         |SELECT doc_id, e.bucket AS bucket, e.byte_sum AS byte_sum FROM f""".stripMargin))(
       (s, d) =>
-        Multimodal.decodeFeaturesStub(media(s, d), dim = 8).toDF
+        Multimodal.decodeFeaturesStub(media(s, d), dim = 8).toDF()
           .select(col("media_id").as("doc_id"), posexplode(col("features")))
           .select(col("doc_id"), col("pos").as("bucket"), col("col").as("byte_sum"))),
   )
