@@ -21,19 +21,22 @@ object Corpus {
     * wanting the text select the same `concat_ws` expression.
     */
   def chunk(docs: DataFrame, id: String, text: String,
-      chunkTokens: Int, overlapTokens: Int): DataFrame = {
+      chunkTokens: Int, overlapTokens: Int,
+      keepCols: Seq[String] = Nil): DataFrame = {
     require(overlapTokens >= 0 && overlapTokens < chunkTokens,
       s"need 0 <= overlap < chunk, got overlap=$overlapTokens chunk=$chunkTokens")
     val stride = chunkTokens - overlapTokens
     val tk = split(col(text), "\\s+")
     val starts = sequence(lit(0), greatest(size(tk) - 1, lit(0)), lit(stride))
+    val kept = keepCols.map(col)
     docs.select(
-        col(id),
+        (col(id) +: kept) :+
         posexplode(transform(starts, s => struct(
           concat_ws(" ", slice(tk, s + 1, lit(chunkTokens))).as("txt"),
-          least(lit(chunkTokens), size(tk) - s).as("n")))))
-      .select(col(id), col("pos").as("chunk_no"),
-        col("col.n").as("chunk_tokens"), md5(col("col.txt")).as("chunk_md5"))
+          least(lit(chunkTokens), size(tk) - s).as("n")))): _*)
+      .select(
+        (col(id) +: kept) ++ Seq(col("pos").as("chunk_no"),
+          col("col.n").as("chunk_tokens"), md5(col("col.txt")).as("chunk_md5")): _*)
   }
 
   /** Deterministic hash sampling: keep rows whose key hashes into

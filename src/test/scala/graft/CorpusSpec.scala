@@ -29,6 +29,37 @@ class CorpusSpec extends SparkSpec {
     assert(n === Map(1L -> 1L, 2L -> 1L))
   }
 
+  test("chunk keeps passthrough columns for downstream composition") {
+    val docs = Seq((1L, 100L, "a b c")).toDF("doc_id", "ts", "text")
+    val out = Corpus.chunk(docs, "doc_id", "text", 8, 2, keepCols = Seq("ts"))
+    assert(out.columns.toSeq === Seq("doc_id", "ts", "chunk_no", "chunk_tokens", "chunk_md5"))
+    assert(out.select("ts").as[Long].head() === 100L)
+  }
+
+  test("streaming chunk-dedup at ingest: repeated chunks suppressed within watermark") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, Long, String)]
+    val chunked = Corpus.chunk(
+      mem.toDF().toDF("doc_id", "ts_ms", "text"),
+      "doc_id", "text", chunkTokens = 2, overlapTokens = 0,
+      keepCols = Seq("ts_ms"))
+      .withColumn("ts", org.apache.spark.sql.functions.timestamp_millis(col("ts_ms")))
+    val deduped = graft.streaming.StreamingState.dedupWithinWatermark(
+      chunked, Seq("chunk_md5"), "ts", "10 minutes")
+    val q = deduped.writeStream.format("memory").queryName("chunk_dedup_sink").start()
+    try {
+      mem.addData((1L, 1000L, "alpha beta gamma delta"))
+      q.processAllAvailable()
+      // doc 2 repeats doc 1's first window and adds a new one
+      mem.addData((2L, 2000L, "alpha beta epsilon zeta"))
+      q.processAllAvailable()
+    } finally q.stop()
+    val kept = spark.table("chunk_dedup_sink")
+      .select("doc_id", "chunk_no").as[(Long, Int)].collect().toSet
+    // doc1: both windows kept; doc2: "alpha beta" suppressed, "epsilon zeta" kept
+    assert(kept === Set((1L, 0), (1L, 1), (2L, 1)))
+  }
+
   test("sampleByHash is deterministic and roughly proportional") {
     val docs = (1L to 1000L).map(i => (i, s"doc$i")).toDF("doc_id", "text")
     val a = Corpus.sampleByHash(docs, col("doc_id"), 1, 5)

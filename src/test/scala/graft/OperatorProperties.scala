@@ -62,6 +62,22 @@ object OperatorProperties extends Properties("graft.operators") {
       got == expected
     }
 
+  property("chunk == sliding-window reimplementation") =
+    forAll(docGen, Gen.choose(2, 6), Gen.choose(0, 1)) { (docs, c, o) =>
+      val df = docs.toDF("doc_id", "text")
+      val got = graft.operators.Corpus.chunk(df, "doc_id", "text", c, o)
+        .select("doc_id", "chunk_no", "chunk_tokens")
+        .as[(Long, Int, Int)].collect().toSet
+      val stride = c - o
+      val expected = (for {
+        (id, text) <- docs
+        toks = text.split("\\s+").toSeq
+        n = math.max(toks.size, 1)
+        (s, i) <- (0 until n by stride).zipWithIndex
+      } yield (id, i, math.min(c, toks.size - s))).toSet
+      got == expected
+    }
+
   private val changelogGen: Gen[List[(String, Long, Long, String)]] = for {
     n <- Gen.choose(1, 25)
     rows <- Gen.listOfN(n, for {
