@@ -267,11 +267,19 @@ object Dedup {
       posexplode(array((0 until bands).map(b =>
         shiftright(col("sig"), b * blockBits).bitwiseAND(lit(mask))): _*)))
       .select(col("doc_id"), col("sig"), col("pos").as("band"), col("col").as("block"))
+    // first-match-band filter instead of a dropDuplicates shuffle: a pair
+    // sharing k blocks appears k times in the bucket join; keep it only at
+    // the FIRST shared band. Both signatures already ride the join output,
+    // so the uniqueness check is a codegen'd filter, not another exchange.
+    def blockOf(sig: Column, b: Int): Column =
+      shiftright(sig, b * blockBits).bitwiseAND(lit(mask))
+    val earlierShared = (0 until bands - 1).map { bp =>
+      (col("band") > bp) && (blockOf(col("a_sig"), bp) === blockOf(col("b_sig"), bp))
+    }.reduceOption(_ || _).getOrElse(lit(false))
     banded.select(col("band"), col("block"), col("doc_id").as("a_id"), col("sig").as("a_sig"))
       .join(banded.select(col("band"), col("block"), col("doc_id").as("b_id"), col("sig").as("b_sig")),
         Seq("band", "block"))
-      .filter(col("a_id") < col("b_id"))
-      .dropDuplicates("a_id", "b_id")
+      .filter(col("a_id") < col("b_id") && !earlierShared)
       .select(col("a_id"), col("b_id"),
         hammingDistance(col("a_sig"), col("b_sig")).as("hamming"))
       .filter(col("hamming") <= maxHamming)
