@@ -113,7 +113,9 @@ object Dedup {
       numHashes: Int, bands: Int): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val r = numHashes / bands
-    val base = docs.select(col(id).as("doc"), setCol.as("elems"))
+    // materialized once: both candidate-attach joins read the element
+    // sets, and without this each join re-tokenizes the whole corpus
+    val base = docs.select(col(id).as("doc"), setCol.as("elems")).localCheckpoint(true)
     // both self-join sides consume the signatures; materialize the compact
     // (doc, numHashes longs) table once instead of recomputing the
     // tokenize+hash+aggregate pipeline per side. At extreme corpus sizes
@@ -222,8 +224,11 @@ object Dedup {
       .unionByName(edges.select(col("b").as("a"), col("a").as("b")))
       .distinct()
       .localCheckpoint(true) // reused every round; keep the scan out of the loop
-    var labels = sym.select(col("a").as("node")).distinct()
-      .withColumn("label", col("node"))
+    // seed with min(self, direct neighbors): near-dup clusters are
+    // near-cliques, so most components converge at initialization and the
+    // loop only runs the confirming round (plus extras for chains)
+    var labels = sym.groupBy(col("a").as("node"))
+      .agg(least(min(col("b")), first(col("a"))).as("label"))
       .localCheckpoint(true)
     var changed = 1L
     var iters = 0
