@@ -173,6 +173,22 @@ object CoreQueries {
           // empty pivot cells are NULL in Spark but 0 under FILTER counts
           .na.fill(0L, Seq("click", "view", "purchase", "signup", "error"))),
 
+    // unpivot/melt — the inverse reshape: measure columns to (measure,
+    // value) rows, a narrow 1→N projection (no shuffle).
+    Q("q_unpivot", Some(
+      "SELECT l_orderkey, l_linenumber, 'l_quantity' AS measure, l_quantity AS value " +
+      "FROM lineitem WHERE l_orderkey < 1000 " +
+      "UNION ALL SELECT l_orderkey, l_linenumber, 'l_extendedprice', l_extendedprice " +
+      "FROM lineitem WHERE l_orderkey < 1000 " +
+      "UNION ALL SELECT l_orderkey, l_linenumber, 'l_discount', l_discount " +
+      "FROM lineitem WHERE l_orderkey < 1000"))(
+      (s, d) =>
+        t(s, d, "lineitem").filter(col("l_orderkey") < 1000)
+          .unpivot(
+            Array(col("l_orderkey"), col("l_linenumber")),
+            Array(col("l_quantity"), col("l_extendedprice"), col("l_discount")),
+            "measure", "value")),
+
     // S3 through — explicit repartition point (k_stream.go:540-556)
     Q("q_through", Some(
       "SELECT user_id, event_id, value FROM events"))(
