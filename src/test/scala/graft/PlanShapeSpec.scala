@@ -115,4 +115,16 @@ class PlanShapeSpec extends SparkSpec {
     assert(countNodes(df, "Join") === 0)
     assert(countShuffles(df) === 0)
   }
+
+  test("rollup expands grouping sets before ONE partial-agg shuffle") {
+    val df = q("q_rollup_pricing")
+    assert(hasNode(df, "Expand"))
+    assert(countShuffles(df) === 1)
+  }
+
+  test("quantiles: one aggregate (single percentile buffer), one shuffle") {
+    val df = q("q_quantiles")
+    assert(countShuffles(df) === 1)
+    assert(countNodes(df, "Sort") === 0) // buffered percentile, no global sort
+  }
 }
