@@ -130,6 +130,29 @@ object TextQueries {
         t(s, d, "documents"), col("doc_id"), num = 1, den = 5)
         .select("doc_id", "lang")),
 
+    // hopping (sliding) window: 2h length, 1h slide — every event lands in
+    // exactly two windows. Spark's window() generates both assignments
+    // natively; the oracle unnests the two window starts per event with
+    // the same integer micros arithmetic.
+    Q("q_window_hopping", Some(
+      """WITH e AS (SELECT event_type, epoch_ns(ts) // 1000 AS us,
+        |  CAST(value AS DECIMAL(18,2)) AS v FROM events),
+        |w AS (SELECT event_type, v, unnest([
+        |    (us // 3600000000) * 3600000000 - 3600000000,
+        |    (us // 3600000000) * 3600000000]) AS win_start
+        |  FROM e)
+        |SELECT win_start, event_type, count(*) AS n,
+        |  CAST(sum(v) AS DOUBLE) AS total_value
+        |FROM w GROUP BY 1, 2""".stripMargin))(
+      (s, d) => t(s, d, "events")
+        .select(col("event_type"),
+          timestamp_micros(expr("ts div 1000")).as("tsm"),
+          col("value").cast(org.apache.spark.sql.types.DecimalType(18, 2)).as("v"))
+        .groupBy(window(col("tsm"), "2 hours", "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("n"), sum("v").cast("double").as("total_value"))
+        .select(unix_micros(col("window.start")).as("win_start"),
+          col("event_type"), col("n"), col("total_value"))),
+
     // event-time tumbling window (1h), the windowed-agg form the reference
     // lacks entirely (SURVEY §1.4) but Spark gives for free. ts is nanos-
     // as-long; integer `div` keeps bucket math exact in both engines.
