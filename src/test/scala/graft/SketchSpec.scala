@@ -1,0 +1,35 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.queries.Tables.t
+
+/** The approximate scale paths named in SCALING.md, pinned against their
+  * exact twins on real testdata: HLL distinct counts and t-digest
+  * percentiles are what replace exact distinct / sort-based percentile at
+  * 100 TB, so their error envelope is part of the engine's contract.
+  */
+class SketchSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("approx_count_distinct within its rsd envelope of the exact count") {
+    val events = t(spark, sf, "events")
+    val exact = events.select(countDistinct("user_id")).as[Long].head()
+    val approx = events.select(approx_count_distinct("user_id", rsd = 0.05))
+      .as[Long].head()
+    assert(math.abs(approx - exact).toDouble / exact <= 0.15,
+      s"approx=$approx exact=$exact drifted beyond 3x rsd")
+  }
+
+  test("approx_percentile brackets the exact percentile") {
+    val li = t(spark, sf, "lineitem")
+    val exact = li.select(percentile(col("l_extendedprice"), lit(0.5)))
+      .as[Double].head()
+    val approx = li.select(
+      approx_percentile(col("l_extendedprice"), lit(0.5), lit(1000)))
+      .as[Double].head()
+    // t-digest with accuracy 1000 lands within a tight relative band
+    assert(math.abs(approx - exact) / exact <= 0.02,
+      s"approx=$approx exact=$exact")
+  }
+}
