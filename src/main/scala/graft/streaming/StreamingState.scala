@@ -189,16 +189,22 @@ object StreamingState {
       }
   }
 
-  /** J3 stream-stream inner join with a watermarked time bound — the
-    * reference buffers both sides in unbounded in-memory maps
-    * (join/window.go:5-28, never evicted); Spark bounds the buffer with
-    * the watermark + join-time constraint, which is strictly safer.
+  /** J3 stream-stream join with a watermarked time bound — the reference
+    * buffers both sides in unbounded in-memory maps (join/window.go:5-28,
+    * never evicted); Spark bounds the buffer with the watermark +
+    * join-time constraint, which is strictly safer. Outer types (which
+    * the reference cannot express at all) emit the unmatched row with
+    * nulls once the watermark passes the join window — i.e. when a match
+    * has become impossible, not merely absent so far.
     * Both inputs must carry an event-time column named `eventTime`.
     */
   def streamStreamJoin(
       left: DataFrame, right: DataFrame,
       leftKey: String, rightKey: String,
-      eventTime: String, delay: String, joinWindow: String): DataFrame = {
+      eventTime: String, delay: String, joinWindow: String,
+      joinType: String = "inner"): DataFrame = {
+    require(Set("inner", "left_outer", "right_outer", "full_outer").contains(joinType),
+      s"stream-stream join supports inner/left_outer/right_outer/full_outer, got $joinType")
     val l = left.withWatermark(eventTime, delay)
     val r0 = right.withColumnRenamed(eventTime, s"r_$eventTime")
     val r = r0.withWatermark(s"r_$eventTime", delay)
@@ -207,6 +213,6 @@ object StreamingState {
         col(s"r_$eventTime").between(
           col(eventTime) - expr(s"INTERVAL $joinWindow"),
           col(eventTime) + expr(s"INTERVAL $joinWindow")),
-      "inner")
+      joinType)
   }
 }

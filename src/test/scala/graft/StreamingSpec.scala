@@ -176,4 +176,33 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
     assert(spark.table(name).select("lk").as[String].collect() === Seq("a"))
   }
+
+  test("stream-stream LEFT OUTER emits unmatched left once a match is impossible") {
+    val lMem = MemoryStream[(String, Timestamp)]
+    val rMem = MemoryStream[(String, Timestamp)]
+    val joined = StreamingState.streamStreamJoin(
+      lMem.toDF().toDF("lk", "ts"), rMem.toDF().toDF("rk", "ts"),
+      "lk", "rk", "ts", "10 seconds", "5 seconds", joinType = "left_outer")
+    val name = sinkName()
+    val q = joined.writeStream.format("memory").queryName(name)
+      .outputMode(OutputMode.Append()).start()
+    try {
+      lMem.addData(("m", Timestamp.valueOf("2024-01-01 00:00:00")), // will match
+        ("u", Timestamp.valueOf("2024-01-01 00:00:00")))            // never matches
+      rMem.addData(("m", Timestamp.valueOf("2024-01-01 00:00:02")))
+      q.processAllAvailable()
+      // push BOTH watermarks far past u's join window so the unmatched
+      // left row becomes emittable, then run the extra batches
+      lMem.addData(("wm", Timestamp.valueOf("2024-01-01 01:00:00")))
+      rMem.addData(("wm2", Timestamp.valueOf("2024-01-01 01:00:00")))
+      q.processAllAvailable()
+      lMem.addData(("wm3", Timestamp.valueOf("2024-01-01 02:00:00")))
+      rMem.addData(("wm4", Timestamp.valueOf("2024-01-01 02:00:00")))
+      q.processAllAvailable()
+    } finally q.stop()
+    val rows = spark.table(name)
+      .select("lk", "rk").as[(String, Option[String])].collect().toMap
+    assert(rows("m") === Some("m"))
+    assert(rows.contains("u") && rows("u") === None) // emitted with null right
+  }
 }
