@@ -157,6 +157,18 @@ object Similarity {
       // seed→assign→average subtree per branch
       .localCheckpoint(true)
 
+    ivfKnnWithCentroids(queries, corpus, id, emb, k, centroids, nprobe)
+  }
+
+  /** [[ivfKnn]] with caller-provided coarse centroids — the production
+    * entry point: feed real k-means centroids (trained offline, or the
+    * previous epoch's) as a (cell, c_emb) frame instead of the built-in
+    * deterministic seed + one-Lloyd-step bootstrap.
+    */
+  def ivfKnnWithCentroids(
+      queries: DataFrame, corpus: DataFrame,
+      id: String, emb: String, k: Int,
+      centroids: DataFrame, nprobe: Int): DataFrame = {
     val assigned = assignCells(corpus, id, emb, centroids)
       .select(col(id).as("neighbor_id"), col(emb).as("n_emb"), col("cell"))
     val probes = queries.select(col(id).as("query_id"), col(emb).as("q_emb"))

@@ -80,6 +80,22 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.6, s"IVF recall $recall too low")
   }
 
+  test("ivfKnnWithCentroids: perfect centroids give exact results") {
+    // two well-separated clusters; centroids placed exactly on them ⇒
+    // probing 1 cell per query already finds every true neighbor
+    val vecs = Seq(
+      (0L, Seq(1f, 0f, 0f, 0.1f)), (1L, Seq(1f, 0.1f, 0f, 0f)),
+      (2L, Seq(0f, 0.1f, 1f, 0f)), (3L, Seq(0f, 0f, 1f, 0.1f))
+    ).toDF("vec_id", "embedding")
+    val centroids = Seq(
+      (0L, Seq(1f, 0f, 0f, 0f)), (1L, Seq(0f, 0f, 1f, 0f))
+    ).toDF("cell", "c_emb")
+    val got = Similarity.ivfKnnWithCentroids(
+        vecs, vecs, "vec_id", "embedding", k = 1, centroids, nprobe = 1)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toMap
+    assert(got === Map(0L -> 1L, 1L -> 0L, 2L -> 3L, 3L -> 2L))
+  }
+
   test("quantizeInt8: max component maps to ±127, zero vector to zeros") {
     val vecs = Seq(
       (1L, Seq(0.5f, -1.0f, 0.25f)), // max |x| = 1.0 ⇒ scale 127
