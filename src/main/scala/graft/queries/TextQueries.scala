@@ -130,6 +130,41 @@ object TextQueries {
         t(s, d, "documents"), col("doc_id"), num = 1, den = 5)
         .select("doc_id", "lang")),
 
+    // THE composed corpus-prep pipeline, end to end in one plan:
+    // deterministic 4-in-5 sample → quality gate → context-window chunking
+    // → corpus-wide chunk dedup (first (doc, chunk) wins) → per-source
+    // stats. One narrow sample+gate pass, one explode, one dedup shuffle,
+    // one agg shuffle.
+    Q("q_corpus_pipeline", Some(
+      s"""WITH sampled AS (SELECT doc_id, source, text FROM documents
+         |  WHERE ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 5 < 4
+         |    AND ${qualityScoreSql("text")} >= 0.3),
+         |tk AS (SELECT doc_id, source, regexp_split_to_array(text, '\\s+') AS t FROM sampled),
+         |c AS (SELECT doc_id, source, t, unnest(range(0, greatest(len(t), 1), 6)) AS s FROM tk),
+         |ch AS (SELECT doc_id, source, s, CAST(least(8, len(t) - s) AS INT) AS ctoks,
+         |  md5(array_to_string(t[s + 1 : s + 8], ' ')) AS cmd5 FROM c),
+         |dedup AS (SELECT doc_id, source, ctoks FROM (
+         |  SELECT doc_id, source, ctoks,
+         |    row_number() OVER (PARTITION BY cmd5 ORDER BY doc_id, s) AS rn FROM ch)
+         |  WHERE rn = 1)
+         |SELECT source, count(*) AS n_chunks, count(DISTINCT doc_id) AS n_docs,
+         |  CAST(sum(ctoks) AS BIGINT) AS total_tokens
+         |FROM dedup GROUP BY source""".stripMargin))(
+      (s, d) => {
+        val base = graft.operators.Corpus.sampleByHash(
+            t(s, d, "documents"), col("doc_id"), num = 4, den = 5)
+          .filter(qualityScore(col("text")) >= 0.3)
+        val chunks = graft.operators.Corpus.chunk(
+          base, "doc_id", "text", chunkTokens = 8, overlapTokens = 2,
+          keepCols = Seq("source"))
+        graft.state.Upserts.firstByKey(
+            chunks, Seq("chunk_md5"), Seq(col("doc_id"), col("chunk_no")))
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_chunks"),
+            countDistinct("doc_id").as("n_docs"),
+            sum("chunk_tokens").cast("long").as("total_tokens"))
+      }),
+
     // hopping (sliding) window: 2h length, 1h slide — every event lands in
     // exactly two windows. Spark's window() generates both assignments
     // natively; the oracle unnests the two window starts per event with
