@@ -37,6 +37,20 @@ object TextAnalysis {
 
   def wordPattern(ws: Seq[String]): String = "\\b(" + ws.mkString("|") + ")\\b"
 
+  /** Engine-portable half-up rounding for non-negative doubles:
+    * floor(x·10ˢ + 0.5)/10ˢ — every step an exact IEEE op evaluated
+    * identically by any engine. `round()` is NOT portable: Spark rounds
+    * the shortest decimal representation, DuckDB the binary value, and
+    * they split at .…5 boundaries (observed at sf0.1, not sf0.01 — the
+    * boundary needs enough rows to get hit).
+    */
+  private def halfUp(x: Column, scale: Int): Column = {
+    val m = math.pow(10, scale) // powers of ten ≤ 1e15 are exact doubles
+    floor(x * m + 0.5) / m
+  }
+  private def halfUpSql(x: String, scale: Int): String =
+    s"(floor(($x) * 1e$scale + 0.5) / 1e$scale)"
+
   // ── Spark column forms ─────────────────────────────────────────────────
   def countMatches(c: Column, pattern: String): Column =
     size(regexp_extract_all(c, lit(pattern), lit(0)))
@@ -48,20 +62,20 @@ object TextAnalysis {
   def tokenCountBpe(c: Column): Column = countMatches(c, bpePattern)
 
   def punctRatio(c: Column): Column =
-    round(countMatches(c, punctPattern).cast("double") / length(c), 6)
+    halfUp(countMatches(c, punctPattern).cast("double") / length(c), 6)
 
   def alphaRatio(c: Column): Column =
-    round(countMatches(c, alphaPattern).cast("double") / length(c), 6)
+    halfUp(countMatches(c, alphaPattern).cast("double") / length(c), 6)
 
   def stopwordRatio(c: Column): Column =
-    round(countMatches(lower(c), wordPattern(stopwordsEn)).cast("double") /
+    halfUp(countMatches(lower(c), wordPattern(stopwordsEn)).cast("double") /
       tokenCountWs(c), 6)
 
   /** Composite quality score in [0,1]-ish: stopword density + letter
     * density - punctuation noise. Deliberately linear (portable bits).
     */
   def qualityScore(c: Column): Column =
-    round(stopwordRatio(c) * lit(0.5) + alphaRatio(c) * lit(0.3) +
+    halfUp(stopwordRatio(c) * lit(0.5) + alphaRatio(c) * lit(0.3) +
       (lit(1.0) - punctRatio(c)) * lit(0.2), 4)
 
   /** Language ID: marker-word counts per language, CJK script beats all,
@@ -98,17 +112,17 @@ object TextAnalysis {
   def tokenCountBpeSql(c: String): String = cnt(c, bpePattern)
 
   def punctRatioSql(c: String): String =
-    s"round(${cnt(c, punctPattern)}::DOUBLE / length($c), 6)"
+    halfUpSql(s"${cnt(c, punctPattern)}::DOUBLE / length($c)", 6)
 
   def alphaRatioSql(c: String): String =
-    s"round(${cnt(c, alphaPattern)}::DOUBLE / length($c), 6)"
+    halfUpSql(s"${cnt(c, alphaPattern)}::DOUBLE / length($c)", 6)
 
   def stopwordRatioSql(c: String): String =
-    s"round(${cnt(s"lower($c)", wordPattern(stopwordsEn))}::DOUBLE / ${tokenCountWsSql(c)}, 6)"
+    halfUpSql(s"${cnt(s"lower($c)", wordPattern(stopwordsEn))}::DOUBLE / ${tokenCountWsSql(c)}", 6)
 
   def qualityScoreSql(c: String): String =
-    s"round(${stopwordRatioSql(c)} * 0.5 + ${alphaRatioSql(c)} * 0.3 + " +
-      s"(1.0 - ${punctRatioSql(c)}) * 0.2, 4)"
+    halfUpSql(s"${stopwordRatioSql(c)} * 0.5 + ${alphaRatioSql(c)} * 0.3 + " +
+      s"(1.0 - ${punctRatioSql(c)}) * 0.2", 4)
 
   def langIdSql(c: String): String = {
     val s = (langMarkers.map { case (l, ws) =>
