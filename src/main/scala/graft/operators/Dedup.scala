@@ -290,10 +290,13 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
   }
 
-  /** Exact n-gram Jaccard similarity between two text columns. */
+  /** Exact n-gram Jaccard similarity between two text columns. Portable
+    * half-up rounding — `round()` disagrees across engines at .5
+    * boundaries (repr-based vs binary-based).
+    */
   def ngramJaccard(a: Column, b: Column, n: Int): Column = {
     val (sa, sb) = (shingles(a, n), shingles(b, n))
-    round(size(array_intersect(sa, sb)).cast("double") /
-      size(array_union(sa, sb)), 4)
+    floor(size(array_intersect(sa, sb)).cast("double") /
+      size(array_union(sa, sb)) * 1e4 + 0.5) / 1e4
   }
 }

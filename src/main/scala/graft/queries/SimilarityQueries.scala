@@ -104,7 +104,8 @@ object SimilarityQueries {
         |  unnest(list_transform(range(1, 65), i -> {'i': i, 'v': embedding[i]::DOUBLE})) AS e
         |  FROM embeddings),
         |m AS (SELECT label, e.i AS i, sum(e.v) AS s, count(*) AS c FROM x GROUP BY 1, 2)
-        |SELECT label, max(c) AS n, round(sum(abs(s / c)), 4) AS centroid_l1
+        |SELECT label, max(c) AS n,
+        |  floor(sum(abs(s / c)) * 1e4 + 0.5) / 1e4 AS centroid_l1
         |FROM m GROUP BY label""".stripMargin))(
       (s, d) =>
         t(s, d, "embeddings")
@@ -113,6 +114,8 @@ object SimilarityQueries {
           .agg(sum(col("col").cast("double")).as("s"), count(lit(1)).as("c"))
           .groupBy("label")
           .agg(max(col("c")).as("n"),
-            round(sum(abs(col("s") / col("c"))), 4).as("centroid_l1"))),
+            // portable half-up (see TextAnalysis.halfUp): round() splits
+            // across engines at repr-vs-binary .5 boundaries
+            (floor(sum(abs(col("s") / col("c"))) * 1e4 + 0.5) / 1e4).as("centroid_l1"))),
   )
 }
