@@ -1,5 +1,6 @@
 package graft
 import org.apache.spark.sql.SparkSession
+
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -31,13 +32,28 @@ object Bench {
       failed.clear() // only the timed pass decides the machine-readable marker
     }
     val results = ordered.map { case (name, fn) => name -> run(name, fn) }
-    val qs = results.map { case (k, v) =>
-      // a crashed query reports -1, not its (short) failure time
-      s"\"" + k + "\":" + (if (failed(k)) "-1" else v.toString)
-    }.mkString("{", ",", "}")
+    def fmt(v: Double): String =
+      if (v < 0) "-1"
+      else String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     val total = results.collect { case (k, v) if !failed(k) => v }.sum
     val failedJson = failed.map(n => s""""$n"""").mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}""")
+    def qjson(rs: Seq[(String, Double)]): String =
+      rs.map { case (k, v) => "\"" + k + "\":" + (if (failed(k)) "-1" else fmt(v)) }
+        .mkString("{", ",", "}")
+    // Full per-query timings go to a file; the stdout line carries only the
+    // slowest queries. The driver keeps just the last ~2000 chars of stdout,
+    // and a JSON line listing every query overflows that window and fails
+    // to parse (this is exactly what happened to BENCH_r01/r02).
+    val fullJson =
+      s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},""" +
+        s""""queries":${qjson(results)},"failed":$failedJson,"sf":"$sfDir"}"""
+    val out = new java.io.PrintWriter("BENCH_FULL.json")
+    try out.println(fullJson) finally out.close()
+    val slowest = results.sortBy(-_._2).take(20)
+    println(
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},""" +
+        s""""queries":${qjson(slowest)},"failed":$failedJson,""" +
+        s""""full":"BENCH_FULL.json","sf":"$sfDir"}""")
     spark.stop()
   }
 }

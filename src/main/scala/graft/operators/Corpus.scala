@@ -13,8 +13,12 @@ object Corpus {
   /** Split each document into token windows of `chunkTokens` with
     * `overlapTokens` carried between consecutive chunks — the standard
     * context-window preparation step. Chunk starts advance by
-    * `chunkTokens − overlapTokens`; the final chunk may be short. Empty
-    * docs produce one empty chunk (the whole-doc window).
+    * `chunkTokens − overlapTokens`; the final chunk may be short, but a
+    * window is only emitted if it contributes at least one token beyond
+    * the carried overlap (starts stop at `tokens − overlap − 1`) — a
+    * trailing window of only overlap tokens would be wholly contained in
+    * the previous chunk and would double-count its tokens downstream.
+    * Empty docs produce one empty chunk (the whole-doc window).
     *
     * Output: (id, chunk_no, chunk_tokens, chunk_md5) — one row per chunk,
     * digest instead of text so downstream exact-compare is cheap; callers
@@ -27,7 +31,9 @@ object Corpus {
       s"need 0 <= overlap < chunk, got overlap=$overlapTokens chunk=$chunkTokens")
     val stride = chunkTokens - overlapTokens
     val tk = split(col(text), "\\s+")
-    val starts = sequence(lit(0), greatest(size(tk) - 1, lit(0)), lit(stride))
+    // upper bound tokens−overlap−1: the last window must add a token the
+    // previous chunk didn't already cover (see scaladoc)
+    val starts = sequence(lit(0), greatest(size(tk) - overlapTokens - 1, lit(0)), lit(stride))
     val kept = keepCols.map(col)
     docs.select(
         (col(id) +: kept) :+

@@ -24,11 +24,17 @@ object Skew {
       salts: Int, joinType: String = "inner"): DataFrame = {
     // The build side is replicated once per salt, so any join type that
     // emits unmatched BUILD rows (right/full outer) would emit them `salts`
-    // times. Only probe-side-preserving types are equivalent to the plain
-    // equi-join under this construction.
-    require(Set("inner", "left", "left_outer", "leftouter").contains(joinType),
-      s"saltedJoin supports inner/left joins only, got '$joinType' " +
-        "(build side is replicated per salt; outer build rows would duplicate)")
+    // times. Probe-side-preserving types are equivalent to the plain
+    // equi-join: each probe row sees exactly the full build relation within
+    // its own salt, so inner/left keep their matches, and semi/anti (which
+    // never emit build columns) keep their exact per-probe-row existence
+    // semantics.
+    require(Set("inner", "left", "left_outer", "leftouter",
+        "semi", "left_semi", "leftsemi", "anti", "left_anti", "leftanti")
+        .contains(joinType),
+      s"saltedJoin supports probe-side-preserving joins only " +
+        s"(inner/left/semi/anti), got '$joinType' — the build side is " +
+        "replicated per salt, so right/full outer build rows would duplicate")
     val salted = skewed.withColumn("_salt",
       pmod(xxhash64(struct(skewed.columns.map(skewed.col).toIndexedSeq: _*)), lit(salts)).cast("int"))
     val replicated = build.withColumn("_salt",

@@ -65,6 +65,11 @@ object Temporal {
     * values in the same unit (e.g. epoch nanos) — integral `div` keeps
     * bucket math exact where double `floor` would lose precision above
     * 2^53 (epoch nanos are ~2^60).
+    *
+    * Tolerance must be > 0: a zero band width has no banded form (the
+    * band index divides by the tolerance), so it raises at runtime rather
+    * than silently emitting null bands; use `asOfJoin(..., Some(lit(0)))`
+    * for exact-timestamp matching.
     */
   def asOfJoinBanded(
       left: DataFrame, right: DataFrame,
@@ -75,9 +80,16 @@ object Temporal {
       tieBreak: Seq[Column] = Nil,
       joinType: String = "inner"): DataFrame = {
     require(joinType == "inner" || joinType == "left", s"as-of join is inner or left, got $joinType")
+    // `div` by a zero/null tolerance yields null bands and every row would
+    // silently drop (inner) or null-extend (left) — fail loudly instead
+    val checkedTol = {
+      val t = tolerance.cast("long")
+      when(assert_true(t > 0, lit("asOfJoinBanded requires tolerance > 0; " +
+        "use asOfJoin(tolerance = Some(...)) for a zero-width match")).isNull, t)
+    }
     val l2 = left
       .withColumn("_g_lt", leftTime.cast("long"))
-      .withColumn("_g_tol", tolerance.cast("long"))
+      .withColumn("_g_tol", checkedTol)
       .withColumn("_g_probe",
         explode(array(expr("_g_lt div _g_tol"), expr("_g_lt div _g_tol") - 1)))
     val r2 = right

@@ -90,7 +90,7 @@ object TextQueries {
     // One narrow explode — chunk identity verified by digest.
     Q("q_chunk", Some(
       """WITH tk AS (SELECT doc_id, regexp_split_to_array(text, '\s+') AS t FROM documents),
-        |c AS (SELECT doc_id, t, unnest(range(0, greatest(len(t), 1), 6)) AS s FROM tk)
+        |c AS (SELECT doc_id, t, unnest(range(0, greatest(len(t) - 2, 1), 6)) AS s FROM tk)
         |SELECT doc_id, CAST(s // 6 AS INT) AS chunk_no,
         |  CAST(least(8, len(t) - s) AS INT) AS chunk_tokens,
         |  md5(array_to_string(t[s + 1 : s + 8], ' ')) AS chunk_md5
@@ -104,7 +104,7 @@ object TextQueries {
     // shuffle on the digest.
     Q("q_chunk_dedup", Some(
       """WITH tk AS (SELECT doc_id, regexp_split_to_array(text, '\s+') AS t FROM documents),
-        |c AS (SELECT doc_id, t, unnest(range(0, greatest(len(t), 1), 6)) AS s FROM tk),
+        |c AS (SELECT doc_id, t, unnest(range(0, greatest(len(t) - 2, 1), 6)) AS s FROM tk),
         |ch AS (SELECT doc_id, CAST(s // 6 AS INT) AS chunk_no,
         |  md5(array_to_string(t[s + 1 : s + 8], ' ')) AS chunk_md5 FROM c)
         |SELECT chunk_md5, count(*) AS n_copies,
@@ -140,7 +140,7 @@ object TextQueries {
          |  WHERE ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 5 < 4
          |    AND ${qualityScoreSql("text")} >= 0.3),
          |tk AS (SELECT doc_id, source, regexp_split_to_array(text, '\\s+') AS t FROM sampled),
-         |c AS (SELECT doc_id, source, t, unnest(range(0, greatest(len(t), 1), 6)) AS s FROM tk),
+         |c AS (SELECT doc_id, source, t, unnest(range(0, greatest(len(t) - 2, 1), 6)) AS s FROM tk),
          |ch AS (SELECT doc_id, source, s, CAST(least(8, len(t) - s) AS INT) AS ctoks,
          |  md5(array_to_string(t[s + 1 : s + 8], ' ')) AS cmd5 FROM c),
          |dedup AS (SELECT doc_id, source, ctoks FROM (

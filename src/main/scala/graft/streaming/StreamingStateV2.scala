@@ -114,7 +114,13 @@ object StreamingStateV2 {
     override def handleInputRows(
         key: String, rows: Iterator[AsOfInput], tv: TimerValues): Iterator[AsOfMatch] = {
       val out = Seq.newBuilder[AsOfMatch]
-      rows.toSeq.sortBy(_.ts).foreach { r =>
+      // Secondary key: at an equal timestamp, table upserts apply BEFORE
+      // events (false < true, so isTable sorts first via negation). Without
+      // it, a same-ts table/event pair in one batch would resolve by Spark's
+      // unspecified iterator order — nondeterministic across retries. The
+      // chosen rule matches the cross-batch behavior, where the asOf probe
+      // (`version.ts <= event.ts`) already sees same-ts versions.
+      rows.toSeq.sortBy(r => (r.ts, !r.isTable)).foreach { r =>
         if (r.isTable) {
           versions.updateValue(r.ts, r.value)
           val all = versions.keys().toSeq

@@ -8,12 +8,21 @@ class CorpusSpec extends SparkSpec {
   import spark.implicits._
 
   test("chunk: windows advance by stride, overlap carried, tail short") {
-    // 10 tokens, chunk 4, overlap 1 -> stride 3: starts 0,3,6,9
+    // 10 tokens, chunk 4, overlap 1 -> stride 3: starts 0,3,6. A window at
+    // start 9 would hold only t10 (1 token = the overlap), already covered
+    // by chunk 2 (t7..t10), so it is NOT emitted.
     val docs = Seq((1L, (1 to 10).map(i => s"t$i").mkString(" "))).toDF("doc_id", "text")
     val chunks = Corpus.chunk(docs, "doc_id", "text", chunkTokens = 4, overlapTokens = 1)
       .orderBy("chunk_no")
       .select("chunk_no", "chunk_tokens").as[(Int, Int)].collect().toSeq
-    assert(chunks === Seq((0, 4), (1, 4), (2, 4), (3, 1)))
+    assert(chunks === Seq((0, 4), (1, 4), (2, 4)))
+    // 11 tokens: the tail window (t10, t11) adds a token beyond the
+    // overlap, so it IS emitted, short
+    val docs11 = Seq((1L, (1 to 11).map(i => s"t$i").mkString(" "))).toDF("doc_id", "text")
+    val chunks11 = Corpus.chunk(docs11, "doc_id", "text", 4, 1)
+      .orderBy("chunk_no")
+      .select("chunk_no", "chunk_tokens").as[(Int, Int)].collect().toSeq
+    assert(chunks11 === Seq((0, 4), (1, 4), (2, 4), (3, 2)))
     // overlap: chunk 1 starts at token 4 (t4..t7), sharing t4 with chunk 0
     val md5 = Corpus.chunk(docs, "doc_id", "text", 4, 1)
       .filter(col("chunk_no") === 1).select("chunk_md5").as[String].head()

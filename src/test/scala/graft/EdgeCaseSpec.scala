@@ -54,6 +54,25 @@ class EdgeCaseSpec extends SparkSpec {
       leftId = Seq("tid"), tolerance = lit(10L)).count() === 0)
   }
 
+  test("banded as-of join raises on tolerance 0 instead of dropping rows") {
+    import graft.operators.Temporal
+    val trades = Seq((1, "A", 5L)).toDF("tid", "sym", "t")
+    val quotes = Seq(("A", 5L, 10.0)).toDF("q_sym", "q_t", "price")
+    val ex = intercept[Exception] {
+      Temporal.asOfJoinBanded(trades, quotes,
+        col("sym"), col("q_sym"), col("t"), col("q_t"),
+        leftId = Seq("tid"), tolerance = lit(0L)).collect()
+    }
+    assert(ex.getMessage.contains("tolerance > 0") ||
+      Option(ex.getCause).exists(_.getMessage.contains("tolerance > 0")))
+    // the zero-width match itself is served by the plain form
+    val exact = Temporal.asOfJoin(trades, quotes,
+        col("sym"), col("q_sym"), col("t"), col("q_t"),
+        leftId = Seq("tid"), tolerance = Some(lit(0L)))
+      .select("tid", "price").as[(Int, Double)].collect().toSeq
+    assert(exact === Seq((1, 10.0)))
+  }
+
   test("simHashPairs and exactNearDupPairs on empty/singleton corpora") {
     assert(Dedup.simHashPairs(emptyDocs, "doc_id", Dedup.tokenSet(col("text")),
       maxHamming = 3, bands = 4).count() === 0)

@@ -77,9 +77,11 @@ object OperatorProperties extends Properties("graft.operators") {
       val expected = (for {
         (id, text) <- docs
         toks = text.split("\\s+").toSeq
-        n = math.max(toks.size, 1)
-        (s, i) <- (0 until n by stride).zipWithIndex
-      } yield (id, i, math.min(c, toks.size - s))).toSet
+        n = toks.size
+        // starts stop at n − o − 1: the final window must add at least one
+        // token beyond the carried overlap (mirrors Corpus.chunk)
+        (s, i) <- (0 to math.max(n - o - 1, 0) by stride).zipWithIndex
+      } yield (id, i, math.min(c, n - s))).toSet
       got == expected
     }
 

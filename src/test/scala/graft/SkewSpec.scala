@@ -26,6 +26,19 @@ class SkewSpec extends SparkSpec {
     assert(saltedLeft === plainLeft)
   }
 
+  test("saltedJoin semi/anti equal the plain semi/anti joins") {
+    val skewed = ((1 to 90).map(i => (7L, s"hot$i")) ++
+      Seq((1L, "a"), (2L, "b"), (9L, "no-match"))).toDF("k", "v")
+    val dim = Seq((7L, "seven"), (1L, "one"), (2L, "two")).toDF("dk", "name")
+    for (jt <- Seq("left_semi", "left_anti")) {
+      val plain = skewed.join(dim, col("k") === col("dk"), jt)
+        .select("k", "v").as[(Long, String)].collect().sorted.toSeq
+      val salted = Skew.saltedJoin(skewed, dim, col("k"), col("dk"), 4, jt)
+        .select("k", "v").as[(Long, String)].collect().sorted.toSeq
+      assert(salted === plain, s"joinType=$jt")
+    }
+  }
+
   test("saltedJoin rejects join types that duplicate unmatched build rows") {
     val a = Seq((1L, "a")).toDF("k", "v")
     val b = Seq((1L, "x")).toDF("dk", "name")

@@ -111,6 +111,29 @@ class StreamingStateV2Spec extends SparkSpec {
       5L -> None, 22L -> Some("v20")))
   }
 
+  test("asOfEnrich: same-ts table upsert in the same batch applies before the event") {
+    import graft.streaming.StreamingStateV2.{AsOfInput, AsOfMatch}
+    val mem = MemoryStream[AsOfInput]
+    val out = withRocks {
+      val q = StreamingStateV2.asOfEnrich(mem.toDS())
+        .writeStream.format("memory").queryName("graft_tws_asof_tie")
+        .outputMode(OutputMode.Append()).start()
+      try {
+        // event listed FIRST so iterator order alone would miss the
+        // version; the (ts, table-before-event) sort must fix it
+        mem.addData(
+          AsOfInput("k", 10, "e10", isTable = false),
+          AsOfInput("k", 10, "v10", isTable = true))
+        q.processAllAvailable()
+      } finally q.stop()
+      spark.table("graft_tws_asof_tie").as[AsOfMatch].collect()
+        .map(m => m.ts -> m.asOf).toMap
+    }
+    // matches the cross-batch rule: a version at ts T is visible to an
+    // event at ts T (the probe is version.ts <= event.ts)
+    assert(out === Map(10L -> Some("v10")))
+  }
+
   test("asOfEnrich caps retained versions per key") {
     import graft.streaming.StreamingStateV2.{AsOfInput, AsOfMatch}
     val mem = MemoryStream[AsOfInput]
