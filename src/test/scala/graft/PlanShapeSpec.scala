@@ -127,4 +127,44 @@ class PlanShapeSpec extends SparkSpec {
     assert(countShuffles(df) === 1)
     assert(countNodes(df, "Sort") === 0) // buffered percentile, no global sort
   }
+
+  test("q7: all five dims broadcast, lineitem never shuffles before the agg") {
+    val df = q("q7_volume_shipping")
+    assert(countNodes(df, "SortMergeJoin") === 0)
+    assert(countNodes(df, "BroadcastHashJoin") >= 2)
+  }
+
+  test("q9: only the lineitem-orders fact join shuffles; dims broadcast") {
+    val df = q("q9_product_profit")
+    assert(countNodes(df, "BroadcastHashJoin") >= 2)
+    assert(pushedFilters(df).exists(_.contains("p_name")))
+  }
+
+  test("q16: denylist is a broadcast anti-join, part filter pushed down") {
+    val df = q("q16_part_supplier_variety")
+    assert(mentions(df, "LeftAnti"))
+    assert(countNodes(df, "SortMergeJoin") === 0)
+    assert(pushedFilters(df).exists(_.contains("p_brand")))
+  }
+
+  test("q20: nested INs run as broadcast semi-joins with the date pushed down") {
+    val df = q("q20_part_promotion")
+    assert(mentions(df, "LeftSemi"))
+    assert(countNodes(df, "BroadcastNestedLoopJoin") === 0)
+    assert(pushedFilters(df).exists(_.contains("l_shipdate")))
+  }
+
+  test("q22: scalar threshold broadcast, anti-join for idleness, no NL join") {
+    val df = q("q22_idle_customers")
+    assert(mentions(df, "LeftAnti"))
+    assert(countNodes(df, "CartesianProduct") === 0)
+    // recent-orders date filter reaches the orders scan
+    assert(pushedFilters(df).exists(_.contains("o_orderdate")))
+  }
+
+  test("cube expands grouping sets before ONE partial-agg shuffle") {
+    val df = q("q_cube_pricing")
+    assert(hasNode(df, "Expand"))
+    assert(countShuffles(df) === 1)
+  }
 }
