@@ -45,6 +45,65 @@ object Corpus {
           col("col.n").as("chunk_tokens"), md5(col("col.txt")).as("chunk_md5")): _*)
   }
 
+  /** One row per word n-gram OCCURRENCE (not distinct): (id, g). Documents
+    * shorter than n tokens produce no rows — callers that must keep them
+    * re-join from the doc table. Narrow (one explode), never shuffles.
+    */
+  def ngramOccurrences(docs: DataFrame, id: String, text: String, n: Int): DataFrame = {
+    val grams = element_at(
+      transform(array(split(lower(col(text)), "\\s+")), tk =>
+        when(size(tk) >= n,
+          transform(sequence(lit(0), size(tk) - n),
+            i => concat_ws(" ", slice(tk, i + lit(1), lit(n)))))
+          .otherwise(array().cast("array<string>"))),
+      1)
+    docs.select(col(id), explode(grams).as("g"))
+  }
+
+  /** Gopher-style repetition/boilerplate stats per document: total bigram
+    * occurrences, the fraction held by the single most frequent bigram, and
+    * the fraction of trigram occurrences that are duplicates (their trigram
+    * appears more than once in the doc). High values flag boilerplate and
+    * degenerate repetition — the standard pretraining quality gates.
+    *
+    * Two explode+agg passes (bigrams, trigrams), each a per-doc partial
+    * agg; no cross-document state, so the operator is scale-free. Docs
+    * shorter than the n-gram emit null stats (kept via left join).
+    */
+  def repetitionStats(docs: DataFrame, id: String, text: String): DataFrame = {
+    val bg = ngramOccurrences(docs, id, text, 2)
+      .groupBy(col(id), col("g")).agg(count(lit(1)).as("c"))
+    val bstat = bg.groupBy(id).agg(
+      sum("c").as("n_bigrams"),
+      (max("c").cast("double") / sum("c").cast("double"))
+        .cast("double").as("top_bigram_frac"))
+    val tg = ngramOccurrences(docs, id, text, 3)
+      .groupBy(col(id), col("g")).agg(count(lit(1)).as("c"))
+    val tstat = tg.groupBy(id).agg(
+      (sum(when(col("c") > 1, col("c")).otherwise(0)).cast("double") /
+        sum("c").cast("double")).cast("double").as("dup_trigram_frac"))
+    docs.select(col(id)).join(bstat, Seq(id), "left").join(tstat, Seq(id), "left")
+  }
+
+  /** Train/test contamination: for each test document, how many of its
+    * DISTINCT word n-grams also occur anywhere in the train corpus.
+    * Documents with no shared n-gram (or shorter than n) are absent —
+    * the output is the contamination report, not a per-doc scorecard.
+    *
+    * Scale shape: both sides reduce to distinct n-grams first (partial
+    * agg), then one equi-shuffle on the gram joins them — never a
+    * doc × doc comparison. The gram can be hashed ([[Dedup.portableHash64]])
+    * to shrink the shuffle at 100 TB; the string form here keeps the
+    * DuckDB oracle exact.
+    */
+  def contamination(test: DataFrame, train: DataFrame,
+      id: String, text: String, n: Int): DataFrame = {
+    val testGrams = ngramOccurrences(test, id, text, n).distinct()
+    val trainGrams = ngramOccurrences(train, id, text, n).select("g").distinct()
+    testGrams.join(trainGrams, Seq("g"), "left_semi")
+      .groupBy(id).agg(count(lit(1)).as("n_shared"))
+  }
+
   /** Deterministic hash sampling: keep rows whose key hashes into
     * `num`/`den` of the hash space. Unlike `DataFrame.sample`, the
     * decision is a pure function of the key — stable across runs,

@@ -121,6 +121,54 @@ object TextQueries {
           // has no struct-ordered overload
           min_by(col("chunk_no"), col("doc_id") * 1000000 + col("chunk_no")).as("keep_chunk"))),
 
+    // Gopher-style repetition/boilerplate gates: top-bigram share and
+    // duplicate-trigram fraction per doc. Two explode+agg passes, no
+    // cross-doc state.
+    Q("q_repetition", Some("""
+      |WITH tk AS (SELECT doc_id, regexp_split_to_array(lower(text), '\s+') AS t FROM documents),
+      |bg AS (SELECT doc_id, array_to_string(t[i : i + 1], ' ') AS g
+      |  FROM tk, unnest(range(1, greatest(len(t) - 1, 0) + 1)) AS u(i)),
+      |bgc AS (SELECT doc_id, g, count(*) AS c FROM bg GROUP BY 1, 2),
+      |bstat AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_bigrams,
+      |  CAST(CAST(max(c) AS DOUBLE) / CAST(sum(c) AS DOUBLE) AS DOUBLE) AS top_bigram_frac
+      |  FROM bgc GROUP BY 1),
+      |tg AS (SELECT doc_id, array_to_string(t[i : i + 2], ' ') AS g
+      |  FROM tk, unnest(range(1, greatest(len(t) - 2, 0) + 1)) AS u(i)),
+      |tgc AS (SELECT doc_id, g, count(*) AS c FROM tg GROUP BY 1, 2),
+      |tstat AS (SELECT doc_id,
+      |  CAST(CAST(sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS DOUBLE) /
+      |       CAST(sum(c) AS DOUBLE) AS DOUBLE) AS dup_trigram_frac
+      |  FROM tgc GROUP BY 1)
+      |SELECT d.doc_id, b.n_bigrams, b.top_bigram_frac, t.dup_trigram_frac
+      |FROM documents d
+      |LEFT JOIN bstat b ON b.doc_id = d.doc_id
+      |LEFT JOIN tstat t ON t.doc_id = d.doc_id
+      |""".stripMargin.trim))(
+      (s, d) => graft.operators.Corpus.repetitionStats(
+        t(s, d, "documents"), "doc_id", "text")),
+
+    // train/test contamination: test docs (source src0) sharing any
+    // distinct 8-gram with the train corpus (every other source), with the
+    // count of shared grams. Distinct-gram reduction on both sides, then
+    // one equi-join on the gram.
+    Q("q_contamination", Some("""
+      |WITH tk AS (SELECT doc_id, source, regexp_split_to_array(lower(text), '\s+') AS t FROM documents),
+      |g AS (SELECT DISTINCT doc_id, source, array_to_string(t[i : i + 7], ' ') AS g
+      |  FROM tk, unnest(range(1, greatest(len(t) - 7, 0) + 1)) AS u(i)),
+      |test AS (SELECT doc_id, g FROM g WHERE source = 'src0'),
+      |train AS (SELECT DISTINCT g FROM g WHERE source <> 'src0')
+      |SELECT doc_id, count(*) AS n_shared
+      |FROM test JOIN train USING (g)
+      |GROUP BY doc_id
+      |""".stripMargin.trim))(
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        graft.operators.Corpus.contamination(
+          docs.filter(col("source") === "src0"),
+          docs.filter(col("source") =!= "src0"),
+          "doc_id", "text", n = 8)
+      }),
+
     // deterministic 1-in-5 hash sample: membership is a pure function of
     // doc_id (auditable, engine-portable), not a random draw.
     Q("q_sample_hash", Some(

@@ -69,6 +69,33 @@ class CorpusSpec extends SparkSpec {
     assert(kept === Set((1L, 0), (1L, 1), (2L, 1)))
   }
 
+  test("repetitionStats: top-bigram share and duplicate-trigram fraction") {
+    // "a a a b": bigrams (a a)×2, (a b)×1 → top 2/3; trigrams (a a a),
+    // (a a b) both unique → dup 0. "x y x y x y": bigrams (x y)×3,(y x)×2
+    // → top 3/5; trigrams (x y x)×2,(y x y)×2 → dup 4/4 = 1.
+    val docs = Seq((1L, "a a a b"), (2L, "x y x y x y"), (3L, "solo"))
+      .toDF("doc_id", "text")
+    val out = Corpus.repetitionStats(docs, "doc_id", "text")
+      .as[(Long, Option[Long], Option[Double], Option[Double])]
+      .collect().map(r => r._1 -> (r._2, r._3, r._4)).toMap
+    assert(out(1L) === ((Some(3L), Some(2.0 / 3), Some(0.0))))
+    assert(out(2L) === ((Some(5L), Some(3.0 / 5), Some(1.0))))
+    // shorter than a bigram: kept, with null stats
+    assert(out(3L) === ((None, None, None)))
+  }
+
+  test("contamination counts distinct shared n-grams per test doc") {
+    val test = Seq((1L, "alpha beta gamma delta"), (2L, "zeta eta theta iota"))
+      .toDF("doc_id", "text")
+    val train = Seq((10L, "alpha beta gamma epsilon"), (11L, "beta gamma delta"))
+      .toDF("doc_id", "text")
+    val out = Corpus.contamination(test, train, "doc_id", "text", n = 3)
+      .as[(Long, Long)].collect().toMap
+    // doc 1 shares "alpha beta gamma" (train 10) and "beta gamma delta"
+    // (train 11); doc 2 shares nothing and is absent
+    assert(out === Map(1L -> 2L))
+  }
+
   test("sampleByHash is deterministic and roughly proportional") {
     val docs = (1L to 1000L).map(i => (i, s"doc$i")).toDF("doc_id", "text")
     val a = Corpus.sampleByHash(docs, col("doc_id"), 1, 5)
