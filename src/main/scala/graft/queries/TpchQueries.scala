@@ -196,9 +196,12 @@ object TpchQueries {
       }),
 
     // TPC-H Q11 shape: scalar-subquery HAVING — parts whose inventory value
-    // (within a supplier-nation slice) exceeds a fraction of the slice
-    // total. The per-part aggregate materializes once (localCheckpoint) so
-    // the scalar total and the filter reuse it instead of rescanning.
+    // (within a supplier-nation slice) exceeds 2× the mean per-part value.
+    // (TPC-H's fixed-fraction threshold is divided by SF for the same
+    // reason: per-part share shrinks as the part count grows; a mean
+    // multiple is scale-free, so the query stays non-trivial at every SF.)
+    // The per-part aggregate materializes once (localCheckpoint) so the
+    // scalar threshold and the filter reuse it instead of rescanning.
     Q("q11_important_parts", Some("""
       |WITH val AS (
       |  SELECT l_partkey, sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
@@ -208,7 +211,7 @@ object TpchQueries {
       |  JOIN nation ON n_nationkey = s_nationkey
       |  WHERE n_name IN ('NATION_1', 'NATION_2', 'NATION_3') GROUP BY 1)
       |SELECT l_partkey, CAST(v AS DOUBLE) AS part_value FROM val
-      |WHERE CAST(v AS DOUBLE) > (SELECT CAST(sum(v) AS DOUBLE) * 0.002 FROM val)
+      |WHERE CAST(v AS DOUBLE) > (SELECT CAST(sum(v) AS DOUBLE) / count(*) * 2.0 FROM val)
       |""".stripMargin.trim))(
       (s, d) => {
         val supp = t(s, d, "supplier")
@@ -222,7 +225,8 @@ object TpchQueries {
           .groupBy("l_partkey")
           .agg(sum(value).as("v"))
           .localCheckpoint(true)
-        v.crossJoin(broadcast(v.agg((sum("v").cast("double") * 0.002).as("threshold"))))
+        v.crossJoin(broadcast(v.agg(
+            (sum("v").cast("double") / count(lit(1)) * 2.0).as("threshold"))))
           .filter(col("v").cast("double") > col("threshold"))
           .select(col("l_partkey"), col("v").cast("double").as("part_value"))
       }),
