@@ -115,4 +115,68 @@ object Corpus {
     require(num >= 0 && num <= den && den > 0, s"need 0 <= num <= den, got $num/$den")
     df.filter(pmod(Dedup.portableHash64(key.cast("string")), lit(den)) < num)
   }
+
+  /** Dataset-mixture sampling: per-stratum deterministic hash rates — the
+    * "data mixing" step that weights sources in a pretraining corpus
+    * (e.g. keep 100% of wiki, 10% of crawl). Same auditability as
+    * [[sampleByHash]]: membership is a pure function of (key, stratum
+    * rate), independent of partitioning and cluster size. Strata not in
+    * `rates` get `defaultNum`/`den`. One narrow filter, no shuffle.
+    */
+  def sampleMix(df: DataFrame, key: Column, stratum: Column,
+      rates: Map[String, Int], defaultNum: Int, den: Int): DataFrame = {
+    require(den > 0 && (rates.values ++ Seq(defaultNum)).forall(n => n >= 0 && n <= den),
+      s"every rate must be in [0, $den]")
+    val num = rates.foldLeft(lit(defaultNum)) { case (acc, (s, n)) =>
+      when(stratum === s, lit(n)).otherwise(acc)
+    }
+    df.filter(pmod(Dedup.portableHash64(key.cast("string")), lit(den)) < num)
+  }
+
+  /** Sequence packing: greedily assign consecutive chunks of each document
+    * to context-window bins of `capacity` tokens — the step that turns
+    * variable-length chunks into fixed-budget training sequences. A chunk
+    * that would overflow the current bin starts the next one; a chunk
+    * larger than `capacity` gets a bin of its own. Packing is per
+    * document (bins never mix documents), in `chunkNo` order.
+    *
+    * The greedy scan is inherently sequential PER DOCUMENT, but documents
+    * are independent: one partial-agg shuffle gathers each doc's (small)
+    * chunk list, and the scan itself is a Catalyst `aggregate` lambda —
+    * codegen-friendly, no UDF, no driver state, so the operator scales
+    * with the number of documents.
+    *
+    * Output: (docId, chunkNo, tokensCol, bin) — bin is 0-based per doc.
+    */
+  def packChunks(chunks: DataFrame, docId: String, chunkNo: String,
+      tokensCol: String, capacity: Int): DataFrame = {
+    require(capacity > 0, s"need capacity > 0, got $capacity")
+    val packed = aggregate(
+      col("cs"),
+      // (assignments so far, current bin, tokens in current bin)
+      struct(
+        array().cast("array<struct<no:int,n:int,bin:int>>").as("bins"),
+        lit(0).as("curBin"), lit(0L).as("curSum")),
+      (acc, x) => {
+        val n = x.getField("n").cast("long")
+        val overflow = acc.getField("curSum") + n > capacity &&
+          acc.getField("curSum") > 0
+        val bin = when(overflow, acc.getField("curBin") + 1)
+          .otherwise(acc.getField("curBin"))
+        struct(
+          concat(acc.getField("bins"),
+            array(struct(x.getField("no").as("no"), x.getField("n").as("n"),
+              bin.as("bin")))).as("bins"),
+          bin.as("curBin"),
+          when(overflow, n).otherwise(acc.getField("curSum") + n).as("curSum"))
+      },
+      acc => acc.getField("bins"))
+    chunks
+      .groupBy(col(docId))
+      .agg(sort_array(collect_list(struct(
+        col(chunkNo).cast("int").as("no"), col(tokensCol).cast("int").as("n")))).as("cs"))
+      .select(col(docId), explode(packed).as("p"))
+      .select(col(docId), col("p.no").as(chunkNo),
+        col("p.n").as(tokensCol), col("p.bin").as("bin"))
+  }
 }

@@ -178,6 +178,49 @@ object TextQueries {
         t(s, d, "documents"), col("doc_id"), num = 1, den = 5)
         .select("doc_id", "lang")),
 
+    // dataset-mixture sampling: per-source deterministic rates (keep all
+    // of src0, half of src1, none of src2, 1-in-5 of the rest) — the
+    // data-mixing step of a pretraining corpus, as one narrow filter.
+    Q("q_sample_mix", Some("""
+      |SELECT doc_id, source FROM documents
+      |WHERE ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 10 <
+      |  CASE WHEN source = 'src0' THEN 10 WHEN source = 'src1' THEN 5
+      |       WHEN source = 'src2' THEN 0 ELSE 2 END
+      |""".stripMargin.trim))(
+      (s, d) => graft.operators.Corpus.sampleMix(
+        t(s, d, "documents"), col("doc_id"), col("source"),
+        rates = Map("src0" -> 10, "src1" -> 5, "src2" -> 0),
+        defaultNum = 2, den = 10)
+        .select("doc_id", "source")),
+
+    // sequence packing: chunks (8-token windows, overlap 2) greedily
+    // packed into 20-token training bins per doc. The greedy scan is a
+    // Catalyst aggregate lambda over each doc's chunk list (one partial-
+    // agg shuffle); the oracle replays it as a recursive CTE.
+    Q("q_pack", Some("""
+      |WITH RECURSIVE tk AS (
+      |  SELECT doc_id, regexp_split_to_array(text, '\s+') AS t FROM documents),
+      |c AS (SELECT doc_id, t, unnest(range(0, greatest(len(t) - 2, 1), 6)) AS s FROM tk),
+      |ch AS (SELECT doc_id, CAST(s // 6 AS INT) AS chunk_no,
+      |  CAST(least(8, len(t) - s) AS INT) AS chunk_tokens,
+      |  row_number() OVER (PARTITION BY doc_id ORDER BY s) AS rn FROM c),
+      |pack AS (
+      |  SELECT doc_id, chunk_no, chunk_tokens, rn, 0 AS bin,
+      |    CAST(chunk_tokens AS BIGINT) AS cur
+      |  FROM ch WHERE rn = 1
+      |  UNION ALL
+      |  SELECT c.doc_id, c.chunk_no, c.chunk_tokens, c.rn,
+      |    CASE WHEN p.cur + c.chunk_tokens > 20 AND p.cur > 0 THEN p.bin + 1 ELSE p.bin END,
+      |    CASE WHEN p.cur + c.chunk_tokens > 20 AND p.cur > 0
+      |      THEN CAST(c.chunk_tokens AS BIGINT) ELSE p.cur + c.chunk_tokens END
+      |  FROM ch c JOIN pack p ON c.doc_id = p.doc_id AND c.rn = p.rn + 1)
+      |SELECT doc_id, chunk_no, chunk_tokens, bin FROM pack
+      |""".stripMargin.trim))(
+      (s, d) => graft.operators.Corpus.packChunks(
+        graft.operators.Corpus.chunk(
+          t(s, d, "documents"), "doc_id", "text", chunkTokens = 8, overlapTokens = 2),
+        "doc_id", "chunk_no", "chunk_tokens", capacity = 20)),
+
     // THE composed corpus-prep pipeline, end to end in one plan:
     // deterministic 4-in-5 sample → quality gate → context-window chunking
     // → corpus-wide chunk dedup (first (doc, chunk) wins) → per-source

@@ -96,6 +96,65 @@ class CorpusSpec extends SparkSpec {
     assert(out === Map(1L -> 2L))
   }
 
+  test("packChunks: greedy per-doc binning, oversized chunk gets its own bin") {
+    // capacity 10: [4,4,4] -> bins 0,0,1 ; [12,3] -> oversized 12 alone in
+    // bin 0 (cur=12 > cap), next chunk overflows into bin 1
+    val chunks = Seq(
+      (1L, 0, 4), (1L, 1, 4), (1L, 2, 4),
+      (2L, 0, 12), (2L, 1, 3)).toDF("doc_id", "chunk_no", "chunk_tokens")
+    val out = Corpus.packChunks(chunks, "doc_id", "chunk_no", "chunk_tokens", 10)
+      .select("doc_id", "chunk_no", "bin").as[(Long, Int, Int)].collect().toSet
+    assert(out === Set((1L, 0, 0), (1L, 1, 0), (1L, 2, 1), (2L, 0, 0), (2L, 1, 1)))
+    // bins never mix documents; capacity respected except oversized chunks
+    val sums = Corpus.packChunks(chunks, "doc_id", "chunk_no", "chunk_tokens", 10)
+      .groupBy("doc_id", "bin")
+      .agg(org.apache.spark.sql.functions.sum("chunk_tokens").as("s"))
+      .select("s").as[Long].collect()
+    assert(sums.forall(s => s <= 10 || s == 12))
+  }
+
+  test("sampleMix applies per-stratum rates deterministically") {
+    val docs = (1L to 300L).map(i => (i, s"src${i % 3}")).toDF("doc_id", "source")
+    val out = Corpus.sampleMix(docs, col("doc_id"), col("source"),
+      rates = Map("src0" -> 10, "src1" -> 0), defaultNum = 5, den = 10)
+      .select("doc_id", "source").as[(Long, String)].collect()
+    val bySrc = out.groupBy(_._2).view.mapValues(_.length).toMap
+    assert(bySrc.getOrElse("src0", 0) === 100) // rate 10/10: all kept
+    assert(!bySrc.contains("src1"))            // rate 0: none
+    val d = bySrc.getOrElse("src2", 0)         // default 5/10: about half
+    assert(d > 25 && d < 75, s"expected ~50, got $d")
+    // same rows on a rerun — membership is a pure function of the key
+    val again = Corpus.sampleMix(docs, col("doc_id"), col("source"),
+      rates = Map("src0" -> 10, "src1" -> 0), defaultNum = 5, den = 10)
+      .select("doc_id").as[Long].collect().toSet
+    assert(again === out.map(_._1).toSet)
+  }
+
+  test("streaming contamination gate: stream docs flagged against a static train set") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val train = Seq((10L, "alpha beta gamma epsilon")).toDF("doc_id", "text")
+    val trainGrams = Corpus.ngramOccurrences(train, "doc_id", "text", 3)
+      .select("g").distinct()
+    val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)]
+    // stream-static left-semi join: the static gram set builds once per
+    // batch, the stream side stays append-only
+    // (production would dedup grams per doc within a watermark first; the
+    // fixture has no repeated grams, so the count is already distinct)
+    val flagged = Corpus.ngramOccurrences(
+        mem.toDF().toDF("doc_id", "text"), "doc_id", "text", 3)
+      .join(trainGrams, Seq("g"), "left_semi")
+      .groupBy("doc_id").count()
+    val q = flagged.writeStream.format("memory").queryName("contam_sink")
+      .outputMode("complete").start()
+    try {
+      mem.addData((1L, "alpha beta gamma delta"), (2L, "zeta eta theta"))
+      q.processAllAvailable()
+    } finally q.stop()
+    val kept = spark.table("contam_sink")
+      .select("doc_id", "count").as[(Long, Long)].collect().toMap
+    assert(kept === Map(1L -> 1L)) // only "alpha beta gamma" is shared
+  }
+
   test("sampleByHash is deterministic and roughly proportional") {
     val docs = (1L to 1000L).map(i => (i, s"doc$i")).toDF("doc_id", "text")
     val a = Corpus.sampleByHash(docs, col("doc_id"), 1, 5)
