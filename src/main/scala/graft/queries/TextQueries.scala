@@ -178,6 +178,50 @@ object TextQueries {
         t(s, d, "documents"), col("doc_id"), num = 1, den = 5)
         .select("doc_id", "lang")),
 
+    // corpus vocabulary top-k (tokenizer-training stats): one explode, one
+    // count shuffle, then the bounded topk_agg — 25 rows cross the final
+    // exchange, not the vocabulary.
+    Q("q_vocab_topk", Some("""
+      |WITH tok AS (
+      |  SELECT unnest(regexp_split_to_array(lower(text), '\s+')) AS token FROM documents),
+      |cnt AS (SELECT token, count(*) AS n FROM tok GROUP BY 1)
+      |SELECT token, n FROM (
+      |  SELECT token, n, row_number() OVER (ORDER BY n DESC, token) AS rk FROM cnt)
+      |WHERE rk <= 25
+      |""".stripMargin.trim))(
+      (s, d) => {
+        val counts = t(s, d, "documents")
+          .select(explode(split(lower(col("text")), "\\s+")).as("token"))
+          .groupBy("token").agg(count(lit(1)).as("n"))
+        graft.operators.Similarity.topKPerKey(counts, Nil,
+            struct((-col("n")).as("nn"), col("token").as("tk")), 25)
+          .select(explode(col("topk")).as("t"))
+          .select(col("t.tk").as("token"), (-col("t.nn")).as("n"))
+      }),
+
+    // trending events: top-3 event types per hourly window — the windowed
+    // top-k composition (window bucket + count + bounded top-k per
+    // window), all partial-agg shuffles.
+    Q("q_trending", Some("""
+      |WITH w AS (SELECT event_type,
+      |  (epoch_ns(ts) // 1000 // 3600000000) * 3600000000 AS win_start FROM events),
+      |c AS (SELECT win_start, event_type, count(*) AS n FROM w GROUP BY 1, 2)
+      |SELECT win_start, event_type, n FROM (
+      |  SELECT win_start, event_type, n,
+      |    row_number() OVER (PARTITION BY win_start ORDER BY n DESC, event_type) AS rk FROM c)
+      |WHERE rk <= 3
+      |""".stripMargin.trim))(
+      (s, d) => {
+        val counts = t(s, d, "events")
+          .select(col("event_type"),
+            (expr("ts div 1000 div 3600000000") * 3600000000L).as("win_start"))
+          .groupBy("win_start", "event_type").agg(count(lit(1)).as("n"))
+        graft.operators.Similarity.topKPerKey(counts, Seq("win_start"),
+            struct((-col("n")).as("nn"), col("event_type").as("et")), 3)
+          .select(col("win_start"), explode(col("topk")).as("t"))
+          .select(col("win_start"), col("t.et").as("event_type"), (-col("t.nn")).as("n"))
+      }),
+
     // dataset-mixture sampling: per-source deterministic rates (keep all
     // of src0, half of src1, none of src2, 1-in-5 of the rest) — the
     // data-mixing step of a pretraining corpus, as one narrow filter.
