@@ -24,7 +24,10 @@ object Bench {
       }
       (System.nanoTime() - t0) / 1e9
     }
+    // SPARK_GRAFT_ONLY=q_a,q_b restricts the run (profiling aid)
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
     val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.forall(_.contains(n)) }
     // untimed warmup pass: JIT, codegen cache, parquet footers — so the
     // timed numbers measure the queries, not session boot
     if (sys.env.getOrElse("SPARK_GRAFT_WARMUP", "1") == "1") {

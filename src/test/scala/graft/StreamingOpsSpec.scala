@@ -62,6 +62,54 @@ class StreamingOpsSpec extends SparkSpec {
     assert(rows("2").contains("\"checking\"") && rows("2").contains("\"size\":1"))
   }
 
+  test("example_2 topology: 3-way branch + CHAINED stream-stream joins, one query") {
+    // the reference's example_2 shape (/root/reference/examples/example_2/
+    // stream/a.go:18-105): one topic carrying three event types → 3-way
+    // branch → per-branch filter → JoinStream(A,B) → JoinStream(AB,C).
+    // The reference buffers join state in unbounded maps; the Spark form
+    // bounds both joins with watermarks + time-range conditions — state
+    // is evicted, which the reference cannot do (SURVEY §2.3 J3).
+    import graft.dsl.KStream
+    val mem = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(String, String, Long, String)]
+    val src = KStream(
+      mem.toDF().toDF("key", "typ", "ts_ms", "payload"), "key")
+    val Seq(aBr, bBr, cBr) = src.branch(
+      col("typ") === "A", col("typ") === "B", col("typ") === "C")
+    def side(s: KStream, p: String) = s.toDF
+      .select(col("key").as(s"${p}_key"),
+        timestamp_millis(col("ts_ms")).as(s"${p}_ts"),
+        col("payload").as(s"${p}_val"))
+      .withWatermark(s"${p}_ts", "10 minutes")
+    val a = side(aBr, "a"); val b = side(bBr, "b"); val c = side(cBr, "c")
+    val ab = a.join(b,
+      col("a_key") === col("b_key") &&
+        col("b_ts").between(col("a_ts") - expr("INTERVAL 5 MINUTES"),
+          col("a_ts") + expr("INTERVAL 5 MINUTES")))
+    val abc = ab.join(c,
+      col("a_key") === col("c_key") &&
+        col("c_ts").between(col("a_ts") - expr("INTERVAL 5 MINUTES"),
+          col("a_ts") + expr("INTERVAL 5 MINUTES")))
+      .select(col("a_key").as("key"), col("a_val"), col("b_val"), col("c_val"))
+    assert(abc.isStreaming, "chained join topology must stay streaming")
+    val q = abc.writeStream.format("memory").queryName("abc_sink")
+      .outputMode("append").start()
+    try {
+      val t0 = 1700000000000L
+      mem.addData(
+        ("k1", "A", t0, "a1"), ("k1", "B", t0 + 60000, "b1"),
+        ("k1", "C", t0 + 120000, "c1"),          // full ABC chain
+        ("k2", "A", t0, "a2"), ("k2", "B", t0 + 60000, "b2"), // AB, no C
+        ("k3", "A", t0, "a3"),
+        ("k3", "C", t0 + 3600000, "c3"))         // C outside the 5 min band
+      q.processAllAvailable()
+    } finally q.stop()
+    val rows = spark.table("abc_sink")
+      .select("key", "a_val", "b_val", "c_val")
+      .as[(String, String, String, String)].collect().toSet
+    assert(rows === Set(("k1", "a1", "b1", "c1")))
+  }
+
   test("streaming near-dup: new doc matches an earlier batch's document") {
     val mem = MemoryStream[(Long, String)]
     val out = graft.streaming.StreamingDedup.nearDupCandidates(
