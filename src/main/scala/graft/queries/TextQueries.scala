@@ -178,6 +178,41 @@ object TextQueries {
         t(s, d, "documents"), col("doc_id"), num = 1, den = 5)
         .select("doc_id", "lang")),
 
+    // BM25 lexical search (log-free rational idf — ln() is not bit-portable
+    // across libm implementations): top-20 docs for a 3-term query. Scores
+    // sum per-term in a fixed order; every input is an exact integer, so
+    // the double arithmetic is bit-identical in both engines.
+    Q("q_bm25_topk", Some("""
+      |WITH tok AS (
+      |  SELECT doc_id, unnest(regexp_split_to_array(lower(text), '\s+')) AS tk FROM documents),
+      |len AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY 1),
+      |tf AS (SELECT doc_id,
+      |    CAST(sum(CASE WHEN tk = 'join' THEN 1 ELSE 0 END) AS BIGINT) AS tf_join,
+      |    CAST(sum(CASE WHEN tk = 'shuffle' THEN 1 ELSE 0 END) AS BIGINT) AS tf_shuffle,
+      |    CAST(sum(CASE WHEN tk = 'window' THEN 1 ELSE 0 END) AS BIGINT) AS tf_window
+      |  FROM tok GROUP BY 1),
+      |stats AS (SELECT CAST(count(*) AS BIGINT) AS n,
+      |    CAST(CAST(sum(dl) AS BIGINT) AS DOUBLE) / count(*) AS avglen FROM len),
+      |df AS (SELECT
+      |    CAST(count(DISTINCT CASE WHEN tk = 'join' THEN doc_id END) AS BIGINT) AS df_join,
+      |    CAST(count(DISTINCT CASE WHEN tk = 'shuffle' THEN doc_id END) AS BIGINT) AS df_shuffle,
+      |    CAST(count(DISTINCT CASE WHEN tk = 'window' THEN doc_id END) AS BIGINT) AS df_window
+      |  FROM tok)
+      |SELECT doc_id, score FROM (
+      |  SELECT l.doc_id,
+      |    ((CAST(n AS DOUBLE) - df_join + 0.5) / (df_join + 0.5)) *
+      |      ((tf_join * CAST(2.2 AS DOUBLE)) / (tf_join + 1.2 * (1.0 - 0.75 + 0.75 * (CAST(dl AS DOUBLE) / avglen)))) +
+      |    ((CAST(n AS DOUBLE) - df_shuffle + 0.5) / (df_shuffle + 0.5)) *
+      |      ((tf_shuffle * CAST(2.2 AS DOUBLE)) / (tf_shuffle + 1.2 * (1.0 - 0.75 + 0.75 * (CAST(dl AS DOUBLE) / avglen)))) +
+      |    ((CAST(n AS DOUBLE) - df_window + 0.5) / (df_window + 0.5)) *
+      |      ((tf_window * CAST(2.2 AS DOUBLE)) / (tf_window + 1.2 * (1.0 - 0.75 + 0.75 * (CAST(dl AS DOUBLE) / avglen)))) AS score
+      |  FROM len l JOIN tf USING (doc_id), stats, df)
+      |ORDER BY score DESC, doc_id LIMIT 20
+      |""".stripMargin.trim))(
+      (s, d) => graft.operators.Search.bm25TopK(
+        t(s, d, "documents"), "doc_id", "text",
+        terms = Seq("join", "shuffle", "window"), k = 20)),
+
     // corpus vocabulary top-k (tokenizer-training stats): one explode, one
     // count shuffle, then the bounded topk_agg — 25 rows cross the final
     // exchange, not the vocabulary.

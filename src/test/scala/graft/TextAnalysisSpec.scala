@@ -7,6 +7,28 @@ import graft.functions.TextAnalysis
 class TextAnalysisSpec extends SparkSpec {
   import spark.implicits._
 
+  test("bm25TopK ranks docs with rare query terms above common-term docs") {
+    // "needle" appears in one doc (rare → high idf); "the" in all (low)
+    val docs = Seq(
+      (1L, "the needle in the haystack"),
+      (2L, "the the the common words only"),
+      (3L, "haystack of other words"),
+      (4L, "the needle again and the needle once more")).toDF("doc_id", "text")
+    val top = graft.operators.Search.bm25TopK(
+        docs, "doc_id", "text", terms = Seq("needle", "haystack"), k = 4)
+      .select("doc_id").as[Long].collect().toSeq
+    // doc 1 has both terms; doc 4 has needle twice (higher tf, longer
+    // doc); doc 3 haystack only; doc 2 neither (score 0, ranked last)
+    assert(top.head === 1L)
+    assert(top.last === 2L)
+    assert(top.toSet === Set(1L, 2L, 3L, 4L))
+    // deterministic across reruns (pure function of exact-int stats)
+    val again = graft.operators.Search.bm25TopK(
+        docs, "doc_id", "text", Seq("needle", "haystack"), 4)
+      .select("doc_id").as[Long].collect().toSeq
+    assert(again === top)
+  }
+
   test("token counts: whitespace and BPE-ish lexer") {
     val df = Seq("hello world, it's 2024!").toDF("t")
     val (ws, bpe) = df.select(
