@@ -76,6 +76,65 @@ object StreamingStateV2 {
     }
   }
 
+  /** Output of [[snapshotEvery]]: a timer-driven per-key snapshot.
+    * `updatesSinceLast` is the number of records folded into the key
+    * since its previous emission.
+    */
+  final case class Snapshot(key: String, value: String, updatesSinceLast: Long)
+
+  /** Punctuate: periodic per-key state emission on PROCESSING-TIME timers —
+    * the Kafka Streams `punctuate` capability the reference's model implies
+    * but never implements (its only sweep is TTL deletion,
+    * /root/reference/backend/memory/memory.go:104-117). Each key keeps the
+    * latest value and a dirty-counter; the first update after an emission
+    * registers a timer `interval` ahead, and when it fires the key's
+    * current state is emitted ONCE (no steady-state churn: a clean key
+    * registers no further timers until it is updated again).
+    *
+    * Timers live in the state store alongside the values — per-key,
+    * partitioned, replayed from the checkpoint on recovery — so the
+    * pattern holds at any key cardinality; there is no driver-side clock.
+    */
+  private final class SnapshotEveryProcessor(intervalMs: Long)
+      extends StatefulProcessor[String, (String, String), Snapshot] {
+    @transient private var latest: ValueState[String] = _
+    @transient private var dirty: ValueState[Long] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      latest = getHandle.getValueState[String]("latest", Encoders.STRING, TTLConfig.NONE)
+      dirty = getHandle.getValueState[Long]("dirty", Encoders.scalaLong, TTLConfig.NONE)
+    }
+
+    override def handleInputRows(
+        key: String, rows: Iterator[(String, String)], tv: TimerValues): Iterator[Snapshot] = {
+      var n = if (dirty.exists()) dirty.get() else 0L
+      rows.foreach { case (_, v) => latest.update(v); n += 1 }
+      // timer only on the clean→dirty transition: one pending timer per key
+      if ((!dirty.exists() || dirty.get() == 0L) && n > 0)
+        getHandle.registerTimer(tv.getCurrentProcessingTimeInMs() + intervalMs)
+      dirty.update(n)
+      Iterator.empty
+    }
+
+    override def handleExpiredTimer(
+        key: String, tv: TimerValues, timer: ExpiredTimerInfo): Iterator[Snapshot] = {
+      val n = if (dirty.exists()) dirty.get() else 0L
+      if (n > 0 && latest.exists()) {
+        dirty.update(0L)
+        Iterator.single(Snapshot(key, latest.get(), n))
+      } else Iterator.empty
+    }
+  }
+
+  /** See [[SnapshotEveryProcessor]]. Input: (key, value) pairs. */
+  def snapshotEvery(ds: Dataset[(String, String)], interval: Duration): Dataset[Snapshot] = {
+    import ds.sparkSession.implicits._
+    ds.groupByKey(_._1)
+      .transformWithState(
+        new SnapshotEveryProcessor(interval.toMillis),
+        TimeMode.ProcessingTime(), OutputMode.Append())
+  }
+
   /** Input to [[asOfEnrich]]: table-side rows (`isTable = true`) carry a
     * versioned value for the key; event-side rows query the state as of
     * their own timestamp.

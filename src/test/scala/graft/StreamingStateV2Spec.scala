@@ -82,6 +82,41 @@ class StreamingStateV2Spec extends SparkSpec {
     }
   }
 
+  test("snapshotEvery (punctuate): timer emits one snapshot per dirty key, then goes quiet") {
+    import graft.streaming.StreamingStateV2.Snapshot
+    val mem = MemoryStream[(String, String)]
+    withRocks {
+      val q = StreamingStateV2.snapshotEvery(
+          mem.toDS(), java.time.Duration.ofMillis(300))
+        .writeStream.format("memory").queryName("graft_tws_snap")
+        .outputMode(OutputMode.Append()).start()
+      try {
+        def snaps = spark.table("graft_tws_snap").as[Snapshot].collect().toSeq
+        // three updates to k1 in one batch, before the timer fires →
+        // ONE snapshot carrying the latest value and the update count
+        // (one addData call = one microbatch, so the counter can't be
+        // split by an early timer)
+        mem.addData(("k1", "v1"), ("k1", "v2"), ("k1", "v3"), ("k2", "w1"))
+        val d1 = System.currentTimeMillis() + 60000
+        while (snaps.size < 2 && System.currentTimeMillis() < d1)
+          Thread.sleep(100)
+        val byKey = snaps.groupBy(_.key)
+        assert(byKey("k1") === Seq(Snapshot("k1", "v3", 3)))
+        assert(byKey("k2") === Seq(Snapshot("k2", "w1", 1)))
+        // clean keys register no further timers: no new snapshots arrive
+        Thread.sleep(1200)
+        assert(snaps.size === 2, s"clean keys must stay quiet, got $snaps")
+        // a new update re-arms the timer for that key only
+        mem.addData(("k1", "v4"))
+        val d2 = System.currentTimeMillis() + 60000
+        while (snaps.size < 3 && System.currentTimeMillis() < d2)
+          Thread.sleep(100)
+        assert(snaps.count(_.key == "k1") === 2)
+        assert(snaps.filter(_.key == "k1").map(_.value).toSet === Set("v3", "v4"))
+      } finally q.stop()
+    }
+  }
+
   test("asOfEnrich: events see the table value as of their own timestamp") {
     import graft.streaming.StreamingStateV2.{AsOfInput, AsOfMatch}
     val mem = MemoryStream[AsOfInput]
