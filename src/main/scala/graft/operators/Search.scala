@@ -25,43 +25,37 @@ object Search {
     * any engine evaluating the same expression tree, which is what lets
     * the DuckDB oracle pin the exact top-k.
     *
-    * Scale shape: one explode over the corpus, two per-doc partial aggs
-    * (length, per-term tf via conditional sums), two O(1)-row global
-    * aggregates (N + avglen, per-term df) broadcast to the scorer, and a
-    * TakeOrdered for the top-k — no shuffle carries more than one row
-    * per document.
+    * Scale shape: ONE pass over the exploded tokens — a per-doc partial
+    * agg computing length and every per-term tf together (conditional
+    * sums). Everything else derives from that one-row-per-doc frame: doc
+    * count, average length, and per-term dfs (docs with tf > 0) in a
+    * single O(1)-row global agg, broadcast to the scorer; a TakeOrdered
+    * keeps the top-k. No shuffle carries more than one row per document.
     */
   def bm25TopK(docs: DataFrame, id: String, text: String,
       terms: Seq[String], k: Int,
       k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     require(terms.nonEmpty, "need at least one query term")
     val tok = docs.select(col(id), explode(split(lower(col(text)), "\\s+")).as("tk"))
-    val len = tok.groupBy(id).agg(count(lit(1)).as("dl"))
-    val tf = tok.groupBy(id).agg(
-      terms.head.pipe(t => sum(when(col("tk") === t, 1).otherwise(0)).as(s"tf_$t")),
-      terms.tail.map(t =>
+    // length + every per-term tf in ONE per-doc partial agg
+    val docStats = tok.groupBy(id).agg(
+      count(lit(1)).as("dl"),
+      terms.map(t =>
         sum(when(col("tk") === t, 1).otherwise(0)).as(s"tf_$t")): _*)
-    val stats = len.agg(
+    val stats = docStats.agg(
       count(lit(1)).as("n"),
-      (sum("dl").cast("double") / count(lit(1))).as("avglen"))
-    val df = tok.agg(
-      terms.head.pipe(t => countDistinct(when(col("tk") === t, col(id))).as(s"df_$t")),
-      terms.tail.map(t =>
-        countDistinct(when(col("tk") === t, col(id))).as(s"df_$t")): _*)
+      ((sum("dl").cast("double") / count(lit(1))).as("avglen") +:
+        terms.map(t =>
+          sum(when(col(s"tf_$t") > 0, 1).otherwise(0)).as(s"df_$t"))): _*)
     val lenNorm = lit(1.0) - b + lit(b) * (col("dl").cast("double") / col("avglen"))
     val score = terms.map { t =>
       ((col("n").cast("double") - col(s"df_$t") + 0.5) / (col(s"df_$t") + 0.5)) *
         ((col(s"tf_$t") * lit(k1 + 1)) / (col(s"tf_$t") + lit(k1) * lenNorm))
     }.reduce(_ + _)
-    len.join(tf, Seq(id))
+    docStats
       .crossJoin(broadcast(stats))
-      .crossJoin(broadcast(df))
       .select(col(id), score.as("score"))
       .orderBy(col("score").desc, col(id))
       .limit(k)
-  }
-
-  private implicit class Piped[A](private val a: A) extends AnyVal {
-    def pipe[B](f: A => B): B = f(a)
   }
 }

@@ -110,6 +110,36 @@ class StreamingOpsSpec extends SparkSpec {
     assert(rows === Set(("k1", "a1", "b1", "c1")))
   }
 
+  test("streaming sessionization: gap-based session closes once the watermark passes") {
+    // the streaming twin of q_session_window: session_window merges events
+    // within a 5 min gap; append mode emits a session only after the
+    // watermark (max ts − 10 min) passes its end — bounded state, which
+    // the reference's unbounded buffers cannot express (SURVEY §1.4)
+    val mem = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(String, Long, Double)]
+    val sessions = mem.toDF().toDF("user", "ts_ms", "value")
+      .withColumn("ts", timestamp_millis(col("ts_ms")))
+      .withWatermark("ts", "10 minutes")
+      .groupBy(session_window(col("ts"), "5 minutes"), col("user"))
+      .agg(count(lit(1)).as("n"), sum("value").as("total"))
+      .select(col("user"), col("n"), col("total"))
+    val q = sessions.writeStream.format("memory").queryName("session_sink")
+      .outputMode("append").start()
+    try {
+      val t0 = 1700000000000L
+      mem.addData(("u1", t0, 1.0), ("u1", t0 + 120000, 2.0)) // one session
+      q.processAllAvailable()
+      // 40 min later: new session; watermark moves past the first one
+      mem.addData(("u1", t0 + 2400000, 5.0))
+      q.processAllAvailable()
+      mem.addData(("u1", t0 + 2460000, 7.0)) // extra batch to flush emission
+      q.processAllAvailable()
+    } finally q.stop()
+    val rows = spark.table("session_sink")
+      .as[(String, Long, Double)].collect().toSet
+    assert(rows === Set(("u1", 2L, 3.0))) // merged 2-event session, total 1+2
+  }
+
   test("streaming near-dup: new doc matches an earlier batch's document") {
     val mem = MemoryStream[(Long, String)]
     val out = graft.streaming.StreamingDedup.nearDupCandidates(
