@@ -60,6 +60,16 @@ object SimilarityQueries {
           nlist = 16, nprobe = 4)
       }),
 
+    // PQ ANN — the compressed-corpus scale path: vectors stored as m
+    // one-byte codes; queries scan only codes (ADC), then exactly rerank
+    // a 10×k pool (SimilaritySpec pins recall ≥ 0.7 vs exact L2).
+    Q("q_ann_pq", None)(
+      (s, d) => {
+        val emb = t(s, d, "embeddings")
+        Similarity.pqTopKReranked(
+          emb.filter(col("vec_id") < 20), emb, "vec_id", "embedding", k = 5)
+      }),
+
     // embedding-cosine near-dup pairs, exact all-pairs baseline (the
     // corpus has no planted high-cosine dups — max pair ≈ 0.51 — so the
     // threshold sits where real pairs exist; integer-id output keeps the

@@ -167,4 +167,49 @@ class PlanShapeSpec extends SparkSpec {
     assert(hasNode(df, "Expand"))
     assert(countShuffles(df) === 1)
   }
+
+  test("q8: every dim broadcast — the fact side never sort-merge joins") {
+    val df = q("q8_market_share")
+    assert(countNodes(df, "SortMergeJoin") === 0)
+    assert(countNodes(df, "BroadcastHashJoin") >= 3)
+    assert(pushedFilters(df).exists(_.contains("p_type")))
+  }
+
+  test("q13: histogram is a left-outer join plus two agg shuffles, no NL join") {
+    val df = q("q13_order_count_distribution")
+    assert(mentions(df, "LeftOuter"))
+    assert(countNodes(df, "BroadcastNestedLoopJoin") === 0)
+    assert(countShuffles(df) >= 2)
+  }
+
+  test("q17: correlated avg runs as broadcast probes, brand filter pushed down") {
+    val df = q("q17_small_quantity_revenue")
+    assert(countNodes(df, "BroadcastNestedLoopJoin") === 0)
+    assert(hasNode(df, "BroadcastHashJoin"))
+    assert(pushedFilters(df).exists(_.contains("p_brand")))
+  }
+
+  test("q21: sole-late composition stays semi-joins, never a nested loop") {
+    val df = q("q21_sole_late_supplier")
+    assert(mentions(df, "LeftSemi"))
+    assert(countNodes(df, "BroadcastNestedLoopJoin") === 0)
+    assert(countNodes(df, "CartesianProduct") === 0)
+  }
+
+  test("bm25: token explode feeds one reusable agg, top-k as TakeOrdered") {
+    val df = q("q_bm25_topk")
+    // the per-doc agg subtree appears twice statically (scorer + global
+    // stats consume the same frame); its exchange is identical, so AQE
+    // reuses one computation at runtime — anything beyond 2 would mean a
+    // third scan crept in
+    assert(countNodes(df, "Generate") <= 2)
+    assert(hasNode(df, "TakeOrderedAndProject"))
+    assert(countNodes(df, "SortMergeJoin") === 0)
+  }
+
+  test("pack: greedy scan is one per-doc agg + explode — no window, no join") {
+    val df = q("q_pack")
+    assert(countNodes(df, "Window") === 0)
+    assert(countNodes(df, "Join") === 0)
+  }
 }

@@ -107,6 +107,51 @@ class SimilaritySpec extends SparkSpec {
     assert(q(2L) === Seq(0, 0, 0))
   }
 
+  test("pqEncode: codes are valid, m per vector, deterministic") {
+    val emb = queries.Tables.t(spark, sf, "embeddings")
+    val cb = Similarity.pqCodebook(emb, "vec_id", "embedding", m = 8, numCodes = 16, dim = 64)
+    assert(cb.count() === 8 * 16)
+    val codes = Similarity.pqEncode(emb, "vec_id", "embedding", cb, m = 8, dim = 64)
+      .as[(Long, Int, Int)].collect()
+    val n = emb.count()
+    assert(codes.length === n * 8)           // m codes per vector
+    assert(codes.forall { case (_, s, c) => s >= 0 && s < 8 && c >= 0 && c < 16 })
+    val again = Similarity.pqEncode(emb, "vec_id", "embedding", cb, 8, 64)
+      .as[(Long, Int, Int)].collect()
+    assert(again.toSet === codes.toSet)      // pure function of the data
+    // the quantizer actually discriminates: every subspace uses >1 code
+    val codesPerSub = codes.groupBy(_._2).view.mapValues(_.map(_._3).distinct.size)
+    assert(codesPerSub.values.forall(_ > 1), s"degenerate subspace: $codesPerSub")
+  }
+
+  test("PQ: raw ADC beats chance; ADC pool + exact rerank recalls >= 0.7") {
+    val emb = queries.Tables.t(spark, sf, "embeddings")
+    val q = emb.filter(col("vec_id") < 10)
+    // exact squared-L2 top-5 per query (small cross join, test-only)
+    val exact = q.select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+      .crossJoin(emb.select(col("vec_id").as("neighbor_id"), col("embedding").as("nv")))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("d", Similarity.sqDist(col("qv"), col("nv")))
+      .withColumn("rk", org.apache.spark.sql.functions.row_number.over(
+        org.apache.spark.sql.expressions.Window.partitionBy("query_id")
+          .orderBy(col("d"), col("neighbor_id"))))
+      .filter(col("rk") <= 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    // raw ADC ranking: coarse (16 codes/subspace) but far above chance
+    // (random 5 of 500 ⇒ ~0.01)
+    val adc = Similarity.pqTopK(q, emb, "vec_id", "embedding", k = 5,
+        m = 8, numCodes = 16, dim = 64)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val adcRecall = (exact & adc).size.toDouble / exact.size
+    assert(adcRecall >= 0.15, s"raw ADC recall $adcRecall too low")
+    // the production pipeline: ADC pool (10x oversample) + exact rerank
+    val reranked = Similarity.pqTopKReranked(q, emb, "vec_id", "embedding",
+        k = 5, oversample = 10)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = (exact & reranked).size.toDouble / exact.size
+    assert(recall >= 0.7, s"PQ+rerank recall $recall too low")
+  }
+
   test("embeddingNearDups finds planted high-cosine pairs only") {
     val vecs = Seq(
       (0L, Seq(1f, 0.01f, 0f, 0f)),
