@@ -146,6 +146,11 @@ object Corpus {
     * codegen-friendly, no UDF, no driver state, so the operator scales
     * with the number of documents.
     *
+    * Caveat: the fold appends to an immutable array, so a document with c
+    * chunks costs O(c²) element copies — negligible for normal documents
+    * (a 2k-token doc at stride 6 is ~330 chunks) but real for monster
+    * docs; [[packChunksTyped]] is the linear form for that regime.
+    *
     * Output: (docId, chunkNo, tokensCol, bin) — bin is 0-based per doc.
     */
   def packChunks(chunks: DataFrame, docId: String, chunkNo: String,
@@ -178,5 +183,36 @@ object Corpus {
       .select(col(docId), explode(packed).as("p"))
       .select(col(docId), col("p.no").as(chunkNo),
         col("p.n").as(tokensCol), col("p.bin").as("bin"))
+  }
+
+  /** [[packChunks]] with a linear per-doc scan: the same greedy semantics
+    * via `flatMapGroups` over a mutable buffer — O(c) per document instead
+    * of the Catalyst fold's O(c²) array copies. Leaves whole-stage codegen
+    * (object serialization per group), so prefer [[packChunks]] until
+    * per-doc chunk counts reach the thousands. A test pins both forms
+    * equal. Requires a long docId and int chunkNo/tokens columns.
+    */
+  def packChunksTyped(chunks: DataFrame, docId: String, chunkNo: String,
+      tokensCol: String, capacity: Int): DataFrame = {
+    require(capacity > 0, s"need capacity > 0, got $capacity")
+    val spark = chunks.sparkSession
+    import spark.implicits._
+    chunks
+      .select(col(docId).cast("long"), col(chunkNo).cast("int"),
+        col(tokensCol).cast("int"))
+      .as[(Long, Int, Int)]
+      .groupByKey(_._1)
+      .flatMapGroups { (doc, rows) =>
+        val sorted = rows.toArray.sortBy(_._2)
+        val out = new scala.collection.mutable.ArrayBuffer[(Long, Int, Int, Int)](sorted.length)
+        var bin = 0; var cur = 0L
+        sorted.foreach { case (_, no, n) =>
+          if (cur + n > capacity && cur > 0) { bin += 1; cur = n.toLong }
+          else cur += n
+          out += ((doc, no, n, bin))
+        }
+        out.iterator
+      }
+      .toDF(docId, chunkNo, tokensCol, "bin")
   }
 }

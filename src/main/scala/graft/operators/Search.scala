@@ -35,22 +35,29 @@ object Search {
   def bm25TopK(docs: DataFrame, id: String, text: String,
       terms: Seq[String], k: Int,
       k1: Double = 1.2, b: Double = 0.75): DataFrame = {
-    require(terms.nonEmpty, "need at least one query term")
+    // tokens are lowercased, so match terms in lowercase too (an
+    // uppercase term would otherwise silently score 0 everywhere);
+    // dedupe — a repeated term would double-count and collide columns
+    val qTerms = terms.map(_.toLowerCase).distinct
+    require(qTerms.nonEmpty, "need at least one query term")
+    // columns are indexed, not named after the term: a term containing
+    // '.', '`' or a space would break column resolution
+    val ti = qTerms.indices
     val tok = docs.select(col(id), explode(split(lower(col(text)), "\\s+")).as("tk"))
     // length + every per-term tf in ONE per-doc partial agg
     val docStats = tok.groupBy(id).agg(
       count(lit(1)).as("dl"),
-      terms.map(t =>
-        sum(when(col("tk") === t, 1).otherwise(0)).as(s"tf_$t")): _*)
+      ti.map(i =>
+        sum(when(col("tk") === qTerms(i), 1).otherwise(0)).as(s"tf_$i")): _*)
     val stats = docStats.agg(
       count(lit(1)).as("n"),
       ((sum("dl").cast("double") / count(lit(1))).as("avglen") +:
-        terms.map(t =>
-          sum(when(col(s"tf_$t") > 0, 1).otherwise(0)).as(s"df_$t"))): _*)
+        ti.map(i =>
+          sum(when(col(s"tf_$i") > 0, 1).otherwise(0)).as(s"df_$i"))): _*)
     val lenNorm = lit(1.0) - b + lit(b) * (col("dl").cast("double") / col("avglen"))
-    val score = terms.map { t =>
-      ((col("n").cast("double") - col(s"df_$t") + 0.5) / (col(s"df_$t") + 0.5)) *
-        ((col(s"tf_$t") * lit(k1 + 1)) / (col(s"tf_$t") + lit(k1) * lenNorm))
+    val score = ti.map { i =>
+      ((col("n").cast("double") - col(s"df_$i") + 0.5) / (col(s"df_$i") + 0.5)) *
+        ((col(s"tf_$i") * lit(k1 + 1)) / (col(s"tf_$i") + lit(k1) * lenNorm))
     }.reduce(_ + _)
     docStats
       .crossJoin(broadcast(stats))

@@ -245,9 +245,14 @@ object Similarity {
   private def subVectors(df: DataFrame, id: String, emb: String,
       m: Int, dim: Int, idAs: String, vAs: String): DataFrame = {
     val d = dim / m
+    // a vector whose actual length differs from `dim` would slice short,
+    // null-pad in zip_with, and silently mis-rank — fail loudly instead
+    val checked = when(
+      assert_true(size(col(emb)) === dim,
+        lit(s"embedding length must be $dim")).isNull, col(emb))
     df.select(col(id).as(idAs),
         posexplode(transform(sequence(lit(0), lit(m - 1)),
-          s => slice(col(emb), s * d + 1, lit(d)))))
+          s => slice(checked, s * d + 1, lit(d)))))
       .select(col(idAs), col("pos").as("sub"), col("col").as(vAs))
   }
 
@@ -269,9 +274,13 @@ object Similarity {
     val seeds = corpus.orderBy(col(id)).limit(numCodes)
       .select(col(id).as("seed_id"), col(emb).as("seed_emb"))
       .withColumn("code", row_number().over(w) - 1)
+    // materialized once: consumed by both the assignment join and the
+    // final left join (and computing it re-scans the corpus for the
+    // TakeOrdered seed pick); m × numCodes rows
     val cb0 = subVectors(seeds, "seed_id", "seed_emb", m, dim, "sid", "c_sub")
       .join(seeds.select("seed_id", "code"), col("sid") === col("seed_id"))
       .select(col("sub"), col("code"), col("c_sub"))
+      .localCheckpoint(true)
     // one Lloyd step: per-(sub, code) mean of the winning subvectors
     val assigned = subVectors(corpus, id, emb, m, dim, "vid", "v_sub")
       .join(broadcast(cb0), Seq("sub"))
@@ -287,8 +296,11 @@ object Similarity {
       .agg(array_sort(collect_list(struct(col("pos"), col("mu")))).as("ps"))
       .select(col("sub"), col("code"),
         transform(col("ps"), p => p.getField("mu").cast("float")).as("m_sub"))
+    // materialized: the codebook feeds encoding AND the query tables —
+    // without this the corpus-wide Lloyd aggregation re-runs per consumer
     cb0.join(means, Seq("sub", "code"), "left")
       .select(col("sub"), col("code"), coalesce(col("m_sub"), col("c_sub")).as("c_sub"))
+      .localCheckpoint(true)
   }
 
   /** PQ encoding: each vector becomes `m` small codes — the nearest
@@ -325,11 +337,21 @@ object Similarity {
       .join(broadcast(cb), Seq("sub"))
       .select(col("query_id"), col("sub"), col("code"),
         sqDist(col("q_sub"), col("c_sub")).as("qd"))
+    // each (query, neighbor, sub) contributes exactly one row; summing
+    // per-subspace singletons and adding them in FIXED subspace order
+    // keeps adist bit-identical across runs (a plain sum("qd") would
+    // fold in shuffle-arrival order, and a last-ulp difference could
+    // flip the pool boundary between runs)
     val scored = codes
       .join(broadcast(qTables), Seq("sub", "code"))
       .filter(col("neighbor_id") =!= col("query_id"))
       .groupBy("query_id", "neighbor_id")
-      .agg(sum("qd").as("adist"))
+      .agg(
+        sum(when(col("sub") === 0, col("qd"))).as("qd_0"),
+        (1 until m).map(s =>
+          sum(when(col("sub") === s, col("qd"))).as(s"qd_$s")): _*)
+      .withColumn("adist",
+        (0 until m).map(s => col(s"qd_$s")).reduce(_ + _))
     topKPerKey(scored, Seq("query_id"),
         struct(col("adist"), col("neighbor_id").as("nid")), k)
       .select(col("query_id"), posexplode(col("topk")))

@@ -113,6 +113,20 @@ class CorpusSpec extends SparkSpec {
     assert(sums.forall(s => s <= 10 || s == 12))
   }
 
+  test("packChunksTyped (linear scan) equals the Catalyst-fold form") {
+    val docs = Seq((1L, (1 to 95).map(i => s"t$i").mkString(" ")),
+      (2L, (1 to 17).map(i => s"w$i").mkString(" "))).toDF("doc_id", "text")
+    val chunks = Corpus.chunk(docs, "doc_id", "text", chunkTokens = 8, overlapTokens = 2)
+    val hof = Corpus.packChunks(chunks, "doc_id", "chunk_no", "chunk_tokens", 20)
+      .select("doc_id", "chunk_no", "chunk_tokens", "bin")
+      .as[(Long, Int, Int, Int)].collect().toSet
+    val typed = Corpus.packChunksTyped(chunks, "doc_id", "chunk_no", "chunk_tokens", 20)
+      .select("doc_id", "chunk_no", "chunk_tokens", "bin")
+      .as[(Long, Int, Int, Int)].collect().toSet
+    assert(typed === hof)
+    assert(hof.nonEmpty)
+  }
+
   test("sampleMix applies per-stratum rates deterministically") {
     val docs = (1L to 300L).map(i => (i, s"src${i % 3}")).toDF("doc_id", "source")
     val out = Corpus.sampleMix(docs, col("doc_id"), col("source"),

@@ -27,6 +27,12 @@ class TextAnalysisSpec extends SparkSpec {
         docs, "doc_id", "text", Seq("needle", "haystack"), 4)
       .select("doc_id").as[Long].collect().toSeq
     assert(again === top)
+    // terms are normalized to the lowercased token space, duplicates
+    // collapse, and odd characters can't break column resolution
+    val mixedCase = graft.operators.Search.bm25TopK(
+        docs, "doc_id", "text", Seq("Needle", "HAYSTACK", "needle", "a.b`c"), 4)
+      .select("doc_id").as[Long].collect().toSeq
+    assert(mixedCase === top)
   }
 
   test("token counts: whitespace and BPE-ish lexer") {
