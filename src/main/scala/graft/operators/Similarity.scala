@@ -60,6 +60,31 @@ object Similarity {
     df.groupBy(keyCols.map(col).toIndexedSeq: _*)
       .agg(call_function("topk_agg", ordStruct, lit(k)).as("topk"))
 
+  /** [[topKPerKey]] keyed by `query_id` plus the shared ranking epilogue:
+    * output (query_id, rank, neighbor_id), rank 1..k in `ordStruct`'s
+    * ascending order. `ordStruct` must carry the neighbor id as field
+    * `nid` (it doubles as the final tie-break).
+    */
+  private def rankedNeighbors(scored: DataFrame, ordStruct: Column, k: Int): DataFrame =
+    topKPerKey(scored, Seq("query_id"), ordStruct, k)
+      .select(col("query_id"), posexplode(col("topk")))
+      .select(col("query_id"), (col("pos") + 1).as("rank"), col("col.nid").as("neighbor_id"))
+
+  /** Per-key mean of `array<float>` vectors: explode to (keys, pos, x),
+    * average per position, reassemble in position order. Used for every
+    * centroid refinement (IVF cells, PQ subspace codebooks).
+    */
+  private def meanVectors(assigned: DataFrame, keys: Seq[String],
+      vecCol: String, outCol: String): DataFrame =
+    assigned
+      .select((keys.map(col) :+ posexplode(col(vecCol))).toIndexedSeq: _*)
+      .groupBy((keys :+ "pos").map(col).toIndexedSeq: _*)
+      .agg(avg(col("col").cast("double")).as("m"))
+      .groupBy(keys.map(col).toIndexedSeq: _*)
+      .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("ps"))
+      .select((keys.map(col) :+
+        transform(col("ps"), p => p.getField("m").cast("float")).as(outCol)).toIndexedSeq: _*)
+
   /** Brute-force cosine KNN: every corpus row scored against every query
     * (queries broadcast — the O(|Q|·|C|) work streams through the corpus
     * scan with no shuffle), exact top-k per query via [[topKPerKey]].
@@ -74,11 +99,9 @@ object Similarity {
     val c = corpus.select(col(id).as("neighbor_id"), col(emb).as("c_emb"))
     val scored = c.join(broadcast(q), col("neighbor_id") =!= col("query_id"))
       .withColumn("score", cosineSim(col("q_emb"), col("c_emb")))
-    topKPerKey(
+    rankedNeighbors(
       scored.select(col("query_id"), col("score"), col("neighbor_id")),
-      Seq("query_id"), struct((-col("score")).as("ns"), col("neighbor_id").as("nid")), k)
-      .select(col("query_id"), posexplode(col("topk")))
-      .select(col("query_id"), (col("pos") + 1).as("rank"), col("col.nid").as("neighbor_id"))
+      struct((-col("score")).as("ns"), col("neighbor_id").as("nid")), k)
   }
 
   /** All (table, bucket) keys for a vector, as rows to explode. Bucket
@@ -116,11 +139,9 @@ object Similarity {
       .filter(col("neighbor_id") =!= col("query_id"))
       .dropDuplicates("query_id", "neighbor_id")
       .withColumn("score", cosineSim(col("q_emb"), col("c_emb")))
-    topKPerKey(
+    rankedNeighbors(
       cand.select(col("query_id"), col("score"), col("neighbor_id")),
-      Seq("query_id"), struct((-col("score")).as("ns"), col("neighbor_id").as("nid")), k)
-      .select(col("query_id"), posexplode(col("topk")))
-      .select(col("query_id"), (col("pos") + 1).as("rank"), col("col.nid").as("neighbor_id"))
+      struct((-col("score")).as("ns"), col("neighbor_id").as("nid")), k)
   }
 
   /** IVF (inverted-file) ANN: the corpus is coarsely quantized to `nlist`
@@ -145,13 +166,7 @@ object Similarity {
       .select(col(id).as("cell"), col(emb).as("c_emb"))
     // one Lloyd refinement: mean of the vectors nearest each seed
     val assigned0 = assignCells(corpus, id, emb, seeds)
-    val centroids = assigned0
-      .select(col("cell"), posexplode(col(emb)))
-      .groupBy("cell", "pos").agg(avg(col("col").cast("double")).as("m"))
-      .groupBy("cell")
-      .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("ps"))
-      .select(col("cell"),
-        transform(col("ps"), p => p.getField("m").cast("float")).as("c_emb"))
+    val centroids = meanVectors(assigned0, Seq("cell"), emb, "c_emb")
       // nlist rows referenced from three plan branches (corpus assignment,
       // query probing) — materialize once instead of recomputing the
       // seed→assign→average subtree per branch
@@ -183,11 +198,9 @@ object Similarity {
       .filter(col("neighbor_id") =!= col("query_id"))
       .dropDuplicates("query_id", "neighbor_id")
       .withColumn("score", cosineSim(col("q_emb"), col("n_emb")))
-    topKPerKey(
+    rankedNeighbors(
       cand.select(col("query_id"), col("score"), col("neighbor_id")),
-      Seq("query_id"), struct((-col("score")).as("ns"), col("neighbor_id").as("nid")), k)
-      .select(col("query_id"), posexplode(col("topk")))
-      .select(col("query_id"), (col("pos") + 1).as("rank"), col("col.nid").as("neighbor_id"))
+      struct((-col("score")).as("ns"), col("neighbor_id").as("nid")), k)
   }
 
   /** Symmetric int8 quantization per vector: scale = 127 / max|xᵢ|, each
@@ -288,14 +301,7 @@ object Similarity {
       .groupBy("vid", "sub")
       .agg(min_by(struct(col("code"), col("v_sub")), struct(col("dist"), col("code"))).as("w"))
       .select(col("sub"), col("w.code").as("code"), col("w.v_sub").as("v_sub"))
-    val means = assigned
-      .select(col("sub"), col("code"), posexplode(col("v_sub")))
-      .groupBy("sub", "code", "pos")
-      .agg(avg(col("col").cast("double")).as("mu"))
-      .groupBy("sub", "code")
-      .agg(array_sort(collect_list(struct(col("pos"), col("mu")))).as("ps"))
-      .select(col("sub"), col("code"),
-        transform(col("ps"), p => p.getField("mu").cast("float")).as("m_sub"))
+    val means = meanVectors(assigned, Seq("sub", "code"), "v_sub", "m_sub")
     // materialized: the codebook feeds encoding AND the query tables —
     // without this the corpus-wide Lloyd aggregation re-runs per consumer
     cb0.join(means, Seq("sub", "code"), "left")
@@ -352,10 +358,8 @@ object Similarity {
           sum(when(col("sub") === s, col("qd"))).as(s"qd_$s")): _*)
       .withColumn("adist",
         (0 until m).map(s => col(s"qd_$s")).reduce(_ + _))
-    topKPerKey(scored, Seq("query_id"),
-        struct(col("adist"), col("neighbor_id").as("nid")), k)
-      .select(col("query_id"), posexplode(col("topk")))
-      .select(col("query_id"), (col("pos") + 1).as("rank"), col("col.nid").as("neighbor_id"))
+    rankedNeighbors(scored,
+      struct(col("adist"), col("neighbor_id").as("nid")), k)
   }
 
   /** PQ ANN with exact re-ranking — the production pipeline: ADC retrieves
@@ -380,10 +384,8 @@ object Similarity {
       .join(broadcast(queries.select(col(id).as("query_id"), col(emb).as("q_emb"))),
         Seq("query_id"))
       .withColumn("d", sqDist(col("q_emb"), col("n_emb")))
-    topKPerKey(rescored.select(col("query_id"), col("d"), col("neighbor_id")),
-        Seq("query_id"), struct(col("d"), col("neighbor_id").as("nid")), k)
-      .select(col("query_id"), posexplode(col("topk")))
-      .select(col("query_id"), (col("pos") + 1).as("rank"), col("col.nid").as("neighbor_id"))
+    rankedNeighbors(rescored.select(col("query_id"), col("d"), col("neighbor_id")),
+      struct(col("d"), col("neighbor_id").as("nid")), k)
   }
 
   /** Embedding-cosine near-duplicate pairs (the embedding flavor of
