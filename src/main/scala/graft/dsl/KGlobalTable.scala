@@ -11,9 +11,13 @@ import graft.state.Upserts
   * becomes a broadcast of the snapshot to every executor — same data
   * placement, but built by the cluster instead of N redundant topic scans.
   *
-  * Scale: broadcast only while the snapshot fits (`broadcastThreshold`);
-  * past that the join degrades gracefully to a shuffled hash join, which the
-  * reference cannot do at all (its tables must fit in every instance's RAM,
+  * Scale: the broadcast is *advisory* — `useBroadcast` attaches the hint
+  * only while the snapshot's optimizer size estimate fits under
+  * `spark.graft.broadcastThreshold` (default: the session's
+  * `autoBroadcastJoinThreshold`, see [[graft.plans.Hints.broadcastIfSmall]]).
+  * Past that no hint is attached and the join degrades gracefully to a
+  * shuffled join chosen by the planner/AQE — which the reference cannot do
+  * at all (its tables must fit in every instance's RAM,
   * backend/memory/memory.go:52-180).
   */
 final class KGlobalTable private (
@@ -21,7 +25,8 @@ final class KGlobalTable private (
     val keyCol: String,
     useBroadcast: Boolean) {
 
-  private def side: DataFrame = if (useBroadcast) broadcast(snapshot) else snapshot
+  private def side: DataFrame =
+    if (useBroadcast) graft.plans.Hints.broadcastIfSmall(snapshot) else snapshot
 
   /** J1 (inner) / J2 (left) stream–global-table join
     * (processors/join/global_table_joiner.go:94-127). `fk` is the stream-

@@ -1,0 +1,49 @@
+package graft.plans
+
+import org.apache.spark.network.util.JavaUtils
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions.broadcast
+
+/** Join-hint policy. An explicit `broadcast()` hint is honored by Spark
+  * unconditionally — no threshold check, no AQE demotion — so a forced hint
+  * on a scale-factor-sized side is a driver-OOM at 100 TB, not a speedup.
+  * Raw `broadcast()` is therefore reserved for frames that are bounded by
+  * construction (region = 5 rows, nation = 25, single-row global
+  * aggregates, top-k pools); everything sf-scaled goes through
+  * [[broadcastIfSmall]], which attaches the hint only while the optimizer's
+  * size estimate fits under a configurable threshold and otherwise leaves
+  * the strategy to Spark's planner + AQE (which can still broadcast at
+  * runtime from *actual* sizes, or pick a shuffled join that survives any
+  * scale).
+  */
+object Hints {
+
+  /** Upper bound (byte string, e.g. "10MB") for an advisory broadcast hint.
+    * Defaults to the session's `spark.sql.autoBroadcastJoinThreshold`;
+    * set to 0 or -1 to disable all advisory hints.
+    */
+  val ThresholdConf = "spark.graft.broadcastThreshold"
+
+  private def thresholdBytes(df: DataFrame): Long = {
+    val conf = df.sparkSession.conf
+    val raw = conf.getOption(ThresholdConf)
+      .orElse(conf.getOption("spark.sql.autoBroadcastJoinThreshold"))
+      .getOrElse("10MB")
+      .trim
+    if (raw.startsWith("-")) 0L else JavaUtils.byteStringAsBytes(raw)
+  }
+
+  /** Advisory broadcast: hint only while the optimizer's size estimate for
+    * `df` (file sizes for scans — conservative: filters don't shrink it,
+    * joins inflate it) fits under [[ThresholdConf]]. Past the threshold the
+    * frame is returned unhinted, so the planner/AQE choose a strategy from
+    * real sizes — the graceful degradation a forced hint forecloses.
+    */
+  def broadcastIfSmall(df: DataFrame): DataFrame = {
+    val limit = thresholdBytes(df)
+    if (limit > 0 &&
+        df.queryExecution.optimizedPlan.stats.sizeInBytes <= BigInt(limit))
+      broadcast(df)
+    else df
+  }
+}

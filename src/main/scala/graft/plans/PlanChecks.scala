@@ -50,4 +50,28 @@ object PlanChecks {
     */
   def mentions(df: DataFrame, s: String): Boolean =
     formatted(df).contains(s)
+
+  /** Parquet root paths scanned under every join side that carries a
+    * BROADCAST hint in the optimized logical plan. A `broadcast()` hint is
+    * honored unconditionally by Spark (no threshold, no AQE demotion), so
+    * "no sf-scaled table appears here" is the plan-level proof that a
+    * query cannot force-broadcast a scale-factor-sized side at 100 TB.
+    */
+  def broadcastHintedLeaves(df: DataFrame): Seq[String] = {
+    import org.apache.spark.sql.catalyst.plans.logical.{BROADCAST, Join, LogicalPlan}
+    import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+    def leafPaths(p: LogicalPlan): Seq[String] = p.collectLeaves().flatMap {
+      case lr: LogicalRelation => lr.relation match {
+        case fs: HadoopFsRelation => fs.location.rootPaths.map(_.toString)
+        case _ => Nil
+      }
+      case _ => Nil
+    }
+    df.queryExecution.optimizedPlan.collect { case j: Join =>
+      Seq(j.hint.leftHint -> j.left, j.hint.rightHint -> j.right).flatMap {
+        case (Some(h), side) if h.strategy.contains(BROADCAST) => leafPaths(side)
+        case _ => Nil
+      }
+    }.flatten
+  }
 }

@@ -4,6 +4,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
 import graft.dsl.{KGlobalTable, KStream}
+import graft.plans.Hints.broadcastIfSmall
 import graft.queries.Tables.t
 
 /** Headline analytical queries (TPC-H-shaped) exercising the engine the way
@@ -83,8 +84,11 @@ object HeadlineQueries {
           .limit(10)
       }),
 
-    // TPC-H Q5 shape: revenue per nation for one region. All dims broadcast;
-    // single shuffle for the final group-by.
+    // TPC-H Q5 shape: revenue per nation for one region. Only the bounded
+    // dims (region, nation) may be hinted; the customer slice and the
+    // order→nation map are sf-scaled (~1/5 of ALL customers/orders), so
+    // they carry NO forced broadcast — the planner/AQE pick shuffled joins
+    // at 100 TB and runtime-broadcast at small SF.
     Q("q5_region_revenue", Some("""
       |SELECT n_name,
       |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
@@ -102,12 +106,12 @@ object HeadlineQueries {
           .join(t(s, d, "customer"), col("c_nationkey") === col("n_nationkey"))
           .select("c_custkey", "n_name")
         val orders = t(s, d, "orders")
-          .join(broadcast(dims), col("o_custkey") === col("c_custkey"))
+          .join(dims, col("o_custkey") === col("c_custkey"))
           .select("o_orderkey", "n_name")
         val rev = (col("l_extendedprice").cast(dec) *
           (lit(1) - col("l_discount")).cast(dec))
         t(s, d, "lineitem")
-          .join(broadcast(orders), col("l_orderkey") === col("o_orderkey"))
+          .join(orders, col("l_orderkey") === col("o_orderkey"))
           .groupBy("n_name")
           .agg(sum(rev).cast("double").as("revenue"))
       }),
@@ -133,8 +137,10 @@ object HeadlineQueries {
               .cast("double").as("revenue"),
             count(lit(1)).as("n_items"))),
 
-    // TPC-H Q10 shape: top-20 customers by returned-item revenue. Broadcast
-    // dims, one agg shuffle, TakeOrdered for the limit.
+    // TPC-H Q10 shape: top-20 customers by returned-item revenue. Only
+    // nation (bounded) is hinted; the customer dim is sf-scaled, so the
+    // fact⋈customer join is left to the planner/AQE. One agg shuffle,
+    // TakeOrdered for the limit.
     Q("q10_returned_revenue", Some("""
       |SELECT c_custkey, c_name, n_name,
       |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
@@ -157,7 +163,7 @@ object HeadlineQueries {
               .filter(col("o_orderdate") >= lit("1997-06-01").cast("timestamp"))
               .select("o_orderkey", "o_custkey"),
             col("l_orderkey") === col("o_orderkey"))
-          .join(broadcast(custDim), col("o_custkey") === col("c_custkey"))
+          .join(custDim, col("o_custkey") === col("c_custkey"))
           .groupBy("c_custkey", "c_name", "n_name")
           .agg(sum(rev).cast("double").as("revenue"))
           .orderBy(col("revenue").desc, col("c_custkey"))
@@ -183,7 +189,7 @@ object HeadlineQueries {
         t(s, d, "lineitem")
           .filter(col("l_shipdate") >= lit("1997-03-01").cast("timestamp") &&
             col("l_shipdate") < lit("1997-06-01").cast("timestamp"))
-          .join(broadcast(t(s, d, "part").select("p_partkey", "p_type")),
+          .join(broadcastIfSmall(t(s, d, "part").select("p_partkey", "p_type")),
             col("l_partkey") === col("p_partkey"))
           .agg(
             (sum(when(col("p_type").startsWith("PROMO"), rev)
@@ -194,7 +200,9 @@ object HeadlineQueries {
 
     // TPC-H Q18 shape: customers with very large orders — an aggregate
     // HAVING filter used as a semi-join back onto the fact tables. The
-    // qualifying-order set is tiny, so it broadcasts.
+    // qualifying-order set and the customer dim both grow with SF, so
+    // neither is force-broadcast: the planner/AQE decide from real sizes
+    // (runtime-broadcast when the HAVING output is actually tiny).
     Q("q18_large_orders", Some("""
       |WITH big AS (
       |  SELECT l_orderkey AS bk FROM lineitem GROUP BY l_orderkey
@@ -212,9 +220,9 @@ object HeadlineQueries {
           .agg(sum("l_quantity").as("sq")).filter(col("sq") > 250)
           .select(col("l_orderkey").as("bk"))
         val orders = t(s, d, "orders")
-          .join(broadcast(big), col("o_orderkey") === col("bk"), "left_semi")
+          .join(big, col("o_orderkey") === col("bk"), "left_semi")
         orders
-          .join(broadcast(t(s, d, "customer").select("c_custkey", "c_name")),
+          .join(t(s, d, "customer").select("c_custkey", "c_name"),
             col("o_custkey") === col("c_custkey"))
           .join(li, col("l_orderkey") === col("o_orderkey"))
           .groupBy("c_custkey", "c_name", "o_orderkey", "o_totalprice")
@@ -267,7 +275,7 @@ object HeadlineQueries {
           .groupBy("l_suppkey").agg(sum(rev).as("rev"))
           .localCheckpoint(true)
         r.join(broadcast(r.agg(max(col("rev")).as("mx"))), col("rev") === col("mx"))
-          .join(broadcast(t(s, d, "supplier").select("s_suppkey", "s_name")),
+          .join(broadcastIfSmall(t(s, d, "supplier").select("s_suppkey", "s_name")),
             col("l_suppkey") === col("s_suppkey"))
           .select(col("s_suppkey"), col("s_name"),
             col("rev").cast("double").as("total_revenue"))
@@ -296,7 +304,7 @@ object HeadlineQueries {
           (col("p_brand") === "Brand#34" && col("p_size").between(1, 15) &&
             col("l_quantity").between(20, 30))
         t(s, d, "lineitem")
-          .join(broadcast(t(s, d, "part").select("p_partkey", "p_brand", "p_size")),
+          .join(broadcastIfSmall(t(s, d, "part").select("p_partkey", "p_brand", "p_size")),
             col("p_partkey") === col("l_partkey"))
           .filter(legs)
           .agg(sum(rev).cast("double").as("revenue"), count(lit(1)).as("n_items"))
@@ -337,8 +345,9 @@ object HeadlineQueries {
       |WHERE rank <= 3
       |""".stripMargin.trim))(
       (s, d) => {
+        // customer is sf-scaled — no forced broadcast (AQE decides)
         val joined = t(s, d, "orders")
-          .join(broadcast(t(s, d, "customer").select("c_custkey", "c_mktsegment")),
+          .join(t(s, d, "customer").select("c_custkey", "c_mktsegment"),
             col("o_custkey") === col("c_custkey"))
         graft.operators.Similarity.topKPerKey(
             joined.select(col("c_mktsegment"), col("o_totalprice"), col("o_orderkey")),

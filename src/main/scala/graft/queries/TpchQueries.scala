@@ -3,6 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
+import graft.plans.Hints.broadcastIfSmall
 import graft.queries.Tables.t
 
 /** The rest of the TPC-H analytic surface, adapted to the testdata star
@@ -60,20 +61,22 @@ object TpchQueries {
           .filter(col("p_size") <= 15 && col("p_type") === "STANDARD")
           .select("p_partkey", "p_name")
         val offer = t(s, d, "lineitem")
-          .join(broadcast(parts.select("p_partkey")),
+          .join(broadcastIfSmall(parts.select("p_partkey")),
             col("l_partkey") === col("p_partkey"), "left_semi")
           .groupBy(col("l_partkey").as("pk"), col("l_suppkey").as("sk"))
           .agg(min(col("l_extendedprice") / col("l_quantity")).as("unit_cost"))
-          .join(broadcast(eu), col("sk") === col("s_suppkey"))
+          .join(broadcastIfSmall(eu), col("sk") === col("s_suppkey"))
         val best = offer.groupBy(col("pk").as("bpk")).agg(min("unit_cost").as("mc"))
         offer
           .join(best, col("bpk") === col("pk") && col("unit_cost") === col("mc"))
-          .join(broadcast(parts), col("p_partkey") === col("pk"))
+          .join(broadcastIfSmall(parts), col("p_partkey") === col("pk"))
           .select("p_partkey", "p_name", "s_name", "n_name", "unit_cost")
       }),
 
     // TPC-H Q7 shape: bilateral trade volume between two nations by ship
-    // year. Both fact joins probe broadcast dims; one agg shuffle.
+    // year. Only nation (25 rows) is force-hinted; the supplier, customer
+    // and order maps are sf-scaled, so their joins are left to the
+    // planner/AQE (runtime broadcast at small SF, shuffled at 100 TB).
     Q("q7_volume_shipping", Some("""
       |SELECT supp_nation, cust_nation, l_year, CAST(sum(volume) AS DOUBLE) AS revenue FROM (
       |  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
@@ -99,13 +102,13 @@ object TpchQueries {
           .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
           .select(col("c_custkey"), col("n_name").as("cust_nation"))
         val ord = t(s, d, "orders")
-          .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+          .join(cust, col("o_custkey") === col("c_custkey"))
           .select("o_orderkey", "cust_nation")
         val vol = (col("l_extendedprice").cast(dec) *
           (lit(1) - col("l_discount")).cast(dec))
         t(s, d, "lineitem")
-          .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
-          .join(broadcast(ord), col("l_orderkey") === col("o_orderkey"))
+          .join(broadcastIfSmall(supp), col("l_suppkey") === col("s_suppkey"))
+          .join(ord, col("l_orderkey") === col("o_orderkey"))
           .filter(col("supp_nation") =!= col("cust_nation"))
           .groupBy(col("supp_nation"), col("cust_nation"),
             year(col("l_shipdate")).as("l_year"))
@@ -139,8 +142,11 @@ object TpchQueries {
           .join(broadcast(t(s, d, "region").filter(col("r_name") === "AMERICA")),
             col("n_regionkey") === col("r_regionkey"))
           .select("c_custkey")
+        // (nation/region hints above are bounded-by-construction)
+        // custAm/ordAm are sf-scaled (a region's customers and their
+        // orders): no forced broadcast — planner/AQE decide
         val ordAm = t(s, d, "orders")
-          .join(broadcast(custAm), col("o_custkey") === col("c_custkey"))
+          .join(custAm, col("o_custkey") === col("c_custkey"))
           .select(col("o_orderkey"), year(col("o_orderdate")).as("o_year"))
         val suppN = t(s, d, "supplier")
           .join(broadcast(n.select(col("n_nationkey").as("sn_key"), col("n_name").as("nation"))),
@@ -149,10 +155,10 @@ object TpchQueries {
         val vol = (col("l_extendedprice").cast(dec) *
           (lit(1) - col("l_discount")).cast(dec))
         t(s, d, "lineitem")
-          .join(broadcast(t(s, d, "part").filter(col("p_type") === "ECONOMY")
+          .join(broadcastIfSmall(t(s, d, "part").filter(col("p_type") === "ECONOMY")
             .select("p_partkey")), col("l_partkey") === col("p_partkey"))
-          .join(broadcast(ordAm), col("l_orderkey") === col("o_orderkey"))
-          .join(broadcast(suppN), col("l_suppkey") === col("s_suppkey"))
+          .join(ordAm, col("l_orderkey") === col("o_orderkey"))
+          .join(broadcastIfSmall(suppN), col("l_suppkey") === col("s_suppkey"))
           .groupBy("o_year")
           .agg((sum(when(col("nation") === "NATION_3", vol)
             .otherwise(lit(0).cast(dec))).cast("double") /
@@ -182,10 +188,10 @@ object TpchQueries {
           (lit(1) - col("l_discount")).cast(dec) -
           col("p_retailprice").cast(dec) * col("l_quantity").cast(dec)
         t(s, d, "lineitem")
-          .join(broadcast(t(s, d, "part").filter(col("p_name").contains("red"))
+          .join(broadcastIfSmall(t(s, d, "part").filter(col("p_name").contains("red"))
             .select("p_partkey", "p_retailprice")),
             col("p_partkey") === col("l_partkey"))
-          .join(broadcast(t(s, d, "supplier")
+          .join(broadcastIfSmall(t(s, d, "supplier")
             .join(broadcast(t(s, d, "nation")), col("s_nationkey") === col("n_nationkey"))
             .select(col("s_suppkey"), col("n_name").as("nation"))),
             col("s_suppkey") === col("l_suppkey"))
@@ -221,7 +227,7 @@ object TpchQueries {
           .select("s_suppkey")
         val value = col("l_extendedprice").cast(dec) * col("l_quantity").cast(dec)
         val v = t(s, d, "lineitem")
-          .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"), "left_semi")
+          .join(broadcastIfSmall(supp), col("l_suppkey") === col("s_suppkey"), "left_semi")
           .groupBy("l_partkey")
           .agg(sum(value).as("v"))
           .localCheckpoint(true)
@@ -286,9 +292,9 @@ object TpchQueries {
       |""".stripMargin.trim))(
       (s, d) =>
         t(s, d, "lineitem")
-          .join(broadcast(t(s, d, "supplier").filter(col("s_acctbal") < 0)
+          .join(broadcastIfSmall(t(s, d, "supplier").filter(col("s_acctbal") < 0)
             .select("s_suppkey")), col("l_suppkey") === col("s_suppkey"), "left_anti")
-          .join(broadcast(t(s, d, "part").filter(col("p_brand") =!= "Brand#5")
+          .join(broadcastIfSmall(t(s, d, "part").filter(col("p_brand") =!= "Brand#5")
             .select("p_partkey", "p_brand", "p_type", "p_size")),
             col("p_partkey") === col("l_partkey"))
           .groupBy("p_brand", "p_type", "p_size")
@@ -313,12 +319,12 @@ object TpchQueries {
         val brandParts = t(s, d, "part").filter(col("p_brand") === "Brand#3")
           .select("p_partkey")
         val partAvg = t(s, d, "lineitem")
-          .join(broadcast(brandParts), col("l_partkey") === col("p_partkey"), "left_semi")
+          .join(broadcastIfSmall(brandParts), col("l_partkey") === col("p_partkey"), "left_semi")
           .groupBy(col("l_partkey").as("pa_key"))
           .agg(avg("l_quantity").as("avg_qty"))
         t(s, d, "lineitem")
-          .join(broadcast(brandParts), col("p_partkey") === col("l_partkey"))
-          .join(broadcast(partAvg), col("pa_key") === col("l_partkey"))
+          .join(broadcastIfSmall(brandParts), col("p_partkey") === col("l_partkey"))
+          .join(broadcastIfSmall(partAvg), col("pa_key") === col("l_partkey"))
           .filter(col("l_quantity") < lit(0.5) * col("avg_qty"))
           .agg(
             (sum(col("l_extendedprice").cast(dec)).cast("double") / 7.0)
@@ -345,7 +351,7 @@ object TpchQueries {
         val movers = t(s, d, "lineitem")
           .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
             col("l_shipdate") < lit("1998-01-01").cast("timestamp"))
-          .join(broadcast(blueParts), col("l_partkey") === col("p_partkey"), "left_semi")
+          .join(broadcastIfSmall(blueParts), col("l_partkey") === col("p_partkey"), "left_semi")
           .groupBy("l_suppkey")
           .agg(sum("l_quantity").as("sq")).filter(col("sq") > 50)
           .select("l_suppkey")
@@ -353,7 +359,7 @@ object TpchQueries {
           .join(broadcast(t(s, d, "nation")
             .filter(col("n_name").isin("NATION_4", "NATION_5"))),
             col("s_nationkey") === col("n_nationkey"))
-          .join(broadcast(movers), col("s_suppkey") === col("l_suppkey"), "left_semi")
+          .join(broadcastIfSmall(movers), col("s_suppkey") === col("l_suppkey"), "left_semi")
           .select("s_suppkey", "s_name", "n_name")
       }),
 
@@ -394,7 +400,7 @@ object TpchQueries {
         late
           .join(sole, Seq("l_orderkey"), "left_semi")
           .join(multi, Seq("l_orderkey"), "left_semi")
-          .join(broadcast(t(s, d, "supplier").select("s_suppkey", "s_name")),
+          .join(broadcastIfSmall(t(s, d, "supplier").select("s_suppkey", "s_name")),
             col("l_suppkey") === col("s_suppkey"))
           .groupBy("s_name")
           .agg(count(lit(1)).as("numwait"))
@@ -428,7 +434,7 @@ object TpchQueries {
         cust
           .crossJoin(broadcast(avgBal))
           .filter(col("c_acctbal") > col("a"))
-          .join(broadcast(recent), col("c_custkey") === col("o_custkey"), "left_anti")
+          .join(broadcastIfSmall(recent), col("c_custkey") === col("o_custkey"), "left_anti")
           .groupBy("c_nationkey")
           .agg(count(lit(1)).as("numcust"),
             sum(col("c_acctbal").cast(dec)).cast("double").as("totacctbal"))

@@ -20,11 +20,28 @@ class PlanShapeSpec extends SparkSpec {
     assert(countShuffles(df) === 1)
   }
 
-  test("q5: every join broadcast, exactly one shuffle for the final group-by") {
+  /** The one scale-killer class: an explicit broadcast() hint is honored by
+    * Spark unconditionally, so a hint on a customer/orders/lineitem-derived
+    * side that is sub-second at sf0.1 is a driver OOM at 100 TB. These
+    * queries must never carry one — bounded dims (region/nation/1-row
+    * aggs) may hint; everything sf-scaled is left to threshold + AQE.
+    */
+  test("q5/q7/q8/q10/q18/topN: no forced broadcast of an sf-scaled side") {
+    for (name <- Seq("q5_region_revenue", "q7_volume_shipping", "q8_market_share",
+        "q10_returned_revenue", "q18_large_orders", "q_topn_per_group")) {
+      val hinted = broadcastHintedLeaves(q(name))
+      val bad = hinted.filter(p =>
+        Seq("customer", "orders", "lineitem").exists(p.contains))
+      assert(bad.isEmpty, s"$name force-broadcasts sf-scaled side(s): $bad")
+    }
+  }
+
+  test("q5: bounded dims still hash-join; no cartesian fallback") {
     val df = q("q5_region_revenue")
-    assert(countNodes(df, "BroadcastHashJoin") === 4)
-    assert(countNodes(df, "SortMergeJoin") === 0)
-    assert(countShuffles(df) === 1)
+    assert(countNodes(df, "CartesianProduct") === 0)
+    assert(countNodes(df, "BroadcastNestedLoopJoin") === 0)
+    // region/nation sides stay broadcast even with no forced fact hints
+    assert(countNodes(df, "BroadcastHashJoin") >= 2)
   }
 
   test("q3: top-k runs as TakeOrdered, not a global sort") {
@@ -128,10 +145,11 @@ class PlanShapeSpec extends SparkSpec {
     assert(countNodes(df, "Sort") === 0) // buffered percentile, no global sort
   }
 
-  test("q7: all five dims broadcast, lineitem never shuffles before the agg") {
+  test("q7: bounded nation dims broadcast; fact joins never nested-loop") {
     val df = q("q7_volume_shipping")
-    assert(countNodes(df, "SortMergeJoin") === 0)
     assert(countNodes(df, "BroadcastHashJoin") >= 2)
+    assert(countNodes(df, "BroadcastNestedLoopJoin") === 0)
+    assert(countNodes(df, "CartesianProduct") === 0)
   }
 
   test("q9: only the lineitem-orders fact join shuffles; dims broadcast") {
@@ -168,10 +186,10 @@ class PlanShapeSpec extends SparkSpec {
     assert(countShuffles(df) === 1)
   }
 
-  test("q8: every dim broadcast — the fact side never sort-merge joins") {
+  test("q8: bounded dims broadcast, part filter pushed; no nested loop") {
     val df = q("q8_market_share")
-    assert(countNodes(df, "SortMergeJoin") === 0)
     assert(countNodes(df, "BroadcastHashJoin") >= 3)
+    assert(countNodes(df, "BroadcastNestedLoopJoin") === 0)
     assert(pushedFilters(df).exists(_.contains("p_type")))
   }
 
@@ -205,6 +223,23 @@ class PlanShapeSpec extends SparkSpec {
     assert(countNodes(df, "Generate") <= 2)
     assert(hasNode(df, "TakeOrderedAndProject"))
     assert(countNodes(df, "SortMergeJoin") === 0)
+  }
+
+  test("advisory broadcast hint follows spark.graft.broadcastThreshold") {
+    import graft.plans.Hints
+    import org.apache.spark.sql.functions.col
+    val cust = spark.read.parquet(s"$sf/customer.parquet")
+    val nation = spark.read.parquet(s"$sf/nation.parquet")
+    def joined() = cust.join(Hints.broadcastIfSmall(nation),
+      col("c_nationkey") === col("n_nationkey"))
+    try {
+      spark.conf.set(Hints.ThresholdConf, "1g")
+      assert(broadcastHintedLeaves(joined()).exists(_.contains("nation")),
+        "small dim under a large threshold should be hinted")
+      spark.conf.set(Hints.ThresholdConf, "0")
+      assert(broadcastHintedLeaves(joined()).isEmpty,
+        "threshold 0 must suppress every advisory hint")
+    } finally spark.conf.unset(Hints.ThresholdConf)
   }
 
   test("pack: greedy scan is one per-doc agg + explode — no window, no join") {
