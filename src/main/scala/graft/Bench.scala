@@ -22,7 +22,14 @@ object Bench {
           failed += name
           System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
       }
-      (System.nanoTime() - t0) / 1e9
+      val sec = (System.nanoTime() - t0) / 1e9
+      // per-query isolation: drop cached frames and localCheckpoint blocks
+      // before the next query — 200+ plans through one JVM otherwise pile
+      // blocks up in the block manager until GC, and one contended run can
+      // overstate a query by >10x (BENCH_r03 recorded 57 s for a 3 s query)
+      spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
+      sec
     }
     // SPARK_GRAFT_ONLY=q_a,q_b restricts the run (profiling aid)
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
@@ -52,10 +59,13 @@ object Bench {
         s""""queries":${qjson(results)},"failed":$failedJson,"sf":"$sfDir"}"""
     val out = new java.io.PrintWriter("BENCH_FULL.json")
     try out.println(fullJson) finally out.close()
+    // "slowest", not "queries": the stdout map is truncated to 20 entries,
+    // and reusing the full-map field name would let an old parser silently
+    // read partial data — the complete map lives in BENCH_FULL.json
     val slowest = results.sortBy(-_._2).take(20)
     println(
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},""" +
-        s""""queries":${qjson(slowest)},"failed":$failedJson,""" +
+        s""""slowest":${qjson(slowest)},"failed":$failedJson,""" +
         s""""full":"BENCH_FULL.json","sf":"$sfDir"}""")
     spark.stop()
   }
