@@ -40,24 +40,36 @@ object Search {
     // dedupe — a repeated term would double-count and collide columns
     val qTerms = terms.map(_.toLowerCase).distinct
     require(qTerms.nonEmpty, "need at least one query term")
+    // internal columns carry a _bm25_ prefix so a corpus keyed by a column
+    // literally named "n", "dl" or "tf_0" can't collide into an ambiguous
+    // reference or silently wrong resolution
+    require(!id.startsWith("_bm25_") && id != "score",
+      s"id column '$id' collides with bm25 internals")
     // columns are indexed, not named after the term: a term containing
     // '.', '`' or a space would break column resolution
     val ti = qTerms.indices
-    val tok = docs.select(col(id), explode(split(lower(col(text)), "\\s+")).as("tk"))
-    // length + every per-term tf in ONE per-doc partial agg
+    def tf(i: Int) = s"_bm25_tf_$i"
+    def df(i: Int) = s"_bm25_df_$i"
+    val tok = docs.select(col(id), explode(split(lower(col(text)), "\\s+")).as("_bm25_tk"))
+    // length + every per-term tf in ONE per-doc partial agg, materialized
+    // once (localCheckpoint) — the global stats row and the scorer both
+    // consume it, and relying on AQE exchange reuse instead would risk
+    // doubling the heaviest scan on a large corpus
     val docStats = tok.groupBy(id).agg(
-      count(lit(1)).as("dl"),
+      count(lit(1)).as("_bm25_dl"),
       ti.map(i =>
-        sum(when(col("tk") === qTerms(i), 1).otherwise(0)).as(s"tf_$i")): _*)
+        sum(when(col("_bm25_tk") === qTerms(i), 1).otherwise(0)).as(tf(i))): _*)
+      .localCheckpoint(true)
     val stats = docStats.agg(
-      count(lit(1)).as("n"),
-      ((sum("dl").cast("double") / count(lit(1))).as("avglen") +:
+      count(lit(1)).as("_bm25_n"),
+      ((sum("_bm25_dl").cast("double") / count(lit(1))).as("_bm25_avglen") +:
         ti.map(i =>
-          sum(when(col(s"tf_$i") > 0, 1).otherwise(0)).as(s"df_$i"))): _*)
-    val lenNorm = lit(1.0) - b + lit(b) * (col("dl").cast("double") / col("avglen"))
+          sum(when(col(tf(i)) > 0, 1).otherwise(0)).as(df(i)))): _*)
+    val lenNorm = lit(1.0) - b +
+      lit(b) * (col("_bm25_dl").cast("double") / col("_bm25_avglen"))
     val score = ti.map { i =>
-      ((col("n").cast("double") - col(s"df_$i") + 0.5) / (col(s"df_$i") + 0.5)) *
-        ((col(s"tf_$i") * lit(k1 + 1)) / (col(s"tf_$i") + lit(k1) * lenNorm))
+      ((col("_bm25_n").cast("double") - col(df(i)) + 0.5) / (col(df(i)) + 0.5)) *
+        ((col(tf(i)) * lit(k1 + 1)) / (col(tf(i)) + lit(k1) * lenNorm))
     }.reduce(_ + _)
     docStats
       .crossJoin(broadcast(stats))

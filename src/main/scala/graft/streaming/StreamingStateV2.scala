@@ -96,19 +96,28 @@ object StreamingStateV2 {
     * pattern holds at any key cardinality; there is no driver-side clock.
     */
   private final class SnapshotEveryProcessor(intervalMs: Long)
-      extends StatefulProcessor[String, (String, String), Snapshot] {
-    @transient private var latest: ValueState[String] = _
+      extends StatefulProcessor[String, (String, Long, String), Snapshot] {
+    @transient private var latest: ValueState[(Long, String)] = _
     @transient private var dirty: ValueState[Long] = _
 
     override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
-      latest = getHandle.getValueState[String]("latest", Encoders.STRING, TTLConfig.NONE)
+      latest = getHandle.getValueState[(Long, String)](
+        "latest", Encoders.product[(Long, String)], TTLConfig.NONE)
       dirty = getHandle.getValueState[Long]("dirty", Encoders.scalaLong, TTLConfig.NONE)
     }
 
     override def handleInputRows(
-        key: String, rows: Iterator[(String, String)], tv: TimerValues): Iterator[Snapshot] = {
+        key: String, rows: Iterator[(String, Long, String)],
+        tv: TimerValues): Iterator[Snapshot] = {
       var n = if (dirty.exists()) dirty.get() else 0L
-      rows.foreach { case (_, v) => latest.update(v); n += 1 }
+      // "latest" = highest seq, NOT iterator position: Spark does not
+      // guarantee per-key row order after the groupByKey shuffle, so an
+      // order-based fold would be nondeterministic across retries. With a
+      // unique, monotone seq (offset / event ts) the winner is total.
+      rows.foreach { case (_, seq, v) =>
+        if (!latest.exists() || latest.get()._1 < seq) latest.update((seq, v))
+        n += 1
+      }
       // timer only on the clean→dirty transition: one pending timer per key
       if ((!dirty.exists() || dirty.get() == 0L) && n > 0)
         getHandle.registerTimer(tv.getCurrentProcessingTimeInMs() + intervalMs)
@@ -121,13 +130,20 @@ object StreamingStateV2 {
       val n = if (dirty.exists()) dirty.get() else 0L
       if (n > 0 && latest.exists()) {
         dirty.update(0L)
-        Iterator.single(Snapshot(key, latest.get(), n))
+        Iterator.single(Snapshot(key, latest.get()._2, n))
       } else Iterator.empty
     }
   }
 
-  /** See [[SnapshotEveryProcessor]]. Input: (key, value) pairs. */
-  def snapshotEvery(ds: Dataset[(String, String)], interval: Duration): Dataset[Snapshot] = {
+  /** See [[SnapshotEveryProcessor]]. Input: (key, seq, value) triples —
+    * `seq` is the record's arrival order (Kafka offset, event timestamp);
+    * the snapshot carries the value with the HIGHEST seq seen, which is
+    * deterministic across retries/partitionings where within-batch
+    * iterator order is not. Supply a unique seq per key (offsets are);
+    * on a tie the first-stored value is kept.
+    */
+  def snapshotEvery(
+      ds: Dataset[(String, Long, String)], interval: Duration): Dataset[Snapshot] = {
     import ds.sparkSession.implicits._
     ds.groupByKey(_._1)
       .transformWithState(

@@ -214,13 +214,12 @@ class PlanShapeSpec extends SparkSpec {
     assert(countNodes(df, "CartesianProduct") === 0)
   }
 
-  test("bm25: token explode feeds one reusable agg, top-k as TakeOrdered") {
+  test("bm25: token explode runs once (materialized), top-k as TakeOrdered") {
     val df = q("q_bm25_topk")
-    // the per-doc agg subtree appears twice statically (scorer + global
-    // stats consume the same frame); its exchange is identical, so AQE
-    // reuses one computation at runtime — anything beyond 2 would mean a
-    // third scan crept in
-    assert(countNodes(df, "Generate") <= 2)
+    // the per-doc agg is localCheckpointed before the global-stats row and
+    // the scorer consume it, so the final plan reads the materialized
+    // frame — the token explode cannot appear (= run) more than once
+    assert(countNodes(df, "Generate") <= 1)
     assert(hasNode(df, "TakeOrderedAndProject"))
     assert(countNodes(df, "SortMergeJoin") === 0)
   }

@@ -84,7 +84,7 @@ class StreamingStateV2Spec extends SparkSpec {
 
   test("snapshotEvery (punctuate): timer emits one snapshot per dirty key, then goes quiet") {
     import graft.streaming.StreamingStateV2.Snapshot
-    val mem = MemoryStream[(String, String)]
+    val mem = MemoryStream[(String, Long, String)]
     withRocks {
       val q = StreamingStateV2.snapshotEvery(
           mem.toDS(), java.time.Duration.ofMillis(300))
@@ -93,10 +93,11 @@ class StreamingStateV2Spec extends SparkSpec {
       try {
         def snaps = spark.table("graft_tws_snap").as[Snapshot].collect().toSeq
         // three updates to k1 in one batch, before the timer fires →
-        // ONE snapshot carrying the latest value and the update count
+        // ONE snapshot carrying the highest-seq value and the update count
         // (one addData call = one microbatch, so the counter can't be
-        // split by an early timer)
-        mem.addData(("k1", "v1"), ("k1", "v2"), ("k1", "v3"), ("k2", "w1"))
+        // split by an early timer); "latest" is decided by the seq field,
+        // not row order, so the assertion is retry-deterministic
+        mem.addData(("k1", 1L, "v1"), ("k1", 2L, "v2"), ("k1", 3L, "v3"), ("k2", 1L, "w1"))
         val d1 = System.currentTimeMillis() + 60000
         while (snaps.size < 2 && System.currentTimeMillis() < d1)
           Thread.sleep(100)
@@ -107,7 +108,7 @@ class StreamingStateV2Spec extends SparkSpec {
         Thread.sleep(1200)
         assert(snaps.size === 2, s"clean keys must stay quiet, got $snaps")
         // a new update re-arms the timer for that key only
-        mem.addData(("k1", "v4"))
+        mem.addData(("k1", 4L, "v4"))
         val d2 = System.currentTimeMillis() + 60000
         while (snaps.size < 3 && System.currentTimeMillis() < d2)
           Thread.sleep(100)
