@@ -39,6 +39,35 @@ object KafkaIO {
       headers.map(_.as("headers"))).toIndexedSeq: _*)
   }
 
+  /** Source-side header read (`data/record.go:17-31` RecordHeaders.Read):
+    * the value of the FIRST header named `name`, NULL when absent —
+    * evaluated over the Kafka source's `headers` column
+    * (array<struct<key,value>>). The reference's `All()` is the headers
+    * column itself; this is the point accessor for filter/extract.
+    */
+  def headerValue(headers: Column, name: String): Column =
+    // get(), not getItem(0): no match must read as NULL, not an ANSI
+    // out-of-bounds error
+    get(filter(headers, h => h.getField("key") === lit(name)), lit(0))
+      .getField("value")
+
+  /** True when a header named `name` is present (even with a NULL value —
+    * matching the reference, where Read returns nil for both "absent" and
+    * "present with nil value" but iteration distinguishes them).
+    */
+  def hasHeader(headers: Column, name: String): Column =
+    exists(headers, h => h.getField("key") === lit(name))
+
+  /** GlobalTable bootstrap mode (`kstream/global_table.go:20-29`): the
+    * reference's `GlobalTableOffsetDefault` replays the topic from the
+    * beginning; `GlobalTableOffsetLatest` skips history ("suitable for
+    * topics with retention policy delete"). On Spark's Kafka source the
+    * same switch is the `startingOffsets` option on the table's read —
+    * pass the returned map to `.options(...)`.
+    */
+  def tableStartingOffsets(skipHistory: Boolean): Map[String, String] =
+    Map("startingOffsets" -> (if (skipHistory) "latest" else "earliest"))
+
   /** S6 DLQ split: records failing validation go to a dead-letter frame
     * instead of aborting the pipeline (kstream/dlq/dlq.go:14-87). Returns
     * (ok, dead); dead rows carry the failure reason like the DLQ topic's

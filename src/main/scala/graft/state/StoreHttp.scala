@@ -23,8 +23,14 @@ import org.apache.spark.sql.functions.{col, lit}
   * collects the matching rows, so the surface works unchanged whether the
   * snapshot is 100 rows or 100 TB of partitioned parquet. Built on the
   * JDK's HttpServer: no dependencies, ephemeral port for tests.
+  *
+  * The HTTP layer is the one legitimately driver-side collect in the
+  * engine, so the caller-controlled `limit` query param is clamped to
+  * `maxScanLimit` — `?limit=2000000000` must not pull a whole store onto
+  * the driver.
   */
-final class StoreHttp(registry: StoreRegistry, port: Int = 0) {
+final class StoreHttp(
+    registry: StoreRegistry, port: Int = 0, maxScanLimit: Int = 10000) {
 
   private var server: HttpServer = _
 
@@ -81,6 +87,7 @@ final class StoreHttp(registry: StoreRegistry, port: Int = 0) {
       .flatMap(_.split("&").collectFirst {
         case q if q.startsWith("limit=") => q.stripPrefix("limit=").toInt
       }).getOrElse(1000)
+      .max(0).min(maxScanLimit)
     def storeOr404(s: String): DataFrame =
       if (registry.storeNames.contains(s)) registry.store(s)
       else throw NotFound(s"unknown store $s")

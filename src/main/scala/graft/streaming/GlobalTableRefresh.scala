@@ -20,6 +20,13 @@ object GlobalTableRefresh {
   /** Stream–global-table join with per-batch table refresh. `load` runs on
     * the driver each micro-batch (e.g. re-reads a compacted topic snapshot
     * or a dimension path); `sink` receives the enriched batch.
+    *
+    * Bootstrap depth is `load`'s choice — the reference's
+    * `GlobalTableOffsetDefault` (replay the topic from offset 0,
+    * kstream/global_table.go:20-29) is a full snapshot load; its
+    * `GlobalTableOffsetLatest` ("skip history") is a load over only-new
+    * records, e.g. a Kafka read opened with
+    * [[graft.io.KafkaIO.tableStartingOffsets]]`(skipHistory = true)`.
     */
   def enrichEachBatch(
       stream: DataFrame,

@@ -60,4 +60,20 @@ class PipelineSpec extends SparkSpec {
     assert(row === ("trace", "trace-1"))
     assert(ks.describe().contains("Physical Plan"))
   }
+
+  test("source-side header read: first match by name, NULL when absent") {
+    // the Kafka source's headers shape: array<struct<key,value>>; Read()
+    // returns the FIRST header with the name (data/record.go:17-31)
+    val df = Seq(
+      (1L, Seq(("trace", "t-1"), ("trace", "t-2"), ("src", "api"))),
+      (2L, Seq(("src", "batch"))))
+      .toDF("k", "hs")
+      .select(col("k"), transform(col("hs"),
+        h => struct(h.getField("_1").as("key"), h.getField("_2").as("value"))).as("headers"))
+    val got = df.select(col("k"),
+        KafkaIO.headerValue(col("headers"), "trace").as("trace"),
+        KafkaIO.hasHeader(col("headers"), "src").as("has_src"))
+      .as[(Long, Option[String], Boolean)].collect().toSet
+    assert(got === Set((1L, Some("t-1"), true), (2L, None, true)))
+  }
 }

@@ -68,6 +68,22 @@ class StoreHttpSpec extends SparkSpec {
     } finally http.stop()
   }
 
+  test("scan limit is clamped: a huge ?limit= cannot collect a whole store") {
+    val registry = new StoreRegistry(spark)
+    registry.register("big",
+      (1 to 50).map(i => (i.toLong, s"row$i")).toDF("id", "v"), keyCol = "id")
+    val http = new StoreHttp(registry, maxScanLimit = 5)
+    val port = http.start()
+    try {
+      def count(path: String): Int =
+        get(port, path).split("\\{").length - 1
+      assert(count("/stores/big?limit=2000000000") === 5)
+      assert(count("/stores/big") === 5)       // default 1000 clamps too
+      assert(count("/stores/big?limit=3") === 3) // under the cap passes through
+      assert(count("/stores/big?limit=-7") === 0)
+    } finally http.stop()
+  }
+
   test("foreachBatch streaming materialize keeps latest per key (S4)") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val registry = new StoreRegistry(spark)
