@@ -65,4 +65,59 @@ object Resilience {
       attempts: Int = 2, intervalMs: Long = 100)(
       body: (DataFrame, Long) => Unit): (DataFrame, Long) => Unit =
     (batch, id) => withRetries(attempts, intervalMs)(body(batch, id))
+
+  /** Per-record error capture — the reference's full DLQ semantics
+    * (kstream/processor.go:116-152: retry the record, then ship it to the
+    * DLQ topic with the error; dlq/dlq.go:14-87): retry the WHOLE batch
+    * `attempts` times first (transient faults clear here, the common
+    * case, zero overhead); if it still fails, bisect the pinned batch by
+    * a stable row index until the throwing rows are isolated — every
+    * healthy sub-batch commits via `body` exactly once, and each poison
+    * row goes to `dead` carrying the captured error in `dlq_reason`.
+    *
+    * `body` must be idempotent-per-row under retries (the same contract
+    * the reference imposes — its retried record can also have partially
+    * committed). Cost when poison exists: O(k · log n) driver-scheduled
+    * sub-jobs over the CACHED batch for k poison rows in an n-row
+    * micro-batch — bounded by the micro-batch size, never the table.
+    */
+  def foreachBatchWithQuarantine(
+      attempts: Int = 2, intervalMs: Long = 100)(
+      body: (DataFrame, Long) => Unit)(
+      dead: (DataFrame, Long) => Unit): (DataFrame, Long) => Unit = (batch, id) => {
+    import org.apache.spark.sql.functions._
+    val idx = "_graft_quarantine_idx"
+    // pin ONCE: monotonically_increasing_id is stable when re-read from
+    // the cache (partition layout fixed), so bisection filters see
+    // consistent indexes and the source is not recomputed per probe
+    val pinned = batch.withColumn(idx, monotonically_increasing_id()).persist()
+    try {
+      val total = pinned.count()
+      def attempt(df: DataFrame): Option[Throwable] =
+        try { withRetries(attempts, intervalMs)(body(df.drop(idx), id)); None }
+        catch { case e: Throwable => Some(e) }
+      def quarantine(df: DataFrame, n: Long, err: Throwable): Unit =
+        if (n == 1L) {
+          dead(df.drop(idx).withColumn(
+            "dlq_reason", lit(Option(err.getMessage).getOrElse(err.toString))), id)
+        } else {
+          // split by index VALUE midpoint: ids are sparse but ordered, so
+          // value bisection still halves the range each round
+          val Array(org.apache.spark.sql.Row(lo: Long, hi: Long)) =
+            df.agg(min(col(idx)), max(col(idx))).collect()
+          val mid = lo + (hi - lo) / 2
+          for (half <- Seq(df.filter(col(idx) <= mid), df.filter(col(idx) > mid))) {
+            val m = half.count()
+            if (m > 0) attempt(half) match {
+              case Some(e) => quarantine(half, m, e)
+              case None    => ()
+            }
+          }
+        }
+      if (total > 0) attempt(pinned) match {
+        case Some(e) => quarantine(pinned, total, e)
+        case None    => ()
+      }
+    } finally pinned.unpersist()
+  }
 }

@@ -196,6 +196,39 @@ class StreamingOpsSpec extends SparkSpec {
     }
   }
 
+  test("per-record DLQ: poison rows quarantine with the error; healthy rows commit once") {
+    val mem = MemoryStream[(Long, String)]
+    val committed = mutable.ArrayBuffer.empty[(Long, String)]
+    val dead = mutable.ArrayBuffer.empty[(Long, String, String)]
+    var wholeBatchAttempts = 0
+    val harness = Resilience.foreachBatchWithQuarantine(attempts = 2, intervalMs = 1) {
+      (df, _) =>
+        val rows = df.select("k", "v").as[(Long, String)].collect()
+        if (rows.length > 2) wholeBatchAttempts += 1
+        // a poison record fails the WHOLE sub-batch — the harness must
+        // still land only the poison rows in the DLQ
+        if (rows.exists(_._2.startsWith("poison"))) sys.error("poison record")
+        committed ++= rows
+    } { (deadDf, _) =>
+      dead ++= deadDf.select("k", "v", "dlq_reason")
+        .as[(Long, String, String)].collect()
+    }
+    val q = mem.toDS().toDF("k", "v").writeStream.foreachBatch(harness).start()
+    try {
+      mem.addData((1L, "a"), (2L, "poison-x"), (3L, "b"), (4L, "c"), (5L, "poison-y"))
+      q.processAllAvailable()
+      mem.addData((6L, "d")) // healthy batch takes the zero-overhead fast path
+      q.processAllAvailable()
+    } finally q.stop()
+    // exactly once: every healthy row committed, none duplicated or lost
+    assert(committed.sorted === Seq(1L -> "a", 3L -> "b", 4L -> "c", 6L -> "d"))
+    // both poison rows quarantined, each carrying the captured error
+    assert(dead.map(r => (r._1, r._2)).toSet === Set(2L -> "poison-x", 5L -> "poison-y"))
+    assert(dead.forall(_._3.contains("poison record")))
+    // the full batch was retried (attempts = 2 ⇒ ≥ 3 full-batch tries)
+    assert(wholeBatchAttempts >= 3)
+  }
+
   test("MetricsListener records per-batch progress") {
     val listener = new MetricsListener
     spark.streams.addListener(listener)
