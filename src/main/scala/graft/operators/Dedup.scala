@@ -211,8 +211,8 @@ object Dedup {
     * share content, so clusters are near-cliques with diameter ≲ 3). Each
     * round is one distributed join + partial-agg; only the convergence
     * check (a count) touches the driver. `maxIters` bounds pathological
-    * chains; the classic large-star/small-star contraction is the drop-in
-    * upgrade if a corpus ever produces deep chains.
+    * chains; [[resolveComponentsStar]] is the O(log diameter) upgrade for
+    * corpora that produce deep chains, and is what the pipeline query uses.
     *
     * Output: (node, canonical) — every node appearing in a pair, labeled
     * with its component's min id.
@@ -244,6 +244,73 @@ object Dedup {
       iters += 1
     }
     labels.select(col("node"), col("label").as("canonical"))
+  }
+
+  /** Connected components via alternating LARGE-STAR / SMALL-STAR edge
+    * contraction (Kiveris et al., "Connected Components in MapReduce and
+    * Beyond", SoCC'14) — the scale upgrade over [[resolveComponents]]'s
+    * plain min-label propagation: rounds are O(log diameter) instead of
+    * O(diameter), so a pathological million-node chain converges in ~20
+    * rounds instead of a million, and per-round driver work is a single
+    * is-the-edge-set-stable existence check on the (shrinking) contracted
+    * edges rather than a full changed-label count join.
+    *
+    *  - large-star: every node points its LARGER neighbors at the minimum
+    *    of its closed neighborhood — one symmetrize + per-node min agg +
+    *    join.
+    *  - small-star: every node folds its smaller neighbors (and itself)
+    *    onto their collective minimum — one orient + min agg + join.
+    *
+    * Both phases strictly preserve connectivity and never increase the
+    * edge count past the input; the fixpoint is a forest of stars whose
+    * centers are the component minima. Same output contract as
+    * [[resolveComponents]]: (node, canonical) for every node appearing in
+    * a pair.
+    */
+  def resolveComponentsStar(pairs: DataFrame, aCol: String, bCol: String,
+      maxIters: Int = 50): DataFrame = {
+    def largeStar(e: DataFrame): DataFrame = {
+      val sym = e.unionByName(e.select(col("b").as("a"), col("a").as("b")))
+      val mins = sym.groupBy("a").agg(least(min(col("b")), first(col("a"))).as("m"))
+      sym.join(mins, "a")
+        .filter(col("b") > col("a") && col("b") =!= col("m"))
+        .select(col("b").as("a"), col("m").as("b"))
+        .distinct()
+    }
+    def smallStar(e: DataFrame): DataFrame = {
+      // edges arrive (big, small) from largeStar; orient defensively anyway
+      val oriented = e.filter(col("a") =!= col("b"))
+        .select(greatest(col("a"), col("b")).as("a"), least(col("a"), col("b")).as("b"))
+      val mins = oriented.groupBy("a").agg(min(col("b")).as("m"))
+      oriented.join(mins, "a")
+        .select(col("b").as("a"), col("m").as("b"))   // smaller neighbors → min
+        .unionByName(mins.select(col("a"), col("m").as("b"))) // center → min
+        .filter(col("a") =!= col("b"))
+        .distinct()
+    }
+    var edges = pairs
+      .select(col(aCol).cast("long").as("x"), col(bCol).cast("long").as("y"))
+      .filter(col("x") =!= col("y"))
+      .select(greatest(col("x"), col("y")).as("a"), least(col("x"), col("y")).as("b"))
+      .distinct()
+      .localCheckpoint(true)
+    var stable = false
+    var iters = 0
+    while (!stable && iters < maxIters) {
+      // checkpoint per round: the loop would otherwise stack an
+      // exponentially deep plan (each round references the last twice)
+      val next = smallStar(largeStar(edges)).localCheckpoint(true)
+      // both sides are oriented + distinct, so set equality is two
+      // anti-joins; limit-1 existence probes, not full counts
+      stable = next.exceptAll(edges).isEmpty && edges.exceptAll(next).isEmpty
+      edges = next
+      iters += 1
+    }
+    // fixpoint: stars centered at component minima — every edge IS a
+    // (node, canonical) row; centers label themselves
+    edges.select(col("a").as("node"), col("b").as("canonical"))
+      .unionByName(edges.select(col("b").as("node"), col("b").as("canonical")))
+      .distinct()
   }
 
   /** SimHash near-duplicate pairs within `maxHamming`, banded: the 64-bit

@@ -92,7 +92,7 @@ object DedupQueries {
         |  SELECT e.a, r.l FROM edges e JOIN reach r ON e.b = r.node)
         |SELECT node, min(l) AS canonical FROM reach GROUP BY node""".stripMargin)
         .replaceFirst("WITH toks", "WITH RECURSIVE toks")))(
-      (s, d) => Dedup.resolveComponents(
+      (s, d) => Dedup.resolveComponentsStar(
         Dedup.nearDupPairs(spread(s, d), "doc_id", "text", shingleN = 3,
           minNum = 4, minDen = 5),
         "a_id", "b_id")),

@@ -84,6 +84,22 @@ class DedupSpec extends SparkSpec {
       20L -> 20L, 21L -> 20L))
   }
 
+  test("resolveComponentsStar matches propagation on chains, stars, and clusters") {
+    // a 9-node chain needs 8 propagation rounds but only ~3 star rounds;
+    // include a star, a triangle-with-tail, and a disjoint pair
+    val pairs = Seq(
+      (1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 6L), (6L, 7L), (7L, 8L), (8L, 9L),
+      (10L, 11L), (10L, 12L), (10L, 13L),
+      (30L, 31L), (31L, 32L), (30L, 32L), (32L, 33L),
+      (20L, 21L)).toDF("a_id", "b_id")
+    val star = Dedup.resolveComponentsStar(pairs, "a_id", "b_id")
+      .as[(Long, Long)].collect().toMap
+    val prop = Dedup.resolveComponents(pairs, "a_id", "b_id")
+      .as[(Long, Long)].collect().toMap
+    assert(star === prop)
+    assert(star(9L) === 1L && star(13L) === 10L && star(33L) === 30L && star(21L) === 20L)
+  }
+
   test("portableHash64 matches the md5-prefix definition") {
     val h = Seq(Tuple1("hello")).toDF("t")
       .select(Dedup.portableHash64(col("t"))).as[Long].head()

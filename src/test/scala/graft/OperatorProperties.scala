@@ -170,6 +170,31 @@ object OperatorProperties extends Properties("graft.operators") {
     } yield (g, s.toDouble))
   } yield rows.zipWithIndex.map { case ((g, s), i) => (g, s, i.toLong) }
 
+  private val edgeGen: Gen[List[(Long, Long)]] = for {
+    n <- Gen.choose(1, 25)
+    edges <- Gen.listOfN(n, for {
+      a <- Gen.choose(0L, 15L)
+      b <- Gen.choose(0L, 15L) if a != b
+    } yield (a, b))
+  } yield edges
+
+  property("resolveComponentsStar == union-find ground truth") = forAll(edgeGen) { edges =>
+    val got = Dedup.resolveComponentsStar(edges.toDF("a_id", "b_id"), "a_id", "b_id")
+      .as[(Long, Long)].collect().toMap
+    // driver-side union-find over the same edges
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val expected = parent.keys.map(x => x -> find(x)).toMap
+    got == expected
+  }
+
   property("topKPerKey == sort-and-take per key") = forAll(scoreGen, Gen.choose(1, 6)) {
     (rows, k) =>
       val df = rows.toDF("g", "score", "id").repartition(5)
