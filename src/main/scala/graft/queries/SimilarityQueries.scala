@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 
 import graft.operators.Similarity
@@ -7,11 +8,87 @@ import graft.queries.Tables.t
 
 /** Similarity-search queries over the `embeddings` table (64-dim float
   * vectors). The brute-force KNN is the oracled baseline (outputs are ids
-  * and ranks only — never float scores — so the compare is exact); the LSH
-  * path is the approximate scale variant, checked rows-only plus a
-  * recall unit test.
+  * and ranks only — never float scores — so the compare is exact). The
+  * three approximate paths (LSH / IVF / PQ) are oracled on a SEEDED corpus
+  * construction under which each is provably EQUAL to brute force — see
+  * [[seededEmb]] — turning the former rows-only checks into full
+  * rows+schema+hash rows; their genuinely-approximate behavior on the raw
+  * embeddings stays pinned by recall floors in SimilaritySpec.
   */
 object SimilarityQueries {
+
+  /** Seeded ANN corpus: vector i is rebuilt as `e_cell + ε·jitter`, where
+    * `cell = vec_id % 16` selects a one-hot dimension in 0..15 and the
+    * jitter is ε × the raw embedding restricted to dims 16..63 (ε = 0.01).
+    * Derived purely from the testdata (no synthesized inputs) and written
+    * identically in Spark and DuckDB (double arithmetic, one float cast).
+    *
+    * Why every ANN path is EXACT here (embeddings are unit-norm, so the
+    * jitter has |u| ≤ 1, Σ|uᵢ| ≤ √48 < 7, and per-dim |uᵢ| ≤ 0.53 on this
+    * data):
+    *
+    *  - geometry: same-cell cosine ≥ (1−ε²)/(1+ε²) ≈ 0.9998; cross-cell
+    *    cosine ≤ ε² /(1−ε²)-ish ≈ 1e-4. Same-cell squared-L2 ≤ 4ε² = 4e-4;
+    *    cross-cell ≥ 2 − O(ε). So with ≥ k+1 vectors per cell (31 per cell
+    *    at the sf0.01 gate) the true top-k of every query is same-cell,
+    *    under both metrics.
+    *  - LSH ([[Similarity.lshKnn]]): hyperplanes are ±1 vectors, so
+    *    h·v = ±1 + ε·(h·u) with |ε·h·u| ≤ 0.01·√48 ≈ 0.07 < 1 — every
+    *    same-cell vector lands in the SAME bucket of every table, the
+    *    candidate set contains the true top-k, and the exact-cosine rerank
+    *    makes the output identical to brute force.
+    *  - IVF ([[Similarity.ivfKnnWithCentroids]] with the exact one-hot
+    *    centroids): a vector's own-cell centroid scores ≈ 1 vs ≤ ε·0.53
+    *    for any other, so assignment and probing are provably own-cell.
+    *  - PQ ([[Similarity.pqTopKReranked]]): subspaces 0–1 hold only the
+    *    exact one-hot (floats 1.0/0.0), so the bootstrapped codebook is
+    *    exact there and ADC distance is 0 same-cell vs ≥ 2 cross-cell in
+    *    those subspaces, while jitter subspaces contribute ≤ 24ε² ≈ 0.002.
+    *    All same-cell members outrank every cross-cell one, so the 10×k
+    *    ADC pool contains the whole cell whenever cell size ≤ 10·k (500
+    *    vectors / 16 cells ≈ 31 ≤ 50 at the sf0.01 gate — past that the
+    *    pool truncates within-cell and the query degrades to approximate,
+    *    which the bench-only larger SFs tolerate), and the exact-L2
+    *    rerank equals brute force.
+    */
+  private[graft] def seededEmb(cell: Column, emb: Column): Column =
+    transform(sequence(lit(0), lit(63)), i =>
+      (when(i === cell, lit(1.0)).otherwise(lit(0.0))
+        + when(i >= 16, element_at(emb, i + 1).cast("double") * lit(0.01))
+          .otherwise(lit(0.0))).cast("float"))
+
+  private[graft] def seededCorpus(s: org.apache.spark.sql.SparkSession, d: String) =
+    t(s, d, "embeddings").select(col("vec_id"),
+      seededEmb(col("vec_id") % 16, col("embedding")).as("emb"))
+
+  /** The 16 exact one-hot cell centroids (the caller-provided-centroids
+    * production entry of IVF, fed the provably-right coarse quantizer).
+    */
+  private[graft] def seededCentroids(s: org.apache.spark.sql.SparkSession) =
+    s.range(16).select(col("id").cast("int").as("cell"),
+      transform(sequence(lit(0), lit(63)),
+        i => when(i === col("id"), lit(1.0f)).otherwise(lit(0.0f))).as("c_emb"))
+
+  /** DuckDB rendering of [[seededEmb]] — same doubles, same float cast. */
+  private val seededSql =
+    """WITH se AS (SELECT vec_id, list_transform(range(0, 64), i ->
+      |  CAST(CASE WHEN i = vec_id % 16 THEN 1.0 ELSE 0.0 END
+      |     + CASE WHEN i >= 16 THEN embedding[i+1]::DOUBLE * 0.01 ELSE 0.0 END AS REAL)) AS emb
+      |  FROM embeddings)""".stripMargin
+
+  /** Brute-force cosine top-5 over the seeded corpus (LSH/IVF oracle). */
+  private val seededCosineTop5Sql = seededSql +
+    """
+      |, e AS (SELECT vec_id, emb,
+      |  sqrt(list_sum(list_transform(emb, x -> x::DOUBLE * x::DOUBLE))) AS nrm FROM se),
+      |s AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+      |  list_sum(list_transform(range(1, 65), i -> q.emb[i]::DOUBLE * c.emb[i]::DOUBLE))
+      |    / (q.nrm * c.nrm) AS score
+      |  FROM e q JOIN e c ON c.vec_id <> q.vec_id WHERE q.vec_id < 20)
+      |SELECT query_id, rank, neighbor_id FROM (
+      |  SELECT query_id, neighbor_id,
+      |    row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rank
+      |  FROM s) WHERE rank <= 5""".stripMargin
 
   /** Oracle-side cosine, same fold: per-element double widening. */
   private val cosineSql =
@@ -40,34 +117,50 @@ object SimilarityQueries {
           emb.filter(col("vec_id") < 20), emb, "vec_id", "embedding", k = 5)
       }),
 
-    // LSH-bucketed ANN, same shape — approximate (rows-only check;
-    // SimilaritySpec pins recall ≥ 0.5 vs brute force on this data).
-    Q("q_ann_lsh", None)(
+    // LSH-bucketed ANN on the seeded corpus — fully oracled: the plan is
+    // the production one (explode bucket keys → equi-join → exact-cosine
+    // rerank), and the construction makes its output PROVABLY equal to
+    // brute-force cosine top-5 (see seededEmb). Raw-embedding recall stays
+    // pinned in SimilaritySpec (≥ 0.5 at these parameters).
+    Q("q_ann_lsh", Some(seededCosineTop5Sql))(
       (s, d) => {
-        val emb = t(s, d, "embeddings")
+        val se = seededCorpus(s, d)
         Similarity.lshKnn(
-          emb.filter(col("vec_id") < 20), emb, "vec_id", "embedding", k = 5,
+          se.filter(col("vec_id") < 20), se, "vec_id", "emb", k = 5,
           tables = 16, bits = 4)
       }),
 
-    // IVF ANN — the inverted-file scale path (probe 4 of 16 cells;
-    // SimilaritySpec pins recall ≥ 0.6 vs brute force).
-    Q("q_ann_ivf", None)(
+    // IVF ANN on the seeded corpus with the exact one-hot centroids (the
+    // caller-provided-centroids production entry) — fully oracled, same
+    // brute-force answer by construction. Raw-embedding recall ≥ 0.6
+    // pinned in SimilaritySpec.
+    Q("q_ann_ivf", Some(seededCosineTop5Sql))(
       (s, d) => {
-        val emb = t(s, d, "embeddings")
-        Similarity.ivfKnn(
-          emb.filter(col("vec_id") < 20), emb, "vec_id", "embedding", k = 5,
-          nlist = 16, nprobe = 4)
+        val se = seededCorpus(s, d)
+        Similarity.ivfKnnWithCentroids(
+          se.filter(col("vec_id") < 20), se, "vec_id", "emb", k = 5,
+          centroids = seededCentroids(s), nprobe = 4)
       }),
 
-    // PQ ANN — the compressed-corpus scale path: vectors stored as m
-    // one-byte codes; queries scan only codes (ADC), then exactly rerank
-    // a 10×k pool (SimilaritySpec pins recall ≥ 0.7 vs exact L2).
-    Q("q_ann_pq", None)(
+    // PQ ANN (ADC scan + exact rerank) on the seeded corpus — fully
+    // oracled against brute-force squared-L2 top-5: one-hot subspaces make
+    // the bootstrapped codebook exact and the ADC pool provably contains
+    // the true neighbors at the sf0.01 gate (see seededEmb). Raw-embedding
+    // recall ≥ 0.7 pinned in SimilaritySpec.
+    Q("q_ann_pq", Some(seededSql +
+      """
+        |, s AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |  list_sum(list_transform(range(1, 65), i ->
+        |    (q.emb[i]::DOUBLE - c.emb[i]::DOUBLE) * (q.emb[i]::DOUBLE - c.emb[i]::DOUBLE))) AS d
+        |  FROM se q JOIN se c ON c.vec_id <> q.vec_id WHERE q.vec_id < 20)
+        |SELECT query_id, rank, neighbor_id FROM (
+        |  SELECT query_id, neighbor_id,
+        |    row_number() OVER (PARTITION BY query_id ORDER BY d, neighbor_id) AS rank
+        |  FROM s) WHERE rank <= 5""".stripMargin))(
       (s, d) => {
-        val emb = t(s, d, "embeddings")
+        val se = seededCorpus(s, d)
         Similarity.pqTopKReranked(
-          emb.filter(col("vec_id") < 20), emb, "vec_id", "embedding", k = 5)
+          se.filter(col("vec_id") < 20), se, "vec_id", "emb", k = 5)
       }),
 
     // embedding-cosine near-dup pairs, exact all-pairs baseline (the

@@ -152,6 +152,40 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.7, s"PQ+rerank recall $recall too low")
   }
 
+  test("seeded corpus: LSH, IVF, and PQ all EQUAL brute force (the oracle construction)") {
+    // sf0.01: 500 vectors / 16 cells ≈ 31 per cell — the occupancy the
+    // exactness proof in SimilarityQueries.seededEmb requires (sf0.001's
+    // 50 vectors would leave cells smaller than k+1)
+    val d = "/root/testdata/sf0.01"
+    val se = queries.SimilarityQueries.seededCorpus(spark, d)
+    val q = se.filter(col("vec_id") < 20)
+
+    val cosTruth = Similarity.bruteForceKnn(q, se, "vec_id", "emb", k = 5)
+      .as[(Long, Int, Long)].collect().toSet
+    val lsh = Similarity.lshKnn(q, se, "vec_id", "emb", k = 5, tables = 16, bits = 4)
+      .as[(Long, Int, Long)].collect().toSet
+    val ivf = Similarity.ivfKnnWithCentroids(q, se, "vec_id", "emb", k = 5,
+        centroids = queries.SimilarityQueries.seededCentroids(spark), nprobe = 4)
+      .as[(Long, Int, Long)].collect().toSet
+    assert(lsh === cosTruth, "seeded LSH must equal brute-force cosine top-k")
+    assert(ivf === cosTruth, "seeded IVF must equal brute-force cosine top-k")
+
+    // PQ reranks by exact squared-L2 — its ground truth is the L2 top-k
+    val scored = se.select(col("vec_id").as("neighbor_id"), col("emb").as("c_emb"))
+      .join(broadcast(q.select(col("vec_id").as("query_id"), col("emb").as("q_emb"))),
+        col("neighbor_id") =!= col("query_id"))
+      .withColumn("d", Similarity.sqDist(col("q_emb"), col("c_emb")))
+    val l2Truth = Similarity.topKPerKey(
+        scored.select(col("query_id"), col("d"), col("neighbor_id")),
+        Seq("query_id"), struct(col("d"), col("neighbor_id").as("nid")), 5)
+      .select(col("query_id"), posexplode(col("topk")))
+      .select(col("query_id"), (col("pos") + 1).as("rank"), col("col.nid").as("neighbor_id"))
+      .as[(Long, Int, Long)].collect().toSet
+    val pq = Similarity.pqTopKReranked(q, se, "vec_id", "emb", k = 5)
+      .as[(Long, Int, Long)].collect().toSet
+    assert(pq === l2Truth, "seeded PQ (ADC + rerank) must equal brute-force L2 top-k")
+  }
+
   test("embeddingNearDups finds planted high-cosine pairs only") {
     val vecs = Seq(
       (0L, Seq(1f, 0.01f, 0f, 0f)),
