@@ -385,6 +385,53 @@ object CoreQueries {
         left.joinStream(right, Seq(col("r_event_id")))
           .toDF.select("event_id", "user_id", "r_event_id")
       }),
+
+    // example_1's full banking topology, batch twin (the streaming form —
+    // identical combinators on a MemoryStream with checkpoint restart — is
+    // StreamingOpsSpec "example_1 banking topology end-to-end"). Mirrors
+    // /root/reference/examples/example_1/stream/init.go:24-89 +
+    // account_credited.go:24-40 / account_debited.go: transaction stream →
+    // first-match branch (credited/debited) → timestamp filter → global-
+    // table join #1 (account details → message text, key-mapped to the
+    // customer id) → global-table join #2 (customer profile enrich) →
+    // tombstone-aware sink frame. Amounts render as integer cents
+    // (floor(x·100 + 0.5)) so the message text is bit-identical across
+    // engines.
+    Q("q_example1_pipeline", Some(
+      "SELECT e.event_id AS key, " +
+      "CASE WHEN c.c_acctbal < 0 THEN NULL ELSE " +
+      "concat('Your a/c ', e.user_id, ' is ', " +
+      "CASE WHEN e.event_type = 'purchase' THEN 'credited' ELSE 'debited' END, " +
+      "' with ', CAST(floor(e.value * 100 + 0.5) AS BIGINT), ' cents (', " +
+      "c.c_name, ', ', n.n_name, ')') END AS value " +
+      "FROM events e JOIN customer c ON e.user_id = c.c_custkey " +
+      "JOIN nation n ON c.c_nationkey = n.n_nationkey " +
+      "WHERE e.event_type IN ('purchase', 'signup') " +
+      "AND epoch_ms(e.ts) >= 1704240000000"))(
+      (s, d) => {
+        val accountDetails = KGlobalTable.fromStatic(
+          t(s, d, "customer")
+            .select("c_custkey", "c_name", "c_nationkey", "c_acctbal"),
+          "c_custkey")
+        val profiles = KGlobalTable.fromStatic(
+          t(s, d, "nation").select("n_nationkey", "n_name"), "n_nationkey")
+        val src = KStream(t(s, d, "events"), "event_id")
+        val Seq(credited, debited) = src.branch(
+          col("event_type") === "purchase", col("event_type") === "signup")
+        def leg(stream: KStream, verb: String): KStream = stream
+          .filter(Tables.tsMillis(col("ts")) >= 1704240000000L)
+          .joinGlobalTable(accountDetails, col("user_id"))
+          .transformValues("text" -> concat(
+            lit("Your a/c "), col("user_id"), lit(s" is $verb with "),
+            floor(col("value") * 100 + 0.5).cast("long"), lit(" cents (")))
+          .joinGlobalTable(profiles, col("c_nationkey"))
+        leg(credited, "credited").merge(leg(debited, "debited"))
+          .to(
+            keyExpr = col("event_id"),
+            valueExpr = concat(col("text"), col("c_name"), lit(", "),
+              col("n_name"), lit(")")),
+            tombstoneWhen = Some(col("c_acctbal") < 0))
+      }),
   )
 
   private def branches(s: org.apache.spark.sql.SparkSession, d: String): Seq[KStream] =

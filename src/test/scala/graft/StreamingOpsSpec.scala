@@ -62,6 +62,85 @@ class StreamingOpsSpec extends SparkSpec {
     assert(rows("2").contains("\"checking\"") && rows("2").contains("\"size\":1"))
   }
 
+  test("example_1 banking topology end-to-end: one streaming query, checkpoint restart mid-stream") {
+    // the COMPLETE example_1 shape (/root/reference/examples/example_1/
+    // stream/init.go:24-89, account_credited.go:24-40, account_debited.go):
+    // transaction stream → first-match branch (credited/debited) →
+    // timestamp filter → global-table join #1 (account details → message,
+    // key-mapped to customer id) → global-table join #2 (profile enrich) →
+    // merge → tombstone-aware sink — ONE streaming query against a durable
+    // sink, stopped and restarted from its checkpoint mid-stream. The
+    // batch twin with a DuckDB oracle is q_example1_pipeline.
+    import graft.dsl.{KGlobalTable, KStream}
+    val dir = java.nio.file.Files.createTempDirectory("graft_ex1").toString
+    // (txn_id, type, account_no, amount, ts_ms)
+    val mem = MemoryStream[(Long, String, Long, Double, Long)]
+    val accountDetails = KGlobalTable.fromStatic(
+      Seq((100L, 7L, "active"), (200L, 8L, "active"), (300L, 9L, "closed"))
+        .toDF("acct_no", "customer_id", "status"), "acct_no")
+    val profiles = KGlobalTable.fromStatic(
+      Seq((7L, "alice", "a@x.io"), (8L, "bob", "b@x.io"), (9L, "carol", "c@x.io"))
+        .toDF("cust_id", "name", "email"), "cust_id")
+    val cutoffMs = 1700000000000L // filterFromTimestamp's "too old" gate
+
+    val src = KStream(
+      mem.toDF().toDF("txn_id", "typ", "acct_fk", "amount", "ts_ms"), "txn_id")
+    val Seq(credited, debited) = src.branch(
+      col("typ") === "credit", col("typ") === "debit")
+    def leg(s: KStream, verb: String): KStream = s
+      .filter(col("ts_ms") >= cutoffMs)
+      .joinGlobalTable(accountDetails, col("acct_fk"))
+      .transformValues("text" -> concat(
+        lit("Your a/c "), col("acct_fk"), lit(s" is $verb with "),
+        floor(col("amount") * 100 + 0.5).cast("long"), lit(" cents")))
+      .joinGlobalTable(profiles, col("customer_id"))
+    val out = leg(credited, "credited").merge(leg(debited, "debited"))
+      .to(
+        keyExpr = col("txn_id"),
+        valueExpr = concat(col("text"), lit(" ("), col("name"), lit(", "),
+          col("email"), lit(")")),
+        tombstoneWhen = Some(col("status") === "closed"))
+    assert(out.isStreaming, "the full example_1 topology must stay one streaming frame")
+
+    def start() = out.writeStream.format("parquet")
+      .option("path", s"$dir/out")
+      .option("checkpointLocation", s"$dir/ckpt")
+      .outputMode("append").start()
+
+    // phase 1: credited + debited flow; stale and unknown-account drop
+    val q1 = start()
+    try {
+      mem.addData(
+        (1L, "credit", 100L, 2.5, cutoffMs + 1000),
+        (2L, "debit", 200L, 10.0, cutoffMs + 2000),
+        (3L, "credit", 100L, 99.0, cutoffMs - 1), // too old → filtered
+        (4L, "credit", 999L, 5.0, cutoffMs + 3000)) // no account row → dropped
+      q1.processAllAvailable()
+    } finally q1.stop()
+
+    // phase 2: restart from the checkpoint; closed account → tombstone
+    val q2 = start()
+    try {
+      mem.addData(
+        (5L, "debit", 300L, 7.0, cutoffMs + 4000), // closed → NULL value
+        (6L, "credit", 200L, 1.25, cutoffMs + 5000))
+      q2.processAllAvailable()
+    } finally q2.stop()
+
+    val rows = spark.read.parquet(s"$dir/out")
+      .select(col("key").cast("long"), col("value"))
+      .as[(Long, Option[String])].collect().sortBy(_._1).toSeq
+    // exactly once across the restart: no loss, no replay of phase 1
+    assert(rows.map(_._1) === Seq(1L, 2L, 5L, 6L))
+    assert(rows.toMap.apply(1L) ===
+      Some("Your a/c 100 is credited with 250 cents (alice, a@x.io)"))
+    assert(rows.toMap.apply(2L) ===
+      Some("Your a/c 200 is debited with 1000 cents (bob, b@x.io)"))
+    assert(rows.toMap.apply(5L) === None) // tombstone: Kafka delete marker
+    assert(rows.toMap.apply(6L) ===
+      Some("Your a/c 200 is credited with 125 cents (bob, b@x.io)"))
+  }
+
   test("example_2 topology: 3-way branch + CHAINED stream-stream joins, one query") {
     // the reference's example_2 shape (/root/reference/examples/example_2/
     // stream/a.go:18-105): one topic carrying three event types → 3-way
