@@ -1,0 +1,76 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Synthetic 10× scale-up dataset builder (SCALING.md "measured" section):
+  * replicates the FACT tables `copies`× with shifted keys into `outDir`,
+  * copying the dimension tables through unchanged — real deployments grow
+  * in facts (events, documents, vectors, transactions), not reference
+  * data. The result is a directory Bench/Verify can point at directly
+  * (`SPARK_GRAFT_SF_DIR=<outDir>`), so the same query code is timed at 1×
+  * and N× and the ratio exposes any superlinear plan.
+  *
+  * Replicated document text is re-tokenized with a per-copy suffix so
+  * copies are NOT near-duplicates of each other: the scale-up means
+  * "N× more unique documents" and expected output cardinalities stay
+  * ~linear. (Replicating text verbatim would instead plant N-deep exact-
+  * duplicate clusters — a valid robustness test, but pair output grows
+  * quadratically in N and the timing would measure output explosion, not
+  * scaling.) Per-copy token distributions, document lengths, and
+  * repetition structure are preserved.
+  *
+  * Key shifts use a fixed stride of 1e6 — above every sf0.1 key range —
+  * so intra-fact references (l_orderkey ↔ o_orderkey) stay consistent per
+  * copy while dim foreign keys (custkey, partkey, suppkey, user_id)
+  * remain in the unreplicated dimension range.
+  */
+object ScaleCheck {
+
+  private val Stride = 1000000L
+
+  def main(args: Array[String]): Unit = {
+    val srcDir = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
+    val outDir = if (args.length > 1) args(1) else "target/scale10"
+    val copies = if (args.length > 2) args(2).toInt else 10
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    def t(name: String): DataFrame = queries.Tables.t(spark, srcDir, name)
+    def write(name: String, df: DataFrame): Unit = {
+      df.repartition(cpus.toInt)
+        .write.mode("overwrite").parquet(s"$outDir/$name.parquet")
+      println(s"[scale] $name -> $outDir (${spark.read.parquet(s"$outDir/$name.parquet").count()} rows)")
+    }
+
+    // dims: straight copies
+    Seq("region", "nation", "customer", "supplier", "part")
+      .foreach(n => write(n, t(n)))
+
+    val cp = spark.range(copies).select(col("id").as("_copy"))
+    def replicate(df: DataFrame, shiftCols: Seq[String], extra: DataFrame => DataFrame = identity): DataFrame = {
+      val rep = df.crossJoin(broadcast(cp))
+      val shifted = shiftCols.foldLeft(rep) { (d, c) =>
+        d.withColumn(c, col(c) + col("_copy") * Stride)
+      }
+      extra(shifted).drop("_copy")
+    }
+
+    write("orders", replicate(t("orders"), Seq("o_orderkey")))
+    write("lineitem", replicate(t("lineitem"), Seq("l_orderkey")))
+    write("events", replicate(t("events"), Seq("event_id")))
+    write("embeddings", replicate(t("embeddings"), Seq("vec_id")))
+    write("documents", replicate(t("documents"), Seq("doc_id"), d =>
+      d.withColumn("text",
+        when(col("_copy") === 0, col("text")).otherwise(
+          concat_ws(" ", transform(split(col("text"), "\\s+"),
+            tok => concat(tok, lit("_"), col("_copy"))))))))
+
+    spark.stop()
+  }
+}
