@@ -37,6 +37,13 @@ object TextAnalysis {
 
   def wordPattern(ws: Seq[String]): String = "\\b(" + ws.mkString("|") + ")\\b"
 
+  /** PII patterns, written to the Java-regex ∩ RE2 common subset so Spark
+    * and the DuckDB oracle match identical spans (no lookarounds, no
+    * backreferences, literal `-` only at class edges).
+    */
+  val emailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val phonePattern = "\\+[0-9]{1,3}-[0-9]{3}-[0-9]{3,}"
+
   /** Engine-portable half-up rounding for non-negative doubles:
     * floor(x·10ˢ + 0.5)/10ˢ — every step an exact IEEE op evaluated
     * identically by any engine. `round()` is NOT portable: Spark rounds
@@ -102,6 +109,16 @@ object TextAnalysis {
   def fingerprint(c: Column): Column =
     md5(trim(regexp_replace(regexp_replace(lower(c), "[^a-z0-9 ]", ""), " +", " ")))
 
+  /** PII scrub — the redaction pass every shared training corpus needs
+    * before release: masks emails then phone numbers with typed
+    * placeholders. Two codegen'd regexp_replace passes, narrow, no
+    * shuffle — scrubbing is free to pipeline into any scan.
+    */
+  def scrubPii(c: Column): Column =
+    regexp_replace(
+      regexp_replace(c, emailPattern, "<EMAIL>"),
+      phonePattern, "<PHONE>")
+
   // ── identical logic rendered as DuckDB SQL (oracle side) ───────────────
   private def cnt(expr: String, pattern: String): String =
     s"len(regexp_extract_all($expr, '$pattern'))"
@@ -136,4 +153,8 @@ object TextAnalysis {
 
   def fingerprintSql(c: String): String =
     s"md5(trim(regexp_replace(regexp_replace(lower($c), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')))"
+
+  def scrubPiiSql(c: String): String =
+    s"regexp_replace(regexp_replace($c, '$emailPattern', '<EMAIL>', 'g'), " +
+      s"'$phonePattern', '<PHONE>', 'g')"
 }

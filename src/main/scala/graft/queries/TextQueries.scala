@@ -47,6 +47,28 @@ object TextQueries {
       (s, d) => t(s, d, "documents").select(
         col("doc_id"), fingerprint(col("text")).as("fp"))),
 
+    // PII redaction — the release gate on any shared corpus. The synthetic
+    // documents carry no real PII, so the query derives a deterministic
+    // contact line per doc IN BOTH ENGINES (same concat, same doc_id
+    // rendering), then scrubs it: masked text plus per-kind match counts
+    // come back bit-identical. Two narrow regexp passes, no shuffle —
+    // scrubbing pipelines into the scan at any corpus size.
+    Q("q_pii_scrub", Some(
+      "WITH w AS (SELECT doc_id, " +
+      "concat(text, ' contact user', doc_id, '@mail.example.org or +1-555-', doc_id) AS t " +
+      "FROM documents) " +
+      s"SELECT doc_id, len(regexp_extract_all(t, '$emailPattern')) AS n_emails, " +
+      s"len(regexp_extract_all(t, '$phonePattern')) AS n_phones, " +
+      s"${scrubPiiSql("t")} AS scrubbed FROM w"))(
+      (s, d) => t(s, d, "documents")
+        .select(col("doc_id"),
+          concat(col("text"), lit(" contact user"), col("doc_id"),
+            lit("@mail.example.org or +1-555-"), col("doc_id")).as("t"))
+        .select(col("doc_id"),
+          countMatches(col("t"), emailPattern).as("n_emails"),
+          countMatches(col("t"), phonePattern).as("n_phones"),
+          scrubPii(col("t")).as("scrubbed"))),
+
     // corpus rollup: one partial-agg shuffle over (lang, source)
     Q("q_doc_stats", Some(
       "SELECT lang, source, count(*) AS n_docs, " +

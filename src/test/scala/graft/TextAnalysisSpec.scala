@@ -66,6 +66,21 @@ class TextAnalysisSpec extends SparkSpec {
     assert(df.as[Boolean].collect() === Seq(true, false))
   }
 
+  test("scrubPii masks emails and phones, counts match, clean text untouched") {
+    val df = Seq(
+      "write to a.user+tag@sub.example.org or +44-123-4567 today",
+      "two mails x@y.io and z@w.co, no phone",
+      "nothing sensitive here at all"
+    ).toDF("t").select(
+      TextAnalysis.scrubPii(col("t")).as("s"),
+      TextAnalysis.countMatches(col("t"), TextAnalysis.emailPattern).as("ne"),
+      TextAnalysis.countMatches(col("t"), TextAnalysis.phonePattern).as("np"))
+    val rows = df.as[(String, Int, Int)].collect()
+    assert(rows(0) === (("write to <EMAIL> or <PHONE> today", 1, 1)))
+    assert(rows(1) === (("two mails <EMAIL> and <EMAIL>, no phone", 2, 0)))
+    assert(rows(2) === (("nothing sensitive here at all", 0, 0)))
+  }
+
   test("quality score is bounded and favors clean prose") {
     val df = Seq(
       "the quick brown fox jumps over the lazy dog and that is it for now",
