@@ -246,4 +246,24 @@ class PlanShapeSpec extends SparkSpec {
     assert(countNodes(df, "Window") === 0)
     assert(countNodes(df, "Join") === 0)
   }
+
+  test("example_1 pipeline: stream side shuffle-free, table joins hash, no NL") {
+    // branch → filter → two global-table joins → merge → sink frame: the
+    // event stream must flow scan-to-sink without an exchange (the
+    // reference pays a repartition topic where we pay nothing), and both
+    // table joins must be hash joins under advisory hints
+    val df = q("q_example1_pipeline")
+    assert(countShuffles(df) === 0,
+      "the example_1 topology must not shuffle the stream side")
+    assert(countNodes(df, "CartesianProduct") === 0)
+    assert(countNodes(df, "BroadcastNestedLoopJoin") === 0)
+    assert(countNodes(df, "Union") >= 1, "merge must plan as a union")
+  }
+
+  test("pii scrub: narrow — no shuffle, no join, filters stay codegen'd") {
+    val df = q("q_pii_scrub")
+    assert(countShuffles(df) === 0)
+    assert(countNodes(df, "Join") === 0)
+    assert(countNodes(df, "Window") === 0)
+  }
 }
