@@ -385,6 +385,13 @@ object TpchQueries {
       |GROUP BY s_name
       |""".stripMargin.trim))(
       (s, d) => {
+        // NOT materialized, measured deliberately (round 4): `late` feeds
+        // both the sole-gate and the final join, but localCheckpointing it
+        // benched 1.4× slower at sf0.1 AND 2× slower at 10× — the second
+        // consumer's subtree is column-pruned to a narrower scan, so the
+        // recompute is cheaper than writing a fact-sized intermediate.
+        // Materialize-once pays off for SMALL shared frames (codebooks,
+        // docStats), not fact-sized ones.
         val late = t(s, d, "lineitem")
           .join(t(s, d, "orders").select("o_orderkey", "o_orderdate"),
             col("l_orderkey") === col("o_orderkey"))
