@@ -104,6 +104,37 @@ object Corpus {
       .groupBy(id).agg(count(lit(1)).as("n_shared"))
   }
 
+  /** Rare-token share — the bit-portable stand-in for unigram-LM quality
+    * filtering: a document full of tokens that almost never occur
+    * elsewhere in the corpus is likely noise (OCR garbage, base64 blobs,
+    * mojibake). A token is "rare" when its document frequency is below
+    * 1/`rareDen` of the corpus (`df · rareDen < n_docs` — an integer
+    * comparison, identical in every engine; a log-probability LM score
+    * would hang portability on libm rounding).
+    *
+    * Plan: explode tokens (narrow) → distinct (doc, tok) + per-token DF
+    * agg [one shuffle each] → join tokens back to the DF table (advisory
+    * broadcast — vocab ≪ corpus) → per-doc agg [one shuffle]. Linear,
+    * never doc×doc; the DF table is the same artifact a real frequency
+    * filter ships.
+    * Output: (id, n_tokens, n_rare, rare_share[1e-6 half-up]).
+    */
+  def rareTokenStats(docs: DataFrame, id: String, text: String,
+      rareDen: Int = 10): DataFrame = {
+    val tk = docs.select(col(id).as("_doc"),
+      explode(split(lower(col(text)), "\\s+")).as("tok"))
+    val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+    val dfTab = tk.dropDuplicates("_doc", "tok")
+      .groupBy("tok").agg(count(lit(1)).as("df"))
+    tk.join(graft.plans.Hints.broadcastIfSmall(dfTab), "tok")
+      .crossJoin(broadcast(nDocs))
+      .groupBy(col("_doc").as(id))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("df") * rareDen < col("n_docs"), 1).otherwise(0)).as("n_rare"))
+      .withColumn("rare_share",
+        floor(col("n_rare").cast("double") / col("n_tokens") * 1e6 + 0.5) / 1e6)
+  }
+
   /** Deterministic hash sampling: keep rows whose key hashes into
     * `num`/`den` of the hash space. Unlike `DataFrame.sample`, the
     * decision is a pure function of the key — stable across runs,

@@ -47,6 +47,24 @@ object TextQueries {
       (s, d) => t(s, d, "documents").select(
         col("doc_id"), fingerprint(col("text")).as("fp"))),
 
+    // rare-token share — corpus-frequency quality gate (the portable
+    // unigram-LM filter): per doc, the fraction of tokens whose corpus
+    // document frequency is under 1/10 of the corpus size. The threshold
+    // is corpus-relative, so the same query is discriminative at every sf.
+    Q("q_rare_tokens", Some(
+      """WITH tk AS (SELECT doc_id, unnest(regexp_split_to_array(lower(text), '\s+')) AS tok
+        |  FROM documents),
+        |n AS (SELECT count(*) AS n_docs FROM documents),
+        |df AS (SELECT tok, count(DISTINCT doc_id) AS df FROM tk GROUP BY tok)
+        |SELECT t.doc_id, count(*) AS n_tokens,
+        |  CAST(sum(CASE WHEN d.df * 10 < n.n_docs THEN 1 ELSE 0 END) AS BIGINT) AS n_rare,
+        |  floor(CAST(sum(CASE WHEN d.df * 10 < n.n_docs THEN 1 ELSE 0 END) AS DOUBLE)
+        |    / count(*) * 1e6 + 0.5) / 1e6 AS rare_share
+        |FROM tk t JOIN df d USING (tok) CROSS JOIN n
+        |GROUP BY t.doc_id""".stripMargin))(
+      (s, d) => graft.operators.Corpus.rareTokenStats(
+        t(s, d, "documents"), "doc_id", "text", rareDen = 10)),
+
     // PII redaction — the release gate on any shared corpus. The synthetic
     // documents carry no real PII, so the query derives a deterministic
     // contact line per doc IN BOTH ENGINES (same concat, same doc_id

@@ -182,4 +182,19 @@ class CorpusSpec extends SparkSpec {
       .select("doc_id").as[Long].collect().toSet
     assert(a.subsetOf(wider))
   }
+
+  test("rareTokenStats flags corpus-rare tokens with exact integer counts") {
+    // df: a=4 docs, b=3, c=2, zzz=1; rareDen=2 → rare iff df·2 < 4 ⇔ df=1
+    val docs = Seq(
+      (1L, "a b c"), (2L, "a b"), (3L, "a zzz"), (4L, "a b c"))
+      .toDF("doc_id", "text")
+    val out = Corpus.rareTokenStats(docs, "doc_id", "text", rareDen = 2)
+      .select("doc_id", "n_tokens", "n_rare", "rare_share")
+      .as[(Long, Long, Long, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(out(1L) === ((3L, 0L, 0.0)))
+    assert(out(2L) === ((2L, 0L, 0.0)))
+    assert(out(3L) === ((2L, 1L, 0.5))) // zzz appears in one doc only
+    assert(out(4L) === ((3L, 0L, 0.0)))
+  }
 }
