@@ -112,25 +112,29 @@ object Corpus {
     * comparison, identical in every engine; a log-probability LM score
     * would hang portability on libm rounding).
     *
-    * Plan: explode tokens (narrow) → distinct (doc, tok) + per-token DF
-    * agg [one shuffle each] → join tokens back to the DF table (advisory
-    * broadcast — vocab ≪ corpus) → per-doc agg [one shuffle]. Linear,
-    * never doc×doc; the DF table is the same artifact a real frequency
-    * filter ships.
+    * Plan: ONE scan — explode tokens (narrow) → per-(doc, token)
+    * multiplicity agg [one shuffle], materialized once because both the
+    * document-frequency rollup and the per-doc scorer consume it (the
+    * minhash-signatures materialize-once policy; without it the
+    * scan+explode+agg chain runs twice) → vocab-sized DF table (advisory
+    * broadcast) joins back → per-doc agg [one shuffle]. Linear, never
+    * doc×doc; the DF table is the same artifact a real frequency filter
+    * ships.
     * Output: (id, n_tokens, n_rare, rare_share[1e-6 half-up]).
     */
   def rareTokenStats(docs: DataFrame, id: String, text: String,
       rareDen: Int = 10): DataFrame = {
-    val tk = docs.select(col(id).as("_doc"),
-      explode(split(lower(col(text)), "\\s+")).as("tok"))
+    val perDocTok = docs.select(col(id).as("_doc"),
+        explode(split(lower(col(text)), "\\s+")).as("tok"))
+      .groupBy("_doc", "tok").agg(count(lit(1)).as("c"))
+      .localCheckpoint(true)
     val nDocs = docs.agg(count(lit(1)).as("n_docs"))
-    val dfTab = tk.dropDuplicates("_doc", "tok")
-      .groupBy("tok").agg(count(lit(1)).as("df"))
-    tk.join(graft.plans.Hints.broadcastIfSmall(dfTab), "tok")
+    val dfTab = perDocTok.groupBy("tok").agg(count(lit(1)).as("df"))
+    perDocTok.join(graft.plans.Hints.broadcastIfSmall(dfTab), "tok")
       .crossJoin(broadcast(nDocs))
       .groupBy(col("_doc").as(id))
-      .agg(count(lit(1)).as("n_tokens"),
-        sum(when(col("df") * rareDen < col("n_docs"), 1).otherwise(0)).as("n_rare"))
+      .agg(sum(col("c")).as("n_tokens"),
+        sum(when(col("df") * rareDen < col("n_docs"), col("c")).otherwise(0L)).as("n_rare"))
       .withColumn("rare_share",
         floor(col("n_rare").cast("double") / col("n_tokens") * 1e6 + 0.5) / 1e6)
   }

@@ -273,7 +273,7 @@ object Dedup {
       val sym = e.unionByName(e.select(col("b").as("a"), col("a").as("b")))
       val mins = sym.groupBy("a").agg(least(min(col("b")), first(col("a"))).as("m"))
       sym.join(mins, "a")
-        .filter(col("b") > col("a") && col("b") =!= col("m"))
+        .filter(col("b") > col("a")) // b > a ≥ m, so (b, m) is never a self-loop
         .select(col("b").as("a"), col("m").as("b"))
         .distinct()
     }

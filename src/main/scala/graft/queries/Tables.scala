@@ -27,7 +27,15 @@ object Tables {
     spark.read.parquet(s"$sfDir/$name.parquet")
   }
 
-  /** events.ts (nanos-as-long) to epoch milliseconds. */
+  /** events.ts (nanos-as-long) to epoch milliseconds. Division runs in
+    * DECIMAL, not the `/` operator: `/` is double division, and epoch
+    * nanos (~1.7e18) exceed double's 2^53 exact-integer range (ulp =
+    * 256 ns), so a timestamp within a few hundred ns of a millisecond
+    * boundary could land one ms off the oracle's exact `epoch_ms`.
+    * Decimal-by-1e6 is exact (≤ 6 fractional digits) and the long cast
+    * truncates — identical to integral division for the non-negative
+    * domain.
+    */
   def tsMillis(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
-    (c / 1000000L).cast("long")
+    (c.cast("decimal(38,0)") / org.apache.spark.sql.functions.lit(1000000L)).cast("long")
 }

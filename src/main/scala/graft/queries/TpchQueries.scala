@@ -74,9 +74,10 @@ object TpchQueries {
       }),
 
     // TPC-H Q7 shape: bilateral trade volume between two nations by ship
-    // year. Only nation (25 rows) is force-hinted; the supplier, customer
-    // and order maps are sf-scaled, so their joins are left to the
-    // planner/AQE (runtime broadcast at small SF, shuffled at 100 TB).
+    // year. Only nation (25 rows) is force-hinted; the two-nation supplier
+    // slice carries an ADVISORY (size-gated) hint, and the customer and
+    // order maps are sf-scaled with no hint at all — the planner/AQE picks
+    // (runtime broadcast at small SF, shuffled at 100 TB).
     Q("q7_volume_shipping", Some("""
       |SELECT supp_nation, cust_nation, l_year, CAST(sum(volume) AS DOUBLE) AS revenue FROM (
       |  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,

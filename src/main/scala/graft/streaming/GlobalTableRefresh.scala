@@ -80,9 +80,18 @@ object Resilience {
     * committed). Cost when poison exists: O(k · log n) driver-scheduled
     * sub-jobs over the CACHED batch for k poison rows in an n-row
     * micro-batch — bounded by the micro-batch size, never the table.
+    *
+    * Guard rails against misclassifying an ENVIRONMENTAL failure (sink
+    * down, executor loss) as per-record poison: fatal throwables (OOM,
+    * interrupt) propagate immediately instead of entering bisection, and
+    * once more than `maxQuarantineFraction` of the batch has quarantined
+    * the harness aborts the batch with the underlying error — a sustained
+    * outage fails loudly for the stream's own retry/alerting instead of
+    * silently rerouting every healthy row to the DLQ one by one.
     */
   def foreachBatchWithQuarantine(
-      attempts: Int = 2, intervalMs: Long = 100)(
+      attempts: Int = 2, intervalMs: Long = 100,
+      maxQuarantineFraction: Double = 0.5)(
       body: (DataFrame, Long) => Unit)(
       dead: (DataFrame, Long) => Unit): (DataFrame, Long) => Unit = (batch, id) => {
     import org.apache.spark.sql.functions._
@@ -93,11 +102,18 @@ object Resilience {
     val pinned = batch.withColumn(idx, monotonically_increasing_id()).persist()
     try {
       val total = pinned.count()
+      val budget = math.max(1L, math.ceil(total * maxQuarantineFraction).toLong)
+      var quarantined = 0L
       def attempt(df: DataFrame): Option[Throwable] =
         try { withRetries(attempts, intervalMs)(body(df.drop(idx), id)); None }
-        catch { case e: Throwable => Some(e) }
+        catch { case scala.util.control.NonFatal(e) => Some(e) }
       def quarantine(df: DataFrame, n: Long, err: Throwable): Unit =
         if (n == 1L) {
+          quarantined += 1
+          if (quarantined > budget && budget < total) throw new IllegalStateException(
+            s"quarantine budget exceeded ($quarantined of $total rows, cap $budget): " +
+              "failure is likely environmental, not per-record — aborting the batch",
+            err)
           dead(df.drop(idx).withColumn(
             "dlq_reason", lit(Option(err.getMessage).getOrElse(err.toString))), id)
         } else {

@@ -106,4 +106,16 @@ class EdgeCaseSpec extends SparkSpec {
     assert(KStream(stream, "id").joinGlobalTable(table, col("fk")).toDF.count() === 0)
     assert(KStream(stream, "id").joinGlobalTable(table, col("fk"), "left").toDF.count() === 1)
   }
+
+  test("tsMillis is exact at millisecond boundaries beyond double's 2^53 range") {
+    // 1.7e18 ns has a double ulp of 256 ns: boundary±1 ns rounds to the
+    // boundary itself in double, so `/ 1e6` would mis-bucket by 1 ms.
+    // Decimal division must floor exactly.
+    val ms = 1704240000000L
+    val nanos = Seq(ms * 1000000L - 1, ms * 1000000L, ms * 1000000L + 1,
+      ms * 1000000L + 999999, ms * 1000000L + 1000000)
+    val got = nanos.toDF("ts")
+      .select(graft.queries.Tables.tsMillis(col("ts"))).as[Long].collect().toSeq
+    assert(got === Seq(ms - 1, ms, ms, ms, ms + 1))
+  }
 }

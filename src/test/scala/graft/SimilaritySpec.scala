@@ -153,9 +153,10 @@ class SimilaritySpec extends SparkSpec {
   }
 
   test("seeded corpus: LSH, IVF, and PQ all EQUAL brute force (the oracle construction)") {
-    // sf0.01: 500 vectors / 16 cells ≈ 31 per cell — the occupancy the
-    // exactness proof in SimilarityQueries.seededEmb requires (sf0.001's
-    // 50 vectors would leave cells smaller than k+1)
+    // sf0.01: 500 vectors / 16 cells ≈ 31 per cell. The proof's premise is
+    // "every cell holds ≥ k+1 vectors" — true at every shipped sf (500
+    // vectors at sf0.001/sf0.01, 2000 at sf0.1); pin at the driver's gate
+    // scale
     val d = "/root/testdata/sf0.01"
     val se = queries.SimilarityQueries.seededCorpus(spark, d)
     val q = se.filter(col("vec_id") < 20)

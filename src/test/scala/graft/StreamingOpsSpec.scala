@@ -308,6 +308,29 @@ class StreamingOpsSpec extends SparkSpec {
     assert(wholeBatchAttempts >= 3)
   }
 
+  test("quarantine guard: sustained failure aborts the batch instead of DLQing everything") {
+    // the environmental case: EVERY sub-batch fails (sink down). The
+    // harness must not reroute the whole healthy batch row-by-row into
+    // the DLQ — past the fraction cap it aborts with the underlying error
+    val mem = MemoryStream[(Long, String)]
+    val dead = mutable.ArrayBuffer.empty[Long]
+    val harness = Resilience.foreachBatchWithQuarantine(
+      attempts = 1, intervalMs = 1, maxQuarantineFraction = 0.25) { (_, _) =>
+      sys.error("sink down")
+    } { (deadDf, _) => dead ++= deadDf.select("k").as[Long].collect() }
+    val q = mem.toDS().toDF("k", "v").writeStream.foreachBatch(harness).start()
+    val ex = intercept[Exception] {
+      mem.addData((1L, "a"), (2L, "b"), (3L, "c"), (4L, "d"),
+        (5L, "e"), (6L, "f"), (7L, "g"), (8L, "h"))
+      q.processAllAvailable()
+    }
+    q.stop()
+    val chain = Iterator.iterate(ex: Throwable)(_.getCause).takeWhile(_ != null)
+      .map(_.getMessage).mkString(" | ")
+    assert(chain.contains("quarantine budget exceeded"))
+    assert(dead.size <= 2, s"cap ceil(8·0.25)=2, but ${dead.size} rows reached the DLQ")
+  }
+
   test("MetricsListener records per-batch progress") {
     val listener = new MetricsListener
     spark.streams.addListener(listener)
