@@ -45,14 +45,18 @@ final class KTable private (
     * table's latest live value whose `ordCol` ≤ the record's `streamOrd`.
     * A record whose as-of state is a tombstone (or has no state yet) is
     * dropped — the inner-join semantics of the reference's global-table
-    * joiner applied through time. One range join + one argmax shuffle
-    * ([[Temporal.asOfJoin]]).
+    * joiner applied through time. Uses [[Temporal.asOfJoinSorted]] (one
+    * key shuffle + per-key ordered scan): a table's look-back is
+    * unbounded, so the range-join form would pair every record with every
+    * older version of its key — quadratic on keys whose stream AND
+    * version history both grow with the data (measured 10.5× at a 10×
+    * scale-up before the switch).
     */
   def joinAsOf(
       stream: KStream, fk: Column, streamOrd: Column,
       recordId: Seq[String], // unique per stream record (argmax group key)
       tieBreak: Seq[Column] = Nil): KStream = {
-    val joined = Temporal.asOfJoin(
+    val joined = Temporal.asOfJoinSorted(
       stream.toDF, changelog,
       fk, col(keyCol), streamOrd, col(ordCol),
       leftId = recordId, tieBreak = tieBreak)

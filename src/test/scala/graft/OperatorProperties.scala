@@ -131,6 +131,24 @@ object OperatorProperties extends Properties("graft.operators") {
       got == expected
   }
 
+  property("asOfJoinSorted == asOfJoin (unbounded look-back), inner and left") =
+    forAll(asofGen) { case (ls, rs) =>
+      val left = ls.toDF("lid", "lk", "lt")
+      val right = rs.toDF("rid", "rk", "rt")
+      def run(jt: String) = {
+        val plain = Temporal.asOfJoin(left, right,
+            col("lk"), col("rk"), col("lt"), col("rt"),
+            leftId = Seq("lid"), tieBreak = Seq(col("rid")), joinType = jt)
+          .select("lid", "rid").as[(Long, Option[Long])].collect().toMap
+        val sorted = Temporal.asOfJoinSorted(left, right,
+            col("lk"), col("rk"), col("lt"), col("rt"),
+            leftId = Seq("lid"), tieBreak = Seq(col("rid")), joinType = jt)
+          .select("lid", "rid").as[(Long, Option[Long])].collect().toMap
+        plain == sorted
+      }
+      run("inner") && run("left")
+    }
+
   property("asOfJoinBanded == asOfJoin with tolerance, inner and left") =
     forAll(asofGen, Gen.choose(1L, 8L)) { case ((ls, rs), tol) =>
       val left = ls.toDF("lid", "lk", "lt")
