@@ -66,7 +66,10 @@ object ScaleQueries {
         val purchases = ev.filter(col("event_type") === "purchase")
           .select(col("event_id").as("p_id"), col("user_id").as("p_uid"),
             col("ts").as("pt"))
-        Temporal.asOfJoin(clicks, purchases,
+        // sorted form shipped (unbounded look-back ⇒ the range-join form's
+        // L×V intermediate is the weak plan on hot keys); the range-join
+        // reference implementation stays property-pinned equal
+        Temporal.asOfJoinSorted(clicks, purchases,
             col("user_id"), col("p_uid"), col("t"), col("pt"),
             leftId = Seq("event_id"), tieBreak = Seq(-col("p_id")))
           // micros on both sides: DuckDB truncates parquet nanos to micros

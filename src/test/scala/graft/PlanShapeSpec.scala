@@ -69,12 +69,16 @@ class PlanShapeSpec extends SparkSpec {
     assert(countShuffles(df) === 0) // stream side flows without shuffling
   }
 
-  test("as-of join runs as an equi-join with range predicate, not a nested loop") {
+  test("as-of join ships the sorted form: one key shuffle, ordered scan, NO pair join") {
+    // unbounded look-back ⇒ asOfJoinSorted: union + per-key running
+    // last(), never the L×V range-join intermediate (measured 10.5× at a
+    // 10× scale-up on q_join_ktable before the switch — SCALING.md)
     val df = q("q_asof_join")
     assert(countNodes(df, "BroadcastNestedLoopJoin") === 0)
     assert(countNodes(df, "CartesianProduct") === 0)
-    assert(mentions(df, "max_by")) // the argmax reduction, not a window
-    assert(countNodes(df, "Window") === 0)
+    assert(countNodes(df, "Join") === 0, "sorted as-of must not materialize L×V pairs")
+    assert(countNodes(df, "Window") === 1) // the one deliberate ordered scan
+    assert(countShuffles(df) === 1, "one hash partition on the key")
   }
 
   test("latest-by-key is a partial-agg max_by, not a window sort (A1)") {
