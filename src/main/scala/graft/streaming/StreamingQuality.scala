@@ -1,0 +1,74 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextAnalysis
+
+/** Streaming document-quality gating at ingest — the deployment shape of
+  * the batch quality operators (`TextAnalysis`, `Corpus.rareTokenStats`):
+  * score and scrub documents AS THEY ARRIVE, against reference statistics
+  * trained in batch. Everything here is a narrow, stateless projection
+  * (plus one broadcast join), so the same call works on a `readStream`
+  * frame and in batch, survives checkpoint restarts with no state store,
+  * and keeps the stream inside whole-stage codegen.
+  *
+  * The token-frequency table is a BATCH artifact (trained on yesterday's
+  * corpus — the same artifact a production frequency filter ships) joined
+  * broadcast; refreshing it between micro-batches is
+  * [[GlobalTableRefresh.enrichEachBatch]] composed over this.
+  */
+object StreamingQuality {
+
+  /** PII-scrub + quality-score + language-gate a document stream in one
+    * narrow pass. Adds `scrubbed` (masked text), `quality`, `pred_lang`,
+    * and `keep` (quality ≥ `minQuality` AND predicted language in
+    * `langs`). No shuffle, no state.
+    */
+  def gateAtIngest(
+      docs: DataFrame, text: String,
+      minQuality: Double, langs: Seq[String]): DataFrame =
+    docs
+      .withColumn("scrubbed", TextAnalysis.scrubPii(col(text)))
+      .withColumn("quality", TextAnalysis.qualityScore(col("scrubbed")))
+      .withColumn("pred_lang", TextAnalysis.langId(col("scrubbed")))
+      .withColumn("keep",
+        col("quality") >= minQuality && col("pred_lang").isin(langs: _*))
+
+  /** Rare-token share of each arriving document against a batch-trained
+    * document-frequency table `dfTable` (columns `tok`, `df`) and corpus
+    * size `nDocs` — the streaming twin of `Corpus.rareTokenStats`: a token
+    * unseen in the reference corpus counts as rare (df 0). The DF table
+    * folds into ONE map value broadcast onto the stream, and the share is
+    * a per-row array fold — completely STATELESS (no streaming
+    * aggregation, append-mode safe, checkpoint-free). The vocab must fit
+    * one map cell (fine for a frequency-filter artifact — cap it with a
+    * min-df cut when training; absent = rare anyway).
+    * Adds `n_tokens`, `n_rare`, `rare_share` to the stream.
+    */
+  def rareTokenShareAtIngest(
+      docs: DataFrame, text: String,
+      dfTable: DataFrame, nDocs: Long, rareDen: Int = 10): DataFrame = {
+    val dfMap = dfTable.agg(
+      map_from_entries(collect_list(struct(col("tok"), col("df")))).as("_g_dfmap"))
+    docs.crossJoin(broadcast(dfMap))
+      .withColumn("_g_toks", split(lower(col(text)), "\\s+"))
+      .withColumn("n_tokens", size(col("_g_toks")).cast("long"))
+      .withColumn("n_rare", aggregate(col("_g_toks"), lit(0L), (acc, t) =>
+        acc + when(
+          coalesce(element_at(col("_g_dfmap"), t), lit(0L)) * rareDen < nDocs,
+          lit(1L)).otherwise(lit(0L))))
+      .withColumn("rare_share",
+        floor(col("n_rare").cast("double") / col("n_tokens") * 1e6 + 0.5) / 1e6)
+      .drop("_g_toks", "_g_dfmap")
+  }
+
+  /** The trained reference artifact for [[rareTokenShareAtIngest]]: the
+    * per-token document-frequency table of a batch corpus.
+    */
+  def trainDfTable(corpus: DataFrame, id: String, text: String): DataFrame =
+    corpus.select(col(id).as("_doc"),
+        explode(split(lower(col(text)), "\\s+")).as("tok"))
+      .dropDuplicates("_doc", "tok")
+      .groupBy("tok").agg(count(lit(1)).as("df"))
+}

@@ -308,6 +308,42 @@ class StreamingOpsSpec extends SparkSpec {
     assert(wholeBatchAttempts >= 3)
   }
 
+  test("quality gate at ingest: scrub + score + rare-token share, stateless on a stream") {
+    // deployment shape of the batch quality ops: DF table trained in
+    // batch, arriving docs gated/scrubbed/scored in one narrow stateless
+    // pass (append mode, no state store)
+    import graft.streaming.StreamingQuality
+    val train = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "the quick red fox runs past the sleepy dog"),
+      (3L, "the slow brown bear naps under the old tree")).toDF("doc_id", "text")
+    val dfTable = StreamingQuality.trainDfTable(train, "doc_id", "text")
+    val mem = MemoryStream[(Long, String)]
+    val out = StreamingQuality.rareTokenShareAtIngest(
+      StreamingQuality.gateAtIngest(
+        mem.toDF().toDF("doc_id", "text"), "text",
+        minQuality = 0.1, langs = Seq("en")),
+      "scrubbed", dfTable, nDocs = 3, rareDen = 2)
+    assert(out.isStreaming, "the gate must stay a stateless streaming frame")
+    val q = out.writeStream.format("memory").queryName("quality_sink")
+      .outputMode("append").start()
+    try {
+      mem.addData(
+        (10L, "the quick brown fox and the lazy dog mail a.user@example.org"),
+        (11L, "zzz qqq xxx yyy www vvv uuu ttt sss rrr"))
+      q.processAllAvailable()
+    } finally q.stop()
+    val rows = spark.table("quality_sink")
+      .select("doc_id", "scrubbed", "keep", "n_tokens", "n_rare")
+      .as[(Long, String, Boolean, Long, Long)].collect().map(r => r._1 -> r).toMap
+    // doc 10: English high-stopword prose — passes the gate, email masked
+    assert(rows(10L)._2.endsWith("mail <EMAIL>"))
+    assert(rows(10L)._3 === true)
+    // doc 11: gibberish — every token unseen in the train corpus (df 0,
+    // rare iff df·2 < 3) ⇒ all 10 rare
+    assert(rows(11L)._4 === 10L && rows(11L)._5 === 10L)
+  }
+
   test("quarantine guard: sustained failure aborts the batch instead of DLQing everything") {
     // the environmental case: EVERY sub-batch fails (sink down). The
     // harness must not reroute the whole healthy batch row-by-row into
