@@ -340,6 +340,36 @@ object TextQueries {
           t(s, d, "documents"), "doc_id", "text", chunkTokens = 8, overlapTokens = 2),
         "doc_id", "chunk_no", "chunk_tokens", capacity = 20)),
 
+    // chunk+pack at ingest: the STREAMING form of q_pack — documents
+    // arrive whole, so chunking and greedy bin assignment both happen
+    // inside the row before the explode (no shuffle, no state; the batch
+    // pipeline needs a re-group shuffle to pack). Same windows + same
+    // greedy fold, plus the chunk digest carried through; the oracle is
+    // q_pack's recursive CTE extended with the md5.
+    Q("q_pack_ingest", Some("""
+      |WITH RECURSIVE tk AS (
+      |  SELECT doc_id, regexp_split_to_array(text, '\s+') AS t FROM documents),
+      |c AS (SELECT doc_id, t, unnest(range(0, greatest(len(t) - 2, 1), 6)) AS s FROM tk),
+      |ch AS (SELECT doc_id, CAST(s // 6 AS INT) AS chunk_no,
+      |  CAST(least(8, len(t) - s) AS INT) AS chunk_tokens,
+      |  md5(array_to_string(t[s + 1 : s + 8], ' ')) AS chunk_md5,
+      |  row_number() OVER (PARTITION BY doc_id ORDER BY s) AS rn FROM c),
+      |pack AS (
+      |  SELECT doc_id, chunk_no, chunk_tokens, chunk_md5, rn, 0 AS bin,
+      |    CAST(chunk_tokens AS BIGINT) AS cur
+      |  FROM ch WHERE rn = 1
+      |  UNION ALL
+      |  SELECT c.doc_id, c.chunk_no, c.chunk_tokens, c.chunk_md5, c.rn,
+      |    CASE WHEN p.cur + c.chunk_tokens > 20 AND p.cur > 0 THEN p.bin + 1 ELSE p.bin END,
+      |    CASE WHEN p.cur + c.chunk_tokens > 20 AND p.cur > 0
+      |      THEN CAST(c.chunk_tokens AS BIGINT) ELSE p.cur + c.chunk_tokens END
+      |  FROM ch c JOIN pack p ON c.doc_id = p.doc_id AND c.rn = p.rn + 1)
+      |SELECT doc_id, chunk_no, chunk_tokens, chunk_md5, bin FROM pack
+      |""".stripMargin.trim))(
+      (s, d) => graft.streaming.StreamingCorpus.chunkAndPackAtIngest(
+        t(s, d, "documents"), "doc_id", "text",
+        chunkTokens = 8, overlapTokens = 2, capacity = 20)),
+
     // THE composed corpus-prep pipeline, end to end in one plan:
     // deterministic 4-in-5 sample → quality gate → context-window chunking
     // → corpus-wide chunk dedup (first (doc, chunk) wins) → per-source

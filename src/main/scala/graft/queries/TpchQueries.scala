@@ -386,13 +386,13 @@ object TpchQueries {
       |GROUP BY s_name
       |""".stripMargin.trim))(
       (s, d) => {
-        // NOT materialized, measured deliberately (round 4): `late` feeds
-        // both the sole-gate and the final join, but localCheckpointing it
-        // benched 1.4× slower at sf0.1 AND 2× slower at 10× — the second
-        // consumer's subtree is column-pruned to a narrower scan, so the
-        // recompute is cheaper than writing a fact-sized intermediate.
-        // Materialize-once pays off for SMALL shared frames (codebooks,
-        // docStats), not fact-sized ones.
+        // `late` used to feed TWO consumers (the sole-gate and the final
+        // join back onto it), recomputing the fact-fact join; the 100x
+        // sweep put q21 at ~128x for 100x rows, the costliest plan in the
+        // suite. But "orderkeys with exactly ONE late supplier" can carry
+        // that supplier out of the SAME groupBy (max == the only one), so
+        // one aggregation replaces sole-gate + semi-join-back — `late` is
+        // computed once and everything downstream is per-orderkey sized.
         val late = t(s, d, "lineitem")
           .join(t(s, d, "orders").select("o_orderkey", "o_orderdate"),
             col("l_orderkey") === col("o_orderkey"))
@@ -402,11 +402,10 @@ object TpchQueries {
           .groupBy("l_orderkey")
           .agg(countDistinct("l_suppkey").as("ns")).filter(col("ns") > 1)
           .select("l_orderkey")
-        val sole = late.groupBy("l_orderkey")
-          .agg(count(lit(1)).as("nl")).filter(col("nl") === 1)
-          .select("l_orderkey")
-        late
-          .join(sole, Seq("l_orderkey"), "left_semi")
+        val soleLate = late.groupBy("l_orderkey")
+          .agg(count(lit(1)).as("nl"), max("l_suppkey").as("l_suppkey"))
+          .filter(col("nl") === 1)
+        soleLate
           .join(multi, Seq("l_orderkey"), "left_semi")
           .join(broadcastIfSmall(t(s, d, "supplier").select("s_suppkey", "s_name")),
             col("l_suppkey") === col("s_suppkey"))

@@ -127,6 +127,28 @@ class CorpusSpec extends SparkSpec {
     assert(hof.nonEmpty)
   }
 
+  test("chunkAndPackAtIngest equals the batch chunk -> pack pipeline") {
+    // within-row chunk+pack (streaming form, no shuffle) must produce the
+    // exact rows of the batch two-step: chunk, re-group, greedy pack —
+    // digest included. Lengths cover multi-bin, single-chunk, and empty.
+    val docs = Seq(
+      (1L, (1 to 95).map(i => s"t$i").mkString(" ")),
+      (2L, (1 to 17).map(i => s"w$i").mkString(" ")),
+      (3L, "solo"),
+      (4L, "")).toDF("doc_id", "text")
+    val chunks = Corpus.chunk(docs, "doc_id", "text", chunkTokens = 8, overlapTokens = 2)
+    val batch = Corpus.packChunks(chunks, "doc_id", "chunk_no", "chunk_tokens", 20)
+      .join(chunks, Seq("doc_id", "chunk_no", "chunk_tokens"))
+      .select("doc_id", "chunk_no", "chunk_tokens", "chunk_md5", "bin")
+      .as[(Long, Int, Int, String, Int)].collect().toSet
+    val ingest = graft.streaming.StreamingCorpus.chunkAndPackAtIngest(
+        docs, "doc_id", "text", chunkTokens = 8, overlapTokens = 2, capacity = 20)
+      .select("doc_id", "chunk_no", "chunk_tokens", "chunk_md5", "bin")
+      .as[(Long, Int, Int, String, Int)].collect().toSet
+    assert(ingest === batch)
+    assert(ingest.nonEmpty)
+  }
+
   test("sampleMix applies per-stratum rates deterministically") {
     val docs = (1L to 300L).map(i => (i, s"src${i % 3}")).toDF("doc_id", "source")
     val out = Corpus.sampleMix(docs, col("doc_id"), col("source"),

@@ -344,6 +344,32 @@ class StreamingOpsSpec extends SparkSpec {
     assert(rows(11L)._4 === 10L && rows(11L)._5 === 10L)
   }
 
+  test("chunk+pack at ingest: stateless on a stream, rows equal the batch form") {
+    val mem = MemoryStream[(Long, String)]
+    val out = graft.streaming.StreamingCorpus.chunkAndPackAtIngest(
+      mem.toDF().toDF("doc_id", "text"), "doc_id", "text",
+      chunkTokens = 8, overlapTokens = 2, capacity = 20)
+    assert(out.isStreaming, "chunk+pack must stay a stateless streaming frame")
+    val q = out.writeStream.format("memory").queryName("pack_sink")
+      .outputMode("append").start()
+    val data = Seq(
+      10L -> (1 to 50).map(i => s"a$i").mkString(" "),
+      11L -> "short doc")
+    try {
+      mem.addData(data: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.table("pack_sink")
+      .select("doc_id", "chunk_no", "chunk_tokens", "chunk_md5", "bin")
+      .as[(Long, Int, Int, String, Int)].collect().toSet
+    val batch = graft.streaming.StreamingCorpus.chunkAndPackAtIngest(
+        data.toDF("doc_id", "text"), "doc_id", "text",
+        chunkTokens = 8, overlapTokens = 2, capacity = 20)
+      .select("doc_id", "chunk_no", "chunk_tokens", "chunk_md5", "bin")
+      .as[(Long, Int, Int, String, Int)].collect().toSet
+    assert(streamed === batch && streamed.nonEmpty)
+  }
+
   test("quarantine guard: sustained failure aborts the batch instead of DLQing everything") {
     // the environmental case: EVERY sub-batch fails (sink down). The
     // harness must not reroute the whole healthy batch row-by-row into
