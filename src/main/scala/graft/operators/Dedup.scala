@@ -113,9 +113,16 @@ object Dedup {
       numHashes: Int, bands: Int): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val r = numHashes / bands
-    // materialized once: both candidate-attach joins read the element
-    // sets, and without this each join re-tokenizes the whole corpus
-    val base = docs.select(col(id).as("doc"), setCol.as("elems")).localCheckpoint(true)
+    // The element sets are the corpus's heaviest column; they exist ONLY
+    // in narrow projections below candidate reduction. Round 4's 100x
+    // sweep caught both wrong forms: localCheckpointing corpus-sized
+    // (doc, elems) thrashes the block manager past storage memory, and
+    // joining the full corpus with its arrays makes the attach SMJ sort
+    // 100x-sized array rows (10x run-to-run swings from allocation/GC
+    // pressure: 21.9 s best, 373 s worst at 100x). Scale-correct shape:
+    // shrink the corpus to candidate ids FIRST (a semi-join on bare
+    // longs that AQE broadcasts — cand is checkpointed, so its true size
+    // is known), then compute sets for just those rows.
     // both self-join sides consume the signatures; materialize the compact
     // (doc, numHashes longs) table once instead of recomputing the
     // tokenize+hash+aggregate pipeline per side. At extreme corpus sizes
@@ -127,15 +134,27 @@ object Dedup {
     }
     val keyed = sigs.select(col("doc"), explode(array(bandCols: _*)).as("bk"))
       .select(col("doc"), col("bk.band").as("band"), col("bk.bucket").as("bucket"))
+    // pairs of longs, bounded by LSH design — the one frame here whose
+    // materialization is cheap AND load-bearing: three consumers (the id
+    // reduction + both attach joins), and its measured size is what lets
+    // AQE broadcast the semi-join below
     val cand = keyed.select(col("band"), col("bucket"), col("doc").as("a_id"))
       .join(keyed.select(col("band"), col("bucket"), col("doc").as("b_id")),
         Seq("band", "bucket"))
       .filter(col("a_id") < col("b_id"))
       .select("a_id", "b_id")
       .dropDuplicates("a_id", "b_id")
+      .localCheckpoint(true)
+    val candIds = cand.select(col("a_id").as(id))
+      .union(cand.select(col("b_id").as(id))).distinct()
+    // semi-join the RAW docs on ids, and only then project the element
+    // sets: the join must sit below the array-building projection or
+    // Catalyst computes arrays for the whole corpus anyway
+    val candBase = docs.join(candIds, Seq(id), "left_semi")
+      .select(col(id).as("doc"), setCol.as("elems"))
     cand
-      .join(base.select(col("doc").as("a_id"), col("elems").as("a_set")), Seq("a_id"))
-      .join(base.select(col("doc").as("b_id"), col("elems").as("b_set")), Seq("b_id"))
+      .join(candBase.select(col("doc").as("a_id"), col("elems").as("a_set")), Seq("a_id"))
+      .join(candBase.select(col("doc").as("b_id"), col("elems").as("b_set")), Seq("b_id"))
       .select("a_id", "b_id", "a_set", "b_set")
   }
 
