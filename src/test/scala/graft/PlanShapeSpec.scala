@@ -270,4 +270,31 @@ class PlanShapeSpec extends SparkSpec {
     assert(countNodes(df, "Join") === 0)
     assert(countNodes(df, "Window") === 0)
   }
+
+  test("near-dup: shingle arrays never enter a shuffle or sort") {
+    // the round-4 100x finding: the corpus's heaviest column (element-set
+    // arrays) must only exist in narrow projections below the candidate
+    // reduction — an Exchange or Sort carrying `elems` means the attach
+    // path regressed to moving corpus-sized arrays again
+    val plan = formatted(q("q_dedup_near"))
+    val blocks = plan.split("""(?m)^\(\d+\) """).toSeq
+    val offenders = blocks.filter { b =>
+      (b.startsWith("Exchange") || b.startsWith("Sort")) &&
+        b.linesIterator.exists(l =>
+          (l.trim.startsWith("Input") || l.trim.startsWith("Arguments")) &&
+            l.contains("elems"))
+    }
+    assert(offenders.isEmpty,
+      s"elems crossed a shuffle/sort boundary:\n${offenders.mkString("\n---\n")}")
+    // and the candidate-id reduction itself is present
+    assert(mentions(q("q_dedup_near"), "LeftSemi"))
+  }
+
+  test("chunk+pack at ingest stays narrow: no shuffle at all") {
+    val df = q("q_pack_ingest")
+    assert(countShuffles(df) === 0,
+      "the streaming chunk+pack form must not shuffle (packing is in-row)")
+    assert(countNodes(df, "Join") === 0)
+    assert(countNodes(df, "Window") === 0)
+  }
 }
