@@ -24,22 +24,32 @@ object Corpus {
     * digest instead of text so downstream exact-compare is cheap; callers
     * wanting the text select the same `concat_ws` expression.
     */
-  def chunk(docs: DataFrame, id: String, text: String,
-      chunkTokens: Int, overlapTokens: Int,
-      keepCols: Seq[String] = Nil): DataFrame = {
+  /** The (txt, n) token-window list of one document — the single
+    * definition of chunk boundaries, shared by [[chunk]] and the
+    * streaming in-row form
+    * ([[graft.streaming.StreamingCorpus.chunkAndPackAtIngest]]).
+    * Upper bound tokens−overlap−1: the last window must add a token the
+    * previous chunk didn't already cover (see [[chunk]]'s scaladoc).
+    */
+  private[graft] def tokenWindows(text: Column,
+      chunkTokens: Int, overlapTokens: Int): Column = {
     require(overlapTokens >= 0 && overlapTokens < chunkTokens,
       s"need 0 <= overlap < chunk, got overlap=$overlapTokens chunk=$chunkTokens")
     val stride = chunkTokens - overlapTokens
-    val tk = split(col(text), "\\s+")
-    // upper bound tokens−overlap−1: the last window must add a token the
-    // previous chunk didn't already cover (see scaladoc)
+    val tk = split(text, "\\s+")
     val starts = sequence(lit(0), greatest(size(tk) - overlapTokens - 1, lit(0)), lit(stride))
+    transform(starts, s => struct(
+      concat_ws(" ", slice(tk, s + 1, lit(chunkTokens))).as("txt"),
+      least(lit(chunkTokens), size(tk) - s).as("n")))
+  }
+
+  def chunk(docs: DataFrame, id: String, text: String,
+      chunkTokens: Int, overlapTokens: Int,
+      keepCols: Seq[String] = Nil): DataFrame = {
     val kept = keepCols.map(col)
     docs.select(
         (col(id) +: kept) :+
-        posexplode(transform(starts, s => struct(
-          concat_ws(" ", slice(tk, s + 1, lit(chunkTokens))).as("txt"),
-          least(lit(chunkTokens), size(tk) - s).as("n")))): _*)
+        posexplode(tokenWindows(col(text), chunkTokens, overlapTokens)): _*)
       .select(
         (col(id) +: kept) ++ Seq(col("pos").as("chunk_no"),
           col("col.n").as("chunk_tokens"), md5(col("col.txt")).as("chunk_md5")): _*)
@@ -188,14 +198,22 @@ object Corpus {
     *
     * Output: (docId, chunkNo, tokensCol, bin) — bin is 0-based per doc.
     */
-  def packChunks(chunks: DataFrame, docId: String, chunkNo: String,
-      tokensCol: String, capacity: Int): DataFrame = {
+  /** The greedy capacity-pack fold — the single definition of the packing
+    * rule, shared by [[packChunks]] and the streaming in-row form. Folds
+    * over an array of structs each carrying a token count `n` plus one
+    * payload (`carry(x)`, emitted as `carryName: carryType`); yields
+    * `array<struct<carryName, n:int, bin:int>>`. A chunk that would
+    * overflow the current bin starts the next; an oversized chunk gets a
+    * bin of its own.
+    */
+  private[graft] def greedyPackFold(cs: Column, capacity: Int,
+      carryName: String, carryType: String, carry: Column => Column): Column = {
     require(capacity > 0, s"need capacity > 0, got $capacity")
-    val packed = aggregate(
-      col("cs"),
+    aggregate(
+      cs,
       // (assignments so far, current bin, tokens in current bin)
       struct(
-        array().cast("array<struct<no:int,n:int,bin:int>>").as("bins"),
+        array().cast(s"array<struct<$carryName:$carryType,n:int,bin:int>>").as("bins"),
         lit(0).as("curBin"), lit(0L).as("curSum")),
       (acc, x) => {
         val n = x.getField("n").cast("long")
@@ -205,12 +223,18 @@ object Corpus {
           .otherwise(acc.getField("curBin"))
         struct(
           concat(acc.getField("bins"),
-            array(struct(x.getField("no").as("no"), x.getField("n").as("n"),
+            array(struct(carry(x).as(carryName), x.getField("n").as("n"),
               bin.as("bin")))).as("bins"),
           bin.as("curBin"),
           when(overflow, n).otherwise(acc.getField("curSum") + n).as("curSum"))
       },
       acc => acc.getField("bins"))
+  }
+
+  def packChunks(chunks: DataFrame, docId: String, chunkNo: String,
+      tokensCol: String, capacity: Int): DataFrame = {
+    val packed = greedyPackFold(col("cs"), capacity,
+      "no", "int", _.getField("no"))
     chunks
       .groupBy(col(docId))
       .agg(sort_array(collect_list(struct(

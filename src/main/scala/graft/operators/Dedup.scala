@@ -149,9 +149,13 @@ object Dedup {
       .union(cand.select(col("b_id").as(id))).distinct()
     // semi-join the RAW docs on ids, and only then project the element
     // sets: the join must sit below the array-building projection or
-    // Catalyst computes arrays for the whole corpus anyway
+    // Catalyst computes arrays for the whole corpus anyway. Materialized:
+    // BOTH attach joins read it, and it is candidate-sized (≤ 2·|cand|
+    // rows) — without the checkpoint the corpus scan + semi-join +
+    // array build all run twice, once per side.
     val candBase = docs.join(candIds, Seq(id), "left_semi")
       .select(col(id).as("doc"), setCol.as("elems"))
+      .localCheckpoint(true)
     cand
       .join(candBase.select(col("doc").as("a_id"), col("elems").as("a_set")), Seq("a_id"))
       .join(candBase.select(col("doc").as("b_id"), col("elems").as("b_set")), Seq("b_id"))

@@ -3,6 +3,8 @@ package graft.streaming
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
+import graft.operators.Corpus
+
 /** Streaming context-window preparation at ingest — the deployment shape
   * of `Corpus.chunk` + `Corpus.packChunks`: documents arrive whole (one
   * row per document, the Kafka-record shape of `k_source.go:51-67`), and
@@ -14,8 +16,10 @@ import org.apache.spark.sql.functions._
   *
   * Contrast with the batch pipeline, which chunks first and re-groups by
   * document to pack (one shuffle): the stream gets the packing for free
-  * because the document boundary IS the row boundary at ingest. A test
-  * pins this form equal to `packChunks ∘ chunk` on the same input.
+  * because the document boundary IS the row boundary at ingest. The
+  * window list and the greedy fold are the SAME definitions the batch
+  * operators use (`Corpus.tokenWindows` / `Corpus.greedyPackFold`), so
+  * the two forms cannot drift; a test additionally pins them equal.
   *
   * Output: (id, [keepCols...], chunk_no, chunk_tokens, chunk_md5, bin) —
   * the batch pipeline's columns, one row per chunk.
@@ -25,41 +29,13 @@ object StreamingCorpus {
   def chunkAndPackAtIngest(docs: DataFrame, id: String, text: String,
       chunkTokens: Int, overlapTokens: Int, capacity: Int,
       keepCols: Seq[String] = Nil): DataFrame = {
-    require(overlapTokens >= 0 && overlapTokens < chunkTokens,
-      s"need 0 <= overlap < chunk, got overlap=$overlapTokens chunk=$chunkTokens")
-    require(capacity > 0, s"need capacity > 0, got $capacity")
-    val stride = chunkTokens - overlapTokens
-    val tk = split(col(text), "\\s+")
-    val starts = sequence(lit(0), greatest(size(tk) - overlapTokens - 1, lit(0)), lit(stride))
-    // (txt, n) per window — same window expression as Corpus.chunk
-    val windows = transform(starts, s => struct(
-      concat_ws(" ", slice(tk, s + 1, lit(chunkTokens))).as("txt"),
-      least(lit(chunkTokens), size(tk) - s).as("n")))
-    // greedy pack over the in-row window list — same fold as packChunks,
-    // but the accumulator carries (md5, n, bin) directly so the explode
-    // below needs no re-join
-    val packed = aggregate(
-      col("_g_ws"),
-      struct(
-        array().cast("array<struct<md5:string,n:int,bin:int>>").as("bins"),
-        lit(0).as("curBin"), lit(0L).as("curSum")),
-      (acc, w) => {
-        val n = w.getField("n").cast("long")
-        val overflow = acc.getField("curSum") + n > capacity &&
-          acc.getField("curSum") > 0
-        val bin = when(overflow, acc.getField("curBin") + 1)
-          .otherwise(acc.getField("curBin"))
-        struct(
-          concat(acc.getField("bins"),
-            array(struct(md5(w.getField("txt")).as("md5"),
-              w.getField("n").as("n"), bin.as("bin")))).as("bins"),
-          bin.as("curBin"),
-          when(overflow, n).otherwise(acc.getField("curSum") + n).as("curSum"))
-      },
-      acc => acc.getField("bins"))
+    // the fold's accumulator carries (md5, n, bin) directly so the
+    // explode below needs no re-join
+    val packed = Corpus.greedyPackFold(col("_g_ws"), capacity,
+      "md5", "string", w => md5(w.getField("txt")))
     val kept = keepCols.map(col)
     docs
-      .withColumn("_g_ws", windows)
+      .withColumn("_g_ws", Corpus.tokenWindows(col(text), chunkTokens, overlapTokens))
       .select((col(id) +: kept) :+ posexplode(packed): _*)
       .select(
         (col(id) +: kept) ++ Seq(
