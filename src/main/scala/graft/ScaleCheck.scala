@@ -64,7 +64,19 @@ object ScaleCheck {
     write("orders", replicate(t("orders"), Seq("o_orderkey")))
     write("lineitem", replicate(t("lineitem"), Seq("l_orderkey")))
     write("events", replicate(t("events"), Seq("event_id")))
-    write("embeddings", replicate(t("embeddings"), Seq("vec_id")))
+    // per-copy deterministic sign flips decorrelate the copies (expected
+    // cross-copy cosine ~0) while preserving norms and the per-component
+    // distribution, so the scale-up means "N× more unique vectors" — a
+    // verbatim copy would plant N-deep near-dup clusters and the sweep
+    // would time quadratic pair output, not scaling (the same reasoning
+    // as the document token salt below; copy 0 stays the original)
+    write("embeddings", replicate(t("embeddings"), Seq("vec_id"), d =>
+      d.withColumn("embedding",
+        when(col("_copy") === 0, col("embedding")).otherwise(
+          zip_with(col("embedding"),
+            sequence(lit(0), size(col("embedding")) - 1),
+            (x, i) => x * when(pmod(xxhash64(col("_copy"), i), lit(2)) === 0, lit(-1.0f))
+              .otherwise(lit(1.0f)))))))
     write("documents", replicate(t("documents"), Seq("doc_id"), d =>
       d.withColumn("text",
         when(col("_copy") === 0, col("text")).otherwise(

@@ -147,6 +147,14 @@ class CorpusSpec extends SparkSpec {
       .as[(Long, Int, Int, String, Int)].collect().toSet
     assert(ingest === batch)
     assert(ingest.nonEmpty)
+    // oversized-chunk regime (chunk window > capacity): every chunk gets
+    // its own bin, same as the batch fold
+    val over = graft.streaming.StreamingCorpus.chunkAndPackAtIngest(
+        docs, "doc_id", "text", chunkTokens = 30, overlapTokens = 0, capacity = 20)
+      .select("doc_id", "chunk_no", "chunk_tokens", "bin")
+      .as[(Long, Int, Int, Int)].collect()
+    assert(over.filter(_._1 == 1L).forall(r => r._2 === r._4),
+      "each oversized chunk must occupy its own bin")
   }
 
   test("sampleMix applies per-stratum rates deterministically") {

@@ -21,6 +21,27 @@ class SketchSpec extends SparkSpec {
       s"approx=$approx exact=$exact drifted beyond 3x rsd")
   }
 
+  test("HLL sketch artifacts: merge-of-parts equals sketch-of-whole, estimate in envelope") {
+    import graft.functions.Sketches
+    val events = t(spark, sf, "events")
+    val exact = events.select(countDistinct("user_id")).as[Long].head()
+    // per-day artifacts (the incremental form: build once per partition)
+    val daily = Sketches.distinctSketches(
+      events.withColumn("day", (col("ts") / lit(86400L * 1000 * 1000 * 1000)).cast("long")),
+      Seq("day"), col("user_id"))
+    assert(daily.schema("hll").dataType.typeName === "binary")
+    // rollup by merging kilobyte sketches, no rescan of events
+    val merged = daily.transform(d => Sketches.mergeSketches(d, Nil))
+      .select(Sketches.estimate(col("hll"))).as[Long].head()
+    // one-shot sketch over the whole table
+    val whole = Sketches.distinctSketches(events, Nil, col("user_id"))
+      .select(Sketches.estimate(col("hll"))).as[Long].head()
+    assert(merged === whole,
+      s"merging per-day sketches must equal sketching the whole: $merged vs $whole")
+    assert(math.abs(merged - exact).toDouble / exact <= 0.05,
+      s"estimate $merged drifted beyond the HLL envelope of exact $exact")
+  }
+
   test("approx_percentile brackets the exact percentile") {
     val li = t(spark, sf, "lineitem")
     val exact = li.select(percentile(col("l_extendedprice"), lit(0.5)))
