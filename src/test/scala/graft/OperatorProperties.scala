@@ -85,6 +85,35 @@ object OperatorProperties extends Properties("graft.operators") {
       got == expected
     }
 
+  property("greedy pack (batch and in-row forms) == sequential replay") =
+    forAll(docGen, Gen.choose(2, 6), Gen.choose(4, 12)) { (docs, c, cap) =>
+      val df = docs.toDF("doc_id", "text")
+      val chunks = graft.operators.Corpus.chunk(df, "doc_id", "text", c, 0)
+      val batch = graft.operators.Corpus
+        .packChunks(chunks, "doc_id", "chunk_no", "chunk_tokens", cap)
+        .select("doc_id", "chunk_no", "chunk_tokens", "bin")
+        .as[(Long, Int, Int, Int)].collect().toSet
+      val ingest = graft.streaming.StreamingCorpus
+        .chunkAndPackAtIngest(df, "doc_id", "text", c, 0, cap)
+        .select("doc_id", "chunk_no", "chunk_tokens", "bin")
+        .as[(Long, Int, Int, Int)].collect().toSet
+      // straight-line replay of the greedy rule per doc, in chunk order
+      val expected = (for {
+        (id, text) <- docs
+        toks = text.split("\\s+").toSeq
+        sizes = (0 to math.max(toks.size - 1, 0) by c)
+          .map(s => math.min(c, toks.size - s))
+      } yield {
+        var bin = 0; var cur = 0L
+        sizes.zipWithIndex.map { case (n, i) =>
+          if (cur + n > cap && cur > 0) { bin += 1; cur = n.toLong }
+          else cur += n
+          (id, i, n, bin)
+        }
+      }).flatten.toSet
+      batch == expected && ingest == expected
+    }
+
   private val changelogGen: Gen[List[(String, Long, Long, String)]] = for {
     n <- Gen.choose(1, 25)
     rows <- Gen.listOfN(n, for {

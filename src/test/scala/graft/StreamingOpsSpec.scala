@@ -219,6 +219,39 @@ class StreamingOpsSpec extends SparkSpec {
     assert(rows === Set(("u1", 2L, 3.0))) // merged 2-event session, total 1+2
   }
 
+  test("streaming sketch artifacts: per-window HLL merges to the exact distinct") {
+    // the streaming form of Sketches: per-window sketch artifacts built
+    // at ingest (windowed agg + watermark), rolled up later by merging —
+    // distinct-over-all-windows without reprocessing the stream
+    import graft.functions.Sketches
+    val mem = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, Long)]
+    val sketches = mem.toDF().toDF("ts_ms", "user_id")
+      .withColumn("ts", timestamp_millis(col("ts_ms")))
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour"))
+      .agg(hll_sketch_agg(col("user_id")).as("hll"))
+    val q = sketches.writeStream.format("memory").queryName("sketch_sink")
+      .outputMode("append").start()
+    try {
+      val t0 = 1700000000000L
+      // window 1: users 1,2,3 (2 twice); window 2: users 3,4
+      mem.addData((t0, 1L), (t0 + 1000, 2L), (t0 + 2000, 2L), (t0 + 3000, 3L))
+      q.processAllAvailable()
+      mem.addData((t0 + 3600000, 3L), (t0 + 3601000, 4L))
+      q.processAllAvailable()
+      mem.addData((t0 + 7300000, 9L)) // push the watermark past both windows
+      q.processAllAvailable()
+    } finally q.stop()
+    val parts = spark.table("sketch_sink")
+    assert(parts.count() === 2, "both closed windows must emit a sketch")
+    val merged = Sketches.mergeSketches(parts, Nil)
+      .select(Sketches.estimate(col("hll"))).as[Long].head()
+    // 4 distinct users across windows (3 appears in both); HLL is exact
+    // at this cardinality
+    assert(merged === 4L)
+  }
+
   test("streaming near-dup: new doc matches an earlier batch's document") {
     val mem = MemoryStream[(Long, String)]
     val out = graft.streaming.StreamingDedup.nearDupCandidates(
