@@ -49,12 +49,15 @@ object Bench {
     val warm: Map[String, Double] =
       if (sys.env.getOrElse("SPARK_GRAFT_WARMUP", "1") == "1") {
         val w = ordered.map { case (n, fn) => n -> run(n, fn) }.toMap
+        // a query that failed in warmup has a bogus time-to-failure, not a
+        // measurement — it must not win the min
+        val usable = w -- failed
         failed.clear() // only the timed pass decides the machine-readable marker
-        w
+        usable
       } else Map.empty
     val results = ordered.map { case (name, fn) =>
       val timed = run(name, fn)
-      val best = warm.get(name).filter(_ >= 0).fold(timed)(math.min(timed, _))
+      val best = warm.get(name).fold(timed)(math.min(timed, _))
       name -> (if (failed(name)) timed else best)
     }
     val stat = if (warm.nonEmpty) "min_of_2" else "single_cold"
