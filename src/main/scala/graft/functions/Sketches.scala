@@ -44,4 +44,59 @@ object Sketches {
 
   /** The distinct-count estimate of a sketch column. */
   def estimate(sketch: Column): Column = hll_sketch_estimate(sketch)
+
+  // ── Count-Min Sketch ───────────────────────────────────────────────────
+  // The heavy-hitter twin of the HLL artifact above: where HLL answers
+  // "how many distinct", CMS answers "how often does THIS item occur"
+  // from a fixed-size summary. Represented as a DataFrame of cells
+  // (i, cell, cnt) — ≤ depth×width rows regardless of input size — so the
+  // artifact is mergeable by cell-wise sum (like the HLL bytes) and,
+  // unlike a binary blob, fully reproducible by the DuckDB oracle: cells
+  // come from [[graft.operators.Dedup.portableHash64]] over "i:item".
+  //
+  // Guarantees (standard CMS): estimate ≥ true count always (only hash
+  // collisions inflate, never deflate); estimate ≤ true + εN with
+  // probability 1−δ for width = ⌈e/ε⌉, depth = ⌈ln 1/δ⌉. SketchSpec pins
+  // both the floor and merge-of-parts == sketch-of-whole.
+  //
+  // Scale shape: one narrow explode (×depth) feeding a partial agg that
+  // collapses to ≤ depth×width rows PER MAP TASK before the (tiny)
+  // shuffle — the input is scanned once and nothing input-sized moves.
+
+  private def cmsCell(i: Column, item: Column, width: Int): Column =
+    pmod(graft.operators.Dedup.portableHash64(concat_ws(":", i, item)), lit(width.toLong))
+
+  /** Build the sketch: one (strata…, i, cell, cnt) row per touched cell.
+    * `strata` names pre-projected grouping columns (day, source, an
+    * event-time `window(...)` struct in streaming) — one independent
+    * sketch per stratum, the per-partition artifact form.
+    */
+  def cmsBuild(df: DataFrame, item: Column, depth: Int, width: Int,
+      strata: Seq[String] = Nil): DataFrame =
+    df.select(strata.map(col) ++ Seq(item.as("_cms_it"),
+        explode(sequence(lit(0), lit(depth - 1))).as("i")): _*)
+      .groupBy(strata.map(col) ++ Seq(col("i"),
+        cmsCell(col("i"), col("_cms_it"), width).as("cell")): _*)
+      .agg(count(lit(1)).as("cnt"))
+
+  /** Merge sketch artifacts built with the same (depth, width): cell-wise
+    * sum, optionally rolled up to coarser `strata`. Kilobytes per part —
+    * rollups never rescan the data.
+    */
+  def cmsMerge(parts: DataFrame, strata: Seq[String] = Nil): DataFrame =
+    parts.groupBy(strata.map(col) ++ Seq(col("i"), col("cell")): _*)
+      .agg(sum("cnt").as("cnt"))
+
+  /** Point-query the sketch: min over the item's `depth` cells (absent
+    * cell = 0 — the item was never inserted). Output: (item, est).
+    * The probe set is small by construction (heavy-hitter candidates),
+    * so the lanes frame broadcasts into the join against the cell table.
+    */
+  def cmsEstimate(sketch: DataFrame, items: DataFrame, item: Column,
+      depth: Int, width: Int): DataFrame =
+    items.select(item.as("item"),
+        explode(sequence(lit(0), lit(depth - 1))).as("i"))
+      .withColumn("cell", cmsCell(col("i"), col("item"), width))
+      .join(sketch, Seq("i", "cell"), "left")
+      .groupBy("item").agg(min(coalesce(col("cnt"), lit(0L))).as("est"))
 }

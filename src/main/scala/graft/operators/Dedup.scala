@@ -389,4 +389,63 @@ object Dedup {
     floor(size(array_intersect(sa, sb)).cast("double") /
       size(array_union(sa, sb)) * 1e4 + 0.5) / 1e4
   }
+
+  /** Stride-1 token n-gram window digests with positions: one
+    * (0-based start, md5 of the n tokens) struct per window. Docs shorter
+    * than n tokens produce no windows. Narrow — no shuffle.
+    */
+  private def windowDigests(text: Column, n: Int): Column =
+    element_at(
+      transform(array(split(lower(text), "\\s+")), tk =>
+        when(size(tk) >= n,
+          transform(sequence(lit(0), size(tk) - n),
+            s => md5(concat_ws(" ", slice(tk, s + lit(1), lit(n))))))
+          .otherwise(array().cast("array<string>"))),
+      1)
+
+  /** Cross-occurrence exact-substring duplicate spans — the output shape
+    * of suffix-array exact-substring dedup (Lee et al. 2022,
+    * "Deduplicating Training Data Makes Language Models Better"),
+    * re-expressed for Spark as a sliding-gram semi-join + interval merge
+    * instead of a distributed suffix array: for each document, the
+    * maximal token intervals covered by length-`n` windows that occur
+    * ≥ 2 times in the corpus (in another document, or repeated within
+    * the same one — matching suffix-array semantics, where a doc's own
+    * boilerplate dedups against itself).
+    *
+    * Plan, stage by stage (nothing doc × doc, nothing corpus-wide
+    * sorted):
+    *  1. stride-1 window digests with positions — narrow explode;
+    *  2. duplicated digests: ONE partial-agg shuffle keyed on the digest
+    *     (count collapses map-side), then a semi-join of occurrences
+    *     against the ≥2-count digests — digest-keyed equi-shuffles. The
+    *     digest explode is deliberately computed twice (once pruned to
+    *     the digest for counting, once with positions for the semi-join
+    *     probe) rather than materialized: the occurrence frame is
+    *     corpus × windows sized, so two codegen'd scans beat caching it;
+    *  3. gaps-and-islands interval merge, windowed BY DOCUMENT: a window
+    *     opens a new span iff its start exceeds the running max end of
+    *     all earlier windows. The sort inside the window is bounded by
+    *     one doc's (surviving) window count, never the corpus.
+    *
+    * Output: (id, span_start, span_tokens) per maximal duplicated span —
+    * exactly what a trim/cut pass consumes.
+    */
+  def dupSpans(docs: DataFrame, id: String, text: String, n: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val occ = docs.select(col(id),
+        posexplode(windowDigests(col(text), n)).as(Seq("s", "g")))
+    val dup = occ.groupBy("g").agg(count(lit(1)).as("c"))
+      .filter(col("c") >= 2).select("g")
+    val byDoc = Window.partitionBy(col(id)).orderBy(col("s"))
+    val prevEnd = max(col("s") + lit(n))
+      .over(byDoc.rowsBetween(Window.unboundedPreceding, -1))
+    occ.join(dup, Seq("g"), "left_semi")
+      .withColumn("_new", when(col("s") > coalesce(prevEnd, lit(-1)), 1).otherwise(0))
+      .withColumn("_span", sum(col("_new")).over(byDoc))
+      .groupBy(col(id), col("_span"))
+      .agg(min(col("s")).as("span_start"),
+        (max(col("s")) + lit(n) - min(col("s"))).as("span_tokens"))
+      .drop("_span")
+  }
 }

@@ -123,6 +123,26 @@ object DedupQueries {
       (s, d) => Dedup.simHashPairs(
         spread(s, d), "doc_id", Dedup.tokenSet(col("text")),
         maxHamming = 3, bands = 4, hash = Dedup.portableHash64)),
+
+    // exact-substring duplicate spans: maximal token intervals covered by
+    // 8-token windows occurring ≥2 times corpus-wide (suffix-array dedup
+    // output shape, as sliding-gram semi-join + per-doc interval merge).
+    // Oracle replays the identical windows/digests and a window-function
+    // gaps-and-islands merge.
+    Q("q_dup_spans", Some("""
+      |WITH toks AS (SELECT doc_id, regexp_split_to_array(lower(text), '\s+') AS tk FROM documents),
+      |st AS (SELECT doc_id, tk, unnest(range(0, greatest(len(tk) - 7, 0))) AS s FROM toks),
+      |occ AS (SELECT doc_id, s, md5(array_to_string(tk[s + 1 : s + 8], ' ')) AS g FROM st),
+      |dup AS (SELECT g FROM occ GROUP BY g HAVING count(*) >= 2),
+      |hits AS (SELECT o.doc_id, o.s FROM occ o JOIN dup USING (g)),
+      |m AS (SELECT doc_id, s, max(s + 8) OVER (PARTITION BY doc_id ORDER BY s
+      |  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pe FROM hits),
+      |isl AS (SELECT doc_id, s, sum(CASE WHEN pe IS NULL OR s > pe THEN 1 ELSE 0 END)
+      |  OVER (PARTITION BY doc_id ORDER BY s) AS span FROM m)
+      |SELECT doc_id, min(s) AS span_start, max(s) + 8 - min(s) AS span_tokens
+      |FROM isl GROUP BY doc_id, span
+      |""".stripMargin.trim))(
+      (s, d) => Dedup.dupSpans(spread(s, d), "doc_id", "text", n = 8)),
   )
 
   /** Oracle-side SimHash over the portable hash: one row per (doc, token),

@@ -274,6 +274,47 @@ object TextQueries {
           .select(col("t.tk").as("token"), (-col("t.nn")).as("n"))
       }),
 
+    // Count-Min Sketch round trip: build the mergeable cell-table sketch
+    // over all token occurrences, then point-query it for the exact
+    // top-20 tokens. Cells derive from the portable 60-bit hash, so
+    // DuckDB rebuilds the bit-identical sketch; output is (token, exact
+    // count, CMS estimate) — the estimate column IS the operator under
+    // test (≥ exact always; ≤ exact + εN w.h.p.). depth 4 × width 512
+    // keeps the artifact ≤ 2048 rows at any corpus size.
+    Q("q_cms_topk", Some("""
+      |WITH tok AS (
+      |  SELECT unnest(regexp_split_to_array(lower(text), '\s+')) AS token FROM documents),
+      |lanes AS (SELECT unnest(range(4)) AS i),
+      |cells AS (
+      |  SELECT i, ('0x' || substring(md5(i::VARCHAR || ':' || token), 1, 15))::BIGINT % 512 AS cell,
+      |    count(*) AS cnt
+      |  FROM tok CROSS JOIN lanes GROUP BY 1, 2),
+      |top AS (SELECT token, n AS exact FROM (
+      |  SELECT token, count(*) AS n, row_number() OVER (ORDER BY count(*) DESC, token) AS rk
+      |  FROM tok GROUP BY token)
+      |  WHERE rk <= 20)
+      |SELECT t.token, t.exact, min(coalesce(c.cnt, 0)) AS est
+      |FROM top t CROSS JOIN lanes l
+      |LEFT JOIN cells c ON c.i = l.i
+      |  AND c.cell = ('0x' || substring(md5(l.i::VARCHAR || ':' || t.token), 1, 15))::BIGINT % 512
+      |GROUP BY 1, 2
+      |""".stripMargin.trim))(
+      (s, d) => {
+        import graft.functions.Sketches
+        val toks = t(s, d, "documents")
+          .select(explode(split(lower(col("text")), "\\s+")).as("token"))
+        val sketch = Sketches.cmsBuild(toks, col("token"), depth = 4, width = 512)
+        val counts = toks.groupBy("token").agg(count(lit(1)).as("exact"))
+        val top = graft.operators.Similarity.topKPerKey(counts, Nil,
+            struct((-col("exact")).as("nn"), col("token").as("tk")), 20)
+          .select(explode(col("topk")).as("t"))
+          .select(col("t.tk").as("token"), (-col("t.nn")).as("exact"))
+        top.join(
+            Sketches.cmsEstimate(sketch, top, col("token"), depth = 4, width = 512)
+              .withColumnRenamed("item", "token"),
+            Seq("token"))
+      }),
+
     // trending events: top-3 event types per hourly window — the windowed
     // top-k composition (window bucket + count + bounded top-k per
     // window), all partial-agg shuffles.

@@ -100,6 +100,32 @@ class DedupSpec extends SparkSpec {
     assert(star(9L) === 1L && star(13L) === 10L && star(33L) === 30L && star(21L) === 20L)
   }
 
+  test("dupSpans merges duplicated windows into maximal spans, within and across docs") {
+    val corpus = Seq(
+      (1L, "a b c d e f g h"),              // shares "a b c d" with doc 2
+      (2L, "x x a b c d y z"),
+      (3L, "p q r s t u v w"),              // no duplicated gram — absent
+      (4L, "m n o m n o m n o"),            // self-repetition: whole doc one span
+      (5L, "a b c z1 z2 z3 z4 a b c z5")    // two disjoint islands in one doc
+    ).toDF("doc_id", "text")
+    val out = Dedup.dupSpans(corpus, "doc_id", "text", n = 3)
+      .as[(Long, Int, Int)].collect().toSet
+    assert(out === Set(
+      (1L, 0, 4),  // windows 0,1 overlap -> [0,4)
+      (2L, 2, 4),  // windows 2,3 -> [2,6)... tokens 2..5
+      (4L, 0, 9),  // every window duplicated within the doc
+      (5L, 0, 3), (5L, 7, 3))) // gap between islands splits the spans
+    // spans never overlap within a doc and each covers >= n tokens
+    out.groupBy(_._1).foreach { case (_, spans) =>
+      val sorted = spans.toSeq.sortBy(_._2)
+      sorted.foreach { case (_, _, len) => assert(len >= 3) }
+      sorted.sliding(2).foreach {
+        case Seq((_, s1, l1), (_, s2, _)) => assert(s2 > s1 + l1)
+        case _ =>
+      }
+    }
+  }
+
   test("portableHash64 matches the md5-prefix definition") {
     val h = Seq(Tuple1("hello")).toDF("t")
       .select(Dedup.portableHash64(col("t"))).as[Long].head()

@@ -318,4 +318,31 @@ class PlanShapeSpec extends SparkSpec {
     assert(countNodes(df, "Join") === 0)
     assert(countNodes(df, "Window") === 0)
   }
+
+  test("dup_spans: digest-keyed semi-join, per-doc windows, nothing quadratic") {
+    val df = q("q_dup_spans")
+    assert(countNodes(df, "CartesianProduct") === 0)
+    assert(countNodes(df, "BroadcastNestedLoopJoin") === 0)
+    assert(broadcastHintedLeaves(df).isEmpty,
+      "no forced broadcast in the dup-gram semi-join — size threshold decides")
+    // the interval merge must stay partitioned by document (bounded sort),
+    // never a corpus-global Window
+    val fmt = formatted(df)
+    assert(fmt.contains("Window"), "gaps-and-islands window disappeared")
+    assert(!fmt.linesIterator.exists(l =>
+        l.contains("Window") && l.contains("windowspecdefinition") &&
+          !l.contains("doc_id")),
+      "interval-merge window lost its per-doc partitioning")
+  }
+
+  test("cms: sketch collapses via partial agg before any join; probe side joins the cell table") {
+    val df = q("q_cms_topk")
+    assert(countNodes(df, "CartesianProduct") === 0)
+    assert(countNodes(df, "BroadcastNestedLoopJoin") === 0)
+    assert(broadcastHintedLeaves(df).isEmpty)
+    // every HashAggregate pair is partial+final (map-side collapse): the
+    // token explode never crosses a shuffle un-aggregated
+    assert(mentions(df, "partial_count") || mentions(df, "partial_"),
+      "CMS build lost its map-side partial aggregation")
+  }
 }

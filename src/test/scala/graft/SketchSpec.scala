@@ -42,6 +42,35 @@ class SketchSpec extends SparkSpec {
       s"estimate $merged drifted beyond the HLL envelope of exact $exact")
   }
 
+  test("CMS artifacts: merge-of-parts equals sketch-of-whole, estimate bounded below and above") {
+    import graft.functions.Sketches
+    val (depth, width) = (4, 512)
+    val toks = t(spark, sf, "documents")
+      .select(col("doc_id"), explode(split(lower(col("text")), "\\s+")).as("token"))
+    val n = toks.count()
+    // merge of per-shard sketches == sketch of the whole corpus (cell-wise)
+    val whole = Sketches.cmsBuild(toks, col("token"), depth, width)
+    val parts = Seq(0, 1).map(p =>
+      Sketches.cmsBuild(toks.filter(pmod(col("doc_id"), lit(2)) === p), col("token"), depth, width))
+    val merged = Sketches.cmsMerge(parts.reduce(_ unionByName _))
+    assert(merged.exceptAll(whole).isEmpty && whole.exceptAll(merged).isEmpty,
+      "merged per-shard CMS must equal the whole-corpus CMS cell-for-cell")
+    // point estimates: never below exact (collisions only add), and within
+    // the CMS envelope exact + eN at e = e(uler)/width ~ 0.0053, delta 2^-4
+    val exact = toks.groupBy("token").agg(count(lit(1)).as("exact"))
+    val est = Sketches.cmsEstimate(whole, exact, col("token"), depth, width)
+    val joined = exact.join(est, col("token") === col("item"))
+      .select(col("token"), col("exact"), col("est")).as[(String, Long, Long)].collect()
+    assert(joined.nonEmpty)
+    joined.foreach { case (tk, ex, es) =>
+      assert(es >= ex, s"CMS estimate $es below exact $ex for '$tk' — impossible")
+    }
+    val eps = math.E / width
+    val overBudget = joined.count { case (_, ex, es) => es > ex + eps * n }
+    assert(overBudget.toDouble / joined.length <= 0.10,
+      s"$overBudget/${joined.length} tokens exceed the exact + eN envelope (delta should be ~6%)")
+  }
+
   test("approx_percentile brackets the exact percentile") {
     val li = t(spark, sf, "lineitem")
     val exact = li.select(percentile(col("l_extendedprice"), lit(0.5)))

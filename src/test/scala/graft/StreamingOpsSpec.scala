@@ -252,6 +252,41 @@ class StreamingOpsSpec extends SparkSpec {
     assert(merged === 4L)
   }
 
+  test("streaming sketch artifacts: per-window CMS cells merge to exact token counts") {
+    // the heavy-hitter twin of the HLL test above: windowed CMS cell
+    // artifacts at ingest, rolled up by cell-wise sum, point-queried
+    // without reprocessing the stream
+    import graft.functions.Sketches
+    val mem = MemoryStream[(Long, String)]
+    val cells = mem.toDF().toDF("ts_ms", "token")
+      .withColumn("ts", timestamp_millis(col("ts_ms")))
+      .withWatermark("ts", "10 minutes")
+      .withColumn("win", window(col("ts"), "1 hour"))
+      .transform(d =>
+        Sketches.cmsBuild(d, col("token"), depth = 4, width = 64, strata = Seq("win")))
+    val q = cells.writeStream.format("memory").queryName("cms_sink")
+      .outputMode("append").start()
+    try {
+      val t0 = 1700000000000L
+      mem.addData((t0, "a"), (t0 + 1000, "a"), (t0 + 2000, "b"))
+      q.processAllAvailable()
+      mem.addData((t0 + 3600000, "a"), (t0 + 3601000, "c"))
+      q.processAllAvailable()
+      mem.addData((t0 + 7300000, "z")) // push the watermark past both windows
+      q.processAllAvailable()
+    } finally q.stop()
+    val parts = spark.table("cms_sink")
+    assert(parts.select("win").distinct().count() === 2,
+      "both closed windows must emit cell artifacts")
+    val merged = Sketches.cmsMerge(parts.drop("win"))
+    val est = Sketches.cmsEstimate(merged, Seq("a", "b", "c").toDF("tok"),
+        col("tok"), depth = 4, width = 64)
+      .as[(String, Long)].collect().toMap
+    // 4 distinct tokens across 64 cells x 4 lanes: collision-free here,
+    // so the estimates are the exact counts (a appears in both windows)
+    assert(est === Map("a" -> 3L, "b" -> 1L, "c" -> 1L))
+  }
+
   test("streaming near-dup: new doc matches an earlier batch's document") {
     val mem = MemoryStream[(Long, String)]
     val out = graft.streaming.StreamingDedup.nearDupCandidates(
