@@ -52,7 +52,7 @@ object Sketches {
   // (i, cell, cnt) — ≤ depth×width rows regardless of input size — so the
   // artifact is mergeable by cell-wise sum (like the HLL bytes) and,
   // unlike a binary blob, fully reproducible by the DuckDB oracle: cells
-  // come from [[graft.operators.Dedup.portableHash64]] over "i:item".
+  // come from the two 60-bit halves of one md5 per item (see [[cmsCell]]).
   //
   // Guarantees (standard CMS): estimate ≥ true count always (only hash
   // collisions inflate, never deflate); estimate ≤ true + εN with
@@ -63,21 +63,38 @@ object Sketches {
   // collapses to ≤ depth×width rows PER MAP TASK before the (tiny)
   // shuffle — the input is scanned once and nothing input-sized moves.
 
-  private def cmsCell(i: Column, item: Column, width: Int): Column =
-    pmod(graft.operators.Dedup.portableHash64(concat_ws(":", i, item)), lit(width.toLong))
+  /** Lane-i cell via Kirsch–Mitzenmacher double hashing: ONE md5 per item
+    * (h1 = hex chars 1-15, h2 = chars 16-30 of the same digest), lane
+    * cells derived as (h1 + i·h2) mod width — d-wise independence enough
+    * for the CMS bound at 1/d of the hashing cost of d independent
+    * hashes. Both halves are < 2^60, so h1 + 3·h2 < 2^62 never overflows
+    * a long. Portable: any engine with md5 rebuilds the identical cells.
+    */
+  private def cmsCell(i: Column, item: Column, width: Int): Column = {
+    val m = md5(item)
+    val h1 = conv(substring(m, 1, 15), 16, 10).cast("long")
+    val h2 = conv(substring(m, 16, 15), 16, 10).cast("long")
+    pmod(h1 + i * h2, lit(width.toLong))
+  }
 
   /** Build the sketch: one (strata…, i, cell, cnt) row per touched cell.
     * `strata` names pre-projected grouping columns (day, source, an
     * event-time `window(...)` struct in streaming) — one independent
     * sketch per stratum, the per-partition artifact form.
+    *
+    * `weight` (default 1 per row) builds from pre-aggregated
+    * (item, count) pairs: CMS is linear, so sketching a vocab-sized
+    * count table is cell-identical to sketching the raw occurrences —
+    * when a per-item aggregate already exists (or is needed anyway),
+    * sketch THAT and skip re-exploding the corpus.
     */
   def cmsBuild(df: DataFrame, item: Column, depth: Int, width: Int,
-      strata: Seq[String] = Nil): DataFrame =
-    df.select(strata.map(col) ++ Seq(item.as("_cms_it"),
+      strata: Seq[String] = Nil, weight: Column = lit(1L)): DataFrame =
+    df.select(strata.map(col) ++ Seq(item.as("_cms_it"), weight.as("_cms_w"),
         explode(sequence(lit(0), lit(depth - 1))).as("i")): _*)
       .groupBy(strata.map(col) ++ Seq(col("i"),
         cmsCell(col("i"), col("_cms_it"), width).as("cell")): _*)
-      .agg(count(lit(1)).as("cnt"))
+      .agg(sum("_cms_w").as("cnt"))
 
   /** Merge sketch artifacts built with the same (depth, width): cell-wise
     * sum, optionally rolled up to coarser `strata`. Kilobytes per part —

@@ -149,6 +149,34 @@ object Corpus {
         floor(col("n_rare").cast("double") / col("n_tokens") * 1e6 + 0.5) / 1e6)
   }
 
+  /** Per-stratum percentile quality gate: keep rows whose `score` is at
+    * or above their stratum's `p`-quantile — "top half per source" style
+    * filtering, the relative form of an absolute quality floor (absolute
+    * thresholds misfire when sources score on different scales).
+    *
+    * Scale shape: exact `percentile` per stratum is ONE partial-agg
+    * shuffle collapsing to a row per stratum; the tiny threshold frame
+    * joins back on the stratum (AQE broadcasts it from its actual size —
+    * no forced hint, strata cardinality may be sf-scaled). This
+    * deliberately avoids the window/percent_rank form, which would sort
+    * every stratum corpus-wide. Interpolated `percentile` is bit-equal
+    * to DuckDB quantile_cont (the q_quantiles pin), so gates verify
+    * cross-engine.
+    */
+  def percentileGate(df: DataFrame, strata: Seq[String], score: Column,
+      p: Double): DataFrame = {
+    require(p >= 0 && p <= 1, s"need 0 <= p <= 1, got $p")
+    if (strata.isEmpty) {
+      // single global threshold: one row, bounded by construction
+      val th = df.agg(percentile(score, lit(p)).as("_thr"))
+      df.crossJoin(broadcast(th)).filter(score >= col("_thr")).drop("_thr")
+    } else {
+      val th = df.groupBy(strata.map(col): _*)
+        .agg(percentile(score, lit(p)).as("_thr"))
+      df.join(th, strata).filter(score >= col("_thr")).drop("_thr")
+    }
+  }
+
   /** Deterministic hash sampling: keep rows whose key hashes into
     * `num`/`den` of the hash space. Unlike `DataFrame.sample`, the
     * decision is a pure function of the key — stable across runs,

@@ -34,6 +34,20 @@ object TextQueries {
         stopwordRatio(col("text")).as("stopword_ratio"),
         qualityScore(col("text")).as("quality"))),
 
+    // relative quality gate: keep each source's top half by quality score
+    // (per-stratum exact percentile threshold joined back — no corpus
+    // sort; see Corpus.percentileGate). quantile_cont == Spark percentile
+    // bit-for-bit, so the gate itself is hash-oracled.
+    Q("q_quality_gate", Some(s"""
+      |WITH s AS (SELECT doc_id, source, ${qualityScoreSql("text")} AS q FROM documents),
+      |th AS (SELECT source, quantile_cont(q, 0.5) AS thr FROM s GROUP BY source)
+      |SELECT s.doc_id, s.source, s.q FROM s JOIN th USING (source) WHERE s.q >= thr
+      |""".stripMargin.trim))(
+      (s, d) => graft.operators.Corpus.percentileGate(
+        t(s, d, "documents").select(col("doc_id"), col("source"),
+          qualityScore(col("text")).as("q")),
+        Seq("source"), col("q"), 0.5)),
+
     Q("q_lang_id", Some(
       s"SELECT doc_id, lang, ${langIdSql("text")} AS pred_lang, " +
       s"(${langIdSql("text")} = lang) AS is_correct FROM documents"))(
@@ -286,7 +300,8 @@ object TextQueries {
       |  SELECT unnest(regexp_split_to_array(lower(text), '\s+')) AS token FROM documents),
       |lanes AS (SELECT unnest(range(4)) AS i),
       |cells AS (
-      |  SELECT i, ('0x' || substring(md5(i::VARCHAR || ':' || token), 1, 15))::BIGINT % 512 AS cell,
+      |  SELECT i, (('0x' || substring(md5(token), 1, 15))::BIGINT
+      |      + i * ('0x' || substring(md5(token), 16, 15))::BIGINT) % 512 AS cell,
       |    count(*) AS cnt
       |  FROM tok CROSS JOIN lanes GROUP BY 1, 2),
       |top AS (SELECT token, n AS exact FROM (
@@ -296,15 +311,22 @@ object TextQueries {
       |SELECT t.token, t.exact, min(coalesce(c.cnt, 0)) AS est
       |FROM top t CROSS JOIN lanes l
       |LEFT JOIN cells c ON c.i = l.i
-      |  AND c.cell = ('0x' || substring(md5(l.i::VARCHAR || ':' || t.token), 1, 15))::BIGINT % 512
+      |  AND c.cell = (('0x' || substring(md5(t.token), 1, 15))::BIGINT
+      |      + l.i * ('0x' || substring(md5(t.token), 16, 15))::BIGINT) % 512
       |GROUP BY 1, 2
       |""".stripMargin.trim))(
       (s, d) => {
         import graft.functions.Sketches
-        val toks = t(s, d, "documents")
+        // ONE token scan: the per-token count table (needed for the exact
+        // column anyway) is materialized once and feeds both the weighted
+        // sketch build (CMS is linear — cell-identical to sketching raw
+        // occurrences) and the top-20
+        val counts = t(s, d, "documents")
           .select(explode(split(lower(col("text")), "\\s+")).as("token"))
-        val sketch = Sketches.cmsBuild(toks, col("token"), depth = 4, width = 512)
-        val counts = toks.groupBy("token").agg(count(lit(1)).as("exact"))
+          .groupBy("token").agg(count(lit(1)).as("exact"))
+          .localCheckpoint(true)
+        val sketch = Sketches.cmsBuild(counts, col("token"),
+          depth = 4, width = 512, weight = col("exact"))
         val top = graft.operators.Similarity.topKPerKey(counts, Nil,
             struct((-col("exact")).as("nn"), col("token").as("tk")), 20)
           .select(explode(col("topk")).as("t"))

@@ -174,6 +174,23 @@ class CorpusSpec extends SparkSpec {
     assert(again === out.map(_._1).toSet)
   }
 
+  test("percentileGate keeps each stratum's top scores; empty strata = global gate") {
+    // scores 1..10 per source: median (quantile_cont 0.5) of 1..10 is 5.5,
+    // so exactly 6..10 survive in each stratum
+    val rows = for (s <- Seq("a", "b"); i <- 1 to 10)
+      yield (s"$s$i", s, i.toDouble)
+    val df = rows.toDF("id", "source", "score")
+    val gated = Corpus.percentileGate(df, Seq("source"), col("score"), 0.5)
+      .select("id").as[String].collect().toSet
+    assert(gated === (for (s <- Seq("a", "b"); i <- 6 to 10) yield s"$s$i").toSet)
+    // global form: one threshold across strata (same data -> same cut)
+    val global = Corpus.percentileGate(df, Nil, col("score"), 0.9)
+      .select("id").as[String].collect().toSet
+    // p=0.9 over twenty values (1..10 doubled): index 0.9*19 = 17.1
+    // interpolates 9 -> 10 as 9.1, so only the 10s survive
+    assert(global === Set("a10", "b10"))
+  }
+
   test("streaming contamination gate: stream docs flagged against a static train set") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val train = Seq((10L, "alpha beta gamma epsilon")).toDF("doc_id", "text")

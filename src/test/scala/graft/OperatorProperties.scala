@@ -67,6 +67,31 @@ object OperatorProperties extends Properties("graft.operators") {
       got == expected
     }
 
+  property("dupSpans == interval-union replay of duplicated windows") =
+    forAll(docGen, Gen.choose(2, 4)) { (docs, n) =>
+      val df = docs.toDF("doc_id", "text")
+      val got = Dedup.dupSpans(df, "doc_id", "text", n)
+        .as[(Long, Int, Int)].collect().toSet
+      // model: every stride-1 window occurrence corpus-wide; windows whose
+      // gram occurs >= 2 times survive; union their [s, s+n) intervals per
+      // doc and report maximal connected spans
+      val occ = docs.flatMap { case (id, t) =>
+        val toks = t.toLowerCase.split("\\s+").toSeq
+        if (toks.size < n) Nil
+        else toks.sliding(n).zipWithIndex
+          .map { case (w, s) => (id, s, w.mkString(" ")) }.toList
+      }
+      val freq = occ.groupBy(_._3).view.mapValues(_.size).toMap
+      val expected = occ.filter(o => freq(o._3) >= 2).groupBy(_._1)
+        .flatMap { case (id, hs) =>
+          hs.map(_._2).sorted.foldLeft(List.empty[(Int, Int)]) {
+            case ((st, en) :: rest, s) if s <= en => (st, math.max(en, s + n)) :: rest
+            case (spans, s) => (s, s + n) :: spans
+          }.map { case (st, en) => (id, st, en - st) }
+        }.toSet
+      got == expected
+    }
+
   property("chunk == sliding-window reimplementation") =
     forAll(docGen, Gen.choose(2, 6), Gen.choose(0, 1)) { (docs, c, o) =>
       val df = docs.toDF("doc_id", "text")

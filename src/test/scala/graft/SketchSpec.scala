@@ -55,6 +55,12 @@ class SketchSpec extends SparkSpec {
     val merged = Sketches.cmsMerge(parts.reduce(_ unionByName _))
     assert(merged.exceptAll(whole).isEmpty && whole.exceptAll(merged).isEmpty,
       "merged per-shard CMS must equal the whole-corpus CMS cell-for-cell")
+    // linearity: weighted build from a per-item count table == raw build
+    val viaCounts = Sketches.cmsBuild(
+      toks.groupBy("token").agg(count(lit(1)).as("c")),
+      col("token"), depth, width, weight = col("c"))
+    assert(viaCounts.exceptAll(whole).isEmpty && whole.exceptAll(viaCounts).isEmpty,
+      "weighted (pre-aggregated) CMS build must equal the raw-occurrence build")
     // point estimates: never below exact (collisions only add), and within
     // the CMS envelope exact + eN at e = e(uler)/width ~ 0.0053, delta 2^-4
     val exact = toks.groupBy("token").agg(count(lit(1)).as("exact"))
