@@ -164,17 +164,25 @@ object Corpus {
     * cross-engine.
     */
   def percentileGate(df: DataFrame, strata: Seq[String], score: Column,
+      p: Double): DataFrame =
+    if (strata.isEmpty)
+      // single global threshold: one row, bounded by construction
+      df.crossJoin(broadcast(quantileThresholds(df, strata, score, p)))
+        .filter(score >= col("_thr")).drop("_thr")
+    else
+      df.join(quantileThresholds(df, strata, score, p), strata)
+        .filter(score >= col("_thr")).drop("_thr")
+
+  /** The threshold artifact behind [[percentileGate]]: one row per stratum
+    * with its exact `p`-quantile of `score` as `_thr`. Ship it to gate a
+    * LATER batch or a stream against frozen reference thresholds
+    * ([[graft.streaming.StreamingQuality.percentileGateAtIngest]]).
+    */
+  def quantileThresholds(df: DataFrame, strata: Seq[String], score: Column,
       p: Double): DataFrame = {
     require(p >= 0 && p <= 1, s"need 0 <= p <= 1, got $p")
-    if (strata.isEmpty) {
-      // single global threshold: one row, bounded by construction
-      val th = df.agg(percentile(score, lit(p)).as("_thr"))
-      df.crossJoin(broadcast(th)).filter(score >= col("_thr")).drop("_thr")
-    } else {
-      val th = df.groupBy(strata.map(col): _*)
-        .agg(percentile(score, lit(p)).as("_thr"))
-      df.join(th, strata).filter(score >= col("_thr")).drop("_thr")
-    }
+    if (strata.isEmpty) df.agg(percentile(score, lit(p)).as("_thr"))
+    else df.groupBy(strata.map(col): _*).agg(percentile(score, lit(p)).as("_thr"))
   }
 
   /** Deterministic hash sampling: keep rows whose key hashes into

@@ -71,4 +71,20 @@ object StreamingQuality {
         explode(split(lower(col(text)), "\\s+")).as("tok"))
       .dropDuplicates("_doc", "tok")
       .groupBy("tok").agg(count(lit(1)).as("df"))
+
+  /** Per-stratum percentile gate at ingest — the streaming twin of
+    * [[graft.operators.Corpus.percentileGate]]: a batch-trained threshold
+    * table ([[graft.operators.Corpus.quantileThresholds]] — strata… +
+    * `_thr`) joins advisory-broadcast onto the arriving rows, and `keep`
+    * flags scores at or above their stratum's frozen threshold. A
+    * stream-static left join, stateless and append-safe (training inside
+    * the stream would need a global sort of history — the artifact split
+    * is the deployable shape). Strata unseen in training fall back to
+    * `defaultThr`.
+    */
+  def percentileGateAtIngest(rows: DataFrame, strata: Seq[String],
+      score: Column, thresholds: DataFrame, defaultThr: Double): DataFrame =
+    rows.join(graft.plans.Hints.broadcastIfSmall(thresholds), strata, "left")
+      .withColumn("keep", score >= coalesce(col("_thr"), lit(defaultThr)))
+      .drop("_thr")
 }

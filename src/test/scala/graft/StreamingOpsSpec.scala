@@ -412,6 +412,38 @@ class StreamingOpsSpec extends SparkSpec {
     assert(rows(11L)._4 === 10L && rows(11L)._5 === 10L)
   }
 
+  test("percentile gate at ingest: frozen per-stratum thresholds, unseen stratum falls back") {
+    // artifact split: thresholds trained in batch (Corpus.quantileThresholds),
+    // stream gated against them statelessly — the deployable twin of
+    // Corpus.percentileGate
+    import graft.streaming.StreamingQuality
+    val train = (for (s <- Seq("wiki", "crawl"); i <- 1 to 10)
+      yield (s, i.toDouble)).toDF("source", "score")
+    // medians: 5.5 in both strata (values 1..10)
+    val th = graft.operators.Corpus.quantileThresholds(
+      train, Seq("source"), col("score"), 0.5)
+    val mem = MemoryStream[(Long, String, Double)]
+    val out = StreamingQuality.percentileGateAtIngest(
+      mem.toDF().toDF("id", "source", "score"),
+      Seq("source"), col("score"), th, defaultThr = 2.0)
+    assert(out.isStreaming, "the gate must stay a stateless streaming frame")
+    val q = out.writeStream.format("memory").queryName("pctgate_sink")
+      .outputMode("append").start()
+    try {
+      mem.addData(
+        (1L, "wiki", 7.0),   // >= 5.5 -> keep
+        (2L, "wiki", 3.0),   // < 5.5 -> drop
+        (3L, "crawl", 5.5),  // == threshold -> keep
+        (4L, "books", 2.5),  // unseen stratum: default 2.0 -> keep
+        (5L, "books", 1.0))  // unseen stratum, below default -> drop
+      q.processAllAvailable()
+    } finally q.stop()
+    val keep = spark.table("pctgate_sink")
+      .select("id", "keep").as[(Long, Boolean)].collect().toMap
+    assert(keep === Map(1L -> true, 2L -> false, 3L -> true,
+      4L -> true, 5L -> false))
+  }
+
   test("chunk+pack at ingest: stateless on a stream, rows equal the batch form") {
     val mem = MemoryStream[(Long, String)]
     val out = graft.streaming.StreamingCorpus.chunkAndPackAtIngest(
