@@ -181,6 +181,8 @@ object Corpus {
   def quantileThresholds(df: DataFrame, strata: Seq[String], score: Column,
       p: Double): DataFrame = {
     require(p >= 0 && p <= 1, s"need 0 <= p <= 1, got $p")
+    require(!df.columns.contains("_thr"),
+      "input already has a _thr column — it would collide with the threshold")
     if (strata.isEmpty) df.agg(percentile(score, lit(p)).as("_thr"))
     else df.groupBy(strata.map(col): _*).agg(percentile(score, lit(p)).as("_thr"))
   }

@@ -433,6 +433,8 @@ object Dedup {
     */
   def dupSpans(docs: DataFrame, id: String, text: String, n: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    require(!Seq("s", "g", "_new", "_span").contains(id),
+      s"id column '$id' collides with dupSpans' internal columns")
     val occ = docs.select(col(id),
         posexplode(windowDigests(col(text), n)).as(Seq("s", "g")))
     val dup = occ.groupBy("g").agg(count(lit(1)).as("c"))

@@ -18,6 +18,31 @@ class EdgeCaseSpec extends SparkSpec {
     assert(Dedup.exact(emptyDocs, "doc_id", "text").count() === 0)
     assert(Dedup.nearDupPairs(emptyDocs, "doc_id", "text", 3, 4, 5).count() === 0)
     assert(Dedup.simHashAgg(emptyDocs, "doc_id", Dedup.tokenSet(col("text"))).count() === 0)
+    assert(Dedup.dupSpans(emptyDocs, "doc_id", "text", 3).count() === 0)
+  }
+
+  test("dupSpans: docs shorter than n and all-unique corpora yield no spans") {
+    val docs = Seq(
+      (1L, "a b"),                 // shorter than n=3: no windows at all
+      (2L, "x y z w"),             // unique grams only
+      (3L, "p q r s")).toDF("doc_id", "text")
+    assert(Dedup.dupSpans(docs, "doc_id", "text", 3).count() === 0)
+    // id-name collision with internal columns fails fast, not silently
+    intercept[IllegalArgumentException] {
+      Dedup.dupSpans(docs.withColumnRenamed("doc_id", "s"), "s", "text", 3)
+    }
+  }
+
+  test("CMS estimate of a never-inserted item is 0; sketch of empty input is empty") {
+    import graft.functions.Sketches
+    val sketch = Sketches.cmsBuild(
+      Seq("a", "a", "b").toDF("tok"), col("tok"), depth = 4, width = 64)
+    val est = Sketches.cmsEstimate(sketch,
+        Seq("zzz").toDF("tok"), col("tok"), depth = 4, width = 64)
+      .as[(String, Long)].collect().toMap
+    assert(est === Map("zzz" -> 0L))
+    assert(Sketches.cmsBuild(
+      Seq.empty[String].toDF("tok"), col("tok"), depth = 4, width = 64).count() === 0)
   }
 
   test("knn with empty corpus / empty query set returns empty") {
