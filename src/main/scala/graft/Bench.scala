@@ -55,6 +55,10 @@ object Bench {
         failed.clear() // only the timed pass decides the machine-readable marker
         usable
       } else Map.empty
+    // queries missing from `warm` under min_of_2 (they failed warmup) carry
+    // a SINGLE cold sample despite the global stat — declared per query so
+    // a comparator doesn't trust them as noise-resistant minima
+    val singleSample = ordered.map(_._1).filterNot(warm.contains)
     val results = ordered.map { case (name, fn) =>
       val timed = run(name, fn)
       val best = warm.get(name).fold(timed)(math.min(timed, _))
@@ -73,9 +77,13 @@ object Bench {
     // slowest queries. The driver keeps just the last ~2000 chars of stdout,
     // and a JSON line listing every query overflows that window and fails
     // to parse (this is exactly what happened to BENCH_r01/r02).
+    val singleJson =
+      if (stat == "min_of_2" && singleSample.nonEmpty)
+        s""""single_sample":${singleSample.map(n => s""""$n"""").mkString("[", ",", "]")},"""
+      else ""
     val fullJson =
       s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},""" +
-        s""""queries":${qjson(results)},"failed":$failedJson,"stat":"$stat","sf":"$sfDir"}"""
+        s""""queries":${qjson(results)},"failed":$failedJson,$singleJson"stat":"$stat","sf":"$sfDir"}"""
     val out = new java.io.PrintWriter("BENCH_FULL.json")
     try out.println(fullJson) finally out.close()
     // "slowest", not "queries": the stdout map is truncated to 20 entries,

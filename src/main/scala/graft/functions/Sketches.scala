@@ -89,12 +89,16 @@ object Sketches {
     * sketch THAT and skip re-exploding the corpus.
     */
   def cmsBuild(df: DataFrame, item: Column, depth: Int, width: Int,
-      strata: Seq[String] = Nil, weight: Column = lit(1L)): DataFrame =
+      strata: Seq[String] = Nil, weight: Column = lit(1L)): DataFrame = {
+    val reserved = Seq("i", "cell", "cnt", "_cms_it", "_cms_w")
+    require(strata.forall(s => !reserved.contains(s)),
+      s"strata ${strata.mkString(",")} collide with the sketch's own columns ($reserved)")
     df.select(strata.map(col) ++ Seq(item.as("_cms_it"), weight.as("_cms_w"),
         explode(sequence(lit(0), lit(depth - 1))).as("i")): _*)
       .groupBy(strata.map(col) ++ Seq(col("i"),
         cmsCell(col("i"), col("_cms_it"), width).as("cell")): _*)
       .agg(sum("_cms_w").as("cnt"))
+  }
 
   /** Merge sketch artifacts built with the same (depth, width): cell-wise
     * sum, optionally rolled up to coarser `strata`. Kilobytes per part —
@@ -108,12 +112,22 @@ object Sketches {
     * cell = 0 — the item was never inserted). Output: (item, est).
     * The probe set is small by construction (heavy-hitter candidates),
     * so the lanes frame broadcasts into the join against the cell table.
+    *
+    * Takes an UNSTRATIFIED sketch only — exactly (i, cell, cnt). A
+    * strata-built sketch joined here would match every stratum's row per
+    * (i, cell) and min ACROSS strata — neither a per-stratum nor a total
+    * estimate, and silently below the true total. `cmsMerge` the strata
+    * away (or filter to one stratum and drop its columns) first.
     */
   def cmsEstimate(sketch: DataFrame, items: DataFrame, item: Column,
-      depth: Int, width: Int): DataFrame =
+      depth: Int, width: Int): DataFrame = {
+    require(sketch.columns.sorted.sameElements(Array("cell", "cnt", "i")),
+      s"cmsEstimate needs an unstratified sketch (i, cell, cnt); got " +
+        s"(${sketch.columns.mkString(", ")}) — cmsMerge strata away first")
     items.select(item.as("item"),
         explode(sequence(lit(0), lit(depth - 1))).as("i"))
       .withColumn("cell", cmsCell(col("i"), col("item"), width))
       .join(sketch, Seq("i", "cell"), "left")
       .groupBy("item").agg(min(coalesce(col("cnt"), lit(0L))).as("est"))
+  }
 }

@@ -433,6 +433,8 @@ object Dedup {
     */
   def dupSpans(docs: DataFrame, id: String, text: String, n: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    require(n >= 1, s"need n >= 1, got $n (n = 0 would digest empty windows " +
+      "and report every document as one full-length duplicate span)")
     require(!Seq("s", "g", "_new", "_span").contains(id),
       s"id column '$id' collides with dupSpans' internal columns")
     val occ = docs.select(col(id),

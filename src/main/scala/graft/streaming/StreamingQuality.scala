@@ -83,8 +83,14 @@ object StreamingQuality {
     * `defaultThr`.
     */
   def percentileGateAtIngest(rows: DataFrame, strata: Seq[String],
-      score: Column, thresholds: DataFrame, defaultThr: Double): DataFrame =
+      score: Column, thresholds: DataFrame, defaultThr: Double): DataFrame = {
+    require(strata.nonEmpty,
+      "streaming gate needs >= 1 stratum; for a single global threshold " +
+        "compare against the literal value instead (no join needed)")
+    require(!rows.columns.contains("_thr"),
+      "input already has a _thr column — it would collide with the threshold")
     rows.join(graft.plans.Hints.broadcastIfSmall(thresholds), strata, "left")
       .withColumn("keep", score >= coalesce(col("_thr"), lit(defaultThr)))
       .drop("_thr")
+  }
 }

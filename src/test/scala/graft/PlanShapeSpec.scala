@@ -340,9 +340,20 @@ class PlanShapeSpec extends SparkSpec {
     assert(countNodes(df, "CartesianProduct") === 0)
     assert(countNodes(df, "BroadcastNestedLoopJoin") === 0)
     assert(broadcastHintedLeaves(df).isEmpty)
-    // every HashAggregate pair is partial+final (map-side collapse): the
-    // token explode never crosses a shuffle un-aggregated
-    assert(mentions(df, "partial_count") || mentions(df, "partial_"),
-      "CMS build lost its map-side partial aggregation")
+    // map-side collapse, pinned non-vacuously: the raw per-item weight
+    // column must appear pre-shuffle (in the partial HashAggregate) and
+    // must never CROSS an Exchange — a build that shuffled raw exploded
+    // (item, lane) rows before aggregating would carry _cms_w in the
+    // Exchange input
+    val blocks = formatted(df).split("""(?m)^\(\d+\) """).toSeq
+    assert(blocks.exists(_.contains("_cms_w")),
+      "plan no longer mentions _cms_w — update the pin")
+    val offenders = blocks.filter { b =>
+      b.startsWith("Exchange") && b.linesIterator.exists(l =>
+        (l.trim.startsWith("Input") || l.trim.startsWith("Arguments")) &&
+          (l.contains("_cms_w") || l.contains("_cms_it")))
+    }
+    assert(offenders.isEmpty,
+      s"raw CMS rows crossed a shuffle un-aggregated:\n${offenders.mkString("\n---\n")}")
   }
 }
