@@ -124,6 +124,37 @@ object DedupQueries {
         spread(s, d), "doc_id", Dedup.tokenSet(col("text")),
         maxHamming = 3, bands = 4, hash = Dedup.portableHash64)),
 
+    // dedup APPLIED: the corpus after near-dup removal — every connected
+    // component keeps only its canonical (min-id) member, untouched docs
+    // pass through. Composition of detection + resolution + anti-join;
+    // the anti side (non-canonical nodes) is pair-sized, not corpus-sized.
+    Q("q_dedup_apply", Some((shinglesSql +
+      """
+        |, pairs AS (
+        |  SELECT a.doc_id AS a_id, b.doc_id AS b_id
+        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |  WHERE 5 * len(list_intersect(a.s, b.s)) >= 4 * len(list_distinct(list_concat(a.s, b.s)))),
+        |edges AS (SELECT a_id AS a, b_id AS b FROM pairs
+        |  UNION SELECT b_id, a_id FROM pairs),
+        |reach(node, l) AS (
+        |  SELECT a, a FROM edges
+        |  UNION
+        |  SELECT e.a, r.l FROM edges e JOIN reach r ON e.b = r.node),
+        |resolved AS (SELECT node, min(l) AS canonical FROM reach GROUP BY node)
+        |SELECT doc_id FROM documents
+        |WHERE doc_id NOT IN (SELECT node FROM resolved WHERE node != canonical)""".stripMargin)
+        .replaceFirst("WITH toks", "WITH RECURSIVE toks")))(
+      (s, d) => {
+        val resolved = Dedup.resolveComponentsStar(
+          Dedup.nearDupPairs(spread(s, d), "doc_id", "text", shingleN = 3,
+            minNum = 4, minDen = 5),
+          "a_id", "b_id")
+        t(s, d, "documents").select("doc_id").join(
+          resolved.filter(col("node") =!= col("canonical"))
+            .select(col("node").as("doc_id")),
+          Seq("doc_id"), "left_anti")
+      }),
+
     // exact-substring duplicate spans: maximal token intervals covered by
     // 8-token windows occurring ≥2 times corpus-wide (suffix-array dedup
     // output shape, as sliding-gram semi-join + per-doc interval merge).

@@ -67,6 +67,30 @@ object OperatorProperties extends Properties("graft.operators") {
       got == expected
     }
 
+  property("CMS on random streams: est >= exact under forced collisions; halves merge to whole") =
+    forAll(Gen.listOf(Gen.oneOf(vocab))) { toks =>
+      import graft.functions.Sketches
+      // width 16 << vocab x lanes: collisions are the norm, so the floor
+      // property is exercised, not vacuous
+      val (depth, width) = (3, 16)
+      val df = toks.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("id", "tok")
+      val whole = Sketches.cmsBuild(df, col("tok"), depth, width)
+      val est = Sketches.cmsEstimate(whole, vocab.toDF("tok"), col("tok"),
+          depth, width)
+        .as[(String, Long)].collect().toMap
+      val exact = toks.groupBy(identity).view.mapValues(_.size).toMap
+      val floorHolds = vocab.forall(v =>
+        est(v) >= exact.getOrElse(v, 0).toLong)
+      val halves = Seq(0, 1).map(p =>
+        Sketches.cmsBuild(df.filter(pmod(col("id"), lit(2)) === p),
+          col("tok"), depth, width))
+      val merged = Sketches.cmsMerge(halves.reduce(_ unionByName _))
+      val mergeHolds = merged.exceptAll(whole).isEmpty &&
+        whole.exceptAll(merged).isEmpty
+      floorHolds && mergeHolds
+    }
+
   property("dupSpans == interval-union replay of duplicated windows") =
     forAll(docGen, Gen.choose(2, 4)) { (docs, n) =>
       val df = docs.toDF("doc_id", "text")
