@@ -187,6 +187,29 @@ object Corpus {
     else df.groupBy(strata.map(col): _*).agg(percentile(score, lit(p)).as("_thr"))
   }
 
+  /** Reproducible export sharding: a deterministic shard id (portable
+    * hash of the unique `key`) plus a deterministic within-shard sequence
+    * (rank by `key`) — the layout that makes a corpus export byte-stable
+    * across runs, partitionings, and cluster sizes, so training jobs
+    * shard/resume against identical data. `key` must be unique (it's the
+    * document id) — ties would make `seq` partition-order-dependent.
+    *
+    * Scale shape: one hash shuffle on the shard + a PER-SHARD sort
+    * (window partitioned by shard: each sort is corpus/numShards — the
+    * export's inherent cost; no global sort). At write time the same
+    * frame feeds `.repartition(col("shard"))` +
+    * `.sortWithinPartitions("seq")` + `partitionBy("shard")` for one
+    * ordered file set per shard.
+    */
+  def exportShards(df: DataFrame, key: Column, numShards: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(numShards > 0, s"need numShards > 0, got $numShards")
+    df.withColumn("shard",
+        pmod(Dedup.portableHash64(key.cast("string")), lit(numShards.toLong)))
+      .withColumn("seq",
+        row_number().over(Window.partitionBy(col("shard")).orderBy(key)))
+  }
+
   /** Deterministic hash sampling: keep rows whose key hashes into
     * `num`/`den` of the hash space. Unlike `DataFrame.sample`, the
     * decision is a pure function of the key — stable across runs,

@@ -34,6 +34,20 @@ object TextQueries {
         stopwordRatio(col("text")).as("stopword_ratio"),
         qualityScore(col("text")).as("quality"))),
 
+    // reproducible export sharding: deterministic shard + within-shard
+    // sequence from the portable key hash — byte-stable corpus layout
+    // (one hash shuffle + per-shard sort; no global sort)
+    Q("q_export_shards", Some("""
+      |SELECT doc_id,
+      |  ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 8 AS shard,
+      |  CAST(row_number() OVER (
+      |    PARTITION BY ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 8
+      |    ORDER BY doc_id) AS INT) AS seq
+      |FROM documents
+      |""".stripMargin.trim))(
+      (s, d) => graft.operators.Corpus.exportShards(
+        t(s, d, "documents").select("doc_id"), col("doc_id"), numShards = 8)),
+
     // relative quality gate: keep each source's top half by quality score
     // (per-stratum exact percentile threshold joined back — no corpus
     // sort; see Corpus.percentileGate). quantile_cont == Spark percentile

@@ -174,6 +174,20 @@ class CorpusSpec extends SparkSpec {
     assert(again === out.map(_._1).toSet)
   }
 
+  test("exportShards: deterministic shard, dense key-ordered seq, stable under repartition") {
+    val df = (1L to 100L).toDF("id")
+    val a = Corpus.exportShards(df, col("id"), 8)
+      .as[(Long, Long, Int)].collect().toSet
+    val b = Corpus.exportShards(df.repartition(7), col("id"), 8)
+      .as[(Long, Long, Int)].collect().toSet
+    assert(a === b, "sharding must not depend on input partitioning")
+    a.groupBy(_._2).foreach { case (shard, rows) =>
+      // seq is dense 1..n within the shard, in key order
+      assert(rows.toSeq.sortBy(_._1).map(_._3) === (1 to rows.size),
+        s"shard $shard seq not dense/key-ordered")
+    }
+  }
+
   test("percentileGate keeps each stratum's top scores; empty strata = global gate") {
     // scores 1..10 per source: median (quantile_cont 0.5) of 1..10 is 5.5,
     // so exactly 6..10 survive in each stratum

@@ -319,6 +319,16 @@ class PlanShapeSpec extends SparkSpec {
     assert(countNodes(df, "Window") === 0)
   }
 
+  test("export_shards: one hash shuffle on the shard, per-shard sort, no global sort") {
+    val df = q("q_export_shards")
+    val fmt = formatted(df)
+    assert(fmt.contains("hashpartitioning(shard"),
+      "window lost its shard hash partitioning")
+    assert(!fmt.contains("rangepartitioning"),
+      "a rangepartitioning Exchange means a global sort crept in")
+    assert(countShuffles(df) === 1)
+  }
+
   test("dup_spans: digest-keyed semi-join, per-doc windows, nothing quadratic") {
     val df = q("q_dup_spans")
     assert(countNodes(df, "CartesianProduct") === 0)
