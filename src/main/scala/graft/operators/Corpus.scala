@@ -154,14 +154,16 @@ object Corpus {
     * filtering, the relative form of an absolute quality floor (absolute
     * thresholds misfire when sources score on different scales).
     *
-    * Scale shape: exact `percentile` per stratum is ONE partial-agg
-    * shuffle collapsing to a row per stratum; the tiny threshold frame
-    * joins back on the stratum (AQE broadcasts it from its actual size —
-    * no forced hint, strata cardinality may be sf-scaled). This
-    * deliberately avoids the window/percent_rank form, which would sort
-    * every stratum corpus-wide. Interpolated `percentile` is bit-equal
-    * to DuckDB quantile_cont (the q_quantiles pin), so gates verify
-    * cross-engine.
+    * Scale shape: the percentile per stratum is ONE partial-agg shuffle
+    * collapsing to a row per stratum; the tiny threshold frame joins
+    * back on the stratum (AQE broadcasts it from its actual size — no
+    * forced hint, strata cardinality may be sf-scaled). This deliberately
+    * avoids the window/percent_rank form, which would sort every stratum
+    * corpus-wide. Interpolated `percentile` is bit-equal to DuckDB
+    * quantile_cont (the q_quantiles pin), so gates verify cross-engine —
+    * but its buffer holds every value of a stratum; past ~1e8 values per
+    * stratum gate on [[approxQuantileThresholds]] instead (bounded
+    * t-digest memory, same plan shape).
     */
   def percentileGate(df: DataFrame, strata: Seq[String], score: Column,
       p: Double): DataFrame =
@@ -181,10 +183,30 @@ object Corpus {
   def quantileThresholds(df: DataFrame, strata: Seq[String], score: Column,
       p: Double): DataFrame = {
     require(p >= 0 && p <= 1, s"need 0 <= p <= 1, got $p")
+    thresholdsWith(df, strata, percentile(score, lit(p)))
+  }
+
+  /** The 100 TB form of [[quantileThresholds]]: exact `percentile`
+    * buffers EVERY value of a stratum in its aggregation buffer (fine to
+    * ~1e8 values per stratum, a memory wall past that);
+    * `approx_percentile`'s t-digest is fixed-size and mergeable, so the
+    * threshold agg stays one bounded-memory partial-agg shuffle at any
+    * scale. Thresholds drift within the t-digest envelope — CorpusSpec
+    * pins the gate agreement on real data; use the exact form wherever
+    * cross-engine bit-equality is the point (the oracle pins it).
+    */
+  def approxQuantileThresholds(df: DataFrame, strata: Seq[String],
+      score: Column, p: Double, accuracy: Int = 10000): DataFrame = {
+    require(p >= 0 && p <= 1, s"need 0 <= p <= 1, got $p")
+    thresholdsWith(df, strata, approx_percentile(score, lit(p), lit(accuracy)))
+  }
+
+  private def thresholdsWith(df: DataFrame, strata: Seq[String],
+      agg: Column): DataFrame = {
     require(!df.columns.contains("_thr"),
       "input already has a _thr column — it would collide with the threshold")
-    if (strata.isEmpty) df.agg(percentile(score, lit(p)).as("_thr"))
-    else df.groupBy(strata.map(col): _*).agg(percentile(score, lit(p)).as("_thr"))
+    if (strata.isEmpty) df.agg(agg.as("_thr"))
+    else df.groupBy(strata.map(col): _*).agg(agg.as("_thr"))
   }
 
   /** Reproducible export sharding: a deterministic shard id (portable

@@ -188,6 +188,21 @@ class CorpusSpec extends SparkSpec {
     }
   }
 
+  test("approx thresholds track exact within the t-digest envelope on real data") {
+    import graft.queries.Tables.t
+    val docs = t(spark, sf, "documents").select(col("source"),
+      graft.functions.TextAnalysis.qualityScore(col("text")).as("q"))
+    val exact = Corpus.quantileThresholds(docs, Seq("source"), col("q"), 0.5)
+      .as[(String, Double)].collect().toMap
+    val approx = Corpus.approxQuantileThresholds(docs, Seq("source"), col("q"), 0.5)
+      .as[(String, Double)].collect().toMap
+    assert(exact.keySet === approx.keySet)
+    exact.foreach { case (src, e) =>
+      assert(math.abs(approx(src) - e) / math.max(math.abs(e), 1e-9) <= 0.02,
+        s"stratum $src: approx ${approx(src)} drifted beyond 2% of exact $e")
+    }
+  }
+
   test("percentileGate keeps each stratum's top scores; empty strata = global gate") {
     // scores 1..10 per source: median (quantile_cont 0.5) of 1..10 is 5.5,
     // so exactly 6..10 survive in each stratum
