@@ -108,11 +108,24 @@ object Dedup {
     * id join, never hauled through the bucket shuffle.
     * Output: (a_id, b_id, a_set, b_set) with a_id < b_id.
     */
+  /** (doc, band, bucket) keys of a signature table: band b = xxhash64 of
+    * its r lanes. Shared by the self-join ([[candidatePairs]]) and
+    * bipartite ([[nearDupPairsAgainst]]) candidate generators.
+    */
+  private def bandKeyed(sigs: DataFrame, numHashes: Int, bands: Int): DataFrame = {
+    val r = numHashes / bands
+    val bandCols = (0 until bands).map { b =>
+      struct(lit(b).as("band"),
+        xxhash64((b * r until (b + 1) * r).map(i => col(s"_mh$i")): _*).as("bucket"))
+    }
+    sigs.select(col("doc"), explode(array(bandCols: _*)).as("bk"))
+      .select(col("doc"), col("bk.band").as("band"), col("bk.bucket").as("bucket"))
+  }
+
   def candidatePairs(
       docs: DataFrame, id: String, setCol: Column,
       numHashes: Int, bands: Int): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
-    val r = numHashes / bands
     // The element sets are the corpus's heaviest column; they exist ONLY
     // in narrow projections below candidate reduction. Round 4's 100x
     // sweep caught both wrong forms: localCheckpointing corpus-sized
@@ -128,12 +141,7 @@ object Dedup {
     // tokenize+hash+aggregate pipeline per side. At extreme corpus sizes
     // swap for a persisted signature table on storage.
     val sigs = minHashSignatures(docs, id, setCol, numHashes).localCheckpoint(true)
-    val bandCols = (0 until bands).map { b =>
-      struct(lit(b).as("band"),
-        xxhash64((b * r until (b + 1) * r).map(i => col(s"_mh$i")): _*).as("bucket"))
-    }
-    val keyed = sigs.select(col("doc"), explode(array(bandCols: _*)).as("bk"))
-      .select(col("doc"), col("bk.band").as("band"), col("bk.bucket").as("bucket"))
+    val keyed = bandKeyed(sigs, numHashes, bands)
     // pairs of longs, bounded by LSH design — the one frame here whose
     // materialization is cheap AND load-bearing: three consumers (the id
     // reduction + both attach joins), and its measured size is what lets
@@ -178,10 +186,57 @@ object Dedup {
       minNum: Int, minDen: Int,
       numHashes: Int = 128, bands: Int = 32): DataFrame =
     candidatePairs(docs, id, shingles(col(text), shingleN), numHashes, bands)
-      .withColumn("n_common", size(array_intersect(col("a_set"), col("b_set"))))
-      .withColumn("n_union", size(array_union(col("a_set"), col("b_set"))))
-      .filter(col("n_common") * minDen >= col("n_union") * minNum)
-      .select("a_id", "b_id", "n_common", "n_union")
+      .select(col("a_id"), col("b_id"),
+        size(array_intersect(col("a_set"), col("b_set"))).as("n_common"),
+        size(array_union(col("a_set"), col("b_set"))).as("n_union"))
+      .filter(lit(minDen) * col("n_common") >= lit(minNum) * col("n_union"))
+
+  /** Incremental (bipartite) near-dup: a NEW batch checked against an
+    * EXISTING corpus — the daily shape at 100 TB, where re-mining all
+    * corpus×corpus pairs per ingest is not an option. Candidates come
+    * from joining the batch's (band, bucket) keys against the corpus's —
+    * never batch × corpus — and are verified with exact Jaccard, so the
+    * output matches the brute-force bipartite answer with the same
+    * 128×32 recall envelope as [[nearDupPairs]] (miss ≈ 4.6e-8 at
+    * J ≥ 0.8). The corpus signature table is recomputed here to keep the
+    * API self-contained; in production it is a standing artifact
+    * (persist [[minHashSignatures]]' output and feed batches against it).
+    * Output: (new_id, old_id, n_common, n_union).
+    */
+  def nearDupPairsAgainst(
+      newDocs: DataFrame, corpus: DataFrame, id: String, text: String,
+      shingleN: Int, minNum: Int, minDen: Int,
+      numHashes: Int = 128, bands: Int = 32): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val setCol = shingles(col(text), shingleN)
+    val kNew = bandKeyed(
+      minHashSignatures(newDocs, id, setCol, numHashes).localCheckpoint(true),
+      numHashes, bands)
+    val kOld = bandKeyed(
+      minHashSignatures(corpus, id, setCol, numHashes).localCheckpoint(true),
+      numHashes, bands)
+    // bare-long candidate pairs, checkpointed: same three-consumer /
+    // AQE-size-known reasoning as candidatePairs
+    val cand = kNew.select(col("band"), col("bucket"), col("doc").as("new_id"))
+      .join(kOld.select(col("band"), col("bucket"), col("doc").as("old_id")),
+        Seq("band", "bucket"))
+      .filter(col("new_id") =!= col("old_id"))
+      .select("new_id", "old_id")
+      .dropDuplicates("new_id", "old_id")
+      .localCheckpoint(true)
+    // attach sets candidate-side only, each frame semi-joined to its ids
+    // BELOW the array projection (the candidatePairs scale rule)
+    def sets(df: DataFrame, idsCol: String, outId: String, outSet: String) =
+      df.join(cand.select(col(idsCol).as(id)).distinct(), Seq(id), "left_semi")
+        .select(col(id).as(outId), setCol.as(outSet))
+    cand
+      .join(sets(newDocs, "new_id", "new_id", "new_set"), Seq("new_id"))
+      .join(sets(corpus, "old_id", "old_id", "old_set"), Seq("old_id"))
+      .select(col("new_id"), col("old_id"),
+        size(array_intersect(col("new_set"), col("old_set"))).as("n_common"),
+        size(array_union(col("new_set"), col("old_set"))).as("n_union"))
+      .filter(lit(minDen) * col("n_common") >= lit(minNum) * col("n_union"))
+  }
 
   private val powers: Column = array((0 until 64).map(k => lit(1L << k)): _*)
 

@@ -155,6 +155,26 @@ object DedupQueries {
           Seq("doc_id"), "left_anti")
       }),
 
+    // INCREMENTAL near-dup: a "new batch" (every 10th doc) against the
+    // standing corpus (the rest) — bipartite band-bucket join, exact
+    // Jaccard verify. Oracle = brute-force batch × corpus; the engine
+    // path joins signatures, never the cross product.
+    Q("q_dedup_incremental", Some(shinglesSql +
+      """
+        |SELECT n.doc_id AS new_id, o.doc_id AS old_id,
+        |  len(list_intersect(n.s, o.s)) AS n_common,
+        |  len(list_distinct(list_concat(n.s, o.s))) AS n_union
+        |FROM sh n JOIN sh o
+        |  ON n.doc_id % 10 = 0 AND o.doc_id % 10 != 0
+        |WHERE 5 * len(list_intersect(n.s, o.s)) >= 4 * len(list_distinct(list_concat(n.s, o.s)))""".stripMargin))(
+      (s, d) => {
+        val docs = spread(s, d)
+        Dedup.nearDupPairsAgainst(
+          docs.filter(col("doc_id") % 10 === 0),
+          docs.filter(col("doc_id") % 10 =!= 0),
+          "doc_id", "text", shingleN = 3, minNum = 4, minDen = 5)
+      }),
+
     // exact-substring duplicate spans: maximal token intervals covered by
     // 8-token windows occurring ≥2 times corpus-wide (suffix-array dedup
     // output shape, as sliding-gram semi-join + per-doc interval merge).

@@ -189,5 +189,33 @@ object ScaleQueries {
           .groupBy("event_type")
           .agg(countDistinct(col("user_id")).as("n_users"),
             count(lit(1)).as("n_events"))),
+
+    // ordered-step funnel (view -> click -> purchase): per user, the first
+    // view, the first click strictly after it, the first purchase strictly
+    // after that. Stepwise min-after-join — per-user partial agg + equi
+    // join per stage, each stage's frame shrinks — instead of sorting
+    // every user's event history. Both engines compare on derived epoch
+    // millis (same truncation), keeping tie behavior identical.
+    Q("q_funnel", Some("""
+      |WITH e AS (SELECT user_id, event_type, epoch_ns(ts) // 1000000 AS ms FROM events),
+      |a AS (SELECT user_id, min(ms) AS view_ms FROM e WHERE event_type = 'view' GROUP BY user_id),
+      |b AS (SELECT e.user_id, a.view_ms, min(e.ms) AS click_ms FROM e JOIN a ON e.user_id = a.user_id
+      |  WHERE e.event_type = 'click' AND e.ms > a.view_ms GROUP BY e.user_id, a.view_ms),
+      |c AS (SELECT e.user_id, b.view_ms, b.click_ms, min(e.ms) AS purchase_ms FROM e JOIN b ON e.user_id = b.user_id
+      |  WHERE e.event_type = 'purchase' AND e.ms > b.click_ms GROUP BY e.user_id, b.view_ms, b.click_ms)
+      |SELECT user_id, view_ms, click_ms, purchase_ms FROM c
+      |""".stripMargin.trim))(
+      (s, d) => {
+        val e = t(s, d, "events").select(col("user_id"), col("event_type"),
+          Tables.tsMillis(col("ts")).as("ms"))
+        val a = e.filter(col("event_type") === "view")
+          .groupBy("user_id").agg(min("ms").as("view_ms"))
+        val b = e.filter(col("event_type") === "click").join(a, "user_id")
+          .filter(col("ms") > col("view_ms"))
+          .groupBy("user_id", "view_ms").agg(min("ms").as("click_ms"))
+        e.filter(col("event_type") === "purchase").join(b, "user_id")
+          .filter(col("ms") > col("click_ms"))
+          .groupBy("user_id", "view_ms", "click_ms").agg(min("ms").as("purchase_ms"))
+      }),
   )
 }

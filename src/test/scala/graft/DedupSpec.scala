@@ -41,6 +41,16 @@ class DedupSpec extends SparkSpec {
     assert(pairs === Set((1L, 2L, 6, 8), (1L, 4L, 7, 7), (2L, 4L, 6, 8)))
   }
 
+  test("nearDupPairsAgainst: bipartite pairs only (no corpus-corpus), brute-force exact") {
+    val pairs = Dedup.nearDupPairsAgainst(
+        docs.filter(col("doc_id") === 4), docs.filter(col("doc_id") =!= 4),
+        "doc_id", "text", shingleN = 3, minNum = 1, minDen = 2)
+      .as[(Long, Long, Int, Int)].collect().toSet
+    // new doc 4 vs corpus {1,2,3}: identical to 1, near-dup of 2, far
+    // from 3 — and the corpus-internal (1,2) pair must NOT appear
+    assert(pairs === Set((4L, 1L, 7, 7), (4L, 2L, 6, 8)))
+  }
+
   test("simHash expression and aggregate forms agree; hamming tracks similarity") {
     val exprSig = docs.select(col("doc_id"),
       Dedup.simHash(Dedup.tokenSet(col("text"))).as("sig"))
