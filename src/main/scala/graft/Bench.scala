@@ -84,7 +84,12 @@ object Bench {
     val fullJson =
       s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},""" +
         s""""queries":${qjson(results)},"failed":$failedJson,$singleJson"stat":"$stat","sf":"$sfDir"}"""
-    val out = new java.io.PrintWriter("BENCH_FULL.json")
+    // restricted runs (SPARK_GRAFT_ONLY) are profiling aids — they must
+    // not clobber the canonical full-suite artifact (a scale sweep once
+    // overwrote BENCH_FULL.json with a 3-query run and the truncated
+    // artifact got committed)
+    val artifact = if (only.isDefined) "BENCH_PARTIAL.json" else "BENCH_FULL.json"
+    val out = new java.io.PrintWriter(artifact)
     try out.println(fullJson) finally out.close()
     // "slowest", not "queries": the stdout map is truncated to 20 entries,
     // and reusing the full-map field name would let an old parser silently
@@ -93,7 +98,7 @@ object Bench {
     println(
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},""" +
         s""""slowest":${qjson(slowest)},"failed":$failedJson,""" +
-        s""""full":"BENCH_FULL.json","stat":"$stat","sf":"$sfDir"}""")
+        s""""full":"$artifact","stat":"$stat","sf":"$sfDir"}""")
     spark.stop()
   }
 }
