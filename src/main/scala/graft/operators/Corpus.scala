@@ -226,6 +226,10 @@ object Corpus {
   def exportShards(df: DataFrame, key: Column, numShards: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(numShards > 0, s"need numShards > 0, got $numShards")
+    require(!df.columns.contains("shard") && !df.columns.contains("seq"),
+      "input already has a shard/seq column — withColumn would silently " +
+        "replace it (and a key named 'shard' would re-resolve to the new " +
+        "shard id, making seq partition-order-dependent)")
     df.withColumn("shard",
         pmod(Dedup.portableHash64(key.cast("string")), lit(numShards.toLong)))
       .withColumn("seq",

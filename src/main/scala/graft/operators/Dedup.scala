@@ -100,14 +100,6 @@ object Dedup {
     exploded.groupBy("doc").agg(lanes.head, lanes.tail: _*)
   }
 
-  /** LSH candidate pairs over an arbitrary element-set column. Plan:
-    * signatures ([[minHashSignatures]]) → per-band bucket columns (band b =
-    * xxhash64 of its r lanes) → explode to (band, bucket) → self-join
-    * within buckets → dedup pair. Signatures travel as `bands` longs per
-    * doc — token sets are re-attached to the (few) surviving candidates by
-    * id join, never hauled through the bucket shuffle.
-    * Output: (a_id, b_id, a_set, b_set) with a_id < b_id.
-    */
   /** (doc, band, bucket) keys of a signature table: band b = xxhash64 of
     * its r lanes. Shared by the self-join ([[candidatePairs]]) and
     * bipartite ([[nearDupPairsAgainst]]) candidate generators.
@@ -122,6 +114,14 @@ object Dedup {
       .select(col("doc"), col("bk.band").as("band"), col("bk.bucket").as("bucket"))
   }
 
+  /** LSH candidate pairs over an arbitrary element-set column. Plan:
+    * signatures ([[minHashSignatures]]) → per-band bucket columns (band b =
+    * xxhash64 of its r lanes) → explode to (band, bucket) → self-join
+    * within buckets → dedup pair. Signatures travel as `bands` longs per
+    * doc — token sets are re-attached to the (few) surviving candidates by
+    * id join, never hauled through the bucket shuffle.
+    * Output: (a_id, b_id, a_set, b_set) with a_id < b_id.
+    */
   def candidatePairs(
       docs: DataFrame, id: String, setCol: Column,
       numHashes: Int, bands: Int): DataFrame = {
@@ -209,29 +209,32 @@ object Dedup {
       numHashes: Int = 128, bands: Int = 32): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val setCol = shingles(col(text), shingleN)
-    val kNew = bandKeyed(
-      minHashSignatures(newDocs, id, setCol, numHashes).localCheckpoint(true),
+    // unlike candidatePairs' self-join, each signature frame here has
+    // exactly ONE consumer (its band-bucket side) — checkpointing them
+    // would materialize corpus-sized signature tables for zero reuse
+    val kNew = bandKeyed(minHashSignatures(newDocs, id, setCol, numHashes),
       numHashes, bands)
-    val kOld = bandKeyed(
-      minHashSignatures(corpus, id, setCol, numHashes).localCheckpoint(true),
+    val kOld = bandKeyed(minHashSignatures(corpus, id, setCol, numHashes),
       numHashes, bands)
     // bare-long candidate pairs, checkpointed: same three-consumer /
-    // AQE-size-known reasoning as candidatePairs
+    // AQE-size-known reasoning as candidatePairs. A pair sharing one id
+    // across the frames is kept — that's the re-ingest comparison (new
+    // version of doc 7 vs the corpus's old doc 7), and the brute-force
+    // bipartite answer reports it too.
     val cand = kNew.select(col("band"), col("bucket"), col("doc").as("new_id"))
       .join(kOld.select(col("band"), col("bucket"), col("doc").as("old_id")),
         Seq("band", "bucket"))
-      .filter(col("new_id") =!= col("old_id"))
       .select("new_id", "old_id")
       .dropDuplicates("new_id", "old_id")
       .localCheckpoint(true)
     // attach sets candidate-side only, each frame semi-joined to its ids
     // BELOW the array projection (the candidatePairs scale rule)
-    def sets(df: DataFrame, idsCol: String, outId: String, outSet: String) =
-      df.join(cand.select(col(idsCol).as(id)).distinct(), Seq(id), "left_semi")
-        .select(col(id).as(outId), setCol.as(outSet))
+    def sets(df: DataFrame, pairCol: String, outSet: String) =
+      df.join(cand.select(col(pairCol).as(id)).distinct(), Seq(id), "left_semi")
+        .select(col(id).as(pairCol), setCol.as(outSet))
     cand
-      .join(sets(newDocs, "new_id", "new_id", "new_set"), Seq("new_id"))
-      .join(sets(corpus, "old_id", "old_id", "old_set"), Seq("old_id"))
+      .join(sets(newDocs, "new_id", "new_set"), Seq("new_id"))
+      .join(sets(corpus, "old_id", "old_set"), Seq("old_id"))
       .select(col("new_id"), col("old_id"),
         size(array_intersect(col("new_set"), col("old_set"))).as("n_common"),
         size(array_union(col("new_set"), col("old_set"))).as("n_union"))

@@ -49,6 +49,13 @@ class DedupSpec extends SparkSpec {
     // new doc 4 vs corpus {1,2,3}: identical to 1, near-dup of 2, far
     // from 3 — and the corpus-internal (1,2) pair must NOT appear
     assert(pairs === Set((4L, 1L, 7, 7), (4L, 2L, 6, 8)))
+    // re-ingest: a batch doc sharing the CORPUS doc's id still pairs
+    // against the old version (same-id pairs are the update comparison)
+    val reingest = Dedup.nearDupPairsAgainst(
+        docs.filter(col("doc_id") === 1), docs.filter(col("doc_id") <= 2),
+        "doc_id", "text", shingleN = 3, minNum = 1, minDen = 2)
+      .as[(Long, Long, Int, Int)].collect().toSet
+    assert(reingest === Set((1L, 1L, 7, 7), (1L, 2L, 6, 8)))
   }
 
   test("simHash expression and aggregate forms agree; hamming tracks similarity") {
