@@ -171,4 +171,34 @@ object Temporal {
           df.withColumn(c, lit(null).cast(matched.schema(c).dataType))))
     }
   }
+
+  /** Ordered-step funnel: per `user`, the first `steps(0)` event, the
+    * first `steps(1)` strictly after it, and so on. Output: one row per
+    * user completing ALL steps, columns (user, <step>_ms…).
+    *
+    * Shape: stepwise min-after-join — each step is a filtered scan
+    * (event-type pushed to the source), a per-user partial agg, and an
+    * equi join against the previous stage's (shrinking) frame. No
+    * per-user event-history sort, no window: funnels over years of
+    * events cost k small joins, not a sort of every user's history.
+    */
+  def funnel(events: DataFrame, user: String, eventType: String,
+      ts: Column, steps: Seq[String]): DataFrame = {
+    require(steps.nonEmpty, "need at least one funnel step")
+    require(steps.distinct.size == steps.size, s"duplicate step in $steps")
+    val e = events.select(col(user), col(eventType).as("_ft"), ts.as("_fts"))
+    steps.zipWithIndex.foldLeft(Option.empty[DataFrame]) {
+      case (acc, (step, i)) =>
+        val name = s"${step}_ms"
+        Some(acc match {
+          case None =>
+            e.filter(col("_ft") === step).groupBy(user).agg(min("_fts").as(name))
+          case Some(prev) =>
+            val keys = user +: steps.take(i).map(s => s"${s}_ms")
+            e.filter(col("_ft") === step).join(prev, user)
+              .filter(col("_fts") > col(s"${steps(i - 1)}_ms"))
+              .groupBy(keys.map(col): _*).agg(min("_fts").as(name))
+        })
+    }.get
+  }
 }

@@ -205,17 +205,8 @@ object ScaleQueries {
       |  WHERE e.event_type = 'purchase' AND e.ms > b.click_ms GROUP BY e.user_id, b.view_ms, b.click_ms)
       |SELECT user_id, view_ms, click_ms, purchase_ms FROM c
       |""".stripMargin.trim))(
-      (s, d) => {
-        val e = t(s, d, "events").select(col("user_id"), col("event_type"),
-          Tables.tsMillis(col("ts")).as("ms"))
-        val a = e.filter(col("event_type") === "view")
-          .groupBy("user_id").agg(min("ms").as("view_ms"))
-        val b = e.filter(col("event_type") === "click").join(a, "user_id")
-          .filter(col("ms") > col("view_ms"))
-          .groupBy("user_id", "view_ms").agg(min("ms").as("click_ms"))
-        e.filter(col("event_type") === "purchase").join(b, "user_id")
-          .filter(col("ms") > col("click_ms"))
-          .groupBy("user_id", "view_ms", "click_ms").agg(min("ms").as("purchase_ms"))
-      }),
+      (s, d) => graft.operators.Temporal.funnel(
+        t(s, d, "events"), "user_id", "event_type",
+        Tables.tsMillis(col("ts")), Seq("view", "click", "purchase"))),
   )
 }

@@ -67,6 +67,34 @@ object OperatorProperties extends Properties("graft.operators") {
       got == expected
     }
 
+  property("funnel stepwise min-after-join == sequential per-user replay") = {
+    val eventsGen: Gen[List[(Long, String, Long)]] = for {
+      n <- Gen.choose(0, 40)
+      rows <- Gen.listOfN(n, for {
+        u <- Gen.choose(1L, 5L)
+        t <- Gen.oneOf("view", "click", "purchase", "error")
+        ms <- Gen.choose(0L, 50L) // small range: same-ms ties are common
+      } yield (u, t, ms))
+    } yield rows
+    forAll(eventsGen) { rows =>
+      val got = Temporal.funnel(rows.toDF("user_id", "event_type", "ms"),
+          "user_id", "event_type", col("ms"), Seq("view", "click", "purchase"))
+        .as[(Long, Long, Long, Long)].collect().toSet
+      val expected = rows.groupBy(_._1).flatMap { case (u, es) =>
+        def firstAfter(step: String, after: Long): Option[Long] = {
+          val c = es.collect { case (_, t, ms) if t == step && ms > after => ms }
+          if (c.isEmpty) None else Some(c.min)
+        }
+        for {
+          tA <- firstAfter("view", Long.MinValue)
+          tB <- firstAfter("click", tA)
+          tC <- firstAfter("purchase", tB)
+        } yield (u, tA, tB, tC)
+      }.toSet
+      got == expected
+    }
+  }
+
   property("CMS on random streams: est >= exact under forced collisions; halves merge to whole") =
     forAll(Gen.listOf(Gen.oneOf(vocab))) { toks =>
       import graft.functions.Sketches
