@@ -190,6 +190,51 @@ object ScaleQueries {
           .agg(countDistinct(col("user_id")).as("n_users"),
             count(lit(1)).as("n_events"))),
 
+    // weekly cohort retention: users bucketed by first-seen week; for
+    // each (cohort, offset k), distinct users active k weeks later.
+    // Shape: distinct (user, week) partial agg -> per-user min (cohort)
+    // -> equi join back -> one count-distinct agg. No window, no sort.
+    Q("q_cohort_retention", Some("""
+      |WITH uw AS (SELECT DISTINCT user_id, epoch_ns(ts) // 604800000000000 AS wk FROM events),
+      |coh AS (SELECT user_id, min(wk) AS cohort FROM uw GROUP BY user_id)
+      |SELECT c.cohort, u.wk - c.cohort AS k, count(DISTINCT u.user_id) AS n_users
+      |FROM uw u JOIN coh c ON u.user_id = c.user_id
+      |GROUP BY 1, 2
+      |""".stripMargin.trim))(
+      (s, d) => {
+        val uw = t(s, d, "events")
+          .select(col("user_id"),
+            (col("ts").cast("decimal(38,0)") / lit(604800000000000L))
+              .cast("long").as("wk"))
+          .distinct()
+        val coh = uw.groupBy("user_id").agg(min("wk").as("cohort"))
+        uw.join(coh, "user_id")
+          .groupBy(col("cohort"), (col("wk") - col("cohort")).as("k"))
+          .agg(countDistinct(col("user_id")).as("n_users"))
+      }),
+
+    // one-pass column profile of the documents table — the data-quality
+    // gate a pipeline runs before training. Integer-only outputs (counts,
+    // distincts, min/max/sum) keep the cross-engine compare bit-exact.
+    Q("q_profile", Some("""
+      |SELECT count(*) AS n_rows,
+      |  count(*) - count(text) AS n_null_text,
+      |  count(DISTINCT lang) AS n_langs,
+      |  count(DISTINCT source) AS n_sources,
+      |  min(n_chars) AS min_chars, max(n_chars) AS max_chars,
+      |  sum(n_chars) AS sum_chars,
+      |  count(DISTINCT doc_id) AS n_ids
+      |FROM documents
+      |""".stripMargin.trim))(
+      (s, d) => t(s, d, "documents").agg(
+        count(lit(1)).as("n_rows"),
+        (count(lit(1)) - count(col("text"))).as("n_null_text"),
+        countDistinct(col("lang")).as("n_langs"),
+        countDistinct(col("source")).as("n_sources"),
+        min(col("n_chars")).as("min_chars"), max(col("n_chars")).as("max_chars"),
+        sum(col("n_chars")).as("sum_chars"),
+        countDistinct(col("doc_id")).as("n_ids"))),
+
     // ordered-step funnel (view -> click -> purchase): per user, the first
     // view, the first click strictly after it, the first purchase strictly
     // after that. Stepwise min-after-join — per-user partial agg + equi
