@@ -186,6 +186,9 @@ object Temporal {
       ts: Column, steps: Seq[String]): DataFrame = {
     require(steps.nonEmpty, "need at least one funnel step")
     require(steps.distinct.size == steps.size, s"duplicate step in $steps")
+    val reserved = Seq("_ft", "_fts") ++ steps.map(s => s"${s}_ms")
+    require(!reserved.contains(user),
+      s"user column '$user' collides with funnel's internal columns ($reserved)")
     val e = events.select(col(user), col(eventType).as("_ft"), ts.as("_fts"))
     steps.zipWithIndex.foldLeft(Option.empty[DataFrame]) {
       case (acc, (step, i)) =>

@@ -202,10 +202,14 @@ object ScaleQueries {
       |GROUP BY 1, 2
       |""".stripMargin.trim))(
       (s, d) => {
+        // `div` (exact integral division on the nanos long), NOT the
+        // decimal-division trick: tsMillis' divisor yields <= 6 exact
+        // fractional digits, but a week of nanos yields 14, and Spark's
+        // decimal divide rounds HALF_UP at scale 6 — events in the last
+        // ~302 ms of a week would bucket into the next week, diverging
+        // from DuckDB's floor `//`
         val uw = t(s, d, "events")
-          .select(col("user_id"),
-            (col("ts").cast("decimal(38,0)") / lit(604800000000000L))
-              .cast("long").as("wk"))
+          .select(col("user_id"), expr("ts div 604800000000000").as("wk"))
           .distinct()
         val coh = uw.groupBy("user_id").agg(min("wk").as("cohort"))
         uw.join(coh, "user_id")
