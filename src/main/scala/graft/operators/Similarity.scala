@@ -203,6 +203,80 @@ object Similarity {
       struct((-col("score")).as("ns"), col("neighbor_id").as("nid")), k)
   }
 
+  /** Distributed Lloyd's k-means over an `array<float>` column — the
+    * offline trainer behind [[ivfKnnWithCentroids]]'s "feed real k-means
+    * centroids" production entry, so the IVF story is self-contained:
+    * train here, probe there. Seeds are the `k` smallest-id vectors
+    * (deterministic and rerun-stable — the same seeding policy as
+    * [[ivfKnn]] / [[pqCodebook]]); each iteration assigns every vector to
+    * its nearest centroid by squared L2 ([[assignToCentroids]] — NARROW:
+    * a per-row fold over the packed broadcast centroids, the corpus never
+    * shuffles) and moves each centroid to its member mean
+    * ([[meanVectors]]: posexplode + partial aggs whose shuffle volume is
+    * k×dim×partitions — model-sized, not data-sized). A cell that wins no
+    * vectors keeps its previous centroid, so the output always has
+    * exactly `k` rows.
+    *
+    * Output: (cell, c_emb), cell 0..k-1 in seed-id order. Per iteration:
+    * O(n·k·dim) compute streamed through the corpus scan; nothing
+    * data-sized shuffles or touches the driver. The k-row centroid frame
+    * is localCheckpointed per iteration, keeping lineage constant-depth
+    * (un-checkpointed, the final plan would replay every earlier
+    * iteration's corpus scan).
+    */
+  def kMeansCentroids(corpus: DataFrame, id: String, emb: String,
+      k: Int, iters: Int): DataFrame = {
+    require(k > 0, s"need k > 0, got $k")
+    require(iters >= 0, s"need iters >= 0, got $iters")
+    // the window runs on k rows — a deliberate single-partition sort of a
+    // constant-size frame (same shape as pqCodebook's seed numbering)
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("seed_id"))
+    val seeds = corpus.orderBy(col(id)).limit(k)
+      .select(col(id).as("seed_id"), col(emb).as("c_emb"))
+      .select((row_number().over(w) - 1).as("cell"), col("c_emb"))
+    (1 to iters).foldLeft(seeds.localCheckpoint(true)) { (centroids, _) =>
+      val moved = meanVectors(
+        assignToCentroids(corpus, id, emb, centroids), Seq("cell"), emb, "c_new")
+      centroids.join(moved, Seq("cell"), "left")
+        .select(col("cell"), coalesce(col("c_new"), col("c_emb")).as("c_emb"))
+        .localCheckpoint(true)
+    }
+  }
+
+  /** Nearest-centroid assignment by squared L2: the input's columns plus
+    * the winning `cell`. Narrow — see [[assignNarrow]]; ties break to the
+    * smallest cell id.
+    */
+  def assignToCentroids(corpus: DataFrame, id: String, emb: String,
+      centroids: DataFrame): DataFrame = {
+    require(!corpus.columns.contains("cell") && !corpus.columns.contains("_cents"),
+      "corpus already has a cell/_cents column — the assignment would " +
+        "silently shadow it")
+    assignNarrow(corpus, emb, centroids, (v, c) => sqDist(v, c))
+  }
+
+  /** Narrow nearest-centroid core: the k (cell, c_emb) rows collapse into
+    * ONE packed array row, broadcast and replicated to every corpus row
+    * (1-row nested-loop build — no shuffle, no corpus replication), and
+    * each vector picks its argmin centroid with a per-row `array_min`
+    * over (key, cell) structs (struct ordering = key asc, then cell asc —
+    * the deterministic tie-break). The corpus side of an assignment is
+    * NEVER shuffled; the only exchange is the k-row pack. This is the
+    * shape that matters at 100 TB: the cross-join + groupBy-argmin
+    * alternative re-shuffles every vector once per k-means iteration.
+    */
+  private def assignNarrow(corpus: DataFrame, emb: String, centroids: DataFrame,
+      key: (Column, Column) => Column): DataFrame = {
+    val packed = centroids.agg(
+      collect_list(struct(col("cell"), col("c_emb"))).as("_cents"))
+    corpus.join(broadcast(packed))
+      .withColumn("cell",
+        array_min(transform(col("_cents"),
+          c => struct(key(col(emb), c.getField("c_emb")).as("k"),
+            c.getField("cell").as("cell")))).getField("cell"))
+      .drop("_cents")
+  }
+
   /** Symmetric int8 quantization per vector: scale = 127 / max|xᵢ|, each
     * component mapped to floor(x·scale + 0.5) ∈ [−127, 127] (floor(+0.5)
     * rather than round() — round-half semantics differ between engines,
@@ -220,14 +294,12 @@ object Similarity {
           floor(x.cast("double") * col("q_scale") + 0.5).cast("int")))
   }
 
-  /** Nearest-centroid assignment (broadcast centroids, argmax cosine). */
+  /** Nearest-centroid assignment by argmax cosine (ties to the smallest
+    * cell) — the IVF coarse quantizer. Narrow, see [[assignNarrow]].
+    */
   private def assignCells(
-      corpus: DataFrame, id: String, emb: String, centroids: DataFrame): DataFrame = {
-    val scored = corpus.join(broadcast(centroids))
-      .withColumn("cscore", cosineSim(col(emb), col("c_emb")))
-    graft.state.Upserts.latestByKey(
-      scored.drop("c_emb"), Seq(id), Seq(col("cscore"), -col("cell")))
-  }
+      corpus: DataFrame, id: String, emb: String, centroids: DataFrame): DataFrame =
+    assignNarrow(corpus, emb, centroids, (v, c) => -cosineSim(v, c))
 
   /** EXACT embedding-cosine near-duplicate pairs: every unordered pair
     * with cosine ≥ `minCosine`. Inherently O(n²) — this is the correctness

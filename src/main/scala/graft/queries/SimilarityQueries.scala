@@ -201,6 +201,50 @@ object SimilarityQueries {
             array_max(col("q_emb")).as("q_max"),
             aggregate(col("q_emb"), lit(0L), (a, v) => a + v).as("q_sum"))),
 
+    // distributed Lloyd's k-means on the seeded corpus — the offline
+    // trainer for IVF's coarse quantizer, end-to-end oracled. Seeds are
+    // vec_ids 0..15, one per one-hot cell; every vector's nearest seed
+    // (and nearest moved centroid — the mean keeps the 1.0 one-hot
+    // component, jitter contributes <= 4eps^2·48 ~ 2e-2 squared-L2 vs >= 2
+    // cross-cell) is provably its own cell, so cluster i == {vec_id % 16
+    // = i} at every iteration and DuckDB can rebuild the exact partition.
+    // Output is the q_label_centroid shape: per-cluster count + centroid
+    // L1 under scale-4 portable rounding.
+    Q("q_kmeans", Some(seededSql +
+      """
+        |, a AS (SELECT vec_id, CAST(vec_id % 16 AS INT) AS cell, emb FROM se),
+        |x AS (SELECT cell,
+        |  unnest(list_transform(range(1, 65), i -> {'i': i, 'v': emb[i]::DOUBLE})) AS e FROM a),
+        |m AS (SELECT cell, e.i AS i, sum(e.v) AS s, count(*) AS c FROM x GROUP BY 1, 2)
+        |SELECT cell, max(c) AS n,
+        |  floor(sum(abs(s / c)) * 1e4 + 0.5) / 1e4 AS centroid_l1
+        |FROM m GROUP BY cell""".stripMargin))(
+      (s, d) => {
+        val se = seededCorpus(s, d)
+        val cents = Similarity.kMeansCentroids(se, "vec_id", "emb", k = 16, iters = 2)
+        Similarity.assignToCentroids(se, "vec_id", "emb", cents)
+          .select(col("cell"), posexplode(col("emb")))
+          .groupBy("cell", "pos")
+          .agg(sum(col("col").cast("double")).as("s"), count(lit(1)).as("c"))
+          .groupBy("cell")
+          .agg(max(col("c")).as("n"),
+            (floor(sum(abs(col("s") / col("c"))) * 1e4 + 0.5) / 1e4).as("centroid_l1"))
+      }),
+
+    // the full production IVF story in one query: TRAIN the coarse
+    // quantizer with k-means, then probe with it. On the seeded corpus the
+    // trained centroids stay within eps of the one-hot axes (see q_kmeans),
+    // so assignment and probing are provably own-cell and the output
+    // equals brute-force cosine top-5 — same oracle as q_ann_ivf.
+    Q("q_kmeans_ivf", Some(seededCosineTop5Sql))(
+      (s, d) => {
+        val se = seededCorpus(s, d)
+        val cents = Similarity.kMeansCentroids(se, "vec_id", "emb", k = 16, iters = 1)
+        Similarity.ivfKnnWithCentroids(
+          se.filter(col("vec_id") < 20), se, "vec_id", "emb", k = 5,
+          centroids = cents, nprobe = 4)
+      }),
+
     // label centroids: the clustering-side consumer of embeddings.
     // Scale shape: posexplode to (label, dim, component) → two partial-agg
     // shuffles — never a per-group vector materialization (collect_list of

@@ -366,4 +366,24 @@ class PlanShapeSpec extends SparkSpec {
     assert(offenders.isEmpty,
       s"raw CMS rows crossed a shuffle un-aggregated:\n${offenders.mkString("\n---\n")}")
   }
+
+  test("k-means: assignment narrow — corpus vectors never cross a hash shuffle") {
+    // the argmin is a per-row fold over the packed broadcast centroids;
+    // the cross-join + groupBy-argmin alternative would hash-shuffle every
+    // (vector, embedding) row once per iteration. Allowed exchanges: the
+    // SinglePartition k-row centroid pack and the model-sized (cell, pos)
+    // mean partials — neither hash-partitions an embedding array.
+    for (name <- Seq("q_kmeans", "q_kmeans_ivf")) {
+      val blocks = formatted(q(name)).split("""(?m)^\(\d+\) """).toSeq
+      assert(blocks.exists(_.contains("_cents")),
+        s"$name no longer packs centroids — update the pin")
+      val offenders = blocks.filter { b =>
+        b.startsWith("Exchange hashpartitioning") && b.linesIterator.exists(l =>
+          (l.trim.startsWith("Input") || l.trim.startsWith("Arguments")) &&
+            l.contains("emb"))
+      }
+      assert(offenders.isEmpty,
+        s"$name shuffles corpus vectors:\n${offenders.mkString("\n---\n")}")
+    }
+  }
 }

@@ -187,6 +187,32 @@ class SimilaritySpec extends SparkSpec {
     assert(pq === l2Truth, "seeded PQ (ADC + rerank) must equal brute-force L2 top-k")
   }
 
+  test("k-means on the seeded corpus recovers the planted cells and is a fixed point") {
+    val se = queries.SimilarityQueries.seededCorpus(spark, sf)
+    val cents = Similarity.kMeansCentroids(se, "vec_id", "emb", k = 16, iters = 2)
+    // every vector lands in its own one-hot cell (cluster i == vec_id % 16)
+    val wrong = Similarity.assignToCentroids(se, "vec_id", "emb", cents)
+      .filter(col("cell") =!= col("vec_id") % 16).count()
+    assert(wrong === 0)
+    // Lloyd's has converged: one more iteration moves nothing
+    def m(df: org.apache.spark.sql.DataFrame) =
+      df.as[(Int, Seq[Float])].collect().toMap
+    val more = Similarity.kMeansCentroids(se, "vec_id", "emb", k = 16, iters = 3)
+    assert(m(cents) === m(more))
+  }
+
+  test("k-means keeps empty cells' centroids; output always k rows") {
+    // all three vectors identical -> everything assigns to cell 0 (tie
+    // breaks to the smallest cell), cell 1 never wins and keeps its seed
+    val vecs = Seq(
+      (0L, Seq(1f, 0f)), (1L, Seq(1f, 0f)), (2L, Seq(1f, 0f))
+    ).toDF("vec_id", "embedding")
+    val cents = Similarity.kMeansCentroids(vecs, "vec_id", "embedding", k = 2, iters = 2)
+      .as[(Int, Seq[Float])].collect().toMap
+    assert(cents.keySet === Set(0, 1))
+    assert(cents(0) === Seq(1f, 0f) && cents(1) === Seq(1f, 0f))
+  }
+
   test("embeddingNearDups finds planted high-cosine pairs only") {
     val vecs = Seq(
       (0L, Seq(1f, 0.01f, 0f, 0f)),
