@@ -265,6 +265,49 @@ object Corpus {
     df.filter(pmod(Dedup.portableHash64(key.cast("string")), lit(den)) < num)
   }
 
+  /** Probability-proportional-to-size (PPS) Bernoulli sampling: keep a row
+    * iff u(key) < expected·w / W, where u is the deterministic md5-hash
+    * uniform (same space as [[sampleByHash]]), `w` the row's positive
+    * integer weight, and W the corpus total. E[sample size] = `expected`
+    * (exactly, while no row's probability caps at 1), and heavier rows are
+    * proportionally likelier — the size-biased sample a token-budgeted
+    * eval or inspection pass wants, with the same auditability as
+    * [[sampleByHash]]: membership is a pure function of (key, w, W).
+    * Output adds `ht_weight` = 1 / min(1, expected·w/W), the
+    * Horvitz–Thompson inverse inclusion probability: sums of w·ht over
+    * the sample estimate corpus totals unbiasedly.
+    *
+    * The membership test u·W < expected·w·M runs in EXACT long arithmetic
+    * (M = 2^20 hash buckets) — no transcendentals, no doubles, so any
+    * engine with md5 reproduces it bit-for-bit. Exactness needs
+    * W < 2^63 / (M·expected); the one-row total is assert-checked at run
+    * time, so an overflow fails loudly (pre-scale weights, e.g. chars →
+    * KB, to shrink W). Plan: one scalar agg broadcast back over the scan
+    * — a narrow filter, no data-sized shuffle.
+    */
+  def samplePps(df: DataFrame, key: Column, weight: Column, expected: Int): DataFrame = {
+    require(expected > 0, s"need expected > 0, got $expected")
+    require(!df.columns.contains("ht_weight") && !df.columns.contains("_ppsW"),
+      "input already has an ht_weight/_ppsW column — the sample would " +
+        "silently shadow it")
+    val m = 1L << 20
+    val maxW = Long.MaxValue / m / expected
+    val tot = df.agg(sum(weight.cast("long")).as("_w0"))
+      .select(when(
+        assert_true(col("_w0").isNotNull && col("_w0") > 0 && col("_w0") < maxW,
+          lit(s"total weight must be in (0, $maxW) for exact long " +
+            "arithmetic — pre-scale the weight column")).isNull,
+        col("_w0")).as("_ppsW"))
+    val w = weight.cast("long")
+    val u = pmod(Dedup.portableHash64(key.cast("string")), lit(m))
+    df.join(broadcast(tot))
+      .filter(u * col("_ppsW") < lit(expected.toLong) * w * lit(m))
+      .withColumn("ht_weight",
+        when(lit(expected.toLong) * w >= col("_ppsW"), lit(1.0))
+          .otherwise(col("_ppsW").cast("double") / (lit(expected.toLong) * w)))
+      .drop("_ppsW")
+  }
+
   /** Sequence packing: greedily assign consecutive chunks of each document
     * to context-window bins of `capacity` tokens — the step that turns
     * variable-length chunks into fixed-budget training sequences. A chunk

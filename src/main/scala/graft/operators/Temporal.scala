@@ -182,6 +182,45 @@ object Temporal {
     * per-user event-history sort, no window: funnels over years of
     * events cost k small joins, not a sort of every user's history.
     */
+  /** SCD Type-2: compress a changelog into validity intervals — the
+    * warehouse-side twin of latest-by-key materialization (A1 keeps only
+    * the newest value; this keeps the full history as (key, value,
+    * valid_from, valid_to) rows, valid_to = the next change's valid_from,
+    * NULL for the current value). Consecutive records with the same value
+    * collapse into one interval (gaps-and-islands: a change flag via
+    * null-safe lag compare, a running-sum island id, one group-by).
+    *
+    * Ordering within a key is (ts, seq) — pass a unique `seq` (event id,
+    * offset) so equal-timestamp records order deterministically.
+    *
+    * Scale: both windows and the aggregation are partitioned by `key` —
+    * no global sort, no driver state; a key's history sorts within its
+    * partition (years of changes for one key is KBs). The island group-by
+    * shrinks the frame to one row per value-run before the `lead` that
+    * closes the intervals.
+    */
+  def scd2(changelog: DataFrame, key: String, value: String,
+      ts: Column, seq: Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val internal = Seq("_sts", "_sseq", "_schg", "_sisl", "valid_from", "valid_to")
+    require(!internal.contains(key) && !internal.contains(value),
+      s"key/value column collides with scd2's internal columns ($internal)")
+    val wOrd = Window.partitionBy(col(key)).orderBy(col("_sts"), col("_sseq"))
+    val islands = changelog
+      .select(col(key), col(value), ts.as("_sts"), seq.as("_sseq"))
+      .withColumn("_schg",
+        when(row_number().over(wOrd) === 1, 1)
+          .otherwise(when(lag(col(value), 1).over(wOrd) <=> col(value), 0)
+            .otherwise(1)))
+      .withColumn("_sisl", sum(col("_schg")).over(wOrd))
+      .groupBy(col(key), col("_sisl"))
+      .agg(max(col(value)).as(value), min(col("_sts")).as("valid_from"))
+    islands
+      .withColumn("valid_to", lead(col("valid_from"), 1).over(
+        Window.partitionBy(col(key)).orderBy(col("_sisl"))))
+      .drop("_sisl")
+  }
+
   def funnel(events: DataFrame, user: String, eventType: String,
       ts: Column, steps: Seq[String]): DataFrame = {
     require(steps.nonEmpty, "need at least one funnel step")

@@ -239,6 +239,30 @@ object ScaleQueries {
         sum(col("n_chars")).as("sum_chars"),
         countDistinct(col("doc_id")).as("n_ids"))),
 
+    // SCD Type-2: each user's event_type changelog compressed to validity
+    // intervals (runs of the same value collapse; valid_to = next change,
+    // NULL for current). All windows partitioned by user — no global sort.
+    // Both engines order by (derived epoch-ms, event_id), so tie behavior
+    // is identical.
+    Q("q_scd2", Some("""
+      |WITH e AS (SELECT user_id, event_type, epoch_ns(ts) // 1000000 AS ms, event_id FROM events),
+      |f AS (SELECT user_id, event_type, ms, event_id,
+      |  CASE WHEN row_number() OVER w = 1 THEN 1
+      |       WHEN lag(event_type) OVER w IS NOT DISTINCT FROM event_type THEN 0
+      |       ELSE 1 END AS chg
+      |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ms, event_id)),
+      |i AS (SELECT user_id, event_type, ms,
+      |  sum(chg) OVER (PARTITION BY user_id ORDER BY ms, event_id) AS isl FROM f),
+      |g AS (SELECT user_id, isl, max(event_type) AS event_type, min(ms) AS valid_from
+      |  FROM i GROUP BY user_id, isl)
+      |SELECT user_id, event_type, valid_from,
+      |  lead(valid_from) OVER (PARTITION BY user_id ORDER BY isl) AS valid_to
+      |FROM g
+      |""".stripMargin.trim))(
+      (s, d) => Temporal.scd2(
+        t(s, d, "events"), "user_id", "event_type",
+        Tables.tsMillis(col("ts")), col("event_id"))),
+
     // ordered-step funnel (view -> click -> purchase): per user, the first
     // view, the first click strictly after it, the first purchase strictly
     // after that. Stepwise min-after-join — per-user partial agg + equi

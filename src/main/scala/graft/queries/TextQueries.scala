@@ -246,6 +246,24 @@ object TextQueries {
         t(s, d, "documents"), col("doc_id"), num = 1, den = 5)
         .select("doc_id", "lang")),
 
+    // PPS weighted sample (~100 expected docs, weight = n_chars): bigger
+    // docs proportionally likelier; ht_weight is the Horvitz–Thompson
+    // inverse inclusion probability. Membership is exact long arithmetic
+    // in the md5 hash space — bit-identical in both engines; ht_weight is
+    // ONE long/long double division (exact-rounded, portable).
+    Q("q_sample_pps", Some("""
+      |WITH tot AS (SELECT sum(n_chars) AS w FROM documents)
+      |SELECT doc_id, n_chars,
+      |  CASE WHEN 100 * n_chars >= w THEN 1.0
+      |       ELSE CAST(w AS DOUBLE) / (100 * n_chars) END AS ht_weight
+      |FROM documents, tot
+      |WHERE (('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 1048576) * w
+      |      < 100 * n_chars * 1048576
+      |""".stripMargin.trim))(
+      (s, d) => graft.operators.Corpus.samplePps(
+        t(s, d, "documents"), col("doc_id"), col("n_chars"), expected = 100)
+        .select("doc_id", "n_chars", "ht_weight")),
+
     // BM25 lexical search (log-free rational idf — ln() is not bit-portable
     // across libm implementations): top-20 docs for a 3-term query. Scores
     // sum per-term in a fixed order; every input is an exact integer, so

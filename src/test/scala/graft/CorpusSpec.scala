@@ -259,6 +259,28 @@ class CorpusSpec extends SparkSpec {
     assert(a.subsetOf(wider))
   }
 
+  test("samplePps: deterministic, size-biased, certain rows kept; overflow fails loudly") {
+    val df = (1L to 200L).map(i => (i, if (i == 1) 100000L else 10L)).toDF("id", "w")
+    val s1 = Corpus.samplePps(df, col("id"), col("w"), expected = 20)
+    // the heavy row's inclusion probability caps at 1 -> always present,
+    // ht_weight exactly 1
+    assert(s1.filter(col("id") === 1).select("ht_weight")
+      .as[Double].collect().toSeq === Seq(1.0))
+    // membership is a pure function of (key, w, W): identical on re-run
+    val ids1 = s1.select("id").as[Long].collect().toSet
+    val ids2 = Corpus.samplePps(df, col("id"), col("w"), expected = 20)
+      .select("id").as[Long].collect().toSet
+    assert(ids1 === ids2 && ids1.contains(1L))
+    // inverse inclusion probabilities are never < 1
+    assert(s1.filter(col("ht_weight") < 1.0).count() === 0)
+    // a total weight too big for exact long arithmetic must not silently
+    // wrap — the scalar guard raises
+    val big = Seq((1L, Long.MaxValue / 4), (2L, Long.MaxValue / 4)).toDF("id", "w")
+    intercept[Exception] {
+      Corpus.samplePps(big, col("id"), col("w"), expected = 10).collect()
+    }
+  }
+
   test("rareTokenStats flags corpus-rare tokens with exact integer counts") {
     // df: a=4 docs, b=3, c=2, zzz=1; rareDen=2 → rare iff df·2 < 4 ⇔ df=1
     val docs = Seq(

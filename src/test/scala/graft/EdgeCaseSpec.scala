@@ -98,6 +98,27 @@ class EdgeCaseSpec extends SparkSpec {
     assert(exact === Seq((1, 10.0)))
   }
 
+  test("scd2: null values collapse as runs; empty input; single record stays open") {
+    import graft.operators.Temporal
+    // null -> null is NOT a change (null-safe compare); the interval chain
+    // still closes each value at the next change
+    val log = Seq(
+      (1L, 0L, 0L, Option("a")), (1L, 1L, 1L, None), (1L, 2L, 2L, None),
+      (1L, 3L, 3L, Option("a")))
+      .toDF("k", "ts", "seq", "v")
+    val out = Temporal.scd2(log, "k", "v", col("ts"), col("seq"))
+      .select("k", "v", "valid_from", "valid_to")
+      .as[(Long, Option[String], Long, Option[Long])].collect().toSet
+    assert(out === Set(
+      (1L, Some("a"), 0L, Some(1L)),
+      (1L, None, 1L, Some(3L)),
+      (1L, Some("a"), 3L, None)))
+    assert(Temporal.scd2(log.limit(0), "k", "v", col("ts"), col("seq")).count() === 0)
+    val single = Temporal.scd2(log.limit(1), "k", "v", col("ts"), col("seq"))
+      .select("v", "valid_to").as[(Option[String], Option[Long])].collect().toSeq
+    assert(single === Seq((Some("a"), None)))
+  }
+
   test("simHashPairs and exactNearDupPairs on empty/singleton corpora") {
     assert(Dedup.simHashPairs(emptyDocs, "doc_id", Dedup.tokenSet(col("text")),
       maxHamming = 3, bands = 4).count() === 0)

@@ -319,6 +319,36 @@ object OperatorProperties extends Properties("graft.operators") {
     got == expected
   }
 
+  property("scd2 == sequential run-collapse replay") = {
+    val gen: Gen[List[(Long, Long, Long, String)]] = for {
+      n <- Gen.choose(0, 30)
+      rows <- Gen.listOfN(n, for {
+        k <- Gen.choose(1L, 4L)
+        ts <- Gen.choose(0L, 10L) // tight range: same-ts ties are common
+        v <- Gen.oneOf("x", "y", "z")
+      } yield (k, ts, v))
+    } yield rows.zipWithIndex.map { case ((k, ts, v), i) => (k, ts, i.toLong, v) }
+    forAll(gen) { rows =>
+      val got = Temporal.scd2(
+          rows.toDF("k", "ts", "seq", "v"), "k", "v", col("ts"), col("seq"))
+        .select("k", "v", "valid_from", "valid_to")
+        .as[(Long, String, Long, Option[Long])].collect().toSet
+      // model: per key, order by (ts, seq), collapse same-value runs,
+      // close each interval with the next run's start
+      val expected = rows.groupBy(_._1).flatMap { case (k, es) =>
+        val runs = es.sortBy(e => (e._2, e._3))
+          .foldLeft(List.empty[(String, Long)]) {
+            case (acc @ ((pv, _) :: _), (_, _, _, v)) if pv == v => acc
+            case (acc, (_, ts, _, v)) => (v, ts) :: acc
+          }.reverse
+        runs.zipWithIndex.map { case ((v, from), i) =>
+          (k, v, from, if (i + 1 < runs.size) Some(runs(i + 1)._2) else None)
+        }
+      }.toSet
+      got == expected
+    }
+  }
+
   property("topKPerKey == sort-and-take per key") = forAll(scoreGen, Gen.choose(1, 6)) {
     (rows, k) =>
       val df = rows.toDF("g", "score", "id").repartition(5)
