@@ -290,8 +290,7 @@ object Corpus {
     require(!df.columns.contains("ht_weight") && !df.columns.contains("_ppsW"),
       "input already has an ht_weight/_ppsW column — the sample would " +
         "silently shadow it")
-    val m = 1L << 20
-    val maxW = Long.MaxValue / m / expected
+    val maxW = ppsMaxTotal(expected)
     val tot = df.agg(sum(weight.cast("long")).as("_w0"))
       .select(when(
         assert_true(col("_w0").isNotNull && col("_w0") > 0 && col("_w0") < maxW,
@@ -299,14 +298,35 @@ object Corpus {
             "arithmetic — pre-scale the weight column")).isNull,
         col("_w0")).as("_ppsW"))
     val w = weight.cast("long")
-    val u = pmod(Dedup.portableHash64(key.cast("string")), lit(m))
     df.join(broadcast(tot))
-      .filter(u * col("_ppsW") < lit(expected.toLong) * w * lit(m))
-      .withColumn("ht_weight",
-        when(lit(expected.toLong) * w >= col("_ppsW"), lit(1.0))
-          .otherwise(col("_ppsW").cast("double") / (lit(expected.toLong) * w)))
+      .filter(ppsKeep(key, w, expected, col("_ppsW")))
+      .withColumn("ht_weight", ppsHt(w, expected, col("_ppsW")))
       .drop("_ppsW")
   }
+
+  /** PPS hash-bucket count: u(key) ∈ [0, 2^20). */
+  private val ppsBuckets = 1L << 20
+
+  /** Largest total weight for which the membership test stays in exact
+    * long arithmetic at a given `expected` sample size.
+    */
+  private[graft] def ppsMaxTotal(expected: Int): Long =
+    Long.MaxValue / ppsBuckets / expected
+
+  /** The PPS membership test u·W < expected·w·M — ONE definition shared
+    * by the batch ([[samplePps]]) and ingest
+    * ([[graft.streaming.StreamingQuality.samplePpsAtIngest]]) forms, so
+    * the two cannot drift.
+    */
+  private[graft] def ppsKeep(key: Column, w: Column, expected: Int,
+      totW: Column): Column =
+    pmod(Dedup.portableHash64(key.cast("string")), lit(ppsBuckets)) * totW <
+      lit(expected.toLong) * w * lit(ppsBuckets)
+
+  /** Horvitz–Thompson inverse inclusion probability 1/min(1, e·w/W). */
+  private[graft] def ppsHt(w: Column, expected: Int, totW: Column): Column =
+    when(lit(expected.toLong) * w >= totW, lit(1.0))
+      .otherwise(totW.cast("double") / (lit(expected.toLong) * w))
 
   /** Sequence packing: greedily assign consecutive chunks of each document
     * to context-window bins of `capacity` tokens — the step that turns

@@ -236,7 +236,7 @@ object Similarity {
       .select((row_number().over(w) - 1).as("cell"), col("c_emb"))
     (1 to iters).foldLeft(seeds.localCheckpoint(true)) { (centroids, _) =>
       val moved = meanVectors(
-        assignToCentroids(corpus, id, emb, centroids), Seq("cell"), emb, "c_new")
+        assignToCentroids(corpus, emb, centroids), Seq("cell"), emb, "c_new")
       centroids.join(moved, Seq("cell"), "left")
         .select(col("cell"), coalesce(col("c_new"), col("c_emb")).as("c_emb"))
         .localCheckpoint(true)
@@ -245,9 +245,12 @@ object Similarity {
 
   /** Nearest-centroid assignment by squared L2: the input's columns plus
     * the winning `cell`. Narrow — see [[assignNarrow]]; ties break to the
-    * smallest cell id.
+    * smallest cell id. Works unchanged on a streaming frame (the packed
+    * centroid row is a static broadcast side), which is the ingest-time
+    * deployment: train offline with [[kMeansCentroids]], tag arriving
+    * vectors here.
     */
-  def assignToCentroids(corpus: DataFrame, id: String, emb: String,
+  def assignToCentroids(corpus: DataFrame, emb: String,
       centroids: DataFrame): DataFrame = {
     require(!corpus.columns.contains("cell") && !corpus.columns.contains("_cents"),
       "corpus already has a cell/_cents column — the assignment would " +

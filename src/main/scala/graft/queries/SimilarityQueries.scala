@@ -222,7 +222,7 @@ object SimilarityQueries {
       (s, d) => {
         val se = seededCorpus(s, d)
         val cents = Similarity.kMeansCentroids(se, "vec_id", "emb", k = 16, iters = 2)
-        Similarity.assignToCentroids(se, "vec_id", "emb", cents)
+        Similarity.assignToCentroids(se, "emb", cents)
           .select(col("cell"), posexplode(col("emb")))
           .groupBy("cell", "pos")
           .agg(sum(col("col").cast("double")).as("s"), count(lit(1)).as("c"))

@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 import graft.functions.TextAnalysis
+import graft.operators.Corpus
 
 /** Streaming document-quality gating at ingest — the deployment shape of
   * the batch quality operators (`TextAnalysis`, `Corpus.rareTokenStats`):
@@ -92,5 +93,32 @@ object StreamingQuality {
     rows.join(graft.plans.Hints.broadcastIfSmall(thresholds), strata, "left")
       .withColumn("keep", score >= coalesce(col("_thr"), lit(defaultThr)))
       .drop("_thr")
+  }
+
+  /** PPS weighted sample at ingest — the streaming twin of
+    * [[graft.operators.Corpus.samplePps]]: the corpus total weight is a
+    * FROZEN batch artifact (yesterday's `sum(weight)`, refreshed on
+    * whatever cadence the mix is re-audited), so the membership test is a
+    * stateless narrow filter — no aggregation inside the stream, no state
+    * store, append-safe. The test and the Horvitz–Thompson weight are the
+    * SAME definitions the batch form uses (`Corpus.ppsKeep` / `ppsHt`),
+    * so a key admitted at ingest is exactly the key the batch sample
+    * admits at the same frozen total — the two cannot drift. As the live
+    * corpus grows past the frozen total, the realized rate runs
+    * proportionally hot until the artifact is refreshed (the same
+    * advisory-artifact contract as [[percentileGateAtIngest]]).
+    */
+  def samplePpsAtIngest(rows: DataFrame, key: Column, weight: Column,
+      expected: Int, totalWeight: Long): DataFrame = {
+    require(expected > 0, s"need expected > 0, got $expected")
+    require(totalWeight > 0 && totalWeight < Corpus.ppsMaxTotal(expected),
+      s"totalWeight must be in (0, ${Corpus.ppsMaxTotal(expected)}) for " +
+        "exact long arithmetic — pre-scale the weight column")
+    require(!rows.columns.contains("ht_weight"),
+      "input already has an ht_weight column — the sample would " +
+        "silently shadow it")
+    val w = weight.cast("long")
+    rows.filter(Corpus.ppsKeep(key, w, expected, lit(totalWeight)))
+      .withColumn("ht_weight", Corpus.ppsHt(w, expected, lit(totalWeight)))
   }
 }

@@ -191,7 +191,7 @@ class SimilaritySpec extends SparkSpec {
     val se = queries.SimilarityQueries.seededCorpus(spark, sf)
     val cents = Similarity.kMeansCentroids(se, "vec_id", "emb", k = 16, iters = 2)
     // every vector lands in its own one-hot cell (cluster i == vec_id % 16)
-    val wrong = Similarity.assignToCentroids(se, "vec_id", "emb", cents)
+    val wrong = Similarity.assignToCentroids(se, "emb", cents)
       .filter(col("cell") =!= col("vec_id") % 16).count()
     assert(wrong === 0)
     // Lloyd's has converged: one more iteration moves nothing

@@ -444,6 +444,60 @@ class StreamingOpsSpec extends SparkSpec {
       4L -> true, 5L -> false))
   }
 
+  test("PPS sample at ingest: frozen total, membership equals the batch sample") {
+    import graft.streaming.StreamingQuality
+    val rows = (1L to 100L).map(i => (i, 10L + i % 7))
+    val batchDf = rows.toDF("id", "w")
+    // freeze the batch total as the artifact the stream is gated with
+    val totalW = batchDf.agg(sum(col("w"))).as[Long].head()
+    val batch = graft.operators.Corpus
+      .samplePps(batchDf, col("id"), col("w"), expected = 25)
+      .select("id", "ht_weight").as[(Long, Double)].collect().toSet
+
+    val mem = MemoryStream[(Long, Long)]
+    val out = StreamingQuality.samplePpsAtIngest(
+      mem.toDF().toDF("id", "w"), col("id"), col("w"),
+      expected = 25, totalWeight = totalW)
+    assert(out.isStreaming, "the sample must stay a stateless streaming frame")
+    val q = out.writeStream.format("memory").queryName("pps_sink")
+      .outputMode("append").start()
+    try {
+      mem.addData(rows.take(60): _*)
+      mem.addData(rows.drop(60): _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.table("pps_sink")
+      .select("id", "ht_weight").as[(Long, Double)].collect().toSet
+    assert(streamed === batch,
+      "ingest membership and HT weights must equal the batch sample at the same frozen total")
+  }
+
+  test("centroid assignment at ingest: arriving vectors tagged with trained cells") {
+    // train offline on the seeded corpus, assign a stream against the
+    // frozen centroids — the IVF ingest path
+    val se = queries.SimilarityQueries.seededCorpus(spark, sf)
+    val cents = graft.operators.Similarity
+      .kMeansCentroids(se, "vec_id", "emb", k = 16, iters = 1)
+    val vecs = se.limit(40).as[(Long, Seq[Float])].collect()
+
+    val mem = MemoryStream[(Long, Seq[Float])]
+    val out = graft.operators.Similarity.assignToCentroids(
+      mem.toDF().toDF("vec_id", "emb")
+        .withColumn("emb", col("emb").cast("array<float>")),
+      "emb", cents)
+    assert(out.isStreaming, "assignment must stay a narrow streaming projection")
+    val q = out.select("vec_id", "cell").writeStream.format("memory")
+      .queryName("assign_sink").outputMode("append").start()
+    try {
+      mem.addData(vecs.toIndexedSeq: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("assign_sink").as[(Long, Int)].collect().toMap
+    assert(got.size === 40)
+    assert(got.forall { case (id, cell) => cell === (id % 16).toInt },
+      "every arriving vector must land in its own planted cell")
+  }
+
   test("chunk+pack at ingest: stateless on a stream, rows equal the batch form") {
     val mem = MemoryStream[(Long, String)]
     val out = graft.streaming.StreamingCorpus.chunkAndPackAtIngest(
