@@ -265,6 +265,57 @@ object Corpus {
     df.filter(pmod(Dedup.portableHash64(key.cast("string")), lit(den)) < num)
   }
 
+  /** Temperature-rebalanced mixture sampling: [[sampleMix]] with the
+    * per-stratum rates COMPUTED from the corpus instead of hand-specified —
+    * stratum weight ∝ ⌊√n_s⌋ (the α = 0.5 point of the standard
+    * temperature-sampling family p_s ∝ n_s^α, which damps dominant sources
+    * and lifts small ones), normalized to an expected `budget` rows in
+    * total. Each stratum's target t_s = ⌊budget·w_s / Σw⌋ becomes a
+    * deterministic hash rate t_s/n_s, so membership stays a pure function
+    * of (key, corpus histogram) — auditable and stable across runs and
+    * partitionings, like every sampler here.
+    *
+    * Exactness/portability: the weight is floor(IEEE-sqrt(n_s)) — sqrt is
+    * correctly rounded in every IEEE-754 engine, so all engines compute
+    * identical weights; the target division runs on an exactly-representable
+    * dividend (budget·w_s < 2^52 under the `require`d bounds, so the floor
+    * is the true integer quotient) and the membership test
+    * u(key)·n_s < t_s·M is pure long arithmetic (M = 2^20). Stratum sizes
+    * are assert-checked < 2^42 at run time so overflow fails loudly.
+    *
+    * Plan: one partial-agg shuffle builds the stratum histogram (rows =
+    * stratum cardinality), a one-row Σw broadcasts back over it, and the
+    * tiny target table joins the scan on the stratum (advisory broadcast) —
+    * the data-sized frame is only ever scanned and filtered, never
+    * shuffled.
+    */
+  def sampleTemperature(df: DataFrame, key: Column, stratum: Column,
+      budget: Long): DataFrame = {
+    require(budget > 0 && budget <= (1L << 30),
+      s"need 0 < budget <= 2^30 (got $budget) — the target division is " +
+        "exact only while budget*weight stays well inside double's " +
+        "integer range")
+    Seq("_tmS", "_tmN", "_tmW", "_tmSumW", "_tmT").foreach(c =>
+      require(!df.columns.contains(c), s"input already has a $c column"))
+    val m = 1L << 20
+    val maxN = 1L << 42 // keeps u·n_s inside long arithmetic
+    val counts = df.groupBy(stratum.as("_tmS")).agg(count(lit(1)).as("_tmN"))
+      .select(col("_tmS"),
+        when(assert_true(col("_tmN") < maxN,
+          lit(s"stratum larger than $maxN rows — temperature membership " +
+            "would overflow long arithmetic")).isNull, col("_tmN")).as("_tmN"),
+        floor(sqrt(col("_tmN").cast("double"))).cast("long").as("_tmW"))
+    val sumW = counts.agg(sum("_tmW").as("_tmSumW"))
+    val targets = counts.join(broadcast(sumW))
+      .select(col("_tmS"), col("_tmN"),
+        floor((lit(budget) * col("_tmW")).cast("double") / col("_tmSumW"))
+          .cast("long").as("_tmT"))
+    df.join(graft.plans.Hints.broadcastIfSmall(targets), stratum === col("_tmS"))
+      .filter(pmod(Dedup.portableHash64(key.cast("string")), lit(m)) *
+        col("_tmN") < col("_tmT") * m)
+      .drop("_tmS", "_tmN", "_tmT")
+  }
+
   /** Probability-proportional-to-size (PPS) Bernoulli sampling: keep a row
     * iff u(key) < expected·w / W, where u is the deterministic md5-hash
     * uniform (same space as [[sampleByHash]]), `w` the row's positive

@@ -407,6 +407,26 @@ object TextQueries {
         defaultNum = 2, den = 10)
         .select("doc_id", "source")),
 
+    // temperature-rebalanced mixing (α = 0.5): per-language rates computed
+    // FROM the corpus histogram (weight ∝ ⌊√n⌋, normalized to a 100-row
+    // budget) instead of hand-specified — damps the dominant language,
+    // lifts the small ones. Membership is exact long arithmetic on the
+    // md5 hash; the oracle rebuilds the same histogram → weights →
+    // targets → filter. Integer-id output, exact compare.
+    Q("q_temperature_mix", Some("""
+      |WITH n AS (SELECT lang AS s, count(*) AS ns FROM documents GROUP BY 1),
+      |w AS (SELECT s, ns, CAST(floor(sqrt(CAST(ns AS DOUBLE))) AS BIGINT) AS ws FROM n),
+      |tg AS (SELECT s, ns,
+      |  CAST(floor(CAST(100 * ws AS DOUBLE) / (SELECT sum(ws) FROM w)) AS BIGINT) AS ts
+      |  FROM w)
+      |SELECT d.doc_id, d.lang FROM documents d JOIN tg ON d.lang = tg.s
+      |WHERE ('0x' || substring(md5(CAST(d.doc_id AS VARCHAR)), 1, 15))::BIGINT
+      |  % 1048576 * ns < ts * 1048576
+      |""".stripMargin.trim))(
+      (s, d) => graft.operators.Corpus.sampleTemperature(
+        t(s, d, "documents"), col("doc_id"), col("lang"), budget = 100)
+        .select("doc_id", "lang")),
+
     // sequence packing: chunks (8-token windows, overlap 2) greedily
     // packed into 20-token training bins per doc. The greedy scan is a
     // Catalyst aggregate lambda over each doc's chunk list (one partial-

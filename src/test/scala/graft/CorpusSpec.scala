@@ -174,6 +174,37 @@ class CorpusSpec extends SparkSpec {
     assert(again === out.map(_._1).toSet)
   }
 
+  test("sampleTemperature damps dominant strata toward sqrt weights") {
+    // strata: big=900 rows, small=100 → weights ⌊√n⌋ = 30 / 10, targets
+    // for budget 200 = ⌊200·30/40⌋=150, ⌊200·10/40⌋=50. Proportional
+    // sampling would keep 180/20 — temperature lifts the small stratum's
+    // share from 10% to 25%.
+    val docs = ((1L to 900L).map(i => (i, "big")) ++
+      (1001L to 1100L).map(i => (i, "small"))).toDF("doc_id", "lang")
+    val out = Corpus.sampleTemperature(docs, col("doc_id"), col("lang"), budget = 200)
+      .select("doc_id", "lang").as[(Long, String)].collect()
+    val byLang = out.groupBy(_._2).view.mapValues(_.length).toMap
+    // hash-Bernoulli at rate 150/900 and 50/100: expect ≈ targets
+    val big = byLang.getOrElse("big", 0)
+    val small = byLang.getOrElse("small", 0)
+    assert(big > 110 && big < 190, s"expected ~150 of 900, got $big")
+    assert(small > 30 && small < 70, s"expected ~50 of 100, got $small")
+    // membership is a pure function of (key, histogram): identical rerun,
+    // and independent of input partitioning
+    val again = Corpus.sampleTemperature(docs.repartition(13), col("doc_id"),
+      col("lang"), budget = 200).select("doc_id").as[Long].collect().toSet
+    assert(again === out.map(_._1).toSet)
+    // collision and bound guards fail loudly
+    intercept[IllegalArgumentException] {
+      Corpus.sampleTemperature(docs.withColumn("_tmN", lit(1)),
+        col("doc_id"), col("lang"), budget = 10)
+    }
+    intercept[IllegalArgumentException] {
+      Corpus.sampleTemperature(docs, col("doc_id"), col("lang"),
+        budget = (1L << 31))
+    }
+  }
+
   test("exportShards: deterministic shard, dense key-ordered seq, stable under repartition") {
     val df = (1L to 100L).toDF("id")
     val a = Corpus.exportShards(df, col("id"), 8)
