@@ -77,4 +77,48 @@ object Search {
       .orderBy(col("score").desc, col(id))
       .limit(k)
   }
+
+  /** Reciprocal-rank fusion of two rankings — the standard hybrid-search
+    * combiner (lexical BM25 pool ∪ vector ANN pool → one list) from
+    * Cormack/Clarke/Büttcher's RRF: score(d) = Σ_r 1/(rrfK + rank_r(d)),
+    * a document absent from a ranking contributing nothing. Working on
+    * RANKS rather than raw scores is what makes the fusion portable: no
+    * score normalization across incommensurable scales, and the arithmetic
+    * (integer add, one correctly-rounded IEEE division per side, one sum)
+    * is bit-identical in any engine, so an oracle can pin the exact fused
+    * order.
+    *
+    * Inputs carry (`id`, `rank`), rank 1-based; both are top-`pool`
+    * DataFrames, i.e. BOUNDED BY CONSTRUCTION (k rows each, whatever the
+    * corpus size) — so the full-outer join and the final k-row ordering
+    * are driver-trivial at any scale; the heavy lifting stays in the
+    * rankers that produced the pools.
+    *
+    * Output: (`id`, fused_rank 1..k, a_rank, b_rank) — ranks NULL where a
+    * side missed the document.
+    */
+  def rrfFuse(a: DataFrame, b: DataFrame, id: String, k: Int,
+      rrfK: Int = 60): DataFrame = {
+    require(k > 0, s"need k > 0, got $k")
+    require(rrfK >= 1, s"need rrfK >= 1, got $rrfK")
+    require(!Seq("a_rank", "b_rank", "fused_rank", "_rrf_s").contains(id),
+      s"id column '$id' collides with rrf internals")
+    Seq(a, b).foreach(df => require(df.columns.contains("rank"),
+      "rrfFuse inputs must carry a 'rank' column"))
+    val aa = a.select(col(id), col("rank").cast("long").as("a_rank"))
+    val bb = b.select(col(id), col("rank").cast("long").as("b_rank"))
+    val scored = aa.join(bb, Seq(id), "full_outer")
+      .select(col(id), col("a_rank"), col("b_rank"),
+        (coalesce(lit(1.0) / (lit(rrfK.toLong) + col("a_rank")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(rrfK.toLong) + col("b_rank")), lit(0.0)))
+          .as("_rrf_s"))
+    // both pools are ≤ their rankers' k — the unpartitioned window runs on
+    // a bounded frame (same dispensation as Similarity's k×10 rerank pool)
+    scored
+      .withColumn("fused_rank", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("_rrf_s").desc, col(id))))
+      .filter(col("fused_rank") <= k)
+      .select(col(id), col("fused_rank"), col("a_rank"), col("b_rank"))
+  }
 }

@@ -299,6 +299,77 @@ object TextQueries {
         t(s, d, "documents"), "doc_id", "text",
         terms = Seq("join", "shuffle", "window"), k = 20)),
 
+    // hybrid retrieval: BM25 top-50 pool ∪ cosine-KNN top-50 pool (query =
+    // vector 0), fused by reciprocal-rank fusion (1/(60+rank) per side).
+    // Rank-space fusion needs no score normalization and keeps the
+    // arithmetic bit-portable, so the oracle pins the exact fused order;
+    // both pools are bounded by construction, so the fusion join is
+    // k-row work at any corpus scale. Output: integer ranks (NULL where a
+    // side missed the doc), exact compare.
+    Q("q_hybrid_rrf", Some("""
+      |WITH tok AS (
+      |  SELECT doc_id, unnest(regexp_split_to_array(lower(text), '\s+')) AS tk FROM documents),
+      |len AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY 1),
+      |tf AS (SELECT doc_id,
+      |    CAST(sum(CASE WHEN tk = 'join' THEN 1 ELSE 0 END) AS BIGINT) AS tf_join,
+      |    CAST(sum(CASE WHEN tk = 'shuffle' THEN 1 ELSE 0 END) AS BIGINT) AS tf_shuffle,
+      |    CAST(sum(CASE WHEN tk = 'window' THEN 1 ELSE 0 END) AS BIGINT) AS tf_window
+      |  FROM tok GROUP BY 1),
+      |stats AS (SELECT CAST(count(*) AS BIGINT) AS n,
+      |    CAST(CAST(sum(dl) AS BIGINT) AS DOUBLE) / count(*) AS avglen FROM len),
+      |dfx AS (SELECT
+      |    CAST(count(DISTINCT CASE WHEN tk = 'join' THEN doc_id END) AS BIGINT) AS df_join,
+      |    CAST(count(DISTINCT CASE WHEN tk = 'shuffle' THEN doc_id END) AS BIGINT) AS df_shuffle,
+      |    CAST(count(DISTINCT CASE WHEN tk = 'window' THEN doc_id END) AS BIGINT) AS df_window
+      |  FROM tok),
+      |sc AS (
+      |  SELECT l.doc_id,
+      |    ((CAST(n AS DOUBLE) - df_join + 0.5) / (df_join + 0.5)) *
+      |      ((tf_join * CAST(2.2 AS DOUBLE)) / (tf_join + 1.2 * (1.0 - 0.75 + 0.75 * (CAST(dl AS DOUBLE) / avglen)))) +
+      |    ((CAST(n AS DOUBLE) - df_shuffle + 0.5) / (df_shuffle + 0.5)) *
+      |      ((tf_shuffle * CAST(2.2 AS DOUBLE)) / (tf_shuffle + 1.2 * (1.0 - 0.75 + 0.75 * (CAST(dl AS DOUBLE) / avglen)))) +
+      |    ((CAST(n AS DOUBLE) - df_window + 0.5) / (df_window + 0.5)) *
+      |      ((tf_window * CAST(2.2 AS DOUBLE)) / (tf_window + 1.2 * (1.0 - 0.75 + 0.75 * (CAST(dl AS DOUBLE) / avglen)))) AS score
+      |  FROM len l JOIN tf USING (doc_id), stats, dfx),
+      |lex AS (SELECT doc_id, r FROM (
+      |  SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) AS r FROM sc)
+      |  WHERE r <= 50),
+      |e AS (SELECT vec_id, embedding,
+      |  sqrt(list_sum(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE))) AS nrm
+      |  FROM embeddings),
+      |vs AS (SELECT c.vec_id AS doc_id,
+      |  list_sum(list_transform(range(1, 65), i -> q.embedding[i]::DOUBLE * c.embedding[i]::DOUBLE))
+      |    / (q.nrm * c.nrm) AS score
+      |  FROM e q JOIN e c ON c.vec_id <> q.vec_id WHERE q.vec_id = 0),
+      |vec AS (SELECT doc_id, r FROM (
+      |  SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) AS r FROM vs)
+      |  WHERE r <= 50),
+      |f AS (SELECT coalesce(lex.doc_id, vec.doc_id) AS doc_id,
+      |  lex.r AS lex_rank, vec.r AS vec_rank,
+      |  coalesce(CAST(1 AS DOUBLE) / (60 + lex.r), CAST(0 AS DOUBLE)) +
+      |  coalesce(CAST(1 AS DOUBLE) / (60 + vec.r), CAST(0 AS DOUBLE)) AS s
+      |  FROM lex FULL OUTER JOIN vec ON lex.doc_id = vec.doc_id)
+      |SELECT doc_id, fused_rank, lex_rank, vec_rank FROM (
+      |  SELECT doc_id, lex_rank, vec_rank,
+      |    row_number() OVER (ORDER BY s DESC, doc_id) AS fused_rank FROM f)
+      |WHERE fused_rank <= 20
+      |""".stripMargin.trim))(
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val lex = graft.operators.Search.bm25TopK(docs, "doc_id", "text",
+            terms = Seq("join", "shuffle", "window"), k = 50)
+          .select(col("doc_id"), row_number().over(
+            org.apache.spark.sql.expressions.Window
+              .orderBy(col("score").desc, col("doc_id"))).as("rank"))
+        val emb = t(s, d, "embeddings")
+        val vec = graft.operators.Similarity.bruteForceKnn(
+            emb.filter(col("vec_id") === 0), emb, "vec_id", "embedding", k = 50)
+          .select(col("neighbor_id").as("doc_id"), col("rank"))
+        graft.operators.Search.rrfFuse(lex, vec, "doc_id", k = 20)
+          .withColumnRenamed("a_rank", "lex_rank")
+          .withColumnRenamed("b_rank", "vec_rank")
+      }),
+
     // corpus vocabulary top-k (tokenizer-training stats): one explode, one
     // count shuffle, then the bounded topk_agg — 25 rows cross the final
     // exchange, not the vocabulary.

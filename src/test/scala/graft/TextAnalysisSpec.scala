@@ -35,6 +35,30 @@ class TextAnalysisSpec extends SparkSpec {
     assert(mixedCase === top)
   }
 
+  test("rrfFuse: hand-computed fusion, one-sided docs survive, guards hold") {
+    // a: docs 1,2,3 at ranks 1,2,3; b: docs 3,4 at ranks 1,2 (rrfK=60)
+    // scores: d3 = 1/63 + 1/61 ≈ .03226  (both pools — wins)
+    //         d1 = 1/61 ≈ .01639, d4 = 1/62 ≈ .01613, d2 = 1/62 ≈ .01613
+    //         d2 ties d4 → doc id breaks the tie (2 before 4)
+    val a = Seq((1L, 1), (2L, 2), (3L, 3)).toDF("doc_id", "rank")
+    val b = Seq((3L, 1), (4L, 2)).toDF("doc_id", "rank")
+    val out = graft.operators.Search.rrfFuse(a, b, "doc_id", k = 10)
+      .select("fused_rank", "doc_id", "a_rank", "b_rank")
+      .as[(Int, Long, Option[Long], Option[Long])].collect().toSeq.sorted
+    assert(out === Seq(
+      (1, 3L, Some(3L), Some(1L)),
+      (2, 1L, Some(1L), None),
+      (3, 2L, Some(2L), None),
+      (4, 4L, None, Some(2L))))
+    // k truncates the fused list
+    val top2 = graft.operators.Search.rrfFuse(a, b, "doc_id", k = 2)
+    assert(top2.count() === 2)
+    // a missing rank column fails loudly
+    intercept[IllegalArgumentException] {
+      graft.operators.Search.rrfFuse(a.withColumnRenamed("rank", "r"), b, "doc_id", 5)
+    }
+  }
+
   test("token counts: whitespace and BPE-ish lexer") {
     val df = Seq("hello world, it's 2024!").toDF("t")
     val (ws, bpe) = df.select(
