@@ -4,7 +4,7 @@ import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{BoundedTopK, CosineSimilarity, RandomHyperplaneBuckets}
+import graft.functions.{BoundedTopK, CosineSimilarity, GramMatrix, RandomHyperplaneBuckets}
 
 /** Engine extension installer: `spark.sql.extensions=graft.GraftExtensions`
   * (or `builder.withExtensions`) registers the engine's native expressions
@@ -31,7 +31,10 @@ object GraftExtensions {
         children.head, intLit(children(1)), intLit(children(2)), intLit(children(3)))),
     (FunctionIdentifier("topk_agg"),
       new ExpressionInfo(classOf[BoundedTopK].getName, "topk_agg"),
-      (children: Seq[Expression]) => BoundedTopK(children.head, intLit(children(1)))))
+      (children: Seq[Expression]) => BoundedTopK(children.head, intLit(children(1)))),
+    (FunctionIdentifier("gram_agg"),
+      new ExpressionInfo(classOf[GramMatrix].getName, "gram_agg"),
+      (children: Seq[Expression]) => GramMatrix(children.head, intLit(children(1)))))
 
   /** Idempotent in-session registration, for sessions created without the
     * extensions config (tests, the driver harness).

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 
-import graft.operators.Similarity
+import graft.operators.{Pca, Similarity}
 import graft.queries.Tables.t
 
 /** Similarity-search queries over the `embeddings` table (64-dim float
@@ -200,6 +200,28 @@ object SimilarityQueries {
             array_min(col("q_emb")).as("q_min"),
             array_max(col("q_emb")).as("q_max"),
             aggregate(col("q_emb"), lit(0L), (a, v) => a + v).as("q_sum"))),
+
+    // one-pass Gram matrix (the covariance/PCA building block) over the
+    // int8-quantized corpus: gram_agg keeps the d(d+1)/2 triangle in ONE
+    // aggregation buffer — no (row, i, j) explode, the shuffle carries one
+    // O(d²) array per map partition. Integer-valued inputs make the double
+    // sums exact (< 2^53), so the full 2 080-entry triangle hash-matches
+    // DuckDB's integer arithmetic.
+    Q("q_embed_gram", Some(
+      """WITH m AS (SELECT vec_id, embedding,
+        |  list_max(list_transform(embedding, x -> abs(x::DOUBLE))) AS mx FROM embeddings),
+        |q AS (SELECT vec_id, list_transform(embedding,
+        |  x -> CAST(floor(x::DOUBLE * (CASE WHEN mx > 0 THEN 127.0 / mx ELSE 0.0 END) + 0.5) AS INT)) AS qe
+        |  FROM m),
+        |p AS (SELECT CAST(i AS INT) AS i, CAST(j AS INT) AS j
+        |  FROM range(0, 64) r1(i), range(0, 64) r2(j) WHERE j >= i)
+        |SELECT i, j, CAST(sum(CAST(qe[i + 1] AS BIGINT) * qe[j + 1]) AS BIGINT) AS gram
+        |FROM q, p GROUP BY 1, 2""".stripMargin))(
+      (s, d) =>
+        Pca.gramMatrix(
+          Similarity.quantizeInt8(t(s, d, "embeddings"), "embedding"),
+          col("q_emb"), dim = 64)
+          .select(col("i"), col("j"), col("gram").cast("long").as("gram"))),
 
     // distributed Lloyd's k-means on the seeded corpus — the offline
     // trainer for IVF's coarse quantizer, end-to-end oracled. Seeds are
