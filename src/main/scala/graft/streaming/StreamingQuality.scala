@@ -95,6 +95,50 @@ object StreamingQuality {
       .drop("_thr")
   }
 
+  /** Benchmark decontamination at ingest — the streaming twin of
+    * [[graft.operators.Corpus.contamination]]: count each arriving
+    * document's DISTINCT word n-grams that collide with a frozen
+    * benchmark-gram artifact ([[benchmarkGramSet]], trained in batch from
+    * the eval suites), and flag `keep` when the overlap stays ≤
+    * `maxShared`. The gram set folds into ONE map value broadcast onto
+    * the stream (eval benchmarks are bounded — thousands of grams, not
+    * corpus-scaled), and the overlap is a per-row array fold — stateless,
+    * append-safe, checkpoint-free, identical gram formation to the batch
+    * operator (lowercased whitespace tokens, docs shorter than n share
+    * nothing). Adds `n_shared` and `keep`.
+    */
+  def decontaminateAtIngest(docs: DataFrame, text: String,
+      benchmarkGrams: DataFrame, n: Int, maxShared: Int = 0): DataFrame = {
+    require(n >= 1, s"need n >= 1, got $n")
+    require(maxShared >= 0, s"need maxShared >= 0, got $maxShared")
+    Seq("_g_bench", "_g_grams").foreach(c => require(!docs.columns.contains(c),
+      s"input already has a $c column"))
+    val benchMap = benchmarkGrams.agg(
+      map_from_entries(collect_list(struct(col("g"), lit(true)))).as("_g_bench"))
+    val grams = element_at(
+      transform(array(split(lower(col(text)), "\\s+")), tk =>
+        when(size(tk) >= n,
+          array_distinct(transform(sequence(lit(0), size(tk) - n),
+            i => concat_ws(" ", slice(tk, i + lit(1), lit(n))))))
+          .otherwise(array().cast("array<string>"))),
+      1)
+    docs.crossJoin(broadcast(benchMap))
+      .withColumn("_g_grams", grams)
+      .withColumn("n_shared", aggregate(col("_g_grams"), lit(0L), (acc, g) =>
+        acc + when(element_at(col("_g_bench"), g).isNotNull, lit(1L))
+          .otherwise(lit(0L))))
+      .withColumn("keep", col("n_shared") <= maxShared)
+      .drop("_g_grams", "_g_bench")
+  }
+
+  /** The frozen benchmark artifact for [[decontaminateAtIngest]]: the
+    * distinct n-gram set of the eval corpus, column `g` — the same grams
+    * the batch contamination report joins on.
+    */
+  def benchmarkGramSet(bench: DataFrame, id: String, text: String,
+      n: Int): DataFrame =
+    Corpus.ngramOccurrences(bench, id, text, n).select("g").distinct()
+
   /** PPS weighted sample at ingest — the streaming twin of
     * [[graft.operators.Corpus.samplePps]]: the corpus total weight is a
     * FROZEN batch artifact (yesterday's `sum(weight)`, refreshed on

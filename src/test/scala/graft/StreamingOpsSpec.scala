@@ -444,6 +444,46 @@ class StreamingOpsSpec extends SparkSpec {
       4L -> true, 5L -> false))
   }
 
+  test("decontamination at ingest: overlap equals the batch contamination report") {
+    import graft.streaming.StreamingQuality
+    val bench = Seq(
+      (100L, "the quick brown fox jumps"),
+      (101L, "pack my box with liquor jugs")).toDF("doc_id", "text")
+    val docs = Seq(
+      (1L, "a clean document with no overlap at all"),
+      (2L, "the quick brown fox jumps over it"),   // shares bench grams
+      (3L, "tiny"),                                 // shorter than n
+      (4L, "pack my box with care pack my box with liquor")) // distinct overlap
+      .toDF("doc_id", "text")
+    val grams = StreamingQuality.benchmarkGramSet(bench, "doc_id", "text", n = 3)
+    val batch = graft.operators.Corpus
+      .contamination(docs, bench, "doc_id", "text", n = 3)
+      .as[(Long, Long)].collect().toMap
+
+    val mem = MemoryStream[(Long, String)]
+    val out = StreamingQuality.decontaminateAtIngest(
+      mem.toDF().toDF("doc_id", "text"), "text", grams, n = 3, maxShared = 0)
+    assert(out.isStreaming, "the gate must stay a stateless streaming frame")
+    val q = out.select("doc_id", "n_shared", "keep").writeStream
+      .format("memory").queryName("decon_sink").outputMode("append").start()
+    try {
+      mem.addData(1L -> "a clean document with no overlap at all",
+        2L -> "the quick brown fox jumps over it", 3L -> "tiny",
+        4L -> "pack my box with care pack my box with liquor")
+      q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.table("decon_sink")
+      .as[(Long, Long, Boolean)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(streamed.keySet === Set(1L, 2L, 3L, 4L))
+    // per-doc overlap equals the batch report (absent there = 0 shared)
+    streamed.foreach { case (id, (nShared, keep)) =>
+      assert(nShared === batch.getOrElse(id, 0L),
+        s"doc $id: stream overlap must equal the batch contamination count")
+      assert(keep === (nShared == 0L))
+    }
+    assert(streamed(2L)._1 > 0 && streamed(4L)._1 > 0)
+  }
+
   test("PPS sample at ingest: frozen total, membership equals the batch sample") {
     import graft.streaming.StreamingQuality
     val rows = (1L to 100L).map(i => (i, 10L + i % 7))
