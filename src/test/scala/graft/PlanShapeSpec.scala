@@ -228,6 +228,40 @@ class PlanShapeSpec extends SparkSpec {
     assert(countNodes(df, "SortMergeJoin") === 0)
   }
 
+  test("gram matrix: one-buffer aggregate, no per-entry explode before the agg") {
+    val df = q("q_embed_gram")
+    // the d(d+1)/2 triangle lives in ONE gram_agg buffer: the only
+    // generator is the final posexplode of the single result array, the
+    // agg runs with a partial/final merge (ObjectHashAggregate), and no
+    // join or window appears anywhere
+    assert(mentions(df, "gram_agg"))
+    assert(hasNode(df, "ObjectHashAggregate"))
+    assert(countNodes(df, "Generate") === 1)
+    assert(countNodes(df, "Join") === 0)
+    assert(countNodes(df, "Window") === 0)
+    // the one exchange carries the single-row array, not the corpus
+    assert(countShuffles(df) === 1)
+  }
+
+  test("temperature mix: histogram-sized shuffles only, data side scan+filter") {
+    val df = q("q_temperature_mix")
+    // the corpus-sized frame joins the tiny target table broadcast — a
+    // sort-merge join here would shuffle the whole corpus
+    assert(hasNode(df, "BroadcastHashJoin"))
+    assert(countNodes(df, "SortMergeJoin") === 0)
+    assert(countNodes(df, "Window") === 0)
+    assert(countNodes(df, "CartesianProduct") === 0)
+  }
+
+  test("hybrid rrf: bounded pools — windows only after top-k truncation") {
+    val df = q("q_hybrid_rrf")
+    // the vector pool comes from the bounded topk aggregate; the only
+    // window sorts run on ≤ pool-size frames (lex rank, fused rank)
+    assert(mentions(df, "topk_agg"))
+    assert(countNodes(df, "Window") <= 2)
+    assert(countNodes(df, "CartesianProduct") === 0)
+  }
+
   test("advisory broadcast hint follows spark.graft.broadcastThreshold") {
     import graft.plans.Hints
     import org.apache.spark.sql.functions.col
