@@ -310,7 +310,10 @@ object Corpus {
       .select(col("_tmS"), col("_tmN"),
         floor((lit(budget) * col("_tmW")).cast("double") / col("_tmSumW"))
           .cast("long").as("_tmT"))
-    df.join(graft.plans.Hints.broadcastIfSmall(targets), stratum === col("_tmS"))
+    // null-safe: a NULL stratum is a real stratum with its own count and
+    // target (a plain === join would silently drop those rows; sampleMix
+    // keeps them at the default rate — same contract here)
+    df.join(graft.plans.Hints.broadcastIfSmall(targets), stratum <=> col("_tmS"))
       .filter(pmod(Dedup.portableHash64(key.cast("string")), lit(m)) *
         col("_tmN") < col("_tmT") * m)
       .drop("_tmS", "_tmN", "_tmT")

@@ -490,7 +490,8 @@ object TextQueries {
       |tg AS (SELECT s, ns,
       |  CAST(floor(CAST(100 * ws AS DOUBLE) / (SELECT sum(ws) FROM w)) AS BIGINT) AS ts
       |  FROM w)
-      |SELECT d.doc_id, d.lang FROM documents d JOIN tg ON d.lang = tg.s
+      |SELECT d.doc_id, d.lang FROM documents d
+      |JOIN tg ON d.lang IS NOT DISTINCT FROM tg.s
       |WHERE ('0x' || substring(md5(CAST(d.doc_id AS VARCHAR)), 1, 15))::BIGINT
       |  % 1048576 * ns < ts * 1048576
       |""".stripMargin.trim))(

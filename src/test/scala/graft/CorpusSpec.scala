@@ -194,6 +194,15 @@ class CorpusSpec extends SparkSpec {
     val again = Corpus.sampleTemperature(docs.repartition(13), col("doc_id"),
       col("lang"), budget = 200).select("doc_id").as[Long].collect().toSet
     assert(again === out.map(_._1).toSet)
+    // a NULL stratum is a real stratum (null-safe join), not silently
+    // dropped — 100 null-lang rows get the same isqrt weight as "small"
+    val withNull = docs.union(
+      (2001L to 2100L).map(i => (i, null.asInstanceOf[String])).toDF("doc_id", "lang"))
+    val nullKept = Corpus.sampleTemperature(withNull, col("doc_id"),
+        col("lang"), budget = 200)
+      .filter(col("lang").isNull).count()
+    assert(nullKept > 20 && nullKept < 70,
+      s"null stratum must be sampled like any other, got $nullKept")
     // collision and bound guards fail loudly
     intercept[IllegalArgumentException] {
       Corpus.sampleTemperature(docs.withColumn("_tmN", lit(1)),
