@@ -64,6 +64,15 @@ case class GramMatrix(
       if (arr.numElements() != dim)
         throw new IllegalArgumentException(
           s"gram_agg(dim=$dim) saw a vector of length ${arr.numElements()}")
+      var e = 0
+      while (e < dim) {
+        // toDoubleArray on a null element reads unspecified bits on some
+        // ArrayData implementations — corrupt statistics, not an error
+        if (arr.isNullAt(e))
+          throw new IllegalArgumentException(
+            s"gram_agg saw a NULL at position $e — impute or filter first")
+        e += 1
+      }
       val x = arr.toDoubleArray()
       var p = 0
       var i = 0

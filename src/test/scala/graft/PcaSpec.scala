@@ -22,6 +22,12 @@ class PcaSpec extends SparkSpec {
     // a wrong-length vector fails loudly instead of corrupting the sum
     val bad = Seq(Seq(1.0, 2.0)).toDF("v")
     intercept[Exception] { Pca.gramMatrix(bad, col("v"), dim = 3).collect() }
+    // so does a NULL element (silent garbage on some ArrayData impls)
+    val withNull = Seq(Seq[java.lang.Double](1.0, null, 3.0)).toDF("v")
+    intercept[Exception] {
+      Pca.gramMatrix(withNull.select(col("v").cast("array<double>").as("v")),
+        col("v"), dim = 3).collect()
+    }
   }
 
   test("jacobiEigen recovers a known symmetric spectrum") {
