@@ -391,6 +391,24 @@ object TextQueries {
           .select(col("t.tk").as("token"), (-col("t.nn")).as("n"))
       }),
 
+    // BPE tokenizer training, round-0 statistic: frequency-weighted
+    // adjacent character pairs over the word-frequency table — the counts
+    // the first merge argmaxes over (Bpe.train drives the full loop;
+    // BpeSpec pins its deterministic merge sequence). Vocab-sized work
+    // after one corpus-sized word count; integer output, exact compare.
+    Q("q_bpe_pairs", Some("""
+      |WITH w AS (
+      |  SELECT unnest(regexp_split_to_array(lower(text), '\s+')) AS word FROM documents),
+      |v AS (SELECT word, count(*) AS f FROM w WHERE len(word) > 0 GROUP BY 1),
+      |p AS (SELECT word, f, unnest(range(1, len(word))) AS i FROM v WHERE len(word) >= 2)
+      |SELECT substring(word, CAST(i AS INT), 1) AS a,
+      |  substring(word, CAST(i AS INT) + 1, 1) AS b,
+      |  CAST(sum(f) AS BIGINT) AS n
+      |FROM p GROUP BY 1, 2
+      |""".stripMargin.trim))(
+      (s, d) => graft.operators.Bpe.pairStats(
+        graft.operators.Bpe.wordFreq(t(s, d, "documents"), "text"))),
+
     // Count-Min Sketch round trip: build the mergeable cell-table sketch
     // over all token occurrences, then point-query it for the exact
     // top-20 tokens. Cells derive from the portable 60-bit hash, so

@@ -444,6 +444,34 @@ class StreamingOpsSpec extends SparkSpec {
       4L -> true, 5L -> false))
   }
 
+  test("gram_agg maintains the covariance artifact incrementally on a stream") {
+    // the second-moment matrix is associative — gram_agg's merge path IS
+    // the streaming update, so the artifact refreshes per micro-batch
+    // with no recompute of history
+    val rows = Seq(Seq(1.0, 2.0, 3.0), Seq(4.0, 5.0, 6.0), Seq(7.0, 8.0, 9.0))
+    val batch = graft.operators.Pca.gramMatrix(
+        rows.toDF("v"), col("v"), dim = 3)
+      .as[(Int, Int, Double)].collect().toSet
+
+    val mem = MemoryStream[Seq[Double]]
+    val out = mem.toDF().toDF("v")
+      .agg(call_function("gram_agg", col("v"), lit(3)).as("g"))
+    assert(out.isStreaming)
+    val q = out.writeStream.format("memory").queryName("gram_sink")
+      .outputMode("complete").start()
+    try {
+      mem.addData(rows(0), rows(1))
+      q.processAllAvailable()
+      mem.addData(rows(2)) // second micro-batch merges into the state
+      q.processAllAvailable()
+    } finally q.stop()
+    val tri = spark.table("gram_sink").as[Seq[Double]].collect().head
+    val streamed = (for (i <- 0 until 3; j <- i until 3) yield (i, j))
+      .zip(tri).map { case ((i, j), g) => (i, j, g) }.toSet
+    assert(streamed === batch,
+      "streamed gram after two micro-batches must equal the batch gram")
+  }
+
   test("decontamination at ingest: overlap equals the batch contamination report") {
     import graft.streaming.StreamingQuality
     val bench = Seq(
