@@ -265,6 +265,34 @@ object Corpus {
     df.filter(pmod(Dedup.portableHash64(key.cast("string")), lit(den)) < num)
   }
 
+  /** Per-stratum cap: keep at most `n` rows per stratum, best-first by
+    * `ord` (any orderable expression, ASCENDING = keep-first; ties break
+    * by `key`, which must be unique per row, so the cap is always
+    * deterministic). The "max N documents per domain" curation step —
+    * and, with `ord = struct(hash(key), key)`, an EXACT-N deterministic
+    * uniform sample per stratum (what Bernoulli [[sampleByHash]] can't
+    * promise).
+    *
+    * Scale shape: the bounded `topk_agg` keeps ≤ n keys per stratum in
+    * the agg buffer AND the shuffle (a window row_number would sort whole
+    * partitions); survivors join back `left_semi` on the unique `key`
+    * [one equi-shuffle] to recover full rows. Never more than
+    * strata × n keys materialize between the two.
+    */
+  def capPerStratum(df: DataFrame, strata: Seq[String], ord: Column,
+      key: String, n: Int): DataFrame = {
+    require(n > 0, s"need n > 0, got $n")
+    require(strata.nonEmpty, "need >= 1 stratum column")
+    require(df.columns.contains(key), s"key column '$key' not in input")
+    val kept = df
+      .groupBy(strata.map(col).toIndexedSeq: _*)
+      .agg(call_function("topk_agg",
+        struct(ord.as("o"), col(key).as("k")), lit(n)).as("_cap_t"))
+      .select(explode(col("_cap_t")).as("_cap_e"))
+      .select(col("_cap_e.k").as(key))
+    df.join(kept, Seq(key), "left_semi")
+  }
+
   /** Temperature-rebalanced mixture sampling: [[sampleMix]] with the
     * per-stratum rates COMPUTED from the corpus instead of hand-specified —
     * stratum weight ∝ ⌊√n_s⌋ (the α = 0.5 point of the standard

@@ -496,6 +496,22 @@ object TextQueries {
         defaultNum = 2, den = 10)
         .select("doc_id", "source")),
 
+    // per-source cap: keep the 3 longest docs per source (ties to the
+    // smaller doc_id) — the "max N per domain" curation step. Bounded
+    // topk_agg carries ≤ 3 keys per source through the shuffle (no window
+    // sort); survivors semi-join back for full rows. Integer output.
+    Q("q_source_cap", Some("""
+      |SELECT doc_id, source, n_chars FROM (
+      |  SELECT doc_id, source, n_chars, row_number() OVER (
+      |    PARTITION BY source ORDER BY n_chars DESC, doc_id) AS rk
+      |  FROM documents)
+      |WHERE rk <= 3
+      |""".stripMargin.trim))(
+      (s, d) => graft.operators.Corpus.capPerStratum(
+        t(s, d, "documents").select("doc_id", "source", "n_chars"),
+        strata = Seq("source"),
+        ord = -col("n_chars"), key = "doc_id", n = 3)),
+
     // temperature-rebalanced mixing (α = 0.5): per-language rates computed
     // FROM the corpus histogram (weight ∝ ⌊√n⌋, normalized to a 100-row
     // budget) instead of hand-specified — damps the dominant language,

@@ -174,6 +174,30 @@ class CorpusSpec extends SparkSpec {
     assert(again === out.map(_._1).toSet)
   }
 
+  test("capPerStratum keeps best-n per stratum; hash order = exact-N sample") {
+    val docs = Seq(
+      (1L, "a", 10), (2L, "a", 30), (3L, "a", 20), (4L, "a", 30),
+      (5L, "b", 5)).toDF("id", "src", "score")
+    // top-2 by score desc: stratum a → ids 2,4 (tie at 30 breaks by id),
+    // then 3; stratum b keeps its only row
+    val top = Corpus.capPerStratum(docs, Seq("src"), -col("score"), "id", n = 2)
+      .select("id").as[Long].collect().toSet
+    assert(top === Set(2L, 4L, 5L))
+    // full rows survive (semi-join keeps every input column)
+    assert(Corpus.capPerStratum(docs, Seq("src"), -col("score"), "id", 2)
+      .columns.toSeq === Seq("id", "src", "score"))
+    // hash ordering: EXACTLY n rows per stratum (when available),
+    // deterministic across partitionings — the exact-N uniform sample
+    val many = (1L to 100L).map(i => (i, s"s${i % 4}")).toDF("id", "src")
+    val ordHash = graft.operators.Dedup.portableHash64(col("id").cast("string"))
+    val s1 = Corpus.capPerStratum(many, Seq("src"), ordHash, "id", 5)
+      .select("id").as[Long].collect().toSet
+    assert(s1.size === 20)
+    val s2 = Corpus.capPerStratum(many.repartition(11), Seq("src"), ordHash, "id", 5)
+      .select("id").as[Long].collect().toSet
+    assert(s2 === s1, "exact-N sample must not depend on partitioning")
+  }
+
   test("sampleTemperature damps dominant strata toward sqrt weights") {
     // strata: big=900 rows, small=100 → weights ⌊√n⌋ = 30 / 10, targets
     // for budget 200 = ⌊200·30/40⌋=150, ⌊200·10/40⌋=50. Proportional
