@@ -1,7 +1,8 @@
 package graft.streaming
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
 
 import graft.operators.Corpus
 
@@ -43,5 +44,49 @@ object StreamingCorpus {
           col("col.n").as("chunk_tokens"),
           col("col.md5").as("chunk_md5"),
           col("col.bin").as("bin")): _*)
+  }
+
+  final case class Admitted(stratum: String, key: Long, seq: Long)
+
+  /** Per-stratum admission quota at ingest — the streaming face of
+    * [[graft.operators.Corpus.capPerStratum]]: admit rows first-come
+    * until each stratum's `quota` is filled, then drop. (Best-N-by-score
+    * is inherently retractive — a better late row would have to EVICT an
+    * already-emitted one, which append semantics cannot do — so the
+    * ingest-time contract is a quota, exactly how a crawl frontier or
+    * per-domain rate cap behaves; run the batch cap over the admitted
+    * corpus when best-N matters.)
+    *
+    * State per stratum is ONE long (the admitted count). Within a
+    * micro-batch rows are ordered by (`seq`, `key`) before admission —
+    * Spark does not guarantee per-group iterator order after the shuffle,
+    * so an explicit sort key is what makes admission deterministic and
+    * retry-stable (the snapshotEvery lesson); across batches admission
+    * order is arrival order, as for any quota.
+    */
+  def admitQuotaAtIngest(rows: DataFrame, stratum: String, key: String,
+      seq: String, quota: Int): Dataset[Admitted] = {
+    require(quota > 0, s"need quota > 0, got $quota")
+    val spark = rows.sparkSession
+    import spark.implicits._
+    rows
+      .select(col(stratum).cast("string").as("_s"),
+        col(key).cast("long").as("_k"), col(seq).cast("long").as("_q"))
+      .as[(String, Long, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[Long, Admitted](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout) {
+        (s, it, state) =>
+          var count = state.getOption.getOrElse(0L)
+          val out = Seq.newBuilder[Admitted]
+          it.toSeq.sortBy(r => (r._3, r._2)).foreach { case (_, k, q) =>
+            if (count < quota) {
+              out += Admitted(s, k, q)
+              count += 1
+            }
+          }
+          state.update(count)
+          out.result().iterator
+      }
   }
 }

@@ -444,6 +444,29 @@ class StreamingOpsSpec extends SparkSpec {
       4L -> true, 5L -> false))
   }
 
+  test("admission quota at ingest: first-come per stratum, seq-ordered within batch") {
+    import graft.streaming.StreamingCorpus
+    val mem = MemoryStream[(String, Long, Long)]
+    val out = StreamingCorpus.admitQuotaAtIngest(
+      mem.toDF().toDF("src", "id", "seq"), "src", "id", "seq", quota = 2)
+    val q = out.writeStream.format("memory").queryName("quota_sink")
+      .outputMode("append").start()
+    try {
+      // batch 1: stratum a arrives OUT of seq order — admission must
+      // follow seq (20, then 30), not iterator order; b has one row
+      mem.addData(("a", 3L, 30L), ("a", 1L, 20L), ("a", 7L, 40L), ("b", 9L, 5L))
+      q.processAllAvailable()
+      // batch 2: a is full (everything dropped); b admits one more, then
+      // drops the rest
+      mem.addData(("a", 2L, 10L), ("b", 8L, 6L), ("b", 6L, 7L))
+      q.processAllAvailable()
+    } finally q.stop()
+    val admitted = spark.table("quota_sink")
+      .as[(String, Long, Long)].collect().map(r => (r._1, r._2)).toSet
+    assert(admitted === Set(("a", 1L), ("a", 3L), ("b", 9L), ("b", 8L)),
+      "quota must admit seq-first within the batch and count across batches")
+  }
+
   test("gram_agg maintains the covariance artifact incrementally on a stream") {
     // the second-moment matrix is associative — gram_agg's merge path IS
     // the streaming update, so the artifact refreshes per micro-batch
