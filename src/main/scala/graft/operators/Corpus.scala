@@ -318,6 +318,56 @@ object Corpus {
     * shuffled.
     */
   def sampleTemperature(df: DataFrame, key: Column, stratum: Column,
+      budget: Long): DataFrame =
+    // null-safe: a NULL stratum is a real stratum with its own count and
+    // target (a plain === join would silently drop those rows; sampleMix
+    // keeps them at the default rate — same contract here)
+    withTemperatureTargets(df, stratum, budget)
+      .filter(pmod(Dedup.portableHash64(key.cast("string")), lit(PpsM)) *
+        col("_tmN") < col("_tmT") * PpsM)
+      .drop("_tmS", "_tmN", "_tmT")
+
+  /** Epoch-aware temperature mixing: [[sampleTemperature]] that can also
+    * UPSAMPLE — when a stratum's target t_s exceeds its size n_s (a
+    * budget above the corpus total, or a tiny stratum a √-weight lifts
+    * hard), each row replicates ⌊t_s/n_s⌋ full epochs plus one more with
+    * probability (t_s mod n_s)/n_s, so every stratum lands exactly
+    * E[rows] = t_s. This is how pretraining mixes actually consume small
+    * high-value sources (multiple epochs of wiki against a fraction of
+    * one crawl epoch). Adds `epoch` (1-based); rows in un-admitted
+    * strata disappear (⌊t/n⌋ = 0 and the fractional test fails).
+    *
+    * Exactness: ⌊t/n⌋ and t mod n run on exact longs (the division is a
+    * double divide of an EXACT multiple, hence correctly rounded to the
+    * exact quotient), and the fractional test is [[sampleTemperature]]'s
+    * long-arithmetic membership — every engine reproduces the mix
+    * bit-for-bit. Plan: the same histogram + broadcast-target join; the
+    * replication is a narrow explode of a ≤(1+⌊t/n⌋)-element sequence.
+    */
+  def mixEpochs(df: DataFrame, key: Column, stratum: Column,
+      budget: Long): DataFrame = {
+    require(!df.columns.contains("epoch"),
+      "input already has an epoch column — the mix would shadow it")
+    val rem = pmod(col("_tmT"), col("_tmN"))
+    val full = ((col("_tmT") - rem).cast("double") / col("_tmN")).cast("long")
+    val extra = when(
+      pmod(Dedup.portableHash64(key.cast("string")), lit(PpsM)) *
+        col("_tmN") < rem * PpsM, 1L).otherwise(0L)
+    withTemperatureTargets(df, stratum, budget)
+      .withColumn("_tmC", full + extra)
+      // sequence(1, 0) DESCENDS in Spark — guard the empty case explicitly
+      .withColumn("epoch", explode(when(col("_tmC") >= 1,
+        sequence(lit(1L), col("_tmC"))).otherwise(array().cast("array<long>"))))
+      .drop("_tmS", "_tmN", "_tmT", "_tmC")
+  }
+
+  private val PpsM = 1L << 20
+
+  /** The shared temperature machinery: stratum histogram → ⌊√n⌋ weights →
+    * integer targets t_s = ⌊budget·w_s/Σw⌋, joined back (null-safe,
+    * advisory broadcast) as `_tmS`/`_tmN`/`_tmT` columns.
+    */
+  private def withTemperatureTargets(df: DataFrame, stratum: Column,
       budget: Long): DataFrame = {
     require(budget > 0 && budget <= (1L << 30),
       s"need 0 < budget <= 2^30 (got $budget) — the target division is " +
@@ -325,7 +375,6 @@ object Corpus {
         "integer range")
     Seq("_tmS", "_tmN", "_tmW", "_tmSumW", "_tmT").foreach(c =>
       require(!df.columns.contains(c), s"input already has a $c column"))
-    val m = 1L << 20
     val maxN = 1L << 42 // keeps u·n_s inside long arithmetic
     val counts = df.groupBy(stratum.as("_tmS")).agg(count(lit(1)).as("_tmN"))
       .select(col("_tmS"),
@@ -338,13 +387,7 @@ object Corpus {
       .select(col("_tmS"), col("_tmN"),
         floor((lit(budget) * col("_tmW")).cast("double") / col("_tmSumW"))
           .cast("long").as("_tmT"))
-    // null-safe: a NULL stratum is a real stratum with its own count and
-    // target (a plain === join would silently drop those rows; sampleMix
-    // keeps them at the default rate — same contract here)
     df.join(graft.plans.Hints.broadcastIfSmall(targets), stratum <=> col("_tmS"))
-      .filter(pmod(Dedup.portableHash64(key.cast("string")), lit(m)) *
-        col("_tmN") < col("_tmT") * m)
-      .drop("_tmS", "_tmN", "_tmT")
   }
 
   /** Probability-proportional-to-size (PPS) Bernoulli sampling: keep a row

@@ -533,6 +533,28 @@ object TextQueries {
         t(s, d, "documents"), col("doc_id"), col("lang"), budget = 100)
         .select("doc_id", "lang")),
 
+    // epoch-aware temperature mixing: budget 1000 over ~500 docs, so
+    // √-lifted strata replicate into full epochs plus an exact fractional
+    // remainder (how pretraining mixes consume small high-value sources).
+    // ⌊t/n⌋, t mod n, and the remainder test are all exact long
+    // arithmetic — the oracle rebuilds the identical epoch fan-out.
+    Q("q_epoch_mix", Some("""
+      |WITH n AS (SELECT lang AS s, count(*) AS ns FROM documents GROUP BY 1),
+      |w AS (SELECT s, ns, CAST(floor(sqrt(CAST(ns AS DOUBLE))) AS BIGINT) AS ws FROM n),
+      |tg AS (SELECT s, ns,
+      |  CAST(floor(CAST(1000 * ws AS DOUBLE) / (SELECT sum(ws) FROM w)) AS BIGINT) AS ts
+      |  FROM w),
+      |c AS (SELECT d.doc_id, d.lang, ts // ns AS fullc, ts % ns AS rem, ns,
+      |  ('0x' || substring(md5(CAST(d.doc_id AS VARCHAR)), 1, 15))::BIGINT % 1048576 AS u
+      |  FROM documents d JOIN tg ON d.lang IS NOT DISTINCT FROM tg.s)
+      |SELECT doc_id, lang, CAST(unnest(generate_series(1,
+      |  fullc + CASE WHEN u * ns < rem * 1048576 THEN 1 ELSE 0 END)) AS BIGINT) AS epoch
+      |FROM c
+      |""".stripMargin.trim))(
+      (s, d) => graft.operators.Corpus.mixEpochs(
+        t(s, d, "documents"), col("doc_id"), col("lang"), budget = 1000)
+        .select("doc_id", "lang", "epoch")),
+
     // sequence packing: chunks (8-token windows, overlap 2) greedily
     // packed into 20-token training bins per doc. The greedy scan is a
     // Catalyst aggregate lambda over each doc's chunk list (one partial-

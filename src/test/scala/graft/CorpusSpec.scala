@@ -238,6 +238,33 @@ class CorpusSpec extends SparkSpec {
     }
   }
 
+  test("mixEpochs replicates small strata into full epochs plus exact remainder") {
+    // big=900, small=100, budget 2000: weights 30/10 (sum 40) → targets
+    // t_big = 1500 (1 full epoch + 600/900 fractional), t_small = 500
+    // (exactly 5 full epochs, remainder 0)
+    val docs = ((1L to 900L).map(i => (i, "big")) ++
+      (1001L to 1100L).map(i => (i, "small"))).toDF("doc_id", "lang")
+    val out = Corpus.mixEpochs(docs, col("doc_id"), col("lang"), budget = 2000)
+      .select("doc_id", "lang", "epoch").as[(Long, String, Long)].collect()
+    val small = out.filter(_._2 == "small")
+    assert(small.length === 500, "rem 0 ⇒ exactly 5 epochs of every small row")
+    assert(small.groupBy(_._1).forall(_._2.map(_._3).sorted.toSeq == Seq(1L, 2L, 3L, 4L, 5L)))
+    val bigByDoc = out.filter(_._2 == "big").groupBy(_._1).view.mapValues(_.length)
+    assert(bigByDoc.values.forall(c => c == 1 || c == 2),
+      "big rows carry 1 full epoch plus at most one fractional")
+    val bigTotal = bigByDoc.values.sum
+    assert(bigTotal > 1350 && bigTotal < 1650, s"E=1500, got $bigTotal")
+    // pure function of (key, histogram): identical under repartition
+    val again = Corpus.mixEpochs(docs.repartition(13), col("doc_id"),
+        col("lang"), budget = 2000)
+      .select("doc_id", "epoch").as[(Long, Long)].collect().toSet
+    assert(again === out.map(r => (r._1, r._3)).toSet)
+    intercept[IllegalArgumentException] {
+      Corpus.mixEpochs(docs.withColumn("epoch", lit(1)), col("doc_id"),
+        col("lang"), budget = 10)
+    }
+  }
+
   test("exportShards: deterministic shard, dense key-ordered seq, stable under repartition") {
     val df = (1L to 100L).toDF("id")
     val a = Corpus.exportShards(df, col("id"), 8)
