@@ -262,6 +262,27 @@ class PlanShapeSpec extends SparkSpec {
     assert(countNodes(df, "CartesianProduct") === 0)
   }
 
+  test("bpe pairs: vocab-sized aggregates only — no join, no window") {
+    val df = q("q_bpe_pairs")
+    assert(countNodes(df, "Join") === 0)
+    assert(countNodes(df, "Window") === 0)
+  }
+
+  test("source cap: bounded topk aggregate + semi-join back, no window sort") {
+    val df = q("q_source_cap")
+    assert(mentions(df, "topk_agg"))
+    assert(mentions(df, "LeftSemi"))
+    assert(countNodes(df, "Window") === 0)
+  }
+
+  test("epoch mix: broadcast target join + narrow bounded explode") {
+    val df = q("q_epoch_mix")
+    assert(hasNode(df, "BroadcastHashJoin"))
+    assert(countNodes(df, "SortMergeJoin") === 0)
+    assert(hasNode(df, "Generate")) // the epoch sequence explode
+    assert(countNodes(df, "Window") === 0)
+  }
+
   test("advisory broadcast hint follows spark.graft.broadcastThreshold") {
     import graft.plans.Hints
     import org.apache.spark.sql.functions.col

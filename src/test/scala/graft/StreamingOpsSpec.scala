@@ -467,6 +467,42 @@ class StreamingOpsSpec extends SparkSpec {
       "quota must admit seq-first within the batch and count across batches")
   }
 
+  test("ingest pipeline composes: quality gate → decontaminate → chunk+pack, one query") {
+    // the deployment shape: every stage is a stateless narrow projection,
+    // so the WHOLE pipeline is one append-mode streaming query — no state
+    // store, no watermark, checkpoint-free
+    import graft.streaming.{StreamingCorpus, StreamingQuality}
+    val bench = Seq((900L, "alpha beta gamma delta epsilon")).toDF("doc_id", "text")
+    val grams = StreamingQuality.benchmarkGramSet(bench, "doc_id", "text", n = 3)
+
+    val mem = MemoryStream[(Long, String)]
+    val gated = StreamingQuality.gateAtIngest(
+        mem.toDF().toDF("doc_id", "text"), "text",
+        minQuality = 0.0, langs = Seq("en"))
+      .filter(col("keep")).drop("keep")
+    val clean = StreamingQuality.decontaminateAtIngest(
+        gated, "scrubbed", grams, n = 3, maxShared = 0)
+      .filter(col("keep"))
+    val packed = StreamingCorpus.chunkAndPackAtIngest(
+      clean, "doc_id", "scrubbed",
+      chunkTokens = 4, overlapTokens = 0, capacity = 8)
+    assert(packed.isStreaming)
+    val q = packed.select("doc_id", "chunk_no", "bin").writeStream
+      .format("memory").queryName("pipe_sink").outputMode("append").start()
+    try {
+      mem.addData(
+        1L -> "the quick brown fox jumps over the lazy dog and runs home today",
+        2L -> "alpha beta gamma delta epsilon zeta",       // contaminated
+        3L -> "another perfectly ordinary english document with many plain words here")
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("pipe_sink").as[(Long, Int, Int)].collect()
+    val byDoc = got.groupBy(_._1).view.mapValues(_.length).toMap
+    assert(byDoc.keySet === Set(1L, 3L),
+      "the contaminated doc must be dropped before chunking")
+    assert(byDoc.values.forall(_ >= 2), "survivors chunk into multiple windows")
+  }
+
   test("gram_agg maintains the covariance artifact incrementally on a stream") {
     // the second-moment matrix is associative — gram_agg's merge path IS
     // the streaming update, so the artifact refreshes per micro-batch
