@@ -103,6 +103,35 @@ object Bpe {
     out.result()
   }
 
+  /** Apply a trained merge table to a document column: (id, bpe_tokens)
+    * rows, each word split to characters and the merges replayed in rank
+    * order — the TOKENIZER the training loop exists to produce. Runs on
+    * the typed Dataset path (a per-row Scala map over (id, text) pairs,
+    * the [[Corpus.packChunksTyped]] precedent — tokenization is honest
+    * per-row CPU; no UDF, no shuffle), so the same call works on a
+    * streaming frame at ingest. The merge list rides along as a plain
+    * broadcast-serialized local. O(merges · word length) per word — fine
+    * for vocab-scale merge tables; a production tokenizer keeps a
+    * priority-queue per word, same output by construction.
+    */
+  def tokenize(docs: DataFrame, id: String, text: String,
+      merges: Seq[Merge]): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val ranked = merges.sortBy(_.rank).map(m => (m.a, m.b))
+    docs.select(col(id).cast("long"), lower(col(text)))
+      .as[(Long, String)]
+      .map { case (docId, t) =>
+        val toks = t.split("\\s+").filter(_.nonEmpty).flatMap { w =>
+          ranked.foldLeft(w.split(""): Seq[String]) {
+            case (sym, (a, b)) => mergePair(sym, a, b)
+          }
+        }
+        (docId, toks)
+      }
+      .toDF(id, "bpe_tokens")
+  }
+
   /** Left-to-right non-overlapping merge of adjacent (a, b) into a+b —
     * the standard BPE application rule (aaa with merge (a,a) → [aa, a]).
     */

@@ -49,6 +49,25 @@ class BpeSpec extends SparkSpec {
     assert(Bpe.mergePair(Seq("a"), "a", "a") === Seq("a"))
   }
 
+  test("tokenize replays the trained merges in rank order; stream-safe") {
+    val merges = Bpe.train(corpus, "text", merges = 3)
+    val docs = Seq((10L, "lowest newest")).toDF("doc_id", "text")
+    val toks = Bpe.tokenize(docs, "doc_id", "text", merges)
+      .as[(Long, Seq[String])].collect().toMap
+    // lowest: l·o·w·e·s·t →(e,s)→ es →(es,t)→ est →(l,o)→ lo
+    // newest: n·e·w·e·s·t →(e,s)(es,t)→ n,e,w,est ((l,o) no-op)
+    assert(toks(10L) === Seq("lo", "w", "est", "n", "e", "w", "est"))
+    // an empty merge table degrades to characters
+    assert(Bpe.tokenize(docs, "doc_id", "text", Seq.empty)
+      .as[(Long, Seq[String])].collect().head._2.take(6) ===
+      Seq("l", "o", "w", "e", "s", "t"))
+    // the tokenizer is a narrow per-row map — works unchanged at ingest
+    val mem = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, String)](spark)
+    assert(Bpe.tokenize(mem.toDF().toDF("doc_id", "text"),
+      "doc_id", "text", merges).isStreaming)
+  }
+
   test("minFreq caps the word table (the production-scale knob)") {
     val vocab = Bpe.wordFreq(corpus, "text", minFreq = 4)
       .as[(String, Long)].collect().toMap
