@@ -60,7 +60,10 @@ object Pca {
   def fit(df: DataFrame, emb: Column, dim: Int, k: Int): Model = {
     require(k > 0 && k <= dim, s"need 0 < k <= dim, got k=$k dim=$dim")
     val e = emb.cast("array<double>")
-    val meanRow = df
+    // NULL-vector rows must be out of BOTH passes: gram_agg skips them,
+    // and a count(*) that didn't would silently shrink the covariance
+    val rows = df.filter(e.isNotNull)
+    val meanRow = rows
       .select(posexplode(e).as(Seq("_p", "_x")))
       .groupBy("_p").agg(avg("_x").as("_m"))
       .orderBy("_p")
@@ -69,7 +72,7 @@ object Pca {
       s"expected $dim positions, saw ${meanRow.length} — is dim right?")
     val meanLit = typedlit(meanRow)
     val centered = transform(e, (x, i) => x - element_at(meanLit, i + 1))
-    val row = df.agg(
+    val row = rows.agg(
         call_function("gram_agg", centered, lit(dim)).as("_g"),
         count(lit(1)).as("_n"))
       .collect().head

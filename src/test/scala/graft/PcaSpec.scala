@@ -91,5 +91,10 @@ class PcaSpec extends SparkSpec {
     val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Seq[Double]](spark)
     val sdf = Pca.project(mem.toDF().toDF("emb"), col("emb"), model)
     assert(sdf.isStreaming)
+    // NULL-vector rows sit outside both fit passes: same model either way
+    val withNulls = df.union(Seq(Tuple1(null.asInstanceOf[Seq[Double]])).toDF("emb"))
+    val model2 = Pca.fit(withNulls, col("emb"), dim = 6, k = 3)
+    assert(model2.eigenvalues(0) === model.eigenvalues(0))
+    assert(model2.mean.toSeq === model.mean.toSeq)
   }
 }
