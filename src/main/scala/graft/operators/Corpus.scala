@@ -353,8 +353,16 @@ object Corpus {
     val extra = when(
       pmod(Dedup.portableHash64(key.cast("string")), lit(PpsM)) *
         col("_tmN") < rem * PpsM, 1L).otherwise(0L)
+    // a degenerate stratum (n=1 against a huge budget) would fan a single
+    // row into a budget-sized epoch array — refuse loudly instead of
+    // building it (cap any sane mix re-reads a source < 2^16 times)
+    val maxEpochs = 1L << 16
     withTemperatureTargets(df, stratum, budget)
-      .withColumn("_tmC", full + extra)
+      .withColumn("_tmC",
+        when(assert_true(full + extra <= maxEpochs,
+          lit(s"stratum would replicate past $maxEpochs epochs — shrink " +
+            "the budget or drop the degenerate stratum")).isNull,
+          full + extra))
       // sequence(1, 0) DESCENDS in Spark — guard the empty case explicitly
       .withColumn("epoch", explode(when(col("_tmC") >= 1,
         sequence(lit(1L), col("_tmC"))).otherwise(array().cast("array<long>"))))
