@@ -687,5 +687,30 @@ object TextQueries {
           count(lit(1)).as("n"),
           sum(col("value").cast(org.apache.spark.sql.types.DecimalType(18, 2)))
             .cast("double").as("total_value"))),
+
+    // hashed-linear quality classifier (fastText-style filter shape):
+    // margin = Σ over token occurrences of w[portable_hash(tok) % 64],
+    // integer weights ⇒ exact long arithmetic in both engines. The weight
+    // table here is the deterministic w[b] = b % 7 − 3 so the oracle can
+    // recompute it; production passes Classifier.trainPerceptron output.
+    // Spark side is scan + narrow project ONLY (weights are a literal
+    // array; no join, no shuffle — the empty-doc case needs the oracle's
+    // LEFT JOIN but costs Spark nothing).
+    Q("q_quality_classifier", Some("""
+      |WITH tok AS (
+      |  SELECT doc_id, unnest(regexp_split_to_array(lower(text), '\s+')) AS tk
+      |  FROM documents),
+      |m AS (
+      |  SELECT doc_id, CAST(sum(
+      |    (('0x' || substring(md5(tk), 1, 15))::BIGINT % 64) % 7 - 3) AS BIGINT) AS margin
+      |  FROM tok WHERE length(tk) > 0 GROUP BY doc_id)
+      |SELECT d.doc_id, coalesce(m.margin, 0) AS margin,
+      |  coalesce(m.margin, 0) > 0 AS keep
+      |FROM documents d LEFT JOIN m USING (doc_id)
+      |""".stripMargin.trim))(
+      (s, d) => graft.operators.Classifier.scoreLinear(
+          t(s, d, "documents").select("doc_id", "text"), "text",
+          weights = Array.tabulate(64)(b => (b % 7 - 3).toLong))
+        .select(col("doc_id"), col("margin"), (col("margin") > 0).as("keep"))),
   )
 }
