@@ -149,6 +149,50 @@ object Corpus {
         floor(col("n_rare").cast("double") / col("n_tokens") * 1e6 + 0.5) / 1e6)
   }
 
+  /** Corpus-typicality under a smoothed bigram language model — the
+    * model-based leg of perplexity-style quality filtering (CCNet-shape:
+    * score each document by how well a corpus LM predicts it), in the
+    * engine's exact-arithmetic house style: the score is the Laplace-
+    * smoothed mean corpus probability of the document's bigrams,
+    *
+    *   typicality = (Σᵢ c(gᵢ) + n) / (n · (N + V))
+    *
+    * with c(g) the corpus occurrence count of bigram g, n the document's
+    * bigram count, N total corpus bigram occurrences, V distinct corpus
+    * bigrams. Numerator and denominator are exact integer sums — ONE
+    * double division per document, so the score is bit-identical across
+    * engines/partitionings (a log-perplexity would float-drift; ranking
+    * by mean probability selects the same documents). Low typicality =
+    * unusual text (noise, other-language, boilerplate-free novelty);
+    * high = templated/common text.
+    *
+    * Scale shape: bigram counts are one partial-agg shuffle; scoring is
+    * an equi-join back on the bigram (both sides gram-keyed — never
+    * doc × doc) plus a per-doc partial agg; the (N, V) global row is a
+    * 1-row broadcast. The gram can be hashed ([[Dedup.portableHash64]])
+    * to shrink the shuffle at 100 TB; string grams here keep the oracle
+    * exact. Docs with < 2 tokens keep n_bigrams = 0, typicality NULL.
+    */
+  def bigramTypicality(docs: DataFrame, id: String, text: String): DataFrame = {
+    require(!Seq("n_bigrams", "typicality", "g").contains(id),
+      s"id column '$id' collides with bigramTypicality's columns")
+    val occ = ngramOccurrences(docs, id, text, 2)
+    val counts = occ.groupBy("g").agg(count(lit(1)).as("_bt_c"))
+    val global = counts.agg(
+      sum("_bt_c").as("_bt_n_total"), count(lit(1)).as("_bt_v"))
+    val perDoc = occ.join(counts, "g")
+      .groupBy(col(id))
+      .agg(count(lit(1)).as("n_bigrams"), sum("_bt_c").as("_bt_sum"))
+    docs.select(col(id)).join(perDoc, Seq(id), "left")
+      .crossJoin(broadcast(global))
+      .select(col(id),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        when(col("n_bigrams") > 0,
+          (col("_bt_sum") + col("n_bigrams")).cast("double") /
+            (col("n_bigrams") * (col("_bt_n_total") + col("_bt_v"))).cast("double"))
+          .as("typicality"))
+  }
+
   /** Per-stratum percentile quality gate: keep rows whose `score` is at
     * or above their stratum's `p`-quantile — "top half per source" style
     * filtering, the relative form of an absolute quality floor (absolute

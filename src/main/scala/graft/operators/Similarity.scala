@@ -320,6 +320,47 @@ object Similarity {
       .select("a_id", "b_id")
   }
 
+  /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
+    * deduplication — cluster the corpus, then drop every vector that has
+    * a near-duplicate (cosine ≥ `minCosine`) with a SMALLER id inside its
+    * own cluster. Each duplicate group keeps exactly one representative
+    * (its minimum id — the deterministic stand-in for the paper's
+    * arbitrary keeper); pairs in different clusters are never compared,
+    * which is the approximation that makes the op tractable.
+    *
+    * Scale shape: centroid assignment is NARROW ([[assignNarrow]] — the
+    * corpus is never shuffled for it); the pair search is a self-join
+    * keyed on `cell`, so the shuffle is one corpus-sized exchange on the
+    * cluster id and the pairwise work is Σ |cell|², bounded by the
+    * LARGEST CLUSTER, not the corpus. Size k (the centroid count) with
+    * the corpus — k ∝ n keeps E|cell| constant — and feed real
+    * [[kMeansCentroids]]; for skewed clusters too big to pair, run
+    * [[embeddingNearDups]] (LSH) inside the offending cell instead.
+    * No forced broadcast anywhere — AQE sizes the drop-set join.
+    *
+    * Output: the corpus keyed columns plus `cell` (assigned cluster) and
+    * `kept` (false ⇔ a smaller-id near-duplicate exists in the cell).
+    * Downstream keeps `kept` rows; the flag form (vs returning the
+    * filtered frame) is what audits and the oracle compare.
+    */
+  def semDedup(corpus: DataFrame, id: String, emb: String,
+      centroids: DataFrame, minCosine: Double): DataFrame = {
+    require(!Seq("cell", "kept").contains(id),
+      s"id column '$id' collides with semDedup's output columns")
+    val assigned = assignToCentroids(corpus.select(col(id), col(emb)), emb, centroids)
+      .localCheckpoint(true) // reused by both pair sides and the flag join
+    val l = assigned.select(col(id).as("_sd_a"), col(emb).as("_sd_av"), col("cell"))
+    val r = assigned.select(col(id).as("_sd_b"), col(emb).as("_sd_bv"), col("cell"))
+    val dropped = l.join(r, Seq("cell"))
+      .filter(col("_sd_a") < col("_sd_b") &&
+        cosineSim(col("_sd_av"), col("_sd_bv")) >= minCosine)
+      .select(col("_sd_b").as(id)).distinct()
+      .withColumn("_sd_drop", lit(true))
+    assigned.select(col(id), col("cell"))
+      .join(dropped, Seq(id), "left")
+      .select(col(id), col("cell"), col("_sd_drop").isNull.as("kept"))
+  }
+
   /** Squared L2 distance with double widening, left-to-right fold. */
   def sqDist(a: Column, b: Column): Column =
     aggregate(

@@ -181,6 +181,33 @@ object SimilarityQueries {
       (s, d) => Similarity.exactNearDupPairs(
         t(s, d, "embeddings"), "vec_id", "embedding", minCosine = 0.45)),
 
+    // SemDeDup: cluster (16 one-hot caller centroids — the production
+    // entry takes kMeansCentroids), drop within-cluster cosine near-dups
+    // keeping the min id. Oracle replays the identical L2 argmin (same
+    // fold, same struct tie-break) and pair predicate. τ = 0.45 sits
+    // where this corpus has real pairs (q_embed_neardup).
+    Q("q_semdedup", Some("""
+      |WITH dists AS (
+      |  SELECT e.vec_id, e.embedding, t.j,
+      |    list_sum(list_transform(range(1, 65), i ->
+      |      (e.embedding[i]::DOUBLE - CASE WHEN i - 1 = t.j THEN 1.0 ELSE 0.0 END)
+      |    * (e.embedding[i]::DOUBLE - CASE WHEN i - 1 = t.j THEN 1.0 ELSE 0.0 END))) AS d
+      |  FROM embeddings e CROSS JOIN generate_series(0, 15) AS t(j)),
+      |a AS (SELECT vec_id, any_value(embedding) AS embedding,
+      |  CAST(min({'k': d, 'cell': j}).cell AS INT) AS cell
+      |  FROM dists GROUP BY vec_id),
+      |b AS (SELECT vec_id, embedding, cell,
+      |  sqrt(list_sum(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE))) AS nrm FROM a),
+      |drp AS (SELECT DISTINCT y.vec_id FROM b x JOIN b y ON x.cell = y.cell AND x.vec_id < y.vec_id
+      |  WHERE list_sum(list_transform(range(1, 65), i -> x.embedding[i]::DOUBLE * y.embedding[i]::DOUBLE))
+      |        / (x.nrm * y.nrm) >= 0.45)
+      |SELECT b.vec_id, b.cell, (drp.vec_id IS NULL) AS kept
+      |FROM b LEFT JOIN drp ON b.vec_id = drp.vec_id
+      |""".stripMargin.trim))(
+      (s, d) => Similarity.semDedup(
+        t(s, d, "embeddings"), "vec_id", "embedding",
+        centroids = seededCentroids(s), minCosine = 0.45)),
+
     // int8 quantization: per-vector symmetric scale, floor(x·s + 0.5)
     // mapping (identical in every engine, unlike round-half). Output is
     // integer stats of the quantized vector — exact compare.

@@ -93,6 +93,27 @@ object TextQueries {
       (s, d) => graft.operators.Corpus.rareTokenStats(
         t(s, d, "documents"), "doc_id", "text", rareDen = 10)),
 
+    // smoothed-bigram-LM corpus typicality (the perplexity-filter shape,
+    // exact-arithmetic variant): integer count sums + ONE double division
+    // per doc — bit-identical in both engines. Gram-keyed equi-join, never
+    // doc×doc; (N, V) is a 1-row broadcast.
+    Q("q_lm_typicality", Some("""
+      |WITH tk AS (SELECT doc_id, regexp_split_to_array(lower(text), '\s+') AS toks FROM documents),
+      |st AS (SELECT doc_id, toks, unnest(range(0, greatest(len(toks) - 1, 0))) AS i FROM tk),
+      |occ AS (SELECT doc_id, toks[i + 1] || ' ' || toks[i + 2] AS g FROM st),
+      |c AS (SELECT g, count(*) AS c FROM occ GROUP BY g),
+      |gl AS (SELECT CAST(sum(c) AS BIGINT) AS n_total, count(*) AS v_distinct FROM c),
+      |pd AS (SELECT doc_id, count(*) AS n_bigrams, CAST(sum(c.c) AS BIGINT) AS sum_c
+      |  FROM occ JOIN c USING (g) GROUP BY doc_id)
+      |SELECT d.doc_id, coalesce(pd.n_bigrams, 0) AS n_bigrams,
+      |  CASE WHEN pd.n_bigrams > 0 THEN
+      |    CAST(pd.sum_c + pd.n_bigrams AS DOUBLE)
+      |      / CAST(pd.n_bigrams * (gl.n_total + gl.v_distinct) AS DOUBLE) END AS typicality
+      |FROM documents d LEFT JOIN pd USING (doc_id) CROSS JOIN gl
+      |""".stripMargin.trim))(
+      (s, d) => graft.operators.Corpus.bigramTypicality(
+        t(s, d, "documents"), "doc_id", "text")),
+
     // PII redaction — the release gate on any shared corpus. The synthetic
     // documents carry no real PII, so the query derives a deterministic
     // contact line per doc IN BOTH ENGINES (same concat, same doc_id

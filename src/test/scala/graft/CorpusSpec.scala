@@ -386,4 +386,27 @@ class CorpusSpec extends SparkSpec {
     assert(out(3L) === ((2L, 1L, 0.5))) // zzz appears in one doc only
     assert(out(4L) === ((3L, 0L, 0.0)))
   }
+
+  test("bigramTypicality: exact smoothed mean bigram probability; short docs NULL") {
+    // corpus bigrams: "a b" ×2 (docs 1,2), "b c" ×1 (doc 1), "x y" ×1
+    // (doc 3) → N = 4 occurrences, V = 3 distinct, N + V = 7
+    val docs = Seq(
+      (1L, "a b c"),   // grams: "a b"(c=2), "b c"(c=1) → n=2, Σc=3
+      (2L, "a b"),     // "a b"(c=2)                    → n=1, Σc=2
+      (3L, "x y"),     // "x y"(c=1)                    → n=1, Σc=1
+      (4L, "solo"),    // < 2 tokens → n=0, NULL
+      (5L, ""))        // empty → single "" token → n=0, NULL
+      .toDF("doc_id", "text")
+    val out = Corpus.bigramTypicality(docs, "doc_id", "text")
+      .select("doc_id", "n_bigrams", "typicality")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), if (r.isNullAt(2)) None else Some(r.getDouble(2))))).toMap
+    assert(out(1L) === ((2L, Some((3.0 + 2.0) / (2.0 * 7.0)))))
+    assert(out(2L) === ((1L, Some((2.0 + 1.0) / (1.0 * 7.0)))))
+    assert(out(3L) === ((1L, Some((1.0 + 1.0) / (1.0 * 7.0)))))
+    assert(out(4L) === ((0L, None)))
+    assert(out(5L) === ((0L, None)))
+    // the common-bigram doc ranks above the rare-bigram doc
+    assert(out(2L)._2.get > out(3L)._2.get)
+  }
 }

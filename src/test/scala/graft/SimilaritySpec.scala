@@ -224,4 +224,59 @@ class SimilaritySpec extends SparkSpec {
       .as[(Long, Long)].collect().toSet
     assert(pairs === Set((0L, 1L)))
   }
+
+  test("semDedup keeps the min id of each within-cluster duplicate group") {
+    // two clusters along axes 0 and 1; ids 0,1,2 are near-identical in
+    // cluster 0 (min id 0 survives), ids 10,11 near-identical in cluster 1
+    // (10 survives), id 3 sits in cluster 0 but far from the dup group
+    val vecs = Seq(
+      (0L,  Seq(1f, 0f, 0.01f, 0f)),
+      (1L,  Seq(1f, 0f, 0.02f, 0f)),
+      (2L,  Seq(1f, 0f, 0.03f, 0f)),
+      (3L,  Seq(0.6f, 0.1f, -0.75f, 0f)), // cluster 0, cosine ~0.6 to the group
+      (10L, Seq(0f, 1f, 0f, 0.01f)),
+      (11L, Seq(0f, 1f, 0f, 0.02f))
+    ).toDF("vec_id", "embedding")
+    val cents = Seq(
+      (0, Seq(1f, 0f, 0f, 0f)), (1, Seq(0f, 1f, 0f, 0f))
+    ).toDF("cell", "c_emb")
+    val out = Similarity.semDedup(vecs, "vec_id", "embedding", cents, minCosine = 0.95)
+      .as[(Long, Int, Boolean)].collect().toSet
+    assert(out === Set(
+      (0L, 0, true), (1L, 0, false), (2L, 0, false),
+      (3L, 0, true), (10L, 1, true), (11L, 1, false)))
+  }
+
+  test("semDedup never pairs across clusters even above the threshold") {
+    // identical vectors forced into different cells by degenerate
+    // centroids equal to the ids' own positions? No — same vector always
+    // lands in one cell. Instead: two near-identical vectors whose tiny
+    // difference flips the argmin between two near-equidistant centroids.
+    val vecs = Seq(
+      (0L, Seq(0.51f, 0.49f)),
+      (1L, Seq(0.49f, 0.51f)) // cosine ~0.9992 with id 0, different cell
+    ).toDF("vec_id", "embedding")
+    val cents = Seq(
+      (0, Seq(1f, 0f)), (1, Seq(0f, 1f))
+    ).toDF("cell", "c_emb")
+    val out = Similarity.semDedup(vecs, "vec_id", "embedding", cents, minCosine = 0.99)
+      .as[(Long, Int, Boolean)].collect().toSet
+    // both kept: the cluster partition hides the cross-cell pair (the
+    // documented SemDeDup approximation)
+    assert(out === Set((0L, 0, true), (1L, 1, true)))
+  }
+
+  test("semDedup drop set matches exactNearDupPairs restricted to same-cell pairs") {
+    val se = queries.SimilarityQueries.seededCorpus(spark, sf)
+    val cents = Similarity.kMeansCentroids(se, "vec_id", "emb", k = 16, iters = 1)
+    val out = Similarity.semDedup(se, "vec_id", "emb", cents, minCosine = 0.9)
+    val cellOf = out.select("vec_id", "cell").as[(Long, Int)].collect().toMap
+    val dropped = out.filter(!col("kept")).select("vec_id").as[Long].collect().toSet
+    val allPairs = Similarity.exactNearDupPairs(se, "vec_id", "emb", minCosine = 0.9)
+      .as[(Long, Long)].collect()
+    val expectDropped = allPairs
+      .filter { case (a, b) => cellOf(a) == cellOf(b) }.map(_._2).toSet
+    assert(dropped === expectDropped)
+    assert(dropped.nonEmpty, "seeded corpus must contain same-cell near-dups at 0.9")
+  }
 }
