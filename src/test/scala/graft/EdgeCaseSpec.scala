@@ -33,6 +33,25 @@ class EdgeCaseSpec extends SparkSpec {
     }
   }
 
+  test("semDedup and bigramTypicality handle empty and degenerate corpora") {
+    import graft.operators.Corpus
+    val cents = Seq((0, Seq(1f, 0f)), (1, Seq(0f, 1f))).toDF("cell", "c_emb")
+    val emptyVecs = Seq.empty[(Long, Seq[Float])].toDF("vec_id", "embedding")
+    assert(Similarity.semDedup(emptyVecs, "vec_id", "embedding", cents, 0.9).count() === 0)
+    // single vector: trivially kept
+    val one = Seq((7L, Seq(1f, 0f))).toDF("vec_id", "embedding")
+    val kept = Similarity.semDedup(one, "vec_id", "embedding", cents, 0.9)
+      .select("vec_id", "kept").as[(Long, Boolean)].collect().toSeq
+    assert(kept === Seq((7L, true)))
+    // typicality: empty corpus → empty; all-identical docs → typicality 1
+    // under full smoothing collapse (N=2, V=1 → (2+1)/(1·3) = 1.0)
+    assert(Corpus.bigramTypicality(emptyDocs, "doc_id", "text").count() === 0)
+    val twins = Seq((1L, "a b"), (2L, "a b")).toDF("doc_id", "text")
+    val ty = Corpus.bigramTypicality(twins, "doc_id", "text")
+      .select("typicality").as[Double].collect().toSeq
+    assert(ty === Seq(1.0, 1.0))
+  }
+
   test("CMS estimate of a never-inserted item is 0; sketch of empty input is empty") {
     import graft.functions.Sketches
     val sketch = Sketches.cmsBuild(

@@ -422,6 +422,33 @@ class PlanShapeSpec extends SparkSpec {
       s"raw CMS rows crossed a shuffle un-aggregated:\n${offenders.mkString("\n---\n")}")
   }
 
+  test("semdedup: pair search equi-joins on the cell; drop-set join AQE-sized") {
+    val df = q("q_semdedup")
+    // the assignment (narrow, packed-centroid NL on a 1-row side) sits
+    // behind the localCheckpoint; the visible plan is the pair self-join
+    // + distinct + flag join, and none of it may go quadratic or carry a
+    // forced broadcast of the corpus-sized drop set
+    assert(countNodes(df, "CartesianProduct") === 0)
+    assert(countNodes(df, "BroadcastNestedLoopJoin") === 0)
+    assert(broadcastHintedLeaves(df).isEmpty,
+      "semDedup must not force-broadcast any side — AQE sizes the joins")
+    val fmt = formatted(df)
+    assert(fmt.linesIterator.exists(l => l.contains("keys") && l.contains("cell")),
+      "pair search lost its cell equi-join")
+    assert(mentions(df, "ExistingRDD"),
+      "assignment checkpoint boundary missing — pair sides would recompute it")
+  }
+
+  test("lm_typicality: gram-keyed joins, 1-row global broadcast, pruned scan") {
+    val df = q("q_lm_typicality")
+    assert(countNodes(df, "CartesianProduct") === 0)
+    // the only nested-loop join is the (N, V) single-row global broadcast
+    assert(countNodes(df, "BroadcastNestedLoopJoin") === 1)
+    assert(countNodes(df, "Window") === 0, "no corpus-wide window allowed")
+    assert(readSchemas(df).forall(s => !s.contains("lang") && !s.contains("source")),
+      "documents scan must prune to (doc_id, text)")
+  }
+
   test("k-means: assignment narrow — corpus vectors never cross a hash shuffle") {
     // the argmin is a per-row fold over the packed broadcast centroids;
     // the cross-join + groupBy-argmin alternative would hash-shuffle every
