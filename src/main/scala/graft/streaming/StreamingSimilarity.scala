@@ -56,6 +56,53 @@ object StreamingSimilarity {
       }
   }
 
+  final case class Admission(vec_id: Long, cell: Int, kept: Boolean)
+
+  /** Online SemDeDup at ingest — the streaming twin of
+    * [[Similarity.semDedup]]: each arriving vector is assigned to its
+    * centroid cell (narrow stream–static broadcast, same
+    * `assignToCentroids` fold as the batch op) and admitted iff no
+    * ALREADY-ADMITTED vector in that cell has cosine ≥ `minCosine`.
+    * Batch keeps each duplicate group's min id; the stream keeps its
+    * FIRST ARRIVAL — the only causal choice online, and identical when
+    * ids arrive in order.
+    *
+    * State per cell = admitted vectors only (rejected duplicates are
+    * dropped, so state grows with the cell's DISTINCT content, not the
+    * stream). Cells are the shuffle key; skew = an over-hot centroid,
+    * fixed by re-training k upward, exactly as in batch.
+    *
+    * Within one micro-batch the group iterator's order is NOT a Spark
+    * guarantee, so rows are folded in ascending id order — decisions are
+    * deterministic across retries/partitionings, and a batch whose ids
+    * arrive together resolves exactly like the batch op (min id wins).
+    */
+  def semDedupAtIngest(
+      vectors: DataFrame, id: String, emb: String,
+      centroids: DataFrame, minCosine: Double): Dataset[Admission] = {
+    val spark = vectors.sparkSession
+    import spark.implicits._
+    graft.GraftExtensions.ensure(spark)
+    Similarity.assignToCentroids(
+        vectors.select(col(id).cast("long").as("vid"), col(emb).as("v")), "v", centroids)
+      .select(col("cell"), col("vid"), col("v"))
+      .as[(Int, Long, Seq[Float])]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[List[(Long, Seq[Float])], Admission](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout) {
+        (cell, rows, state) =>
+          var admitted = state.getOption.getOrElse(Nil)
+          val out = Seq.newBuilder[Admission]
+          rows.toSeq.sortBy(_._2).foreach { case (_, vid, v) =>
+            val dup = admitted.exists { case (_, pv) => cosineLocal(pv, v) >= minCosine }
+            if (!dup) admitted = (vid, v) :: admitted
+            out += Admission(vid, cell, !dup)
+          }
+          state.update(admitted)
+          out.result().iterator
+      }
+  }
+
   /** Same arithmetic as the `cosine_sim` expression (per-element double
     * widening, left fold) — JVM-side because state rows live off-plan.
     */

@@ -330,6 +330,40 @@ class StreamingOpsSpec extends SparkSpec {
     assert(pairs === Set((1L, 3L)))
   }
 
+  test("streaming semdedup: first arrival admitted, later near-dups rejected per cell") {
+    val cents = Seq(
+      (0, Seq(1f, 0f, 0f, 0f)), (1, Seq(0f, 1f, 0f, 0f))
+    ).toDF("cell", "c_emb")
+    val mem = MemoryStream[(Long, Seq[Float])]
+    val out = graft.streaming.StreamingSimilarity.semDedupAtIngest(
+      mem.toDF().toDF("vec_id", "embedding"), "vec_id", "embedding",
+      cents, minCosine = 0.95)
+    val q = out.writeStream.format("memory").queryName("semdedup_sink")
+      .outputMode("append").start()
+    try {
+      // batch 1: 5 and 9 are near-identical in cell 0 — the smaller id of
+      // the batch (5) wins, exactly as the batch operator would pick
+      mem.addData(
+        (9L, Seq(1f, 0.02f, 0f, 0f)),
+        (5L, Seq(1f, 0.03f, 0f, 0f)),
+        (2L, Seq(0f, 1f, 0f, 0.1f))) // alone in cell 1
+      q.processAllAvailable()
+      // batch 2: a later duplicate of the ADMITTED vector is rejected even
+      // though it has a smaller id than the survivor; a novel direction in
+      // cell 0 is admitted
+      mem.addData(
+        (1L, Seq(1f, 0.01f, 0f, 0f)),
+        (8L, Seq(0.7f, 0f, 0.72f, 0f))) // cell 0, cosine ~0.7 to admitted
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("semdedup_sink")
+      .as[graft.streaming.StreamingSimilarity.Admission].collect()
+      .map(a => a.vec_id -> ((a.cell, a.kept))).toMap
+    assert(got === Map(
+      5L -> ((0, true)), 9L -> ((0, false)), 2L -> ((1, true)),
+      1L -> ((0, false)), 8L -> ((0, true))))
+  }
+
   test("withRetries retries transient failures, then succeeds") {
     var calls = 0
     val out = Resilience.withRetries(attempts = 3, intervalMs = 1) {
