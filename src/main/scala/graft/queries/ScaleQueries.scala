@@ -23,6 +23,29 @@ object ScaleQueries {
           col("o_custkey"), col("c_custkey"), salts = 8)
           .select("o_orderkey", "o_custkey", "c_name")),
 
+    // Z-order layout values over (user_id, ts): equi-width integer
+    // bucketing against a 1-row min/max broadcast, then Morton interleave
+    // — all BIGINT ops (`div` == `//` on non-negatives), exact past 2^53
+    // where ts nanos live. The write-side rewrite (range shuffle + sort)
+    // is Layout.zOrderLayout; the values are what the oracle can hash.
+    Q("q_zorder", Some("""
+      |WITH e AS (SELECT event_id, CAST(user_id AS BIGINT) AS x, epoch_ns(ts) AS y FROM events),
+      |mm AS (SELECT min(x) AS xmin, max(x) AS xmax, min(y) AS ymin, max(y) AS ymax FROM e),
+      |b AS (SELECT event_id, bx, by FROM (
+      |  SELECT event_id,
+      |    (x - xmin) // (((xmax - xmin) // 256) + 1) AS bx,
+      |    (y - ymin) // (((ymax - ymin) // 256) + 1) AS by
+      |  FROM e CROSS JOIN mm))
+      |SELECT event_id, bx, by,
+      |  CAST(list_sum(list_transform(range(0, 8), i ->
+      |    ((bx >> i) & 1) * (1::BIGINT << (2*i)) + ((by >> i) & 1) * (1::BIGINT << (2*i+1)))) AS BIGINT) AS zvalue
+      |FROM b
+      |""".stripMargin.trim))(
+      (s, d) => graft.operators.Layout.zOrderValue(
+          t(s, d, "events").select("event_id", "user_id", "ts"),
+          "user_id", "ts", bits = 8)
+        .select("event_id", "bx", "by", "zvalue")),
+
     // event-time sessionization (30-minute inactivity gap) via Spark's
     // native session_window; oracle = the gaps-and-islands construction.
     // ts is nanos-as-long; both engines work in exact integer micros.

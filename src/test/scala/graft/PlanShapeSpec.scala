@@ -449,6 +449,24 @@ class PlanShapeSpec extends SparkSpec {
       "documents scan must prune to (doc_id, text)")
   }
 
+  test("zorder: narrow value computation — 1-row min/max broadcast, no hash shuffle") {
+    val df = q("q_zorder")
+    assert(countNodes(df, "CartesianProduct") === 0)
+    assert(countNodes(df, "BroadcastNestedLoopJoin") === 1,
+      "exactly the single-row min/max broadcast")
+    assert(countNodes(df, "Window") === 0)
+    // the only exchange feeds the global min/max agg, never the data side
+    val fmt = formatted(df)
+    assert(!fmt.contains("Exchange hashpartitioning"),
+      "zvalue computation must not hash-shuffle the events scan")
+    // the write-side rewrite adds exactly one range exchange
+    val laid = graft.operators.Layout.zOrderLayout(
+      graft.queries.Tables.t(spark, sf, "events").select("event_id", "user_id", "ts"),
+      "user_id", "ts", bits = 8, numFiles = 4)
+    assert(formatted(laid).contains("rangepartitioning"),
+      "layout rewrite lost its range shuffle")
+  }
+
   test("k-means: assignment narrow — corpus vectors never cross a hash shuffle") {
     // the argmin is a per-row fold over the packed broadcast centroids;
     // the cross-join + groupBy-argmin alternative would hash-shuffle every
