@@ -510,4 +510,41 @@ object Dedup {
         (max(col("s")) + lit(n) - min(col("s"))).as("span_tokens"))
       .drop("_span")
   }
+
+  /** Applies [[dupSpans]]: rebuilds each document in normalized token
+    * space (lowercased, single-space joined) with every duplicated span
+    * CUT — all occurrences go, the aggressive form of suffix-array dedup
+    * (boilerplate is noise wherever it repeats; the keep-one-copy policy
+    * is a per-span choice this operator deliberately does not make).
+    *
+    * The span list joins back per document (id-keyed shuffle, spans ≪
+    * corpus) and the cut itself is a narrow per-row fold: token i
+    * survives iff no span covers it. Documents with nothing duplicated
+    * pass through intact; a fully-covered document becomes empty (0
+    * tokens, md5 of "") rather than disappearing — the caller decides
+    * whether to drop empties.
+    *
+    * Output: (id, kept_tokens, cleaned_md5) — the digest form keeps the
+    * cross-engine compare exact; callers wanting the text itself take
+    * [[dupSpans]] and cut inline with the same fold.
+    */
+  def stripDupSpans(docs: DataFrame, id: String, text: String, n: Int): DataFrame = {
+    val spans = dupSpans(docs, id, text, n)
+      .groupBy(col(id))
+      .agg(collect_list(struct(col("span_start"), col("span_tokens"))).as("_ds_spans"))
+    docs.join(spans, Seq(id), "left")
+      .withColumn("_ds_toks", split(lower(col(text)), "\\s+"))
+      .withColumn("_ds_kept",
+        filter(
+          transform(sequence(lit(0), size(col("_ds_toks")) - 1),
+            i => struct(i.as("p"), element_at(col("_ds_toks"), i + 1).as("t"))),
+          s => !coalesce( // docs without spans joined NULL → keep everything
+            exists(col("_ds_spans"),
+              sp => s.getField("p") >= sp.getField("span_start") &&
+                s.getField("p") < sp.getField("span_start") + sp.getField("span_tokens")),
+            lit(false))))
+      .select(col(id),
+        size(col("_ds_kept")).cast("long").as("kept_tokens"),
+        md5(array_join(transform(col("_ds_kept"), _.getField("t")), " ")).as("cleaned_md5"))
+  }
 }

@@ -194,6 +194,32 @@ object DedupQueries {
       |FROM isl GROUP BY doc_id, span
       |""".stripMargin.trim))(
       (s, d) => Dedup.dupSpans(spread(s, d), "doc_id", "text", n = 8)),
+
+    // the apply half of exact-substring dedup: cut every duplicated span
+    // and rebuild (normalized token space). Digest output keeps the
+    // compare exact; fully-cut docs survive as (0, md5('')).
+    Q("q_dup_spans_apply", Some("""
+      |WITH toks AS (SELECT doc_id, regexp_split_to_array(lower(text), '\s+') AS tk FROM documents),
+      |st AS (SELECT doc_id, tk, unnest(range(0, greatest(len(tk) - 7, 0))) AS s FROM toks),
+      |occ AS (SELECT doc_id, s, md5(array_to_string(tk[s + 1 : s + 8], ' ')) AS g FROM st),
+      |dup AS (SELECT g FROM occ GROUP BY g HAVING count(*) >= 2),
+      |hits AS (SELECT o.doc_id, o.s FROM occ o JOIN dup USING (g)),
+      |m AS (SELECT doc_id, s, max(s + 8) OVER (PARTITION BY doc_id ORDER BY s
+      |  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pe FROM hits),
+      |isl AS (SELECT doc_id, s, sum(CASE WHEN pe IS NULL OR s > pe THEN 1 ELSE 0 END)
+      |  OVER (PARTITION BY doc_id ORDER BY s) AS span FROM m),
+      |spans AS (SELECT doc_id, min(s) AS st, max(s) + 8 AS en FROM isl GROUP BY doc_id, span),
+      |pos AS (SELECT doc_id, tk, unnest(range(0, len(tk))) AS p FROM toks),
+      |kept AS (SELECT p.doc_id, p.p, p.tk[p.p + 1] AS t FROM pos p
+      |  WHERE NOT EXISTS (SELECT 1 FROM spans sp
+      |    WHERE sp.doc_id = p.doc_id AND p.p >= sp.st AND p.p < sp.en)),
+      |agg AS (SELECT doc_id, count(*) AS kept_tokens,
+      |  md5(string_agg(t, ' ' ORDER BY p)) AS cleaned_md5 FROM kept GROUP BY doc_id)
+      |SELECT d.doc_id, coalesce(a.kept_tokens, 0) AS kept_tokens,
+      |  coalesce(a.cleaned_md5, md5('')) AS cleaned_md5
+      |FROM documents d LEFT JOIN agg a USING (doc_id)
+      |""".stripMargin.trim))(
+      (s, d) => Dedup.stripDupSpans(spread(s, d), "doc_id", "text", n = 8)),
   )
 
   /** Oracle-side SimHash over the portable hash: one row per (doc, token),

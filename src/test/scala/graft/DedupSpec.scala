@@ -143,6 +143,26 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("stripDupSpans cuts exactly the marked spans; clean docs pass intact") {
+    def md5Of(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val corpus = Seq(
+      (1L, "a b c d e f g h"),           // span [0,4) cut → "e f g h"
+      (2L, "x x a b c d y z"),           // span [2,6) cut → "x x y z"
+      (3L, "p q r s t u v w"),           // untouched
+      (4L, "m n o m n o m n o"),         // fully covered → empty
+      (5L, "a b c z1 z2 z3 z4 a b c z5") // two islands cut → "z1 z2 z3 z4 z5"
+    ).toDF("doc_id", "text")
+    val out = Dedup.stripDupSpans(corpus, "doc_id", "text", n = 3)
+      .as[(Long, Long, String)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(out(1L) === ((4L, md5Of("e f g h"))))
+    assert(out(2L) === ((4L, md5Of("x x y z"))))
+    assert(out(3L) === ((8L, md5Of("p q r s t u v w"))))
+    assert(out(4L) === ((0L, md5Of(""))))
+    assert(out(5L) === ((5L, md5Of("z1 z2 z3 z4 z5"))))
+  }
+
   test("portableHash64 matches the md5-prefix definition") {
     val h = Seq(Tuple1("hello")).toDF("t")
       .select(Dedup.portableHash64(col("t"))).as[Long].head()
