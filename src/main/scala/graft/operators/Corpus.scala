@@ -149,6 +149,29 @@ object Corpus {
         floor(col("n_rare").cast("double") / col("n_tokens") * 1e6 + 0.5) / 1e6)
   }
 
+  /** Release-to-release corpus delta: full-outer join of two snapshots on
+    * the document key, comparing content digests — the audit artifact a
+    * dataset release ships ("N added, M removed, K changed") and the
+    * input to incremental reprocessing (only `added`/`changed` docs
+    * re-enter the pipeline; `same` docs keep their cached derivations).
+    *
+    * One digest projection per side (narrow) + one id-keyed full-outer
+    * shuffle join — at 100 TB both sides prune to (id, 16-byte digest)
+    * before the exchange, never hauling text. Output: (id, status) with
+    * status ∈ added | removed | changed | same.
+    */
+  def snapshotDiff(oldSnap: DataFrame, newSnap: DataFrame,
+      id: String, text: String): DataFrame = {
+    val o = oldSnap.select(col(id), md5(col(text)).as("_sd_old"))
+    val n = newSnap.select(col(id), md5(col(text)).as("_sd_new"))
+    o.join(n, Seq(id), "full_outer")
+      .select(col(id),
+        when(col("_sd_old").isNull, lit("added"))
+          .when(col("_sd_new").isNull, lit("removed"))
+          .when(col("_sd_old") =!= col("_sd_new"), lit("changed"))
+          .otherwise(lit("same")).as("status"))
+  }
+
   /** Corpus-typicality under a smoothed bigram language model — the
     * model-based leg of perplexity-style quality filtering (CCNet-shape:
     * score each document by how well a corpus LM predicts it), in the

@@ -93,6 +93,33 @@ object TextQueries {
       (s, d) => graft.operators.Corpus.rareTokenStats(
         t(s, d, "documents"), "doc_id", "text", rareDen = 10)),
 
+    // snapshot diff between two derived releases of the corpus (old drops
+    // ids ≡ 0 mod 10; new drops ids ≡ 0 mod 7 and appends ' v2' to ids
+    // ≡ 0 mod 5): the added/removed/changed/same audit both engines
+    // derive identically. Digest-only full-outer join — text never
+    // crosses the shuffle.
+    Q("q_corpus_diff", Some("""
+      |WITH old AS (SELECT doc_id, md5(text) AS h FROM documents WHERE doc_id % 10 != 0),
+      |new AS (SELECT doc_id,
+      |  md5(CASE WHEN doc_id % 5 = 0 THEN text || ' v2' ELSE text END) AS h
+      |  FROM documents WHERE doc_id % 7 != 0)
+      |SELECT coalesce(old.doc_id, new.doc_id) AS doc_id,
+      |  CASE WHEN old.h IS NULL THEN 'added'
+      |       WHEN new.h IS NULL THEN 'removed'
+      |       WHEN old.h != new.h THEN 'changed'
+      |       ELSE 'same' END AS status
+      |FROM old FULL OUTER JOIN new ON old.doc_id = new.doc_id
+      |""".stripMargin.trim))(
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        graft.operators.Corpus.snapshotDiff(
+          docs.filter(col("doc_id") % 10 =!= 0),
+          docs.filter(col("doc_id") % 7 =!= 0)
+            .withColumn("text", when(col("doc_id") % 5 === 0,
+              concat(col("text"), lit(" v2"))).otherwise(col("text"))),
+          "doc_id", "text")
+      }),
+
     // smoothed-bigram-LM corpus typicality (the perplexity-filter shape,
     // exact-arithmetic variant): integer count sums + ONE double division
     // per doc — bit-identical in both engines. Gram-keyed equi-join, never

@@ -387,6 +387,21 @@ class CorpusSpec extends SparkSpec {
     assert(out(4L) === ((3L, 0L, 0.0)))
   }
 
+  test("snapshotDiff classifies added/removed/changed/same") {
+    val oldS = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("doc_id", "text")
+    val newS = Seq((2L, "b"), (3L, "C2"), (4L, "d")).toDF("doc_id", "text")
+    val out = Corpus.snapshotDiff(oldS, newS, "doc_id", "text")
+      .as[(Long, String)].collect().toMap
+    assert(out === Map(
+      1L -> "removed", 2L -> "same", 3L -> "changed", 4L -> "added"))
+    // empty sides: everything added / everything removed
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    assert(Corpus.snapshotDiff(empty, newS, "doc_id", "text")
+      .filter(col("status") =!= "added").count() === 0)
+    assert(Corpus.snapshotDiff(oldS, empty, "doc_id", "text")
+      .filter(col("status") =!= "removed").count() === 0)
+  }
+
   test("bigramTypicality: exact smoothed mean bigram probability; short docs NULL") {
     // corpus bigrams: "a b" ×2 (docs 1,2), "b c" ×1 (doc 1), "x y" ×1
     // (doc 3) → N = 4 occurrences, V = 3 distinct, N + V = 7
