@@ -375,8 +375,10 @@ object Corpus {
     * identical weights; the target division runs on an exactly-representable
     * dividend (budget·w_s < 2^52 under the `require`d bounds, so the floor
     * is the true integer quotient) and the membership test
-    * u(key)·n_s < t_s·M is pure long arithmetic (M = 2^20). Stratum sizes
-    * are assert-checked < 2^42 at run time so overflow fails loudly.
+    * u(key)·n_s < t_s·M is exact decimal arithmetic over the full 60-bit
+    * hash space (M = 2^60 — see [[tmKeep]]). Stratum sizes are
+    * assert-checked < 2^42 at run time so a pathological histogram fails
+    * loudly.
     *
     * Plan: one partial-agg shuffle builds the stratum histogram (rows =
     * stratum cardinality), a one-row Σw broadcasts back over it, and the
@@ -390,8 +392,7 @@ object Corpus {
     // target (a plain === join would silently drop those rows; sampleMix
     // keeps them at the default rate — same contract here)
     withTemperatureTargets(df, stratum, budget)
-      .filter(pmod(Dedup.portableHash64(key.cast("string")), lit(PpsM)) *
-        col("_tmN") < col("_tmT") * PpsM)
+      .filter(tmKeep(key, col("_tmN"), col("_tmT")))
       .drop("_tmS", "_tmN", "_tmT")
 
   /** Epoch-aware temperature mixing: [[sampleTemperature]] that can also
@@ -407,8 +408,8 @@ object Corpus {
     * Exactness: ⌊t/n⌋ and t mod n run on exact longs (the division is a
     * double divide of an EXACT multiple, hence correctly rounded to the
     * exact quotient), and the fractional test is [[sampleTemperature]]'s
-    * long-arithmetic membership — every engine reproduces the mix
-    * bit-for-bit. Plan: the same histogram + broadcast-target join; the
+    * full-hash-space decimal membership ([[tmKeep]]) — every engine
+    * reproduces the mix bit-for-bit. Plan: the same histogram + broadcast-target join; the
     * replication is a narrow explode of a ≤(1+⌊t/n⌋)-element sequence.
     */
   def mixEpochs(df: DataFrame, key: Column, stratum: Column,
@@ -417,9 +418,7 @@ object Corpus {
       "input already has an epoch column — the mix would shadow it")
     val rem = pmod(col("_tmT"), col("_tmN"))
     val full = ((col("_tmT") - rem).cast("double") / col("_tmN")).cast("long")
-    val extra = when(
-      pmod(Dedup.portableHash64(key.cast("string")), lit(PpsM)) *
-        col("_tmN") < rem * PpsM, 1L).otherwise(0L)
+    val extra = when(tmKeep(key, col("_tmN"), rem), 1L).otherwise(0L)
     // a degenerate stratum (n=1 against a huge budget) would fan a single
     // row into a budget-sized epoch array — refuse loudly instead of
     // building it (cap any sane mix re-reads a source < 2^16 times)
@@ -436,7 +435,17 @@ object Corpus {
       .drop("_tmS", "_tmN", "_tmT", "_tmC")
   }
 
-  private val PpsM = 1L << 20
+  /** Temperature-membership test u(key)·n_s < t_s·M in the full 60-bit
+    * hash space (M = [[ppsM]] = 2^60), exact decimal(38,0) arithmetic:
+    * u < 2^60 and n_s < 2^42 keep u·n_s < 2^102 < 10^38, so rates far
+    * below the old 2^-20 bucket resolution still realize their true
+    * probability (to < 2^-60 absolute). Shared by [[sampleTemperature]]
+    * and [[mixEpochs]]' fractional-epoch test so the two cannot drift.
+    */
+  private def tmKeep(key: Column, n: Column, t: Column): Column =
+    Dedup.portableHash64(key.cast("string")).cast("decimal(19,0)") *
+      n.cast("decimal(19,0)") <
+      t.cast("decimal(19,0)") * lit(ppsM).cast("decimal(19,0)")
 
   /** The shared temperature machinery: stratum histogram → ⌊√n⌋ weights →
     * integer targets t_s = ⌊budget·w_s/Σw⌋, joined back (null-safe,
@@ -450,12 +459,12 @@ object Corpus {
         "integer range")
     Seq("_tmS", "_tmN", "_tmW", "_tmSumW", "_tmT").foreach(c =>
       require(!df.columns.contains(c), s"input already has a $c column"))
-    val maxN = 1L << 42 // keeps u·n_s inside long arithmetic
+    val maxN = 1L << 42 // keeps u·n_s well inside decimal(38,0) exactness
     val counts = df.groupBy(stratum.as("_tmS")).agg(count(lit(1)).as("_tmN"))
       .select(col("_tmS"),
         when(assert_true(col("_tmN") < maxN,
           lit(s"stratum larger than $maxN rows — temperature membership " +
-            "would overflow long arithmetic")).isNull, col("_tmN")).as("_tmN"),
+            "would leave the exact-arithmetic domain")).isNull, col("_tmN")).as("_tmN"),
         floor(sqrt(col("_tmN").cast("double"))).cast("long").as("_tmW"))
     val sumW = counts.agg(sum("_tmW").as("_tmSumW"))
     val targets = counts.join(broadcast(sumW))
@@ -469,34 +478,45 @@ object Corpus {
     * iff u(key) < expected·w / W, where u is the deterministic md5-hash
     * uniform (same space as [[sampleByHash]]), `w` the row's positive
     * integer weight, and W the corpus total. E[sample size] = `expected`
-    * (exactly, while no row's probability caps at 1), and heavier rows are
-    * proportionally likelier — the size-biased sample a token-budgeted
-    * eval or inspection pass wants, with the same auditability as
-    * [[sampleByHash]]: membership is a pure function of (key, w, W).
-    * Output adds `ht_weight` = 1 / min(1, expected·w/W), the
-    * Horvitz–Thompson inverse inclusion probability: sums of w·ht over
-    * the sample estimate corpus totals unbiasedly.
+    * up to a ≤2^-60 per-row probability quantization (see below), and
+    * heavier rows are proportionally likelier — the size-biased sample a
+    * token-budgeted eval or inspection pass wants, with the same
+    * auditability as [[sampleByHash]]: membership is a pure function of
+    * (key, w, W). Output adds `ht_weight` = 1/p_real, the Horvitz–Thompson
+    * inverse of the REALIZED inclusion probability (not the nominal
+    * min(1, e·w/W)): sums of w·ht over the sample estimate corpus totals
+    * unbiasedly at every scale, including rows whose nominal probability
+    * is far below the hash resolution.
     *
-    * The membership test u·W < expected·w·M runs in EXACT long arithmetic
-    * (M = 2^20 hash buckets) — no transcendentals, no doubles, so any
-    * engine with md5 reproduces it bit-for-bit. Exactness needs
-    * W < 2^63 / (M·expected); the one-row total is assert-checked at run
-    * time, so an overflow fails loudly (pre-scale weights, e.g. chars →
-    * KB, to shrink W). Plan: one scalar agg broadcast back over the scan
-    * — a narrow filter, no data-sized shuffle.
+    * The membership test u·W < min(e·w, W)·M uses the FULL 60-bit md5
+    * hash space (M = 2^60; u ∈ [0, 2^60)) in exact DECIMAL(38,0)
+    * arithmetic — u·W < 2^123 < 10^38, so no overflow for any long W, no
+    * transcendentals, no doubles; any engine with md5 + 128-bit integers
+    * (DuckDB: HUGEINT) reproduces it bit-for-bit. The realized inclusion
+    * probability is exactly p_real = ⌈min(e·w, W)·M/W⌉ / M (the count of
+    * admitted hash values over the space), so the quantization error vs
+    * the nominal probability is < 2^-60 absolute — at 100 TB scale
+    * (p ~ 1e-12) that is still a < 1e-6 relative error, vs the up-to-2^20×
+    * oversampling a 2^-20-granular space would inflict. ht_weight =
+    * M / ⌈min(e·w, W)·M/W⌉ is one double division of two exact integers
+    * (correctly rounded, hence portable); certain rows (e·w ≥ W) get
+    * exactly 1.0. Plan: one scalar agg broadcast back over the scan — a
+    * narrow filter, no data-sized shuffle. The total is summed in decimal,
+    * so a corpus whose weight exceeds long range fails loudly in the
+    * scalar guard instead of wrapping.
     */
   def samplePps(df: DataFrame, key: Column, weight: Column, expected: Int): DataFrame = {
     require(expected > 0, s"need expected > 0, got $expected")
     require(!df.columns.contains("ht_weight") && !df.columns.contains("_ppsW"),
       "input already has an ht_weight/_ppsW column — the sample would " +
         "silently shadow it")
-    val maxW = ppsMaxTotal(expected)
-    val tot = df.agg(sum(weight.cast("long")).as("_w0"))
+    val tot = df.agg(sum(weight.cast("decimal(38,0)")).as("_w0"))
       .select(when(
-        assert_true(col("_w0").isNotNull && col("_w0") > 0 && col("_w0") < maxW,
-          lit(s"total weight must be in (0, $maxW) for exact long " +
-            "arithmetic — pre-scale the weight column")).isNull,
-        col("_w0")).as("_ppsW"))
+        assert_true(col("_w0").isNotNull && col("_w0") > 0 &&
+            col("_w0") <= lit(Long.MaxValue).cast("decimal(38,0)"),
+          lit("total weight must be a positive long — pre-scale the " +
+            "weight column")).isNull,
+        col("_w0").cast("decimal(38,0)")).as("_ppsW"))
     val w = weight.cast("long")
     df.join(broadcast(tot))
       .filter(ppsKeep(key, w, expected, col("_ppsW")))
@@ -504,29 +524,53 @@ object Corpus {
       .drop("_ppsW")
   }
 
-  /** PPS hash-bucket count: u(key) ∈ [0, 2^20). */
-  private val ppsBuckets = 1L << 20
-
-  /** Largest total weight for which the membership test stays in exact
-    * long arithmetic at a given `expected` sample size.
+  /** PPS hash-space size: u(key) ∈ [0, 2^60) — the full
+    * [[Dedup.portableHash64]] range (top 15 hex chars of md5).
     */
-  private[graft] def ppsMaxTotal(expected: Int): Long =
-    Long.MaxValue / ppsBuckets / expected
+  private val ppsM = 1L << 60
 
-  /** The PPS membership test u·W < expected·w·M — ONE definition shared
+  /** min(e·w, W)·M as exact decimal(38,0) — the admitted-hash-count
+    * numerator shared by [[ppsKeep]] and [[ppsHt]]. Clamping at W folds
+    * the certain-keep case into the same formula: u·W < W·M always holds,
+    * and ⌈W·M/W⌉ = M makes ht exactly 1.
+    */
+  private def ppsNum(w: Column, expected: Int, totW: Column): Column =
+    least(lit(expected.toLong).cast("decimal(19,0)") * w.cast("decimal(19,0)"),
+      totW) * lit(ppsM).cast("decimal(19,0)")
+
+  /** Exact ⌈a/b⌉ on non-negative decimal(38,0) operands: strip the
+    * remainder so the decimal divide is of an exact multiple (which
+    * rounds to itself at any result scale), then cast. Quotients here are
+    * ≤ 2^60, well inside long.
+    */
+  private def ceilDivExact(a: Column, b: Column): Column = {
+    val x = a + b - lit(1L).cast("decimal(19,0)")
+    ((x - pmod(x, b)) / b).cast("long")
+  }
+
+  /** The PPS membership test u·W < min(e·w, W)·M — ONE definition shared
     * by the batch ([[samplePps]]) and ingest
     * ([[graft.streaming.StreamingQuality.samplePpsAtIngest]]) forms, so
-    * the two cannot drift.
+    * the two cannot drift. `totW` may be any positive long-ranged value
+    * (cast to decimal inside).
     */
   private[graft] def ppsKeep(key: Column, w: Column, expected: Int,
-      totW: Column): Column =
-    pmod(Dedup.portableHash64(key.cast("string")), lit(ppsBuckets)) * totW <
-      lit(expected.toLong) * w * lit(ppsBuckets)
+      totW: Column): Column = {
+    val wd = totW.cast("decimal(38,0)")
+    Dedup.portableHash64(key.cast("string")).cast("decimal(19,0)") * wd <
+      ppsNum(w, expected, wd)
+  }
 
-  /** Horvitz–Thompson inverse inclusion probability 1/min(1, e·w/W). */
-  private[graft] def ppsHt(w: Column, expected: Int, totW: Column): Column =
-    when(lit(expected.toLong) * w >= totW, lit(1.0))
-      .otherwise(totW.cast("double") / (lit(expected.toLong) * w))
+  /** Horvitz–Thompson inverse of the REALIZED inclusion probability:
+    * M / ⌈min(e·w, W)·M / W⌉ — both operands exact integers, one
+    * correctly-rounded double division, so unbiased by construction and
+    * bit-portable.
+    */
+  private[graft] def ppsHt(w: Column, expected: Int, totW: Column): Column = {
+    val wd = totW.cast("decimal(38,0)")
+    lit(ppsM).cast("double") /
+      ceilDivExact(ppsNum(w, expected, wd), wd).cast("double")
+  }
 
   /** Sequence packing: greedily assign consecutive chunks of each document
     * to context-window bins of `capacity` tokens — the step that turns

@@ -249,7 +249,7 @@ object ScaleQueries {
       |  count(DISTINCT lang) AS n_langs,
       |  count(DISTINCT source) AS n_sources,
       |  min(n_chars) AS min_chars, max(n_chars) AS max_chars,
-      |  sum(n_chars) AS sum_chars,
+      |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
       |  count(DISTINCT doc_id) AS n_ids
       |FROM documents
       |""".stripMargin.trim))(

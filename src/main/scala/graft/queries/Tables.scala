@@ -17,14 +17,27 @@ object Tables {
     * (column-pruned `ReadSchema` verified via `.explain("formatted")`).
     */
   def t(spark: SparkSession, sfDir: String, name: String): DataFrame = {
-    // events.ts is parquet TIMESTAMP(NANOS), which Spark 4 rejects unless
-    // read as a raw long (nanos since epoch). Set dynamically so any
-    // session (driver's, tests') can read the testdata.
+    // events.ts has been generated as both parquet TIMESTAMP(NANOS)
+    // (which Spark 4 rejects unless read as a raw long) and plain
+    // timestamp[us]. Normalize to ONE engine-facing contract — `ts` is a
+    // LONG of epoch nanos — so every operator and every DuckDB oracle
+    // (`epoch_ns(ts)`) sees identical values regardless of the vintage.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // timezone pin: a timestamp[us] vintage reads as (N)TZ and converts
+    // to epoch micros through the session zone — UTC makes that exact
+    // and matches the driver's Verify session
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     // native engine expressions, for sessions built without
     // spark.sql.extensions=graft.GraftExtensions
     graft.GraftExtensions.ensure(spark)
-    spark.read.parquet(s"$sfDir/$name.parquet")
+    val df = spark.read.parquet(s"$sfDir/$name.parquet")
+    df.schema.fields.find(_.name == "ts") match {
+      case Some(f) if f.dataType != org.apache.spark.sql.types.LongType =>
+        df.withColumn("ts", org.apache.spark.sql.functions.unix_micros(
+          org.apache.spark.sql.functions.col("ts").cast("timestamp")) *
+          org.apache.spark.sql.functions.lit(1000L))
+      case _ => df
+    }
   }
 
   /** events.ts (nanos-as-long) to epoch milliseconds. Division runs in

@@ -296,17 +296,20 @@ object TextQueries {
 
     // PPS weighted sample (~100 expected docs, weight = n_chars): bigger
     // docs proportionally likelier; ht_weight is the Horvitz–Thompson
-    // inverse inclusion probability. Membership is exact long arithmetic
-    // in the md5 hash space — bit-identical in both engines; ht_weight is
-    // ONE long/long double division (exact-rounded, portable).
+    // inverse of the REALIZED inclusion probability ceil(min(e*w,W)*M/W)/M
+    // over the FULL 60-bit md5 hash space (M = 2^60). Spark runs the test
+    // in exact decimal(38,0); the oracle mirrors it in HUGEINT — both
+    // exact, so membership is bit-identical; ht_weight is ONE double
+    // division of two exact integers (correctly rounded, portable).
     Q("q_sample_pps", Some("""
       |WITH tot AS (SELECT sum(n_chars) AS w FROM documents)
       |SELECT doc_id, n_chars,
-      |  CASE WHEN 100 * n_chars >= w THEN 1.0
-      |       ELSE CAST(w AS DOUBLE) / (100 * n_chars) END AS ht_weight
+      |  CAST(1152921504606846976 AS DOUBLE) /
+      |    CAST((least(100::HUGEINT * n_chars, w::HUGEINT) * 1152921504606846976 + w - 1) // w
+      |         AS DOUBLE) AS ht_weight
       |FROM documents, tot
-      |WHERE (('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 1048576) * w
-      |      < 100 * n_chars * 1048576
+      |WHERE ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT::HUGEINT * w
+      |      < least(100::HUGEINT * n_chars, w::HUGEINT) * 1152921504606846976
       |""".stripMargin.trim))(
       (s, d) => graft.operators.Corpus.samplePps(
         t(s, d, "documents"), col("doc_id"), col("n_chars"), expected = 100)
@@ -563,9 +566,10 @@ object TextQueries {
     // temperature-rebalanced mixing (α = 0.5): per-language rates computed
     // FROM the corpus histogram (weight ∝ ⌊√n⌋, normalized to a 100-row
     // budget) instead of hand-specified — damps the dominant language,
-    // lifts the small ones. Membership is exact long arithmetic on the
-    // md5 hash; the oracle rebuilds the same histogram → weights →
-    // targets → filter. Integer-id output, exact compare.
+    // lifts the small ones. Membership is exact integer arithmetic on the
+    // full 60-bit md5 hash (Spark decimal / DuckDB HUGEINT); the oracle
+    // rebuilds the same histogram → weights → targets → filter.
+    // Integer-id output, exact compare.
     Q("q_temperature_mix", Some("""
       |WITH n AS (SELECT lang AS s, count(*) AS ns FROM documents GROUP BY 1),
       |w AS (SELECT s, ns, CAST(floor(sqrt(CAST(ns AS DOUBLE))) AS BIGINT) AS ws FROM n),
@@ -574,8 +578,8 @@ object TextQueries {
       |  FROM w)
       |SELECT d.doc_id, d.lang FROM documents d
       |JOIN tg ON d.lang IS NOT DISTINCT FROM tg.s
-      |WHERE ('0x' || substring(md5(CAST(d.doc_id AS VARCHAR)), 1, 15))::BIGINT
-      |  % 1048576 * ns < ts * 1048576
+      |WHERE ('0x' || substring(md5(CAST(d.doc_id AS VARCHAR)), 1, 15))::BIGINT::HUGEINT
+      |  * ns < ts::HUGEINT * 1152921504606846976
       |""".stripMargin.trim))(
       (s, d) => graft.operators.Corpus.sampleTemperature(
         t(s, d, "documents"), col("doc_id"), col("lang"), budget = 100)
@@ -584,8 +588,9 @@ object TextQueries {
     // epoch-aware temperature mixing: budget 1000 over ~500 docs, so
     // √-lifted strata replicate into full epochs plus an exact fractional
     // remainder (how pretraining mixes consume small high-value sources).
-    // ⌊t/n⌋, t mod n, and the remainder test are all exact long
-    // arithmetic — the oracle rebuilds the identical epoch fan-out.
+    // ⌊t/n⌋, t mod n, and the remainder test are all exact integer
+    // arithmetic (full 60-bit hash space) — the oracle rebuilds the
+    // identical epoch fan-out.
     Q("q_epoch_mix", Some("""
       |WITH n AS (SELECT lang AS s, count(*) AS ns FROM documents GROUP BY 1),
       |w AS (SELECT s, ns, CAST(floor(sqrt(CAST(ns AS DOUBLE))) AS BIGINT) AS ws FROM n),
@@ -593,10 +598,11 @@ object TextQueries {
       |  CAST(floor(CAST(1000 * ws AS DOUBLE) / (SELECT sum(ws) FROM w)) AS BIGINT) AS ts
       |  FROM w),
       |c AS (SELECT d.doc_id, d.lang, ts // ns AS fullc, ts % ns AS rem, ns,
-      |  ('0x' || substring(md5(CAST(d.doc_id AS VARCHAR)), 1, 15))::BIGINT % 1048576 AS u
+      |  ('0x' || substring(md5(CAST(d.doc_id AS VARCHAR)), 1, 15))::BIGINT AS u
       |  FROM documents d JOIN tg ON d.lang IS NOT DISTINCT FROM tg.s)
       |SELECT doc_id, lang, CAST(unnest(generate_series(1,
-      |  fullc + CASE WHEN u * ns < rem * 1048576 THEN 1 ELSE 0 END)) AS BIGINT) AS epoch
+      |  fullc + CASE WHEN u::HUGEINT * ns < rem::HUGEINT * 1152921504606846976
+      |          THEN 1 ELSE 0 END)) AS BIGINT) AS epoch
       |FROM c
       |""".stripMargin.trim))(
       (s, d) => graft.operators.Corpus.mixEpochs(

@@ -155,9 +155,8 @@ object StreamingQuality {
   def samplePpsAtIngest(rows: DataFrame, key: Column, weight: Column,
       expected: Int, totalWeight: Long): DataFrame = {
     require(expected > 0, s"need expected > 0, got $expected")
-    require(totalWeight > 0 && totalWeight < Corpus.ppsMaxTotal(expected),
-      s"totalWeight must be in (0, ${Corpus.ppsMaxTotal(expected)}) for " +
-        "exact long arithmetic — pre-scale the weight column")
+    require(totalWeight > 0, s"need totalWeight > 0, got $totalWeight — " +
+      "the membership test is exact decimal arithmetic for any positive long")
     require(!rows.columns.contains("ht_weight"),
       "input already has an ht_weight column — the sample would " +
         "silently shadow it")

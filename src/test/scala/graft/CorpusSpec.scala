@@ -364,12 +364,43 @@ class CorpusSpec extends SparkSpec {
     assert(ids1 === ids2 && ids1.contains(1L))
     // inverse inclusion probabilities are never < 1
     assert(s1.filter(col("ht_weight") < 1.0).count() === 0)
-    // a total weight too big for exact long arithmetic must not silently
-    // wrap — the scalar guard raises
-    val big = Seq((1L, Long.MaxValue / 4), (2L, Long.MaxValue / 4)).toDF("id", "w")
+    // totals anywhere in long range are in the exact-decimal domain: the
+    // old 2^20-bucket form would have overflowed here, the 60-bit decimal
+    // form must not (and the heavy row stays certain with ht exactly 1)
+    val wide = Seq((1L, Long.MaxValue / 4), (2L, Long.MaxValue / 4),
+      (3L, 1000L)).toDF("id", "w")
+    val wideOut = Corpus.samplePps(wide, col("id"), col("w"), expected = 10)
+      .select("id", "ht_weight").as[(Long, Double)].collect().toMap
+    assert(wideOut.contains(1L) && wideOut(1L) === 1.0)
+    // a total weight past long range must not silently wrap — the decimal
+    // sum sees the true total and the scalar guard raises
+    val big = Seq((1L, Long.MaxValue / 2), (2L, Long.MaxValue / 2),
+      (3L, Long.MaxValue / 2)).toDF("id", "w")
     intercept[Exception] {
       Corpus.samplePps(big, col("id"), col("w"), expected = 10).collect()
     }
+  }
+
+  test("samplePps: sub-2^-20 probabilities are not floored (full hash space)") {
+    // one light row against a huge total: nominal p = 10*1/2^40 ≈ 2^-36.6,
+    // far below the old 2^-20 bucket floor, which would have kept EVERY
+    // such row with probability ~2^-20 (oversampled ~10^4x). In the 60-bit
+    // space, keeping ~0 of 2000 light rows is overwhelmingly likely, and
+    // any kept row's ht_weight must reflect the realized (tiny) p.
+    val heavy = Seq((0L, (1L << 40) - 2000L))
+    val light = (1L to 2000L).map(i => (i, 1L))
+    val df = (heavy ++ light).toDF("id", "w")
+    val out = Corpus.samplePps(df, col("id"), col("w"), expected = 10)
+      .select("id", "ht_weight").as[(Long, Double)].collect()
+    val lightKept = out.filter(_._1 != 0L)
+    // E[light kept] = 2000 * 10/2^40 ≈ 1.8e-8 — observing even one would
+    // mean the floor bug is back (under the old floor E would be ~2)
+    assert(lightKept.isEmpty,
+      s"light rows kept despite p≈2^-36.6: ${lightKept.mkString(",")}")
+    // the heavy row is near-certain (p ≈ 1 - 2e-9... actually p = 10*w/W
+    // > 1 -> certain) and carries ht exactly 1
+    val heavyHt = out.filter(_._1 == 0L).map(_._2).toSeq
+    assert(heavyHt === Seq(1.0))
   }
 
   test("rareTokenStats flags corpus-rare tokens with exact integer counts") {
