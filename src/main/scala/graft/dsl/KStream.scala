@@ -155,15 +155,18 @@ final class KStream private (
 
   /** S2 To — frame the stream for a sink (the reference's terminal
     * `stream.To(topic, ...)`, k_stream.go:575-610): key/value projection,
-    * optional tombstone predicate and headers. See
-    * [[graft.io.KafkaIO.sinkFrame]]; in production the result feeds
+    * optional tombstone predicate, headers, and partitioner convention
+    * (None = hash-by-key default, Some = manual — producer/config.go:46-56).
+    * See [[graft.io.KafkaIO.sinkFrame]]; in production the result feeds
     * `writeStream.format("kafka")` unchanged.
     */
   def to(
       keyExpr: Column, valueExpr: Column,
       tombstoneWhen: Option[Column] = None,
-      headers: Option[Column] = None): DataFrame =
-    graft.io.KafkaIO.sinkFrame(toDF, keyExpr, valueExpr, tombstoneWhen, headers)
+      headers: Option[Column] = None,
+      partition: Option[Column] = None): DataFrame =
+    graft.io.KafkaIO.sinkFrame(toDF, keyExpr, valueExpr, tombstoneWhen, headers,
+      partition)
 
   /** J1/J2 JoinGlobalTable — see [[KGlobalTable.join]]. `fk` is the
     * reference's KeyMapper output (join/joiner.go:20).

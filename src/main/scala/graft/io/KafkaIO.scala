@@ -24,19 +24,58 @@ object KafkaIO {
     * filter — a record whose tombstone predicate fires is produced with a
     * NULL value (a Kafka delete marker), k_sink.go:195-249 (tombstoner at
     * 230-240). `headers` is an optional array<struct<key,value>> column.
+    *
+    * Partitioner convention (producer/producer.go:52-58, config.go:46-56):
+    * the reference's producer has three modes — HashBased (default),
+    * Manual, Random. Omitting `partition` is HASH mode: the frame carries
+    * no `partition` column and the Kafka producer's default hash
+    * partitioner routes by key (same key → same partition — the mode every
+    * keyed topology relies on for co-partitioned state). Passing
+    * `partition` is MANUAL mode (`sarama.NewManualPartitioner`; the
+    * reference reads `message.Partition`, producer.go:137-139): the column
+    * projects as an explicit int `partition` that Spark's Kafka sink and
+    * [[WireLog.append]] both honor verbatim. Random mode is a partitioner
+    * choice, not a frame property — pass
+    * `partition = Some(`[[partitionRandom]]`(n))` to get it explicitly.
     */
   def sinkFrame(
       df: DataFrame, keyExpr: Column, valueExpr: Column,
       tombstoneWhen: Option[Column] = None,
-      headers: Option[Column] = None): DataFrame = {
+      headers: Option[Column] = None,
+      partition: Option[Column] = None): DataFrame = {
     val value = tombstoneWhen match {
       case Some(t) => when(t.eqNullSafe(true), lit(null)).otherwise(valueExpr)
       case None    => valueExpr
     }
-    // headers must project in the SAME select — they reference source
-    // columns that the key/value projection drops
+    // headers/partition must project in the SAME select — they reference
+    // source columns that the key/value projection drops
     df.select((Seq(keyExpr.as("key"), value.as("value")) ++
-      headers.map(_.as("headers"))).toIndexedSeq: _*)
+      headers.map(_.as("headers")) ++
+      partition.map(_.cast("int").as("partition"))).toIndexedSeq: _*)
+  }
+
+  /** HashBased partitioner as an explicit column (what the broker-side
+    * default computes implicitly): partition = hash(key) mod n, stable
+    * and key-affine like `sarama.NewHashPartitioner` (FNV-1a mod n) —
+    * same key always lands on the same partition, though the concrete
+    * hash differs from sarama's (both are opaque conventions; only
+    * affinity is contractual). Null keys spread by value hash — sarama
+    * falls back to random for nil keys; a deterministic spread keeps the
+    * sink retry-safe.
+    */
+  def partitionByHash(key: Column, numPartitions: Int): Column = {
+    require(numPartitions > 0, s"numPartitions must be > 0, got $numPartitions")
+    pmod(xxhash64(key.cast("binary")), lit(numPartitions.toLong)).cast("int")
+  }
+
+  /** Random partitioner (`sarama.NewRandomPartitioner`): an even,
+    * non-key-affine spread. `rand()` re-draws on task retry exactly as the
+    * reference's random partitioner re-draws on reproduce — randomness,
+    * not placement, is the contract.
+    */
+  def partitionRandom(numPartitions: Int): Column = {
+    require(numPartitions > 0, s"numPartitions must be > 0, got $numPartitions")
+    floor(rand() * numPartitions).cast("int")
   }
 
   /** Source-side header read (`data/record.go:17-31` RecordHeaders.Read):

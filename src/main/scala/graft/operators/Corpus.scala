@@ -541,7 +541,10 @@ object Corpus {
   /** Exact ⌈a/b⌉ on non-negative decimal(38,0) operands: strip the
     * remainder so the decimal divide is of an exact multiple (which
     * rounds to itself at any result scale), then cast. Quotients here are
-    * ≤ 2^60, well inside long.
+    * ≤ 2^60, well inside long. Requires a ≥ 1: a ≤ 0 would yield 0 (and a
+    * downstream division by it would blow up) — [[ppsHt]]'s caller
+    * guarantees this by only evaluating ht on rows that passed
+    * [[ppsKeep]], where min(e·w, W)·M > u·W ≥ 0 forces the numerator ≥ 1.
     */
   private def ceilDivExact(a: Column, b: Column): Column = {
     val x = a + b - lit(1L).cast("decimal(19,0)")
@@ -562,15 +565,97 @@ object Corpus {
   }
 
   /** Horvitz–Thompson inverse of the REALIZED inclusion probability:
-    * M / ⌈min(e·w, W)·M / W⌉ — both operands exact integers, one
-    * correctly-rounded double division, so unbiased by construction and
-    * bit-portable.
+    * M / ⌈min(e·w, W)·M / W⌉ — both operands exact integers. The integer
+    * arithmetic is exact; the final value is one double division whose
+    * OPERANDS can exceed 2^53 (up to 2^60), so the long→double conversions
+    * and the divide each round — but all are correctly rounded in every
+    * IEEE-754 engine (Spark and DuckDB alike), so the result is
+    * bit-portable even where it is no longer the exact rational.
+    * Evaluated only on rows that passed [[ppsKeep]] (samplePps filters
+    * first), which guarantees the ceil-div numerator ≥ 1 — see
+    * [[ceilDivExact]].
     */
   private[graft] def ppsHt(w: Column, expected: Int, totW: Column): Column = {
     val wd = totW.cast("decimal(38,0)")
     lit(ppsM).cast("double") /
       ceilDivExact(ppsNum(w, expected, wd), wd).cast("double")
   }
+
+  /** Exact ⌊a/b⌋ on non-negative decimal(38,0) operands — same
+    * exact-multiple trick as [[ceilDivExact]]; DuckDB's `//` on
+    * non-negative integers computes the identical value.
+    */
+  private def floorDivExact(a: Column, b: Column): Column =
+    ((a - pmod(a, b)) / b).cast("long")
+
+  /** DSIR-style importance weights (Xie et al. 2023, "Data Selection for
+    * Language Models via Importance Resampling" — all-public method):
+    * score each raw document by how target-like its hashed n-gram profile
+    * is, for resampling a huge raw corpus toward a small target corpus.
+    *
+    * Recipe: n-grams (with multiplicity) hash into `buckets` cells via the
+    * engine-portable [[Dedup.portableHash64]]; the per-bucket importance
+    * ratio is the add-one-smoothed target/raw count ratio, held EXACT as
+    * the scaled integer r_b = ⌊(tc_b+1)·scale / (rc_b+1)⌋; a document's
+    * weight is the sum of its grams' ratios (clamped ≥ 1). The paper
+    * scores log-space products; the integer ratio-sum is this engine's
+    * bit-portable analog (same reasoning as the log-free BM25 idf:
+    * ln()/exp() hang cross-engine equality on libm rounding) — documents
+    * dense in target-typical n-grams score high, target-absent n-grams
+    * (tc=0) contribute ~0, and every value is reproducible in any engine
+    * with md5 + integer division. Normalization constants (corpus totals)
+    * are deliberately dropped: a PPS draw on w is invariant to scaling all
+    * weights by a constant, so the unnormalized ratio selects the same
+    * sample the normalized likelihood ratio would.
+    *
+    * Plan shape at 100 TB: gram explode is narrow; the bucket count tables
+    * are ≤ `buckets` rows (partial-agg shuffles that collapse to the cell
+    * count); the ratio table broadcasts back over the exploded grams
+    * (advisory — [[graft.plans.Hints.broadcastIfSmall]]); one doc-keyed
+    * partial-agg shuffle sums the weights. Never doc×doc, never a
+    * data-sized driver structure.
+    *
+    * Output: `raw` + `ds_weight` (long ≥ 1; docs shorter than n get 1).
+    */
+  def dsirWeights(raw: DataFrame, target: DataFrame, id: String, text: String,
+      n: Int = 2, buckets: Int = 1 << 16, scale: Long = 1L << 20): DataFrame = {
+    require(n > 0 && buckets > 0 && scale > 0,
+      s"need positive n/buckets/scale, got n=$n buckets=$buckets scale=$scale")
+    require(!raw.columns.contains("ds_weight"),
+      "input already has a ds_weight column — the weights would shadow it")
+    def bucket(g: Column): Column =
+      pmod(Dedup.portableHash64(g), lit(buckets.toLong))
+    val rawGrams = ngramOccurrences(raw, id, text, n)
+      .select(col(id), bucket(col("g")).as("_b"))
+    val tc = ngramOccurrences(target, id, text, n)
+      .groupBy(bucket(col("g")).as("_b")).agg(count(lit(1)).as("_tc"))
+    val rc = rawGrams.groupBy("_b").agg(count(lit(1)).as("_rc"))
+    // ratio table: one row per OCCUPIED raw bucket (≤ buckets rows);
+    // target-only buckets never match a raw gram, so rc drives the join
+    val ratio = rc.join(tc, Seq("_b"), "left").select(col("_b"),
+      floorDivExact(
+        ((coalesce(col("_tc"), lit(0L)) + 1L) * lit(scale)).cast("decimal(38,0)"),
+        (col("_rc") + 1L).cast("decimal(38,0)")).as("_r"))
+    val weights = rawGrams
+      .join(graft.plans.Hints.broadcastIfSmall(ratio), "_b")
+      .groupBy(id).agg(sum("_r").as("_dsW"))
+    raw.join(weights, Seq(id), "left")
+      .withColumn("ds_weight", greatest(lit(1L), coalesce(col("_dsW"), lit(1L))))
+      .drop("_dsW")
+  }
+
+  /** DSIR importance RESAMPLING: [[dsirWeights]] driving a [[samplePps]]
+    * draw — membership u(id)·W < min(e·w, W)·M in the exact decimal
+    * full-60-bit hash space, ht_weight the Horvitz–Thompson inverse of the
+    * realized probability. The sample is ∝ target/raw importance, which is
+    * the DSIR selection step; HT weights additionally let downstream
+    * estimate raw-corpus statistics from the resampled subset unbiasedly.
+    */
+  def dsirResample(raw: DataFrame, target: DataFrame, id: String, text: String,
+      expected: Int, n: Int = 2, buckets: Int = 1 << 16,
+      scale: Long = 1L << 20): DataFrame =
+    samplePps(dsirWeights(raw, target, id, text, n, buckets, scale),
+      col(id), col("ds_weight"), expected)
 
   /** Sequence packing: greedily assign consecutive chunks of each document
     * to context-window bins of `capacity` tokens — the step that turns

@@ -25,7 +25,13 @@ object Tables {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     // timezone pin: a timestamp[us] vintage reads as (N)TZ and converts
     // to epoch micros through the session zone — UTC makes that exact
-    // and matches the driver's Verify session
+    // and matches the driver's Verify session. CONTRACT: t() OWNS the
+    // session's datetime semantics — every harness entry point (Verify,
+    // Bench, EntrySmoke, SparkSpec) reads tables only through t(), so the
+    // whole engine runs under one pinned zone; callers embedding graft in
+    // a session with other datetime logic should pin UTC themselves at
+    // session build (as Verify.scala does) rather than rely on this
+    // side effect's timing.
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     // native engine expressions, for sessions built without
     // spark.sql.extensions=graft.GraftExtensions

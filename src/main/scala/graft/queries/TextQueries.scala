@@ -315,6 +315,45 @@ object TextQueries {
         t(s, d, "documents"), col("doc_id"), col("n_chars"), expected = 100)
         .select("doc_id", "n_chars", "ht_weight")),
 
+    // DSIR importance resampling (Xie et al. 2023): resample the raw
+    // corpus (source <> 'src0') toward the target distribution (src0).
+    // Hashed-bigram bucket counts → add-one-smoothed scaled integer
+    // target/raw ratios → per-doc ratio-sum weight → exact-decimal PPS
+    // membership over the full 2^60 hash space. Every step is integer/
+    // decimal arithmetic (md5 buckets, floor division), so DuckDB
+    // reproduces membership, ds_weight AND ht_weight bit-for-bit.
+    Q("q_dsir", Some("""
+      |WITH tk AS (SELECT doc_id, source, regexp_split_to_array(lower(text), '\s+') AS t FROM documents),
+      |g AS (SELECT doc_id, source,
+      |    ('0x' || substring(md5(array_to_string(t[i : i + 1], ' ')), 1, 15))::BIGINT % 65536 AS b
+      |  FROM tk, unnest(range(1, greatest(len(t) - 1, 0) + 1)) AS u(i)),
+      |tc AS (SELECT b, count(*) AS tc FROM g WHERE source = 'src0' GROUP BY 1),
+      |rc AS (SELECT b, count(*) AS rc FROM g WHERE source <> 'src0' GROUP BY 1),
+      |r AS (SELECT b, ((coalesce(tc, 0) + 1) * 1048576) // (rc + 1) AS r
+      |  FROM rc LEFT JOIN tc USING (b)),
+      |w AS (SELECT doc_id, greatest(1, sum(r)) AS ds_weight
+      |  FROM (SELECT doc_id, b FROM g WHERE source <> 'src0') rg JOIN r USING (b)
+      |  GROUP BY 1),
+      |wt AS (SELECT d.doc_id, CAST(coalesce(w.ds_weight, 1) AS BIGINT) AS ds_weight
+      |  FROM (SELECT doc_id FROM documents WHERE source <> 'src0') d LEFT JOIN w USING (doc_id)),
+      |tot AS (SELECT sum(ds_weight) AS w FROM wt)
+      |SELECT doc_id, ds_weight,
+      |  CAST(1152921504606846976 AS DOUBLE) /
+      |    CAST((least(50::HUGEINT * ds_weight, w::HUGEINT) * 1152921504606846976 + w - 1) // w
+      |         AS DOUBLE) AS ht_weight
+      |FROM wt, tot
+      |WHERE ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT::HUGEINT * w
+      |      < least(50::HUGEINT * ds_weight, w::HUGEINT) * 1152921504606846976
+      |""".stripMargin.trim))(
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        graft.operators.Corpus.dsirResample(
+          docs.filter(col("source") =!= "src0"),
+          docs.filter(col("source") === "src0"),
+          "doc_id", "text", expected = 50)
+          .select("doc_id", "ds_weight", "ht_weight")
+      }),
+
     // BM25 lexical search (log-free rational idf — ln() is not bit-portable
     // across libm implementations): top-20 docs for a 3-term query. Scores
     // sum per-term in a fixed order; every input is an exact integer, so

@@ -17,6 +17,7 @@ import org.apache.spark.sql.functions.{col, lit}
   *   GET /stores/{s}/{key}            → point lookup on the store's key
   *   GET /stores/{s}/indexes          → the store's index names
   *   GET /stores/{s}/indexes/{i}/{k}  → secondary-index lookup (A5)
+  *   GET /meta                        → store→host discovery (meta.go analog)
   *
   * Rows render via `Dataset.toJSON` (schema-faithful JSON). Point lookups
   * run as pushed-down predicates against the snapshot — the driver only
@@ -45,6 +46,7 @@ final class StoreHttp(
     server = HttpServer.create(new InetSocketAddress(port), 0)
     server.createContext("/stores", (ex: HttpExchange) => handle(ex))
     server.createContext("/indexes", (ex: HttpExchange) => handle(ex))
+    server.createContext("/meta", (ex: HttpExchange) => handle(ex))
     server.setExecutor(null)
     server.start()
     server.getAddress.getPort
@@ -92,6 +94,19 @@ final class StoreHttp(
       if (registry.storeNames.contains(s)) registry.store(s)
       else throw NotFound(s"unknown store $s")
     parts match {
+      case "meta" :: Nil =>
+        // host-metadata discovery (`kstream/store/meta.go:10-81`): the
+        // reference maps each `topic_partition` to the consumer-group
+        // member hosting it so a router can forward interactive queries.
+        // (Dead code there — never wired into http.go — implemented here
+        // for surface parity.) Single-process Spark serves EVERY store
+        // from this authority, so each store renders one entry keyed in
+        // the reference's `%s_%d` format with partition 0.
+        val a = server.getAddress
+        val host = jstr(s"${a.getHostString}:${a.getPort}")
+        (200, registry.storeNames
+          .map(n => s"""{"tp":${jstr(n + "_0")},"host":$host}""")
+          .mkString("[", ",", "]"))
       case "stores" :: Nil =>
         (200, registry.storeNames.map(n => s""""$n"""").mkString("[", ",", "]"))
       case "indexes" :: Nil => // store/http.go GET /indexes

@@ -403,6 +403,39 @@ class CorpusSpec extends SparkSpec {
     assert(heavyHt === Seq(1.0))
   }
 
+  test("dsirWeights: target-like docs upweighted, weights exact integers >= 1") {
+    // target corpus speaks about foxes; raw corpus has one fox-like doc,
+    // one off-topic doc, one doc shorter than the bigram
+    val target = Seq(
+      (100L, "the quick brown fox jumps over the lazy dog"),
+      (101L, "a brown fox and a quick fox run past the dog"))
+      .toDF("doc_id", "text")
+    val raw = Seq(
+      (1L, "the quick brown fox jumps over the sleepy dog"),
+      (2L, "parquet shuffle partitions broadcast join exchange codegen stage"),
+      (3L, "tiny"))
+      .toDF("doc_id", "text")
+    val w = Corpus.dsirWeights(raw, target, "doc_id", "text")
+      .select("doc_id", "ds_weight").as[(Long, Long)].collect().toMap
+    assert(w.keySet === Set(1L, 2L, 3L))
+    assert(w.values.forall(_ >= 1L), "weights are clamped to >= 1")
+    assert(w(1L) > w(2L),
+      s"the target-like doc must outweigh the off-topic one: $w")
+    assert(w(3L) === 1L, "a doc shorter than the n-gram gets the floor weight")
+    // deterministic: importance is a pure function of the two corpora
+    val again = Corpus.dsirWeights(raw, target, "doc_id", "text")
+      .select("doc_id", "ds_weight").as[(Long, Long)].collect().toMap
+    assert(again === w)
+    // resample composes with the exact-decimal PPS membership: certain
+    // rows (e*w >= W) carry ht exactly 1, membership is stable
+    val res = Corpus.dsirResample(raw, target, "doc_id", "text", expected = 3)
+    assert(res.filter(col("ht_weight") < 1.0).count() === 0)
+    val ids = res.select("doc_id").as[Long].collect().toSet
+    val ids2 = Corpus.dsirResample(raw, target, "doc_id", "text", expected = 3)
+      .select("doc_id").as[Long].collect().toSet
+    assert(ids === ids2)
+  }
+
   test("rareTokenStats flags corpus-rare tokens with exact integer counts") {
     // df: a=4 docs, b=3, c=2, zzz=1; rareDen=2 → rare iff df·2 < 4 ⇔ df=1
     val docs = Seq(

@@ -38,6 +38,12 @@ class StoreHttpSpec extends SparkSpec {
       assert(get(port, "/stores/accounts/indexes") === """["by_name"]""")
       assert(get(port, "/indexes") ===
         """[{"store":"accounts","index":"by_name"}]""")
+      // /meta (kstream/store/meta.go:10-81 analog): single process, so
+      // every store maps to this server's own authority, reference key
+      // format `<topic>_<partition>`
+      val meta = get(port, "/meta")
+      assert(meta.matches("""\[\{"tp":"accounts_0","host":"[^"]+:""" + port + """"\}\]"""),
+        s"unexpected /meta payload: $meta")
       assert(get(port, "/stores/nope").contains("error"))
     } finally http.stop()
   }

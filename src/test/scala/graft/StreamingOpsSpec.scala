@@ -141,6 +141,127 @@ class StreamingOpsSpec extends SparkSpec {
       Some("Your a/c 200 is credited with 125 cents (bob, b@x.io)"))
   }
 
+  test("kafka wire contract end-to-end: example_1 over replayable record frames, tombstone round-trip") {
+    // The reference's core I/O loop made testable without a broker:
+    // consume (consumer/group_handler.go:70-113 builds a data.Record per
+    // message) → decode → example_1 topology → encode → produce
+    // (producer/producer.go:117-154). Every frame in and out carries the
+    // FULL data/record.go:33-42 record shape via WireLog — key/value
+    // binary, topic, partition, offset, timestamp, headers — with
+    // per-partition ordered replay (one appended segment = one poll =
+    // one micro-batch). No MemoryStream anywhere on the record path.
+    import graft.dsl.{KGlobalTable, KStream}
+    import graft.io.{KafkaIO, WireLog}
+    val root = java.nio.file.Files.createTempDirectory("graft_wire_e2e").toString
+    val inDir = s"$root/in"; val outDir = s"$root/out"
+    val cutoffMs = 1700000000000L
+
+    def seg(txns: (Long, String, Long, Double, Long)*): Unit = WireLog.append(
+      spark, inDir,
+      txns.toSeq.toDF("id", "typ", "acct_fk", "amount", "ts_ms")
+        .select(
+          col("id").cast("string").as("key"),
+          to_json(struct(col("typ"), col("acct_fk"), col("amount"), col("ts_ms")))
+            .as("value"),
+          lit("transactions").as("topic"),
+          timestamp_millis(col("ts_ms")).as("timestamp"),
+          array(struct(lit("origin").as("key"),
+            lit("teller").cast("binary").as("value"))).as("headers"),
+          col("id").as("seq")),
+      numPartitions = 2, orderBy = Seq(col("seq")))
+
+    // poll 1 lands BEFORE the query starts — replayed from offset 0
+    seg((1L, "credit", 100L, 2.5, cutoffMs + 1000),
+      (2L, "debit", 200L, 10.0, cutoffMs + 2000),
+      (3L, "credit", 100L, 99.0, cutoffMs - 1), // too old → filtered
+      (4L, "credit", 999L, 5.0, cutoffMs + 3000)) // no account row → dropped
+
+    val raw = WireLog.readStream(spark, inDir)
+    assert(raw.schema === WireLog.recordSchema,
+      "the source must serve the full record.go:33-42 shape")
+    val decoded = KafkaIO.decode(raw,
+      keyExpr = col("key").cast("string").cast("long"),
+      valueExpr = from_json(col("value").cast("string"),
+        org.apache.spark.sql.types.StructType.fromDDL(
+          "typ STRING, acct_fk LONG, amount DOUBLE, ts_ms LONG")))
+    val src = KStream(decoded.select(
+      col("key").as("txn_id"), col("value.typ").as("typ"),
+      col("value.acct_fk").as("acct_fk"), col("value.amount").as("amount"),
+      col("value.ts_ms").as("ts_ms"),
+      KafkaIO.headerValue(col("headers"), "origin").cast("string").as("origin")),
+      "txn_id")
+
+    val accountDetails = KGlobalTable.fromStatic(
+      Seq((100L, 7L, "active"), (200L, 8L, "active"), (300L, 9L, "closed"))
+        .toDF("acct_no", "customer_id", "status"), "acct_no")
+    val profiles = KGlobalTable.fromStatic(
+      Seq((7L, "alice", "a@x.io"), (8L, "bob", "b@x.io"), (9L, "carol", "c@x.io"))
+        .toDF("cust_id", "name", "email"), "cust_id")
+    val Seq(credited, debited) = src.branch(
+      col("typ") === "credit", col("typ") === "debit")
+    def leg(s: KStream, verb: String): KStream = s
+      .filter(col("ts_ms") >= cutoffMs)
+      .joinGlobalTable(accountDetails, col("acct_fk"))
+      .transformValues("text" -> concat(
+        lit("Your a/c "), col("acct_fk"), lit(s" is $verb with "),
+        floor(col("amount") * 100 + 0.5).cast("long"), lit(" cents")))
+      .joinGlobalTable(profiles, col("customer_id"))
+    val out = leg(credited, "credited").merge(leg(debited, "debited"))
+      .to(
+        keyExpr = col("txn_id").cast("string"),
+        valueExpr = concat(col("text"), lit(" ("), col("name"), lit(", "),
+          col("email"), lit(")")),
+        tombstoneWhen = Some(col("status") === "closed"),
+        headers = Some(array(struct(lit("origin").as("key"),
+          col("origin").cast("binary").as("value")))))
+    assert(out.isStreaming, "the wire topology must stay one streaming frame")
+
+    val q = out.writeStream
+      .option("checkpointLocation", s"$root/ckpt")
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        // the produce side: hash partitioner (the HashBased default),
+        // offsets continue the output log per partition
+        WireLog.append(batch.sparkSession, outDir,
+          batch.withColumn("topic", lit("messages")),
+          numPartitions = 2, orderBy = Seq(col("key").cast("string")))
+      }.start()
+    try {
+      q.processAllAvailable()
+      // poll 2 arrives mid-stream: closed account → tombstone
+      seg((5L, "debit", 300L, 7.0, cutoffMs + 4000),
+        (6L, "credit", 200L, 1.25, cutoffMs + 5000))
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val produced = WireLog.read(spark, outDir)
+    assert(produced.schema === WireLog.recordSchema,
+      "the sink must produce the full record.go:33-42 shape")
+    val rows = produced.select(col("key").cast("string").cast("long"),
+        col("value").cast("string"),
+        KafkaIO.headerValue(col("headers"), "origin").cast("string"))
+      .as[(Long, Option[String], String)].collect().sortBy(_._1)
+    assert(rows.map(_._1).toSeq === Seq(1L, 2L, 5L, 6L))
+    val byKey = rows.map(r => r._1 -> r._2).toMap
+    assert(byKey(1L) === Some("Your a/c 100 is credited with 250 cents (alice, a@x.io)"))
+    assert(byKey(2L) === Some("Your a/c 200 is debited with 1000 cents (bob, b@x.io)"))
+    assert(byKey(5L) === None, "closed account must produce a Kafka delete marker")
+    assert(byKey(6L) === Some("Your a/c 200 is credited with 125 cents (bob, b@x.io)"))
+    assert(rows.forall(_._3 === "teller"),
+      "headers must round-trip source→topology→sink")
+    // wire-level invariants on the produced log: per-partition offsets
+    // contiguous from 0 (each partition an independent ordered ledger),
+    // placement in range and key-affine, producer timestamps stamped
+    val ledger = produced.select("partition", "offset")
+      .as[(Int, Long)].collect().groupBy(_._1).view
+      .mapValues(_.map(_._2).sorted.toSeq).toMap
+    assert(ledger.keys.forall(p => p >= 0 && p < 2))
+    ledger.foreach { case (p, offs) =>
+      assert(offs === (0L until offs.length).toSeq,
+        s"partition $p offsets must be contiguous from 0, got $offs")
+    }
+    assert(produced.filter(col("timestamp").isNull).count() === 0)
+  }
+
   test("example_2 topology: 3-way branch + CHAINED stream-stream joins, one query") {
     // the reference's example_2 shape (/root/reference/examples/example_2/
     // stream/a.go:18-105): one topic carrying three event types → 3-way
