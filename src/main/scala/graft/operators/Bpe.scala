@@ -103,6 +103,190 @@ object Bpe {
     out.result()
   }
 
+  /** [[train]] with BATCHED merge rounds: one statistics pass can commit
+    * a CHAIN of merges — byte-identical to the sequential trainer by
+    * construction — cutting the driver-sequenced round count (the
+    * [[train]] scaladoc's watch item: a 32k-merge production vocabulary
+    * must not mean 32k sequential Spark jobs). Property-pinned equal to
+    * [[train]] in BpeSpec, including adversarial overlap corpora.
+    *
+    * Why naive batching stalls: sequential BPE's next pick is usually a
+    * pair INVOLVING the symbol just created ((t,h) then (th,e) — "the").
+    * Disjoint-prefix batching can never certify those, and measures only
+    * ~1.7 merges/round on English. This trainer instead SIMULATES the
+    * sequential selection on the driver with exact arithmetic:
+    *
+    *   - per round, two collects: the top-`batchK` pair counts, and every
+    *     trigram whose leading or trailing 2-gram is one of those top
+    *     pairs (so any trigram the simulation queries is either present
+    *     or provably zero);
+    *   - applying a pair (a,b) with no self-overlapping occurrence
+    *     pattern (certified by T(a,b,a)=0 OR T(b,a,b)=0 — both nonzero is
+    *     the only way an `abab` run can exist) rewrites counts EXACTLY:
+    *     created (w,ab) = T(w,a,b), created (ab,z) = T(a,b,z), consumed
+    *     (w,a) -= T(w,a,b), consumed (b,z) -= T(a,b,z), (a,b) -> 0;
+    *   - a step whose exactness is unprovable (product-involved merges —
+    *     their effects need 4-grams — overlap patterns, stale contexts,
+    *     name collisions) still APPLIES if its selection is certified,
+    *     but folds every count it makes uncertain into a hazard ceiling;
+    *   - a step is certified exactly when the best exactly-known count
+    *     strictly exceeds the hazard ceiling, every uncertain bound, and
+    *     the truncation bound of the collected ranking (unseen counts);
+    *     ties break (count desc, left asc, right asc) exactly as
+    *     [[train]] orders them. The first uncertifiable step ends the
+    *     round; worst case one merge per round = [[train]]'s pace.
+    */
+  def trainBatched(docs: DataFrame, text: String, merges: Int,
+      minFreq: Long = 1L, batchK: Int = 256): Seq[Merge] =
+    trainBatchedDetail(docs, text, merges, minFreq, batchK)._1
+
+  /** [[trainBatched]] plus the number of rounds actually run — the
+    * rounds ≪ merges evidence the spec asserts.
+    */
+  def trainBatchedDetail(docs: DataFrame, text: String, merges: Int,
+      minFreq: Long = 1L, batchK: Int = 256): (Seq[Merge], Int) = {
+    require(merges >= 1, s"need merges >= 1, got $merges")
+    require(batchK >= 1, s"need batchK >= 1, got $batchK")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    var vocab: Dataset[(Seq[String], Long)] = wordFreq(docs, text, minFreq)
+      .select(split(col("word"), "").as("sym"), col("f"))
+      .as[(Seq[String], Long)]
+      .localCheckpoint(true)
+    // driver-side alphabet: every symbol string currently in the vocab —
+    // alphabet-sized (initial chars + one per merge), never data-sized
+    var alphabet: Set[String] =
+      vocab.flatMap(_._1).distinct().collect().toSet
+    val out = Seq.newBuilder[Merge]
+    var done = 0
+    var rounds = 0
+    var exhausted = false
+    while (done < merges && !exhausted) {
+      val pairs = vocab.flatMap { case (sym, f) =>
+          if (sym.length < 2) Iterator.empty
+          else sym.iterator.zip(sym.iterator.drop(1)).map { case (x, y) => (x, y, f) }
+        }
+        .toDF("a", "b", "f")
+        .groupBy("a", "b").agg(sum("f").as("n"))
+        .localCheckpoint(true) // one materialization feeds both reads
+      val top = pairs.orderBy(col("n").desc, col("a"), col("b"))
+        .limit(batchK).as[(String, String, Long)].collect()
+      if (top.isEmpty) exhausted = true
+      else {
+        // every pair key NOT in `exact` has count ≤ unseenBound
+        val unseenBound = if (top.length < batchK) -1L else top.last._3
+        val topKeys = top.map(p => (p._1, p._2)).toSet
+        // trigrams whose first or last 2-gram is a top pair: complete for
+        // every query the simulation makes (zero-guards and deltas are
+        // always keyed by an accepted — hence top — pair)
+        val keyList = topKeys.toSeq.map { case (x, y) => x + " " + y }
+        val tri: Map[(String, String, String), Long] = vocab
+          .flatMap { case (sym, f) =>
+            if (sym.length < 3) Iterator.empty
+            else sym.indices.dropRight(2).iterator
+              .map(i => (sym(i), sym(i + 1), sym(i + 2), f))
+          }
+          .toDF("x", "y", "z", "f")
+          .filter(concat_ws(" ", col("x"), col("y")).isin(keyList: _*) ||
+            concat_ws(" ", col("y"), col("z")).isin(keyList: _*))
+          .groupBy("x", "y", "z").agg(sum("f").as("t"))
+          .as[(String, String, String, Long)].collect()
+          .map(r => (r._1, r._2, r._3) -> r._4).toMap
+
+        // ---- driver-side exact simulation of sequential selection ----
+        val exact = scala.collection.mutable.Map.empty[(String, String), Long]
+        top.foreach(p => exact((p._1, p._2)) = p._3)
+        var hazardCeil = -1L      // max possible count of any uncertain pair
+        var chainSyms = Set.empty[String] // symbols touched by applied merges
+        var names = alphabet      // all symbol names in existence
+        val chain = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
+        var open = true
+        while (open && done + chain.size < merges && exact.nonEmpty) {
+          val ((a, b), n) = exact.minBy { case ((x, y), c) => (-c, x, y) }
+          // certification: nothing outside `exact` can out-rank (a,b) —
+          // strict, because an uncertain/unseen tie could win the
+          // lexicographic break with an unknown name. The FIRST step is
+          // always certified: the collected ranking's head is the global
+          // argmax with tie-break even when the ranking is truncated.
+          if (chain.nonEmpty && n <= math.max(hazardCeil, unseenBound)) open = false
+          else {
+            val product = a + b
+            chain += ((a, b, n))
+            exact.remove((a, b))
+            val baseClean = !chainSyms(a) && !chainSyms(b) && !names(product)
+            val noOverlap = tri.getOrElse((a, b, a), 0L) == 0L ||
+              tri.getOrElse((b, a, b), 0L) == 0L
+            if (baseClean && noOverlap && topKeys((a, b))) {
+              // exact rewrite via round-start trigrams
+              tri.foreach {
+                case ((w, x, y), t) if x == a && y == b =>
+                  // left context: creates (w, ab), consumes (w, a)
+                  if (chainSyms(w)) {
+                    // a chain-touched context symbol makes BOTH sides
+                    // unprovable: the creation's true count and the
+                    // consumed pair's remaining count each depend on how
+                    // many w's the earlier merge absorbed (a 4-gram)
+                    hazardCeil = math.max(hazardCeil, t)
+                    exact.remove((w, a))
+                      .foreach(c => hazardCeil = math.max(hazardCeil, c))
+                  } else {
+                    exact((w, product)) = exact.getOrElse((w, product), 0L) + t
+                    exact.updateWith((w, a))(_.map(_ - t).filter(_ > 0L))
+                  }
+                case _ => ()
+              }
+              tri.foreach {
+                case ((x, y, z), t) if x == a && y == b =>
+                  // right context: creates (ab, z), consumes (b, z)
+                  if (chainSyms(z)) {
+                    hazardCeil = math.max(hazardCeil, t)
+                    exact.remove((b, z))
+                      .foreach(c => hazardCeil = math.max(hazardCeil, c))
+                  } else {
+                    exact((product, z)) = exact.getOrElse((product, z), 0L) + t
+                    exact.updateWith((b, z))(_.map(_ - t).filter(_ > 0L))
+                  }
+                case _ => ()
+              }
+            } else {
+              // selection was certified but the rewrite is unprovable
+              // (product-involved merge needs 4-grams; overlap pattern;
+              // stale context; name collision): every pair ending in `a`
+              // or starting in `b` becomes uncertain, and creations are
+              // bounded by the counts they consume
+              val touched = exact.filter { case ((x, y), _) => y == a || x == b }
+              touched.foreach { case (k, c) =>
+                hazardCeil = math.max(hazardCeil, c)
+                exact.remove(k)
+              }
+              hazardCeil = math.max(hazardCeil, unseenBound)
+              if (names(product)) hazardCeil = Long.MaxValue // conflated names
+            }
+            chainSyms ++= Set(a, b, product)
+            names += product
+          }
+        }
+
+        val batch = chain.toSeq
+        batch.zipWithIndex.foreach { case ((a, b, n), i) =>
+          out += Merge(done + i, a, b, n)
+        }
+        val ranked = batch.map(p => (p._1, p._2))
+        val next = vocab.map { case (sym, f) =>
+          (ranked.foldLeft(sym) { case (s, (a, b)) => mergePair(s, a, b) }, f)
+        }.localCheckpoint(true)
+        vocab.unpersist()
+        pairs.unpersist()
+        vocab = next
+        alphabet ++= batch.map(p => p._1 + p._2)
+        done += batch.size
+        rounds += 1
+      }
+    }
+    vocab.unpersist()
+    (out.result(), rounds)
+  }
+
   /** Apply a trained merge table to a document column: (id, bpe_tokens)
     * rows, each word split to characters and the merges replayed in rank
     * order — the TOKENIZER the training loop exists to produce. Runs on

@@ -115,8 +115,12 @@ object Search {
     // both pools are ≤ their rankers' k — the unpartitioned window runs on
     // a bounded frame (same dispensation as Similarity's k×10 rerank pool)
     scored
+      // ≤ 2k candidate rows by construction (union of two top-k pools) —
+      // Hints.onePartition keeps the single-partition total sort but
+      // gives WindowExec a non-empty spec (no benign-warning noise)
       .withColumn("fused_rank", row_number().over(
         org.apache.spark.sql.expressions.Window
+          .partitionBy(graft.plans.Hints.onePartition(col(id)))
           .orderBy(col("_rrf_s").desc, col(id))))
       .filter(col("fused_rank") <= k)
       .select(col(id), col("fused_rank"), col("a_rank"), col("b_rank"))

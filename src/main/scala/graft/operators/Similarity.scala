@@ -229,8 +229,12 @@ object Similarity {
     require(k > 0, s"need k > 0, got $k")
     require(iters >= 0, s"need iters >= 0, got $iters")
     // the window runs on k rows — a deliberate single-partition sort of a
-    // constant-size frame (same shape as pqCodebook's seed numbering)
-    val w = org.apache.spark.sql.expressions.Window.orderBy(col("seed_id"))
+    // constant-size frame (same shape as pqCodebook's seed numbering);
+    // Hints.onePartition keeps the spec non-empty (no benign WindowExec
+    // warning) without changing the single-partition semantics
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(graft.plans.Hints.onePartition(col("seed_id")))
+      .orderBy(col("seed_id"))
     val seeds = corpus.orderBy(col(id)).limit(k)
       .select(col(id).as("seed_id"), col(emb).as("c_emb"))
       .select((row_number().over(w) - 1).as("cell"), col("c_emb"))
@@ -334,8 +338,9 @@ object Similarity {
     * cluster id and the pairwise work is Σ |cell|², bounded by the
     * LARGEST CLUSTER, not the corpus. Size k (the centroid count) with
     * the corpus — k ∝ n keeps E|cell| constant — and feed real
-    * [[kMeansCentroids]]; for skewed clusters too big to pair, run
-    * [[embeddingNearDups]] (LSH) inside the offending cell instead.
+    * [[kMeansCentroids]]; for skewed clusters too big to pair, use
+    * [[semDedupSkewSafe]], which routes oversized cells through in-cell
+    * LSH instead of the quadratic join.
     * No forced broadcast anywhere — AQE sizes the drop-set join.
     *
     * Output: the corpus keyed columns plus `cell` (assigned cluster) and
@@ -356,6 +361,69 @@ object Similarity {
         cosineSim(col("_sd_av"), col("_sd_bv")) >= minCosine)
       .select(col("_sd_b").as(id)).distinct()
       .withColumn("_sd_drop", lit(true))
+    assigned.select(col(id), col("cell"))
+      .join(dropped, Seq(id), "left")
+      .select(col(id), col("cell"), col("_sd_drop").isNull.as("kept"))
+  }
+
+  /** [[semDedup]] with a skew escape for mega-clusters: cells at or under
+    * `maxCellSize` take the exact |cell|² in-cell pair join; cells ABOVE
+    * it generate candidates via in-cell LSH (random-hyperplane buckets,
+    * join key (cell, tbl, bucket)) with exact-cosine verification — the
+    * fallback [[semDedup]]'s scaladoc only named. A natural cluster (a
+    * boilerplate template, a crawl artifact) can hold 10^8+ vectors at
+    * 100 TB; |cell|² on it is 10^16 comparisons, while the LSH path's
+    * work is Σ per-bucket², bucketed by `tables`·2^`bits` keys inside the
+    * cell — sublinear in |cell|² and tunable independently of the
+    * clustering.
+    *
+    * Semantics: identical to [[semDedup]] whenever every qualifying pair
+    * inside each oversized cell collides in ≥1 hyperplane table (always
+    * true for exact-duplicate vectors, which share every bucket; for
+    * near-duplicates the per-pair miss probability is
+    * (1−(1−θ/π)^bits)^tables — drive `tables` up for recall). The small-
+    * cell path is bit-identical to [[semDedup]]. Pinned equal on corpora
+    * where both paths are exact in SimilaritySpec.
+    *
+    * Plan: assignment narrow; the k-row cell histogram broadcasts back
+    * (advisory); each side of the union is an equi-join — on `cell` for
+    * small cells, on (cell, tbl, bucket) for big ones. Never a corpus-
+    * sized broadcast, never a driver-side list of cells.
+    */
+  def semDedupSkewSafe(corpus: DataFrame, id: String, emb: String,
+      centroids: DataFrame, minCosine: Double,
+      maxCellSize: Long = 1L << 16, tables: Int = 8, bits: Int = 2,
+      dim: Int = 64): DataFrame = {
+    require(maxCellSize > 0, s"need maxCellSize > 0, got $maxCellSize")
+    require(!Seq("cell", "kept").contains(id),
+      s"id column '$id' collides with semDedup's output columns")
+    val assigned = assignToCentroids(corpus.select(col(id), col(emb)), emb, centroids)
+      .localCheckpoint(true) // reused by both routes and the flag join
+    val sizes = assigned.groupBy("cell").agg(count(lit(1)).as("_n"))
+    val sized = assigned.join(graft.plans.Hints.broadcastIfSmall(sizes), "cell")
+
+    def pairsDropped(df: DataFrame, keys: Seq[String]): DataFrame = {
+      val l = df.select((keys.map(col) :+ col(id).as("_sd_a") :+ col(emb).as("_sd_av"))
+        .toIndexedSeq: _*)
+      val r = df.select((keys.map(col) :+ col(id).as("_sd_b") :+ col(emb).as("_sd_bv"))
+        .toIndexedSeq: _*)
+      l.join(r, keys)
+        .filter(col("_sd_a") < col("_sd_b"))
+        // multi-bucket collisions re-derive the same pair: dedup BEFORE
+        // the cosine so each candidate pair is verified once
+        .dropDuplicates("_sd_a", "_sd_b")
+        .filter(cosineSim(col("_sd_av"), col("_sd_bv")) >= minCosine)
+        .select(col("_sd_b").as(id))
+    }
+
+    val small = sized.filter(col("_n") <= maxCellSize)
+    val big = sized.filter(col("_n") > maxCellSize)
+      .withColumn("_k", explode(lshKeys(col(emb), tables, bits, dim)))
+      .select(col("cell"), col("_k.tbl").as("_tbl"), col("_k.bucket").as("_bkt"),
+        col(id), col(emb))
+    val dropped = pairsDropped(small, Seq("cell"))
+      .union(pairsDropped(big, Seq("cell", "_tbl", "_bkt")))
+      .distinct().withColumn("_sd_drop", lit(true))
     assigned.select(col(id), col("cell"))
       .join(dropped, Seq(id), "left")
       .select(col(id), col("cell"), col("_sd_drop").isNull.as("kept"))
@@ -399,7 +467,10 @@ object Similarity {
     require(dim % m == 0, s"dim $dim must divide into m=$m subspaces")
     // the window runs on numCodes rows — a deliberate single-partition
     // sort of a constant-size frame, not a data-sized one
-    val w = org.apache.spark.sql.expressions.Window.orderBy(col("seed_id"))
+    // (Hints.onePartition: same semantics, non-empty spec, no warning)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(graft.plans.Hints.onePartition(col("seed_id")))
+      .orderBy(col("seed_id"))
     val seeds = corpus.orderBy(col(id)).limit(numCodes)
       .select(col(id).as("seed_id"), col(emb).as("seed_emb"))
       .withColumn("code", row_number().over(w) - 1)

@@ -1,8 +1,8 @@
 package graft.plans
 
 import org.apache.spark.network.util.JavaUtils
-import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.functions.broadcast
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions.{broadcast, lit, pmod, xxhash64}
 
 /** Join-hint policy. An explicit `broadcast()` hint is honored by Spark
   * unconditionally — no threshold check, no AQE demotion — so a forced hint
@@ -39,6 +39,20 @@ object Hints {
     * frame is returned unhinted, so the planner/AQE choose a strategy from
     * real sizes — the graceful degradation a forced hint forecloses.
     */
+  /** A single-partition Window partition key for frames that are BOUNDED
+    * BY CONSTRUCTION (k centroids, a top-k pool): evaluates to 0 on every
+    * row, so the window still sees one total-ordered partition, but the
+    * spec is non-empty and WindowExec stops warning "No Partition
+    * Defined" about a sort that is deliberately global. Deliberately
+    * non-foldable — Catalyst's EliminateWindowPartitions drops a foldable
+    * partition key (a plain lit(0) reverts to the empty spec), while an
+    * attribute-dependent expression survives; one hash per row is noise
+    * on constant-size frames. Do NOT use on data-sized frames — the
+    * single partition is then a real bottleneck and the warning would
+    * have been correct.
+    */
+  def onePartition(anchor: Column): Column = pmod(xxhash64(anchor), lit(1L))
+
   def broadcastIfSmall(df: DataFrame): DataFrame = {
     val limit = thresholdBytes(df)
     if (limit > 0 &&

@@ -449,7 +449,10 @@ object TextQueries {
         val lex = graft.operators.Search.bm25TopK(docs, "doc_id", "text",
             terms = Seq("join", "shuffle", "window"), k = 50)
           .select(col("doc_id"), row_number().over(
+            // 50-row top-k pool: bounded single-partition sort;
+            // Hints.onePartition keeps the spec non-empty (no warning)
             org.apache.spark.sql.expressions.Window
+              .partitionBy(graft.plans.Hints.onePartition(col("doc_id")))
               .orderBy(col("score").desc, col("doc_id"))).as("rank"))
         val emb = t(s, d, "embeddings")
         val vec = graft.operators.Similarity.bruteForceKnn(

@@ -68,6 +68,48 @@ class BpeSpec extends SparkSpec {
       "doc_id", "text", merges).isStreaming)
   }
 
+  test("trainBatched is byte-identical to train across merge counts") {
+    // the Sennrich corpus at every vocabulary size it supports
+    for (m <- 1 to 8) {
+      val seq = Bpe.train(corpus, "text", merges = m)
+      val bat = Bpe.trainBatched(corpus, "text", merges = m)
+      assert(bat === seq, s"batched trainer diverged at merges=$m")
+    }
+  }
+
+  test("trainBatched is byte-identical to train on randomized corpora") {
+    // deterministic pseudo-random corpora: varied alphabets force the
+    // interaction hazards (shared symbols, product collisions, created
+    // pairs) the safe-prefix rules exist for
+    // alphabet sizes 2–4: size-2 corpora are dense in abab/aaa overlap
+    // runs — the exact-rewrite zero-guards' adversarial case
+    for (seed <- 1 to 8) {
+      val rnd = new scala.util.Random(seed)
+      val sigma = 2 + seed % 3
+      val words = Seq.fill(30) {
+        val len = 2 + rnd.nextInt(6)
+        Seq.fill(len)(('a' + rnd.nextInt(sigma)).toChar).mkString
+      }
+      val docs = Seq((1L, Seq.fill(40)(words(rnd.nextInt(words.length)))
+        .mkString(" "))).toDF("doc_id", "text")
+      val seq = Bpe.train(docs, "text", merges = 12)
+      val bat = Bpe.trainBatched(docs, "text", merges = 12)
+      assert(bat === seq, s"batched trainer diverged at seed=$seed (sigma=$sigma)")
+    }
+  }
+
+  test("trainBatched commits several merges per round (rounds well below merges)") {
+    // the documents table: natural-ish text where frequent pairs are
+    // largely symbol-disjoint, so the safe prefix is usually > 1
+    val docs = queries.Tables.t(spark, sf, "documents")
+    val m = 16
+    val seq = Bpe.train(docs, "text", merges = m)
+    val (bat, rounds) = Bpe.trainBatchedDetail(docs, "text", merges = m)
+    assert(bat === seq, "batched trainer must stay byte-identical on real text")
+    assert(rounds * 2 <= m,
+      s"expected at most ${m / 2} rounds for $m merges, got $rounds")
+  }
+
   test("minFreq caps the word table (the production-scale knob)") {
     val vocab = Bpe.wordFreq(corpus, "text", minFreq = 4)
       .as[(String, Long)].collect().toMap

@@ -266,6 +266,49 @@ class SimilaritySpec extends SparkSpec {
     assert(out === Set((0L, 0, true), (1L, 1, true)))
   }
 
+  test("semDedupSkewSafe equals semDedup with a planted mega-cell (both paths exact)") {
+    // cell 0 is the mega-cell (24 vectors > maxCellSize=10 → LSH route):
+    // three exact-duplicate groups of 8, group directions mutually below
+    // the 0.95 threshold (cos ≈ 0.835/0.904). Identical vectors share
+    // EVERY hyperplane bucket, so in-cell LSH finds every qualifying pair
+    // — both paths are exact and must agree bit-for-bit. Cell 1 stays
+    // under the threshold → the small path, pinned identical to semDedup.
+    val g1 = Seq(1f, 0.3f, 0f, 0f, 0f, 0f, 0f, 0f)
+    val g2 = Seq(1f, -0.3f, 0f, 0f, 0f, 0f, 0f, 0f)
+    val g3 = Seq(1f, 0f, 0.35f, 0f, 0f, 0f, 0f, 0f)
+    val d1 = Seq(0f, 0f, 0f, 0f, 1f, 0.2f, 0f, 0f)
+    val s1 = Seq(0f, 0f, 0f, 0f, 1f, -0.6f, 0f, 0f)
+    val vecs = (
+      (1L to 8L).map(i => (i, g1)) ++ (9L to 16L).map(i => (i, g2)) ++
+        (17L to 24L).map(i => (i, g3)) ++
+        Seq((30L, d1), (31L, d1), (32L, s1))
+    ).toDF("vec_id", "embedding")
+    val cents = Seq(
+      (0, Seq(1f, 0f, 0f, 0f, 0f, 0f, 0f, 0f)),
+      (1, Seq(0f, 0f, 0f, 0f, 1f, 0f, 0f, 0f))
+    ).toDF("cell", "c_emb")
+    val exact = Similarity.semDedup(vecs, "vec_id", "embedding", cents, 0.95)
+      .as[(Long, Int, Boolean)].collect().toSet
+    val safe = Similarity.semDedupSkewSafe(vecs, "vec_id", "embedding", cents,
+        0.95, maxCellSize = 10, tables = 8, bits = 2, dim = 8)
+      .as[(Long, Int, Boolean)].collect().toSet
+    assert(safe === exact, "skew-safe must agree with the quadratic path")
+    // sanity on the content: min id of each duplicate group survives
+    val kept = safe.filter(_._3).map(_._1)
+    assert(kept === Set(1L, 9L, 17L, 30L, 32L))
+  }
+
+  test("semDedupSkewSafe with no oversized cells IS semDedup (small path bit-identical)") {
+    val se = queries.SimilarityQueries.seededCorpus(spark, sf)
+    val cents = Similarity.kMeansCentroids(se, "vec_id", "emb", k = 16, iters = 1)
+    val a = Similarity.semDedup(se, "vec_id", "emb", cents, minCosine = 0.9)
+      .as[(Long, Int, Boolean)].collect().toSet
+    val b = Similarity.semDedupSkewSafe(se, "vec_id", "emb", cents,
+        minCosine = 0.9, maxCellSize = 1L << 20)
+      .as[(Long, Int, Boolean)].collect().toSet
+    assert(b === a)
+  }
+
   test("semDedup drop set matches exactNearDupPairs restricted to same-cell pairs") {
     val se = queries.SimilarityQueries.seededCorpus(spark, sf)
     val cents = Similarity.kMeansCentroids(se, "vec_id", "emb", k = 16, iters = 1)
