@@ -87,8 +87,10 @@ object Bench {
     // restricted runs (SPARK_GRAFT_ONLY) are profiling aids — they must
     // not clobber the canonical full-suite artifact (a scale sweep once
     // overwrote BENCH_FULL.json with a 3-query run and the truncated
-    // artifact got committed)
-    val artifact = if (only.isDefined) "BENCH_PARTIAL.json" else "BENCH_FULL.json"
+    // artifact got committed). SPARK_GRAFT_ARTIFACT names the output
+    // explicitly — the standing 100× sweep writes BENCH_100x.json with it
+    val artifact = sys.env.getOrElse("SPARK_GRAFT_ARTIFACT",
+      if (only.isDefined) "BENCH_PARTIAL.json" else "BENCH_FULL.json")
     val out = new java.io.PrintWriter(artifact)
     try out.println(fullJson) finally out.close()
     // "slowest", not "queries": the stdout map is truncated to 20 entries,
