@@ -208,6 +208,56 @@ object SimilarityQueries {
         t(s, d, "embeddings"), "vec_id", "embedding",
         centroids = seededCentroids(s), minCosine = 0.45)),
 
+    // SemDeDup SKEW route: a constructed corpus (derived from the
+    // embeddings ids, identical arithmetic both engines) with a planted
+    // MEGA-CELL — every vec_id with seed < 100 lands in cell 0, ~25% of
+    // the corpus — and exact-duplicate pairs (vec_id ≡ 1 mod 4 copies its
+    // predecessor's vector). maxCellSize = 50 forces cell 0 through the
+    // in-cell LSH route while the other 15 cells take the small quadratic
+    // path. The hash-noise payload (dims 16..63, amplitude ±0.6 vs the
+    // 1.0 one-hot) keeps non-identical same-cell cosines far below the
+    // 0.9 threshold, so the qualifying pairs are exactly the planted
+    // duplicates — which share EVERY hyperplane bucket, making the LSH
+    // route provably exact and the DuckDB pairwise replay a true oracle
+    // of the whole operator.
+    Q("q_semdedup_skew", Some("""
+      |WITH base AS (SELECT vec_id,
+      |    vec_id - CASE WHEN vec_id % 4 = 1 THEN 1 ELSE 0 END AS s FROM embeddings),
+      |cc AS (SELECT vec_id, s,
+      |    CAST(CASE WHEN s < 100 THEN 0 ELSE s % 15 + 1 END AS INT) AS c FROM base),
+      |v AS (SELECT vec_id, c, list_transform(range(0, 64), i -> CAST(
+      |    CASE WHEN i = c THEN 1.0 ELSE 0.0 END +
+      |    CASE WHEN i >= 16 THEN
+      |      ((('0x' || substring(md5(CAST(s * 64 + i AS VARCHAR)), 1, 15))::BIGINT % 1000)
+      |        / 1000.0 - 0.5) * 1.2
+      |    ELSE 0.0 END AS REAL)) AS emb FROM cc),
+      |n AS (SELECT vec_id, c, emb,
+      |    sqrt(list_sum(list_transform(emb, x -> x::DOUBLE * x::DOUBLE))) AS nrm FROM v),
+      |drp AS (SELECT DISTINCT y.vec_id FROM n x JOIN n y ON x.c = y.c AND x.vec_id < y.vec_id
+      |  WHERE list_sum(list_transform(range(1, 65), i -> x.emb[i]::DOUBLE * y.emb[i]::DOUBLE))
+      |        / (x.nrm * y.nrm) >= 0.9)
+      |SELECT n.vec_id, n.c AS cell, (drp.vec_id IS NULL) AS kept
+      |FROM n LEFT JOIN drp ON n.vec_id = drp.vec_id
+      |""".stripMargin.trim))(
+      (s, d) => {
+        val seed = col("vec_id") -
+          when(pmod(col("vec_id"), lit(4)) === 1, 1L).otherwise(0L)
+        val corpus = t(s, d, "embeddings").select(col("vec_id"), seed.as("_s"))
+          .withColumn("_c",
+            when(col("_s") < 100, 0)
+              .otherwise(pmod(col("_s"), lit(15)) + 1).cast("int"))
+          .select(col("vec_id"), transform(sequence(lit(0), lit(63)), i =>
+            (when(i === col("_c"), lit(1.0)).otherwise(lit(0.0)) +
+              when(i >= 16,
+                (pmod(graft.operators.Dedup.portableHash64(
+                    (col("_s") * 64 + i).cast("string")), lit(1000L))
+                  .cast("double") / 1000.0 - 0.5) * 1.2)
+                .otherwise(lit(0.0))).cast("float")).as("emb"))
+        Similarity.semDedupSkewSafe(corpus, "vec_id", "emb",
+          centroids = seededCentroids(s), minCosine = 0.9,
+          maxCellSize = 50, tables = 8, bits = 2, dim = 64)
+      }),
+
     // int8 quantization: per-vector symmetric scale, floor(x·s + 0.5)
     // mapping (identical in every engine, unlike round-half). Output is
     // integer stats of the quantized vector — exact compare.
