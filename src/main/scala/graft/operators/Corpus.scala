@@ -619,29 +619,54 @@ object Corpus {
     */
   def dsirWeights(raw: DataFrame, target: DataFrame, id: String, text: String,
       n: Int = 2, buckets: Int = 1 << 16, scale: Long = 1L << 20): DataFrame = {
-    require(n > 0 && buckets > 0 && scale > 0,
-      s"need positive n/buckets/scale, got n=$n buckets=$buckets scale=$scale")
     require(!raw.columns.contains("ds_weight"),
       "input already has a ds_weight column — the weights would shadow it")
-    def bucket(g: Column): Column =
-      pmod(Dedup.portableHash64(g), lit(buckets.toLong))
     val rawGrams = ngramOccurrences(raw, id, text, n)
-      .select(col(id), bucket(col("g")).as("_b"))
-    val tc = ngramOccurrences(target, id, text, n)
-      .groupBy(bucket(col("g")).as("_b")).agg(count(lit(1)).as("_tc"))
-    val rc = rawGrams.groupBy("_b").agg(count(lit(1)).as("_rc"))
-    // ratio table: one row per OCCUPIED raw bucket (≤ buckets rows);
-    // target-only buckets never match a raw gram, so rc drives the join
-    val ratio = rc.join(tc, Seq("_b"), "left").select(col("_b"),
-      floorDivExact(
-        ((coalesce(col("_tc"), lit(0L)) + 1L) * lit(scale)).cast("decimal(38,0)"),
-        (col("_rc") + 1L).cast("decimal(38,0)")).as("_r"))
+      .select(col(id), dsirBucket(col("g"), buckets).as("_b"))
+      // consumed twice (the rc histogram AND the weight join) — without
+      // the materialization the corpus-sized tokenize+gram+hash explode
+      // runs twice
+      .localCheckpoint(true)
+    val ratio = dsirRatioTableFromGrams(rawGrams, target, id, text, n, buckets, scale)
     val weights = rawGrams
       .join(graft.plans.Hints.broadcastIfSmall(ratio), "_b")
       .groupBy(id).agg(sum("_r").as("_dsW"))
     raw.join(weights, Seq(id), "left")
       .withColumn("ds_weight", greatest(lit(1L), coalesce(col("_dsW"), lit(1L))))
       .drop("_dsW")
+  }
+
+  /** The n-gram bucket hash shared by the batch and ingest DSIR forms. */
+  private[graft] def dsirBucket(g: Column, buckets: Int): Column =
+    pmod(Dedup.portableHash64(g), lit(buckets.toLong))
+
+  /** The DSIR importance-ratio artifact: one row per occupied raw bucket,
+    * (`_b`, `_r` = ⌊(tc+1)·scale/(rc+1)⌋). This is the trainable,
+    * persistable table the streaming ingest form broadcasts
+    * ([[graft.streaming.StreamingQuality.dsirWeightAtIngest]]) — train
+    * once on the frozen raw/target corpora, gate forever.
+    */
+  def dsirRatioTable(raw: DataFrame, target: DataFrame, id: String,
+      text: String, n: Int = 2, buckets: Int = 1 << 16,
+      scale: Long = 1L << 20): DataFrame =
+    dsirRatioTableFromGrams(
+      ngramOccurrences(raw, id, text, n)
+        .select(col(id), dsirBucket(col("g"), buckets).as("_b")),
+      target, id, text, n, buckets, scale)
+
+  private def dsirRatioTableFromGrams(rawGrams: DataFrame, target: DataFrame,
+      id: String, text: String, n: Int, buckets: Int, scale: Long): DataFrame = {
+    require(n > 0 && buckets > 0 && scale > 0,
+      s"need positive n/buckets/scale, got n=$n buckets=$buckets scale=$scale")
+    val tc = ngramOccurrences(target, id, text, n)
+      .groupBy(dsirBucket(col("g"), buckets).as("_b")).agg(count(lit(1)).as("_tc"))
+    val rc = rawGrams.groupBy("_b").agg(count(lit(1)).as("_rc"))
+    // one row per OCCUPIED raw bucket (≤ buckets rows); target-only
+    // buckets never match a raw gram, so rc drives the join
+    rc.join(tc, Seq("_b"), "left").select(col("_b"),
+      floorDivExact(
+        ((coalesce(col("_tc"), lit(0L)) + 1L) * lit(scale)).cast("decimal(38,0)"),
+        (col("_rc") + 1L).cast("decimal(38,0)")).as("_r"))
   }
 
   /** DSIR importance RESAMPLING: [[dsirWeights]] driving a [[samplePps]]

@@ -152,6 +152,43 @@ object StreamingQuality {
     * proportionally hot until the artifact is refreshed (the same
     * advisory-artifact contract as [[percentileGateAtIngest]]).
     */
+  /** DSIR importance weights at ingest — the streaming twin of
+    * [[graft.operators.Corpus.dsirWeights]]: the batch-trained bucket
+    * ratio table ([[graft.operators.Corpus.dsirRatioTable]] — frozen
+    * raw/target corpora) folds into ONE map value broadcast onto the
+    * stream, and each arriving document computes `ds_weight` as a
+    * per-row gram fold — identical gram formation (lowercased whitespace
+    * tokens, sliding n-grams with multiplicity, docs shorter than n
+    * contribute nothing), identical bucket hash, identical ratio sum and
+    * ≥1 clamp. Stateless, append-safe, checkpoint-free; compose with
+    * [[samplePpsAtIngest]] at a frozen total for the full resampling
+    * gate (membership and HT weights then equal the batch
+    * [[graft.operators.Corpus.dsirResample]] bit-for-bit — spec-pinned).
+    *
+    * The map is bucket-bounded (≤ `buckets` entries, i.e. ≤ 2^16 at the
+    * default — ~1 MB), the deployable-artifact analog of
+    * [[rareTokenShareAtIngest]]'s document-frequency map.
+    */
+  def dsirWeightAtIngest(docs: DataFrame, text: String,
+      ratioTable: DataFrame, n: Int = 2, buckets: Int = 1 << 16): DataFrame = {
+    require(n > 0 && buckets > 0, s"need positive n/buckets, got $n/$buckets")
+    require(!docs.columns.contains("ds_weight"),
+      "input already has a ds_weight column — the weights would shadow it")
+    val ratioMap = ratioTable.agg(
+      map_from_entries(collect_list(struct(col("_b"), col("_r")))).as("_ds_map"))
+    docs.crossJoin(broadcast(ratioMap))
+      .withColumn("_ds_toks", split(lower(col(text)), "\\s+"))
+      .withColumn("ds_weight", greatest(lit(1L),
+        when(size(col("_ds_toks")) >= n,
+          aggregate(sequence(lit(0), size(col("_ds_toks")) - n), lit(0L),
+            (acc, i) => acc + coalesce(
+              element_at(col("_ds_map"), Corpus.dsirBucket(
+                concat_ws(" ", slice(col("_ds_toks"), i + 1, lit(n))), buckets)),
+              lit(0L))))
+          .otherwise(lit(0L))))
+      .drop("_ds_toks", "_ds_map")
+  }
+
   def samplePpsAtIngest(rows: DataFrame, key: Column, weight: Column,
       expected: Int, totalWeight: Long): DataFrame = {
     require(expected > 0, s"need expected > 0, got $expected")

@@ -439,6 +439,38 @@ class PlanShapeSpec extends SparkSpec {
       "assignment checkpoint boundary missing — pair sides would recompute it")
   }
 
+  test("semdedup skew route: cell/bucket equi-joins only, nothing quadratic, no forced broadcast of data") {
+    val df = q("q_semdedup_skew")
+    // two routed pair searches (cell small path, (cell,tbl,bucket) LSH
+    // path) + histogram + flag joins — all equi-joins; the constructed
+    // corpus must never cross a cartesian or a forced data broadcast
+    assert(countNodes(df, "CartesianProduct") === 0)
+    assert(countNodes(df, "BroadcastNestedLoopJoin") === 0)
+    assert(broadcastHintedLeaves(df).isEmpty,
+      "skew route must not force-broadcast any side — AQE sizes the joins")
+    val fmt = formatted(df)
+    assert(fmt.linesIterator.exists(l => l.contains("keys") && l.contains("_bkt")),
+      "LSH route lost its (cell, tbl, bucket) equi-join")
+    assert(mentions(df, "ExistingRDD"),
+      "assignment checkpoint boundary missing — routed sides would recompute it")
+  }
+
+  test("dsir: gram work collapses to bucket tables; weight join broadcast-advisory; PPS gate narrow") {
+    val df = q("q_dsir")
+    assert(countNodes(df, "CartesianProduct") === 0)
+    // exactly one nested-loop join: the 1-row total-weight broadcast of
+    // the PPS gate (the same shape q_sample_pps pins)
+    assert(countNodes(df, "BroadcastNestedLoopJoin") === 1,
+      "expected exactly the single-row PPS total broadcast")
+    assert(countNodes(df, "Window") === 0, "no corpus-wide window allowed")
+    // raw-gram explode is materialized once (checkpoint boundary): the
+    // rc histogram and the weight join both read it, not the text scan
+    assert(mentions(df, "ExistingRDD"),
+      "rawGrams checkpoint boundary missing — the gram explode would run twice")
+    assert(readSchemas(df).forall(s => !s.contains("lang") && !s.contains("n_chars")),
+      "documents scans must prune to (doc_id, text, source)")
+  }
+
   test("lm_typicality: gram-keyed joins, 1-row global broadcast, pruned scan") {
     val df = q("q_lm_typicality")
     assert(countNodes(df, "CartesianProduct") === 0)

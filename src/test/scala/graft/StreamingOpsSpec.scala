@@ -754,6 +754,48 @@ class StreamingOpsSpec extends SparkSpec {
       "ingest membership and HT weights must equal the batch sample at the same frozen total")
   }
 
+  test("DSIR at ingest: frozen ratio artifact, weights and membership equal the batch resample") {
+    import graft.streaming.StreamingQuality
+    val docs = queries.Tables.t(spark, sf, "documents")
+    val raw = docs.filter(col("source") =!= "src0")
+    val target = docs.filter(col("source") === "src0")
+    // frozen artifacts: the bucket ratio table and the raw-corpus total
+    val ratio = graft.operators.Corpus.dsirRatioTable(raw, target, "doc_id", "text")
+      .localCheckpoint(true)
+    val batchW = graft.operators.Corpus.dsirWeights(raw, target, "doc_id", "text")
+      .select("doc_id", "ds_weight").as[(Long, Long)].collect().toMap
+    val totalW = batchW.values.sum
+    val batchSample = graft.operators.Corpus
+      .dsirResample(raw, target, "doc_id", "text", expected = 20)
+      .select("doc_id", "ds_weight", "ht_weight")
+      .as[(Long, Long, Double)].collect().toSet
+
+    val rows = raw.select("doc_id", "text").as[(Long, String)].collect()
+    val mem = MemoryStream[(Long, String)]
+    val out = StreamingQuality.samplePpsAtIngest(
+      StreamingQuality.dsirWeightAtIngest(
+        mem.toDF().toDF("doc_id", "text"), "text", ratio),
+      col("doc_id"), col("ds_weight"), expected = 20, totalWeight = totalW)
+    assert(out.isStreaming, "the DSIR gate must stay a stateless streaming frame")
+    val q = out.select("doc_id", "ds_weight", "ht_weight").writeStream
+      .format("memory").queryName("dsir_sink").outputMode("append").start()
+    try {
+      mem.addData(rows.take(rows.length / 2).toIndexedSeq: _*)
+      mem.addData(rows.drop(rows.length / 2).toIndexedSeq: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.table("dsir_sink")
+      .as[(Long, Long, Double)].collect().toSet
+    assert(streamed === batchSample,
+      "ingest membership, ds_weight and ht_weight must equal the batch resample")
+    // and the per-row weight fold equals the batch shuffle-computed weight
+    // for EVERY doc, not just sampled ones
+    val allW = StreamingQuality.dsirWeightAtIngest(
+        raw.select("doc_id", "text"), "text", ratio)
+      .select("doc_id", "ds_weight").as[(Long, Long)].collect().toMap
+    assert(allW === batchW)
+  }
+
   test("centroid assignment at ingest: arriving vectors tagged with trained cells") {
     // train offline on the seeded corpus, assign a stream against the
     // frozen centroids — the IVF ingest path
