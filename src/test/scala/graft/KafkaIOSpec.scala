@@ -89,6 +89,65 @@ class KafkaIOSpec extends SparkSpec {
     assert(log.filter(col("timestamp").isNull).count() === 0)
   }
 
+  test("wire log: multiple topics keep independent per-partition offset ledgers") {
+    val dir = tmp()
+    def frame(rows: Seq[(String, String, String, Int, Long)]) =
+      rows.toDF("k", "v", "topic", "partition", "seq")
+        .select(col("k").cast("binary").as("key"),
+          col("v").cast("binary").as("value"),
+          col("topic"), col("partition"), col("seq"))
+    // one append interleaving two topics — a consumer group subscribed to
+    // both sees each (topic, partition) as its own ordered log
+    WireLog.append(spark, dir, frame(Seq(
+      ("a", "1", "orders", 0, 1L), ("b", "2", "payments", 0, 2L),
+      ("c", "3", "orders", 0, 3L), ("d", "4", "payments", 1, 4L))),
+      numPartitions = 2, orderBy = Seq(col("seq")))
+    WireLog.append(spark, dir, frame(Seq(
+      ("e", "5", "payments", 0, 5L), ("f", "6", "orders", 0, 6L))),
+      numPartitions = 2, orderBy = Seq(col("seq")))
+    val log = WireLog.read(spark, dir)
+      .select(col("topic"), col("partition"), col("offset"),
+        col("value").cast("string"))
+      .as[(String, Int, Long, String)].collect()
+      .groupBy(r => (r._1, r._2)).view
+      .mapValues(_.sortBy(_._3).map(r => (r._3, r._4)).toSeq).toMap
+    // each (topic, partition) ledger is contiguous from 0, in seq order,
+    // unaffected by the other topic's traffic
+    assert(log(("orders", 0)) === Seq((0L, "1"), (1L, "3"), (2L, "6")))
+    assert(log(("payments", 0)) === Seq((0L, "2"), (1L, "5")))
+    assert(log(("payments", 1)) === Seq((0L, "4")))
+  }
+
+  test("wire log streaming replay: checkpoint restart resumes at the next segment, exactly once") {
+    // the consumer-group offset-commit contract (§2.6 at-least-once →
+    // Spark exactly-once): a query consuming the wire log, stopped after
+    // segment 1 and restarted from its checkpoint, must process segment 2
+    // WITHOUT re-emitting segment 1
+    val root = tmp()
+    val in = s"$root/in"
+    def seg(rows: (String, String)*): Unit = WireLog.append(spark, in,
+      rows.toSeq.toDF("k", "v").select(col("k").cast("binary").as("key"),
+        col("v").cast("binary").as("value"), lit("t").as("topic"),
+        col("k").as("seq")),
+      numPartitions = 1, orderBy = Seq(col("seq")))
+    seg("1" -> "a", "2" -> "b")
+    def start() = WireLog.readStream(spark, in)
+      .select(col("key").cast("string"), col("value").cast("string"),
+        col("offset"))
+      .writeStream.format("parquet")
+      .option("path", s"$root/out").option("checkpointLocation", s"$root/ckpt")
+      .outputMode("append").start()
+    val q1 = start()
+    try q1.processAllAvailable() finally q1.stop()
+    seg("3" -> "c") // arrives while the consumer is down
+    val q2 = start()
+    try q2.processAllAvailable() finally q2.stop()
+    val got = spark.read.parquet(s"$root/out")
+      .as[(String, String, Long)].collect().sortBy(_._1)
+    assert(got.toSeq === Seq(("1", "a", 0L), ("2", "b", 1L), ("3", "c", 2L)),
+      "restart must resume after the committed segment — no loss, no replay")
+  }
+
   test("wire log hash mode + tombstone + headers round-trip bit-exact") {
     val dir = tmp()
     val framed = KafkaIO.sinkFrame(
