@@ -315,6 +315,56 @@ object Corpus {
     df.filter(pmod(Dedup.portableHash64(key.cast("string")), lit(den)) < num)
   }
 
+  /** Deterministic train/validation/test split assignment: split i gets
+    * rows whose key hash lands in its share of [0, den) — the same
+    * auditable pure-function membership as [[sampleByHash]] (hash mod den
+    * compared against cumulative fraction bounds), so the split is stable
+    * under reprocessing, partitioning, and corpus growth (a document
+    * never migrates between splits when OTHER documents arrive — the
+    * property a random split lacks and a pretraining/eval separation
+    * needs). `fractions` are integer shares of `den` summing to ≤ den
+    * (any remainder joins the LAST split). One narrow projection, no
+    * shuffle. Output: the input + `split` (0-based index).
+    *
+    * LEAKAGE-AWARE use: split by a GROUP key, not the row key — near-
+    * duplicate families straddling train and test silently inflate every
+    * eval. Pass e.g. the [[Dedup.resolveComponentsStar]] representative
+    * ([[splitByComponent]] wires exactly that), a URL domain, or a
+    * repository id, and the whole family lands in one split.
+    */
+  def assignSplits(df: DataFrame, key: Column, fractions: Seq[Int],
+      den: Int = 1000): DataFrame = {
+    require(den > 0, s"need den > 0, got $den")
+    require(fractions.nonEmpty && fractions.forall(_ >= 0) && fractions.sum <= den,
+      s"fractions must be non-negative integer shares of $den, got $fractions")
+    require(!df.columns.contains("split"),
+      "input already has a split column — the assignment would shadow it")
+    val bounds = fractions.scanLeft(0)(_ + _) // cumulative upper bounds
+    val h = pmod(Dedup.portableHash64(key.cast("string")), lit(den))
+    val expr = bounds.tail.init.zipWithIndex.foldRight(
+      lit(fractions.length - 1)) { case ((b, i), acc) =>
+      when(h < b, lit(i)).otherwise(acc)
+    }
+    df.withColumn("split", expr.cast("int"))
+  }
+
+  /** [[assignSplits]] keyed by each document's duplicate-component
+    * representative: rows join their component id (docs in no component
+    * are their own singleton group), then the GROUP hash decides the
+    * split — a near-duplicate family can never straddle train/test.
+    * `components` is [[Dedup.resolveComponentsStar]] output
+    * (node, component). The join is id-keyed (advisory broadcast — the
+    * component table is pair-bounded, far smaller than the corpus).
+    */
+  def splitByComponent(df: DataFrame, id: String, components: DataFrame,
+      fractions: Seq[Int], den: Int = 1000): DataFrame = {
+    require(!df.columns.contains("_grp"), "input already has a _grp column")
+    val comp = components.select(col("node").as(id), col("component").as("_grp"))
+    val grouped = df.join(graft.plans.Hints.broadcastIfSmall(comp), Seq(id), "left")
+      .withColumn("_grp", coalesce(col("_grp"), col(id)))
+    assignSplits(grouped, col("_grp"), fractions, den).drop("_grp")
+  }
+
   /** Dataset-mixture sampling: per-stratum deterministic hash rates — the
     * "data mixing" step that weights sources in a pretraining corpus
     * (e.g. keep 100% of wiki, 10% of crawl). Same auditability as

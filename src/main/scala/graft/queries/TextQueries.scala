@@ -354,6 +354,33 @@ object TextQueries {
           .select("doc_id", "ds_weight", "ht_weight")
       }),
 
+    // deterministic train/val/test split: 80/10/10 by doc_id hash range —
+    // membership is a pure function of the key, so the split survives
+    // reprocessing and corpus growth (no row ever migrates)
+    Q("q_split", Some("""
+      |SELECT doc_id, CAST(CASE WHEN h < 800 THEN 0 WHEN h < 900 THEN 1 ELSE 2 END AS INT) AS split
+      |FROM (SELECT doc_id,
+      |  ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 1000 AS h
+      |  FROM documents)
+      |""".stripMargin.trim))(
+      (s, d) => graft.operators.Corpus.assignSplits(
+        t(s, d, "documents"), col("doc_id"), Seq(800, 100, 100))
+        .select("doc_id", "split")),
+
+    // leakage-aware variant: split by a GROUP key (here the source — the
+    // domain-keyed pattern), so an entire document family lands in one
+    // split and near-dup leakage across train/test is structurally
+    // impossible; the dedup-component form is splitByComponent (spec)
+    Q("q_split_group", Some("""
+      |SELECT doc_id, source, CAST(CASE WHEN h < 900 THEN 0 ELSE 1 END AS INT) AS split
+      |FROM (SELECT doc_id, source,
+      |  ('0x' || substring(md5(source), 1, 15))::BIGINT % 1000 AS h
+      |  FROM documents)
+      |""".stripMargin.trim))(
+      (s, d) => graft.operators.Corpus.assignSplits(
+        t(s, d, "documents"), col("source"), Seq(900, 100))
+        .select("doc_id", "source", "split")),
+
     // BM25 lexical search (log-free rational idf — ln() is not bit-portable
     // across libm implementations): top-20 docs for a 3-term query. Scores
     // sum per-term in a fixed order; every input is an exact integer, so

@@ -403,6 +403,51 @@ class CorpusSpec extends SparkSpec {
     assert(heavyHt === Seq(1.0))
   }
 
+  test("assignSplits: deterministic hash-range splits; remainder joins the last") {
+    val df = (1L to 2000L).toDF("id")
+    val out = Corpus.assignSplits(df, col("id"), Seq(800, 100, 100))
+      .select("id", "split").as[(Long, Int)].collect()
+    val bySplit = out.groupBy(_._2).view.mapValues(_.length).toMap
+    assert(bySplit.keySet === Set(0, 1, 2))
+    // hash-proportional: 80/10/10 within sampling noise on 2000 keys
+    assert(bySplit(0) > 1450 && bySplit(0) < 1750, s"got $bySplit")
+    assert(bySplit(1) > 120 && bySplit(1) < 280)
+    // pure function of the key: identical on re-run and under growth —
+    // the first 1000 ids keep their split when 1000 more arrive
+    val small = Corpus.assignSplits((1L to 1000L).toDF("id"), col("id"),
+      Seq(800, 100, 100)).select("id", "split").as[(Long, Int)].collect().toMap
+    assert(out.filter(_._1 <= 1000L).forall { case (id, s) => small(id) == s },
+      "a document must never migrate between splits when the corpus grows")
+    // fractions summing below den: remainder joins the LAST split
+    val rem = Corpus.assignSplits(df, col("id"), Seq(100, 100), den = 1000)
+      .select("split").as[Int].collect()
+    assert(rem.count(_ == 1) > rem.count(_ == 0) * 5,
+      "the 800/1000 remainder must fall into split 1")
+    intercept[IllegalArgumentException] {
+      Corpus.assignSplits(df, col("id"), Seq(900, 200))
+    }
+  }
+
+  test("splitByComponent: a near-duplicate family never straddles splits") {
+    // docs 1,2,3 are one duplicate family (component rep 1); 4,5 another;
+    // 6 is a singleton with no component row
+    val docs = (1L to 6L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    val components = Seq((1L, 1L), (2L, 1L), (3L, 1L), (4L, 4L), (5L, 4L))
+      .toDF("node", "component")
+    val out = Corpus.splitByComponent(docs, "doc_id", components,
+        Seq(500, 500))
+      .select("doc_id", "split").as[(Long, Int)].collect().toMap
+    assert(out.keySet === Set(1L, 2L, 3L, 4L, 5L, 6L))
+    assert(Set(out(1L), out(2L), out(3L)).size === 1,
+      "family {1,2,3} must land in ONE split")
+    assert(Set(out(4L), out(5L)).size === 1,
+      "family {4,5} must land in ONE split")
+    // the family split equals the plain hash split of its representative
+    val repSplit = Corpus.assignSplits(Seq(1L).toDF("k"), col("k"),
+      Seq(500, 500)).select("split").as[Int].head()
+    assert(out(1L) === repSplit)
+  }
+
   test("dsirWeights: target-like docs upweighted, weights exact integers >= 1") {
     // target corpus speaks about foxes; raw corpus has one fox-like doc,
     // one off-topic doc, one doc shorter than the bigram
