@@ -166,6 +166,57 @@ object WireLog {
       .parquet(s"$dir/seg-*.parquet")
   }
 
+  /** Log compaction — the semantics of a Kafka COMPACTED topic, which the
+    * reference's changelog and GlobalTable machinery depend on
+    * (`kstream/builder.go:382-434` auto-creates changelog/repartition
+    * topics with compact cleanup policy): per (topic, partition, key),
+    * only the RECORD WITH THE HIGHEST OFFSET survives, keeping its
+    * original offset (compaction never renumbers — consumers resume by
+    * offset into a compacted log); a surviving NULL value (tombstone)
+    * deletes the key entirely (the post-retention state of
+    * `delete.retention.ms`, i.e. what a fresh GlobalTable bootstrap
+    * observes). The compacted log occupies one segment generation and
+    * replays in one micro-batch — exactly the "restore state, then
+    * stream" bootstrap split (`global_table_stream.go:64-176`).
+    *
+    * Plan shape: one groupBy (topic, partition, key) `max_by` partial
+    * aggregation — the engine's latest-by-key convention (map-side
+    * combine, no window sort), so compacting a 100 TB log is one shuffle
+    * of the key space.
+    */
+  def compact(spark: SparkSession, dir: String): Unit = {
+    val log = read(spark, dir)
+    val ends = endOffsets(spark, dir)
+    val latest = log
+      .groupBy(col("topic"), col("partition"), col("key"))
+      .agg(max_by(
+        struct(recordSchema.fieldNames.map(col).toIndexedSeq: _*),
+        col("offset")).as("_rec"))
+      .select(col("_rec.*"))
+      .join(broadcast(ends), Seq("topic", "partition"), "left")
+      // tombstones delete their key — EXCEPT the partition's final record,
+      // which is retained (tombstone or not) so the log-end offset, and
+      // with it append's offset continuity, survives compaction (the
+      // broker keeps the log-end offset the same way)
+      .filter(col("value").isNotNull || col("offset") === col("_end"))
+      .select(recordSchema.fieldNames.map(col).toIndexedSeq: _*)
+    val logDir = Paths.get(dir)
+    val staging = Files.createTempDirectory(logDir, ".compact")
+    try {
+      latest.coalesce(1).write.mode("overwrite").parquet(staging.toString)
+      val parts = Files.list(staging).iterator().asScala
+        .filter(_.getFileName.toString.endsWith(".parquet")).toSeq.sortBy(_.toString)
+      // swap: old segments out, the compacted generation in as seg 0
+      segmentFiles(logDir).foreach(Files.delete(_))
+      parts.zipWithIndex.foreach { case (p, i) =>
+        Files.move(p, logDir.resolve(f"seg-${0}%06d-$i%03d.parquet"),
+          StandardCopyOption.ATOMIC_MOVE)
+      }
+    } finally {
+      Files.walk(staging).iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))
+    }
+  }
+
   private def segmentFiles(logDir: Path): Seq[Path] =
     Files.list(logDir).iterator().asScala
       .filter(_.getFileName.toString.matches("seg-\\d{6}-\\d{3}\\.parquet"))

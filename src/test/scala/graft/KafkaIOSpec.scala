@@ -148,6 +148,47 @@ class KafkaIOSpec extends SparkSpec {
       "restart must resume after the committed segment — no loss, no replay")
   }
 
+  test("wire log compaction: latest per key at original offsets; tombstoned keys deleted; ledger survives") {
+    // the compacted-topic semantics the reference's changelog/GlobalTable
+    // machinery depends on (builder.go:382-434 creates compacted topics)
+    val dir = tmp()
+    def seg(rows: (String, Option[String], Long)*): Unit = WireLog.append(
+      spark, dir,
+      rows.toSeq.toDF("k", "v", "seq").select(
+        col("k").cast("binary").as("key"),
+        col("v").cast("binary").as("value"),
+        lit("state").as("topic"), lit(0).as("partition"), col("seq")),
+      numPartitions = 1, orderBy = Seq(col("seq")))
+    seg(("a", Some("a1"), 1L), ("b", Some("b1"), 2L), ("c", Some("c1"), 3L))
+    seg(("a", Some("a2"), 4L), ("b", None, 5L)) // b tombstoned
+    WireLog.compact(spark, dir)
+    val got = WireLog.read(spark, dir)
+      .select(col("key").cast("string"), col("value").cast("string"), col("offset"))
+      .as[(String, Option[String], Long)].collect().sortBy(_._1)
+    // latest value per key at its ORIGINAL offset; b gone entirely —
+    // except b's tombstone IS the partition's final record (offset 4),
+    // which is retained so the log-end offset survives
+    assert(got.toSeq === Seq(
+      ("a", Some("a2"), 3L), ("b", None, 4L), ("c", Some("c1"), 2L)))
+    // append continuity: the next produce continues from the pre-compact
+    // log end — offsets are never reused
+    seg(("d", Some("d1"), 6L))
+    val after = WireLog.read(spark, dir)
+      .select(col("key").cast("string"), col("offset"))
+      .as[(String, Long)].collect().toMap
+    assert(after("d") === 5L, s"offset must continue past the compacted end: $after")
+    // a GlobalTable bootstrap from the compacted log equals latest-by-key
+    // of the FULL history (tombstone = no row)
+    val bootstrap = WireLog.read(spark, dir)
+      .filter(col("value").isNotNull)
+      .select(col("key").cast("string"), col("value").cast("string"))
+      .as[(String, String)].collect().toMap
+    assert(bootstrap === Map("a" -> "a2", "c" -> "c1", "d" -> "d1"))
+    // one segment generation: the compacted log replays as one micro-batch
+    // plus one for the post-compact append
+    assert(new java.io.File(dir).listFiles().count(_.getName.startsWith("seg-")) === 2)
+  }
+
   test("wire log hash mode + tombstone + headers round-trip bit-exact") {
     val dir = tmp()
     val framed = KafkaIO.sinkFrame(
