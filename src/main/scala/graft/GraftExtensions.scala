@@ -4,7 +4,7 @@ import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{BoundedTopK, CosineSimilarity, GramMatrix, RandomHyperplaneBuckets}
+import graft.functions.{BloomAgg, BloomContains, BloomUnionAgg, BoundedTopK, CosineSimilarity, GramMatrix, NormalizeText, RandomHyperplaneBuckets}
 
 /** Engine extension installer: `spark.sql.extensions=graft.GraftExtensions`
   * (or `builder.withExtensions`) registers the engine's native expressions
@@ -34,7 +34,20 @@ object GraftExtensions {
       (children: Seq[Expression]) => BoundedTopK(children.head, intLit(children(1)))),
     (FunctionIdentifier("gram_agg"),
       new ExpressionInfo(classOf[GramMatrix].getName, "gram_agg"),
-      (children: Seq[Expression]) => GramMatrix(children.head, intLit(children(1)))))
+      (children: Seq[Expression]) => GramMatrix(children.head, intLit(children(1)))),
+    (FunctionIdentifier("bloom_agg"),
+      new ExpressionInfo(classOf[BloomAgg].getName, "bloom_agg"),
+      (children: Seq[Expression]) => BloomAgg(
+        children.head, intLit(children(1)), intLit(children(2)))),
+    (FunctionIdentifier("bloom_union_agg"),
+      new ExpressionInfo(classOf[BloomUnionAgg].getName, "bloom_union_agg"),
+      (children: Seq[Expression]) => BloomUnionAgg(children.head)),
+    (FunctionIdentifier("bloom_contains"),
+      new ExpressionInfo(classOf[BloomContains].getName, "bloom_contains"),
+      (children: Seq[Expression]) => BloomContains(children.head, children(1))),
+    (FunctionIdentifier("normalize_text"),
+      new ExpressionInfo(classOf[NormalizeText].getName, "normalize_text"),
+      (children: Seq[Expression]) => NormalizeText(children.head)))
 
   /** Idempotent in-session registration, for sessions created without the
     * extensions config (tests, the driver harness).

@@ -114,6 +114,31 @@ object Corpus {
       .groupBy(id).agg(count(lit(1)).as("n_shared"))
   }
 
+  /** Bloom-gated contamination — [[contamination]]'s fixed-memory form for
+    * benchmarks too large to join or broadcast exactly. The test corpus
+    * collapses to ONE `numBits/8`-byte bitset ([[graft.functions.BloomAgg]]);
+    * each train document counts its distinct n-grams the bloom claims
+    * (`n_flagged` ≥ the exact `n_shared` — no false negatives, so no
+    * contaminated gram ever slips through; deterministic false positives at
+    * the standard (1−e^{−kn/m})^k rate only ever over-drop).
+    *
+    * Scale shape: the gram equi-shuffle of the exact form disappears —
+    * building the bloom shuffles one constant-size bitset per map
+    * partition, and the probe is a narrow codegen'd scan of the train side
+    * against the broadcast blob. At 100 TB this is the difference between
+    * shuffling every distinct benchmark gram and shipping kilobytes.
+    */
+  def bloomContamination(test: DataFrame, train: DataFrame,
+      id: String, text: String, n: Int, numBits: Int, k: Int): DataFrame = {
+    val bloom = broadcast(
+      ngramOccurrences(test, id, text, n).select("g").distinct()
+        .agg(expr(s"bloom_agg(g, $numBits, $k)").as("_bf")))
+    ngramOccurrences(train, id, text, n).distinct()
+      .crossJoin(bloom)
+      .filter(expr("bloom_contains(_bf, g)"))
+      .groupBy(id).agg(count(lit(1)).as("n_flagged"))
+  }
+
   /** Rare-token share — the bit-portable stand-in for unigram-LM quality
     * filtering: a document full of tokens that almost never occur
     * elsewhere in the corpus is likely noise (OCR garbage, base64 blobs,
@@ -251,6 +276,44 @@ object Corpus {
       p: Double): DataFrame = {
     require(p >= 0 && p <= 1, s"need 0 <= p <= 1, got $p")
     thresholdsWith(df, strata, percentile(score, lit(p)))
+  }
+
+  /** Per-stratum score bucketing — the CCNet head/middle/tail shape: each
+    * stratum (typically the language) computes its own `lo`/`hi` score
+    * quantiles, and every row is labeled by where its score falls
+    * (score ≥ hi-cut → `labels._3`, ≥ lo-cut → `labels._2`, below →
+    * `labels._1`; NULL scores stay NULL — docs too short to score don't
+    * masquerade as tail). Downstream mixes then sample by bucket
+    * ([[sampleMix]]) instead of hard-dropping — the standard soft
+    * quality-partition of a pretraining corpus.
+    *
+    * Both cuts come from ONE `percentile(score, array(lo, hi))` partial
+    * agg per stratum (a stratum-count-sized artifact joined back —
+    * broadcast-sized for any real language set); the corpus itself is
+    * scanned and labeled narrowly, never sorted. Defaults are
+    * binary-exact fractions so the interpolation arithmetic is
+    * bit-identical cross-engine (the quantile_cont == percentile pin).
+    */
+  def scoreBuckets(df: DataFrame, strata: Seq[String], score: Column,
+      lo: Double = 0.25, hi: Double = 0.75,
+      labels: (String, String, String) = ("tail", "middle", "head")): DataFrame = {
+    require(lo >= 0 && hi <= 1 && lo < hi, s"need 0 <= lo < hi <= 1, got $lo/$hi")
+    require(!df.columns.contains("_cuts"),
+      "input already has a _cuts column — it would collide with the cut pair")
+    val cuts =
+      if (strata.isEmpty) df.agg(percentile(score, array(lit(lo), lit(hi))).as("_cuts"))
+      else df.groupBy(strata.map(col): _*)
+        .agg(percentile(score, array(lit(lo), lit(hi))).as("_cuts"))
+    val joined =
+      if (strata.isEmpty) df.crossJoin(broadcast(cuts))
+      else df.join(graft.plans.Hints.broadcastIfSmall(cuts), strata)
+    joined
+      .withColumn("bucket",
+        when(score.isNull, lit(null).cast("string"))
+          .when(score >= element_at(col("_cuts"), 2), labels._3)
+          .when(score >= element_at(col("_cuts"), 1), labels._2)
+          .otherwise(labels._1))
+      .drop("_cuts")
   }
 
   /** The 100 TB form of [[quantileThresholds]]: exact `percentile`

@@ -547,4 +547,49 @@ object Dedup {
         size(col("_ds_kept")).cast("long").as("kept_tokens"),
         md5(array_join(transform(col("_ds_kept"), _.getField("t")), " ")).as("cleaned_md5"))
   }
+
+  /** Line-level exact dedup across the corpus — the middle granularity
+    * between whole-document [[exact]] and token-window [[dupSpans]]: split
+    * every document on a literal separator, keep only the FIRST corpus-wide
+    * occurrence of each non-blank line (ordered by (id, position) — a
+    * total, engine-portable order), and rebuild documents from their
+    * surviving lines. Boilerplate that repeats across pages (nav bars,
+    * footers, license headers) disappears while each copy's first host
+    * keeps it. Blank/whitespace-only lines are structural and never
+    * compete.
+    *
+    * Scale shape: narrow split+posexplode → ONE digest-keyed partial agg
+    * (min (id, pos) per line md5 — the shuffle carries 16-byte digests,
+    * not line text) → digest equi-join back → per-doc rebuild agg. Linear
+    * in total lines, never doc × doc; the per-doc `collect_list` buffers
+    * one document's lines (the [[graft.operators.Corpus]] packChunks
+    * bound).
+    *
+    * Output: (id, n_lines, n_kept, text_dedup) for every input document —
+    * a doc whose every line lost rebuilds to ''.
+    */
+  def lineDedup(docs: DataFrame, id: String, text: String,
+      sep: String = "\n"): DataFrame = {
+    require(sep.nonEmpty, "need a non-empty line separator")
+    val lit_sep = java.util.regex.Pattern.quote(sep)
+    val lines = docs.select(col(id),
+      posexplode(split(col(text), lit_sep)).as(Seq("pos", "line")))
+    val first = lines.filter(trim(col("line")) =!= "")
+      .groupBy(md5(col("line")).as("_h"))
+      .agg(min(struct(col(id).as("fid"), col("pos").as("fpos"))).as("_first"))
+    val kept = lines.withColumn("_h", md5(col("line")))
+      .join(first, Seq("_h"), "left")
+      .filter(trim(col("line")) === "" ||
+        (col("_first.fid") === col(id) && col("_first.fpos") === col("pos")))
+    val rebuilt = kept.groupBy(col(id)).agg(
+      count(lit(1)).as("n_kept"),
+      array_join(
+        transform(array_sort(collect_list(struct(col("pos"), col("line")))),
+          _.getField("line")), sep).as("text_dedup"))
+    docs.select(col(id), size(split(col(text), lit_sep)).as("n_lines"))
+      .join(rebuilt, Seq(id), "left")
+      .select(col(id), col("n_lines"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("text_dedup"), lit("")).as("text_dedup"))
+  }
 }

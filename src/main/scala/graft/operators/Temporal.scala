@@ -243,4 +243,59 @@ object Temporal {
         })
     }.get
   }
+
+  /** Interval (range) join without a nested loop: pair each probe row
+    * whose `point` falls inside an interval row's `[lo, hi]` (both
+    * inclusive, long-typed — scale decimals to integral units first so
+    * the band arithmetic stays exact).
+    *
+    * Spark plans a bare `p BETWEEN lo AND hi` join as
+    * BroadcastNestedLoopJoin (or a cartesian) — O(|probe|·|intervals|)
+    * comparisons, the classic 100 TB range-join trap. This operator puts
+    * a band INTO the join key (the [[asOfJoinBanded]] trick generalized
+    * to arbitrary intervals): each interval replicates to the
+    * ⌈width/band⌉+1 fixed-width bands it touches, each probe computes its
+    * single band, and the match becomes a hash equi-join plus a residual
+    * range filter. Work is ∝ genuinely-overlapping pairs, shuffles
+    * partition by band, AQE handles hot bands.
+    *
+    * `band` is the selectivity dial: pick it near the median interval
+    * width (wider ⇒ fewer replicas but more false band-mates to filter;
+    * narrower ⇒ the reverse). Result multiplicity is exact — a probe has
+    * ONE band, so an interval meets each probe at most once. Degenerate
+    * intervals (`hi < lo`) match nothing (the band sequence would
+    * otherwise run DESCENDING through every band in between — guarded).
+    *
+    * @param joinType "inner" or "left" (left keeps probes matching no
+    *                 interval, with null interval columns)
+    */
+  def rangeJoin(probe: DataFrame, intervals: DataFrame, point: String,
+      lo: String, hi: String, band: Long,
+      joinType: String = "inner"): DataFrame = {
+    require(band > 0, s"need band > 0, got $band")
+    require(Seq("inner", "left", "left_outer").contains(joinType),
+      s"rangeJoin supports inner/left, got $joinType")
+    val overlap = probe.columns.toSet.intersect(intervals.columns.toSet)
+    require(overlap.isEmpty,
+      s"probe and interval columns must be disjoint, both have: $overlap")
+    val reserved = Seq("_rj_band", "_rj_iband")
+    require((probe.columns ++ intervals.columns).forall(!reserved.contains(_)),
+      s"inputs collide with internal columns $reserved")
+    // exact floor division for long epochs: `/` on longs is double math
+    // (ulp 256 at 2^60 — a point near a band edge could mis-bucket);
+    // the numerator is an exact multiple of band, so decimal division
+    // has a zero fraction and the long cast is exact.
+    def floorDiv(c: Column): Column =
+      ((c - pmod(c, lit(band))).cast("decimal(38,0)") / lit(band)).cast("long")
+    val iv = intervals.withColumn("_rj_iband",
+      explode(when(col(hi) >= col(lo),
+        sequence(floorDiv(col(lo)), floorDiv(col(hi))))
+        .otherwise(array().cast("array<long>"))))
+    val pb = probe.withColumn("_rj_band", floorDiv(col(point)))
+    pb.join(iv,
+        col("_rj_band") === col("_rj_iband") &&
+          col(point) >= col(lo) && col(point) <= col(hi),
+        joinType)
+      .drop("_rj_band", "_rj_iband")
+  }
 }

@@ -42,6 +42,30 @@ object DedupQueries {
       "count(*) AS n_dups FROM documents GROUP BY 1"))(
       (s, d) => Dedup.exact(t(s, d, "documents"), "doc_id", "text")),
 
+    // line-level dedup (the RefinedWeb/Dolma boilerplate-removal
+    // granularity): documents split on a literal separator, each repeated
+    // line kept only at its first corpus-wide (doc_id, pos) occurrence,
+    // documents rebuilt from survivors. The synthetic corpus has no
+    // newlines, so "lines" are the segments between occurrences of the
+    // word 'batch' — the same literal split in both engines.
+    Q("q_line_dedup", Some("""
+      |WITH s AS (SELECT doc_id, string_split(text, 'batch') AS ls FROM documents),
+      |l AS (SELECT doc_id, CAST(i - 1 AS INT) AS pos, ls[i] AS ln
+      |  FROM s, unnest(range(1, len(ls) + 1)) AS u(i)),
+      |k AS (SELECT doc_id, pos, ln FROM (
+      |  SELECT doc_id, pos, ln,
+      |    CASE WHEN trim(ln) = '' THEN 0
+      |      ELSE row_number() OVER (PARTITION BY ln ORDER BY doc_id, pos) END AS rn
+      |  FROM l) WHERE rn <= 1),
+      |r AS (SELECT doc_id, count(*) AS n_kept,
+      |  string_agg(ln, 'batch' ORDER BY pos) AS text_dedup FROM k GROUP BY doc_id)
+      |SELECT d.doc_id, CAST(len(string_split(d.text, 'batch')) AS INT) AS n_lines,
+      |  COALESCE(r.n_kept, 0) AS n_kept, COALESCE(r.text_dedup, '') AS text_dedup
+      |FROM documents d LEFT JOIN r USING (doc_id)
+      |""".stripMargin.trim))(
+      (s, d) => Dedup.lineDedup(t(s, d, "documents"), "doc_id", "text",
+        sep = "batch")),
+
     // MinHash+LSH near-dup pairs at 3-gram Jaccard ≥ 0.8, verified exact.
     // Oracle = the brute-force O(n²) answer; the engine path is linear.
     Q("q_dedup_near", Some(shinglesSql +

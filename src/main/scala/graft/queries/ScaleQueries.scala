@@ -130,6 +130,37 @@ object ScaleQueries {
             expr("pt div 1000").as("pt_us"))
       }),
 
+    // interval (range) join with the band in the join key: error events
+    // open 10-minute incident windows; every engagement event landing
+    // inside a window attributes to it. A bare BETWEEN join is a
+    // BroadcastNestedLoopJoin (probe × intervals); the banded form is a
+    // hash equi-join + residual filter (plan-pinned BNLJ-free).
+    Q("q_range_join", Some("""
+      |WITH e AS (SELECT event_id, epoch_ns(ts) AS ts, user_id, event_type FROM events),
+      |inc AS (SELECT event_id AS incident_id, ts AS lo, ts + 600000000000 AS hi
+      |  FROM e WHERE event_type = 'error'),
+      |p AS (SELECT event_id, ts, user_id FROM e
+      |  WHERE event_type IN ('click', 'view', 'purchase'))
+      |SELECT incident_id, count(*) AS n_events,
+      |  count(DISTINCT user_id) AS n_users
+      |FROM p JOIN inc ON p.ts >= inc.lo AND p.ts <= inc.hi
+      |GROUP BY 1
+      |""".stripMargin.trim))(
+      (s, d) => {
+        val ev = t(s, d, "events")
+        val w = 600L * 1000 * 1000 * 1000
+        val incidents = ev.filter(col("event_type") === "error")
+          .select(col("event_id").as("incident_id"), col("ts").as("lo"),
+            (col("ts") + w).as("hi"))
+        val probes = ev
+          .filter(col("event_type").isin("click", "view", "purchase"))
+          .select(col("event_id"), col("ts"), col("user_id"))
+        Temporal.rangeJoin(probes, incidents, "ts", "lo", "hi", band = w)
+          .groupBy("incident_id")
+          .agg(count(lit(1)).as("n_events"),
+            countDistinct("user_id").as("n_users"))
+      }),
+
     // stream-table (KTable) point-in-time join: clicks enriched with the
     // user's purchase-props state AS OF the click (tombstoned by error
     // events). The reference's JoinKTable, implemented. Exact micros.

@@ -141,6 +141,41 @@ object TextQueries {
       (s, d) => graft.operators.Corpus.bigramTypicality(
         t(s, d, "documents"), "doc_id", "text")),
 
+    // CCNet-style head/middle/tail partition: per-LANGUAGE typicality
+    // quartile cuts (0.25/0.75 — binary-exact fractions, interpolation
+    // bit-identical cross-engine), every doc labeled by its bucket.
+    // One histogram-sized cut artifact joined back; no corpus sort.
+    Q("q_ppl_buckets", Some("""
+      |WITH tk AS (SELECT doc_id, regexp_split_to_array(lower(text), '\s+') AS toks FROM documents),
+      |st AS (SELECT doc_id, toks, unnest(range(0, greatest(len(toks) - 1, 0))) AS i FROM tk),
+      |occ AS (SELECT doc_id, toks[i + 1] || ' ' || toks[i + 2] AS g FROM st),
+      |c AS (SELECT g, count(*) AS c FROM occ GROUP BY g),
+      |gl AS (SELECT CAST(sum(c) AS BIGINT) AS n_total, count(*) AS v_distinct FROM c),
+      |pd AS (SELECT doc_id, count(*) AS n_bigrams, CAST(sum(c.c) AS BIGINT) AS sum_c
+      |  FROM occ JOIN c USING (g) GROUP BY doc_id),
+      |typ AS (SELECT d.doc_id, d.lang,
+      |  CASE WHEN pd.n_bigrams > 0 THEN
+      |    CAST(pd.sum_c + pd.n_bigrams AS DOUBLE)
+      |      / CAST(pd.n_bigrams * (gl.n_total + gl.v_distinct) AS DOUBLE) END AS typicality
+      |  FROM documents d LEFT JOIN pd USING (doc_id) CROSS JOIN gl),
+      |cuts AS (SELECT lang, quantile_cont(typicality, 0.25) AS lo,
+      |  quantile_cont(typicality, 0.75) AS hi FROM typ GROUP BY lang)
+      |SELECT t.doc_id, t.lang, t.typicality,
+      |  CASE WHEN t.typicality IS NULL THEN NULL
+      |       WHEN t.typicality >= c.hi THEN 'head'
+      |       WHEN t.typicality >= c.lo THEN 'middle'
+      |       ELSE 'tail' END AS bucket
+      |FROM typ t JOIN cuts c USING (lang)
+      |""".stripMargin.trim))(
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val typ = graft.operators.Corpus.bigramTypicality(docs, "doc_id", "text")
+          .join(docs.select(col("doc_id"), col("lang")), "doc_id")
+        graft.operators.Corpus.scoreBuckets(
+            typ, Seq("lang"), col("typicality"))
+          .select(col("doc_id"), col("lang"), col("typicality"), col("bucket"))
+      }),
+
     // PII redaction — the release gate on any shared corpus. The synthetic
     // documents carry no real PII, so the query derives a deterministic
     // contact line per doc IN BOTH ENGINES (same concat, same doc_id
@@ -162,6 +197,29 @@ object TextQueries {
           countMatches(col("t"), emailPattern).as("n_emails"),
           countMatches(col("t"), phonePattern).as("n_phones"),
           scrubPii(col("t")).as("scrubbed"))),
+
+    // unicode text normalization (the ingest-canonicalization pass): each
+    // doc messied with a deterministic combining-accent + ligature +
+    // control-char + whitespace tail, then cleaned by the codegen'd
+    // normalize_text. DuckDB mirrors the identical recipe step for step
+    // (nfc_normalize implements the same UAX #15), so the output —
+    // composed accents included — hash-matches. chr(769)=U+0301 combining
+    // acute, chr(64257)=U+FB01 fi-ligature (NFC-invariant), chr(1)=C0.
+    Q("q_normalize", Some("""
+      |WITH m AS (SELECT doc_id,
+      |  '  ' || text || chr(9) || chr(9) || 'e' || chr(769) || ' ' ||
+      |  chr(1) || chr(64257) || 'n  ' AS messy FROM documents)
+      |SELECT doc_id,
+      |  trim(regexp_replace(regexp_replace(nfc_normalize(messy),
+      |    '[ \t\n\f\r]+', ' ', 'g'),
+      |    '[\x00-\x08\x0E-\x1F\x7F-\x9F\x{200B}\x{FEFF}]', '', 'g')) AS norm
+      |FROM m
+      |""".stripMargin.trim))(
+      (s, d) => t(s, d, "documents")
+        .withColumn("messy", concat(lit("  "), col("text"),
+          lit("\t\te\u0301 \u0001\uFB01n  ")))
+        .select(col("doc_id"),
+          call_function("normalize_text", col("messy")).as("norm"))),
 
     // corpus rollup: one partial-agg shuffle over (lang, source)
     Q("q_doc_stats", Some(
@@ -283,6 +341,40 @@ object TextQueries {
           docs.filter(col("source") === "src0"),
           docs.filter(col("source") =!= "src0"),
           "doc_id", "text", n = 8)
+      }),
+
+    // bloom-gated contamination: the benchmark (src0) collapses to ONE
+    // 8192-bit bloom (k=4, FP-dense by design — the oracle must reproduce every deterministic false positive) and every train doc counts its grams the blob
+    // claims. False positives are DETERMINISTIC (md5 double hashing, the
+    // cms lane scheme), so the oracle reproduces the identical bitset from
+    // the same positions and the whole report — FPs included — hash-matches.
+    Q("q_bloom_decontaminate", Some("""
+      |WITH tk AS (SELECT doc_id, source, regexp_split_to_array(lower(text), '\s+') AS t FROM documents),
+      |g AS (SELECT DISTINCT doc_id, source, array_to_string(t[i : i + 7], ' ') AS g
+      |  FROM tk, unnest(range(1, greatest(len(t) - 7, 0) + 1)) AS u(i)),
+      |testg AS (SELECT DISTINCT g FROM g WHERE source = 'src0'),
+      |pos AS (SELECT DISTINCT CAST((
+      |    ('0x' || substring(md5(g), 1, 15))::BIGINT::HUGEINT +
+      |    i * ('0x' || substring(md5(g), 16, 15))::BIGINT::HUGEINT) % 8192 AS BIGINT) AS p
+      |  FROM testg, unnest(range(0, 4)) AS v(i)),
+      |traing AS (SELECT DISTINCT doc_id, g FROM g WHERE source <> 'src0'),
+      |hit AS (
+      |  SELECT l.doc_id, l.g
+      |  FROM (SELECT doc_id, g, CAST((
+      |      ('0x' || substring(md5(g), 1, 15))::BIGINT::HUGEINT +
+      |      i * ('0x' || substring(md5(g), 16, 15))::BIGINT::HUGEINT) % 8192 AS BIGINT) AS p
+      |    FROM traing, unnest(range(0, 4)) AS v(i)) l
+      |  JOIN pos USING (p)
+      |  GROUP BY l.doc_id, l.g
+      |  HAVING count(*) = 4)
+      |SELECT doc_id, count(*) AS n_flagged FROM hit GROUP BY doc_id
+      |""".stripMargin.trim))(
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        graft.operators.Corpus.bloomContamination(
+          docs.filter(col("source") === "src0"),
+          docs.filter(col("source") =!= "src0"),
+          "doc_id", "text", n = 8, numBits = 8192, k = 4)
       }),
 
     // deterministic 1-in-5 hash sample: membership is a pure function of

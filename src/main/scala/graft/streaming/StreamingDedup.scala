@@ -63,4 +63,49 @@ object StreamingDedup {
           out.result().iterator
       }
   }
+
+  final case class LineOut(doc_id: Long, pos: Int, line: String, keep: Boolean)
+
+  /** Line-level dedup at ingest — the streaming twin of
+    * [[Dedup.lineDedup]]: each arriving document's lines are checked
+    * against every line EVER seen, keyed by line digest in the state
+    * store; the first occurrence (by (doc_id, pos) within a batch, by
+    * arrival across batches) keeps, repeats drop, blank lines are
+    * structural and bypass state. Emits one (doc_id, pos, line, keep) row
+    * per input line — documents arrive whole, so the sink rebuilds a doc
+    * from its kept lines within the same micro-batch (no cross-batch doc
+    * state needed; see the spec).
+    *
+    * State is one boolean per DISTINCT line — the persistable form of the
+    * batch operator's first-occurrence table, partitioned by digest hash
+    * across executors. Equals the batch operator when ids arrive in
+    * ascending order (the ingest contract; out-of-order arrival resolves
+    * by arrival time, which is the streaming-correct answer).
+    */
+  def lineDedupAtIngest(docs: DataFrame, id: String, text: String,
+      sep: String = "\n"): Dataset[LineOut] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val lines = docs
+      .select(col(id).cast("long").as("doc_id"),
+        posexplode(split(col(text), java.util.regex.Pattern.quote(sep)))
+          .as(Seq("pos", "line")))
+      .select(md5(col("line")).as("h"), col("doc_id"), col("pos"), col("line"))
+      .as[(String, Long, Int, String)]
+    lines.groupByKey(_._1)
+      .flatMapGroupsWithState[Boolean, LineOut](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout) {
+        (_, rows, state) =>
+          var seen = state.getOption.getOrElse(false)
+          val out = rows.toSeq.sortBy(r => (r._2, r._3)).map {
+            case (_, docId, pos, line) =>
+              val blank = line.trim.isEmpty
+              val keep = blank || !seen
+              if (!blank && !seen) seen = true
+              LineOut(docId, pos, line, keep)
+          }
+          if (seen) state.update(true)
+          out.iterator
+      }
+  }
 }

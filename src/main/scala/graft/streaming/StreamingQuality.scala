@@ -139,6 +139,47 @@ object StreamingQuality {
       n: Int): DataFrame =
     Corpus.ngramOccurrences(bench, id, text, n).select("g").distinct()
 
+  /** Bloom-gated decontamination at ingest — [[decontaminateAtIngest]]
+    * with the exact gram map swapped for a frozen bloom blob
+    * ([[bloomArtifact]]): the broadcast is `numBits/8` bytes regardless of
+    * benchmark size, no false negatives (a contaminated doc is never
+    * admitted), deterministic false positives only ever over-drop. The
+    * probe is a per-row fold over the doc's distinct grams through the
+    * codegen'd `bloom_contains` — stateless, append-safe, checkpoint-free.
+    * Adds `n_flagged` and `keep` (`n_flagged` ≤ `maxFlagged`); equals the
+    * batch [[graft.operators.Corpus.bloomContamination]] counts on the
+    * same data (spec-pinned).
+    */
+  def bloomDecontaminateAtIngest(docs: DataFrame, text: String,
+      bloom: Array[Byte], n: Int, maxFlagged: Int = 0): DataFrame = {
+    require(n >= 1, s"need n >= 1, got $n")
+    require(maxFlagged >= 0, s"need maxFlagged >= 0, got $maxFlagged")
+    require(!docs.columns.contains("n_flagged"),
+      "input already has an n_flagged column")
+    val grams = element_at(
+      transform(array(split(lower(col(text)), "\\s+")), tk =>
+        when(size(tk) >= n,
+          array_distinct(transform(sequence(lit(0), size(tk) - n),
+            i => concat_ws(" ", slice(tk, i + lit(1), lit(n))))))
+          .otherwise(array().cast("array<string>"))),
+      1)
+    docs
+      .withColumn("n_flagged",
+        size(filter(grams, g =>
+          call_function("bloom_contains", lit(bloom), g))).cast("long"))
+      .withColumn("keep", col("n_flagged") <= maxFlagged)
+  }
+
+  /** The frozen blob for [[bloomDecontaminateAtIngest]]: the benchmark
+    * gram set folded into one bloom bitset (collected — the blob IS the
+    * bounded artifact, `numBits/8` bytes by construction).
+    */
+  def bloomArtifact(bench: DataFrame, id: String, text: String,
+      n: Int, numBits: Int, k: Int): Array[Byte] =
+    benchmarkGramSet(bench, id, text, n)
+      .agg(expr(s"bloom_agg(g, $numBits, $k)").as("bf"))
+      .head().getAs[Array[Byte]]("bf")
+
   /** PPS weighted sample at ingest — the streaming twin of
     * [[graft.operators.Corpus.samplePps]]: the corpus total weight is a
     * FROZEN batch artifact (yesterday's `sum(weight)`, refreshed on

@@ -533,4 +533,28 @@ class CorpusSpec extends SparkSpec {
     // the common-bigram doc ranks above the rare-bigram doc
     assert(out(2L)._2.get > out(3L)._2.get)
   }
+
+  test("scoreBuckets: per-stratum quartile labels, nulls stay null") {
+    val df = Seq(
+      ("en", 1L, Some(1.0)), ("en", 2L, Some(2.0)), ("en", 3L, Some(3.0)),
+      ("en", 4L, Some(4.0)), ("en", 5L, Some(5.0)),
+      ("es", 6L, Some(10.0)), ("es", 7L, Some(20.0)), ("es", 8L, None))
+      .toDF("lang", "id", "s")
+    val out = Corpus.scoreBuckets(df, Seq("lang"), col("s"))
+      .select("id", "bucket").as[(Long, Option[String])].collect().toMap
+    // en cuts: p25 = 2.0, p75 = 4.0 (linear interpolation over 1..5)
+    assert(out(1L) === Some("tail"))
+    assert(out(2L) === Some("middle"))
+    assert(out(3L) === Some("middle"))
+    assert(out(4L) === Some("head"))
+    assert(out(5L) === Some("head"))
+    // es cuts from the two non-null scores only: p25 = 12.5, p75 = 17.5
+    assert(out(6L) === Some("tail"))
+    assert(out(7L) === Some("head"))
+    // a null score cannot be labeled tail
+    assert(out(8L) === None)
+    // global (strata-free) form: one broadcast cut pair
+    val g = Corpus.scoreBuckets(df, Nil, col("s"))
+    assert(g.filter(col("bucket") === "head").count() >= 1)
+  }
 }

@@ -171,6 +171,28 @@ class DedupSpec extends SparkSpec {
     assert(h === java.lang.Long.parseLong(md5hex.take(15), 16))
   }
 
+  test("line dedup keeps the first corpus-wide occurrence; blanks are structural") {
+    val docs = Seq(
+      (1L, "alpha\nshared\n\nbeta"),
+      (2L, "shared\ngamma"),
+      (3L, "shared")).toDF("doc_id", "text")
+    val out = Dedup.lineDedup(docs, "doc_id", "text").orderBy("doc_id")
+      .as[(Long, Int, Long, String)].collect()
+    // doc 1 is first everywhere: keeps all 4 lines incl. the blank
+    assert(out(0) === ((1L, 4, 4L, "alpha\nshared\n\nbeta")))
+    // doc 2 loses 'shared' (first seen at doc 1 pos 1)
+    assert(out(1) === ((2L, 2, 1L, "gamma")))
+    // doc 3 loses everything: rebuilds to '' with n_kept 0
+    assert(out(2) === ((3L, 1, 0L, "")))
+  }
+
+  test("line dedup orders within a document by position, not content") {
+    val docs = Seq((1L, "zz\naa\nmm")).toDF("doc_id", "text")
+    val out = Dedup.lineDedup(docs, "doc_id", "text")
+      .select("text_dedup").as[String].head()
+    assert(out === "zz\naa\nmm")
+  }
+
   test("ngramJaccard computes exact similarity between two columns") {
     val df = Seq(("a b c d", "a b c d"), ("a b c d", "x y z w"))
       .toDF("l", "r")

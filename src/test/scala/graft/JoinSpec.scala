@@ -92,4 +92,34 @@ class JoinSpec extends SparkSpec {
     assert(table.get(2).select("name").as[String].collect() === Seq("two"))
     assert(table.range(1, 2).count() === 2)
   }
+
+  test("range join equals the naive BETWEEN join, at any band width") {
+    import graft.operators.Temporal
+    // points 0..99; intervals of assorted widths incl. point-width and
+    // an inverted one (matches nothing)
+    val probe = (0L until 100L).map(i => (i, i * 7L % 100)).toDF("pid", "p")
+    val ivs = Seq(
+      (1L, 5L, 20L), (2L, 18L, 18L), (3L, 50L, 99L), (4L, 70L, 60L),
+      (5L, 0L, 3L), (6L, 15L, 45L))
+      .toDF("iid", "lo", "hi")
+    val naive = probe.join(ivs, col("p") >= col("lo") && col("p") <= col("hi"))
+      .select("pid", "iid").as[(Long, Long)].collect().toSet
+    assert(naive.nonEmpty && !naive.exists(_._2 == 4L))
+    for (band <- Seq(1L, 7L, 32L, 1000L)) {
+      val banded = Temporal.rangeJoin(probe, ivs, "p", "lo", "hi", band)
+        .select("pid", "iid").as[(Long, Long)].collect()
+      assert(banded.toSet === naive, s"band=$band diverges from naive")
+      assert(banded.length === naive.size, s"band=$band duplicated matches")
+    }
+  }
+
+  test("range join left keeps unmatched probes with null interval side") {
+    import graft.operators.Temporal
+    val probe = Seq((1L, 10L), (2L, 500L)).toDF("pid", "p")
+    val ivs = Seq((1L, 5L, 20L)).toDF("iid", "lo", "hi")
+    val out = Temporal.rangeJoin(probe, ivs, "p", "lo", "hi", band = 16L,
+        joinType = "left")
+      .select("pid", "iid").as[(Long, Option[Long])].collect().toMap
+    assert(out === Map(1L -> Some(1L), 2L -> None))
+  }
 }

@@ -518,4 +518,26 @@ class PlanShapeSpec extends SparkSpec {
         s"$name shuffles corpus vectors:\n${offenders.mkString("\n---\n")}")
     }
   }
+
+  test("range join: banded form is a hash equi-join — no nested loop, no cartesian") {
+    val df = q("q_range_join")
+    assert(countNodes(df, "BroadcastNestedLoopJoin") === 0,
+      "the band must put the interval match into an equi-join key")
+    assert(countNodes(df, "CartesianProduct") === 0)
+    assert(countNodes(df, "SortMergeJoin") + countNodes(df, "BroadcastHashJoin") +
+      countNodes(df, "ShuffledHashJoin") >= 1, "the band match must be a hash/merge equi-join")
+  }
+
+  test("bloom decontaminate: one constant-size blob broadcast, no gram equi-join") {
+    val df = q("q_bloom_decontaminate")
+    // exact contamination shuffles both gram sets to an equi-join; the
+    // bloom form joins ONLY the 1-row blob (nested-loop broadcast of a
+    // single row) and filters narrowly — no SortMergeJoin anywhere.
+    assert(countNodes(df, "SortMergeJoin") === 0,
+      "bloom probe must not equi-join gram sets — that is the exact form")
+    assert(countNodes(df, "BroadcastNestedLoopJoin") === 1,
+      "exactly the single-row blob broadcast")
+    assert(mentions(df, "bloom_contains"),
+      "probe must run through the codegen'd bloom_contains")
+  }
 }

@@ -77,6 +77,78 @@ class SketchSpec extends SparkSpec {
       s"$overBudget/${joined.length} tokens exceed the exact + eN envelope (delta should be ~6%)")
   }
 
+  test("bloom artifacts: no false negatives, FPR in envelope, union == whole") {
+    val toks = t(spark, sf, "documents")
+      .select(col("source"), explode(split(lower(col("text")), "\\s+")).as("tok"))
+    val (m, k) = (1 << 14, 4)
+    val whole = toks.select("tok").distinct()
+      .agg(expr(s"bloom_agg(tok, $m, $k)").as("bf"))
+      .as[Array[Byte]].head()
+    assert(whole.length === 8 + m / 8, "blob = header + bitset")
+
+    // no false negatives: every inserted item answers true
+    val inserted = toks.select("tok").distinct()
+      .withColumn("hit", call_function("bloom_contains", lit(whole), col("tok")))
+    assert(inserted.filter(!col("hit")).isEmpty,
+      "bloom returned false for an inserted item — false negatives are impossible by construction")
+
+    // false positives: deterministic, and within ~2x the analytic rate
+    val nIns = inserted.count()
+    val probes = inserted.select(concat(col("tok"), lit("_absent_probe")).as("p"))
+    val fp = probes
+      .filter(call_function("bloom_contains", lit(whole), col("p"))).count()
+    val pFp = math.pow(1.0 - math.exp(-k.toDouble * nIns / m), k)
+    assert(fp.toDouble / nIns <= math.max(2 * pFp, 0.01),
+      s"fp rate ${fp.toDouble / nIns} exceeds 2x analytic $pFp (n=$nIns, m=$m, k=$k)")
+
+    // union of per-source blooms is bit-identical to the whole-corpus bloom
+    // (dup tokens across sources set the same bits — idempotent OR)
+    val perSource = toks.distinct()
+      .groupBy("source").agg(expr(s"bloom_agg(tok, $m, $k)").as("bf"))
+    val unioned = perSource.agg(expr("bloom_union_agg(bf)").as("bf"))
+      .as[Array[Byte]].head()
+    assert(java.util.Arrays.equals(unioned, whole),
+      "union of per-source bloom blobs must equal the whole-corpus blob")
+
+    // geometry mismatches fail loudly, not silently
+    val other = toks.select("tok").distinct()
+      .agg(expr(s"bloom_agg(tok, ${m * 2}, $k)").as("bf"))
+    intercept[Exception] {
+      perSource.select("bf").union(other)
+        .agg(expr("bloom_union_agg(bf)")).collect()
+    }
+  }
+
+  test("bloom contamination: superset of exact contamination, streaming twin equal") {
+    import graft.operators.Corpus
+    import graft.streaming.StreamingQuality
+    val docs = t(spark, sf, "documents")
+    val test = docs.filter(col("source") === "src0")
+    val train = docs.filter(col("source") =!= "src0")
+    // exact per-TRAIN-doc overlap with the test grams (the decontamination
+    // direction bloomContamination reports): contamination counts grams of
+    // its FIRST argument, so the train corpus goes first here
+    val exact = Corpus.contamination(train, test, "doc_id", "text", n = 8)
+      .as[(Long, Long)].collect().toMap
+    val bloomed = Corpus.bloomContamination(
+      test, train, "doc_id", "text", n = 8, numBits = 1 << 18, k = 4)
+      .as[(Long, Long)].collect().toMap
+    // one-sided: every truly-shared gram is flagged, counts never lower
+    exact.foreach { case (id, nShared) =>
+      assert(bloomed.getOrElse(id, 0L) >= nShared,
+        s"doc $id: bloom flagged ${bloomed.get(id)} < exact $nShared — a false negative")
+    }
+    // the stateless ingest form computes the identical counts per doc
+    val blob = StreamingQuality.bloomArtifact(
+      test, "doc_id", "text", n = 8, numBits = 1 << 18, k = 4)
+    val atIngest = StreamingQuality.bloomDecontaminateAtIngest(
+        train, "text", blob, n = 8)
+      .filter(col("n_flagged") > 0)
+      .select(col("doc_id"), col("n_flagged")).as[(Long, Long)].collect().toMap
+    assert(atIngest === bloomed,
+      "ingest-form bloom counts must equal the batch operator's")
+  }
+
   test("approx_percentile brackets the exact percentile") {
     val li = t(spark, sf, "lineitem")
     val exact = li.select(percentile(col("l_extendedprice"), lit(0.5)))

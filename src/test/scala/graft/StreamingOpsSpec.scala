@@ -431,6 +431,37 @@ class StreamingOpsSpec extends SparkSpec {
     assert(pairs === Set((1L, 3L)))
   }
 
+  test("streaming line dedup: digest state spans batches, rebuild equals the batch operator") {
+    val mem = MemoryStream[(Long, String)]
+    val out = graft.streaming.StreamingDedup.lineDedupAtIngest(
+      mem.toDF().toDF("doc_id", "text"), "doc_id", "text")
+    val q = out.writeStream.format("memory").queryName("linededup_sink")
+      .outputMode("append").start()
+    try {
+      mem.addData((1L, "alpha\nshared\n\nbeta"))
+      q.processAllAvailable()
+      // batch 2: 'shared' was seen in batch 1 → drops; 'gamma' is new
+      mem.addData((2L, "shared\ngamma"), (3L, "shared"))
+      q.processAllAvailable()
+    } finally q.stop()
+    val sink = spark.table("linededup_sink")
+    // per-line keep decisions match the batch operator on the union
+    // (ids arrived in ascending order, the ingest contract)
+    val rebuilt = sink.filter(col("keep"))
+      .groupBy("doc_id")
+      .agg(concat_ws("\n",
+        array_sort(collect_list(struct(col("pos"), col("line"))))
+          .getField("line")).as("text_dedup"))
+      .as[(Long, String)].collect().toMap
+    val batch = graft.operators.Dedup.lineDedup(
+      Seq((1L, "alpha\nshared\n\nbeta"), (2L, "shared\ngamma"), (3L, "shared"))
+        .toDF("doc_id", "text"), "doc_id", "text")
+      .select("doc_id", "text_dedup").as[(Long, String)].collect().toMap
+    assert(rebuilt.getOrElse(3L, "") === batch(3L))
+    assert((1L to 3L).forall(i => rebuilt.getOrElse(i, "") === batch(i)),
+      s"stream rebuild $rebuilt != batch $batch")
+  }
+
   test("streaming similarity: arriving vector matches an earlier near-identical one") {
     val mem = MemoryStream[(Long, Seq[Float])]
     val out = graft.streaming.StreamingSimilarity.matchesAtIngest(

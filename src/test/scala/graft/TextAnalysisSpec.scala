@@ -105,6 +105,33 @@ class TextAnalysisSpec extends SparkSpec {
     assert(rows(2) === (("nothing sensitive here at all", 0, 0)))
   }
 
+  test("normalize_text: NFC composes, whitespace collapses, controls strip, edges trim") {
+    val rows = Seq(
+      "e\u0301tude",                  // decomposed accent -> precomposed
+      "\u00E9tude",                   // already composed: unchanged
+      "  a \t\t b\r\nc  ",         // runs of mixed ws -> single spaces
+      "a\u0001b\u200Bc\uFEFFd",     // C0 + zero-width + BOM stripped
+      "\uFB01n",                      // fi ligature is NFC-invariant
+      "")
+      .toDF("t")
+      .select(call_function("normalize_text", col("t")).as("n"))
+      .as[String].collect()
+    assert(rows(0) === "\u00E9tude")
+    assert(rows(1) === "\u00E9tude")
+    assert(rows(2) === "a b c")
+    assert(rows(3) === "abcd")
+    assert(rows(4) === "\uFB01n")
+    assert(rows(5) === "")
+  }
+
+  test("normalize_text is idempotent") {
+    val docs = graft.queries.Tables.t(spark, sf, "documents")
+      .withColumn("m", concat(lit(" x\u0301  "), col("text"), lit(" ")))
+    val once = docs.select(call_function("normalize_text", col("m")).as("n"))
+    val twice = once.select(call_function("normalize_text", col("n")).as("n"))
+    assert(once.exceptAll(twice).isEmpty && twice.exceptAll(once).isEmpty)
+  }
+
   test("quality score is bounded and favors clean prose") {
     val df = Seq(
       "the quick brown fox jumps over the lazy dog and that is it for now",
