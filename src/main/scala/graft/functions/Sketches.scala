@@ -130,4 +130,104 @@ object Sketches {
       .join(sketch, Seq("i", "cell"), "left")
       .groupBy("item").agg(min(coalesce(col("cnt"), lit(0L))).as("est"))
   }
+
+  // ── Portable HLL (register rows) ───────────────────────────────────────
+  // The oracle-able twin of [[distinctSketches]]: same HyperLogLog
+  // mathematics, but the sketch is a DataFrame of register rows
+  // (bucket, rho) derived from the md5-based [[graft.operators.Dedup
+  // .portableHash64]] instead of a DataSketches binary blob — so any
+  // engine with md5 rebuilds the IDENTICAL registers and the estimate is
+  // one deterministic arithmetic expression over them (the same
+  // portability design as the CMS cells above). Use [[distinctSketches]]
+  // when interoperating with the DataSketches ecosystem; use this form
+  // when the artifact itself must be cross-engine reproducible/auditable.
+  //
+  // Register derivation (Flajolet et al. 2007, standard HLL): the 60-bit
+  // hash splits into a p-bit bucket (top bits) and a (60-p)-bit suffix;
+  // rho = 1 + leading zeros of the suffix (suffix 0 → the max, 61-p).
+  // rho is computed by STRING position over a fixed-width binary
+  // rendering — `instr(lpad(bin(x), 60-p, '0'), '1')` — because both
+  // Java regex-free string ops and DuckDB's bin/lpad/position agree
+  // exactly, whereas floor(log2(x)) can land on the wrong side of a
+  // power of two in floating point.
+  //
+  // Scale shape: one narrow projection + one partial agg collapsing to
+  // ≤ 2^p register rows per map task before a tiny shuffle — input
+  // scanned once, nothing input-sized moves; registers merge by MAX, so
+  // per-partition artifacts roll up without rescanning history.
+
+  private def hllCheckP(p: Int): Unit =
+    require(p >= 4 && p <= 16, s"need 4 <= p <= 16, got $p")
+
+  /** Register table for one sketch per stratum: (strata…, bucket, rho) —
+    * only TOUCHED buckets appear (absent bucket ≡ register 0), ≤ 2^p rows
+    * per stratum regardless of input size.
+    */
+  def hllRegisters(df: DataFrame, value: Column, p: Int,
+      strata: Seq[String] = Nil): DataFrame = {
+    hllCheckP(p)
+    val reserved = Seq("bucket", "rho", "_hll_h")
+    require(strata.forall(s => !reserved.contains(s)),
+      s"strata ${strata.mkString(",")} collide with the sketch's own columns ($reserved)")
+    val width = 60 - p
+    val h = graft.operators.Dedup.portableHash64(value)
+    val rest = pmod(h, lit(1L << width))
+    val rho = when(rest === 0, lit(width + 1))
+      .otherwise(instr(lpad(bin(rest), width, "0"), "1"))
+    df.select(strata.map(col) ++ Seq(
+        shiftright(h, width).as("bucket"), rho.cast("int").as("rho")): _*)
+      .groupBy(strata.map(col) :+ col("bucket"): _*)
+      .agg(max("rho").as("rho"))
+  }
+
+  /** Merge register artifacts built with the same `p` (bucket-wise max),
+    * optionally rolled up to coarser strata — the kilobyte rollup that
+    * never rescans the data, exactly like [[mergeSketches]]/[[cmsMerge]].
+    */
+  def hllMergeRegisters(parts: DataFrame, strata: Seq[String] = Nil): DataFrame =
+    parts.groupBy(strata.map(col) :+ col("bucket"): _*)
+      .agg(max("rho").as("rho"))
+
+  /** The distinct-count estimate from a register table, as exact-integer
+    * arithmetic up to ONE final double division (the [[graft.operators
+    * .Corpus.samplePps]] portability pattern): with R = 61-p (the max
+    * rho), the raw HLL estimate α·m²/Σ2^-ρ is rescaled by 2^R so the
+    * denominator S = Σ 2^(R-ρ) is an exact BIGINT sum (every term a
+    * power of two ≤ 2^(R-1); S ≤ m·2^(R-1) = 2^60 — no overflow, no
+    * order-dependent double rounding), and the numerator C = α·m²·2^R is
+    * one constant (α·m² rounds once; ·2^R is exact scaling). est = C/S is
+    * then a single correctly-rounded division — bit-portable. Output per
+    * stratum: (m, v = untouched-register count, s = S, est). No
+    * small/large-range corrections: v is returned so a caller (or the
+    * linear-counting spec bound) can apply them; the raw estimator keeps
+    * the arithmetic transcendental-free.
+    */
+  /** The estimate numerator C = α_m·m²·2^R (R = 61-p): α_m·m² rounds
+    * once, ·2^R is exact binary scaling — ONE double, whose shortest-repr
+    * rendering an oracle embeds literally (round-trips to the identical
+    * bits in any correctly-rounded parser).
+    */
+  private[graft] def hllC(p: Int): Double = {
+    val m = 1 << p
+    val alpha = 0.7213 / (1 + 1.079 / m)
+    alpha * m * m * java.lang.Math.scalb(1.0, 61 - p)
+  }
+
+  def hllEstimate(registers: DataFrame, p: Int,
+      strata: Seq[String] = Nil): DataFrame = {
+    hllCheckP(p)
+    val m = 1 << p
+    val bigR = 61 - p
+    val c = hllC(p)
+    val base = if (strata.isEmpty) registers.groupBy()
+      else registers.groupBy(strata.map(col): _*)
+    base.agg(count(lit(1)).as("_hllNb"),
+        coalesce(sum(pow(lit(2.0), lit(bigR) - col("rho")).cast("long")),
+          lit(0L)).as("_hllSp"))
+      .select(strata.map(col) ++ Seq(
+        lit(m).as("m"),
+        (lit(m.toLong) - col("_hllNb")).as("v"),
+        (col("_hllSp") + (lit(m.toLong) - col("_hllNb")) * lit(1L << bigR)).as("s")): _*)
+      .withColumn("est", lit(c) / col("s").cast("double"))
+  }
 }

@@ -366,6 +366,40 @@ object Corpus {
         row_number().over(Window.partitionBy(col("shard")).orderBy(key)))
   }
 
+  /** Seeded deterministic global shuffle — the training-order primitive:
+    * a pseudorandom but fully reproducible permutation of the corpus,
+    * materialized as the same (shard, seq) layout as [[exportShards]] so
+    * the ordered file set is byte-stable for a given (corpus, seed) and a
+    * NEW permutation is one seed change away (epoch e reads seed e —
+    * per-epoch reshuffling without ever re-randomizing nondeterministically).
+    * Position is a pure function of (seed, key): shard = hash(seed:key)
+    * mod numShards, within-shard order = (hash, key) — the hash orders,
+    * the unique key breaks the (vanishingly rare) 60-bit collisions, so
+    * the permutation is independent of partitioning, cluster size, and
+    * row arrival order. `key` must be unique (the document id).
+    *
+    * Scale shape: identical to [[exportShards]] — one hash shuffle on the
+    * shard plus a PER-SHARD sort (each sort is corpus/numShards; no global
+    * sort, no single-partition window). Rows land evenly across shards
+    * (hash-uniform), so shard skew does not appear at any corpus size.
+    */
+  def shuffleShards(df: DataFrame, key: Column, seed: Long,
+      numShards: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(numShards > 0, s"need numShards > 0, got $numShards")
+    require(!df.columns.contains("shard") && !df.columns.contains("seq") &&
+        !df.columns.contains("_shufH"),
+      "input already has a shard/seq/_shufH column — withColumn would " +
+        "silently replace it")
+    val h = Dedup.portableHash64(
+      concat(lit(seed.toString), lit(":"), key.cast("string")))
+    df.withColumn("_shufH", h)
+      .withColumn("shard", pmod(col("_shufH"), lit(numShards.toLong)))
+      .withColumn("seq", row_number().over(
+        Window.partitionBy(col("shard")).orderBy(col("_shufH"), key)))
+      .drop("_shufH")
+  }
+
   /** Deterministic hash sampling: keep rows whose key hashes into
     * `num`/`den` of the hash space. Unlike `DataFrame.sample`, the
     * decision is a pure function of the key — stable across runs,

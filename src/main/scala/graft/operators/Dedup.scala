@@ -394,6 +394,48 @@ object Dedup {
       .distinct()
   }
 
+  /** Best-representative collapse of near-duplicate families: keep, per
+    * connected component, the member with the HIGHEST `score` (longest
+    * text, best quality score, newest crawl, …) instead of the arbitrary
+    * min-id survivor a plain `dedupApply` keeps — what a production
+    * pipeline actually wants when duplicates differ in quality (e.g. keep
+    * the un-truncated copy of a boilerplate family). Ties break to the
+    * smallest id; documents in no component survive as their own
+    * singleton family. NULL scores never win against a scored sibling
+    * (an all-NULL family falls back to min id), so an unscorable copy
+    * can't displace a scored one.
+    *
+    * `components` is a (node, canonical) labeling from
+    * [[resolveComponentsStar]]; `id` must be unique. Output: the
+    * surviving rows with their `canonical` family label.
+    *
+    * Scale shape: two component-keyed partial aggs (max score, then
+    * min-id among the maxima) and equi-joins back — no windows, so a
+    * mega-family never serializes through one task the way a
+    * rank-over-component window would.
+    */
+  def keepBestPerComponent(docs: DataFrame, components: DataFrame,
+      id: String, score: Column): DataFrame = {
+    require(!docs.columns.contains("canonical") &&
+        !docs.columns.contains("_kbS") && !docs.columns.contains("_kbId"),
+      "input already has a canonical/_kbS/_kbId column — the labeling " +
+        "would silently shadow it")
+    val lab = docs
+      .join(components.withColumnRenamed("node", "_kbN"),
+        docs(id) === col("_kbN"), "left")
+      .withColumn("canonical", coalesce(col("canonical"), col(id).cast("long")))
+      .drop("_kbN")
+    val best = lab.groupBy("canonical").agg(max(score).as("_kbS"))
+    // null-safe compare: an all-NULL-score family has _kbS NULL and keeps
+    // rows via NULL <=> NULL; a scored family's NULL rows fail NULL <=> x
+    val keep = lab.join(best, Seq("canonical"))
+      .filter(score <=> col("_kbS"))
+      .groupBy("canonical").agg(min(col(id)).as("_kbId"))
+    lab.join(keep, Seq("canonical"))
+      .filter(col(id) === col("_kbId"))
+      .drop("_kbId")
+  }
+
   /** SimHash near-duplicate pairs within `maxHamming`, banded: the 64-bit
     * signature splits into `bands` equal blocks; pairs sharing ≥1 exact
     * block become candidates (one equi-join — never O(n²)), then the true

@@ -121,6 +121,42 @@ object DedupQueries {
           minNum = 4, minDen = 5),
         "a_id", "b_id")),
 
+    // best-representative collapse: same components as q_dedup_components,
+    // but the survivor is the LONGEST member (max n_chars, ties to min id)
+    // instead of the min id — the keep-the-best-copy policy a quality-aware
+    // pipeline wants. Oracle recomputes components via the recursive CTE,
+    // then the same two-agg argmax.
+    Q("q_dedup_best", Some((shinglesSql +
+      """
+        |, pairs AS (
+        |  SELECT a.doc_id AS a_id, b.doc_id AS b_id
+        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |  WHERE 5 * len(list_intersect(a.s, b.s)) >= 4 * len(list_distinct(list_concat(a.s, b.s)))),
+        |edges AS (SELECT a_id AS a, b_id AS b FROM pairs
+        |  UNION SELECT b_id, a_id FROM pairs),
+        |reach(node, l) AS (
+        |  SELECT a, a FROM edges
+        |  UNION
+        |  SELECT e.a, r.l FROM edges e JOIN reach r ON e.b = r.node),
+        |comp AS (SELECT node, min(l) AS canonical FROM reach GROUP BY node),
+        |lab AS (SELECT d.doc_id, d.n_chars, coalesce(c.canonical, d.doc_id) AS canonical
+        |  FROM documents d LEFT JOIN comp c ON d.doc_id = c.node),
+        |best AS (SELECT canonical, max(n_chars) AS bs FROM lab GROUP BY 1),
+        |keep AS (SELECT l.canonical, min(l.doc_id) AS keep_id FROM lab l
+        |  JOIN best b ON l.canonical = b.canonical AND l.n_chars = b.bs GROUP BY 1)
+        |SELECT l.doc_id, l.canonical, l.n_chars FROM lab l
+        |JOIN keep k ON l.canonical = k.canonical AND l.doc_id = k.keep_id""".stripMargin)
+        .replaceFirst("WITH toks", "WITH RECURSIVE toks")))(
+      (s, d) => {
+        val docs = spread(s, d)
+        val comps = Dedup.resolveComponentsStar(
+          Dedup.nearDupPairs(docs, "doc_id", "text", shingleN = 3,
+            minNum = 4, minDen = 5),
+          "a_id", "b_id")
+        Dedup.keepBestPerComponent(docs, comps, "doc_id", col("n_chars"))
+          .select("doc_id", "canonical", "n_chars")
+      }),
+
     // SimHash signatures, fully oracled: built on the portable md5-derived
     // 60-bit token hash (Dedup.portableHash64), so DuckDB recomputes the
     // identical bit votes. The xxhash64-seeded production path is pinned

@@ -244,6 +244,43 @@ object ScaleQueries {
           .agg(countDistinct(col("user_id")).as("n_users"),
             count(lit(1)).as("n_events"))),
 
+    // portable HLL register table (p=8): the oracle-able distinct-count
+    // sketch artifact — md5-derived buckets and leading-zero ranks, so
+    // DuckDB rebuilds the IDENTICAL registers (the incremental/mergeable
+    // form of count(DISTINCT) at 100 TB; cf. q_distinct_users for exact).
+    Q("q_hll_registers", Some("""
+      |WITH h AS (SELECT ('0x' || substring(md5(CAST(event_id AS VARCHAR)), 1, 15))::BIGINT AS h
+      |  FROM events)
+      |SELECT h // 4503599627370496 AS bucket,
+      |  CAST(max(CASE WHEN h % 4503599627370496 = 0 THEN 53
+      |    ELSE position('1' IN lpad(bin(h % 4503599627370496), 52, '0')) END) AS INT) AS rho
+      |FROM h GROUP BY 1
+      |""".stripMargin.trim))(
+      (s, d) => graft.functions.Sketches.hllRegisters(
+        t(s, d, "events"), col("event_id").cast("string"), p = 8)),
+
+    // the estimate over those registers: exact-integer denominator
+    // S = Σ 2^(R-ρ) (absent registers contribute 2^R), one double
+    // division by the precomputed constant C = α·m²·2^R — bit-portable.
+    Q("q_hll_distinct", Some({
+      val c = graft.functions.Sketches.hllC(8)
+      s"""
+      |WITH h AS (SELECT ('0x' || substring(md5(CAST(event_id AS VARCHAR)), 1, 15))::BIGINT AS h
+      |  FROM events),
+      |r AS (SELECT h // 4503599627370496 AS bucket,
+      |  max(CASE WHEN h % 4503599627370496 = 0 THEN 53
+      |    ELSE position('1' IN lpad(bin(h % 4503599627370496), 52, '0')) END) AS rho
+      |  FROM h GROUP BY 1),
+      |a AS (SELECT count(*) AS nb, sum(CAST(power(2, 53 - rho) AS BIGINT)) AS sp FROM r)
+      |SELECT CAST(256 AS INT) AS m, CAST(256 - nb AS BIGINT) AS v,
+      |  CAST(sp + (256 - nb) * 9007199254740992 AS BIGINT) AS s,
+      |  CAST($c AS DOUBLE) / CAST(sp + (256 - nb) * 9007199254740992 AS DOUBLE) AS est
+      |FROM a
+      |""".stripMargin.trim}))(
+      (s, d) => graft.functions.Sketches.hllEstimate(
+        graft.functions.Sketches.hllRegisters(
+          t(s, d, "events"), col("event_id").cast("string"), p = 8), p = 8)),
+
     // weekly cohort retention: users bucketed by first-seen week; for
     // each (cohort, offset k), distinct users active k weeks later.
     // Shape: distinct (user, week) partial agg -> per-user min (cohort)

@@ -48,6 +48,21 @@ object TextQueries {
       (s, d) => graft.operators.Corpus.exportShards(
         t(s, d, "documents").select("doc_id"), col("doc_id"), numShards = 8)),
 
+    // seeded deterministic global shuffle (training order): position is a
+    // pure function of (seed, doc_id) — reproducible across runs and
+    // cluster sizes, re-permuted by changing the seed (per-epoch orders).
+    // Same (shard, seq) layout as q_export_shards; per-shard sort only.
+    Q("q_shuffle", Some("""
+      |SELECT doc_id, h % 8 AS shard,
+      |  CAST(row_number() OVER (PARTITION BY h % 8 ORDER BY h, doc_id) AS INT) AS seq
+      |FROM (SELECT doc_id,
+      |  ('0x' || substring(md5('7:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT AS h
+      |  FROM documents)
+      |""".stripMargin.trim))(
+      (s, d) => graft.operators.Corpus.shuffleShards(
+        t(s, d, "documents").select("doc_id"), col("doc_id"),
+        seed = 7, numShards = 8)),
+
     // relative quality gate: keep each source's top half by quality score
     // (per-stratum exact percentile threshold joined back — no corpus
     // sort; see Corpus.percentileGate). quantile_cont == Spark percentile

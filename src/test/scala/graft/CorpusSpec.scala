@@ -557,4 +557,34 @@ class CorpusSpec extends SparkSpec {
     val g = Corpus.scoreBuckets(df, Nil, col("s"))
     assert(g.filter(col("bucket") === "head").count() >= 1)
   }
+
+  test("shuffleShards: a seeded permutation — complete, deterministic, seed-sensitive") {
+    val docs = spark.range(1, 201).toDF("doc_id")
+    val out = Corpus.shuffleShards(docs, col("doc_id"), seed = 7, numShards = 4)
+      .select("doc_id", "shard", "seq").as[(Long, Long, Int)].collect()
+    // complete: every doc exactly once
+    assert(out.map(_._1).sorted.toSeq === (1L to 200L))
+    // seq is contiguous 1..n within each shard (a valid dense order)
+    out.groupBy(_._2).foreach { case (shard, rows) =>
+      assert(rows.map(_._3).sorted.toSeq === (1 to rows.length),
+        s"shard $shard seq not contiguous")
+    }
+    // deterministic under re-partitioning of the input
+    val re = Corpus.shuffleShards(docs.repartition(7), col("doc_id"), 7, 4)
+      .select("doc_id", "shard", "seq").as[(Long, Long, Int)].collect()
+    assert(re.sortBy(_._1).toSeq === out.sortBy(_._1).toSeq)
+    // a different seed yields a different permutation (same rows)
+    val other = Corpus.shuffleShards(docs, col("doc_id"), seed = 8, numShards = 4)
+      .select("doc_id", "shard", "seq").as[(Long, Long, Int)].collect()
+    assert(other.map(_._1).sorted.toSeq === (1L to 200L))
+    assert(other.sortBy(_._1).toSeq !== out.sortBy(_._1).toSeq,
+      "seed 8 produced the identical permutation as seed 7")
+    // and the permutation is not the identity-ish key order: some shard's
+    // seq order must disagree with doc_id order
+    val disordered = out.groupBy(_._2).exists { case (_, rows) =>
+      val byGlobal = rows.sortBy(_._3).map(_._1)
+      byGlobal.toSeq !== byGlobal.sorted.toSeq
+    }
+    assert(disordered, "seeded shuffle left every shard in key order")
+  }
 }

@@ -201,4 +201,19 @@ class DedupSpec extends SparkSpec {
     assert(df(0) === 1.0)
     assert(df(1) === 0.0)
   }
+
+  test("keepBestPerComponent: best score survives, ties to min id, nulls never beat a score") {
+    // components: {1,2,3} (canonical 1), {4,5} (canonical 4); 6,7 singletons
+    val comps = Seq((1L, 1L), (2L, 1L), (3L, 1L), (4L, 4L), (5L, 4L))
+      .toDF("node", "canonical")
+    val docs = Seq(
+      (1L, Some(10L)), (2L, Some(30L)), (3L, Some(30L)), // tie 2 vs 3 → 2
+      (4L, None), (5L, Some(1L)),                        // null loses → 5
+      (6L, Some(7L)),                                    // singleton kept
+      (7L, None))                                        // all-null singleton kept
+      .toDF("doc_id", "score")
+    val out = Dedup.keepBestPerComponent(docs, comps, "doc_id", col("score"))
+      .select("doc_id", "canonical").as[(Long, Long)].collect().sorted
+    assert(out.toSeq === Seq((2L, 1L), (5L, 4L), (6L, 6L), (7L, 7L)))
+  }
 }

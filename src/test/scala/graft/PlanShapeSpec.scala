@@ -540,4 +540,36 @@ class PlanShapeSpec extends SparkSpec {
     assert(mentions(df, "bloom_contains"),
       "probe must run through the codegen'd bloom_contains")
   }
+
+  test("shuffle: same shape as export_shards — shard hash shuffle + per-shard sort only") {
+    val df = q("q_shuffle")
+    val fmt = formatted(df)
+    assert(fmt.contains("hashpartitioning(shard"),
+      "window lost its shard hash partitioning")
+    assert(!fmt.contains("rangepartitioning"),
+      "a rangepartitioning Exchange means a global sort crept in")
+    assert(countShuffles(df) === 1)
+  }
+
+  test("hll: registers collapse via one partial agg — no join, no window, tiny output") {
+    val regs = q("q_hll_registers")
+    assert(countShuffles(regs) === 1)
+    assert(countNodes(regs, "Join") === 0 && countNodes(regs, "Window") === 0)
+    assert(hasNode(regs, "HashAggregate"),
+      "register max must run as a partial hash agg (map-side collapse)")
+    // the estimate adds only a second ≤2^p-row agg, still no join
+    val est = q("q_hll_distinct")
+    assert(countNodes(est, "Join") === 0 && countNodes(est, "Window") === 0)
+    assert(countShuffles(est) === 2)
+  }
+
+  test("dedup_best: component-keyed aggs + equi-joins — no window, nothing quadratic") {
+    val df = q("q_dedup_best")
+    assert(countNodes(df, "CartesianProduct") === 0)
+    assert(countNodes(df, "BroadcastNestedLoopJoin") === 0)
+    // the argmax must be agg+join, never a rank window over the component
+    // (a mega-family would serialize through one task)
+    assert(countNodes(df, "Window") === 0,
+      "keep-best argmax regressed to a rank-over-component window")
+  }
 }

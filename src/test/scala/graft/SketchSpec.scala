@@ -160,4 +160,57 @@ class SketchSpec extends SparkSpec {
     assert(math.abs(approx - exact) / exact <= 0.02,
       s"approx=$approx exact=$exact")
   }
+
+  test("portable HLL: registers match a reference computation, merge == whole, estimate in envelope") {
+    import graft.functions.Sketches
+    val p = 8
+    val events = t(spark, sf, "events")
+    val exact = events.select(countDistinct("event_id")).as[Long].head()
+    val regs = Sketches.hllRegisters(events, col("event_id").cast("string"), p)
+    // reference registers recomputed in plain Scala from the same md5 hash
+    val users = events.select(col("event_id").cast("string")).distinct()
+      .as[String].collect()
+    val expected = users.map { u =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(u.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      val h = java.lang.Long.parseLong(md.take(15), 16)
+      val width = 60 - p
+      val rest = h & ((1L << width) - 1)
+      val rho = if (rest == 0) width + 1
+        else java.lang.Long.numberOfLeadingZeros(rest) - (64 - width) + 1
+      (h >>> width, rho)
+    }.groupBy(_._1).map { case (b, rs) => (b, rs.map(_._2).max) }
+    val got = regs.as[(Long, Int)].collect().toMap
+    assert(got === expected,
+      s"register table diverged from the reference computation")
+    // merge of per-half artifacts == whole-corpus registers
+    val parts = Seq(0, 1).map(h => Sketches.hllRegisters(
+      events.filter(pmod(col("event_id"), lit(2)) === h),
+      col("event_id").cast("string"), p))
+    val merged = Sketches.hllMergeRegisters(parts.reduce(_ unionByName _))
+    assert(merged.exceptAll(regs).isEmpty && regs.exceptAll(merged).isEmpty,
+      "merged per-half registers must equal the whole-corpus registers")
+    // raw estimate inside the HLL envelope (~1.04/sqrt(m) = 6.5% at p=8;
+    // allow 3x) of the exact count — event_id cardinality (1k/10k) sits
+    // above the 5m/2 small-range boundary where the raw estimator is valid
+    val est = Sketches.hllEstimate(regs, p).select("est").as[Double].head()
+    assert(math.abs(est - exact) / exact <= 3 * 1.04 / math.sqrt(1 << p),
+      s"estimate $est drifted beyond the envelope of exact $exact")
+    // strata form: per-type registers, rolled up, equal the whole
+    val byType = Sketches.hllRegisters(
+      events, col("event_id").cast("string"), p, strata = Seq("event_type"))
+    val rolled = Sketches.hllMergeRegisters(byType.drop("event_type"))
+    assert(rolled.exceptAll(regs).isEmpty && regs.exceptAll(rolled).isEmpty,
+      "per-stratum registers rolled up must equal the whole-corpus registers")
+    // small-range regime: v (untouched registers) is returned exactly so a
+    // caller applies linear counting m·ln(m/v) — on the 15-user column the
+    // corrected estimate is near-exact while the raw one is far off
+    val uexact = events.select(countDistinct("user_id")).as[Long].head()
+    val urow = Sketches.hllEstimate(
+      Sketches.hllRegisters(events, col("user_id").cast("string"), p), p)
+      .select("m", "v").as[(Int, Long)].head()
+    val lc = urow._1 * math.log(urow._1.toDouble / urow._2)
+    assert(math.abs(lc - uexact) / uexact <= 0.1,
+      s"linear-counting estimate $lc drifted from exact $uexact")
+  }
 }
