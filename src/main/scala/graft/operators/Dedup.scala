@@ -406,7 +406,9 @@ object Dedup {
     * can't displace a scored one.
     *
     * `components` is a (node, canonical) labeling from
-    * [[resolveComponentsStar]]; `id` must be unique. Output: the
+    * [[resolveComponentsStar]]; `id` must be unique and long-castable —
+    * the same numeric id space the components were built from (the
+    * singleton fallback casts it into the canonical column). Output: the
     * surviving rows with their `canonical` family label.
     *
     * Scale shape: two component-keyed partial aggs (max score, then

@@ -281,6 +281,32 @@ object ScaleQueries {
         graft.functions.Sketches.hllRegisters(
           t(s, d, "events"), col("event_id").cast("string"), p = 8), p = 8)),
 
+    // stratified form: one independent register set per event_type — the
+    // per-partition artifact a pipeline stores beside its data and rolls
+    // up later by bucket-wise max (hllMergeRegisters), never rescanning.
+    Q("q_hll_by_group", Some({
+      val c = graft.functions.Sketches.hllC(8)
+      s"""
+      |WITH h AS (SELECT event_type,
+      |    ('0x' || substring(md5(CAST(event_id AS VARCHAR)), 1, 15))::BIGINT AS h
+      |  FROM events),
+      |r AS (SELECT event_type, h // 4503599627370496 AS bucket,
+      |  max(CASE WHEN h % 4503599627370496 = 0 THEN 53
+      |    ELSE position('1' IN lpad(bin(h % 4503599627370496), 52, '0')) END) AS rho
+      |  FROM h GROUP BY 1, 2),
+      |a AS (SELECT event_type, count(*) AS nb,
+      |  sum(CAST(power(2, 53 - rho) AS BIGINT)) AS sp FROM r GROUP BY 1)
+      |SELECT event_type, CAST(256 AS INT) AS m, CAST(256 - nb AS BIGINT) AS v,
+      |  CAST(sp + (256 - nb) * 9007199254740992 AS BIGINT) AS s,
+      |  CAST($c AS DOUBLE) / CAST(sp + (256 - nb) * 9007199254740992 AS DOUBLE) AS est
+      |FROM a
+      |""".stripMargin.trim}))(
+      (s, d) => graft.functions.Sketches.hllEstimate(
+        graft.functions.Sketches.hllRegisters(
+          t(s, d, "events"), col("event_id").cast("string"), p = 8,
+          strata = Seq("event_type")),
+        p = 8, strata = Seq("event_type"))),
+
     // weekly cohort retention: users bucketed by first-seen week; for
     // each (cohort, offset k), distinct users active k weeks later.
     // Shape: distinct (user, week) partial agg -> per-user min (cohort)

@@ -717,6 +717,32 @@ class StreamingOpsSpec extends SparkSpec {
       "streamed gram after two micro-batches must equal the batch gram")
   }
 
+  test("portable HLL registers maintain incrementally on a stream") {
+    // register max is associative/idempotent — hllRegisters' groupBy-max
+    // IS the streaming update, so the distinct-count artifact refreshes
+    // per micro-batch with no history rescan (the incremental
+    // COUNT DISTINCT shape at ingest)
+    import graft.functions.Sketches
+    val ids = (1 to 300).map(_.toString)
+    val batch = Sketches.hllRegisters(ids.toDF("id"), col("id"), p = 8)
+      .as[(Long, Int)].collect().toSet
+
+    val mem = MemoryStream[String]
+    val out = Sketches.hllRegisters(mem.toDF().toDF("id"), col("id"), p = 8)
+    assert(out.isStreaming)
+    val q = out.writeStream.format("memory").queryName("hll_sink")
+      .outputMode("complete").start()
+    try {
+      mem.addData(ids.take(120): _*)
+      q.processAllAvailable()
+      mem.addData(ids.drop(120): _*) // merges into register state by max
+      q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.table("hll_sink").as[(Long, Int)].collect().toSet
+    assert(streamed === batch,
+      "streamed registers after two micro-batches must equal the batch registers")
+  }
+
   test("decontamination at ingest: overlap equals the batch contamination report") {
     import graft.streaming.StreamingQuality
     val bench = Seq(
