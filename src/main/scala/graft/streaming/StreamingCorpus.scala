@@ -64,6 +64,54 @@ object StreamingCorpus {
     * retry-stable (the snapshotEvery lesson); across batches admission
     * order is arrival order, as for any quota.
     */
+  final case class Sharded(shard: Long, key: Long, seq: Long)
+
+  /** Continuous export sharding at ingest — the streaming face of
+    * [[graft.operators.Corpus.shuffleShards]] (and seed-0
+    * [[graft.operators.Corpus.exportShards]]' hash layout): each arriving
+    * row gets its deterministic shard (portable hash of (seed, key)) and
+    * a dense per-shard `seq` from a ledger that CONTINUES across
+    * micro-batches — the WireLog offset-ledger pattern applied to corpus
+    * export. Already-emitted (shard, seq) assignments never renumber when
+    * later data arrives, which is what lets a training job consume shards
+    * while ingest is still appending (append-stable resume).
+    *
+    * Within a micro-batch rows order by (hash, key) — exactly
+    * shuffleShards' within-shard order, so ONE batch reproduces the batch
+    * operator bit-for-bit (spec-pinned); across batches order is arrival
+    * order, as for any log (a global (hash, key) order over not-yet-seen
+    * rows is unknowable at append time — run the batch shuffle for a
+    * frozen corpus when the full permutation matters).
+    *
+    * State per shard is ONE long (the next seq); the in-batch sort is
+    * bounded by one shard's slice of one micro-batch.
+    */
+  def exportShardsAtIngest(rows: DataFrame, key: String, seed: Long,
+      numShards: Int): Dataset[Sharded] = {
+    require(numShards > 0, s"need numShards > 0, got $numShards")
+    val spark = rows.sparkSession
+    import spark.implicits._
+    val h = graft.operators.Dedup.portableHash64(
+      concat(lit(seed.toString), lit(":"), col(key).cast("string")))
+    rows
+      .select(col(key).cast("long").as("_k"), h.as("_h"),
+        pmod(h, lit(numShards.toLong)).as("_sh"))
+      .as[(Long, Long, Long)]
+      .groupByKey(_._3)
+      .flatMapGroupsWithState[Long, Sharded](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout) {
+        (shard, it, state) =>
+          var next = state.getOption.getOrElse(0L)
+          val out = Seq.newBuilder[Sharded]
+          it.toSeq.sortBy(r => (r._2, r._1)).foreach { case (k, _, _) =>
+            next += 1
+            out += Sharded(shard, k, next)
+          }
+          state.update(next)
+          out.result().iterator
+      }
+  }
+
   def admitQuotaAtIngest(rows: DataFrame, stratum: String, key: String,
       seq: String, quota: Int): Dataset[Admitted] = {
     require(quota > 0, s"need quota > 0, got $quota")

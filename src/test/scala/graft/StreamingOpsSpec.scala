@@ -630,6 +630,54 @@ class StreamingOpsSpec extends SparkSpec {
       4L -> true, 5L -> false))
   }
 
+  test("export sharding at ingest: one batch equals the batch shuffle; ledger continues append-stably") {
+    import graft.streaming.StreamingCorpus
+    // single batch == Corpus.shuffleShards bit-for-bit
+    val ids = (1L to 120L)
+    val batch = graft.operators.Corpus.shuffleShards(
+        ids.toDF("doc_id"), col("doc_id"), seed = 7, numShards = 4)
+      .select("shard", "doc_id", "seq").as[(Long, Long, Int)].collect()
+      .map(r => (r._1, r._2, r._3.toLong)).toSet
+    val mem1 = MemoryStream[Long]
+    val out1 = StreamingCorpus.exportShardsAtIngest(
+      mem1.toDF().toDF("doc_id"), "doc_id", seed = 7, numShards = 4)
+    val q1 = out1.writeStream.format("memory").queryName("shard_sink1")
+      .outputMode("append").start()
+    try {
+      mem1.addData(ids: _*)
+      q1.processAllAvailable()
+    } finally q1.stop()
+    val streamed = spark.table("shard_sink1")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(streamed === batch,
+      "a single micro-batch must reproduce the batch shuffle layout")
+
+    // two batches: batch-1 assignments unchanged, batch-2 seqs continue
+    val mem2 = MemoryStream[Long]
+    val out2 = StreamingCorpus.exportShardsAtIngest(
+      mem2.toDF().toDF("doc_id"), "doc_id", seed = 7, numShards = 4)
+    val q2 = out2.writeStream.format("memory").queryName("shard_sink2")
+      .outputMode("append").start()
+    try {
+      mem2.addData(ids.take(60): _*)
+      q2.processAllAvailable()
+      val first = spark.table("shard_sink2")
+        .as[(Long, Long, Long)].collect().toSet
+      mem2.addData(ids.drop(60): _*)
+      q2.processAllAvailable()
+      val all = spark.table("shard_sink2")
+        .as[(Long, Long, Long)].collect()
+      assert(first.subsetOf(all.toSet),
+        "late arrivals must never renumber already-emitted (shard, seq)")
+      // ledger density: per shard, seqs are exactly 1..n across batches
+      all.groupBy(_._1).foreach { case (shard, rows) =>
+        assert(rows.map(_._3).sorted.toSeq === (1L to rows.length),
+          s"shard $shard ledger not dense after two batches")
+      }
+      assert(all.map(_._2).toSet === ids.toSet)
+    } finally q2.stop()
+  }
+
   test("admission quota at ingest: first-come per stratum, seq-ordered within batch") {
     import graft.streaming.StreamingCorpus
     val mem = MemoryStream[(String, Long, Long)]
