@@ -400,6 +400,57 @@ object Corpus {
       .drop("_shufH")
   }
 
+  /** Global concat-and-split packing — the GPT-style pretraining layout:
+    * the (shuffled) corpus is conceptually one token stream, split into
+    * fixed `seqLen` training sequences with documents crossing sequence
+    * boundaries (contrast [[packChunks]], which bins WITHIN a document
+    * and never splits one). Each document gets its global token offset
+    * and the sequence ids it lands in: `global_start`, `first_seq`,
+    * `last_seq` (empty docs land in `first_seq` with zero span).
+    *
+    * The global offset is a distributed prefix sum, NOT a global sort:
+    * documents order by the [[shuffleShards]] permutation of `(seed,
+    * key)`; within each shard a partitioned window accumulates token
+    * counts (one hash shuffle + per-shard sort — shard-bounded);
+    * shard-level bases come from a numShards-row aggregate cumulated on a
+    * single deliberately-tiny window and broadcast back. Nothing
+    * corpus-sized crosses a second shuffle and no global sort exists, so
+    * the layout is reproducible AND computable at any corpus size.
+    * Token counts must be non-negative and non-null (fails loudly).
+    */
+  def packGlobal(df: DataFrame, key: Column, tokens: Column, seed: Long,
+      numShards: Int, seqLen: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(seqLen > 0, s"need seqLen > 0, got $seqLen")
+    Seq("_pgT", "_pgLoc", "_pgTot", "_pgBase", "global_start", "first_seq",
+        "last_seq").foreach(c => require(!df.columns.contains(c),
+      s"input already has a $c column — packGlobal would shadow it"))
+    val sharded = shuffleShards(df, key, seed, numShards)
+      .withColumn("_pgT",
+        when(assert_true(tokens.isNotNull && tokens >= 0,
+          lit("packGlobal needs non-null, non-negative token counts")).isNull,
+          tokens.cast("long")))
+    val w = Window.partitionBy(col("shard")).orderBy(col("seq"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val local = sharded.withColumn("_pgLoc",
+      coalesce(sum(col("_pgT")).over(w), lit(0L)))
+    // numShards rows: cumulate shard totals into bases on one tiny window
+    val bases = sharded.groupBy("shard").agg(sum("_pgT").as("_pgTot"))
+      .withColumn("_pgBase",
+        coalesce(sum(col("_pgTot")).over(
+          Window.partitionBy(graft.plans.Hints.onePartition(col("shard")))
+            .orderBy(col("shard"))
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("shard"), col("_pgBase"))
+    local.join(broadcast(bases), "shard")
+      .withColumn("global_start", col("_pgBase") + col("_pgLoc"))
+      .withColumn("first_seq", expr(s"global_start div ${seqLen}"))
+      .withColumn("last_seq",
+        when(col("_pgT") === 0, col("first_seq"))
+          .otherwise(expr(s"(global_start + _pgT - 1) div ${seqLen}")))
+      .drop("_pgT", "_pgLoc", "_pgBase")
+  }
+
   /** Deterministic hash sampling: keep rows whose key hashes into
     * `num`/`den` of the hash space. Unlike `DataFrame.sample`, the
     * decision is a pure function of the key — stable across runs,

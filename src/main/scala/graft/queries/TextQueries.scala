@@ -63,6 +63,38 @@ object TextQueries {
         t(s, d, "documents").select("doc_id"), col("doc_id"),
         seed = 7, numShards = 8)),
 
+    // global concat-and-split packing (GPT-style): the shuffled corpus as
+    // ONE token stream split into 2048-token training sequences, documents
+    // crossing boundaries. Offsets are a distributed prefix sum over the
+    // shuffleShards order (per-shard window + numShards-row base table) —
+    // no global sort. n_chars stands in for the per-doc token count.
+    Q("q_pack_global", Some("""
+      |WITH s AS (SELECT doc_id, n_chars,
+      |  ('0x' || substring(md5('7:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT AS h
+      |  FROM documents),
+      |sh AS (SELECT doc_id, n_chars, h, h % 8 AS shard,
+      |  row_number() OVER (PARTITION BY h % 8 ORDER BY h, doc_id) AS seq FROM s),
+      |loc AS (SELECT doc_id, n_chars, shard, seq,
+      |  COALESCE(sum(n_chars) OVER (PARTITION BY shard ORDER BY seq
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS l
+      |  FROM sh),
+      |b AS (SELECT shard, COALESCE(sum(tot) OVER (ORDER BY shard
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS base
+      |  FROM (SELECT shard, sum(n_chars) AS tot FROM sh GROUP BY 1))
+      |SELECT l.doc_id, l.shard, CAST(l.seq AS INT) AS seq, l.n_chars,
+      |  b.base + l.l AS global_start,
+      |  (b.base + l.l) // 2048 AS first_seq,
+      |  CASE WHEN l.n_chars = 0 THEN (b.base + l.l) // 2048
+      |       ELSE (b.base + l.l + l.n_chars - 1) // 2048 END AS last_seq
+      |FROM loc l JOIN b USING (shard)
+      |""".stripMargin.trim))(
+      (s, d) => graft.operators.Corpus.packGlobal(
+        t(s, d, "documents").select("doc_id", "n_chars"),
+        col("doc_id"), col("n_chars"), seed = 7, numShards = 8,
+        seqLen = 2048)
+        .select("doc_id", "shard", "seq", "n_chars", "global_start",
+          "first_seq", "last_seq")),
+
     // relative quality gate: keep each source's top half by quality score
     // (per-stratum exact percentile threshold joined back — no corpus
     // sort; see Corpus.percentileGate). quantile_cont == Spark percentile

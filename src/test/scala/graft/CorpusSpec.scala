@@ -587,4 +587,29 @@ class CorpusSpec extends SparkSpec {
     }
     assert(disordered, "seeded shuffle left every shard in key order")
   }
+
+  test("packGlobal: offsets are the exact prefix sum of the shuffled stream; boundary docs straddle") {
+    val docs = (1L to 50L).map(i => (i, (i % 7) * 3)).toDF("doc_id", "toks")
+    val seqLen = 10
+    val out = Corpus.packGlobal(docs, col("doc_id"), col("toks"),
+        seed = 3, numShards = 4, seqLen = seqLen)
+      .select("doc_id", "shard", "seq", "toks", "global_start",
+        "first_seq", "last_seq")
+      .as[(Long, Long, Int, Long, Long, Long, Long)].collect()
+    // global order = (shard, seq); offsets must be the exact running sum
+    val ordered = out.sortBy(r => (r._2, r._3))
+    var acc = 0L
+    ordered.foreach { case (id, _, _, tk, start, first, last) =>
+      assert(start === acc, s"doc $id offset $start != running sum $acc")
+      assert(first === start / seqLen)
+      assert(last === (if (tk == 0) start / seqLen else (start + tk - 1) / seqLen))
+      acc += tk
+    }
+    assert(acc === out.map(_._4).sum)
+    // at least one doc crosses a sequence boundary (first_seq < last_seq)
+    assert(out.exists(r => r._6 < r._7),
+      "test corpus must exercise the boundary-straddling case")
+    // zero-token docs sit at their offset with zero span
+    assert(out.filter(_._4 == 0).forall(r => r._6 == r._7))
+  }
 }

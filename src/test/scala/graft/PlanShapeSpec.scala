@@ -563,6 +563,19 @@ class PlanShapeSpec extends SparkSpec {
     assert(countShuffles(est) === 2)
   }
 
+  test("pack_global: per-shard prefix windows + broadcast base table — no global sort") {
+    val df = q("q_pack_global")
+    val fmt = formatted(df)
+    assert(!fmt.contains("rangepartitioning"),
+      "a rangepartitioning Exchange means a global sort crept in")
+    assert(fmt.contains("hashpartitioning(shard"),
+      "prefix-sum window lost its per-shard partitioning")
+    // the numShards-row base table must come back as a broadcast join,
+    // never a shuffled join of the corpus against it
+    assert(countNodes(df, "BroadcastHashJoin") >= 1)
+    assert(countNodes(df, "SortMergeJoin") === 0)
+  }
+
   test("dedup_best: component-keyed aggs + equi-joins — no window, nothing quadratic") {
     val df = q("q_dedup_best")
     assert(countNodes(df, "CartesianProduct") === 0)
