@@ -213,6 +213,86 @@ object Sketches {
     alpha * m * m * java.lang.Math.scalb(1.0, 61 - p)
   }
 
+  // ── Fixed-bound histogram (quantile artifact) ──────────────────────────
+  // The distribution member of the sketch family (HLL = distinct, CMS =
+  // frequency, HIST = quantiles): a fixed-width integer bucket table
+  // (bucket, cnt) over caller-supplied bounds. Because the bounds and
+  // width are part of the artifact's definition (like CMS's depth×width),
+  // per-partition histograms merge by CELL SUM with no renormalization,
+  // and every derived statistic is integer arithmetic — fully
+  // reproducible by the DuckDB oracle, unlike approx_percentile's opaque
+  // t-digest (kept as the Spark-native alternative; see
+  // Corpus.approxQuantileThresholds). Quantile error is bounded by ONE
+  // bucket width by construction.
+  //
+  // Scale shape: one narrow projection + a partial agg collapsing to
+  // ≤ buckets rows per map task; threshold extraction windows over the
+  // ≤ buckets-row artifact, never the data.
+
+  /** Bucket counts per stratum: bucket = clamp((v - lo) div width,
+    * 0, buckets-1) — values outside the bounds land in the edge buckets
+    * (open-ended tails, the standard histogram convention; pick bounds
+    * from domain knowledge or a prior bounds pass). NULL values are
+    * excluded, as in any quantile.
+    */
+  def histogramFixed(df: DataFrame, value: Column, lo: Long, width: Long,
+      buckets: Int, strata: Seq[String] = Nil): DataFrame = {
+    require(width > 0, s"need width > 0, got $width")
+    require(buckets > 0, s"need buckets > 0, got $buckets")
+    val reserved = Seq("bucket", "cnt", "_hbV")
+    require(strata.forall(s => !reserved.contains(s)),
+      s"strata ${strata.mkString(",")} collide with the histogram's own columns ($reserved)")
+    df.select(strata.map(col) :+ value.cast("long").as("_hbV"): _*)
+      .filter(col("_hbV").isNotNull)
+      .withColumn("bucket",
+        least(greatest(expr(s"(_hbV - $lo) div $width"), lit(0L)),
+          lit(buckets - 1L)))
+      .groupBy(strata.map(col) :+ col("bucket"): _*)
+      .agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Merge histogram artifacts built with the same (lo, width, buckets):
+    * cell-wise sum, optionally rolled up to coarser strata.
+    */
+  def histogramMerge(parts: DataFrame, strata: Seq[String] = Nil): DataFrame =
+    parts.groupBy(strata.map(col) :+ col("bucket"): _*)
+      .agg(sum("cnt").as("cnt"))
+
+  /** The p-quantile threshold from a histogram artifact, p given as the
+    * EXACT rational pNum/pDen: per stratum, the lower bound of the first
+    * bucket whose cumulative count reaches ⌈p·n⌉ (cum ≥ ⌈a/b⌉ ⟺
+    * cum·b ≥ a on integers — no division, no doubles anywhere). The
+    * ⌈p·n⌉-th smallest value provably lies in [thr, thr + width), so the
+    * threshold is conservative within one bucket width. Output per
+    * stratum: (n, bucket, thr).
+    *
+    * The cumulative window runs over the ≤ buckets-row artifact (per
+    * stratum; strata-free frames carry the [[graft.plans.Hints
+    * .onePartition]] key — bounded by construction).
+    */
+  def histogramThreshold(hist: DataFrame, pNum: Long, pDen: Long,
+      lo: Long, width: Long, strata: Seq[String] = Nil): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(pDen > 0 && pNum >= 0 && pNum <= pDen,
+      s"need 0 <= pNum/pDen <= 1, got $pNum/$pDen")
+    val w = (if (strata.isEmpty)
+        Window.partitionBy(graft.plans.Hints.onePartition(col("bucket")))
+      else Window.partitionBy(strata.map(col): _*))
+      .orderBy(col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = if (strata.isEmpty) hist.agg(sum("cnt").as("_hbN"))
+      else hist.groupBy(strata.map(col): _*).agg(sum("cnt").as("_hbN"))
+    val cum = hist.withColumn("_hbC", sum(col("cnt")).over(w))
+    val joined = if (strata.isEmpty) cum.crossJoin(broadcast(tot))
+      else cum.join(broadcast(tot), strata)
+    joined
+      .filter(col("_hbC") * pDen >= col("_hbN") * pNum)
+      .groupBy(strata.map(col) :+ col("_hbN"): _*)
+      .agg(min(col("bucket")).as("bucket"))
+      .withColumnRenamed("_hbN", "n")
+      .withColumn("thr", lit(lo) + col("bucket") * lit(width))
+  }
+
   def hllEstimate(registers: DataFrame, p: Int,
       strata: Seq[String] = Nil): DataFrame = {
     hllCheckP(p)

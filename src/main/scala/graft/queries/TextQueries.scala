@@ -63,6 +63,29 @@ object TextQueries {
         t(s, d, "documents").select("doc_id"), col("doc_id"),
         seed = 7, numShards = 8)),
 
+    // portable histogram-quantile artifact: fixed-bound integer bucket
+    // table (mergeable by cell sum, like the CMS/HLL artifacts), median
+    // threshold per lang = lower bound of the first bucket reaching
+    // ceil(n/2) — pure integer arithmetic, conservative within one bucket
+    // width. The oracle-able scale twin of exact percentile /
+    // approx_percentile's opaque t-digest.
+    Q("q_hist_quantile", Some("""
+      |WITH h AS (SELECT lang, least(greatest((n_chars - 0) // 8, 0), 127) AS bucket,
+      |    count(*) AS cnt
+      |  FROM documents WHERE n_chars IS NOT NULL GROUP BY 1, 2),
+      |c AS (SELECT lang, bucket, cnt, sum(cnt) OVER (PARTITION BY lang ORDER BY bucket
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM h),
+      |t AS (SELECT lang, CAST(sum(cnt) AS BIGINT) AS n FROM h GROUP BY 1)
+      |SELECT c.lang, t.n, min(c.bucket) AS bucket, 0 + min(c.bucket) * 8 AS thr
+      |FROM c JOIN t USING (lang) WHERE c.cum * 2 >= t.n * 1
+      |GROUP BY c.lang, t.n
+      |""".stripMargin.trim))(
+      (s, d) => graft.functions.Sketches.histogramThreshold(
+        graft.functions.Sketches.histogramFixed(
+          t(s, d, "documents"), col("n_chars"), lo = 0, width = 8,
+          buckets = 128, strata = Seq("lang")),
+        pNum = 1, pDen = 2, lo = 0, width = 8, strata = Seq("lang"))),
+
     // global concat-and-split packing (GPT-style): the shuffled corpus as
     // ONE token stream split into 2048-token training sequences, documents
     // crossing boundaries. Offsets are a distributed prefix sum over the

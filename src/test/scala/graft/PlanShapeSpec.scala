@@ -563,6 +563,20 @@ class PlanShapeSpec extends SparkSpec {
     assert(countShuffles(est) === 2)
   }
 
+  test("hist_quantile: bucket partial agg collapses map-side; windows only over the artifact") {
+    val df = q("q_hist_quantile")
+    assert(hasNode(df, "HashAggregate"),
+      "bucket counts must collapse via partial hash agg before the shuffle")
+    // cumulative window and total join run over the ≤ buckets-row
+    // artifact, partitioned by the stratum — never over the corpus
+    val fmt = formatted(df)
+    assert(!fmt.linesIterator.exists(l =>
+        l.contains("Window") && l.contains("windowspecdefinition") &&
+          !l.contains("lang")),
+      "cumulative window lost its per-stratum partitioning")
+    assert(countNodes(df, "CartesianProduct") === 0)
+  }
+
   test("pack_global: per-shard prefix windows + broadcast base table — no global sort") {
     val df = q("q_pack_global")
     val fmt = formatted(df)

@@ -213,4 +213,42 @@ class SketchSpec extends SparkSpec {
     assert(math.abs(lc - uexact) / uexact <= 0.1,
       s"linear-counting estimate $lc drifted from exact $uexact")
   }
+
+  test("histogram artifact: threshold brackets the order statistic, merge == whole, edges clamp") {
+    import graft.functions.Sketches
+    val (lo, width, buckets) = (0L, 8L, 128)
+    val docs = t(spark, sf, "documents")
+    val hist = Sketches.histogramFixed(
+      docs, col("n_chars"), lo, width, buckets, strata = Seq("lang"))
+    val thr = Sketches.histogramThreshold(
+        hist, pNum = 1, pDen = 2, lo = lo, width = width, strata = Seq("lang"))
+      .select("lang", "n", "thr").as[(String, Long, Long)].collect()
+    // the ceil(n/2)-th smallest value must lie in [thr, thr + width)
+    val byLang = docs.select("lang", "n_chars").as[(String, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
+    thr.foreach { case (lang, n, t0) =>
+      val vals = byLang(lang)
+      assert(n === vals.length)
+      val kth = vals(((n + 1) / 2 - 1).toInt)
+      assert(t0 <= kth && kth < t0 + width,
+        s"$lang: median $kth outside threshold bucket [$t0, ${t0 + width})")
+    }
+    // merge of per-half artifacts == whole-corpus histogram (cell sum)
+    val parts = Seq(0, 1).map(h => Sketches.histogramFixed(
+      docs.filter(pmod(col("doc_id"), lit(2)) === h),
+      col("n_chars"), lo, width, buckets, strata = Seq("lang")))
+    val merged = Sketches.histogramMerge(
+      parts.reduce(_ unionByName _), strata = Seq("lang"))
+    val whole = hist.select(col("lang"), col("bucket"), col("cnt").cast("long"))
+    val m2 = merged.select(col("lang"), col("bucket"), col("cnt").cast("long"))
+    assert(m2.exceptAll(whole).isEmpty && whole.exceptAll(m2).isEmpty,
+      "merged per-half histograms must equal the whole-corpus histogram")
+    // out-of-bounds values clamp into the edge buckets
+    val edge = Sketches.histogramFixed(
+      Seq(-5L, 0L, 1023L, 5000L).toDF("v"), col("v"), lo, width, buckets)
+      .as[(Long, Long)].collect().toMap
+    assert(edge(0L) === 2L, "below-lo values must land in bucket 0")
+    assert(edge((buckets - 1).toLong) === 2L,
+      "above-hi values must land in the last bucket")
+  }
 }
