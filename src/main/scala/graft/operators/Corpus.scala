@@ -400,6 +400,64 @@ object Corpus {
       .drop("_shufH")
   }
 
+  /** Deterministic weighted round-robin mixture order — the dataloader
+    * interleave: stratum s with weight w_s emits every D/w_s positions
+    * (D = lcm of the weights), so a consumer reading in `(ord, stratum,
+    * dense)` order sees sources mixed at their weight ratio from the
+    * very first rows (not front-loaded the way a sorted concatenation
+    * would be). Position is a pure function of (seed, key, stratum
+    * histogram): ord = (dense-1)·D div w_s over a dense per-stratum
+    * sequence, so the mixture order is reproducible and auditable like
+    * every sampler here.
+    *
+    * The dense 1..n_s numbering is SCALE-SAFE: no per-stratum global
+    * sort (one giant source would serialize through one task). Rows
+    * hash into `numShards` sub-shards per stratum; a (stratum, shard)
+    * window numbers each slice, and per-stratum shard bases (a
+    * strata×numShards-row aggregate, cumulated on a bounded window)
+    * broadcast back — the [[packGlobal]] prefix-sum trick applied to
+    * counting. Dense order is therefore shard-major within the stratum
+    * (shard asc, then hash, then key) — fixed and engine-reproducible.
+    *
+    * `weights` maps stratum values to integer weights ≥ 1; unlisted
+    * strata get `defaultWeight`. Output: input + `dense` (1..n_s within
+    * stratum) + `ord` (the interleave position).
+    */
+  def interleaveBySource(df: DataFrame, stratum: String, key: Column,
+      weights: Map[String, Long], defaultWeight: Long = 1L,
+      seed: Long = 0L, numShards: Int = 64): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(numShards > 0, s"need numShards > 0, got $numShards")
+    require(defaultWeight >= 1 && weights.values.forall(_ >= 1),
+      "weights must be >= 1 (a zero-weight stratum should be filtered out)")
+    Seq("_ilH", "_ilSh", "_ilLoc", "_ilN", "_ilBase", "_ilW", "dense", "ord")
+      .foreach(c => require(!df.columns.contains(c),
+        s"input already has a $c column — interleaveBySource would shadow it"))
+    def gcd(a: Long, b: Long): Long = if (b == 0) a else gcd(b, a % b)
+    val d = (weights.values.toSeq :+ defaultWeight)
+      .foldLeft(1L)((l, w) => l / gcd(l, w) * w)
+    val h = Dedup.portableHash64(
+      concat(lit(seed.toString), lit(":"), key.cast("string")))
+    val base = df.withColumn("_ilH", h)
+      .withColumn("_ilSh", pmod(col("_ilH"), lit(numShards.toLong)))
+    val local = base.withColumn("_ilLoc", row_number().over(
+      Window.partitionBy(col(stratum), col("_ilSh"))
+        .orderBy(col("_ilH"), key)))
+    val bases = base.groupBy(stratum, "_ilSh").agg(count(lit(1)).as("_ilN"))
+      .withColumn("_ilBase", coalesce(sum(col("_ilN")).over(
+        Window.partitionBy(col(stratum)).orderBy(col("_ilSh"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col(stratum), col("_ilSh"), col("_ilBase"))
+    val wExpr = weights.foldLeft(lit(defaultWeight)) { case (acc, (k, v)) =>
+      when(col(stratum) === k, lit(v)).otherwise(acc)
+    }
+    local.join(broadcast(bases), Seq(stratum, "_ilSh"))
+      .withColumn("dense", col("_ilBase") + col("_ilLoc"))
+      .withColumn("_ilW", wExpr)
+      .withColumn("ord", expr(s"((dense - 1) * ${d}) div _ilW"))
+      .drop("_ilH", "_ilSh", "_ilLoc", "_ilBase", "_ilW")
+  }
+
   /** Global concat-and-split packing — the GPT-style pretraining layout:
     * the (shuffled) corpus is conceptually one token stream, split into
     * fixed `seqLen` training sequences with documents crossing sequence

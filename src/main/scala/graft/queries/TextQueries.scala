@@ -63,6 +63,27 @@ object TextQueries {
         t(s, d, "documents").select("doc_id"), col("doc_id"),
         seed = 7, numShards = 8)),
 
+    // deterministic weighted round-robin mixture order: src0 at weight 3,
+    // every other source at 1 — a consumer reading by (ord, source, dense)
+    // sees the 3:1 mix from the first rows. dense per-source numbering is
+    // the scale-safe two-level form (shard-major), mirrored exactly by
+    // the oracle's window.
+    Q("q_interleave", Some("""
+      |WITH s AS (SELECT doc_id, source,
+      |  ('0x' || substring(md5('5:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT AS h
+      |  FROM documents),
+      |d AS (SELECT doc_id, source, CAST(row_number() OVER (
+      |    PARTITION BY source ORDER BY h % 4, h, doc_id) AS BIGINT) AS dense FROM s)
+      |SELECT doc_id, source, dense,
+      |  ((dense - 1) * 3) // (CASE WHEN source = 'src0' THEN 3 ELSE 1 END) AS ord
+      |FROM d
+      |""".stripMargin.trim))(
+      (s, d) => graft.operators.Corpus.interleaveBySource(
+        t(s, d, "documents").select("doc_id", "source"),
+        "source", col("doc_id"), weights = Map("src0" -> 3L),
+        defaultWeight = 1L, seed = 5, numShards = 4)
+        .select("doc_id", "source", "dense", "ord")),
+
     // portable histogram-quantile artifact: fixed-bound integer bucket
     // table (mergeable by cell sum, like the CMS/HLL artifacts), median
     // threshold per lang = lower bound of the first bucket reaching

@@ -612,4 +612,35 @@ class CorpusSpec extends SparkSpec {
     // zero-token docs sit at their offset with zero span
     assert(out.filter(_._4 == 0).forall(r => r._6 == r._7))
   }
+
+  test("interleaveBySource: dense per-stratum numbering, weight-ratio mix from the first rows") {
+    val docs = ((1L to 90L).map(i => (i, "a")) ++ (91L to 120L).map(i => (i, "b")))
+      .toDF("id", "src")
+    val out = Corpus.interleaveBySource(docs, "src", col("id"),
+        weights = Map("a" -> 3L), defaultWeight = 1L, seed = 1, numShards = 4)
+      .select("id", "src", "dense", "ord")
+      .as[(Long, String, Long, Long)].collect()
+    // dense is exactly 1..n per stratum
+    out.groupBy(_._2).foreach { case (srcName, rows) =>
+      assert(rows.map(_._3).sorted.toSeq === (1L to rows.length),
+        s"stratum $srcName numbering not dense")
+    }
+    // ord spacing: weight 3 emits every 1 (D/w = 3/3), weight 1 every 3
+    out.filter(_._2 == "a").foreach(r => assert(r._4 === r._3 - 1))
+    out.filter(_._2 == "b").foreach(r => assert(r._4 === (r._3 - 1) * 3))
+    // reading in (ord, src, dense) order, every 20-row prefix holds the
+    // 3:1 mix to within rounding — the no-front-loading property
+    val ordered = out.sortBy(r => (r._4, r._2, r._3))
+    for (n <- Seq(20, 40, 80)) {
+      val a = ordered.take(n).count(_._2 == "a")
+      assert(math.abs(a - n * 3 / 4) <= 2,
+        s"prefix $n carries $a 'a'-rows, want ~${n * 3 / 4}")
+    }
+    // deterministic under re-partitioning
+    val re = Corpus.interleaveBySource(docs.repartition(7), "src", col("id"),
+        weights = Map("a" -> 3L), defaultWeight = 1L, seed = 1, numShards = 4)
+      .select("id", "src", "dense", "ord")
+      .as[(Long, String, Long, Long)].collect()
+    assert(re.sortBy(_._1).toSeq === out.sortBy(_._1).toSeq)
+  }
 }

@@ -577,6 +577,20 @@ class PlanShapeSpec extends SparkSpec {
     assert(countNodes(df, "CartesianProduct") === 0)
   }
 
+  test("interleave: sub-shard windows + broadcast base table — no per-stratum global sort") {
+    val df = q("q_interleave")
+    val fmt = formatted(df)
+    assert(!fmt.contains("rangepartitioning"),
+      "a rangepartitioning Exchange means a global sort crept in")
+    // the numbering window must carry BOTH the stratum and the sub-shard
+    // (partitioning by stratum alone would serialize a giant source)
+    assert(fmt.contains("hashpartitioning(source, _ilSh") ||
+        fmt.contains("hashpartitioning(source#") && fmt.contains("_ilSh"),
+      "dense numbering lost its (stratum, sub-shard) partitioning")
+    assert(countNodes(df, "BroadcastHashJoin") >= 1)
+    assert(countNodes(df, "SortMergeJoin") === 0)
+  }
+
   test("pack_global: per-shard prefix windows + broadcast base table — no global sort") {
     val df = q("q_pack_global")
     val fmt = formatted(df)

@@ -630,6 +630,33 @@ class StreamingOpsSpec extends SparkSpec {
       4L -> true, 5L -> false))
   }
 
+  test("histogram artifact maintains incrementally on a stream") {
+    // bucket counts are a plain sum — histogramFixed's groupBy IS the
+    // streaming update, so the quantile artifact refreshes per
+    // micro-batch with no history rescan (thresholds re-derive from the
+    // small artifact whenever needed)
+    import graft.functions.Sketches
+    val vals = (1 to 400).map(_.toLong * 3 % 257)
+    val batch = Sketches.histogramFixed(
+        vals.toDF("v"), col("v"), lo = 0, width = 8, buckets = 64)
+      .as[(Long, Long)].collect().toSet
+    val mem = MemoryStream[Long]
+    val out = Sketches.histogramFixed(
+      mem.toDF().toDF("v"), col("v"), lo = 0, width = 8, buckets = 64)
+    assert(out.isStreaming)
+    val q = out.writeStream.format("memory").queryName("hist_sink")
+      .outputMode("complete").start()
+    try {
+      mem.addData(vals.take(150): _*)
+      q.processAllAvailable()
+      mem.addData(vals.drop(150): _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.table("hist_sink").as[(Long, Long)].collect().toSet
+    assert(streamed === batch,
+      "streamed histogram after two micro-batches must equal the batch artifact")
+  }
+
   test("export sharding at ingest: one batch equals the batch shuffle; ledger continues append-stably") {
     import graft.streaming.StreamingCorpus
     // single batch == Corpus.shuffleShards bit-for-bit
