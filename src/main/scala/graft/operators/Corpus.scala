@@ -400,6 +400,36 @@ object Corpus {
       .drop("_shufH")
   }
 
+  /** The writer-side view of [[packGlobal]]: each document exploded into
+    * its per-sequence segments — (seq_id, span_start, span_tokens,
+    * offset_in_seq) — exactly what a sequence writer consumes to emit
+    * fixed-length training rows (group by seq_id, lay each span at its
+    * offset). Pure integer arithmetic on the packGlobal columns plus one
+    * narrow explode (≤ ⌈tokens/seqLen⌉+1 rows per doc); zero-token docs
+    * emit nothing. Round-trip invariants (spans repartition every doc,
+    * sequences fill to exactly seqLen except the last) are spec-pinned.
+    */
+  def packGlobalSpans(packed: DataFrame, tokens: Column, seqLen: Int): DataFrame = {
+    require(seqLen > 0, s"need seqLen > 0, got $seqLen")
+    Seq("global_start", "first_seq", "last_seq").foreach(c =>
+      require(packed.columns.contains(c),
+        s"packGlobalSpans needs packGlobal's $c column"))
+    Seq("seq_id", "span_start", "span_tokens", "offset_in_seq", "_pgsT")
+      .foreach(c => require(!packed.columns.contains(c),
+        s"input already has a $c column — packGlobalSpans would shadow it"))
+    packed.withColumn("_pgsT", tokens.cast("long"))
+      .filter(col("_pgsT") > 0)
+      .withColumn("seq_id", explode(sequence(col("first_seq"), col("last_seq"))))
+      .withColumn("span_start",
+        greatest(lit(0L), col("seq_id") * seqLen - col("global_start")))
+      .withColumn("span_tokens",
+        least(col("_pgsT"), (col("seq_id") + 1) * seqLen - col("global_start")) -
+          col("span_start"))
+      .withColumn("offset_in_seq",
+        greatest(lit(0L), col("global_start") - col("seq_id") * seqLen))
+      .drop("_pgsT")
+  }
+
   /** Deterministic weighted round-robin mixture order — the dataloader
     * interleave: stratum s with weight w_s emits every D/w_s positions
     * (D = lcm of the weights), so a consumer reading in `(ord, stratum,

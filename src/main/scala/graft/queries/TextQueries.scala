@@ -139,6 +139,41 @@ object TextQueries {
         .select("doc_id", "shard", "seq", "n_chars", "global_start",
           "first_seq", "last_seq")),
 
+    // the writer-side explode of the same layout: per-(doc, sequence)
+    // spans — group by seq_id and each 2048-token training row assembles
+    // from (offset_in_seq, span_start, span_tokens). One narrow explode.
+    Q("q_pack_spans", Some("""
+      |WITH s AS (SELECT doc_id, n_chars,
+      |  ('0x' || substring(md5('7:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT AS h
+      |  FROM documents),
+      |sh AS (SELECT doc_id, n_chars, h, h % 8 AS shard,
+      |  row_number() OVER (PARTITION BY h % 8 ORDER BY h, doc_id) AS seq FROM s),
+      |loc AS (SELECT doc_id, n_chars, shard, seq,
+      |  COALESCE(sum(n_chars) OVER (PARTITION BY shard ORDER BY seq
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS l
+      |  FROM sh),
+      |b AS (SELECT shard, COALESCE(sum(tot) OVER (ORDER BY shard
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS base
+      |  FROM (SELECT shard, sum(n_chars) AS tot FROM sh GROUP BY 1)),
+      |pg AS (SELECT l.doc_id, l.n_chars, CAST(b.base + l.l AS BIGINT) AS gs,
+      |    CAST((b.base + l.l) // 2048 AS BIGINT) AS fs,
+      |    CAST((b.base + l.l + l.n_chars - 1) // 2048 AS BIGINT) AS ls
+      |  FROM loc l JOIN b USING (shard) WHERE l.n_chars > 0)
+      |SELECT doc_id, seq_id,
+      |  greatest(0, seq_id * 2048 - gs) AS span_start,
+      |  least(n_chars, (seq_id + 1) * 2048 - gs) - greatest(0, seq_id * 2048 - gs) AS span_tokens,
+      |  greatest(0, gs - seq_id * 2048) AS offset_in_seq
+      |FROM pg, unnest(range(fs, ls + 1)) AS u(seq_id)
+      |""".stripMargin.trim))(
+      (s, d) => graft.operators.Corpus.packGlobalSpans(
+        graft.operators.Corpus.packGlobal(
+          t(s, d, "documents").select("doc_id", "n_chars"),
+          col("doc_id"), col("n_chars"), seed = 7, numShards = 8,
+          seqLen = 2048),
+        col("n_chars"), seqLen = 2048)
+        .select("doc_id", "seq_id", "span_start", "span_tokens",
+          "offset_in_seq")),
+
     // relative quality gate: keep each source's top half by quality score
     // (per-stratum exact percentile threshold joined back — no corpus
     // sort; see Corpus.percentileGate). quantile_cont == Spark percentile

@@ -613,6 +613,39 @@ class CorpusSpec extends SparkSpec {
     assert(out.filter(_._4 == 0).forall(r => r._6 == r._7))
   }
 
+  test("packGlobalSpans: spans repartition every doc; sequences fill to seqLen except the last") {
+    val docs = (1L to 40L).map(i => (i, (i % 9) * 4)).toDF("doc_id", "toks")
+    val seqLen = 16
+    val packed = Corpus.packGlobal(docs, col("doc_id"), col("toks"),
+      seed = 11, numShards = 3, seqLen = seqLen)
+    val spans = Corpus.packGlobalSpans(packed, col("toks"), seqLen)
+      .select("doc_id", "seq_id", "span_start", "span_tokens", "offset_in_seq")
+      .as[(Long, Long, Long, Long, Long)].collect()
+    val toks = docs.as[(Long, Long)].collect().toMap
+    // every positive-token doc is exactly repartitioned by its spans
+    spans.groupBy(_._1).foreach { case (id, ss) =>
+      val sorted = ss.sortBy(_._2)
+      assert(sorted.map(_._4).sum === toks(id), s"doc $id spans lose tokens")
+      // spans are contiguous within the doc, starting at 0
+      var pos = 0L
+      sorted.foreach { sp => assert(sp._3 === pos); pos += sp._4 }
+      assert(ss.forall(_._4 > 0), s"doc $id emits an empty span")
+    }
+    assert(spans.map(_._1).toSet === toks.filter(_._2 > 0).keySet)
+    // every sequence except the last is filled to exactly seqLen, and
+    // spans tile it from offset 0 without gaps
+    val total = toks.values.sum
+    val lastSeq = (total - 1) / seqLen
+    spans.groupBy(_._2).foreach { case (sid, ss) =>
+      val fill = ss.map(_._4).sum
+      if (sid < lastSeq) assert(fill === seqLen, s"seq $sid holds $fill tokens")
+      else assert(fill === total - lastSeq * seqLen)
+      val tiles = ss.sortBy(_._5)
+      var pos = 0L
+      tiles.foreach { sp => assert(sp._5 === pos, s"seq $sid gap at $pos"); pos += sp._4 }
+    }
+  }
+
   test("interleaveBySource: dense per-stratum numbering, weight-ratio mix from the first rows") {
     val docs = ((1L to 90L).map(i => (i, "a")) ++ (91L to 120L).map(i => (i, "b")))
       .toDF("id", "src")
