@@ -4,7 +4,7 @@ import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{BloomAgg, BloomContains, BloomUnionAgg, BoundedTopK, CosineSimilarity, GramMatrix, NormalizeText, RandomHyperplaneBuckets}
+import graft.functions.{BloomAgg, BloomContains, BloomUnionAgg, BoundedTopK, CosineSimilarity, GramMatrix, LeadingZeros, NormalizeText, RandomHyperplaneBuckets}
 
 /** Engine extension installer: `spark.sql.extensions=graft.GraftExtensions`
   * (or `builder.withExtensions`) registers the engine's native expressions
@@ -47,7 +47,10 @@ object GraftExtensions {
       (children: Seq[Expression]) => BloomContains(children.head, children(1))),
     (FunctionIdentifier("normalize_text"),
       new ExpressionInfo(classOf[NormalizeText].getName, "normalize_text"),
-      (children: Seq[Expression]) => NormalizeText(children.head)))
+      (children: Seq[Expression]) => NormalizeText(children.head)),
+    (FunctionIdentifier("nlz64"),
+      new ExpressionInfo(classOf[LeadingZeros].getName, "nlz64"),
+      (children: Seq[Expression]) => LeadingZeros(children.head)))
 
   /** Idempotent in-session registration, for sessions created without the
     * extensions config (tests, the driver harness).

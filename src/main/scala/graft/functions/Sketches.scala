@@ -180,6 +180,33 @@ object Sketches {
       .agg(max("rho").as("rho"))
   }
 
+  /** The production hot path of [[hllRegisters]]: identical registers,
+    * but rho comes from the codegen'd [[LeadingZeros]] expression (one
+    * LZCNT after JIT) instead of the oracle-portable bin/lpad/instr
+    * string pipeline — at 100 TB the sketch build is a pure scan whose
+    * per-row cost IS this rank computation. SketchSpec pins the two
+    * forms register-identical on real data; oracled queries keep the
+    * string form so DuckDB reproduces them.
+    */
+  def hllRegistersNative(df: DataFrame, value: Column, p: Int,
+      strata: Seq[String] = Nil): DataFrame = {
+    hllCheckP(p)
+    val reserved = Seq("bucket", "rho", "_hll_h")
+    require(strata.forall(s => !reserved.contains(s)),
+      s"strata ${strata.mkString(",")} collide with the sketch's own columns ($reserved)")
+    graft.GraftExtensions.ensure(df.sparkSession)
+    val width = 60 - p
+    val h = graft.operators.Dedup.portableHash64(value)
+    val rest = pmod(h, lit(1L << width))
+    // nlz within the width-bit window = nlz64(rest) - (64 - width)
+    val rho = when(rest === 0, lit(width + 1))
+      .otherwise(call_function("nlz64", rest) - lit(64 - width) + lit(1))
+    df.select(strata.map(col) ++ Seq(
+        shiftright(h, width).as("bucket"), rho.cast("int").as("rho")): _*)
+      .groupBy(strata.map(col) :+ col("bucket"): _*)
+      .agg(max("rho").as("rho"))
+  }
+
   /** Merge register artifacts built with the same `p` (bucket-wise max),
     * optionally rolled up to coarser strata — the kilobyte rollup that
     * never rescans the data, exactly like [[mergeSketches]]/[[cmsMerge]].

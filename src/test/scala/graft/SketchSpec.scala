@@ -214,6 +214,21 @@ class SketchSpec extends SparkSpec {
       s"linear-counting estimate $lc drifted from exact $uexact")
   }
 
+  test("nlz64 register path is bit-identical to the oracle-portable string path") {
+    import graft.functions.Sketches
+    val events = t(spark, sf, "events")
+    for (p <- Seq(8, 12)) {
+      val str = Sketches.hllRegisters(events, col("event_id").cast("string"), p)
+      val nat = Sketches.hllRegistersNative(events, col("event_id").cast("string"), p)
+      assert(nat.exceptAll(str).isEmpty && str.exceptAll(nat).isEmpty,
+        s"p=$p: native nlz64 registers diverge from the string-pipeline registers")
+    }
+    // the expression itself on edge values
+    val edge = Seq(1L, 2L, Long.MaxValue, -1L).toDF("x")
+      .selectExpr("nlz64(x)").as[Int].collect().toSeq
+    assert(edge === Seq(63, 62, 1, 0))
+  }
+
   test("histogram artifact: threshold brackets the order statistic, merge == whole, edges clamp") {
     import graft.functions.Sketches
     val (lo, width, buckets) = (0L, 8L, 128)
