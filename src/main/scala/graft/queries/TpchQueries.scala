@@ -386,27 +386,28 @@ object TpchQueries {
       |GROUP BY s_name
       |""".stripMargin.trim))(
       (s, d) => {
-        // `late` used to feed TWO consumers (the sole-gate and the final
-        // join back onto it), recomputing the fact-fact join; the 100x
-        // sweep put q21 at ~128x for 100x rows, the costliest plan in the
-        // suite. But "orderkeys with exactly ONE late supplier" can carry
-        // that supplier out of the SAME groupBy (max == the only one), so
-        // one aggregation replaces sole-gate + semi-join-back — `late` is
-        // computed once and everything downstream is per-orderkey sized.
-        val late = t(s, d, "lineitem")
+        // Single-pass form. The old plan scanned lineitem THREE times
+        // (late-pairs, multi-gate, sole-gate) with a fact-fact join on the
+        // first leg; this one joins lineitem⋈orders ONCE and derives all
+        // three gates from per-orderkey aggregates. Both groupBys after
+        // the join are shuffle-free: the join leaves the stream hash-
+        // partitioned on l_orderkey, which satisfies ClusteredDistribution
+        // for (l_orderkey, l_suppkey) and (l_orderkey) alike — the whole
+        // post-join pipeline runs in one stage. "Exactly one late
+        // supplier" carries that supplier out of the agg (max of a 1-set).
+        val perSupplier = t(s, d, "lineitem")
+          .select("l_orderkey", "l_suppkey", "l_shipdate")
           .join(t(s, d, "orders").select("o_orderkey", "o_orderdate"),
             col("l_orderkey") === col("o_orderkey"))
-          .filter(col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS"))
-          .select("l_orderkey", "l_suppkey").distinct()
-        val multi = t(s, d, "lineitem")
-          .groupBy("l_orderkey")
-          .agg(countDistinct("l_suppkey").as("ns")).filter(col("ns") > 1)
-          .select("l_orderkey")
-        val soleLate = late.groupBy("l_orderkey")
-          .agg(count(lit(1)).as("nl"), max("l_suppkey").as("l_suppkey"))
-          .filter(col("nl") === 1)
+          .groupBy("l_orderkey", "l_suppkey")
+          .agg(max(col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS"))
+            .as("late"))
+        val soleLate = perSupplier.groupBy("l_orderkey")
+          .agg(count(lit(1)).as("ns"),
+            sum(col("late").cast("long")).as("nlate"),
+            max(when(col("late"), col("l_suppkey"))).as("l_suppkey"))
+          .filter(col("ns") > 1 && col("nlate") === 1)
         soleLate
-          .join(multi, Seq("l_orderkey"), "left_semi")
           .join(broadcastIfSmall(t(s, d, "supplier").select("s_suppkey", "s_name")),
             col("l_suppkey") === col("s_suppkey"))
           .groupBy("s_name")
