@@ -337,4 +337,110 @@ object Sketches {
         (col("_hllSp") + (lit(m.toLong) - col("_hllNb")) * lit(1L << bigR)).as("s")): _*)
       .withColumn("est", lit(c) / col("s").cast("double"))
   }
+
+  // ── KMV / theta sketch ─────────────────────────────────────────────────
+  // The set-operations member of the sketch family (Beyer et al.,
+  // SIGMOD'07; the bottom-k theta sketch): keep the k smallest distinct
+  // 60-bit hashes of a column. Like the CMS cells and HLL registers above,
+  // the artifact is plain rows/arrays of exact integers, so the DuckDB
+  // oracle rebuilds it bit-identically, it merges by re-taking bottom-k,
+  // and — unlike HLL — two sketches support INTERSECTION / A-NOT-B /
+  // Jaccard estimates, the cross-corpus overlap questions (how much of
+  // crawl B is already in crawl A?) that inclusion-exclusion on HLL
+  // answers with catastrophic variance.
+  //
+  // Estimator (k smallest distinct of n hashes uniform on [0, 2^60)):
+  //   full sketch:  n̂ = (k-1) · 2^60 / h_k       (unbiased)
+  //   short sketch: n̂ = |sketch|                  (exact — all hashes kept)
+  // Set ops on sketches A, B with thresholds θ_X = h_k(X) (2^60 if short):
+  //   θ = min(θ_A, θ_B); restricted to {h < θ} both sketches are uniform
+  //   bottom samples of their sets, so |A∩B ∩ {h<θ}| · 2^60/θ estimates
+  //   |A∩B|, likewise union / A-not-B; Jaccard = inter/union counts.
+  // All arithmetic is exact BIGINT until one correctly-rounded double
+  // division (the samplePps / hllEstimate portability pattern).
+  //
+  // Scale shape: kmvBuild is ONE partial agg — the [[KmvAgg]] buffer is
+  // bounded at k in update and merge, so ≤ k longs per (group, map
+  // partition) cross the shuffle, never the distinct hash set. Merge and
+  // set-estimate stages run on k-sized arrays per group row.
+
+  private val Two60 = 1L << 60
+
+  /** The portable 60-bit item hash (top 15 hex chars of md5) — the same
+    * hash space as samplePps / hllRegisters, so any engine rebuilds it.
+    */
+  def kmvHash(value: Column): Column =
+    conv(substring(md5(value), 1, 15), 16, 10).cast("long")
+
+  /** Build one KMV sketch per stratum: strata columns + `kmv:
+    * array<bigint>` (the ≤ k smallest distinct hashes, ascending).
+    */
+  def kmvBuild(df: DataFrame, strata: Seq[String], value: Column,
+      k: Int): DataFrame =
+    df.groupBy(strata.map(col): _*)
+      .agg(call_function("kmv_agg", kmvHash(value), lit(k)).as("kmv"))
+
+  /** Roll stored sketches up to coarser strata (or one row with
+    * `strata = Nil`): explode the k-sized arrays and re-take bottom-k —
+    * dedup is the aggregate's job, so parts sharing hashes merge exactly.
+    */
+  def kmvMerge(parts: DataFrame, strata: Seq[String], k: Int,
+      sketch: String = "kmv"): DataFrame =
+    parts.select(strata.map(col) :+ explode(col(sketch)).as("_h"): _*)
+      .groupBy(strata.map(col): _*)
+      .agg(call_function("kmv_agg", col("_h"), lit(k)).as(sketch))
+
+  /** Sketch threshold θ: h_k for a full sketch, 2^60 for a short one
+    * (every hash of the set is present below 2^60).
+    */
+  def kmvTheta(sketch: Column, k: Int): Column =
+    when(size(sketch) < k, lit(Two60)).otherwise(element_at(sketch, k))
+
+  /** Distinct-count estimate: exact size when short, (k-1)·2^60/h_k when
+    * full — exact integers into one correctly-rounded double division.
+    */
+  def kmvEstimate(sketch: Column, k: Int): Column =
+    when(size(sketch) < k, size(sketch).cast("double"))
+      .otherwise(
+        lit((k - 1).toDouble) * lit(Two60.toDouble) /
+          element_at(sketch, k).cast("double"))
+
+  /** Pairwise set-operation estimates between two sketch columns of the
+    * same k: (est_intersect, est_union, est_anotb, jaccard) appended.
+    * `jaccard` is the exact ratio of retained-sample counts (the standard
+    * bottom-k Jaccard estimator) — NULL when both sketches are empty.
+    */
+  def kmvSetEstimates(df: DataFrame, a: String, b: String, k: Int): DataFrame = {
+    val th = least(kmvTheta(col(a), k), kmvTheta(col(b), k))
+    val ra = filter(col(a), h => h < th)
+    val rb = filter(col(b), h => h < th)
+    val scale: Column => Column =
+      cnt => cnt.cast("double") * lit(Two60.toDouble) / th.cast("double")
+    df.withColumn("_kmvI", size(array_intersect(ra, rb)))
+      .withColumn("_kmvU", size(array_union(ra, rb)))
+      .withColumn("est_intersect", scale(col("_kmvI")))
+      .withColumn("est_union", scale(col("_kmvU")))
+      .withColumn("est_anotb", scale(col("_kmvU") - size(rb)))
+      .withColumn("jaccard",
+        when(col("_kmvU") > 0,
+          col("_kmvI").cast("double") / col("_kmvU").cast("double")))
+      .drop("_kmvI", "_kmvU")
+  }
+
+  /** Cross-corpus overlap matrix: one KMV sketch per `stratum` value over
+    * `value`, then every stratum pair's distinct / intersection / union /
+    * A-not-B / Jaccard estimates. One corpus scan builds the sketches;
+    * the pairwise stage runs on the (tiny) stratum-count-sized sketch
+    * table — corpora are never joined against each other.
+    */
+  def kmvOverlapMatrix(df: DataFrame, stratum: String, value: Column,
+      k: Int): DataFrame = {
+    val s = kmvBuild(df, Seq(stratum), value, k)
+    val a = s.select(col(stratum).as("stratum_a"), col("kmv").as("_kmvA"))
+    val b = s.select(col(stratum).as("stratum_b"), col("kmv").as("_kmvB"))
+    val pairs = a.join(b, col("stratum_a") < col("stratum_b"))
+      .withColumn("est_a", kmvEstimate(col("_kmvA"), k))
+      .withColumn("est_b", kmvEstimate(col("_kmvB"), k))
+    kmvSetEstimates(pairs, "_kmvA", "_kmvB", k).drop("_kmvA", "_kmvB")
+  }
 }

@@ -398,5 +398,90 @@ object ScaleQueries {
       (s, d) => graft.operators.Temporal.funnel(
         t(s, d, "events"), "user_id", "event_type",
         Tables.tsMillis(col("ts")), Seq("view", "click", "purchase"))),
+
+    // KMV / theta sketch distinct users per event_type + the '__all__'
+    // rollup MERGED from the per-type sketches (never rescanning events).
+    // k=64 < 150 distinct users/type, so the (k-1)·2^60/h_k estimator is
+    // exercised, not just the short-sketch exact branch. The sketch is
+    // exact BIGINT bottom-k rows, so DuckDB rebuilds it bit-identically;
+    // est is one correctly-rounded double division (samplePps pattern).
+    Q("q_kmv_distinct", Some("""
+      |WITH h0 AS (SELECT DISTINCT event_type,
+      |    ('0x' || substring(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT AS h
+      |  FROM events),
+      |hh AS (SELECT event_type, h FROM h0
+      |  UNION ALL SELECT '__all__' AS event_type, h FROM (SELECT DISTINCT h FROM h0)),
+      |r AS (SELECT event_type, h,
+      |    row_number() OVER (PARTITION BY event_type ORDER BY h) AS rk FROM hh)
+      |SELECT event_type, CAST(count(*) AS INT) AS sz,
+      |  CASE WHEN count(*) < 64 THEN 1152921504606846976
+      |    ELSE max(CASE WHEN rk = 64 THEN h END) END AS theta,
+      |  CASE WHEN count(*) < 64 THEN CAST(count(*) AS DOUBLE)
+      |    ELSE 63.0 * 1152921504606846976.0
+      |      / CAST(max(CASE WHEN rk = 64 THEN h END) AS DOUBLE) END AS est
+      |FROM r WHERE rk <= 64 GROUP BY 1
+      |""".stripMargin.trim))(
+      (s, d) => {
+        import graft.functions.Sketches
+        val ev = t(s, d, "events")
+          .select(col("event_type"), col("user_id").cast("string").as("u"))
+        val per = Sketches.kmvBuild(ev, Seq("event_type"), col("u"), k = 64)
+        val rollup = Sketches.kmvMerge(per, Nil, k = 64)
+          .withColumn("event_type", lit("__all__"))
+        per.unionByName(rollup.select("event_type", "kmv"))
+          .select(col("event_type"), size(col("kmv")).as("sz"),
+            Sketches.kmvTheta(col("kmv"), 64).as("theta"),
+            Sketches.kmvEstimate(col("kmv"), 64).as("est"))
+      }),
+
+    // cross-corpus overlap matrix: per-source KMV sketches over 3-word
+    // shingles, then every source pair's intersection / union / A-not-B /
+    // Jaccard estimates — the "how much of crawl B is already in crawl A"
+    // question that HLL cannot answer (no register intersection). One
+    // corpus scan builds 20 sketches; the pairwise stage touches only the
+    // 20-row sketch table — sources are never joined against each other.
+    Q("q_kmv_overlap", Some("""
+      |WITH toks AS (SELECT source, regexp_split_to_array(lower(text), '\s+') AS tk FROM documents),
+      |sh AS (SELECT source, unnest(CASE WHEN len(tk) < 3 THEN [array_to_string(tk, ' ')]
+      |  ELSE list_distinct(list_transform(range(1, len(tk) - 1), i -> array_to_string(tk[i:i+2], ' '))) END) AS sh
+      |  FROM toks),
+      |hs AS (SELECT DISTINCT source, ('0x' || substring(md5(sh), 1, 15))::BIGINT AS h FROM sh),
+      |r AS (SELECT source, h, row_number() OVER (PARTITION BY source ORDER BY h) AS rk FROM hs),
+      |kk AS (SELECT source, h FROM r WHERE rk <= 128),
+      |s AS (SELECT source, count(*) AS sz, max(CASE WHEN rk = 128 THEN h END) AS hk
+      |  FROM r WHERE rk <= 128 GROUP BY 1),
+      |st AS (SELECT source, sz,
+      |    CASE WHEN sz < 128 THEN 1152921504606846976 ELSE hk END AS th,
+      |    CASE WHEN sz < 128 THEN CAST(sz AS DOUBLE)
+      |      ELSE 127.0 * 1152921504606846976.0 / CAST(hk AS DOUBLE) END AS est
+      |  FROM s),
+      |p AS (SELECT a.source AS stratum_a, b.source AS stratum_b,
+      |    a.est AS est_a, b.est AS est_b, least(a.th, b.th) AS th
+      |  FROM st a JOIN st b ON a.source < b.source),
+      |ra AS (SELECT p.stratum_a, p.stratum_b, kk.h FROM p
+      |  JOIN kk ON kk.source = p.stratum_a AND kk.h < p.th),
+      |rb AS (SELECT p.stratum_a, p.stratum_b, kk.h FROM p
+      |  JOIN kk ON kk.source = p.stratum_b AND kk.h < p.th),
+      |ca AS (SELECT stratum_a, stratum_b, count(*) AS an FROM ra GROUP BY 1, 2),
+      |cb AS (SELECT stratum_a, stratum_b, count(*) AS bn FROM rb GROUP BY 1, 2),
+      |ci AS (SELECT ra.stratum_a, ra.stratum_b, count(*) AS i FROM ra
+      |  JOIN rb ON ra.stratum_a = rb.stratum_a AND ra.stratum_b = rb.stratum_b AND ra.h = rb.h
+      |  GROUP BY 1, 2)
+      |SELECT p.stratum_a, p.stratum_b, p.est_a, p.est_b,
+      |  CAST(coalesce(i, 0) AS DOUBLE) * 1152921504606846976.0 / CAST(p.th AS DOUBLE) AS est_intersect,
+      |  CAST(coalesce(an, 0) + coalesce(bn, 0) - coalesce(i, 0) AS DOUBLE) * 1152921504606846976.0 / CAST(p.th AS DOUBLE) AS est_union,
+      |  CAST(coalesce(an, 0) - coalesce(i, 0) AS DOUBLE) * 1152921504606846976.0 / CAST(p.th AS DOUBLE) AS est_anotb,
+      |  CASE WHEN coalesce(an, 0) + coalesce(bn, 0) - coalesce(i, 0) > 0
+      |    THEN CAST(coalesce(i, 0) AS DOUBLE)
+      |      / CAST(coalesce(an, 0) + coalesce(bn, 0) - coalesce(i, 0) AS DOUBLE) END AS jaccard
+      |FROM p LEFT JOIN ca USING (stratum_a, stratum_b)
+      |  LEFT JOIN cb USING (stratum_a, stratum_b)
+      |  LEFT JOIN ci USING (stratum_a, stratum_b)
+      |""".stripMargin.trim))(
+      (s, d) => graft.functions.Sketches.kmvOverlapMatrix(
+        t(s, d, "documents")
+          .select(col("source"),
+            explode(graft.operators.Dedup.shingles(col("text"), 3)).as("sh")),
+        "source", col("sh"), k = 128)),
   )
 }

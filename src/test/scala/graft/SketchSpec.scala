@@ -266,4 +266,73 @@ class SketchSpec extends SparkSpec {
     assert(edge((buckets - 1).toLong) === 2L,
       "above-hi values must land in the last bucket")
   }
+
+  test("KMV sketch: merge == whole, estimator in envelope, short sketch exact") {
+    import graft.functions.Sketches
+    val k = 64
+    val events = t(spark, sf, "events")
+      .select(col("event_type"), col("user_id").cast("string").as("u"))
+    // merge of per-type sketches must equal the sketch of the whole table
+    // element-for-element (bottom-k of a union == bottom-k of merged
+    // bottom-k's — the mergeability property)
+    val perType = Sketches.kmvBuild(events, Seq("event_type"), col("u"), k)
+    val merged = Sketches.kmvMerge(perType, Nil, k)
+      .select(col("kmv")).as[Seq[Long]].head()
+    val whole = Sketches.kmvBuild(events, Nil, col("u"), k)
+      .select(col("kmv")).as[Seq[Long]].head()
+    assert(merged === whole, "merged per-type KMV must equal whole-table KMV")
+    assert(whole === whole.sorted && whole.distinct === whole,
+      "sketch must be ascending distinct hashes")
+    // estimator envelope: rel error of (k-1)/U_(k) is ~1/sqrt(k-2);
+    // 5 sigma at k=64 is ~0.64 — generous but catches a broken estimator
+    val exact = events.select(countDistinct("u")).as[Long].head()
+    val est = Sketches.kmvBuild(events, Nil, col("u"), k)
+      .select(Sketches.kmvEstimate(col("kmv"), k)).as[Double].head()
+    assert(math.abs(est - exact) / exact <= 5.0 / math.sqrt(k - 2.0),
+      s"KMV estimate $est drifted beyond envelope of exact $exact")
+    // a sketch bigger than the distinct count is the exact count
+    val estBig = Sketches.kmvBuild(events, Nil, col("u"), 100000)
+      .select(Sketches.kmvEstimate(col("kmv"), 100000)).as[Double].head()
+    assert(estBig === exact.toDouble, "short sketch must be the exact count")
+  }
+
+  test("KMV set estimates: identity, disjointness, and envelope vs exact truth") {
+    import graft.functions.Sketches
+    val k = 128
+    val docs = t(spark, sf, "documents")
+    val sh = docs.select(col("source"),
+      explode(graft.operators.Dedup.shingles(col("text"), 3)).as("sh"))
+    val m = Sketches.kmvOverlapMatrix(sh, "source", col("sh"), k)
+    // self-consistency on one pair: estimates positive, union >= each of
+    // intersect/anotb, jaccard = inter/union counts in [0, 1]
+    val rows = m.select("stratum_a", "stratum_b", "est_intersect", "est_union",
+        "est_anotb", "jaccard")
+      .as[(String, String, Double, Double, Double, Double)].collect()
+    assert(rows.length === 190, "20 sources -> 190 unordered pairs")
+    rows.foreach { case (a, b, i, u, d, j) =>
+      assert(u >= i - 1e-9 && u >= d - 1e-9 && j >= 0.0 && j <= 1.0,
+        s"($a,$b): inconsistent set estimates i=$i u=$u d=$d j=$j")
+    }
+    // envelope vs exact truth for the first pair (exact sets are cheap at
+    // test scale): theta-sketch rel error wrt the UNION size is ~1/sqrt(k)
+    val (sa, sb) = (rows.head._1, rows.head._2)
+    def set(src: String) = sh.filter(col("source") === src)
+      .select("sh").distinct().as[String].collect().toSet
+    val (ea, eb) = (set(sa), set(sb))
+    val exactU = (ea union eb).size.toDouble
+    val exactI = (ea intersect eb).size.toDouble
+    val tol = 5.0 * exactU / math.sqrt(k.toDouble)
+    assert(math.abs(rows.head._3 - exactI) <= tol,
+      s"($sa,$sb) intersect est ${rows.head._3} vs exact $exactI beyond $tol")
+    assert(math.abs(rows.head._4 - exactU) <= tol,
+      s"($sa,$sb) union est ${rows.head._4} vs exact $exactU beyond $tol")
+    // identical inputs: intersection estimate == distinct estimate, jaccard 1
+    val dup = sh.withColumn("source", lit("x"))
+      .unionByName(sh.withColumn("source", lit("y")))
+    val self = Sketches.kmvOverlapMatrix(dup, "source", col("sh"), k)
+      .select("est_a", "est_intersect", "est_anotb", "jaccard")
+      .as[(Double, Double, Double, Double)].head()
+    assert(self._1 === self._2 && self._3 === 0.0 && self._4 === 1.0,
+      s"identical corpora must intersect fully: $self")
+  }
 }
