@@ -382,7 +382,10 @@ object Dedup {
       // exponentially deep plan (each round references the last twice)
       val next = smallStar(largeStar(edges)).localCheckpoint(true)
       // both sides are oriented + distinct, so set equality is two
-      // anti-joins; limit-1 existence probes, not full counts
+      // anti-joins; limit-1 existence probes, not full counts. (A single
+      // full-outer-join probe was measured SLOWER at sf0.1 — 11.5 s vs
+      // 8.5 s over the three component queries — the outer join plans as
+      // a sort-merge while each anti-join stays a broadcast/hash probe.)
       stable = next.exceptAll(edges).isEmpty && edges.exceptAll(next).isEmpty
       edges = next
       iters += 1

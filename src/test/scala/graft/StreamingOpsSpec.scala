@@ -818,6 +818,33 @@ class StreamingOpsSpec extends SparkSpec {
       "streamed registers after two micro-batches must equal the batch registers")
   }
 
+  test("KMV sketch maintains incrementally on a stream") {
+    // kmv_agg's bounded dedup buffer merges associatively — kmvBuild's one
+    // partial agg IS the streaming update, so the set-operations-capable
+    // distinct sketch (and every overlap estimate derived from it)
+    // refreshes per micro-batch with no history rescan, like the HLL
+    // registers above
+    import graft.functions.Sketches
+    val ids = (1 to 300).map(i => s"user$i")
+    val batch = Sketches.kmvBuild(ids.toDF("u"), Nil, col("u"), k = 64)
+      .select("kmv").as[Seq[Long]].head()
+
+    val mem = MemoryStream[String]
+    val out = Sketches.kmvBuild(mem.toDF().toDF("u"), Nil, col("u"), k = 64)
+    assert(out.isStreaming)
+    val q = out.writeStream.format("memory").queryName("kmv_sink")
+      .outputMode("complete").start()
+    try {
+      mem.addData(ids.take(120): _*)
+      q.processAllAvailable()
+      mem.addData(ids.drop(100): _*) // overlap re-offers dedup'd hashes
+      q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.table("kmv_sink").as[Seq[Long]].collect().head
+    assert(streamed === batch,
+      "streamed KMV after two overlapping micro-batches must equal the batch sketch")
+  }
+
   test("decontamination at ingest: overlap equals the batch contamination report") {
     import graft.streaming.StreamingQuality
     val bench = Seq(
