@@ -584,6 +584,86 @@ object Similarity {
       struct(col("d"), col("neighbor_id").as("nid")), k)
   }
 
+  /** IVF-PQ ANN — the production composition of the two scale paths above
+    * (coarse inverted lists × product quantization, the standard
+    * billion-vector index shape): the corpus is partitioned into
+    * `centroids` cells, each vector is PQ-encoded as its RESIDUAL against
+    * its own cell centroid (residuals are much smaller than raw vectors,
+    * so the same m-byte code budget quantizes far finer), and a query
+    * (a) probes only its `nprobe` nearest cells, (b) ADC-scans only those
+    * cells' codes against per-(query, cell) distance tables built from
+    * the QUERY residual q − c_cell, and (c) exactly re-ranks an
+    * `oversample`×k pool. The two prunings multiply: at 100 TB the scan
+    * touches ~(nprobe/nlist) of an already 32×-compressed code table, and
+    * float vectors are fetched only for |Q|·k·oversample pool rows.
+    *
+    * Plan: one corpus pass assigns cells + encodes residuals (narrow
+    * argmin against the broadcast coarse/sub codebooks); the candidate
+    * stage is an equi-join of the code table with the broadcast
+    * (query, cell, sub, code) → distance tables, so non-probed cells
+    * never match a row; per-pair ADC sums add subspaces in FIXED order
+    * (bit-stable across runs, same as [[pqTopK]]).
+    *
+    * `centroids` is a (cell, c_emb) coarse quantizer — [[kMeansCentroids]]
+    * output or the previous epoch's. Output: (query_id, rank,
+    * neighbor_id), rank 1..k by exact squared-L2 ascending, id tie-break.
+    */
+  def ivfPqTopK(queries: DataFrame, corpus: DataFrame, id: String, emb: String,
+      k: Int, centroids: DataFrame, nprobe: Int = 4, oversample: Int = 10,
+      m: Int = 8, numCodes: Int = 16, dim: Int = 64): DataFrame = {
+    def residual(v: Column, c: Column): Column =
+      zip_with(v, c, (x, y) => (x.cast("double") - y.cast("double")).cast("float"))
+    // one corpus pass: cell assignment (narrow broadcast argmin) + residual;
+    // the cell rides inside the PQ id struct so encoding needs NO
+    // corpus-sized join to re-attach it
+    val residCorpus = assignCells(corpus, id, emb, centroids)
+      .join(broadcast(centroids), Seq("cell"))
+      .select(struct(col(id).as("i"), col("cell").as("cl")).as("idc"),
+        residual(col(emb), col("c_emb")).as("r"))
+    val cb = pqCodebook(residCorpus, "idc", "r", m, numCodes, dim)
+    val codes = pqEncode(residCorpus, "idc", "r", cb, m, dim)
+      .select(col("idc.i").as("neighbor_id"), col("idc.cl").as("cell"),
+        col("sub"), col("code"))
+
+    val q0 = queries.select(col(id).as("query_id"), col(emb).as("q_emb"))
+    val probes = q0.join(broadcast(centroids))
+      .withColumn("cscore", cosineSim(col("q_emb"), col("c_emb")))
+      .transform(df => topKPerKey(
+        df.select(col("query_id"), col("cscore"), col("cell")),
+        Seq("query_id"),
+        struct((-col("cscore")).as("ns"), col("cell").as("cell")), nprobe))
+      .select(col("query_id"), explode(col("topk.cell")).as("cell"))
+    // per-(query, probed cell) ADC tables over the QUERY residual —
+    // |Q|·nprobe·m·numCodes rows, always broadcast
+    val qres = probes.join(broadcast(q0), Seq("query_id"))
+      .join(broadcast(centroids), Seq("cell"))
+      .select(struct(col("query_id").as("i"), col("cell").as("cl")).as("qc"),
+        residual(col("q_emb"), col("c_emb")).as("qr"))
+    val qTables = subVectors(qres, "qc", "qr", m, dim, "qc", "q_sub")
+      .join(broadcast(cb), Seq("sub"))
+      .select(col("qc.i").as("query_id"), col("qc.cl").as("cell"),
+        col("sub"), col("code"), sqDist(col("q_sub"), col("c_sub")).as("qd"))
+
+    val scored = codes.join(broadcast(qTables), Seq("cell", "sub", "code"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .groupBy("query_id", "neighbor_id")
+      .agg(
+        sum(when(col("sub") === 0, col("qd"))).as("qd_0"),
+        (1 until m).map(s =>
+          sum(when(col("sub") === s, col("qd"))).as(s"qd_$s")): _*)
+      .withColumn("adist",
+        (0 until m).map(s => col(s"qd_$s")).reduce(_ + _))
+    val pool = rankedNeighbors(scored,
+        struct(col("adist"), col("neighbor_id").as("nid")), k * oversample)
+      .select("query_id", "neighbor_id")
+    val rescored = corpus.select(col(id).as("neighbor_id"), col(emb).as("n_emb"))
+      .join(broadcast(pool), Seq("neighbor_id"))
+      .join(broadcast(q0), Seq("query_id"))
+      .withColumn("d", sqDist(col("q_emb"), col("n_emb")))
+    rankedNeighbors(rescored.select(col("query_id"), col("d"), col("neighbor_id")),
+      struct(col("d"), col("neighbor_id").as("nid")), k)
+  }
+
   /** Embedding-cosine near-duplicate pairs (the embedding flavor of
     * [[Dedup]]): all unordered pairs with cosine ≥ `minCosine`, found via
     * LSH buckets + exact verification. Output: (a_id, b_id) with a < b.

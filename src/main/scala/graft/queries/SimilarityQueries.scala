@@ -167,6 +167,35 @@ object SimilarityQueries {
           se.filter(col("vec_id") < 20), se, "vec_id", "emb", k = 5)
       }),
 
+    // IVF-PQ ANN (coarse cells × residual product quantization — the
+    // billion-vector index shape) on the seeded corpus with the exact
+    // one-hot coarse centroids — fully oracled against brute-force
+    // squared-L2 top-5. Why exact here: assignment and probing are
+    // provably own-cell (see seededEmb's IVF argument); residuals are 0
+    // in dims 0–15 for every vector, so the residual codebook's one-hot
+    // subspaces are exactly zero and cross-cell ADC distance carries the
+    // ~2.0 coarse gap in those subspaces, while same-cell ADC error is
+    // O(ε²) — the 50-row pool therefore holds the whole own cell (≤ 32
+    // vectors at the 500 bound) and the exact rerank equals brute force.
+    // Raw-embedding recall is pinned in SimilaritySpec.
+    Q("q_ann_ivfpq", Some(seededSql +
+      """
+        |, sp AS (SELECT * FROM se WHERE vec_id < 500),
+        |s AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |  list_sum(list_transform(range(1, 65), i ->
+        |    (q.emb[i]::DOUBLE - c.emb[i]::DOUBLE) * (q.emb[i]::DOUBLE - c.emb[i]::DOUBLE))) AS d
+        |  FROM sp q JOIN sp c ON c.vec_id <> q.vec_id WHERE q.vec_id < 20)
+        |SELECT query_id, rank, neighbor_id FROM (
+        |  SELECT query_id, neighbor_id,
+        |    row_number() OVER (PARTITION BY query_id ORDER BY d, neighbor_id) AS rank
+        |  FROM s) WHERE rank <= 5""".stripMargin))(
+      (s, d) => {
+        val se = seededCorpus(s, d).filter(col("vec_id") < 500)
+        Similarity.ivfPqTopK(
+          se.filter(col("vec_id") < 20), se, "vec_id", "emb", k = 5,
+          centroids = seededCentroids(s), nprobe = 4)
+      }),
+
     // embedding-cosine near-dup pairs, exact all-pairs baseline (the
     // corpus has no planted high-cosine dups — max pair ≈ 0.51 — so the
     // threshold sits where real pairs exist; integer-id output keeps the

@@ -152,6 +152,31 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.7, s"PQ+rerank recall $recall too low")
   }
 
+  test("IVF-PQ: probed-cell ADC pool + exact rerank recall vs brute force") {
+    val emb = queries.Tables.t(spark, sf, "embeddings")
+    val q = emb.filter(col("vec_id") < 10)
+    val exact = q.select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+      .crossJoin(emb.select(col("vec_id").as("neighbor_id"), col("embedding").as("nv")))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("d", Similarity.sqDist(col("qv"), col("nv")))
+      .withColumn("rk", org.apache.spark.sql.functions.row_number.over(
+        org.apache.spark.sql.expressions.Window.partitionBy("query_id")
+          .orderBy(col("d"), col("neighbor_id"))))
+      .filter(col("rk") <= 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    // real coarse quantizer (trained k-means), residual PQ, 4/16 probes —
+    // recall is bounded above by IVF's probe hit rate (~0.6 floor at these
+    // parameters); the residual-coded pool + rerank must not fall far
+    // below it
+    val cents = Similarity.kMeansCentroids(emb, "vec_id", "embedding",
+      k = 16, iters = 3)
+    val got = Similarity.ivfPqTopK(q, emb, "vec_id", "embedding", k = 5,
+        centroids = cents, nprobe = 4, oversample = 10)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = (exact & got).size.toDouble / exact.size
+    assert(recall >= 0.5, s"IVF-PQ recall $recall too low")
+  }
+
   test("seeded corpus: LSH, IVF, and PQ all EQUAL brute force (the oracle construction)") {
     // sf0.01: 500 vectors / 16 cells ≈ 31 per cell. The proof's premise is
     // "every cell holds ≥ k+1 vectors" — true at every shipped sf (500
