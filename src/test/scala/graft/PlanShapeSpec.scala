@@ -211,11 +211,18 @@ class PlanShapeSpec extends SparkSpec {
     assert(pushedFilters(df).exists(_.contains("p_brand")))
   }
 
-  test("q21: sole-late composition stays semi-joins, never a nested loop") {
+  test("q21: single fact join; post-join gates add no shuffle") {
     val df = q("q21_sole_late_supplier")
-    assert(mentions(df, "LeftSemi"))
     assert(countNodes(df, "BroadcastNestedLoopJoin") === 0)
     assert(countNodes(df, "CartesianProduct") === 0)
+    // supplier attaches by broadcast, never a shuffled fact-dim join
+    assert(countNodes(df, "BroadcastHashJoin") >= 1)
+    // the single-pass design: lineitem⋈orders shuffles both inputs once;
+    // BOTH downstream groupBys reuse the join's hash partitioning on
+    // l_orderkey, so only the final s_name agg adds a third exchange —
+    // a fourth shuffle means a gate fell out of the join's distribution
+    assert(countShuffles(df) <= 3,
+      "post-join aggregates must reuse the join partitioning")
   }
 
   test("bm25: token explode runs once (materialized), top-k as TakeOrdered") {
