@@ -197,6 +197,48 @@ object Corpus {
           .otherwise(lit("same")).as("status"))
   }
 
+  /** Distribution drift between two corpora, ranked exactly: the top-k
+    * tokens whose relative frequency moved most between corpus `a` and
+    * corpus `b` — the release-audit companion to [[snapshotDiff]]
+    * (that answers "which documents changed", this answers "how did the
+    * LANGUAGE change"), and the per-token view behind a DSIR-style
+    * importance ratio.
+    *
+    * The ranking key is the cross-multiplied frequency gap
+    * |cntA·totB − cntB·totA| — the exact integer numerator of
+    * |cntA/totA − cntB/totB| over the common denominator totA·totB —
+    * compared in decimal(38,0), so the order is a pure function of the
+    * counts (no floating-point ratio ever enters a comparison; the same
+    * cross-multiplication trick as the temperature/PPS membership
+    * tests). Ties break token-ascending. The reported `shift` is that
+    * exact integer converted once to double (correctly rounded in every
+    * IEEE-754 engine, hence bit-portable — the ppsHt convention).
+    *
+    * Plan: one token-keyed partial-agg shuffle builds the (token, cntA,
+    * cntB) table; the two totals are ONE broadcast row folded from it;
+    * the top-k is TakeOrderedAndProject (per-partition heaps, no global
+    * sort). Vocabulary-sized intermediates only — scales to any corpus.
+    * Output: (token, cnt_a, cnt_b, shift), the k largest shifts.
+    */
+  def tokenShift(docs: DataFrame, corpus: Column, text: Column,
+      a: String, b: String, k: Int): DataFrame = {
+    require(k > 0, s"need k > 0, got $k")
+    require(a != b, s"need two distinct corpus labels, got '$a' twice")
+    val cnt = docs.filter(corpus.isin(a, b))
+      .select(corpus.as("_tsC"), explode(split(lower(text), "\\s+")).as("token"))
+      .groupBy("token")
+      .agg(sum(when(col("_tsC") === a, 1L).otherwise(0L)).as("cnt_a"),
+        sum(when(col("_tsC") === b, 1L).otherwise(0L)).as("cnt_b"))
+    val tot = cnt.agg(sum(col("cnt_a")).as("_tsTa"), sum(col("cnt_b")).as("_tsTb"))
+    val gap = abs(col("cnt_a").cast("decimal(38,0)") * col("_tsTb") -
+      col("cnt_b").cast("decimal(38,0)") * col("_tsTa"))
+    cnt.crossJoin(broadcast(tot))
+      .withColumn("shift", gap.cast("double"))
+      .orderBy(gap.desc, col("token"))
+      .limit(k)
+      .select("token", "cnt_a", "cnt_b", "shift")
+  }
+
   /** Corpus-typicality under a smoothed bigram language model — the
     * model-based leg of perplexity-style quality filtering (CCNet-shape:
     * score each document by how well a corpus LM predicts it), in the

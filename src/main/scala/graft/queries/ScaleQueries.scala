@@ -483,5 +483,41 @@ object ScaleQueries {
           .select(col("source"),
             explode(graft.operators.Dedup.shingles(col("text"), 3)).as("sh")),
         "source", col("sh"), k = 128)),
+
+    // deterministic integer PageRank over the symmetric supplier–customer
+    // trade graph (suppliers even ids, customers odd): 5 power-iteration
+    // rounds of Graph.pageRankExact, every step a BIGINT multiply/floor-
+    // div, so DuckDB's recursive CTE reproduces the ranks bit-for-bit —
+    // the crawl-graph authority prior of a web-scale quality pipeline,
+    // expressed as the Pregel join/agg shape that survives a 100 TB edge
+    // list.
+    Q("q_pagerank", Some("""
+      |WITH RECURSIVE
+      |e0 AS (SELECT DISTINCT l_suppkey * 2 AS src, o_custkey * 2 + 1 AS dst
+      |       FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+      |edges AS (SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0),
+      |outd AS (SELECT src, count(*) AS d FROM edges GROUP BY 1),
+      |pr AS (
+      |  SELECT 0 AS i, src AS node, CAST(1000000000 AS BIGINT) AS rnk FROM outd
+      |  UNION ALL
+      |  SELECT p.i + 1, e.dst,
+      |    CAST(150000000 + sum(((p.rnk * 17) // 20) // o.d) AS BIGINT)
+      |  FROM pr p JOIN edges e ON e.src = p.node JOIN outd o ON o.src = p.node
+      |  WHERE p.i < 5
+      |  GROUP BY p.i, e.dst
+      |)
+      |SELECT node, rnk AS pr_rank FROM pr WHERE i = 5
+      |""".stripMargin.trim))(
+      (s, d) => {
+        val li = t(s, d, "lineitem").select("l_orderkey", "l_suppkey")
+        val or = t(s, d, "orders").select("o_orderkey", "o_custkey")
+        val pairs = li.join(or, col("l_orderkey") === col("o_orderkey"))
+          .select((col("l_suppkey") * 2).as("src"),
+            (col("o_custkey") * 2 + 1).as("dst"))
+          .distinct()
+        val edges = pairs
+          .union(pairs.select(col("dst").as("src"), col("src").as("dst")))
+        graft.operators.Graph.pageRankExact(edges, iters = 5)
+      }),
   )
 }

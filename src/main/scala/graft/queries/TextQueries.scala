@@ -1053,5 +1053,30 @@ object TextQueries {
           t(s, d, "documents").select("doc_id", "text"), "text",
           weights = Array.tabulate(64)(b => (b % 7 - 3).toLong))
         .select(col("doc_id"), col("margin"), (col("margin") > 0).as("keep"))),
+
+    // corpus drift: top-50 tokens whose relative frequency moved most
+    // between two sources, ranked by the exact cross-multiplied gap
+    // |cntA·totB − cntB·totA| (integer — no float ever compared; the
+    // reported shift is that integer's one correctly-rounded double
+    // conversion). Vocabulary-sized intermediates + TakeOrdered top-k.
+    Q("q_token_shift", Some("""
+      |WITH tok AS (
+      |  SELECT source AS c, unnest(regexp_split_to_array(lower(text), '\s+')) AS token
+      |  FROM documents WHERE source IN ('src0', 'src1')),
+      |cnt AS (
+      |  SELECT token,
+      |    CAST(sum(CASE WHEN c = 'src0' THEN 1 ELSE 0 END) AS BIGINT) AS cnt_a,
+      |    CAST(sum(CASE WHEN c = 'src1' THEN 1 ELSE 0 END) AS BIGINT) AS cnt_b
+      |  FROM tok GROUP BY 1),
+      |tot AS (SELECT sum(cnt_a) AS ta, sum(cnt_b) AS tb FROM cnt)
+      |SELECT token, cnt_a, cnt_b,
+      |  CAST(abs(cnt_a * tb - cnt_b * ta) AS DOUBLE) AS shift
+      |FROM cnt, tot
+      |ORDER BY abs(cnt_a * tb - cnt_b * ta) DESC, token
+      |LIMIT 50
+      |""".stripMargin.trim))(
+      (s, d) => graft.operators.Corpus.tokenShift(
+        t(s, d, "documents").select("source", "text"),
+        col("source"), col("text"), a = "src0", b = "src1", k = 50)),
   )
 }

@@ -676,4 +676,18 @@ class CorpusSpec extends SparkSpec {
       .as[(Long, String, Long, Long)].collect()
     assert(re.sortBy(_._1).toSeq === out.sortBy(_._1).toSeq)
   }
+
+  test("tokenShift: exact cross-multiplied ranking, other corpora ignored") {
+    // a: "x x y" -> cnt(x)=2, cnt(y)=1, totA=3; b: "x z z z" -> cnt(x)=1,
+    // cnt(z)=3, totB=4. Gaps |cntA*totB - cntB*totA|: z=9, x=5, y=4.
+    val docs = Seq(("a", "x x y"), ("b", "x z z z"), ("c", "noise noise"))
+      .toDF("src", "text")
+    val top2 = Corpus.tokenShift(docs, col("src"), col("text"), "a", "b", k = 2)
+      .as[(String, Long, Long, Double)].collect().toSeq
+    assert(top2 === Seq(("z", 0L, 3L, 9.0), ("x", 2L, 1L, 5.0)))
+    // k beyond vocab returns everything, ties broken token-ascending
+    val all = Corpus.tokenShift(docs, col("src"), col("text"), "a", "b", k = 10)
+      .as[(String, Long, Long, Double)].collect().toSeq
+    assert(all === Seq(("z", 0L, 3L, 9.0), ("x", 2L, 1L, 5.0), ("y", 1L, 0L, 4.0)))
+  }
 }

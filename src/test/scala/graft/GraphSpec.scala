@@ -1,0 +1,64 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Graph
+
+class GraphSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Plain-Scala twin of the pageRankExact recurrence (Long `/` truncates
+    * toward zero == floor on the non-negative values here).
+    */
+  private def model(edges: Seq[(Long, Long)], iters: Int,
+      scale: Long = 1000000000L): Map[Long, Long] = {
+    val out = edges.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    val nodes = (edges.map(_._1) ++ edges.map(_._2)).distinct
+    val base = scale * 3 / 20
+    var r = nodes.map(_ -> scale).toMap
+    for (_ <- 1 to iters) {
+      val contrib = edges.groupBy(_._2).view.mapValues(
+        _.map { case (s, _) => ((r(s) * 17) / 20) / out(s) }.sum).toMap
+      r = nodes.map(n => n -> (base + contrib.getOrElse(n, 0L))).toMap
+    }
+    r
+  }
+
+  private val g = Seq( // hub 1, a cycle, a source-only node 4, one parallel edge
+    (1L, 2L), (1L, 2L), (2L, 1L), (1L, 3L), (3L, 1L), (2L, 3L), (4L, 1L))
+
+  test("pageRankExact matches the integer recurrence exactly") {
+    val got = Graph.pageRankExact(g.toDF("src", "dst"), iters = 3)
+      .as[(Long, Long)].collect().toMap
+    assert(got === model(g, 3))
+  }
+
+  test("pageRankExact: zero iterations returns the uniform start; " +
+      "in-degree-0 nodes hold exactly base after any round") {
+    val r0 = Graph.pageRankExact(g.toDF("src", "dst"), iters = 0)
+      .as[(Long, Long)].collect().toMap
+    assert(r0 === Map(1L -> 1000000000L, 2L -> 1000000000L,
+      3L -> 1000000000L, 4L -> 1000000000L))
+    val r2 = Graph.pageRankExact(g.toDF("src", "dst"), iters = 2)
+      .as[(Long, Long)].collect().toMap
+    assert(r2(4L) === 150000000L) // nothing points at 4: base only
+  }
+
+  test("pageRankExact is partitioning-invariant and mass never grows") {
+    val df = g.toDF("src", "dst")
+    val a = Graph.pageRankExact(df, iters = 4).as[(Long, Long)].collect().toMap
+    val b = Graph.pageRankExact(df.repartition(7), iters = 4)
+      .as[(Long, Long)].collect().toMap
+    assert(a === b)
+    // floor divisions and dangling arrivals only shave mass
+    assert(a.values.sum <= 4L * 1000000000L)
+  }
+
+  test("pageRankExact enforces the static overflow bound when numNodes given") {
+    val e = intercept[IllegalArgumentException] {
+      Graph.pageRankExact(g.toDF("src", "dst"), iters = 1,
+        numNodes = Some(Long.MaxValue / 2))
+    }
+    assert(e.getMessage.contains("overflow"))
+  }
+}
