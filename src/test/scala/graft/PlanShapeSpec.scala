@@ -620,4 +620,30 @@ class PlanShapeSpec extends SparkSpec {
     assert(countNodes(df, "Window") === 0,
       "keep-best argmax regressed to a rank-over-component window")
   }
+
+  test("pagerank: constant-depth lineage — the returned frame is a checkpoint scan") {
+    // every round localCheckpoints, so the FINAL plan must be a bare
+    // ExistingRDD scan: no joins, no exchanges, and in particular no
+    // replay of all `iters` rounds (the un-checkpointed form would show
+    // iters× nested join/agg trees and re-run them on every action)
+    val df = q("q_pagerank")
+    val fmt = formatted(df)
+    assert(fmt.contains("ExistingRDD"),
+      "pageRankExact lost its per-round checkpoint boundary")
+    assert(countShuffles(df) === 0 && countNodes(df, "Join") === 0,
+      s"final pagerank plan replays iteration lineage:\n$fmt")
+  }
+
+  test("token_shift: one token agg shuffle, broadcast totals, top-k as TakeOrdered") {
+    val df = q("q_token_shift")
+    assert(hasNode(df, "TakeOrderedAndProject"),
+      "top-k regressed to a global sort")
+    assert(!formatted(df).contains("rangepartitioning"),
+      "a rangepartitioning Exchange means a global sort crept in")
+    // the 1-row totals frame rides a broadcast; the vocab table is never
+    // shuffle-joined against it
+    assert(countNodes(df, "SortMergeJoin") === 0)
+    assert(countShuffles(df) <= 3,
+      s"token_shift grew extra exchanges:\n${formatted(df)}")
+  }
 }
