@@ -241,6 +241,53 @@ object Dedup {
       .filter(lit(minDen) * col("n_common") >= lit(minNum) * col("n_union"))
   }
 
+  /** Directed near-containment pairs: (src, dst) where dst covers at
+    * least minNum/minDen of src's DISTINCTIVE shingles — the asymmetric
+    * complement to [[nearDupPairs]]. Jaccard-tuned MinHash banding cannot
+    * find these (a tweet quoted inside a book has J ≈ |A|/|B| ≈ 0, so no
+    * band ever collides); the right candidate generator is the inverted
+    * gram index itself.
+    *
+    * "Distinctive" is part of the SEMANTICS, not an approximation:
+    * containment is computed over the shingles whose document frequency
+    * is ≤ maxDf. That is both what makes the signal meaningful (boiler-
+    * plate grams appearing in thousands of documents say nothing about
+    * quoting) and what makes the plan scale: each gram key fans out to at
+    * most maxDf² pairs, so the pair explosion is bounded by
+    * Σ_g min(df_g, maxDf)² — linear in corpus size with a constant-bound
+    * hot key, never the unbounded df² blowup of a naive gram self-join.
+    *
+    * Plan: explode distinct shingles (narrow) → df table [one partial-agg
+    * shuffle] → df-filtered inventory, materialized once (three
+    * consumers) → gram-keyed self-join + (src,dst) count [bounded-fanout
+    * shuffles] → per-src size join, integer threshold
+    * minDen·n_common ≥ minNum·n_src. All-integer output, bit-portable.
+    * Output: (src_id, dst_id, n_common, n_src), both directions when both
+    * clear the threshold; docs with zero distinctive shingles emit
+    * nothing.
+    */
+  def containmentPairs(docs: DataFrame, id: String, text: String,
+      shingleN: Int, minNum: Int, minDen: Int, maxDf: Int): DataFrame = {
+    require(minNum >= 1 && minDen >= minNum,
+      s"need 0 < minNum/minDen <= 1, got $minNum/$minDen")
+    require(maxDf >= 2, s"need maxDf >= 2 (df-1 grams cannot pair), got $maxDf")
+    val ex = docs.select(col(id).as("_ctDoc"),
+      explode(shingles(col(text), shingleN)).as("_ctG"))
+    val dfTab = ex.groupBy("_ctG").agg(count(lit(1)).as("_ctDf"))
+    val kept = ex.join(dfTab.filter(col("_ctDf") <= maxDf), Seq("_ctG"))
+      .select("_ctDoc", "_ctG")
+      .localCheckpoint(true)
+    val sz = kept.groupBy(col("_ctDoc").as("src_id"))
+      .agg(count(lit(1)).as("n_src"))
+    kept.select(col("_ctG"), col("_ctDoc").as("src_id"))
+      .join(kept.select(col("_ctG"), col("_ctDoc").as("dst_id")), Seq("_ctG"))
+      .filter(col("src_id") =!= col("dst_id"))
+      .groupBy("src_id", "dst_id").agg(count(lit(1)).as("n_common"))
+      .join(sz, Seq("src_id"))
+      .filter(lit(minDen) * col("n_common") >= lit(minNum) * col("n_src"))
+      .select("src_id", "dst_id", "n_common", "n_src")
+  }
+
   private val powers: Column = array((0 until 64).map(k => lit(1L << k)): _*)
 
   /** SimHash: 64-bit signature. Bit k is set iff the ±1 votes of bit k

@@ -59,7 +59,31 @@ object Graph {
     */
   def pageRankExact(edges: DataFrame, iters: Int, scale: Long = 1000000000L,
       dampNum: Long = 17L, dampDen: Long = 20L,
-      numNodes: Option[Long] = None): DataFrame = {
+      numNodes: Option[Long] = None): DataFrame =
+    rankLoop(edges, None, iters, scale, dampNum, dampDen, numNodes)
+
+  /** Personalized PageRank: identical integer recurrence, but the
+    * teleport mass lands ONLY on the `seeds` node set — rank₀(v) = scale
+    * and the per-round `base` term apply to seeds alone, every other
+    * node starts at 0 and receives only link-propagated mass. This is
+    * the trusted-seed quality-propagation signal of a crawl curation
+    * pipeline ("how reachable is this page from the vetted set"): pages
+    * no seed can reach stay at exactly 0, which makes the output
+    * directly thresholdable. Seeds not present in the edge set still
+    * emit (they hold teleport mass); determinism, overflow bound, and
+    * the per-round plan are exactly [[pageRankExact]]'s.
+    *
+    * Input: `seeds` with a long-compatible column `node`.
+    */
+  def personalizedPageRankExact(edges: DataFrame, seeds: DataFrame,
+      iters: Int, scale: Long = 1000000000L,
+      dampNum: Long = 17L, dampDen: Long = 20L,
+      numNodes: Option[Long] = None): DataFrame =
+    rankLoop(edges, Some(seeds), iters, scale, dampNum, dampDen, numNodes)
+
+  private def rankLoop(edges: DataFrame, seeds: Option[DataFrame],
+      iters: Int, scale: Long, dampNum: Long, dampDen: Long,
+      numNodes: Option[Long]): DataFrame = {
     require(iters >= 0, s"need iters >= 0, got $iters")
     require(scale > 0 && dampNum > 0 && dampDen > dampNum,
       s"need scale > 0 and 0 < dampNum < dampDen, got $scale, $dampNum/$dampDen")
@@ -76,11 +100,23 @@ object Graph {
     val eOut = e.join(e.groupBy("src").agg(count(lit(1)).as("_prD")), "src")
       .repartition(col("src"))
       .localCheckpoint(true)
-    val nodes = e.select(col("src").as("node"))
+    val graphNodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node"))).distinct()
-      .localCheckpoint(true)
+    // seed mode: teleport targets are flagged; off-graph seeds still hold
+    // mass, so the node universe is the union. The seed set is node-sized
+    // at most and usually tiny — plain distinct+outer-join, no new shape.
+    val nodes = seeds.fold(
+        graphNodes.select(col("node"), lit(true).as("_prT"))) { sd =>
+      graphNodes.join(
+          sd.select(col("node").cast("long").as("node"), lit(true).as("_prT"))
+            .distinct(),
+          Seq("node"), "full_outer")
+        .select(col("node"), coalesce(col("_prT"), lit(false)).as("_prT"))
+    }.localCheckpoint(true)
     val base = scale * (dampDen - dampNum) / dampDen
-    val r0 = nodes.select(col("node"), lit(scale).as("pr_rank"))
+    val baseCol = when(col("_prT"), lit(base)).otherwise(lit(0L))
+    val r0 = nodes.select(col("node"),
+      when(col("_prT"), lit(scale)).otherwise(lit(0L)).as("pr_rank"))
     (1 to iters).foldLeft(r0.localCheckpoint(true)) { (ranks, _) =>
       val contribs = eOut
         .join(ranks.withColumnRenamed("node", "src"), "src")
@@ -89,7 +125,7 @@ object Graph {
         .groupBy("dst").agg(sum(col("_prC")).as("_prS"))
       nodes.join(contribs, nodes("node") === contribs("dst"), "left")
         .select(col("node"),
-          (lit(base) + coalesce(col("_prS"), lit(0L))).as("pr_rank"))
+          (baseCol + coalesce(col("_prS"), lit(0L))).as("pr_rank"))
         .localCheckpoint(true)
     }
   }

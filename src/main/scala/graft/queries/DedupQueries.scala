@@ -280,6 +280,26 @@ object DedupQueries {
       |FROM documents d LEFT JOIN agg a USING (doc_id)
       |""".stripMargin.trim))(
       (s, d) => Dedup.stripDupSpans(spread(s, d), "doc_id", "text", n = 8)),
+
+    // asymmetric near-containment: (src, dst) where dst covers ≥ 1/2 of
+    // src's distinctive (df ≤ 10) shingles — the quote/subset detector
+    // Jaccard-banded LSH is blind to. Integer threshold, df-capped gram
+    // self-join (fanout ≤ maxDf² per gram), exact vs the oracle's
+    // inverted-index recomputation.
+    Q("q_containment", Some(shinglesSql +
+      """
+        |, ex AS (SELECT doc_id, unnest(s) AS g FROM sh),
+        |dft AS (SELECT g, count(*) AS df FROM ex GROUP BY 1),
+        |kept AS (SELECT e.doc_id, e.g FROM ex e JOIN dft USING (g) WHERE df <= 10),
+        |sz AS (SELECT doc_id, count(*) AS n_src FROM kept GROUP BY 1),
+        |pr AS (SELECT a.doc_id AS src_id, b.doc_id AS dst_id, count(*) AS n_common
+        |       FROM kept a JOIN kept b ON a.g = b.g AND a.doc_id <> b.doc_id
+        |       GROUP BY 1, 2)
+        |SELECT src_id, dst_id, n_common, n_src
+        |FROM pr JOIN sz ON sz.doc_id = pr.src_id
+        |WHERE 2 * n_common >= n_src""".stripMargin))(
+      (s, d) => Dedup.containmentPairs(spread(s, d), "doc_id", "text",
+        shingleN = 3, minNum = 1, minDen = 2, maxDf = 10)),
   )
 
   /** Oracle-side SimHash over the portable hash: one row per (doc, token),

@@ -508,16 +508,53 @@ object ScaleQueries {
       |)
       |SELECT node, rnk AS pr_rank FROM pr WHERE i = 5
       |""".stripMargin.trim))(
-      (s, d) => {
-        val li = t(s, d, "lineitem").select("l_orderkey", "l_suppkey")
-        val or = t(s, d, "orders").select("o_orderkey", "o_custkey")
-        val pairs = li.join(or, col("l_orderkey") === col("o_orderkey"))
-          .select((col("l_suppkey") * 2).as("src"),
-            (col("o_custkey") * 2 + 1).as("dst"))
-          .distinct()
-        val edges = pairs
-          .union(pairs.select(col("dst").as("src"), col("src").as("dst")))
-        graft.operators.Graph.pageRankExact(edges, iters = 5)
-      }),
+      (s, d) => graft.operators.Graph.pageRankExact(tradeGraph(s, d), iters = 5)),
+
+    // personalized PageRank: teleport mass pinned to the supplier seed
+    // set (even nodes) — the trusted-seed quality-propagation signal;
+    // customers hold only link-received mass. Same integer recurrence,
+    // 3 rounds; the oracle adds isolated seeds (constant base after round
+    // 1) outside the recursion.
+    Q("q_ppr", Some("""
+      |WITH RECURSIVE
+      |e0 AS (SELECT DISTINCT l_suppkey * 2 AS src, o_custkey * 2 + 1 AS dst
+      |       FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+      |edges AS (SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0),
+      |outd AS (SELECT src, count(*) AS d FROM edges GROUP BY 1),
+      |pr AS (
+      |  SELECT 0 AS i, src AS node,
+      |    CAST(CASE WHEN src % 2 = 0 THEN 1000000000 ELSE 0 END AS BIGINT) AS rnk
+      |  FROM outd
+      |  UNION ALL
+      |  SELECT p.i + 1, e.dst,
+      |    CAST(CASE WHEN e.dst % 2 = 0 THEN 150000000 ELSE 0 END
+      |      + sum(((p.rnk * 17) // 20) // o.d) AS BIGINT)
+      |  FROM pr p JOIN edges e ON e.src = p.node JOIN outd o ON o.src = p.node
+      |  WHERE p.i < 3
+      |  GROUP BY p.i, e.dst
+      |)
+      |SELECT node, rnk AS pr_rank FROM pr WHERE i = 3
+      |UNION ALL
+      |SELECT s_suppkey * 2, CAST(150000000 AS BIGINT) FROM supplier
+      |WHERE s_suppkey * 2 NOT IN (SELECT src FROM outd)
+      |""".stripMargin.trim))(
+      (s, d) => graft.operators.Graph.personalizedPageRankExact(
+        tradeGraph(s, d),
+        t(s, d, "supplier").select((col("s_suppkey") * 2).as("node")),
+        iters = 3)),
   )
+
+  /** Symmetric supplier–customer trade graph (suppliers even, customers
+    * odd): the shared edge list of the link-analysis queries.
+    */
+  private def tradeGraph(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame = {
+    val li = t(s, d, "lineitem").select("l_orderkey", "l_suppkey")
+    val or = t(s, d, "orders").select("o_orderkey", "o_custkey")
+    val pairs = li.join(or, col("l_orderkey") === col("o_orderkey"))
+      .select((col("l_suppkey") * 2).as("src"),
+        (col("o_custkey") * 2 + 1).as("dst"))
+      .distinct()
+    pairs.union(pairs.select(col("dst").as("src"), col("src").as("dst")))
+  }
 }

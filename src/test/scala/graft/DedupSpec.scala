@@ -216,4 +216,26 @@ class DedupSpec extends SparkSpec {
       .select("doc_id", "canonical").as[(Long, Long)].collect().sorted
     assert(out.toSeq === Seq((2L, 1L), (5L, 4L), (6L, 6L), (7L, 7L)))
   }
+
+  test("containmentPairs: asymmetric threshold, df cap excludes boilerplate grams") {
+    // doc 1 = "q w e r" (3 distinct 2-shingles: qw, we, er); doc 2 quotes
+    // all of doc 1 plus more; doc 3 shares only the boilerplate gram
+    // "zz zz" with everyone (df 3 > maxDf 2 → excluded everywhere).
+    val docs = Seq(
+      (1L, "q w e r zz zz"),
+      (2L, "q w e r t y zz zz"),
+      (3L, "a b zz zz"))
+      .toDF("doc_id", "text")
+    val got = Dedup.containmentPairs(docs, "doc_id", "text",
+        shingleN = 2, minNum = 3, minDen = 4, maxDf = 2)
+      .as[(Long, Long, Long, Long)].collect().sorted.toSeq
+    // doc1 kept grams: qw we er (er zz / zz zz excluded or df-capped):
+    // shingles(2) of doc1 = qw, we, er, r-zz, zz-zz. df: zz-zz = 3 docs
+    // → dropped at maxDf 2; r-zz only in doc1 (df 1, kept, unpaired).
+    // doc1∩doc2 = {qw, we, er} = 3 of doc1's 4 kept grams → 3/4 ≥ 3/4 ✓;
+    // in doc2's direction 3 of its 6 kept grams → 1/2 < 3/4 ✗.
+    assert(got === Seq((1L, 2L, 3L, 4L)))
+    // doc 3 pairs with nobody: its only shared gram is df-capped
+    assert(!got.exists(p => p._1 == 3L || p._2 == 3L))
+  }
 }

@@ -54,6 +54,34 @@ class GraphSpec extends SparkSpec {
     assert(a.values.sum <= 4L * 1000000000L)
   }
 
+  /** Seeded twin of [[model]]: teleport/start mass only on `seeds`. */
+  private def modelPpr(edges: Seq[(Long, Long)], seeds: Set[Long], iters: Int,
+      scale: Long = 1000000000L): Map[Long, Long] = {
+    val out = edges.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    val nodes = ((edges.map(_._1) ++ edges.map(_._2)).toSet ++ seeds).toSeq
+    val base = scale * 3 / 20
+    var r = nodes.map(n => n -> (if (seeds(n)) scale else 0L)).toMap
+    for (_ <- 1 to iters) {
+      val contrib = edges.groupBy(_._2).view.mapValues(
+        _.map { case (s, _) => ((r(s) * 17) / 20) / out(s) }.sum).toMap
+      r = nodes.map(n =>
+        n -> ((if (seeds(n)) base else 0L) + contrib.getOrElse(n, 0L))).toMap
+    }
+    r
+  }
+
+  test("personalizedPageRankExact: seed-only teleport, unreachable nodes at 0, " +
+      "off-graph seeds hold base") {
+    val seeds = Set(1L, 9L) // 9 has no edges at all
+    val got = Graph.personalizedPageRankExact(g.toDF("src", "dst"),
+        seeds.toSeq.toDF("node"), iters = 3)
+      .as[(Long, Long)].collect().toMap
+    assert(got === modelPpr(g, seeds, 3))
+    assert(got(9L) === 150000000L) // isolated seed: base only after round 1
+    assert(got(4L) === 0L) // nothing points at 4 and it is no seed
+    assert(got(2L) > 0L) // reachable from seed 1
+  }
+
   test("pageRankExact enforces the static overflow bound when numNodes given") {
     val e = intercept[IllegalArgumentException] {
       Graph.pageRankExact(g.toDF("src", "dst"), iters = 1,

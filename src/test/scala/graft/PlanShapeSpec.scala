@@ -621,17 +621,30 @@ class PlanShapeSpec extends SparkSpec {
       "keep-best argmax regressed to a rank-over-component window")
   }
 
-  test("pagerank: constant-depth lineage — the returned frame is a checkpoint scan") {
+  test("pagerank/ppr: constant-depth lineage — the returned frame is a checkpoint scan") {
     // every round localCheckpoints, so the FINAL plan must be a bare
     // ExistingRDD scan: no joins, no exchanges, and in particular no
     // replay of all `iters` rounds (the un-checkpointed form would show
     // iters× nested join/agg trees and re-run them on every action)
-    val df = q("q_pagerank")
-    val fmt = formatted(df)
-    assert(fmt.contains("ExistingRDD"),
-      "pageRankExact lost its per-round checkpoint boundary")
-    assert(countShuffles(df) === 0 && countNodes(df, "Join") === 0,
-      s"final pagerank plan replays iteration lineage:\n$fmt")
+    for (name <- Seq("q_pagerank", "q_ppr")) {
+      val df = q(name)
+      val fmt = formatted(df)
+      assert(fmt.contains("ExistingRDD"),
+        s"$name lost its per-round checkpoint boundary")
+      assert(countShuffles(df) === 0 && countNodes(df, "Join") === 0,
+        s"final $name plan replays iteration lineage:\n$fmt")
+    }
+  }
+
+  test("containment: equi-joins on gram keys only — no cartesian, inventory materialized once") {
+    val df = q("q_containment")
+    assert(countNodes(df, "CartesianProduct") === 0)
+    assert(countNodes(df, "BroadcastNestedLoopJoin") === 0)
+    // the df-capped inventory feeds three consumers (both self-join sides
+    // + the size table); without the checkpoint boundary the explode+df
+    // join would recompute per consumer
+    assert(formatted(df).contains("ExistingRDD"),
+      "df-capped gram inventory lost its materialize-once boundary")
   }
 
   test("token_shift: one token agg shuffle, broadcast totals, top-k as TakeOrdered") {
