@@ -288,6 +288,50 @@ object Dedup {
       .select("src_id", "dst_id", "n_common", "n_src")
   }
 
+  /** Incremental (new-batch-vs-corpus) containment: each NEW document
+    * checked for near-containment in EXISTING corpus documents — the
+    * daily-ingest twin of [[containmentPairs]], same relationship as
+    * [[nearDupPairsAgainst]] to [[nearDupPairs]]. Directed new→old only:
+    * "is this arriving doc mostly already present in corpus doc o".
+    *
+    * Distinctiveness is judged by the CORPUS document frequency (the
+    * standing inventory artifact a production pipeline persists): a new
+    * doc's gram counts toward its size when its corpus df ≤ maxDf —
+    * including df 0, so fresh content lowers containment exactly as it
+    * should. Fanout per gram is ≤ maxDf corpus rows, so pair work is
+    * linear in batch size with a constant-bound hot key; batch×corpus is
+    * never formed. In production, persist `kept`/`dft` once per corpus
+    * release and feed batches against them (the same artifact reuse note
+    * as [[nearDupPairsAgainst]]); recomputed here to keep the API
+    * self-contained. Output: (new_id, old_id, n_common, n_src).
+    */
+  def containmentPairsAgainst(newDocs: DataFrame, corpus: DataFrame,
+      id: String, text: String, shingleN: Int,
+      minNum: Int, minDen: Int, maxDf: Int): DataFrame = {
+    require(minNum >= 1 && minDen >= minNum,
+      s"need 0 < minNum/minDen <= 1, got $minNum/$minDen")
+    require(maxDf >= 1, s"need maxDf >= 1, got $maxDf")
+    val exO = corpus.select(col(id).as("_ctDoc"),
+      explode(shingles(col(text), shingleN)).as("_ctG"))
+    val dfTab = exO.groupBy("_ctG").agg(count(lit(1)).as("_ctDf"))
+      .localCheckpoint(true)
+    val keptO = exO.join(dfTab.filter(col("_ctDf") <= maxDf), Seq("_ctG"))
+      .select(col("_ctG"), col("_ctDoc").as("old_id"))
+    // new-side grams keep corpus-unseen ones (df 0): left join + coalesce
+    val keptN = newDocs.select(col(id).as("new_id"),
+        explode(shingles(col(text), shingleN)).as("_ctG"))
+      .join(dfTab, Seq("_ctG"), "left")
+      .filter(coalesce(col("_ctDf"), lit(0L)) <= maxDf)
+      .select("_ctG", "new_id")
+      .localCheckpoint(true)
+    val sz = keptN.groupBy("new_id").agg(count(lit(1)).as("n_src"))
+    keptN.join(keptO, Seq("_ctG"))
+      .groupBy("new_id", "old_id").agg(count(lit(1)).as("n_common"))
+      .join(sz, Seq("new_id"))
+      .filter(lit(minDen) * col("n_common") >= lit(minNum) * col("n_src"))
+      .select("new_id", "old_id", "n_common", "n_src")
+  }
+
   private val powers: Column = array((0 until 64).map(k => lit(1L << k)): _*)
 
   /** SimHash: 64-bit signature. Bit k is set iff the ±1 votes of bit k

@@ -81,6 +81,69 @@ object Graph {
       numNodes: Option[Long] = None): DataFrame =
     rankLoop(edges, Some(seeds), iters, scale, dampNum, dampDen, numNodes)
 
+  /** Deterministic integer HITS on a directed graph: `iters` full rounds
+    * of the hub/authority mutual recursion, max-normalized in exact
+    * integer arithmetic —
+    *
+    *   auth'(v) = Σ_{u→v} hub(u);  auth(v) = (auth'(v)·scale) div max auth'
+    *   hub'(u)  = Σ_{u→v} auth(v); hub(u)  = (hub'(u)·scale) div max hub'
+    *
+    * with hub₀(u) = scale on every source node. Max-normalization (vs the
+    * textbook L2 norm) keeps every value an exact integer in [0, scale]:
+    * sums of longs and an integer max are order-independent, and the one
+    * scaling step is a floor division of an exact decimal(38,0) product —
+    * the same portable-arithmetic discipline as [[pageRankExact]], so any
+    * engine replays the identical scores. The winner of each round's max
+    * holds exactly `scale`.
+    *
+    * On a bipartite graph (the natural deployment: contributors→artifacts,
+    * buyers→products, crawlers' page→host) hubs live on the src side and
+    * authorities on the dst side, which is what makes the alternating
+    * state single-valued per node. Overflow bound: Σ hub ≤ N·scale must
+    * fit a long pre-normalization — the default scale=10^6 is safe to
+    * ~9·10^12 nodes; the post-product decimal(38,0) has 10^12 headroom
+    * beyond that.
+    *
+    * Scale shape: per half-round one edge join + dst- (or src-) keyed
+    * partial-agg shuffle, a 1-row max broadcast, a narrow normalize, and
+    * a checkpoint — nothing edge-sized at the driver, constant-depth
+    * lineage. Output: (node, score, role) with role ∈ hub | auth, scores
+    * from the final round.
+    */
+  def hitsBipartite(edges: DataFrame, iters: Int,
+      scale: Long = 1000000L): DataFrame = {
+    require(iters >= 1, s"need iters >= 1, got $iters")
+    require(scale > 0, s"need scale > 0, got $scale")
+    val e = edges.select(col("src").cast("long").as("src"),
+        col("dst").cast("long").as("dst"))
+      .localCheckpoint(true)
+    // exact ⌊(raw·scale)/mx⌋: strip the remainder so the decimal divide is
+    // of an exact multiple (the Corpus.ceilDivExact trick, floor flavor)
+    def norm(raw: Column, mx: Column): Column = {
+      val a = raw.cast("decimal(38,0)") * lit(scale).cast("decimal(19,0)")
+      val b = mx.cast("decimal(38,0)")
+      ((a - pmod(a, b)) / b).cast("long")
+    }
+    def halfRound(state: DataFrame, joinKey: String, outKey: String): DataFrame = {
+      val raw = e.join(state.withColumnRenamed("node", joinKey), joinKey)
+        .groupBy(col(outKey).as("node")).agg(sum(col("score")).as("_hRaw"))
+      val mx = raw.agg(max(col("_hRaw")).as("_hMx"))
+      raw.crossJoin(broadcast(mx))
+        .select(col("node"), norm(col("_hRaw"), col("_hMx")).as("score"))
+        .localCheckpoint(true)
+    }
+    val hubs0 = e.select(col("src").as("node")).distinct()
+      .select(col("node"), lit(scale).as("score"))
+      .localCheckpoint(true)
+    val (auths, hubs) = (1 to iters).foldLeft((hubs0, hubs0)) {
+      case ((_, h), _) =>
+        val a = halfRound(h, "src", "dst")
+        (a, halfRound(a, "dst", "src"))
+    }
+    auths.withColumn("role", lit("auth"))
+      .unionByName(hubs.withColumn("role", lit("hub")))
+  }
+
   private def rankLoop(edges: DataFrame, seeds: Option[DataFrame],
       iters: Int, scale: Long, dampNum: Long, dampDen: Long,
       numNodes: Option[Long]): DataFrame = {

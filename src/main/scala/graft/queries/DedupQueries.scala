@@ -300,6 +300,31 @@ object DedupQueries {
         |WHERE 2 * n_common >= n_src""".stripMargin))(
       (s, d) => Dedup.containmentPairs(spread(s, d), "doc_id", "text",
         shingleN = 3, minNum = 1, minDen = 2, maxDf = 10)),
+
+    // incremental containment: the % 10 "new batch" checked against the
+    // corpus inventory, distinctiveness by CORPUS df (unseen grams df 0
+    // count toward the new doc's size). Directed new→old, batch-linear.
+    Q("q_containment_incremental", Some(shinglesSql +
+      """
+        |, exn AS (SELECT doc_id, unnest(s) AS g FROM sh WHERE doc_id % 10 = 0),
+        |exo AS (SELECT doc_id, unnest(s) AS g FROM sh WHERE doc_id % 10 != 0),
+        |dft AS (SELECT g, count(*) AS df FROM exo GROUP BY 1),
+        |keptn AS (SELECT e.doc_id, e.g FROM exn e LEFT JOIN dft USING (g)
+        |          WHERE coalesce(df, 0) <= 10),
+        |kepto AS (SELECT e.doc_id, e.g FROM exo e JOIN dft USING (g) WHERE df <= 10),
+        |sz AS (SELECT doc_id, count(*) AS n_src FROM keptn GROUP BY 1),
+        |pr AS (SELECT n.doc_id AS new_id, o.doc_id AS old_id, count(*) AS n_common
+        |       FROM keptn n JOIN kepto o ON n.g = o.g GROUP BY 1, 2)
+        |SELECT new_id, old_id, n_common, n_src
+        |FROM pr JOIN sz ON sz.doc_id = pr.new_id
+        |WHERE 2 * n_common >= n_src""".stripMargin))(
+      (s, d) => {
+        val docs = spread(s, d)
+        Dedup.containmentPairsAgainst(
+          docs.filter(col("doc_id") % 10 === 0),
+          docs.filter(col("doc_id") % 10 =!= 0),
+          "doc_id", "text", shingleN = 3, minNum = 1, minDen = 2, maxDf = 10)
+      }),
   )
 
   /** Oracle-side SimHash over the portable hash: one row per (doc, token),

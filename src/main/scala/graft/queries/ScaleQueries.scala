@@ -542,19 +542,56 @@ object ScaleQueries {
         tradeGraph(s, d),
         t(s, d, "supplier").select((col("s_suppkey") * 2).as("node")),
         iters = 3)),
+
+    // integer HITS on the directed customer→supplier bipartite graph:
+    // customers are hubs, suppliers authorities; 3 full rounds, exact
+    // max-normalization (winner holds exactly scale=10^6). The oracle
+    // alternates half-rounds through one recursive CTE whose parity
+    // picks the join side; the window max normalizes within the step.
+    Q("q_hits", Some("""
+      |WITH RECURSIVE
+      |e0 AS (SELECT DISTINCT o_custkey * 2 + 1 AS src, l_suppkey * 2 AS dst
+      |       FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+      |hs AS (
+      |  SELECT 0 AS i, src AS node, CAST(1000000 AS BIGINT) AS score
+      |  FROM (SELECT DISTINCT src FROM e0)
+      |  UNION ALL
+      |  SELECT i, node, CAST(raw * 1000000 // max(raw) OVER () AS BIGINT) AS score
+      |  FROM (
+      |    SELECT p.i + 1 AS i,
+      |      CASE WHEN p.i % 2 = 0 THEN e.dst ELSE e.src END AS node,
+      |      sum(p.score) AS raw
+      |    FROM hs p JOIN e0 e
+      |      ON (p.i % 2 = 0 AND e.src = p.node) OR (p.i % 2 = 1 AND e.dst = p.node)
+      |    WHERE p.i < 6
+      |    GROUP BY 1, 2) s
+      |)
+      |SELECT node, score, 'auth' AS role FROM hs WHERE i = 5
+      |UNION ALL
+      |SELECT node, score, 'hub' AS role FROM hs WHERE i = 6
+      |""".stripMargin.trim))(
+      (s, d) => graft.operators.Graph.hitsBipartite(
+        tradePairs(s, d).select(col("dst").as("src"), col("src").as("dst")),
+        iters = 3)),
   )
 
-  /** Symmetric supplier–customer trade graph (suppliers even, customers
-    * odd): the shared edge list of the link-analysis queries.
+  /** Distinct supplier→customer trade edges (suppliers even, customers
+    * odd): the shared base of the link-analysis queries.
     */
-  private def tradeGraph(s: org.apache.spark.sql.SparkSession,
+  private def tradePairs(s: org.apache.spark.sql.SparkSession,
       d: String): org.apache.spark.sql.DataFrame = {
     val li = t(s, d, "lineitem").select("l_orderkey", "l_suppkey")
     val or = t(s, d, "orders").select("o_orderkey", "o_custkey")
-    val pairs = li.join(or, col("l_orderkey") === col("o_orderkey"))
+    li.join(or, col("l_orderkey") === col("o_orderkey"))
       .select((col("l_suppkey") * 2).as("src"),
         (col("o_custkey") * 2 + 1).as("dst"))
       .distinct()
+  }
+
+  /** Symmetrized trade graph — the PageRank/PPR edge list. */
+  private def tradeGraph(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame = {
+    val pairs = tradePairs(s, d)
     pairs.union(pairs.select(col("dst").as("src"), col("src").as("dst")))
   }
 }

@@ -238,4 +238,21 @@ class DedupSpec extends SparkSpec {
     // doc 3 pairs with nobody: its only shared gram is df-capped
     assert(!got.exists(p => p._1 == 3L || p._2 == 3L))
   }
+
+  test("containmentPairsAgainst: corpus-df distinctiveness, unseen grams dilute") {
+    val corpus = Seq(
+      (1L, "q w e r"),      // grams qw we er
+      (2L, "q w e r t"))    // grams qw we er rt
+      .toDF("doc_id", "text")
+    // new doc 10 = all of doc 1 plus one fresh gram ("x y" unseen, df 0,
+    // still counted in n_src): kept size 5 {qw,we,er,rx?...}
+    val newDocs = Seq((10L, "q w e r x")).toDF("doc_id", "text")
+    val got = Dedup.containmentPairsAgainst(newDocs, corpus, "doc_id", "text",
+        shingleN = 2, minNum = 3, minDen = 4, maxDf = 5)
+      .as[(Long, Long, Long, Long)].collect().sorted.toSeq
+    // new grams: qw we er rx. corpus df: qw 2, we 2, er 2, rx 0 → all kept,
+    // n_src 4. vs doc1: common {qw,we,er} = 3 → 4*3 ≥ 3*4 ✓; vs doc2: same
+    // 3 common ✓ (rt not in new doc).
+    assert(got === Seq((10L, 1L, 3L, 4L), (10L, 2L, 3L, 4L)))
+  }
 }

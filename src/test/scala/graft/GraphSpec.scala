@@ -82,6 +82,38 @@ class GraphSpec extends SparkSpec {
     assert(got(2L) > 0L) // reachable from seed 1
   }
 
+  /** Plain-Scala twin of hitsBipartite (BigInt product, floor division). */
+  private def modelHits(edges: Seq[(Long, Long)], iters: Int,
+      scale: Long = 1000000L): Map[(Long, String), Long] = {
+    def fd(v: Long, mx: Long): Long = (BigInt(v) * scale / mx).toLong
+    var h = edges.map(_._1).distinct.map(_ -> scale).toMap
+    var a = Map.empty[Long, Long]
+    for (_ <- 1 to iters) {
+      val rawA = edges.groupBy(_._2).view.mapValues(_.map(e => h(e._1)).sum).toMap
+      a = rawA.view.mapValues(fd(_, rawA.values.max)).toMap
+      val rawH = edges.groupBy(_._1).view.mapValues(_.map(e => a(e._2)).sum).toMap
+      h = rawH.view.mapValues(fd(_, rawH.values.max)).toMap
+    }
+    a.map { case (n, v) => (n, "auth") -> v } ++
+      h.map { case (n, v) => (n, "hub") -> v }
+  }
+
+  test("hitsBipartite matches the integer recurrence; max holders score exactly scale") {
+    val bip = Seq((1L, 2L), (1L, 4L), (3L, 2L), (5L, 2L), (5L, 6L))
+    val got = Graph.hitsBipartite(bip.toDF("src", "dst"), iters = 3)
+      .as[(Long, Long, String)].collect()
+      .map { case (n, v, r) => (n, r) -> v }.toMap
+    assert(got === modelHits(bip, 3))
+    // node 2 has every hub pointing at it: it is the max authority
+    assert(got((2L, "auth")) === 1000000L)
+    assert(got.values.forall(v => v >= 0 && v <= 1000000L))
+    // partitioning invariance
+    val re = Graph.hitsBipartite(bip.toDF("src", "dst").repartition(5), iters = 3)
+      .as[(Long, Long, String)].collect()
+      .map { case (n, v, r) => (n, r) -> v }.toMap
+    assert(re === got)
+  }
+
   test("pageRankExact enforces the static overflow bound when numNodes given") {
     val e = intercept[IllegalArgumentException] {
       Graph.pageRankExact(g.toDF("src", "dst"), iters = 1,

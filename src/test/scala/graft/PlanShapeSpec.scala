@@ -626,7 +626,7 @@ class PlanShapeSpec extends SparkSpec {
     // ExistingRDD scan: no joins, no exchanges, and in particular no
     // replay of all `iters` rounds (the un-checkpointed form would show
     // iters× nested join/agg trees and re-run them on every action)
-    for (name <- Seq("q_pagerank", "q_ppr")) {
+    for (name <- Seq("q_pagerank", "q_ppr", "q_hits")) {
       val df = q(name)
       val fmt = formatted(df)
       assert(fmt.contains("ExistingRDD"),
