@@ -144,6 +144,56 @@ object Graph {
       .unionByName(hubs.withColumn("role", lit("hub")))
   }
 
+  /** Per-node neighborhood-size estimation — the HyperBall algorithm
+    * (Boldi & Vigna, "In-Core Computation of Geometric Centralities with
+    * HyperBall", 2013; all-public): every node carries a tiny HLL
+    * register set seeded with itself, and each round bucket-wise-maxes in
+    * its out-neighbors' registers, so after `radius` rounds node v's
+    * sketch describes exactly the set of nodes reachable from v in ≤
+    * radius hops. The per-node estimate then answers "how big is each
+    * node's r-ball" — the reachability/centrality signal of a crawl
+    * graph — without ever materializing the balls (which are quadratic
+    * in the worst case).
+    *
+    * Everything is the engine's established portable arithmetic: the
+    * registers are [[graft.functions.Sketches.hllRegisters]]' md5-derived
+    * (bucket, rho) rows, the merge is an integer max, and the estimate is
+    * [[graft.functions.Sketches.hllEstimate]]'s exact-integer denominator
+    * with one correctly-rounded division — so a SQL engine replays the
+    * identical estimates, and the op is oracle-checkable despite being
+    * approximate. Self-loops are appended so the closed-ball recursion
+    * needs no separate union-with-self: ball_r(v) = ⋃_{(v,w)∈E∪self}
+    * ball_{r-1}(w), monotone by construction.
+    *
+    * Scale shape: state is ≤ m·N register rows (m = 2^p, p=4 default →
+    * 16 per node); each round is one dst-keyed join against the
+    * pre-partitioned closed edge list + a (node, bucket) partial-max
+    * shuffle, checkpointed — the Pregel shape again, with counters
+    * instead of ranks. Output: (node, m, v, s, est) per node, est ≈
+    * |ball_radius(node)| including the node itself.
+    */
+  def neighborhoodSizes(edges: DataFrame, radius: Int, p: Int = 4): DataFrame = {
+    require(radius >= 0, s"need radius >= 0, got $radius")
+    val e = edges.select(col("src").cast("long").as("src"),
+      col("dst").cast("long").as("dst"))
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct()
+      .localCheckpoint(true)
+    val eplus = e
+      .union(nodes.select(col("node").as("src"), col("node").as("dst")))
+      .repartition(col("dst"))
+      .localCheckpoint(true)
+    val regs0 = graft.functions.Sketches.hllRegisters(
+      nodes, col("node").cast("string"), p, strata = Seq("node"))
+    val regs = (1 to radius).foldLeft(regs0.localCheckpoint(true)) { (r, _) =>
+      eplus.join(r.withColumnRenamed("node", "dst"), "dst")
+        .groupBy(col("src").as("node"), col("bucket"))
+        .agg(max("rho").as("rho"))
+        .localCheckpoint(true)
+    }
+    graft.functions.Sketches.hllEstimate(regs, p, strata = Seq("node"))
+  }
+
   private def rankLoop(edges: DataFrame, seeds: Option[DataFrame],
       iters: Int, scale: Long, dampNum: Long, dampDen: Long,
       numNodes: Option[Long]): DataFrame = {

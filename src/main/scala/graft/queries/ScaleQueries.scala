@@ -573,6 +573,45 @@ object ScaleQueries {
       (s, d) => graft.operators.Graph.hitsBipartite(
         tradePairs(s, d).select(col("dst").as("src"), col("src").as("dst")),
         iters = 3)),
+
+    // HyperBall neighborhood sizes: every node's 2-hop ball estimated by
+    // propagating p=4 HLL registers along the closed edge list — the
+    // oracle replays the identical md5 registers, integer maxes, and
+    // exact-denominator estimate through a recursive CTE, so the
+    // APPROXIMATE op still hash-matches bit-for-bit.
+    Q("q_neighborhood", Some({
+      val c = graft.functions.Sketches.hllC(4)
+      s"""
+      |WITH RECURSIVE
+      |e0 AS (SELECT DISTINCT l_suppkey * 2 AS a, o_custkey * 2 + 1 AS b
+      |       FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+      |edges AS (SELECT a AS src, b AS dst FROM e0 UNION ALL SELECT b, a FROM e0),
+      |nodes AS (SELECT DISTINCT src AS node FROM edges),
+      |eplus AS (SELECT src, dst FROM edges UNION ALL SELECT node, node FROM nodes),
+      |hr AS (SELECT node,
+      |    ('0x' || substring(md5(CAST(node AS VARCHAR)), 1, 15))::BIGINT AS h
+      |  FROM nodes),
+      |pr AS (
+      |  SELECT 0 AS i, node, h // 72057594037927936 AS bucket,
+      |    CASE WHEN h % 72057594037927936 = 0 THEN 57
+      |      ELSE position('1' IN lpad(bin(h % 72057594037927936), 56, '0')) END AS rho
+      |  FROM hr
+      |  UNION ALL
+      |  SELECT p.i + 1, e.src, p.bucket, max(p.rho)
+      |  FROM pr p JOIN eplus e ON e.dst = p.node
+      |  WHERE p.i < 2
+      |  GROUP BY 1, 2, 3
+      |),
+      |fin AS (SELECT node, bucket, rho FROM pr WHERE i = 2),
+      |a AS (SELECT node, count(*) AS nb,
+      |  sum(CAST(power(2, 57 - rho) AS BIGINT)) AS sp FROM fin GROUP BY 1)
+      |SELECT node, CAST(16 AS INT) AS m, CAST(16 - nb AS BIGINT) AS v,
+      |  CAST(sp + (16 - nb) * 144115188075855872 AS BIGINT) AS s,
+      |  CAST($c AS DOUBLE) / CAST(sp + (16 - nb) * 144115188075855872 AS DOUBLE) AS est
+      |FROM a
+      |""".stripMargin.trim}))(
+      (s, d) => graft.operators.Graph.neighborhoodSizes(
+        tradeGraph(s, d), radius = 2, p = 4)),
   )
 
   /** Distinct supplier→customer trade edges (suppliers even, customers

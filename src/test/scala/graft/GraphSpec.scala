@@ -114,6 +114,32 @@ class GraphSpec extends SparkSpec {
     assert(re === got)
   }
 
+  test("neighborhoodSizes: converged ball equals the component's direct HLL estimate") {
+    import graft.functions.Sketches
+    // two components: {1,2,3} (a path) and {10,11}; radius 5 ≥ diameter
+    val comp = Seq((1L, 2L), (2L, 1L), (2L, 3L), (3L, 2L), (10L, 11L), (11L, 10L))
+    val got = Graph.neighborhoodSizes(comp.toDF("src", "dst"), radius = 5, p = 4)
+      .select("node", "s", "est").as[(Long, Long, Double)].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    // every node of a component must report the identical converged sketch
+    def direct(ns: Seq[Long]) = Sketches.hllEstimate(
+        Sketches.hllRegisters(ns.toDF("x"), col("x").cast("string"), p = 4), p = 4)
+      .select("s", "est").as[(Long, Double)].head()
+    val a = direct(Seq(1L, 2L, 3L))
+    val b = direct(Seq(10L, 11L))
+    assert(Seq(1L, 2L, 3L).map(got) === Seq(a, a, a))
+    assert(Seq(10L, 11L).map(got) === Seq(b, b))
+    // radius 0: each node sees only itself
+    val r0 = Graph.neighborhoodSizes(comp.toDF("src", "dst"), radius = 0, p = 4)
+      .select("node", "s").as[(Long, Long)].collect().toMap
+    val self1 = direct(Seq(1L))._1
+    assert(r0(1L) === self1)
+    // monotone: growing radius never shrinks the ball (s never grows)
+    val r1 = Graph.neighborhoodSizes(comp.toDF("src", "dst"), radius = 1, p = 4)
+      .select("node", "s").as[(Long, Long)].collect().toMap
+    assert(r1.forall { case (n, s) => s <= r0(n) && got(n)._1 <= s })
+  }
+
   test("pageRankExact enforces the static overflow bound when numNodes given") {
     val e = intercept[IllegalArgumentException] {
       Graph.pageRankExact(g.toDF("src", "dst"), iters = 1,

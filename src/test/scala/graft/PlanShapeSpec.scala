@@ -636,6 +636,18 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("neighborhood: estimate reads the checkpointed registers — one agg, no join replay") {
+    // the radius rounds live behind per-round checkpoints; the returned
+    // plan is hllEstimate over the final register frame: one (node)
+    // partial-agg shuffle, zero joins
+    val df = q("q_neighborhood")
+    val fmt = formatted(df)
+    assert(fmt.contains("ExistingRDD"),
+      "register propagation lost its per-round checkpoint boundary")
+    assert(countNodes(df, "Join") === 0 && countShuffles(df) <= 2,
+      s"final neighborhood plan replays propagation lineage:\n$fmt")
+  }
+
   test("containment: equi-joins on gram keys only — no cartesian, inventory materialized once") {
     val df = q("q_containment")
     assert(countNodes(df, "CartesianProduct") === 0)
