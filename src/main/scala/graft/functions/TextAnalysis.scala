@@ -102,6 +102,52 @@ object TextAnalysis {
       .otherwise("fr")
   }
 
+  // ── Gopher quality rules (Rae et al. 2021, §A1.1 — all-public) ─────────
+  // The published pretraining filter bundle, re-expressed so every
+  // threshold is an INTEGER cross-multiplication (mean word length in
+  // [3,10] becomes 3·n_words ≤ word_chars ≤ 10·n_words, etc.) — no float
+  // ever compared, so the keep decision is bit-portable by construction.
+  // The reference corpus has no line structure, so the line-based rules
+  // (bullet/ellipsis line ratios) are out of scope here; the word-level
+  // rules are the load-bearing ones.
+
+  val gopherStopwords: Seq[String] =
+    Seq("the", "be", "to", "of", "and", "that", "have", "with")
+
+  /** `#` occurrences and ellipses — Gopher's "symbol" tokens. */
+  val gopherSymbolPattern = "#|\\.\\.\\."
+
+  /** Total non-whitespace characters — the mean-word-length numerator. */
+  def gopherWordChars(c: Column): Column =
+    length(regexp_replace(c, "\\s+", ""))
+
+  /** Words containing at least one letter (the ≥ 80 % alphabetic rule). */
+  def gopherAlphaWords(c: Column): Column =
+    size(filter(split(trim(lower(c)), "\\s+"), w => w.rlike("[a-z]")))
+
+  def gopherSymbols(c: Column): Column = countMatches(c, gopherSymbolPattern)
+
+  /** DISTINCT Gopher stopwords present (the ≥ 2 marker-word rule). */
+  def gopherStopHits(c: Column): Column =
+    gopherStopwords.map(w =>
+      when(lower(c).rlike("\\b" + w + "\\b"), 1).otherwise(0))
+      .reduce(_ + _)
+
+  /** The keep decision from the stat columns — pure integer comparisons:
+    * word count in [minWords, maxWords], mean word length in [3, 10]
+    * (3·n ≤ chars ≤ 10·n), symbol-to-word ratio ≤ 1/10 (10·sym ≤ n),
+    * alphabetic-word share ≥ 4/5 (5·alpha ≥ 4·n), ≥ 2 distinct marker
+    * stopwords.
+    */
+  def gopherKeep(nWords: Column, wordChars: Column, alphaWords: Column,
+      symbols: Column, stopHits: Column,
+      minWords: Int, maxWords: Int): Column =
+    nWords.between(minWords, maxWords) &&
+      lit(3) * nWords <= wordChars && wordChars <= lit(10) * nWords &&
+      lit(10) * symbols <= nWords &&
+      lit(5) * alphaWords >= lit(4) * nWords &&
+      stopHits >= 2
+
   /** Canonical-form fingerprint: lowercase, strip non-alphanumerics,
     * collapse whitespace, md5 — the rolling-hash-style doc identity used
     * for fuzzy-exact dedup.
@@ -150,6 +196,26 @@ object TextAnalysis {
       s"WHEN ${s("es")} >= ${s("de")} AND ${s("es")} >= ${s("fr")} THEN 'es' " +
       s"WHEN ${s("de")} >= ${s("fr")} THEN 'de' ELSE 'fr' END"
   }
+
+  def gopherWordCharsSql(c: String): String =
+    s"length(regexp_replace($c, '\\s+', '', 'g'))"
+
+  def gopherAlphaWordsSql(c: String): String =
+    s"len(list_filter(regexp_split_to_array(trim(lower($c)), '\\s+'), " +
+      "w -> regexp_matches(w, '[a-z]')))"
+
+  def gopherSymbolsSql(c: String): String = cnt(c, gopherSymbolPattern)
+
+  def gopherStopHitsSql(c: String): String =
+    gopherStopwords.map(w =>
+      s"CASE WHEN regexp_matches(lower($c), '\\b$w\\b') THEN 1 ELSE 0 END")
+      .mkString("(", " + ", ")")
+
+  def gopherKeepSql(n: String, chars: String, alpha: String, sym: String,
+      stop: String, minWords: Int, maxWords: Int): String =
+    s"($n BETWEEN $minWords AND $maxWords AND 3 * $n <= $chars AND " +
+      s"$chars <= 10 * $n AND 10 * $sym <= $n AND 5 * $alpha >= 4 * $n AND " +
+      s"$stop >= 2)"
 
   def fingerprintSql(c: String): String =
     s"md5(trim(regexp_replace(regexp_replace(lower($c), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')))"

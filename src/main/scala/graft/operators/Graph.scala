@@ -194,6 +194,62 @@ object Graph {
     graft.functions.Sketches.hllEstimate(regs, p, strata = Seq("node"))
   }
 
+  /** Exact per-node triangle counts via degree orientation (Suri &
+    * Vassilvitskii, "Counting Triangles and the Curse of the Last
+    * Reducer", WWW'11; all-public) — the local-clustering signal of a
+    * co-occurrence graph (spam farms triangulate, organic graphs have
+    * characteristic coefficients), exact in one pass of equi-joins.
+    *
+    * Every undirected edge is oriented from its (degree, node)-smaller
+    * endpoint to its larger one — a total order, so each edge is
+    * oriented exactly once and each triangle is found exactly once: as
+    * the wedge at its orientation-minimal vertex, closed by the edge
+    * between the other two. The orientation is THE scale device: a
+    * node's oriented out-degree is O(√m) regardless of its raw degree
+    * (a hub's edges orient INTO it), so the wedge self-join's per-key
+    * fanout — the "last reducer" that kills the naive algorithm on a
+    * power-law graph — is bounded by arboricity, and total wedge work is
+    * O(m^{3/2}).
+    *
+    * Plan: normalize to distinct undirected pairs [one shuffle] → degree
+    * table [partial-agg shuffle] → orient (two bounded joins) → wedge
+    * self-join on the oriented source + closure equi-join on the
+    * node-ordered pair key → explode each triangle's 3 corners, count
+    * per node. Self-loops are dropped; duplicate/bidirectional input
+    * edges collapse in the normalize. Output: (node, degree,
+    * n_triangles) for every node of the graph — all exact integers.
+    */
+  def triangleCounts(edges: DataFrame): DataFrame = {
+    val und = edges
+      .select(col("src").cast("long").as("_s"), col("dst").cast("long").as("_d"))
+      .filter(col("_s") =!= col("_d"))
+      .select(least(col("_s"), col("_d")).as("u"),
+        greatest(col("_s"), col("_d")).as("v"))
+      .distinct()
+      .localCheckpoint(true)
+    val deg = und.select(col("u").as("n")).union(und.select(col("v").as("n")))
+      .groupBy("n").agg(count(lit(1)).as("d"))
+      .localCheckpoint(true)
+    val lower = struct(col("_du"), col("u")) < struct(col("_dv"), col("v"))
+    val o = und
+      .join(deg.select(col("n").as("u"), col("d").as("_du")), Seq("u"))
+      .join(deg.select(col("n").as("v"), col("d").as("_dv")), Seq("v"))
+      .select(when(lower, col("u")).otherwise(col("v")).as("a"),
+        when(lower, col("v")).otherwise(col("u")).as("b"))
+      .localCheckpoint(true) // three consumers: two wedge sides + closure
+    val wedges = o.select(col("a"), col("b").as("p"))
+      .join(o.select(col("a"), col("b").as("q")), Seq("a"))
+      .filter(col("p") < col("q"))
+    val closing = o.select(least(col("a"), col("b")).as("p"),
+      greatest(col("a"), col("b")).as("q"))
+    val perNode = wedges.join(closing, Seq("p", "q"))
+      .select(explode(array(col("a"), col("p"), col("q"))).as("n"))
+      .groupBy("n").agg(count(lit(1)).as("n_triangles"))
+    deg.join(perNode, Seq("n"), "left")
+      .select(col("n").as("node"), col("d").as("degree"),
+        coalesce(col("n_triangles"), lit(0L)).as("n_triangles"))
+  }
+
   private def rankLoop(edges: DataFrame, seeds: Option[DataFrame],
       iters: Int, scale: Long, dampNum: Long, dampDen: Long,
       numNodes: Option[Long]): DataFrame = {

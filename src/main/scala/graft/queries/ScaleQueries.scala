@@ -612,6 +612,46 @@ object ScaleQueries {
       |""".stripMargin.trim}))(
       (s, d) => graft.operators.Graph.neighborhoodSizes(
         tradeGraph(s, d), radius = 2, p = 4)),
+
+    // exact triangle counts on the user co-occurrence graph (users
+    // sharing an (event_type, 5-minute bucket)): degree-oriented wedge
+    // join — each triangle found once at its orientation-minimal vertex,
+    // per-key fanout O(√m) by the orientation. The local-clustering
+    // signal, all exact integers.
+    Q("q_triangles", Some("""
+      |WITH b AS (SELECT DISTINCT event_type, epoch_ns(ts) // 300000000000 AS w, user_id
+      |  FROM events),
+      |und AS (SELECT DISTINCT a.user_id AS u, b2.user_id AS v
+      |  FROM b a JOIN b b2 ON a.event_type = b2.event_type AND a.w = b2.w
+      |    AND a.user_id < b2.user_id),
+      |deg AS (SELECT n, count(*) AS d
+      |  FROM (SELECT u AS n FROM und UNION ALL SELECT v AS n FROM und) GROUP BY 1),
+      |o AS (SELECT CASE WHEN (du.d, und.u) < (dv.d, und.v) THEN und.u ELSE und.v END AS a,
+      |             CASE WHEN (du.d, und.u) < (dv.d, und.v) THEN und.v ELSE und.u END AS b
+      |      FROM und JOIN deg du ON du.n = und.u JOIN deg dv ON dv.n = und.v),
+      |w AS (SELECT o1.a AS w0, o1.b AS p, o2.b AS q
+      |      FROM o o1 JOIN o o2 ON o1.a = o2.a AND o1.b < o2.b),
+      |cl AS (SELECT least(a, b) AS p, greatest(a, b) AS q FROM o),
+      |tri AS (SELECT w0, p, q FROM w JOIN cl USING (p, q)),
+      |corners AS (SELECT w0 AS n FROM tri UNION ALL SELECT p FROM tri
+      |  UNION ALL SELECT q FROM tri),
+      |pn AS (SELECT n, count(*) AS c FROM corners GROUP BY 1)
+      |SELECT deg.n AS node, deg.d AS degree,
+      |  CAST(coalesce(pn.c, 0) AS BIGINT) AS n_triangles
+      |FROM deg LEFT JOIN pn ON pn.n = deg.n
+      |""".stripMargin.trim))(
+      (s, d) => {
+        val b = t(s, d, "events")
+          .select(col("event_type"), expr("ts div 300000000000").as("w"),
+            col("user_id"))
+          .distinct()
+        val edges = b.select(col("event_type"), col("w"), col("user_id").as("src"))
+          .join(b.select(col("event_type"), col("w"), col("user_id").as("dst")),
+            Seq("event_type", "w"))
+          .filter(col("src") < col("dst"))
+          .select("src", "dst")
+        graft.operators.Graph.triangleCounts(edges)
+      }),
   )
 
   /** Distinct supplier→customer trade edges (suppliers even, customers

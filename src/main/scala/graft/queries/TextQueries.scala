@@ -1078,5 +1078,32 @@ object TextQueries {
       (s, d) => graft.operators.Corpus.tokenShift(
         t(s, d, "documents").select("source", "text"),
         col("source"), col("text"), a = "src0", b = "src1", k = 50)),
+
+    // the published Gopher word-level filter bundle, every threshold an
+    // integer cross-multiplication (no float compared anywhere) — stats
+    // + keep per document, one narrow codegen'd projection.
+    Q("q_gopher_rules", Some(s"""
+      |WITH s AS (SELECT doc_id,
+      |  CAST(${tokenCountWsSql("text")} AS BIGINT) AS n_words,
+      |  CAST(${gopherWordCharsSql("text")} AS BIGINT) AS word_chars,
+      |  CAST(${gopherAlphaWordsSql("text")} AS BIGINT) AS alpha_words,
+      |  CAST(${gopherSymbolsSql("text")} AS BIGINT) AS symbols,
+      |  CAST(${gopherStopHitsSql("text")} AS BIGINT) AS stop_hits
+      |  FROM documents)
+      |SELECT doc_id, n_words, word_chars, alpha_words, symbols, stop_hits,
+      |  ${gopherKeepSql("n_words", "word_chars", "alpha_words", "symbols",
+          "stop_hits", 10, 100000)} AS keep
+      |FROM s
+      |""".stripMargin.trim))(
+      (s, d) => t(s, d, "documents")
+        .select(col("doc_id"),
+          tokenCountWs(col("text")).cast("long").as("n_words"),
+          gopherWordChars(col("text")).cast("long").as("word_chars"),
+          gopherAlphaWords(col("text")).cast("long").as("alpha_words"),
+          gopherSymbols(col("text")).cast("long").as("symbols"),
+          gopherStopHits(col("text")).cast("long").as("stop_hits"))
+        .withColumn("keep", gopherKeep(col("n_words"), col("word_chars"),
+          col("alpha_words"), col("symbols"), col("stop_hits"),
+          minWords = 10, maxWords = 100000))),
   )
 }

@@ -140,6 +140,24 @@ class GraphSpec extends SparkSpec {
     assert(r1.forall { case (n, s) => s <= r0(n) && got(n)._1 <= s })
   }
 
+  test("triangleCounts: exact per-node counts; orientation finds each triangle once") {
+    // K4 on {1,2,3,4} (every node in C(3,2)=3 triangles) plus a pendant
+    // node 5 and an isolated edge 6-7; input deliberately messy: both
+    // directions, duplicates, and a self-loop
+    val edges = Seq(
+      (1L, 2L), (2L, 1L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L),
+      (3L, 4L), (4L, 5L), (6L, 7L), (6L, 6L))
+    val got = Graph.triangleCounts(edges.toDF("src", "dst"))
+      .as[(Long, Long, Long)].collect().sorted.toSeq
+    assert(got === Seq(
+      (1L, 3L, 3L), (2L, 3L, 3L), (3L, 3L, 3L), (4L, 4L, 3L),
+      (5L, 1L, 0L), (6L, 1L, 0L), (7L, 1L, 0L)))
+    // partitioning invariance
+    val re = Graph.triangleCounts(edges.toDF("src", "dst").repartition(5))
+      .as[(Long, Long, Long)].collect().sorted.toSeq
+    assert(re === got)
+  }
+
   test("pageRankExact enforces the static overflow bound when numNodes given") {
     val e = intercept[IllegalArgumentException] {
       Graph.pageRankExact(g.toDF("src", "dst"), iters = 1,

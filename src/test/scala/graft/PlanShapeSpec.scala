@@ -648,6 +648,30 @@ class PlanShapeSpec extends SparkSpec {
       s"final neighborhood plan replays propagation lineage:\n$fmt")
   }
 
+  test("triangles: oriented wedge join is equi-only; oriented list materialized once") {
+    val df = q("q_triangles")
+    assert(countNodes(df, "CartesianProduct") === 0)
+    assert(countNodes(df, "BroadcastNestedLoopJoin") === 0)
+    assert(countNodes(df, "Window") === 0)
+    // the oriented edge list has three consumers (two wedge sides +
+    // closure); without its checkpoint the normalize/degree/orient chain
+    // would run three times
+    assert(formatted(df).contains("ExistingRDD"),
+      "oriented edge list lost its materialize-once boundary")
+  }
+
+  test("gopher rules: one narrow codegen'd projection — no shuffle, pruned scan") {
+    val df = q("q_gopher_rules")
+    assert(countShuffles(df) === 0, "a filter bundle must not shuffle")
+    val schema = readSchemas(df).head
+    assert(!schema.contains("lang") && !schema.contains("source"),
+      s"scan reads more than doc_id/text: $schema")
+    // the alpha-word rule is a higher-order filter (no codegen for that
+    // projection — Spark limitation); the rest of the bundle stays inside
+    // a codegen stage
+    assert(formatted(df).contains("codegen id"))
+  }
+
   test("containment: equi-joins on gram keys only — no cartesian, inventory materialized once") {
     val df = q("q_containment")
     assert(countNodes(df, "CartesianProduct") === 0)

@@ -132,6 +132,34 @@ class TextAnalysisSpec extends SparkSpec {
     assert(once.exceptAll(twice).isEmpty && twice.exceptAll(once).isEmpty)
   }
 
+  test("gopher rules: each threshold trips on its own violation") {
+    import TextAnalysis._
+    def eval(text: String, minWords: Int = 3): (Long, Long, Long, Long, Long, Boolean) =
+      Seq(text).toDF("text").select(
+          tokenCountWs(col("text")).cast("long").as("n"),
+          gopherWordChars(col("text")).cast("long").as("c"),
+          gopherAlphaWords(col("text")).cast("long").as("a"),
+          gopherSymbols(col("text")).cast("long").as("s"),
+          gopherStopHits(col("text")).cast("long").as("st"))
+        .withColumn("keep", gopherKeep(col("n"), col("c"), col("a"), col("s"),
+          col("st"), minWords, 100))
+        .as[(Long, Long, Long, Long, Long, Boolean)].head()
+    // clean prose: 8 words, mean len in [3,10], no symbols, ≥2 stopwords
+    val ok = eval("the quick brown fox moved with great resolve")
+    assert(ok === ((8L, 37L, 8L, 0L, 2L, true)))
+    // too few words
+    assert(!eval("the with")._6)
+    // mean word length < 3 (1-char words)
+    assert(!eval("a b c d e f the with x y")._6)
+    // symbol ratio: 2 symbols in 8 words > 1/10
+    assert(!eval("the quick # brown fox ... with resolve")._6)
+    // alphabetic share: 3 numeric words of 8 < 4/5
+    assert(!eval("the 111 222 333 fox ran with resolve")._6)
+    // stopword rule: only 1 distinct marker ("the" twice still counts once)
+    val st = eval("the quick brown fox jumped over the dog")
+    assert(st._5 === 1L && !st._6)
+  }
+
   test("quality score is bounded and favors clean prose") {
     val df = Seq(
       "the quick brown fox jumps over the lazy dog and that is it for now",
