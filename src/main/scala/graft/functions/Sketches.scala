@@ -406,9 +406,14 @@ object Sketches {
           element_at(sketch, k).cast("double"))
 
   /** Pairwise set-operation estimates between two sketch columns of the
-    * same k: (est_intersect, est_union, est_anotb, jaccard) appended.
-    * `jaccard` is the exact ratio of retained-sample counts (the standard
-    * bottom-k Jaccard estimator) — NULL when both sketches are empty.
+    * same k: (est_intersect, est_union, est_anotb, jaccard,
+    * containment_a, containment_b) appended. `jaccard` and the
+    * containments are exact ratios of retained-sample counts (the
+    * standard bottom-k estimators) — NULL when the denominator sample is
+    * empty. `containment_a` ≈ |A∩B|/|A| answers the DIRECTED overlap
+    * question ("how much of crawl A is already in B") that Jaccard
+    * symmetrizes away — the sketch-level analog of
+    * [[graft.operators.Dedup.containmentPairs]]'s per-document signal.
     */
   def kmvSetEstimates(df: DataFrame, a: String, b: String, k: Int): DataFrame = {
     val th = least(kmvTheta(col(a), k), kmvTheta(col(b), k))
@@ -416,14 +421,16 @@ object Sketches {
     val rb = filter(col(b), h => h < th)
     val scale: Column => Column =
       cnt => cnt.cast("double") * lit(Two60.toDouble) / th.cast("double")
+    def ratio(den: Column): Column =
+      when(den > 0, col("_kmvI").cast("double") / den.cast("double"))
     df.withColumn("_kmvI", size(array_intersect(ra, rb)))
       .withColumn("_kmvU", size(array_union(ra, rb)))
       .withColumn("est_intersect", scale(col("_kmvI")))
       .withColumn("est_union", scale(col("_kmvU")))
       .withColumn("est_anotb", scale(col("_kmvU") - size(rb)))
-      .withColumn("jaccard",
-        when(col("_kmvU") > 0,
-          col("_kmvI").cast("double") / col("_kmvU").cast("double")))
+      .withColumn("jaccard", ratio(col("_kmvU")))
+      .withColumn("containment_a", ratio(size(ra)))
+      .withColumn("containment_b", ratio(size(rb)))
       .drop("_kmvI", "_kmvU")
   }
 

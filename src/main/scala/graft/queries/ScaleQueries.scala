@@ -473,7 +473,11 @@ object ScaleQueries {
       |  CAST(coalesce(an, 0) - coalesce(i, 0) AS DOUBLE) * 1152921504606846976.0 / CAST(p.th AS DOUBLE) AS est_anotb,
       |  CASE WHEN coalesce(an, 0) + coalesce(bn, 0) - coalesce(i, 0) > 0
       |    THEN CAST(coalesce(i, 0) AS DOUBLE)
-      |      / CAST(coalesce(an, 0) + coalesce(bn, 0) - coalesce(i, 0) AS DOUBLE) END AS jaccard
+      |      / CAST(coalesce(an, 0) + coalesce(bn, 0) - coalesce(i, 0) AS DOUBLE) END AS jaccard,
+      |  CASE WHEN coalesce(an, 0) > 0
+      |    THEN CAST(coalesce(i, 0) AS DOUBLE) / CAST(an AS DOUBLE) END AS containment_a,
+      |  CASE WHEN coalesce(bn, 0) > 0
+      |    THEN CAST(coalesce(i, 0) AS DOUBLE) / CAST(bn AS DOUBLE) END AS containment_b
       |FROM p LEFT JOIN ca USING (stratum_a, stratum_b)
       |  LEFT JOIN cb USING (stratum_a, stratum_b)
       |  LEFT JOIN ci USING (stratum_a, stratum_b)

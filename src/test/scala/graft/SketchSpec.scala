@@ -326,13 +326,26 @@ class SketchSpec extends SparkSpec {
       s"($sa,$sb) intersect est ${rows.head._3} vs exact $exactI beyond $tol")
     assert(math.abs(rows.head._4 - exactU) <= tol,
       s"($sa,$sb) union est ${rows.head._4} vs exact $exactU beyond $tol")
+    // directed containments: in [0,1], and i/an · an = i/bn · bn (both
+    // numerators are the same retained intersection)
+    val cont = m.select("jaccard", "containment_a", "containment_b")
+      .as[(Double, Double, Double)].collect()
+    cont.foreach { case (j, ca, cb) =>
+      assert(ca >= 0.0 && ca <= 1.0 && cb >= 0.0 && cb <= 1.0,
+        s"containment out of range: $ca / $cb")
+      assert(j <= ca + 1e-12 && j <= cb + 1e-12,
+        s"jaccard $j must lower-bound both containments $ca / $cb")
+    }
     // identical inputs: intersection estimate == distinct estimate, jaccard 1
     val dup = sh.withColumn("source", lit("x"))
       .unionByName(sh.withColumn("source", lit("y")))
     val self = Sketches.kmvOverlapMatrix(dup, "source", col("sh"), k)
-      .select("est_a", "est_intersect", "est_anotb", "jaccard")
-      .as[(Double, Double, Double, Double)].head()
+      .select("est_a", "est_intersect", "est_anotb", "jaccard",
+        "containment_a", "containment_b")
+      .as[(Double, Double, Double, Double, Double, Double)].head()
     assert(self._1 === self._2 && self._3 === 0.0 && self._4 === 1.0,
       s"identical corpora must intersect fully: $self")
+    assert(self._5 === 1.0 && self._6 === 1.0,
+      s"identical corpora must contain each other fully: $self")
   }
 }
