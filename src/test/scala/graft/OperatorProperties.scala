@@ -361,4 +361,58 @@ object OperatorProperties extends Properties("graft.operators") {
       }
       got == expected
   }
+
+  // random directed multigraphs: up to 10 nodes, duplicate edges and
+  // self-loop attempts included (self-loops filtered by the generator for
+  // pagerank since the integer model treats them as ordinary edges)
+  private val graphGen: Gen[List[(Long, Long)]] = for {
+    n <- Gen.choose(2, 10)
+    m <- Gen.choose(1, 25)
+    es <- Gen.listOfN(m, for {
+      s <- Gen.choose(0L, n.toLong - 1)
+      d <- Gen.choose(0L, n.toLong - 1)
+    } yield (s, d))
+  } yield es.filter(e => e._1 != e._2)
+
+  property("pageRankExact == integer recurrence replay on random multigraphs") =
+    forAll(graphGen, Gen.choose(0, 4)) { (edges, iters) =>
+      edges.isEmpty || {
+        val got = graft.operators.Graph.pageRankExact(
+            edges.toDF("src", "dst"), iters)
+          .as[(Long, Long)].collect().toMap
+        val out = edges.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+        val nodes = (edges.map(_._1) ++ edges.map(_._2)).distinct
+        val base = 1000000000L * 3 / 20
+        var r = nodes.map(_ -> 1000000000L).toMap
+        for (_ <- 1 to iters) {
+          val contrib = edges.groupBy(_._2).view.mapValues(
+            _.map { case (s, _) => ((r(s) * 17) / 20) / out(s) }.sum).toMap
+          r = nodes.map(n => n -> (base + contrib.getOrElse(n, 0L))).toMap
+        }
+        got == r
+      }
+    }
+
+  property("triangleCounts == cubic brute force on random graphs") =
+    forAll(graphGen) { edges =>
+      edges.isEmpty || {
+        val got = graft.operators.Graph.triangleCounts(edges.toDF("src", "dst"))
+          .as[(Long, Long, Long)].collect()
+          .map(r => r._1 -> (r._2, r._3)).toMap
+        val und = edges.map(e => (math.min(e._1, e._2), math.max(e._1, e._2)))
+          .toSet
+        val nodes = und.flatMap(e => Seq(e._1, e._2)).toSeq.sorted
+        def adj(a: Long, b: Long) = und((math.min(a, b), math.max(a, b)))
+        val triples = for {
+          x <- nodes; y <- nodes if y > x; z <- nodes if z > y
+          if adj(x, y) && adj(y, z) && adj(x, z)
+        } yield Seq(x, y, z)
+        val perNode = triples.flatten.groupBy(identity).view.mapValues(_.size.toLong)
+        val expected = nodes.map { n =>
+          n -> ((und.count(e => e._1 == n || e._2 == n).toLong,
+            perNode.getOrElse(n, 0L)))
+        }.toMap
+        got == expected
+      }
+    }
 }
