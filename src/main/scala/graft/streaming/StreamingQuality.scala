@@ -36,6 +36,25 @@ object StreamingQuality {
       .withColumn("keep",
         col("quality") >= minQuality && col("pred_lang").isin(langs: _*))
 
+  /** Gopher word-level rules at ingest — the streaming deployment of
+    * [[TextAnalysis.gopherKeep]]: stat columns + the all-integer keep
+    * decision in one narrow stateless pass (the same columns the batch
+    * `q_gopher_rules` oracle hashes, so stream and batch cannot drift).
+    * Adds `n_words`, `word_chars`, `alpha_words`, `symbols`, `stop_hits`,
+    * `keep`. No shuffle, no state, append-safe.
+    */
+  def gopherGateAtIngest(docs: DataFrame, text: String,
+      minWords: Int = 50, maxWords: Int = 100000): DataFrame =
+    docs
+      .withColumn("n_words", TextAnalysis.tokenCountWs(col(text)).cast("long"))
+      .withColumn("word_chars", TextAnalysis.gopherWordChars(col(text)).cast("long"))
+      .withColumn("alpha_words", TextAnalysis.gopherAlphaWords(col(text)).cast("long"))
+      .withColumn("symbols", TextAnalysis.gopherSymbols(col(text)).cast("long"))
+      .withColumn("stop_hits", TextAnalysis.gopherStopHits(col(text)).cast("long"))
+      .withColumn("keep", TextAnalysis.gopherKeep(col("n_words"),
+        col("word_chars"), col("alpha_words"), col("symbols"),
+        col("stop_hits"), minWords, maxWords))
+
   /** Rare-token share of each arriving document against a batch-trained
     * document-frequency table `dfTable` (columns `tok`, `df`) and corpus
     * size `nDocs` — the streaming twin of `Corpus.rareTokenStats`: a token

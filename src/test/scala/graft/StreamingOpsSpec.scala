@@ -598,6 +598,33 @@ class StreamingOpsSpec extends SparkSpec {
     assert(rows(11L)._4 === 10L && rows(11L)._5 === 10L)
   }
 
+  test("gopher gate at ingest: stateless stream equals the batch bundle") {
+    import graft.streaming.StreamingQuality
+    val docs = Seq(
+      (1L, "the quick brown fox moved with great resolve"), // clean → keep
+      (2L, "the with"),                                     // too few words
+      (3L, "the quick # brown fox ... with resolve"))       // symbol ratio
+    val mem = MemoryStream[(Long, String)]
+    val out = StreamingQuality.gopherGateAtIngest(
+      mem.toDF().toDF("doc_id", "text"), "text", minWords = 3, maxWords = 100)
+    assert(out.isStreaming, "the gate must stay a stateless streaming frame")
+    val q = out.writeStream.format("memory").queryName("gopher_sink")
+      .outputMode("append").start()
+    try { mem.addData(docs: _*); q.processAllAvailable() } finally q.stop()
+    val streamed = spark.table("gopher_sink")
+      .select("doc_id", "n_words", "word_chars", "alpha_words", "symbols",
+        "stop_hits", "keep")
+      .as[(Long, Long, Long, Long, Long, Long, Boolean)].collect().sorted.toSeq
+    val batch = StreamingQuality.gopherGateAtIngest(
+        docs.toDF("doc_id", "text"), "text", minWords = 3, maxWords = 100)
+      .select("doc_id", "n_words", "word_chars", "alpha_words", "symbols",
+        "stop_hits", "keep")
+      .as[(Long, Long, Long, Long, Long, Long, Boolean)].collect().sorted.toSeq
+    assert(streamed === batch, "stream and batch bundles drifted")
+    assert(streamed.map(r => r._1 -> r._7).toMap === Map(1L -> true,
+      2L -> false, 3L -> false))
+  }
+
   test("percentile gate at ingest: frozen per-stratum thresholds, unseen stratum falls back") {
     // artifact split: thresholds trained in batch (Corpus.quantileThresholds),
     // stream gated against them statelessly — the deployable twin of
