@@ -338,6 +338,43 @@ object Sketches {
       .withColumn("est", lit(c) / col("s").cast("double"))
   }
 
+  // ── AMS / Tug-of-War second moment (F2) ────────────────────────────────
+
+  /** Second frequency moment F2 = Σ_k f_k² — the self-join-size /
+    * skew-mass estimator (Alon–Matias–Szegedy '96, all-public): before
+    * shuffling a 100 TB join, F2 of the key column IS its self-join
+    * cardinality, and a spiking F2 is the earliest skew alarm. Lane l
+    * draws its ±1 sign per key from BIT l of the key's portable 60-bit
+    * md5 hash (a lane-indexed double-hash parity like [[cmsCell]]'s
+    * would overflow a BIGINT at l·h2 for l ≥ 8 — and Spark wraps where
+    * DuckDB raises, so the bit extraction is both safer and simpler),
+    * folds one signed sum per lane (map-side collapse to ≤ lanes rows
+    * per task — the input is scanned once, nothing input-sized moves),
+    * and squares it in decimal(38,0); the estimate is the MEDIAN lane
+    * square, an exact order statistic over the odd lane count, with one
+    * correctly-rounded double conversion at the end (the
+    * hllEstimate/ppsHt portability pattern — DuckDB replays every step
+    * bit-for-bit). E[X_l] = F2 exactly; the median over lanes tames the
+    * variance. Output: one row (lanes, est_f2). Lanes ≤ 60 (one bit
+    * each).
+    */
+  def f2Estimate(df: DataFrame, key: Column, lanes: Int = 9): DataFrame = {
+    require(lanes >= 1 && lanes % 2 == 1 && lanes <= 60,
+      s"need an odd lane count <= 60 for the exact median, got $lanes")
+    val h = graft.operators.Dedup.portableHash64(key.cast("string"))
+    val sums = df
+      .select(h.as("_f2h"),
+        explode(sequence(lit(0), lit(lanes - 1))).as("l"))
+      .groupBy("l")
+      .agg(sum(when(expr("shiftright(_f2h, l) % 2") === 1L, 1L)
+        .otherwise(-1L)).as("_f2s"))
+    val sq = col("_f2s").cast("decimal(38,0)") * col("_f2s").cast("decimal(38,0)")
+    sums.select(sq.as("_f2x"))
+      .agg(sort_array(collect_list(col("_f2x"))).as("_f2xs"))
+      .select(lit(lanes).as("lanes"),
+        element_at(col("_f2xs"), (lanes + 1) / 2).cast("double").as("est_f2"))
+  }
+
   // ── KMV / theta sketch ─────────────────────────────────────────────────
   // The set-operations member of the sketch family (Beyer et al.,
   // SIGMOD'07; the bottom-k theta sketch): keep the k smallest distinct

@@ -656,6 +656,31 @@ object ScaleQueries {
           .select("src", "dst")
         graft.operators.Graph.triangleCounts(edges)
       }),
+
+    // AMS/F2 second moment of the event user-key: the self-join-size /
+    // skew-mass estimate a planner wants BEFORE shuffling — 9 ±1-signed
+    // lane sums (bit-l of the portable hash), exact decimal squares,
+    // median as an exact order statistic; exact F2 alongside to expose
+    // the estimate's quality in the artifact.
+    Q("q_f2_selfjoin", Some("""
+      |WITH h AS (SELECT ('0x' || substring(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT AS h
+      |  FROM events),
+      |l AS (SELECT unnest(range(9)) AS l),
+      |s AS (SELECT l.l, sum(CASE WHEN (h.h >> l.l) % 2 = 1 THEN 1 ELSE -1 END) AS sm
+      |  FROM h CROSS JOIN l GROUP BY 1),
+      |xs AS (SELECT sm * sm AS x FROM s ORDER BY x LIMIT 1 OFFSET 4),
+      |e AS (SELECT CAST(sum(c * c) AS BIGINT) AS exact_f2
+      |  FROM (SELECT count(*) AS c FROM events GROUP BY user_id))
+      |SELECT CAST(9 AS INT) AS lanes, CAST(x AS DOUBLE) AS est_f2, exact_f2
+      |FROM xs, e
+      |""".stripMargin.trim))(
+      (s, d) => {
+        val ev = t(s, d, "events").select("user_id")
+        val exact = ev.groupBy("user_id").agg(count(lit(1)).as("c"))
+          .agg(sum(col("c") * col("c")).as("exact_f2"))
+        graft.functions.Sketches.f2Estimate(ev, col("user_id"), lanes = 9)
+          .crossJoin(broadcast(exact))
+      }),
   )
 
   /** Distinct supplier→customer trade edges (suppliers even, customers

@@ -172,6 +172,49 @@ class EdgeCaseSpec extends SparkSpec {
     assert(KStream(stream, "id").joinGlobalTable(table, col("fk"), "left").toDF.count() === 1)
   }
 
+  test("graph ops on degenerate graphs: empty, single-edge, all-self-loop") {
+    import graft.operators.Graph
+    import spark.implicits._
+    val empty = Seq.empty[(Long, Long)].toDF("src", "dst")
+    assert(Graph.pageRankExact(empty, iters = 2).count() === 0)
+    assert(Graph.triangleCounts(empty).count() === 0)
+    // all self-loops: triangles must filter them to an empty graph
+    val selfs = Seq((1L, 1L), (2L, 2L)).toDF("src", "dst")
+    assert(Graph.triangleCounts(selfs).count() === 0)
+    // single edge: both endpoints ranked; no triangles
+    val one = Seq((1L, 2L)).toDF("src", "dst")
+    val pr = Graph.pageRankExact(one, iters = 2).as[(Long, Long)].collect().toMap
+    assert(pr.keySet === Set(1L, 2L))
+    assert(pr(1L) === 150000000L) // nothing points at 1 after round 1
+    val tc = Graph.triangleCounts(one).as[(Long, Long, Long)].collect().sorted
+    assert(tc.toSeq === Seq((1L, 1L, 0L), (2L, 1L, 0L)))
+    // PPR with an empty seed set: every rank is exactly 0
+    val ppr = Graph.personalizedPageRankExact(one,
+        Seq.empty[Long].toDF("node"), iters = 2)
+      .as[(Long, Long)].collect()
+    assert(ppr.length === 2 && ppr.forall(_._2 === 0L))
+  }
+
+  test("tokenShift: absent corpus label yields all-zero gaps, ordered by token") {
+    import graft.operators.Corpus
+    import spark.implicits._
+    // corpus 'b' absent: totB = 0, every gap |cntA·0 − 0·totA| = 0 → the
+    // top-k is the token-ascending prefix with shift 0, not a crash
+    val docs = Seq(("a", "x y z")).toDF("src", "text")
+    val out = Corpus.tokenShift(docs, col("src"), col("text"), "a", "b", k = 2)
+      .as[(String, Long, Long, Double)].collect().toSeq
+    assert(out === Seq(("x", 1L, 0L, 0.0), ("y", 1L, 0L, 0.0)))
+  }
+
+  test("containmentPairs: all grams df-capped yields empty output, not failure") {
+    import graft.operators.Dedup
+    import spark.implicits._
+    val docs = Seq((1L, "a b"), (2L, "a b"), (3L, "a b")).toDF("doc_id", "text")
+    // the only gram "a b" has df 3 > maxDf 2 → no distinctive grams at all
+    assert(Dedup.containmentPairs(docs, "doc_id", "text",
+      shingleN = 2, minNum = 1, minDen = 2, maxDf = 2).count() === 0)
+  }
+
   test("tsMillis is exact at millisecond boundaries beyond double's 2^53 range") {
     // 1.7e18 ns has a double ulp of 256 ns: boundary±1 ns rounds to the
     // boundary itself in double, so `/ 1e6` would mis-bucket by 1 ms.

@@ -296,6 +296,29 @@ class SketchSpec extends SparkSpec {
     assert(estBig === exact.toDouble, "short sketch must be the exact count")
   }
 
+  test("F2 estimate: exact on extreme distributions, envelope on real keys") {
+    import graft.functions.Sketches
+    // all-same key: every lane sum = ±n, square exactly n² = F2
+    val same = Seq.fill(500)("k").toDF("k")
+    val s1 = Sketches.f2Estimate(same, col("k"), lanes = 9)
+      .select("est_f2").as[Double].head()
+    assert(s1 === 250000.0, s"single-key F2 must be exact, got $s1")
+    // real key column: median-of-9 estimate within 5x of exact (loose —
+    // lanes trade variance for size; the artifact exposes both values)
+    val ev = t(spark, sf, "events").select("user_id")
+    val exact = ev.groupBy("user_id").count()
+      .agg(sum(col("count") * col("count"))).as[Long].head()
+    val est = Sketches.f2Estimate(ev, col("user_id"), lanes = 9)
+      .select("est_f2").as[Double].head()
+    assert(est > exact / 5.0 && est < exact * 5.0,
+      s"F2 estimate $est implausible vs exact $exact")
+    // even lane count rejected (median would interpolate)
+    val e = intercept[IllegalArgumentException] {
+      Sketches.f2Estimate(ev, col("user_id"), lanes = 8)
+    }
+    assert(e.getMessage.contains("odd"))
+  }
+
   test("KMV set estimates: identity, disjointness, and envelope vs exact truth") {
     import graft.functions.Sketches
     val k = 128
