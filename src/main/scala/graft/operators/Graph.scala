@@ -115,8 +115,13 @@ object Graph {
     require(iters >= 1, s"need iters >= 1, got $iters")
     require(scale > 0, s"need scale > 0, got $scale")
     val e = edges.select(col("src").cast("long").as("src"),
-        col("dst").cast("long").as("dst"))
-      .localCheckpoint(true)
+      col("dst").cast("long").as("dst"))
+    // one pre-partitioned copy per join side, materialized once — without
+    // them every half-round re-shuffles the EDGE list (the only
+    // edge-sized frame in the loop); with them only the node-sized state
+    // moves per half-round
+    val eBySrc = e.repartition(col("src")).localCheckpoint(true)
+    val eByDst = e.repartition(col("dst")).localCheckpoint(true)
     // exact ⌊(raw·scale)/mx⌋: strip the remainder so the decimal divide is
     // of an exact multiple (the Corpus.ceilDivExact trick, floor flavor)
     def norm(raw: Column, mx: Column): Column = {
@@ -125,14 +130,15 @@ object Graph {
       ((a - pmod(a, b)) / b).cast("long")
     }
     def halfRound(state: DataFrame, joinKey: String, outKey: String): DataFrame = {
-      val raw = e.join(state.withColumnRenamed("node", joinKey), joinKey)
+      val side = if (joinKey == "src") eBySrc else eByDst
+      val raw = side.join(state.withColumnRenamed("node", joinKey), joinKey)
         .groupBy(col(outKey).as("node")).agg(sum(col("score")).as("_hRaw"))
       val mx = raw.agg(max(col("_hRaw")).as("_hMx"))
       raw.crossJoin(broadcast(mx))
         .select(col("node"), norm(col("_hRaw"), col("_hMx")).as("score"))
         .localCheckpoint(true)
     }
-    val hubs0 = e.select(col("src").as("node")).distinct()
+    val hubs0 = eBySrc.select(col("src").as("node")).distinct()
       .select(col("node"), lit(scale).as("score"))
       .localCheckpoint(true)
     val (auths, hubs) = (1 to iters).foldLeft((hubs0, hubs0)) {
@@ -274,6 +280,10 @@ object Graph {
     // seed mode: teleport targets are flagged; off-graph seeds still hold
     // mass, so the node universe is the union. The seed set is node-sized
     // at most and usually tiny — plain distinct+outer-join, no new shape.
+    // pre-partitioned by node: the per-round left join against the
+    // dst-keyed contributions then reuses this exchange instead of
+    // re-shuffling the node table every round (checkpoints preserve
+    // partitioning)
     val nodes = seeds.fold(
         graphNodes.select(col("node"), lit(true).as("_prT"))) { sd =>
       graphNodes.join(
@@ -281,7 +291,7 @@ object Graph {
             .distinct(),
           Seq("node"), "full_outer")
         .select(col("node"), coalesce(col("_prT"), lit(false)).as("_prT"))
-    }.localCheckpoint(true)
+    }.repartition(col("node")).localCheckpoint(true)
     val base = scale * (dampDen - dampNum) / dampDen
     val baseCol = when(col("_prT"), lit(base)).otherwise(lit(0L))
     val r0 = nodes.select(col("node"),
