@@ -239,6 +239,50 @@ object Corpus {
       .select("token", "cnt_a", "cnt_b", "shift")
   }
 
+  /** Collocation (phrase) mining: the top-k adjacent word pairs most
+    * associated beyond chance — the phrase-vocabulary prep for a
+    * tokenizer or an index ("new york" deserves one token; "of the" does
+    * not). Association is the squared Ochiai coefficient
+    * cnt_xy²/(cnt_x·cnt_y), held exact: the score column is
+    * ⌊cnt_xy²·10⁶/(cnt_x·cnt_y)⌋ computed as one decimal(38,0) floor
+    * division, identical in any engine (and bounded — the numerator
+    * stays under 10³⁸ up to ~10¹⁵-token corpora, unlike a PMI lift whose
+    * N² factor overflows; log-free like every oracled score here).
+    * `minCount` suppresses the one-off pairs whose association is
+    * spuriously 10⁶. Ties break (w1, w2) ascending.
+    *
+    * Plan: one narrow per-doc adjacent-pair transform (no self-join for
+    * bigrams) → bigram-keyed partial-agg shuffle + the unigram table
+    * joined twice (vocabulary-sized) → TakeOrdered top-k. Nothing
+    * corpus-sized after the explodes — scales like [[tokenShift]].
+    * Output: (w1, w2, cnt_xy, cnt_x, cnt_y, score), the k strongest.
+    */
+  def collocations(docs: DataFrame, text: Column, k: Int,
+      minCount: Int = 2): DataFrame = {
+    require(k > 0, s"need k > 0, got $k")
+    require(minCount >= 1, s"need minCount >= 1, got $minCount")
+    val tk = split(lower(text), "\\s+")
+    val pairs = docs.select(explode(when(size(tk) >= 2,
+        transform(sequence(lit(1), size(tk) - 1), i =>
+          struct(element_at(tk, i).as("w1"), element_at(tk, i + 1).as("w2"))))
+      .otherwise(expr("array()")
+        .cast("array<struct<w1:string,w2:string>>"))).as("_clP"))
+      .select(col("_clP.w1").as("w1"), col("_clP.w2").as("w2"))
+    val uni = docs.select(explode(tk).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("c"))
+    val bi = pairs.groupBy("w1", "w2").agg(count(lit(1)).as("cnt_xy"))
+      .filter(col("cnt_xy") >= minCount)
+    val num = col("cnt_xy").cast("decimal(38,0)") * col("cnt_xy") * lit(1000000L)
+    val den = col("cnt_x").cast("decimal(38,0)") * col("cnt_y")
+    val score = ((num - pmod(num, den)) / den).cast("long")
+    bi.join(uni.select(col("w").as("w1"), col("c").as("cnt_x")), Seq("w1"))
+      .join(uni.select(col("w").as("w2"), col("c").as("cnt_y")), Seq("w2"))
+      .withColumn("score", score)
+      .orderBy(col("score").desc, col("w1"), col("w2"))
+      .limit(k)
+      .select("w1", "w2", "cnt_xy", "cnt_x", "cnt_y", "score")
+  }
+
   /** Corpus-typicality under a smoothed bigram language model — the
     * model-based leg of perplexity-style quality filtering (CCNet-shape:
     * score each document by how well a corpus LM predicts it), in the

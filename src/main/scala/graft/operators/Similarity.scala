@@ -104,6 +104,40 @@ object Similarity {
       struct((-col("score")).as("ns"), col("neighbor_id").as("nid")), k)
   }
 
+  /** Hard-negative mining for contrastive training: for each anchor, the
+    * k most-cosine-similar corpus vectors whose `label` DIFFERS — the
+    * near-misses that make a contrastive loss informative (easy random
+    * negatives teach nothing; the standard retrieval/embedding training
+    * prep, e.g. DPR/Contriever, all-public). Same plan as
+    * [[bruteForceKnn]]: anchors broadcast, the label-mismatch predicate
+    * rides the broadcast join (evaluated before any ranking, so the
+    * top-k is exact among negatives — no oversample-and-hope), corpus
+    * streams with no shuffle, bounded top-k per anchor.
+    *
+    * Scale shape: exact and linear per anchor batch — mine negatives in
+    * anchor batches (the training-loop shape: each batch's anchors
+    * against the corpus), or swap the candidate generator for
+    * [[ivfKnnWithCentroids]] cells with a k·oversample pool when
+    * per-epoch full-corpus mining is needed and a bounded miss rate on
+    * label-filtered ranks is acceptable.
+    * Output: (query_id, rank, neighbor_id), rank 1..k by cosine
+    * descending, neighbor id ascending on ties.
+    */
+  def hardNegatives(
+      queries: DataFrame, corpus: DataFrame,
+      id: String, emb: String, label: String, k: Int): DataFrame = {
+    val q = queries.select(col(id).as("query_id"), col(emb).as("q_emb"),
+      col(label).as("_hnQl"))
+    val c = corpus.select(col(id).as("neighbor_id"), col(emb).as("c_emb"),
+      col(label).as("_hnCl"))
+    val scored = c.join(broadcast(q),
+        col("neighbor_id") =!= col("query_id") && col("_hnCl") =!= col("_hnQl"))
+      .withColumn("score", cosineSim(col("q_emb"), col("c_emb")))
+    rankedNeighbors(
+      scored.select(col("query_id"), col("score"), col("neighbor_id")),
+      struct((-col("score")).as("ns"), col("neighbor_id").as("nid")), k)
+  }
+
   /** All (table, bucket) keys for a vector, as rows to explode. Bucket
     * computation is the native one-pass expression
     * ([[graft.functions.RandomHyperplaneBuckets]]); the transform that

@@ -117,6 +117,29 @@ object SimilarityQueries {
           emb.filter(col("vec_id") < 20), emb, "vec_id", "embedding", k = 5)
       }),
 
+    // hard-negative mining: top-5 nearest DIFFERENT-label vectors per
+    // anchor — the contrastive-training prep; label mismatch filters
+    // before ranking, so the top-k is exact among negatives.
+    Q("q_hard_negatives", Some(
+      """WITH e AS (SELECT vec_id, label, embedding,
+        |  sqrt(list_sum(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE))) AS nrm
+        |  FROM embeddings)
+        |, s AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |  list_sum(list_transform(range(1, 65), i -> q.embedding[i]::DOUBLE * c.embedding[i]::DOUBLE))
+        |    / (q.nrm * c.nrm) AS score
+        |  FROM e q JOIN e c ON c.vec_id <> q.vec_id AND c.label <> q.label
+        |  WHERE q.vec_id < 20)
+        |SELECT query_id, rank, neighbor_id FROM (
+        |  SELECT query_id, neighbor_id,
+        |    row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rank
+        |  FROM s) WHERE rank <= 5""".stripMargin))(
+      (s, d) => {
+        val emb = t(s, d, "embeddings")
+        Similarity.hardNegatives(
+          emb.filter(col("vec_id") < 20), emb, "vec_id", "embedding",
+          "label", k = 5)
+      }),
+
     // LSH-bucketed ANN on the seeded corpus — fully oracled: the plan is
     // the production one (explode bucket keys → equi-join → exact-cosine
     // rerank), and the construction makes its output PROVABLY equal to

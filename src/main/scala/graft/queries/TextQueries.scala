@@ -1079,6 +1079,25 @@ object TextQueries {
         t(s, d, "documents").select("source", "text"),
         col("source"), col("text"), a = "src0", b = "src1", k = 50)),
 
+    // collocation mining: top-50 adjacent pairs by the exact scaled
+    // Ochiai² association ⌊cnt_xy²·10⁶/(cnt_x·cnt_y)⌋ — log-free phrase
+    // scoring, vocabulary-sized joins, TakeOrdered top-k.
+    Q("q_collocations", Some("""
+      |WITH toks AS (SELECT regexp_split_to_array(lower(text), '\s+') AS tk FROM documents),
+      |st AS (SELECT tk, unnest(range(1, len(tk))) AS i FROM toks),
+      |bc AS (SELECT tk[i] AS w1, tk[i + 1] AS w2, count(*) AS cnt_xy
+      |  FROM st GROUP BY 1, 2 HAVING count(*) >= 3),
+      |uc AS (SELECT w, count(*) AS c FROM (SELECT unnest(tk) AS w FROM toks) GROUP BY 1),
+      |sc AS (SELECT w1, w2, cnt_xy, ux.c AS cnt_x, uy.c AS cnt_y,
+      |  CAST(CAST(cnt_xy AS HUGEINT) * cnt_xy * 1000000
+      |    // (CAST(ux.c AS HUGEINT) * uy.c) AS BIGINT) AS score
+      |  FROM bc JOIN uc ux ON ux.w = bc.w1 JOIN uc uy ON uy.w = bc.w2)
+      |SELECT w1, w2, cnt_xy, cnt_x, cnt_y, score FROM sc
+      |ORDER BY score DESC, w1, w2 LIMIT 50
+      |""".stripMargin.trim))(
+      (s, d) => graft.operators.Corpus.collocations(
+        t(s, d, "documents").select("text"), col("text"), k = 50, minCount = 3)),
+
     // the published Gopher word-level filter bundle, every threshold an
     // integer cross-multiplication (no float compared anywhere) — stats
     // + keep per document, one narrow codegen'd projection.

@@ -677,6 +677,20 @@ class CorpusSpec extends SparkSpec {
     assert(re.sortBy(_._1).toSeq === out.sortBy(_._1).toSeq)
   }
 
+  test("collocations: exact Ochiai² ranking, minCount filters one-offs") {
+    val docs = Seq("new york new york", "the cat the dog the cat").toDF("text")
+    val got = Corpus.collocations(docs, col("text"), k = 5, minCount = 2)
+      .as[(String, String, Long, Long, Long, Long)].collect().toSeq
+    // (new,york): cnt 2, unigrams 2/2 → ⌊4e6/4⌋ = 1000000 (perfect pair);
+    // (the,cat): cnt 2, unigrams 3/2 → ⌊4e6/6⌋ = 666666; all other pairs
+    // occur once → dropped by minCount
+    assert(got === Seq(("new", "york", 2L, 2L, 2L, 1000000L),
+      ("the", "cat", 2L, 3L, 2L, 666666L)))
+    // single-token docs produce no pairs and no failure
+    assert(Corpus.collocations(Seq("solo").toDF("text"), col("text"), 3, 1)
+      .count() === 0)
+  }
+
   test("tokenShift: exact cross-multiplied ranking, other corpora ignored") {
     // a: "x x y" -> cnt(x)=2, cnt(y)=1, totA=3; b: "x z z z" -> cnt(x)=1,
     // cnt(z)=3, totB=4. Gaps |cntA*totB - cntB*totA|: z=9, x=5, y=4.

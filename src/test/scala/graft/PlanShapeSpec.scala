@@ -63,6 +63,22 @@ class PlanShapeSpec extends SparkSpec {
     assert(hasNode(df, "ObjectHashAggregate"))
   }
 
+  test("hard negatives: anchors broadcast, corpus unshuffled, bounded topk — no window") {
+    val df = q("q_hard_negatives")
+    assert(countNodes(df, "Window") === 0)
+    assert(mentions(df, "topk_agg"))
+    // the label-mismatch predicate rides the broadcast join; the corpus
+    // side must stream with no exchange before the bounded aggregation
+    assert(hasNode(df, "BroadcastNestedLoopJoin") || hasNode(df, "BroadcastHashJoin"))
+  }
+
+  test("collocations: narrow pair transform, vocab joins, top-k as TakeOrdered") {
+    val df = q("q_collocations")
+    assert(hasNode(df, "TakeOrderedAndProject"), "top-k regressed to a global sort")
+    assert(countNodes(df, "CartesianProduct") === 0)
+    assert(countNodes(df, "Window") === 0)
+  }
+
   test("global-table join keeps the table side broadcast (J1)") {
     val df = q("q_join_global_inner")
     assert(hasNode(df, "BroadcastHashJoin"))

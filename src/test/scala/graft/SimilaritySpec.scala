@@ -347,4 +347,21 @@ class SimilaritySpec extends SparkSpec {
     assert(dropped === expectDropped)
     assert(dropped.nonEmpty, "seeded corpus must contain same-cell near-dups at 0.9")
   }
+
+  test("hardNegatives: same-label near-dup excluded, nearest other-label wins") {
+    // anchor 1 (label 0) at e_x; vector 2 is nearly identical but SAME
+    // label → must never appear; 3 (label 1) is the true hard negative;
+    // 4 (label 1) is orthogonal → rank 2
+    val rows = Seq(
+      (1L, Seq(1f, 0f), 0),
+      (2L, Seq(0.99f, 0.1f), 0),
+      (3L, Seq(0.9f, 0.4f), 1),
+      (4L, Seq(0f, 1f), 1))
+      .toDF("vec_id", "emb", "label")
+    val got = Similarity.hardNegatives(
+        rows.filter(col("vec_id") === 1), rows, "vec_id", "emb", "label", k = 3)
+      .select("query_id", "rank", "neighbor_id")
+      .as[(Long, Int, Long)].collect().sorted.toSeq
+    assert(got === Seq((1L, 1, 3L), (1L, 2, 4L)))
+  }
 }
