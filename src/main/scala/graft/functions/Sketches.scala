@@ -355,8 +355,11 @@ object Sketches {
     * correctly-rounded double conversion at the end (the
     * hllEstimate/ppsHt portability pattern — DuckDB replays every step
     * bit-for-bit). E[X_l] = F2 exactly; the median over lanes tames the
-    * variance. Output: one row (lanes, est_f2). Lanes ≤ 60 (one bit
-    * each).
+    * variance (lane signs share one md5 hash — a documented
+    * independence trade-off that avoids the l·h2 BIGINT overflow).
+    * Output: one row (lanes, est_f2) on non-empty input; ZERO rows on an
+    * empty input frame (no lane sums exist → same shape as the SQL
+    * oracle, never a NULL estimate row).
     */
   def f2Estimate(df: DataFrame, key: Column, lanes: Int = 9): DataFrame = {
     require(lanes >= 1 && lanes % 2 == 1 && lanes <= 60,
@@ -371,6 +374,7 @@ object Sketches {
     val sq = col("_f2s").cast("decimal(38,0)") * col("_f2s").cast("decimal(38,0)")
     sums.select(sq.as("_f2x"))
       .agg(sort_array(collect_list(col("_f2x"))).as("_f2xs"))
+      .where(size(col("_f2xs")) === lanes)
       .select(lit(lanes).as("lanes"),
         element_at(col("_f2xs"), (lanes + 1) / 2).cast("double").as("est_f2"))
   }

@@ -126,10 +126,10 @@ object TextQueries {
       |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS base
       |  FROM (SELECT shard, sum(n_chars) AS tot FROM sh GROUP BY 1))
       |SELECT l.doc_id, l.shard, CAST(l.seq AS INT) AS seq, l.n_chars,
-      |  b.base + l.l AS global_start,
-      |  (b.base + l.l) // 2048 AS first_seq,
-      |  CASE WHEN l.n_chars = 0 THEN (b.base + l.l) // 2048
-      |       ELSE (b.base + l.l + l.n_chars - 1) // 2048 END AS last_seq
+      |  CAST(b.base + l.l AS BIGINT) AS global_start,
+      |  CAST((b.base + l.l) // 2048 AS BIGINT) AS first_seq,
+      |  CAST(CASE WHEN l.n_chars = 0 THEN (b.base + l.l) // 2048
+      |       ELSE (b.base + l.l + l.n_chars - 1) // 2048 END AS BIGINT) AS last_seq
       |FROM loc l JOIN b USING (shard)
       |""".stripMargin.trim))(
       (s, d) => graft.operators.Corpus.packGlobal(
@@ -1070,9 +1070,9 @@ object TextQueries {
       |  FROM tok GROUP BY 1),
       |tot AS (SELECT sum(cnt_a) AS ta, sum(cnt_b) AS tb FROM cnt)
       |SELECT token, cnt_a, cnt_b,
-      |  CAST(abs(cnt_a * tb - cnt_b * ta) AS DOUBLE) AS shift
+      |  CAST(abs(CAST(cnt_a AS HUGEINT) * tb - CAST(cnt_b AS HUGEINT) * ta) AS DOUBLE) AS shift
       |FROM cnt, tot
-      |ORDER BY abs(cnt_a * tb - cnt_b * ta) DESC, token
+      |ORDER BY abs(CAST(cnt_a AS HUGEINT) * tb - CAST(cnt_b AS HUGEINT) * ta) DESC, token
       |LIMIT 50
       |""".stripMargin.trim))(
       (s, d) => graft.operators.Corpus.tokenShift(

@@ -215,6 +215,20 @@ class EdgeCaseSpec extends SparkSpec {
       shingleN = 2, minNum = 1, minDen = 2, maxDf = 2).count() === 0)
   }
 
+  test("f2Estimate: empty input yields zero rows; singleton yields est_f2 = 1") {
+    import graft.functions.Sketches
+    import spark.implicits._
+    // empty input: no lane sums exist → zero rows (the documented
+    // contract, matching the SQL-oracle shape), never a NULL-est row
+    assert(Sketches.f2Estimate(
+      Seq.empty[String].toDF("k"), col("k"), lanes = 9).count() === 0)
+    // one item: every lane sum is ±1, every lane square 1 → median 1,
+    // which is exactly F2 of a singleton
+    val one = Sketches.f2Estimate(Seq("x").toDF("k"), col("k"), lanes = 9)
+      .as[(Int, Double)].collect().toSeq
+    assert(one === Seq((9, 1.0)))
+  }
+
   test("tsMillis is exact at millisecond boundaries beyond double's 2^53 range") {
     // 1.7e18 ns has a double ulp of 256 ns: boundary±1 ns rounds to the
     // boundary itself in double, so `/ 1e6` would mis-bucket by 1 ms.
