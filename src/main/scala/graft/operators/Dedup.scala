@@ -257,14 +257,28 @@ object Dedup {
     * Σ_g min(df_g, maxDf)² — linear in corpus size with a constant-bound
     * hot key, never the unbounded df² blowup of a naive gram self-join.
     *
-    * Plan: explode distinct shingles (narrow) → df table [one partial-agg
-    * shuffle] → df-filtered inventory, materialized once (three
-    * consumers) → gram-keyed self-join + (src,dst) count [bounded-fanout
-    * shuffles] → per-src size join, integer threshold
-    * minDen·n_common ≥ minNum·n_src. All-integer output, bit-portable.
-    * Output: (src_id, dst_id, n_common, n_src), both directions when both
-    * clear the threshold; docs with zero distinctive shingles emit
-    * nothing.
+    * Plan: explode distinct shingles (narrow) → 60-bit [[portableHash64]]
+    * gram fingerprints (the inventory key — an n-word gram string is
+    * ~8·n bytes wide, so hashing at the explode shrinks the inventory
+    * shuffle to 8-byte keys; md5 is engine-portable, so the oracle
+    * replays the exact same fingerprints) → ONE gram-keyed partial agg
+    * builds the inverted-index buckets directly:
+    * `capped_collect(doc, maxDf)` ([[graft.functions.CappedCollect]])
+    * keeps each gram's doc list bounded at maxDf through update AND
+    * merge and yields NULL for boilerplate grams (df > maxDf), so a
+    * billion-document hot gram moves ≤ maxDf ids per map partition and
+    * never materializes — the skew story a `collect_list` + size filter
+    * would not have. The bucket table (≤ maxDf longs per row),
+    * materialized once, then feeds two NARROW explodes: per-doc kept
+    * sizes and the in-bucket src×dst pair fanout (bounded at maxDf² per
+    * gram — the same Σ_g min(df_g, maxDf)² work the former gram-keyed
+    * self-join paid, minus its two extra input-sized shuffles and second
+    * corpus scan). Integer threshold minDen·n_common ≥ minNum·n_src.
+    * All-integer output, bit-portable (distinctiveness is judged on the
+    * fingerprints, so a 60-bit collision merges two grams identically in
+    * both engines). Output: (src_id, dst_id, n_common, n_src), both
+    * directions when both clear the threshold; docs with zero
+    * distinctive shingles emit nothing.
     */
   def containmentPairs(docs: DataFrame, id: String, text: String,
       shingleN: Int, minNum: Int, minDen: Int, maxDf: Int): DataFrame = {
@@ -272,15 +286,17 @@ object Dedup {
       s"need 0 < minNum/minDen <= 1, got $minNum/$minDen")
     require(maxDf >= 2, s"need maxDf >= 2 (df-1 grams cannot pair), got $maxDf")
     val ex = docs.select(col(id).as("_ctDoc"),
-      explode(shingles(col(text), shingleN)).as("_ctG"))
-    val dfTab = ex.groupBy("_ctG").agg(count(lit(1)).as("_ctDf"))
-    val kept = ex.join(dfTab.filter(col("_ctDf") <= maxDf), Seq("_ctG"))
-      .select("_ctDoc", "_ctG")
+        explode(shingles(col(text), shingleN)).as("_ctG0"))
+      .select(col("_ctDoc"), portableHash64(col("_ctG0")).as("_ctG"))
+    val buckets = ex.groupBy("_ctG")
+      .agg(call_function("capped_collect", col("_ctDoc"), lit(maxDf)).as("_ctDocs"))
+      .filter(col("_ctDocs").isNotNull)
+      .select("_ctDocs")
       .localCheckpoint(true)
-    val sz = kept.groupBy(col("_ctDoc").as("src_id"))
-      .agg(count(lit(1)).as("n_src"))
-    kept.select(col("_ctG"), col("_ctDoc").as("src_id"))
-      .join(kept.select(col("_ctG"), col("_ctDoc").as("dst_id")), Seq("_ctG"))
+    val sz = buckets.select(explode(col("_ctDocs")).as("src_id"))
+      .groupBy("src_id").agg(count(lit(1)).as("n_src"))
+    buckets.select(explode(col("_ctDocs")).as("src_id"), col("_ctDocs"))
+      .select(col("src_id"), explode(col("_ctDocs")).as("dst_id"))
       .filter(col("src_id") =!= col("dst_id"))
       .groupBy("src_id", "dst_id").agg(count(lit(1)).as("n_common"))
       .join(sz, Seq("src_id"))
@@ -300,8 +316,15 @@ object Dedup {
     * including df 0, so fresh content lowers containment exactly as it
     * should. Fanout per gram is ≤ maxDf corpus rows, so pair work is
     * linear in batch size with a constant-bound hot key; batch×corpus is
-    * never formed. In production, persist `kept`/`dft` once per corpus
-    * release and feed batches against them (the same artifact reuse note
+    * never formed. Like [[containmentPairs]], the inventory is keyed on
+    * the 60-bit [[portableHash64]] gram fingerprint, not the gram string
+    * — the persisted artifact and every shuffle carry 8-byte keys, and
+    * md5 portability keeps the oracle exact. The inventory `inv` is ONE
+    * corpus-sided partial agg (exact df + skew-bounded
+    * `capped_collect(doc, maxDf)` bucket, NULL past the cap), so matching
+    * a batch is a batch-sized join + narrow bucket explode — corpus rows
+    * shuffle exactly once. In production, persist `inv` once per corpus
+    * release and feed batches against it (the same artifact reuse note
     * as [[nearDupPairsAgainst]]); recomputed here to keep the API
     * self-contained. Output: (new_id, old_id, n_common, n_src).
     */
@@ -312,20 +335,26 @@ object Dedup {
       s"need 0 < minNum/minDen <= 1, got $minNum/$minDen")
     require(maxDf >= 1, s"need maxDf >= 1, got $maxDf")
     val exO = corpus.select(col(id).as("_ctDoc"),
-      explode(shingles(col(text), shingleN)).as("_ctG"))
-    val dfTab = exO.groupBy("_ctG").agg(count(lit(1)).as("_ctDf"))
+        explode(shingles(col(text), shingleN)).as("_ctG0"))
+      .select(col("_ctDoc"), portableHash64(col("_ctG0")).as("_ctG"))
+    // ONE corpus-sided shuffle builds the standing inventory: per gram the
+    // exact df plus the skew-bounded doc bucket (NULL past maxDf — the
+    // boilerplate grams a production release persists as "too common")
+    val inv = exO.groupBy("_ctG")
+      .agg(count(lit(1)).as("_ctDf"),
+        call_function("capped_collect", col("_ctDoc"), lit(maxDf)).as("_ctOld"))
       .localCheckpoint(true)
-    val keptO = exO.join(dfTab.filter(col("_ctDf") <= maxDf), Seq("_ctG"))
-      .select(col("_ctG"), col("_ctDoc").as("old_id"))
-    // new-side grams keep corpus-unseen ones (df 0): left join + coalesce
+    // new-side grams keep corpus-unseen ones (df 0): left join + coalesce;
+    // the bucket join is batch-sized — corpus rows never shuffle again
     val keptN = newDocs.select(col(id).as("new_id"),
-        explode(shingles(col(text), shingleN)).as("_ctG"))
-      .join(dfTab, Seq("_ctG"), "left")
+        explode(shingles(col(text), shingleN)).as("_ctG0"))
+      .select(col("new_id"), portableHash64(col("_ctG0")).as("_ctG"))
+      .join(inv, Seq("_ctG"), "left")
       .filter(coalesce(col("_ctDf"), lit(0L)) <= maxDf)
-      .select("_ctG", "new_id")
+      .select(col("new_id"), coalesce(col("_ctOld"), array().cast("array<bigint>")).as("_ctOld"))
       .localCheckpoint(true)
     val sz = keptN.groupBy("new_id").agg(count(lit(1)).as("n_src"))
-    keptN.join(keptO, Seq("_ctG"))
+    keptN.select(col("new_id"), explode(col("_ctOld")).as("old_id"))
       .groupBy("new_id", "old_id").agg(count(lit(1)).as("n_common"))
       .join(sz, Seq("new_id"))
       .filter(lit(minDen) * col("n_common") >= lit(minNum) * col("n_src"))

@@ -285,10 +285,12 @@ object DedupQueries {
     // src's distinctive (df ≤ 10) shingles — the quote/subset detector
     // Jaccard-banded LSH is blind to. Integer threshold, df-capped gram
     // self-join (fanout ≤ maxDf² per gram), exact vs the oracle's
-    // inverted-index recomputation.
+    // inverted-index recomputation. Both engines key the inventory on
+    // the portable 60-bit md5 gram fingerprint (8-byte shuffle keys).
     Q("q_containment", Some(shinglesSql +
       """
-        |, ex AS (SELECT doc_id, unnest(s) AS g FROM sh),
+        |, ex AS (SELECT doc_id, ('0x' || substring(md5(g0), 1, 15))::BIGINT AS g
+        |         FROM (SELECT doc_id, unnest(s) AS g0 FROM sh)),
         |dft AS (SELECT g, count(*) AS df FROM ex GROUP BY 1),
         |kept AS (SELECT e.doc_id, e.g FROM ex e JOIN dft USING (g) WHERE df <= 10),
         |sz AS (SELECT doc_id, count(*) AS n_src FROM kept GROUP BY 1),
@@ -306,8 +308,10 @@ object DedupQueries {
     // count toward the new doc's size). Directed new→old, batch-linear.
     Q("q_containment_incremental", Some(shinglesSql +
       """
-        |, exn AS (SELECT doc_id, unnest(s) AS g FROM sh WHERE doc_id % 10 = 0),
-        |exo AS (SELECT doc_id, unnest(s) AS g FROM sh WHERE doc_id % 10 != 0),
+        |, exn AS (SELECT doc_id, ('0x' || substring(md5(g0), 1, 15))::BIGINT AS g
+        |          FROM (SELECT doc_id, unnest(s) AS g0 FROM sh WHERE doc_id % 10 = 0)),
+        |exo AS (SELECT doc_id, ('0x' || substring(md5(g0), 1, 15))::BIGINT AS g
+        |        FROM (SELECT doc_id, unnest(s) AS g0 FROM sh WHERE doc_id % 10 != 0)),
         |dft AS (SELECT g, count(*) AS df FROM exo GROUP BY 1),
         |keptn AS (SELECT e.doc_id, e.g FROM exn e LEFT JOIN dft USING (g)
         |          WHERE coalesce(df, 0) <= 10),

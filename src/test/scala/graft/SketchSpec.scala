@@ -12,6 +12,29 @@ import graft.queries.Tables.t
 class SketchSpec extends SparkSpec {
   import spark.implicits._
 
+  test("capped_collect: exact at the cap, NULL past it, merge-bounded") {
+    // keys: k0 holds exactly cap values, k1 cap+1 (overflow), k2 one —
+    // spread over 16 partitions so partial buffers MUST merge
+    val cap = 5
+    val rows = (0 until cap).map(i => ("k0", i.toLong)) ++
+      (0 to cap).map(i => ("k1", 100L + i)) ++ Seq(("k2", 7L))
+    val got = rows.toDF("k", "v").repartition(16)
+      .groupBy("k")
+      .agg(call_function("capped_collect", col("v"), lit(cap)).as("docs"))
+      .collect().map(r => r.getString(0) -> Option(r.getSeq[Long](1)))
+      .toMap
+    assert(got("k0") === Some(Seq(0L, 1L, 2L, 3L, 4L)))   // full + sorted
+    assert(got("k1") === None)                             // df > cap → NULL
+    assert(got("k2") === Some(Seq(7L)))
+    // the hot-key bound: a 10k-value key under cap=3 still aggregates
+    // (bounded buffers through every merge) and lands NULL
+    val hot = (0 until 10000).map(i => ("hot", i.toLong)).toDF("k", "v")
+      .repartition(32)
+      .groupBy("k").agg(call_function("capped_collect", col("v"), lit(3)).as("d"))
+      .collect()
+    assert(hot.length === 1 && hot.head.isNullAt(1))
+  }
+
   test("approx_count_distinct within its rsd envelope of the exact count") {
     val events = t(spark, sf, "events")
     val exact = events.select(countDistinct("user_id")).as[Long].head()
