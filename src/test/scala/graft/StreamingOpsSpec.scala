@@ -310,6 +310,117 @@ class StreamingOpsSpec extends SparkSpec {
     assert(rows === Set(("k1", "a1", "b1", "c1")))
   }
 
+  test("kafka wire contract: example_2 over replayable record frames, checkpoint restart across the join chain") {
+    // the reference's SECOND living integration test replayed at full
+    // record fidelity (/root/reference/examples/example_2/stream/
+    // a.go:18-105): one topic carrying three event types → decode →
+    // 3-way branch → per-branch timestamp filter → JoinStream(A,B) →
+    // JoinStream(AB,C) → produce. Like the example_1 wire case, every
+    // frame in and out is a WireLog record (data/record.go:33-42 shape);
+    // additionally the query is STOPPED AND RESTARTED from its
+    // checkpoint between the AB match and C's arrival, so the completed
+    // chain proves both stream-stream join states recover.
+    import graft.dsl.KStream
+    import graft.io.{KafkaIO, WireLog}
+    val root = java.nio.file.Files.createTempDirectory("graft_wire_ex2").toString
+    val inDir = s"$root/in"; val outDir = s"$root/out"
+    val t0 = 1700000000000L // per-branch filterFromTimestamp cutoff
+
+    def seg(evts: (String, String, Long, String)*): Unit = WireLog.append(
+      spark, inDir,
+      evts.toSeq.toDF("k", "typ", "ts_ms", "payload")
+        .select(
+          col("k").as("key"),
+          to_json(struct(col("typ"), col("ts_ms"), col("payload"))).as("value"),
+          lit("abc_events").as("topic"),
+          timestamp_millis(col("ts_ms")).as("timestamp"),
+          array(struct(lit("origin").as("key"),
+            lit("ex2").cast("binary").as("value"))).as("headers"),
+          concat(col("k"), col("typ")).as("seq")),
+      numPartitions = 2, orderBy = Seq(col("seq")))
+
+    val raw = WireLog.readStream(spark, inDir)
+    assert(raw.schema === WireLog.recordSchema,
+      "the source must serve the full record.go:33-42 shape")
+    val decoded = KafkaIO.decode(raw,
+      keyExpr = col("key").cast("string"),
+      valueExpr = from_json(col("value").cast("string"),
+        org.apache.spark.sql.types.StructType.fromDDL(
+          "typ STRING, ts_ms LONG, payload STRING")))
+    val src = KStream(decoded.select(
+      col("key").as("k"), col("value.typ").as("typ"),
+      col("value.ts_ms").as("ts_ms"), col("value.payload").as("payload"),
+      KafkaIO.headerValue(col("headers"), "origin").cast("string").as("origin")),
+      "k")
+    val Seq(aBr, bBr, cBr) = src.branch(
+      col("typ") === "A", col("typ") === "B", col("typ") === "C")
+    def side(s: KStream, p: String) = s
+      .filter(col("ts_ms") >= t0) // a.go:107-129 filterFromTimestamp
+      .toDF
+      .select(col("k").as(s"${p}_key"),
+        timestamp_millis(col("ts_ms")).as(s"${p}_ts"),
+        col("payload").as(s"${p}_val"),
+        col("origin").as(s"${p}_origin"))
+      .withWatermark(s"${p}_ts", "10 minutes")
+    val a = side(aBr, "a"); val b = side(bBr, "b"); val c = side(cBr, "c")
+    val ab = a.join(b,
+      col("a_key") === col("b_key") &&
+        col("b_ts").between(col("a_ts") - expr("INTERVAL 5 MINUTES"),
+          col("a_ts") + expr("INTERVAL 5 MINUTES")))
+    val abc = ab.join(c,
+      col("a_key") === col("c_key") &&
+        col("c_ts").between(col("a_ts") - expr("INTERVAL 5 MINUTES"),
+          col("a_ts") + expr("INTERVAL 5 MINUTES")))
+    val out = abc.select(
+      col("a_key").as("key"),
+      to_json(struct(col("a_val"), col("b_val"), col("c_val"))).as("value"),
+      lit("abc_joined").as("topic"),
+      array(struct(lit("origin").as("key"),
+        col("a_origin").cast("binary").as("value"))).as("headers"))
+    assert(out.isStreaming, "the wire join chain must stay one streaming frame")
+
+    def start() = out.writeStream
+      .option("checkpointLocation", s"$root/ckpt")
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        WireLog.append(batch.sparkSession, outDir, batch,
+          numPartitions = 2, orderBy = Seq(col("key").cast("string")))
+      }.start()
+
+    // phase 1: k1's A and B match (AB buffered in join state), k2 gets
+    // only A, a stale A is filtered, k3's A waits for a C that will
+    // arrive out of band
+    seg(("k1", "A", t0, "a1"), ("k1", "B", t0 + 60000, "b1"),
+      ("k2", "A", t0, "a2"),
+      ("kx", "A", t0 - 1, "stale"), // pre-cutoff → branch filter drops
+      ("k3", "A", t0, "a3"))
+    val q1 = start()
+    try q1.processAllAvailable() finally q1.stop()
+
+    // phase 2: RESTART from the checkpoint; k1's C completes the chain
+    // against recovered AB state, k2's B makes AB but never C, k3's C
+    // lands outside the ±5 min band
+    seg(("k1", "C", t0 + 120000, "c1"),
+      ("k2", "B", t0 + 60000, "b2"),
+      ("k3", "C", t0 + 3600000, "c3"))
+    val q2 = start()
+    try q2.processAllAvailable() finally q2.stop()
+
+    val produced = WireLog.read(spark, outDir)
+    assert(produced.schema === WireLog.recordSchema,
+      "the sink must produce the full record.go:33-42 shape")
+    val rows = produced.select(col("key").cast("string"),
+        col("value").cast("string"),
+        KafkaIO.headerValue(col("headers"), "origin").cast("string"))
+      .as[(String, String, String)].collect().toSeq
+    // exactly one completed chain, emitted once despite the restart
+    assert(rows.map(_._1) === Seq("k1"))
+    assert(rows.head._2 === """{"a_val":"a1","b_val":"b1","c_val":"c1"}""")
+    assert(rows.head._3 === "ex2", "headers must round-trip source→joins→sink")
+    assert(produced.filter(col("timestamp").isNull).count() === 0)
+    assert(produced.select("topic").distinct().as[String].collect().toSeq ===
+      Seq("abc_joined"))
+  }
+
   test("streaming sessionization: gap-based session closes once the watermark passes") {
     // the streaming twin of q_session_window: session_window merges events
     // within a 5 min gap; append mode emits a session only after the
