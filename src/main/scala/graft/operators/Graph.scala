@@ -60,7 +60,7 @@ object Graph {
   def pageRankExact(edges: DataFrame, iters: Int, scale: Long = 1000000000L,
       dampNum: Long = 17L, dampDen: Long = 20L,
       numNodes: Option[Long] = None): DataFrame =
-    rankLoop(edges, None, iters, scale, dampNum, dampDen, numNodes)
+    rankLoop(edges, None, None, iters, scale, dampNum, dampDen, numNodes)
 
   /** Personalized PageRank: identical integer recurrence, but the
     * teleport mass lands ONLY on the `seeds` node set — rank₀(v) = scale
@@ -79,7 +79,35 @@ object Graph {
       iters: Int, scale: Long = 1000000000L,
       dampNum: Long = 17L, dampDen: Long = 20L,
       numNodes: Option[Long] = None): DataFrame =
-    rankLoop(edges, Some(seeds), iters, scale, dampNum, dampDen, numNodes)
+    rankLoop(edges, Some(seeds), None, iters, scale, dampNum, dampDen, numNodes)
+
+  /** WARM-START PageRank rounds: run `rounds` rounds of the
+    * [[pageRankExact]] recurrence over `edges` starting from a STANDING
+    * rank frame instead of the all-`scale` initialization — the
+    * incremental-refresh primitive ("edges arrived, refresh the ranks
+    * from where they stood" — see
+    * [[graft.streaming.StreamingGraph.pageRankAtIngest]]). Nodes absent
+    * from `standing` (newly-arrived pages) start at `scale`, exactly the
+    * batch initialization, so on a FROZEN edge set rounds COMPOSE:
+    *
+    *   pageRankRounds(e, pageRankRounds(e, r0, k), k')
+    *     == pageRankRounds(e, r0, k + k') == pageRankExact(e, k + k')
+    *
+    * (an exact equality of integer recurrences, spec-pinned) — the
+    * streaming form "catches up" to the batch answer round-for-round
+    * rather than approximating it. The node universe is graph nodes ∪
+    * standing nodes; a standing node that has no in-links in the current
+    * edge set settles to the teleport base, as in batch.
+    *
+    * Input: `standing` with long-compatible (node, pr_rank); pass an
+    * empty frame for a cold start. Per-round plan, overflow bound, and
+    * determinism are exactly [[pageRankExact]]'s.
+    */
+  def pageRankRounds(edges: DataFrame, standing: DataFrame, rounds: Int,
+      scale: Long = 1000000000L, dampNum: Long = 17L, dampDen: Long = 20L,
+      numNodes: Option[Long] = None): DataFrame =
+    rankLoop(edges, None, Some(standing), rounds, scale, dampNum, dampDen,
+      numNodes)
 
   /** Deterministic integer HITS on a directed graph: `iters` full rounds
     * of the hub/authority mutual recursion, max-normalized in exact
@@ -257,9 +285,12 @@ object Graph {
   }
 
   private def rankLoop(edges: DataFrame, seeds: Option[DataFrame],
+      standing: Option[DataFrame],
       iters: Int, scale: Long, dampNum: Long, dampDen: Long,
       numNodes: Option[Long]): DataFrame = {
     require(iters >= 0, s"need iters >= 0, got $iters")
+    require(seeds.isEmpty || standing.isEmpty,
+      "warm-start is defined for the plain (all-teleport) recurrence only")
     require(scale > 0 && dampNum > 0 && dampDen > dampNum,
       s"need scale > 0 and 0 < dampNum < dampDen, got $scale, $dampNum/$dampDen")
     numNodes.foreach { n =>
@@ -275,8 +306,14 @@ object Graph {
     val eOut = e.join(e.groupBy("src").agg(count(lit(1)).as("_prD")), "src")
       .repartition(col("src"))
       .localCheckpoint(true)
-    val graphNodes = e.select(col("src").as("node"))
-      .union(e.select(col("dst").as("node"))).distinct()
+    // warm-start mode widens the universe with standing nodes (a page
+    // ranked in an earlier refresh stays ranked even if the current edge
+    // slice never mentions it)
+    val graphNodes = standing.foldLeft(
+        e.select(col("src").as("node"))
+          .union(e.select(col("dst").as("node")))) { (g, st) =>
+      g.union(st.select(col("node").cast("long").as("node")))
+    }.distinct()
     // seed mode: teleport targets are flagged; off-graph seeds still hold
     // mass, so the node universe is the union. The seed set is node-sized
     // at most and usually tiny — plain distinct+outer-join, no new shape.
@@ -294,8 +331,15 @@ object Graph {
     }.repartition(col("node")).localCheckpoint(true)
     val base = scale * (dampDen - dampNum) / dampDen
     val baseCol = when(col("_prT"), lit(base)).otherwise(lit(0L))
-    val r0 = nodes.select(col("node"),
-      when(col("_prT"), lit(scale)).otherwise(lit(0L)).as("pr_rank"))
+    val coldR0 = when(col("_prT"), lit(scale)).otherwise(lit(0L))
+    val r0 = standing.fold(nodes.select(col("node"), coldR0.as("pr_rank"))) { st =>
+      // warm start: standing rank where one exists, batch init otherwise
+      nodes.join(
+          st.select(col("node").cast("long").as("node"),
+            col("pr_rank").cast("long").as("_prR0")),
+          Seq("node"), "left")
+        .select(col("node"), coalesce(col("_prR0"), coldR0).as("pr_rank"))
+    }
     (1 to iters).foldLeft(r0.localCheckpoint(true)) { (ranks, _) =>
       val contribs = eOut
         .join(ranks.withColumnRenamed("node", "src"), "src")

@@ -44,6 +44,24 @@ class GraphSpec extends SparkSpec {
     assert(r2(4L) === 150000000L) // nothing points at 4: base only
   }
 
+  test("pageRankRounds: warm-start rounds compose exactly with the batch recurrence") {
+    val e = g.toDF("src", "dst")
+    val cold = Seq.empty[(Long, Long)].toDF("node", "pr_rank")
+    // k rounds then k' rounds from the standing frame == k+k' batch rounds
+    val twoThenThree = Graph.pageRankRounds(e,
+      Graph.pageRankRounds(e, cold, 2), 3)
+      .as[(Long, Long)].collect().toMap
+    assert(twoThenThree === model(g, 5))
+    // a standing node the edge slice never mentions stays in the universe
+    // (no in-links → settles to base), a new node enters at scale
+    val standing = Seq((99L, 123456789L)).toDF("node", "pr_rank")
+    val one = Graph.pageRankRounds(e, standing, 1)
+      .as[(Long, Long)].collect().toMap
+    assert(one(99L) === 1000000000L * 3 / 20)
+    assert(one.keySet === model(g, 1).keySet + 99L)
+    assert((one - 99L) === model(g, 1))
+  }
+
   test("pageRankExact is partitioning-invariant and mass never grows") {
     val df = g.toDF("src", "dst")
     val a = Graph.pageRankExact(df, iters = 4).as[(Long, Long)].collect().toMap

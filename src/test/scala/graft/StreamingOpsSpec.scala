@@ -1145,6 +1145,50 @@ class StreamingOpsSpec extends SparkSpec {
     assert(streamed === batch && streamed.nonEmpty)
   }
 
+  test("incremental PageRank at ingest: per-batch refresh equals the composed batch recurrence, replay-idempotent") {
+    // the graph family's streaming deployment: crawl edges arrive, the
+    // standing rank artifact refreshes per micro-batch via warm-start
+    // rounds on the merged edge log. Pinned against a BATCH replay of
+    // the identical refresh schedule (exact integer equality), plus a
+    // re-run of the last batch id to prove exactly-once via versioned
+    // artifacts.
+    import graft.operators.Graph
+    import graft.streaming.StreamingGraph
+    val root = java.nio.file.Files.createTempDirectory("graft_pr_ingest").toString
+    val state = s"$root/state"
+    val e1 = Seq((1L, 2L), (2L, 3L), (3L, 1L), (1L, 3L))
+    val e2 = Seq((4L, 1L), (3L, 4L)) // a new page links in mid-stream
+
+    val mem = MemoryStream[(Long, Long)]
+    val q = mem.toDF().toDF("src", "dst").writeStream
+      .option("checkpointLocation", s"$root/ckpt")
+      .foreachBatch(StreamingGraph.pageRankAtIngest(state, roundsPerBatch = 2))
+      .start()
+    try {
+      mem.addData(e1: _*); q.processAllAvailable()
+      mem.addData(e2: _*); q.processAllAvailable()
+    } finally q.stop()
+
+    val streamed = StreamingGraph.standingRanks(spark, state)
+      .as[(Long, Long)].collect().toMap
+    // batch replay: 2 rounds on e1 from cold, then 2 rounds on e1∪e2
+    // from that standing frame
+    val cold = Seq.empty[(Long, Long)].toDF("node", "pr_rank")
+    val replay = Graph.pageRankRounds((e1 ++ e2).toDF("src", "dst"),
+        Graph.pageRankRounds(e1.toDF("src", "dst"), cold, 2), 2)
+      .as[(Long, Long)].collect().toMap
+    assert(streamed === replay)
+    assert(streamed.contains(4L), "the mid-stream node must be ranked")
+
+    // replay the LAST batch id (the failure-recovery path): the refresh
+    // re-derives from the same pre-state, so the artifact is unchanged
+    StreamingGraph.ingestBatch(e2.toDF("src", "dst"), state,
+      batchId = 1L, rounds = 2)
+    val after = StreamingGraph.standingRanks(spark, state)
+      .as[(Long, Long)].collect().toMap
+    assert(after === streamed, "batch replay must not advance the ranks")
+  }
+
   test("quarantine guard: sustained failure aborts the batch instead of DLQing everything") {
     // the environmental case: EVERY sub-batch fails (sink down). The
     // harness must not reroute the whole healthy batch row-by-row into
