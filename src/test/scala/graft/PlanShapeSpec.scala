@@ -688,15 +688,61 @@ class PlanShapeSpec extends SparkSpec {
     assert(formatted(df).contains("codegen id"))
   }
 
-  test("containment: equi-joins on gram keys only — no cartesian, inventory materialized once") {
+  test("containment: bucketed inventory — narrow in-bucket explodes, no self-join, no cartesian") {
     val df = q("q_containment")
     assert(countNodes(df, "CartesianProduct") === 0)
     assert(countNodes(df, "BroadcastNestedLoopJoin") === 0)
-    // the df-capped inventory feeds three consumers (both self-join sides
-    // + the size table); without the checkpoint boundary the explode+df
-    // join would recompute per consumer
+    // the capped_collect bucket table feeds both consumers (pair explode +
+    // size explode) from one checkpoint; without the boundary the
+    // explode+bucket agg would recompute per consumer
     assert(formatted(df).contains("ExistingRDD"),
-      "df-capped gram inventory lost its materialize-once boundary")
+      "gram bucket inventory lost its materialize-once boundary")
+    // pairs come from narrow in-bucket explodes, not a gram-keyed
+    // self-join: no join sits below the pair aggregation
+    assert(countNodes(df, "SortMergeJoin") === 0)
+    assert(countNodes(df, "Generate") >= 3,
+      "pair generation regressed from in-bucket explodes")
+    assert(countShuffles(df) <= 2,
+      s"post-inventory shuffles grew:\n${formatted(df)}")
+  }
+
+  test("collocations: TakeOrdered top-k, partial-agg shuffles only, no global sort") {
+    val df = q("q_collocations")
+    assert(hasNode(df, "TakeOrderedAndProject"),
+      "top-k regressed to a global sort")
+    assert(!formatted(df).contains("rangepartitioning"),
+      "a rangepartitioning Exchange means a global sort crept in")
+    assert(countNodes(df, "CartesianProduct") === 0)
+    assert(countNodes(df, "BroadcastNestedLoopJoin") === 0)
+    // bigram counts + two unigram tables: three partial-agg shuffles, all
+    // map-side collapsed before moving (vocabulary-sized joins after)
+    assert(countShuffles(df) <= 3,
+      s"collocations grew extra exchanges:\n${formatted(df)}")
+  }
+
+  test("f2: lane sums partial-agg map-side — nothing input-sized shuffles") {
+    val df = q("q_f2_selfjoin")
+    // the signed lane sums collapse to ≤ lanes rows per task BEFORE the
+    // exchange (the partial_sum carries the shiftright vote)
+    assert(mentions(df, "partial_sum(CASE WHEN ((shiftright("),
+      "lane sums lost their map-side partial aggregation")
+    assert(countNodes(df, "SortMergeJoin") === 0)
+    assert(countNodes(df, "Window") === 0)
+    // the only nested-loop is the 1-row est × 1-row exact comparison join
+    assert(countNodes(df, "BroadcastNestedLoopJoin") <= 1)
+  }
+
+  test("hard negatives: label filter inside the join, bounded top-k, no window") {
+    val df = q("q_hard_negatives")
+    // the label inequality rides the JOIN condition — candidates of the
+    // query's own class are dropped BEFORE ranking, so top-k is exact
+    // among negatives (filtering after a generic knn would under-fill)
+    assert(mentions(df, "NOT (_hnCl"),
+      "label filter left the join condition — ranking now precedes it")
+    assert(mentions(df, "topk_agg"),
+      "ranking regressed from the bounded top-k aggregate")
+    assert(countNodes(df, "Window") === 0)
+    assert(!formatted(df).contains("rangepartitioning"))
   }
 
   test("token_shift: one token agg shuffle, broadcast totals, top-k as TakeOrdered") {
