@@ -158,6 +158,35 @@ class GraphSpec extends SparkSpec {
     assert(r1.forall { case (n, s) => s <= r0(n) && got(n)._1 <= s })
   }
 
+  test("neighborhoodSizes at p=8: second-precision registers converge and estimate tightly") {
+    import graft.functions.Sketches
+    // the precision parameter must be PROVEN, not just plumbed: the same
+    // converged-ball property at p=8 (256 registers vs p=4's 16), where
+    // the small-range estimator sits in its linear-counting regime and
+    // the 3-node component estimates within a few percent (p=4's ~26%
+    // relative error envelope is the documented demo trade-off)
+    val comp = Seq((1L, 2L), (2L, 1L), (2L, 3L), (3L, 2L), (10L, 11L), (11L, 10L))
+    val got = Graph.neighborhoodSizes(comp.toDF("src", "dst"), radius = 5, p = 8)
+      .select("node", "s", "est", "v").as[(Long, Long, Double, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3), r._4)).toMap
+    def direct(ns: Seq[Long]) = Sketches.hllEstimate(
+        Sketches.hllRegisters(ns.toDF("x"), col("x").cast("string"), p = 8), p = 8)
+      .select("s", "est").as[(Long, Double)].head()
+    val a = direct(Seq(1L, 2L, 3L))
+    val b = direct(Seq(10L, 11L))
+    assert(Seq(1L, 2L, 3L).map(n => got(n)._1) === Seq(a, a, a))
+    assert(Seq(10L, 11L).map(n => got(n)._1) === Seq(b, b))
+    // the estimator is deliberately raw (hllEstimate scaladoc: v is
+    // returned so the caller applies range corrections); in the
+    // small-range regime linear counting over v = untouched registers
+    // recovers the ball size within a few percent at m = 256
+    def lc(v: Long): Double = 256.0 * math.log(256.0 / v)
+    assert(math.abs(lc(got(1L)._2) - 3.0) / 3.0 <= 0.05,
+      s"p=8 linear-counting estimate of a 3-ball drifted: ${lc(got(1L)._2)}")
+    assert(math.abs(lc(got(10L)._2) - 2.0) / 2.0 <= 0.05,
+      s"p=8 linear-counting estimate of a 2-ball drifted: ${lc(got(10L)._2)}")
+  }
+
   test("triangleCounts: exact per-node counts; orientation finds each triangle once") {
     // K4 on {1,2,3,4} (every node in C(3,2)=3 triangles) plus a pendant
     // node 5 and an isolated edge 6-7; input deliberately messy: both
