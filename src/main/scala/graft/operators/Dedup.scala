@@ -766,4 +766,87 @@ object Dedup {
         coalesce(col("n_kept"), lit(0L)).as("n_kept"),
         coalesce(col("text_dedup"), lit("")).as("text_dedup"))
   }
+
+  /** Edit-distance near-identical key pairs — the ENTITY-RESOLUTION dedup
+    * modality (typo-level variants of short keys: names, titles, URLs,
+    * product labels) that the token-set operators above are blind to
+    * (one character edit barely moves Jaccard on characters and not at
+    * all on word shingles). EXACT: every distinct-key pair within
+    * Levenshtein `maxDist` is returned, none invented — candidate
+    * generation is the q-gram PREFIX FILTER (Chaudhuri-Ganti-Kaushik
+    * SIGMOD'06 / Xiao et al. Ed-Join, all-public) and every candidate is
+    * verified with the codegen'd `levenshtein`.
+    *
+    * Why it is complete: k edits alter at most k·q of a string's
+    * positional q-grams, so two strings within distance k share all but
+    * ≤ k·q grams from either side. Order all (gram, occurrence) keys by
+    * a global total order (document frequency ascending, gram/occ
+    * tie-break) and index only each string's k·q+1 SMALLEST keys: if the
+    * smallest shared gram x were outside a's prefix, a would own k·q+1
+    * grams below x, none shared (x is the smallest shared) —
+    * contradiction. So every true pair collides on both prefixes.
+    * Strings too short to own k·q+1 grams (length ≤ q·(k+1)-1) can be
+    * within distance k while sharing NO gram; they route through an
+    * all-pairs SHORT POOL against the length band |len diff| ≤ k
+    * (alphabet-bounded: there are only so many strings that short).
+    *
+    * Scale shape: everything runs on DISTINCT key strings (the entity
+    * vocabulary, orders of magnitude below row count); the prefix index
+    * carries k·q+1 rows per string regardless of how common its grams
+    * are — the hot-gram fanout a plain gram-inventory join suffers
+    * ("Customer#00000…" corpora share almost every bigram) is cut to the
+    * RAREST grams; candidates are verified by one narrow codegen'd
+    * `levenshtein` per pair, no cross join anywhere but the bounded
+    * short pool. Output: (name_a, name_b, dist), name_a < name_b, one
+    * row per distinct-string pair with dist ≤ maxDist.
+    */
+  def fuzzyKeyPairs(df: DataFrame, key: String, maxDist: Int,
+      q: Int = 2): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(maxDist >= 1, s"need maxDist >= 1, got $maxDist")
+    require(q >= 1, s"need q >= 1, got $q")
+    val prefixLen = maxDist * q + 1
+    val shortMax = q * (maxDist + 1) - 1 // longest string owning <= kq grams
+    val names = df.select(col(key).cast("string").as("name"))
+      .filter(col("name").isNotNull).distinct()
+      .withColumn("len", length(col("name")))
+      .localCheckpoint(true) // consumed by the gram path + the short pool
+    // positional q-gram bag: (gram, occurrence index) so repeats count
+    val bag = names
+      .select(col("name"), col("len"),
+        posexplode(expr(
+          s"transform(sequence(1, greatest(len - ${q - 1}, 0)), i -> substring(name, i, $q))"))
+          .as(Seq("pos", "g")))
+      .withColumn("occ",
+        row_number().over(Window.partitionBy("name", "g").orderBy("pos")))
+    // global rarity order over (gram, occ) keys — vocabulary-of-grams sized
+    val gdf = bag.groupBy("g", "occ").agg(count(lit(1)).as("gdf"))
+    val pref = bag.join(gdf, Seq("g", "occ"))
+      .withColumn("r", row_number().over(
+        Window.partitionBy("name").orderBy(col("gdf"), col("g"), col("occ"))))
+      .filter(col("r") <= prefixLen)
+      .select(col("g"), col("occ"), col("name"), col("len"))
+      .localCheckpoint(true) // both sides of the candidate self-join
+    val candGram = pref.select(col("g"), col("occ"),
+        col("name").as("name_a"), col("len").as("la"))
+      .join(pref.select(col("g"), col("occ"),
+        col("name").as("name_b"), col("len").as("lb")), Seq("g", "occ"))
+      .filter(col("name_a") < col("name_b") &&
+        abs(col("la") - col("lb")) <= maxDist)
+      .select("name_a", "name_b")
+    // short pool: strings that may share zero grams with a true partner
+    val shorts = names.filter(col("len") <= shortMax)
+    // either ORDER of a short/long pair must surface, so normalize with
+    // least/greatest instead of requiring the short side to sort first
+    val candShort = broadcast(
+        shorts.select(col("name").as("_sa"), col("len").as("la")))
+      .join(names.select(col("name").as("_sb"), col("len").as("lb")),
+        col("_sa") =!= col("_sb") &&
+          abs(col("la") - col("lb")) <= maxDist)
+      .select(least(col("_sa"), col("_sb")).as("name_a"),
+        greatest(col("_sa"), col("_sb")).as("name_b"))
+    candGram.union(candShort).distinct()
+      .withColumn("dist", levenshtein(col("name_a"), col("name_b")))
+      .filter(col("dist") <= maxDist)
+  }
 }

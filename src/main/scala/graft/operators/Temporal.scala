@@ -244,6 +244,59 @@ object Temporal {
     }.get
   }
 
+  /** Windowed funnel with DROP-OFF — the product-analytics complement of
+    * [[funnel]]: one row for EVERY user who entered the funnel, with how
+    * deep they got under a conversion window. Step i+1 must occur
+    * strictly after the user's step-i time and within `window` time
+    * units of their FIRST step (the industry-standard conversion-window
+    * semantics); progression is earliest-qualifying-event, as in
+    * [[funnel]]. Output: (user, steps_completed ≥ 1, t_first, t_last) —
+    * t_last = time of the deepest completed step. "Where does the funnel
+    * leak" is one `groupBy(steps_completed).count` over this.
+    *
+    * Shape: identical to [[funnel]] — per step one filtered scan
+    * (event-type pushed down), an equi join against the previous
+    * (shrinking) stage frame carrying only (user, t_first, t_prev), and
+    * a per-user partial agg; the drop-off report adds user-count-sized
+    * left joins. No per-user history sort, no window function, state
+    * bounded at 3 longs per user per stage.
+    */
+  def funnelWindowed(events: DataFrame, user: String, eventType: String,
+      ts: Column, steps: Seq[String], window: Long): DataFrame = {
+    require(steps.nonEmpty, "need at least one funnel step")
+    require(steps.distinct.size == steps.size, s"duplicate step in $steps")
+    require(window > 0, s"need window > 0, got $window")
+    val reserved = Seq("_ft", "_fts", "t_first", "t_prev", "steps_completed",
+      "t_last") ++ steps.indices.map(i => s"_fd$i")
+    require(!reserved.contains(user),
+      s"user column '$user' collides with funnelWindowed's internal columns")
+    val e = events.select(col(user), col(eventType).as("_ft"), ts.as("_fts"))
+    val s1 = e.filter(col("_ft") === steps.head)
+      .groupBy(user).agg(min("_fts").as("t_first"))
+      .withColumn("t_prev", col("t_first"))
+    // stage frames: (user, t_first, t_prev) — t_prev = this stage's time
+    val stages = steps.tail.scanLeft(s1) { (prev, step) =>
+      e.filter(col("_ft") === step).join(prev, user)
+        .filter(col("_fts") > col("t_prev") &&
+          col("_fts") <= col("t_first") + lit(window))
+        .groupBy(col(user))
+        .agg(max(col("t_first")).as("t_first"), min("_fts").as("t_prev"))
+    }
+    val report = stages.zipWithIndex.tail.foldLeft(
+        s1.select(col(user), col("t_first"), col("t_prev").as("_fd0"))) {
+      case (acc, (st, i)) =>
+        acc.join(st.select(col(user), col("t_prev").as(s"_fd$i")),
+          Seq(user), "left")
+    }
+    report.select(
+      col(user),
+      steps.indices.map(i =>
+        when(col(s"_fd$i").isNotNull, 1).otherwise(0)).reduce(_ + _)
+        .as("steps_completed"),
+      col("t_first"),
+      coalesce(steps.indices.reverse.map(i => col(s"_fd$i")): _*).as("t_last"))
+  }
+
   /** Interval (range) join without a nested loop: pair each probe row
     * whose `point` falls inside an interval row's `[lo, hi]` (both
     * inclusive, long-typed — scale decimals to integral units first so

@@ -329,6 +329,32 @@ object DedupQueries {
           docs.filter(col("doc_id") % 10 =!= 0),
           "doc_id", "text", shingleN = 3, minNum = 1, minDen = 2, maxDf = 10)
       }),
+
+    // edit-distance near-identical keys (entity-resolution dedup): all
+    // distinct p_name pairs within Levenshtein 2 — q-gram prefix-filter
+    // candidates, codegen'd levenshtein verify. Oracle = brute force over
+    // the distinct-name vocabulary.
+    Q("q_fuzzy_pairs", Some("""
+      |WITH n AS (SELECT DISTINCT p_name AS name FROM part)
+      |SELECT a.name AS name_a, b.name AS name_b,
+      |  CAST(levenshtein(a.name, b.name) AS INT) AS dist
+      |FROM n a JOIN n b ON a.name < b.name
+      |WHERE levenshtein(a.name, b.name) <= 2
+      |""".stripMargin.trim))(
+      (s, d) => Dedup.fuzzyKeyPairs(t(s, d, "part"), "p_name", maxDist = 2)),
+
+    // the same operator on the pathological common-prefix corpus
+    // ('Customer#00000…' shares nearly every bigram with every other
+    // name): the rarity-ordered prefix index is what keeps candidates
+    // near the true-pair count instead of the all-pairs square.
+    Q("q_fuzzy_entities", Some("""
+      |WITH n AS (SELECT DISTINCT c_name AS name FROM customer)
+      |SELECT a.name AS name_a, b.name AS name_b,
+      |  CAST(levenshtein(a.name, b.name) AS INT) AS dist
+      |FROM n a JOIN n b ON a.name < b.name
+      |WHERE levenshtein(a.name, b.name) <= 1
+      |""".stripMargin.trim))(
+      (s, d) => Dedup.fuzzyKeyPairs(t(s, d, "customer"), "c_name", maxDist = 1)),
   )
 
   /** Oracle-side SimHash over the portable hash: one row per (doc, token),

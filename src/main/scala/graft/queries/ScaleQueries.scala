@@ -399,6 +399,30 @@ object ScaleQueries {
         t(s, d, "events"), "user_id", "event_type",
         Tables.tsMillis(col("ts")), Seq("view", "click", "purchase"))),
 
+    // windowed funnel with drop-off: EVERY user who viewed, with how deep
+    // they got (click, then purchase) inside a 24 h conversion window of
+    // their first view — the "where does the funnel leak" report the
+    // completion-only funnel can't express. Same stepwise min-after-join
+    // shape; per-user state is 3 epoch-ms longs per stage.
+    Q("q_funnel_window", Some("""
+      |WITH e AS (SELECT user_id, event_type, epoch_ns(ts) // 1000000 AS ms FROM events),
+      |a AS (SELECT user_id, min(ms) AS t1 FROM e WHERE event_type = 'view' GROUP BY user_id),
+      |b AS (SELECT e.user_id, max(a.t1) AS t1, min(e.ms) AS t2 FROM e JOIN a ON e.user_id = a.user_id
+      |  WHERE e.event_type = 'click' AND e.ms > a.t1 AND e.ms <= a.t1 + 86400000 GROUP BY e.user_id),
+      |c AS (SELECT e.user_id, max(b.t1) AS t1, min(e.ms) AS t3 FROM e JOIN b ON e.user_id = b.user_id
+      |  WHERE e.event_type = 'purchase' AND e.ms > b.t2 AND e.ms <= b.t1 + 86400000 GROUP BY e.user_id)
+      |SELECT a.user_id,
+      |  1 + CASE WHEN b.user_id IS NULL THEN 0 ELSE 1 END
+      |    + CASE WHEN c.user_id IS NULL THEN 0 ELSE 1 END AS steps_completed,
+      |  a.t1 AS t_first,
+      |  COALESCE(c.t3, b.t2, a.t1) AS t_last
+      |FROM a LEFT JOIN b ON a.user_id = b.user_id LEFT JOIN c ON a.user_id = c.user_id
+      |""".stripMargin.trim))(
+      (s, d) => graft.operators.Temporal.funnelWindowed(
+        t(s, d, "events"), "user_id", "event_type",
+        Tables.tsMillis(col("ts")), Seq("view", "click", "purchase"),
+        window = 86400000L)),
+
     // KMV / theta sketch distinct users per event_type + the '__all__'
     // rollup MERGED from the per-type sketches (never rescanning events).
     // k=64 < 150 distinct users/type, so the (k-1)·2^60/h_k estimator is

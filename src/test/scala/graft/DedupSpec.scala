@@ -255,4 +255,59 @@ class DedupSpec extends SparkSpec {
     // 3 common ✓ (rt not in new doc).
     assert(got === Seq((10L, 1L, 3L, 4L), (10L, 2L, 3L, 4L)))
   }
+
+  private def lev(a: String, b: String): Int = {
+    val d = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
+      if (i == 0) j else if (j == 0) i else 0
+    }
+    for (i <- 1 to a.length; j <- 1 to b.length)
+      d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+        d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+    d(a.length)(b.length)
+  }
+
+  private def bruteFuzzy(names: Seq[String], k: Int): Set[(String, String, Int)] = {
+    val ds = names.distinct
+    (for {
+      a <- ds; b <- ds if a < b
+      d = lev(a, b) if d <= k
+    } yield (a, b, d)).toSet
+  }
+
+  test("fuzzyKeyPairs equals brute-force Levenshtein, typo-cluster case") {
+    val names = Seq("kitten", "sitten", "sittin", "sitting", "kitchen",
+      "mitten", "spark engine", "spark engines", "shuffle")
+    val df = names.zipWithIndex.map { case (n, i) => (i.toLong, n) }
+      .toDF("id", "name")
+    for (k <- 1 to 2) {
+      val got = Dedup.fuzzyKeyPairs(df, "name", maxDist = k)
+        .as[(String, String, Int)].collect().toSet
+      assert(got === bruteFuzzy(names, k), s"mismatch at maxDist=$k")
+    }
+  }
+
+  test("fuzzyKeyPairs: short strings route through the all-pairs pool, still exact") {
+    // every string here is at or below the short-pool bound for k=2,q=2
+    // (len <= 5) — pairs may share ZERO bigrams yet be within distance 2
+    val names = Seq("ab", "cd", "a", "abc", "xy", "xyz", "q")
+    val df = names.zipWithIndex.map { case (n, i) => (i.toLong, n) }
+      .toDF("id", "name")
+    val got = Dedup.fuzzyKeyPairs(df, "name", maxDist = 2)
+      .as[(String, String, Int)].collect().toSet
+    assert(got === bruteFuzzy(names, 2))
+    assert(got.contains(("ab", "cd", 2)), "zero-shared-gram pair must surface")
+  }
+
+  test("fuzzyKeyPairs: randomized strings equal brute force; duplicates collapse") {
+    val rnd = new scala.util.Random(7)
+    val alphabet = "abcde"
+    val names = Seq.fill(120)(
+      (0 until (3 + rnd.nextInt(8))).map(_ => alphabet(rnd.nextInt(5))).mkString)
+    val df = (names ++ names.take(30)) // row-level duplicates
+      .zipWithIndex.map { case (n, i) => (i.toLong, n) }.toDF("id", "name")
+    val got = Dedup.fuzzyKeyPairs(df, "name", maxDist = 1, q = 2)
+      .as[(String, String, Int)].collect().toSeq
+    assert(got.size === got.distinct.size, "one row per distinct pair")
+    assert(got.toSet === bruteFuzzy(names, 1))
+  }
 }

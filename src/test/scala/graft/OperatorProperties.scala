@@ -95,6 +95,41 @@ object OperatorProperties extends Properties("graft.operators") {
     }
   }
 
+  property("funnelWindowed == sequential replay with conversion window; covers every entrant") = {
+    val eventsGen: Gen[List[(Long, String, Long)]] = for {
+      n <- Gen.choose(0, 40)
+      rows <- Gen.listOfN(n, for {
+        u <- Gen.choose(1L, 5L)
+        t <- Gen.oneOf("view", "click", "purchase", "error")
+        ms <- Gen.choose(0L, 50L)
+      } yield (u, t, ms))
+    } yield rows
+    forAll(eventsGen, Gen.choose(1L, 30L)) { (rows, w) =>
+      val got = Temporal.funnelWindowed(rows.toDF("user_id", "event_type", "ms"),
+          "user_id", "event_type", col("ms"),
+          Seq("view", "click", "purchase"), window = w)
+        .as[(Long, Int, Long, Long)].collect().toSet
+      val expected = rows.groupBy(_._1).flatMap { case (u, es) =>
+        def firstIn(step: String, after: Long, deadline: Long): Option[Long] = {
+          val c = es.collect {
+            case (_, t, ms) if t == step && ms > after && ms <= deadline => ms
+          }
+          if (c.isEmpty) None else Some(c.min)
+        }
+        val entered = es.collect { case (_, "view", ms) => ms }
+        if (entered.isEmpty) None
+        else {
+          val t1 = entered.min
+          val t2 = firstIn("click", t1, t1 + w)
+          val t3 = t2.flatMap(x => firstIn("purchase", x, t1 + w))
+          val done = 1 + t2.size + t3.size
+          Some((u, done, t1, t3.orElse(t2).getOrElse(t1)))
+        }
+      }.toSet
+      got == expected
+    }
+  }
+
   property("CMS on random streams: est >= exact under forced collisions; halves merge to whole") =
     forAll(Gen.listOf(Gen.oneOf(vocab))) { toks =>
       import graft.functions.Sketches
