@@ -849,4 +849,28 @@ object Dedup {
       .withColumn("dist", levenshtein(col("name_a"), col("name_b")))
       .filter(col("dist") <= maxDist)
   }
+
+  /** The frozen (gram, occurrence) → frequency artifact for ONLINE prefix
+    * selection ([[graft.streaming.StreamingDedup.fuzzyMatchAtIngest]]):
+    * the same positional q-gram bag [[fuzzyKeyPairs]] ranks, aggregated
+    * over a training corpus's distinct keys. The prefix-filter proof
+    * needs only a CONSISTENT total order, so a frozen order stays
+    * complete as new names arrive (unseen keys order as frequency 0).
+    * Output: (g, occ, gdf) — bounded by alphabet^q × max within-string
+    * repeats, a vocabulary-sized artifact.
+    */
+  def gramRarityTable(df: DataFrame, key: String, q: Int = 2): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(q >= 1, s"need q >= 1, got $q")
+    df.select(col(key).cast("string").as("name"))
+      .filter(col("name").isNotNull).distinct()
+      .withColumn("len", length(col("name")))
+      .select(col("name"),
+        posexplode(expr(
+          s"transform(sequence(1, greatest(len - ${q - 1}, 0)), i -> substring(name, i, $q))"))
+          .as(Seq("pos", "g")))
+      .withColumn("occ",
+        row_number().over(Window.partitionBy("name", "g").orderBy("pos")))
+      .groupBy("g", "occ").agg(count(lit(1)).as("gdf"))
+  }
 }

@@ -297,6 +297,36 @@ object Temporal {
       coalesce(steps.indices.reverse.map(i => col(s"_fd$i")): _*).as("t_last"))
   }
 
+  /** Retention cohort matrix — the third classic event-analytics shape
+    * next to [[funnel]] and sessionization: users are cohorted by the
+    * period of their FIRST activity, and each (cohort, offset) cell
+    * counts users from that cohort active `offset` periods later.
+    * Periods are exact integer buckets `ts div period` (pass epoch
+    * units + period in the same unit; integral division, so the bucket
+    * arithmetic is engine-portable).
+    *
+    * Shape: one distinct over (user, period) — activity collapses
+    * map-side to at most one row per user-period before the shuffle —
+    * then a user-keyed min agg and an equi join back, then the
+    * cohort-cell count (rows already distinct, so `count(*)` IS the
+    * distinct-user count; no count-distinct state). Nothing bigger than
+    * user×periods ever moves. Output: (cohort, week_offset,
+    * active_users); offset 0 row = cohort size.
+    */
+  def retentionCohorts(events: DataFrame, user: String, ts: Column,
+      period: Long): DataFrame = {
+    require(period > 0, s"need period > 0, got $period")
+    val e = events
+      .select(col(user).as("_ru"),
+        call_function("div", ts.cast("long"), lit(period)).as("_rp"))
+      .distinct()
+      .localCheckpoint(true) // both the cohort agg and the cell count
+    val first = e.groupBy("_ru").agg(min("_rp").as("cohort"))
+    e.join(first, Seq("_ru"))
+      .groupBy(col("cohort"), (col("_rp") - col("cohort")).as("week_offset"))
+      .agg(count(lit(1)).as("active_users"))
+  }
+
   /** Interval (range) join without a nested loop: pair each probe row
     * whose `point` falls inside an interval row's `[lo, hi]` (both
     * inclusive, long-typed — scale decimals to integral units first so

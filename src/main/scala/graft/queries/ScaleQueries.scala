@@ -423,6 +423,21 @@ object ScaleQueries {
         Tables.tsMillis(col("ts")), Seq("view", "click", "purchase"),
         window = 86400000L)),
 
+    // weekly retention cohorts: users cohorted by first-activity week,
+    // each (cohort, offset) cell = users from that cohort active offset
+    // weeks later. One (user, week) distinct + user-keyed min + cell
+    // count — nothing bigger than user x weeks moves.
+    Q("q_retention", Some("""
+      |WITH e AS (SELECT DISTINCT user_id, epoch_ns(ts) // 604800000000000 AS p FROM events),
+      |f AS (SELECT user_id, min(p) AS cohort FROM e GROUP BY 1)
+      |SELECT f.cohort, CAST(e.p - f.cohort AS BIGINT) AS week_offset,
+      |  count(*) AS active_users
+      |FROM e JOIN f ON e.user_id = f.user_id GROUP BY 1, 2
+      |""".stripMargin.trim))(
+      (s, d) => graft.operators.Temporal.retentionCohorts(
+        t(s, d, "events"), "user_id", col("ts"),
+        period = 604800000000000L)),
+
     // KMV / theta sketch distinct users per event_type + the '__all__'
     // rollup MERGED from the per-type sketches (never rescanning events).
     // k=64 < 150 distinct users/type, so the (k-1)·2^60/h_k estimator is

@@ -108,4 +108,95 @@ object StreamingDedup {
           out.iterator
       }
   }
+
+  final case class FuzzyMatch(name_a: String, name_b: String, dist: Int)
+
+  /** Online edit-distance matching at ingest — the streaming twin of
+    * [[Dedup.fuzzyKeyPairs]] (entity resolution at the door: "is this
+    * arriving name a typo-variant of one we already hold?"). Topology
+    * mirrors [[nearDupCandidates]]: per arriving name the k·q+1 rarest
+    * positional q-grams under a FROZEN rarity order
+    * ([[Dedup.gramRarityTable]], collected once — vocabulary-sized by
+    * construction) become the bucket keys; flatMapGroupsWithState keyed
+    * by (gram, occ) holds the names seen in that bucket and verifies
+    * exact Levenshtein against each. The prefix-filter completeness
+    * proof needs only a consistent total order, so the frozen artifact
+    * finds every true pair among ALL streamed names (unseen grams rank
+    * as frequency 0 — rarest, which only strengthens the prefix).
+    * Names short enough to share zero grams with a true partner
+    * (len ≤ q·(k+1)-1+k) additionally route through one dedicated short
+    * bucket — the online analogue of the batch short pool, population
+    * alphabet-bounded. A pair sharing several buckets can emit more than
+    * once — dedup downstream (the [[nearDupCandidates]] caveat).
+    * Duplicate arrivals of a name are absorbed (state keeps one copy).
+    */
+  def fuzzyMatchAtIngest(names: DataFrame, key: String,
+      rarity: Map[(String, Int), Long], maxDist: Int,
+      q: Int = 2): Dataset[FuzzyMatch] = {
+    require(maxDist >= 1, s"need maxDist >= 1, got $maxDist")
+    require(q >= 1, s"need q >= 1, got $q")
+    val spark = names.sparkSession
+    import spark.implicits._
+    val prefixLen = maxDist * q + 1
+    val shortCut = q * (maxDist + 1) - 1 + maxDist
+    val keyed = names.select(col(key).cast("string").as("n"))
+      .filter(col("n").isNotNull).as[String]
+      .flatMap { n =>
+        val grams = (0 to n.length - q).map(i => n.substring(i, i + q))
+        val withOcc = grams.zipWithIndex.map { case (g, i) =>
+          (g, grams.take(i).count(_ == g) + 1)
+        }
+        val prefix = withOcc
+          .sortBy { case (g, o) => (rarity.getOrElse((g, o), 0L), g, o) }
+          .take(prefixLen)
+        val short =
+          if (n.length <= shortCut) Seq(("", 0)) else Nil
+        (prefix ++ short).map { case (g, o) => (g, o, n) }
+      }
+    keyed.groupByKey(x => (x._1, x._2))
+      .flatMapGroupsWithState[List[String], FuzzyMatch](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout) {
+        (_, rows, state) =>
+          var seen = state.getOption.getOrElse(Nil)
+          val out = Seq.newBuilder[FuzzyMatch]
+          // ascending-name fold: deterministic across retries, as in
+          // StreamingSimilarity.semDedupAtIngest
+          rows.map(_._3).toSeq.distinct.sorted.foreach { n =>
+            if (!seen.contains(n)) {
+              seen.foreach { m =>
+                val d = levLocal(n, m)
+                if (d <= maxDist)
+                  out += FuzzyMatch(
+                    if (n < m) n else m, if (n < m) m else n, d)
+              }
+              seen = n :: seen
+            }
+          }
+          state.update(seen)
+          out.result().iterator
+      }
+  }
+
+  /** Plain DP Levenshtein for in-state verification (the batch operator
+    * uses the codegen'd expression; state folds run per bucket row).
+    */
+  private def levLocal(a: String, b: String): Int = {
+    if (a.isEmpty) return b.length
+    if (b.isEmpty) return a.length
+    var prev = Array.tabulate(b.length + 1)(identity)
+    var cur = new Array[Int](b.length + 1)
+    var i = 1
+    while (i <= a.length) {
+      cur(0) = i
+      var j = 1
+      while (j <= b.length) {
+        val cost = if (a.charAt(i - 1) == b.charAt(j - 1)) 0 else 1
+        cur(j) = math.min(math.min(prev(j) + 1, cur(j - 1) + 1), prev(j - 1) + cost)
+        j += 1
+      }
+      val t = prev; prev = cur; cur = t
+      i += 1
+    }
+    prev(b.length)
+  }
 }

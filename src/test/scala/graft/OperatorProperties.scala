@@ -130,6 +130,26 @@ object OperatorProperties extends Properties("graft.operators") {
     }
   }
 
+  property("retentionCohorts == sequential cohort replay on random activity") = {
+    val gen: Gen[List[(Long, Long)]] = for {
+      n <- Gen.choose(0, 60)
+      rows <- Gen.listOfN(n, for {
+        u <- Gen.choose(1L, 6L)
+        ts <- Gen.choose(0L, 99L) // period 10 → offsets 0..9
+      } yield (u, ts))
+    } yield rows
+    forAll(gen) { rows =>
+      val got = Temporal.retentionCohorts(rows.toDF("user_id", "ts"),
+          "user_id", col("ts"), period = 10L)
+        .as[(Long, Long, Long)].collect().toSet
+      val periods = rows.map { case (u, ts) => (u, ts / 10) }.distinct
+      val cohort = periods.groupBy(_._1).view.mapValues(_.map(_._2).min).toMap
+      val expected = periods.groupBy { case (u, p) => (cohort(u), p - cohort(u)) }
+        .map { case ((c, o), us) => (c, o, us.size.toLong) }.toSet
+      got == expected
+    }
+  }
+
   property("CMS on random streams: est >= exact under forced collisions; halves merge to whole") =
     forAll(Gen.listOf(Gen.oneOf(vocab))) { toks =>
       import graft.functions.Sketches

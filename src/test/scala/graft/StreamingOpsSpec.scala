@@ -1189,6 +1189,40 @@ class StreamingOpsSpec extends SparkSpec {
     assert(after === streamed, "batch replay must not advance the ranks")
   }
 
+  test("fuzzy match at ingest: streamed typo variants equal the batch operator") {
+    // entity resolution at the door: frozen gram-rarity artifact trained
+    // in batch, arriving names prefix-indexed against it, in-bucket exact
+    // Levenshtein. Deduped stream output == batch fuzzyKeyPairs over all
+    // streamed names, including a cross-batch pair, a short-pool pair
+    // (zero shared bigrams), and a name unseen at training time.
+    import graft.operators.Dedup
+    import graft.streaming.StreamingDedup
+    val train = Seq("kitten", "mitten", "sitting", "ab").toDF("name")
+    val rarity = Dedup.gramRarityTable(train, "name", q = 2)
+      .as[(String, Int, Long)].collect()
+      .map { case (g, o, c) => (g, o) -> c }.toMap
+    val mem = MemoryStream[String]
+    val out = StreamingDedup.fuzzyMatchAtIngest(
+      mem.toDF().toDF("name"), "name", rarity, maxDist = 2)
+    val q = out.writeStream.format("memory").queryName("fuzzy_sink")
+      .outputMode("append").start()
+    val batch1 = Seq("kitten", "ab", "sitting", "kitten") // dup arrival
+    val batch2 = Seq("sitten", "cd", "bitten", "zzzzzz")  // sitten unseen in training
+    try {
+      mem.addData(batch1: _*); q.processAllAvailable()
+      mem.addData(batch2: _*); q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.table("fuzzy_sink")
+      .select("name_a", "name_b", "dist")
+      .as[(String, String, Int)].collect().toSet // multi-bucket emits dedup here
+    val all = (batch1 ++ batch2).toDF("name")
+    val batch = Dedup.fuzzyKeyPairs(all, "name", maxDist = 2)
+      .as[(String, String, Int)].collect().toSet
+    assert(streamed === batch)
+    assert(streamed.contains(("kitten", "sitten", 1)), "cross-batch pair")
+    assert(streamed.contains(("ab", "cd", 2)), "zero-shared-gram short pair")
+  }
+
   test("quarantine guard: sustained failure aborts the batch instead of DLQing everything") {
     // the environmental case: EVERY sub-batch fails (sink down). The
     // harness must not reroute the whole healthy batch row-by-row into
