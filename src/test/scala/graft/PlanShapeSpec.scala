@@ -745,6 +745,43 @@ class PlanShapeSpec extends SparkSpec {
     assert(!formatted(df).contains("rangepartitioning"))
   }
 
+  test("fuzzy pairs: hash join on prefix gram keys; nested loop only for the bounded short pool") {
+    val df = q("q_fuzzy_entities")
+    assert(countNodes(df, "CartesianProduct") === 0)
+    assert(countNodes(df, "SortMergeJoin") === 0)
+    // the candidate join is an equi-join on (gram, occ); the ONE nested
+    // loop is the short pool, whose broadcast side is length-filtered to
+    // the alphabet-bounded short strings
+    assert(countNodes(df, "BroadcastNestedLoopJoin") <= 1)
+    assert(hasNode(df, "BroadcastHashJoin"),
+      "prefix candidate generation regressed from the gram equi-join")
+    // the prefix index feeds both self-join sides from one checkpoint
+    assert(formatted(df).contains("ExistingRDD"),
+      "prefix index lost its materialize-once boundary")
+  }
+
+  test("funnel_window: event-type pushed to every stage scan, no window operator") {
+    val df = q("q_funnel_window")
+    val pushed = pushedFilters(df)
+    for (step <- Seq("view", "click", "purchase"))
+      assert(pushed.exists(_.contains(s"EqualTo(event_type,$step)")),
+        s"stage '$step' lost its scan-level pushdown")
+    assert(countNodes(df, "Window") === 0)
+    assert(countNodes(df, "CartesianProduct") === 0)
+    assert(!formatted(df).contains("rangepartitioning"))
+  }
+
+  test("retention: distinct + cohort agg + cell count — three shuffles, no window") {
+    val df = q("q_retention")
+    assert(countShuffles(df) <= 3,
+      s"retention grew extra exchanges:\n${formatted(df)}")
+    assert(countNodes(df, "Window") === 0)
+    assert(countNodes(df, "CartesianProduct") === 0)
+    // the cell count runs on already-distinct (user, period) rows — no
+    // count-distinct expand anywhere
+    assert(!formatted(df).contains("Expand"))
+  }
+
   test("token_shift: one token agg shuffle, broadcast totals, top-k as TakeOrdered") {
     val df = q("q_token_shift")
     assert(hasNode(df, "TakeOrderedAndProject"),
