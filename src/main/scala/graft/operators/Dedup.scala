@@ -850,6 +850,39 @@ object Dedup {
       .filter(col("dist") <= maxDist)
   }
 
+  /** Entity canonicalization — the apply half of [[fuzzyKeyPairs]]:
+    * typo-variant pairs close into connected components
+    * ([[resolveComponentsStar]] over 60-bit [[portableHash64]] name ids —
+    * large-star/small-star, the same machinery as document dedup) and
+    * every name maps to its component's lexicographically smallest
+    * member. "Normalize this column's spelling variants" is then one
+    * join against this table. Names with no fuzzy partner are their own
+    * canonical. Component membership is label-domain-agnostic, so
+    * resolving on hashed ids and re-deriving the canonical as min(name)
+    * per component is exact (and the oracle replays the identical
+    * hashes). Output: (name, canonical_name).
+    */
+  def resolveFuzzyEntities(df: DataFrame, key: String, maxDist: Int,
+      q: Int = 2): DataFrame = {
+    val names = df.select(col(key).cast("string").as("name"))
+      .filter(col("name").isNotNull).distinct()
+      .withColumn("_feH", portableHash64(col("name")))
+      .localCheckpoint(true) // pairs derive from it; labeling joins back
+    val pairs = fuzzyKeyPairs(names, "name", maxDist, q)
+    val comp = resolveComponentsStar(
+      pairs.select(portableHash64(col("name_a")).as("a_id"),
+        portableHash64(col("name_b")).as("b_id")),
+      "a_id", "b_id")
+    val labeled = names
+      .join(comp.withColumnRenamed("node", "_feH"), Seq("_feH"), "left")
+      .select(col("name"),
+        coalesce(col("canonical"), col("_feH")).as("_feC"))
+    labeled
+      .join(labeled.groupBy("_feC").agg(min(col("name")).as("canonical_name")),
+        Seq("_feC"))
+      .select("name", "canonical_name")
+  }
+
   /** The frozen (gram, occurrence) → frequency artifact for ONLINE prefix
     * selection ([[graft.streaming.StreamingDedup.fuzzyMatchAtIngest]]):
     * the same positional q-gram bag [[fuzzyKeyPairs]] ranks, aggregated

@@ -355,6 +355,32 @@ object DedupQueries {
       |WHERE levenshtein(a.name, b.name) <= 1
       |""".stripMargin.trim))(
       (s, d) => Dedup.fuzzyKeyPairs(t(s, d, "customer"), "c_name", maxDist = 1)),
+
+    // entity canonicalization: typo-variant pairs close into components
+    // (large-star/small-star over hashed name ids), every name normalized
+    // to its component's lexicographic minimum. Oracle replays the hash,
+    // the recursive-CTE closure, and the min-name collapse.
+    Q("q_fuzzy_resolve", Some("""
+      |WITH RECURSIVE n AS (SELECT DISTINCT p_name AS name FROM part),
+      |h AS (SELECT name, ('0x' || substring(md5(name), 1, 15))::BIGINT AS hid FROM n),
+      |p0 AS (SELECT a.name AS na, b.name AS nb FROM n a JOIN n b ON a.name < b.name
+      |  WHERE levenshtein(a.name, b.name) <= 2),
+      |pairs AS (SELECT ha.hid AS a_id, hb.hid AS b_id FROM p0
+      |  JOIN h ha ON p0.na = ha.name JOIN h hb ON p0.nb = hb.name),
+      |edges AS (SELECT a_id AS a, b_id AS b FROM pairs
+      |  UNION SELECT b_id, a_id FROM pairs),
+      |reach(node, l) AS (
+      |  SELECT a, a FROM edges
+      |  UNION
+      |  SELECT e.a, r.l FROM edges e JOIN reach r ON e.b = r.node),
+      |comp AS (SELECT node, min(l) AS canonical FROM reach GROUP BY node),
+      |lab AS (SELECT h.name, coalesce(c.canonical, h.hid) AS cl
+      |  FROM h LEFT JOIN comp c ON h.hid = c.node),
+      |can AS (SELECT cl, min(name) AS canonical_name FROM lab GROUP BY cl)
+      |SELECT l.name, c.canonical_name FROM lab l JOIN can c USING (cl)
+      |""".stripMargin.trim))(
+      (s, d) => Dedup.resolveFuzzyEntities(t(s, d, "part"), "p_name",
+        maxDist = 2)),
   )
 
   /** Oracle-side SimHash over the portable hash: one row per (doc, token),

@@ -298,6 +298,18 @@ class DedupSpec extends SparkSpec {
     assert(got.contains(("ab", "cd", 2)), "zero-shared-gram pair must surface")
   }
 
+  test("resolveFuzzyEntities: transitive chains share one canonical; singletons self-map") {
+    // aaaa—aaab—aabb chain under maxDist=1: the ends are distance 2 apart
+    // yet must land in ONE component via the middle link
+    val names = Seq("aaaa", "aaab", "aabb", "zzzz", "aaaa") // dup row
+    val got = Dedup.resolveFuzzyEntities(
+        names.zipWithIndex.map { case (n, i) => (i.toLong, n) }.toDF("id", "name"),
+        "name", maxDist = 1)
+      .as[(String, String)].collect().toMap
+    assert(got === Map("aaaa" -> "aaaa", "aaab" -> "aaaa", "aabb" -> "aaaa",
+      "zzzz" -> "zzzz"))
+  }
+
   test("fuzzyKeyPairs: randomized strings equal brute force; duplicates collapse") {
     val rnd = new scala.util.Random(7)
     val alphabet = "abcde"
