@@ -524,6 +524,42 @@ object Dedup {
       .distinct()
   }
 
+  /** INCREMENTAL connected components — the daily-ingest twin of
+    * [[resolveComponentsStar]], closing the incremental dedup loop
+    * ([[nearDupPairsAgainst]] / [[containmentPairsAgainst]] find the new
+    * pairs; this folds them into the standing family structure without
+    * ever revisiting the historical pair graph). A standing (node,
+    * canonical) labeling IS its components' connectivity collapsed to
+    * depth-1 stars, so re-running star contraction over
+    * {standing star edges} ∪ {new pairs} yields exactly the components
+    * of {all old pairs} ∪ {new pairs} — and converges in rounds
+    * proportional to the NEW edges' chain depth, because the history is
+    * already contracted. The edge set fed per refresh is
+    * labeled-nodes + batch-pairs sized, never history-pairs sized.
+    * Output: the refreshed (node, canonical) labeling (replace the
+    * standing artifact with it).
+    */
+  def resolveComponentsIncremental(standing: DataFrame,
+      newPairs: DataFrame, aCol: String, bCol: String,
+      maxIters: Int = 50): DataFrame = {
+    val np = newPairs.select(col(aCol).cast("long").as("_ciA"),
+      col(bCol).cast("long").as("_ciB"))
+    val merged = resolveComponentsStar(
+      np.unionByName(standing.select(
+        col("node").cast("long").as("_ciA"),
+        col("canonical").cast("long").as("_ciB"))),
+      "_ciA", "_ciB", maxIters)
+    // star resolution drops self-edges, so a standing row whose whole
+    // component is one self-labeled node would vanish — keep the full
+    // node universe, singletons self-labeled
+    val universe = standing.select(col("node").cast("long").as("node"))
+      .unionByName(np.select(col("_ciA").as("node")))
+      .unionByName(np.select(col("_ciB").as("node")))
+      .distinct()
+    universe.join(merged, Seq("node"), "left")
+      .select(col("node"), coalesce(col("canonical"), col("node")).as("canonical"))
+  }
+
   /** Best-representative collapse of near-duplicate families: keep, per
     * connected component, the member with the HIGHEST `score` (longest
     * text, best quality score, newest crawl, …) instead of the arbitrary

@@ -121,6 +121,38 @@ object DedupQueries {
           minNum = 4, minDen = 5),
         "a_id", "b_id")),
 
+    // INCREMENTAL component refresh: standing labels from the % 10 != 0
+    // history collapse old connectivity to depth-1 stars; folding the
+    // batch's new pairs into {star edges ∪ new pairs} must equal the
+    // full closure over ALL pairs — so the oracle is the same recursive
+    // CTE as q_dedup_components, and the hash match IS the correctness
+    // theorem of the incremental path.
+    Q("q_dedup_components_incremental", Some((shinglesSql +
+      """
+        |, pairs AS (
+        |  SELECT a.doc_id AS a_id, b.doc_id AS b_id
+        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |  WHERE 5 * len(list_intersect(a.s, b.s)) >= 4 * len(list_distinct(list_concat(a.s, b.s)))),
+        |edges AS (SELECT a_id AS a, b_id AS b FROM pairs
+        |  UNION SELECT b_id, a_id FROM pairs),
+        |reach(node, l) AS (
+        |  SELECT a, a FROM edges
+        |  UNION
+        |  SELECT e.a, r.l FROM edges e JOIN reach r ON e.b = r.node)
+        |SELECT node, min(l) AS canonical FROM reach GROUP BY node""".stripMargin)
+        .replaceFirst("WITH toks", "WITH RECURSIVE toks")))(
+      (s, d) => {
+        val pairs = Dedup.nearDupPairs(spread(s, d), "doc_id", "text",
+          shingleN = 3, minNum = 4, minDen = 5)
+        val oldSide = pairs.filter(
+          col("a_id") % 10 =!= 0 && col("b_id") % 10 =!= 0)
+        val newSide = pairs.filter(
+          col("a_id") % 10 === 0 || col("b_id") % 10 === 0)
+        Dedup.resolveComponentsIncremental(
+          Dedup.resolveComponentsStar(oldSide, "a_id", "b_id"),
+          newSide, "a_id", "b_id")
+      }),
+
     // best-representative collapse: same components as q_dedup_components,
     // but the survivor is the LONGEST member (max n_chars, ties to min id)
     // instead of the min id — the keep-the-best-copy policy a quality-aware

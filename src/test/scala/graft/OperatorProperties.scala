@@ -130,6 +130,32 @@ object OperatorProperties extends Properties("graft.operators") {
     }
   }
 
+  property("resolveComponentsIncremental over any edge split == full-batch components") = {
+    val gen: Gen[(List[(Long, Long)], Int)] = for {
+      n <- Gen.choose(0, 25)
+      edges <- Gen.listOfN(n, for {
+        a <- Gen.choose(1L, 12L); b <- Gen.choose(1L, 12L)
+      } yield (a, b))
+      split <- Gen.choose(0, n)
+    } yield (edges, split)
+    forAll(gen) { case (edges, split) =>
+      val full = Dedup.resolveComponentsStar(
+          edges.toDF("a", "b"), "a", "b")
+        .as[(Long, Long)].collect().toSet
+      val (old, fresh) = edges.splitAt(split)
+      val standing = Dedup.resolveComponentsStar(old.toDF("a", "b"), "a", "b")
+      val inc = Dedup.resolveComponentsIncremental(
+          standing, fresh.toDF("a", "b"), "a", "b")
+        .as[(Long, Long)].collect().toSet
+      // the incremental universe keeps every historical node (incl. ones
+      // whose partners were self-loops); compare on the full path's nodes
+      // plus check incremental's extras are self-labeled singletons
+      val fullNodes = full.map(_._1)
+      inc.filter(p => fullNodes(p._1)) == full &&
+        inc.filterNot(p => fullNodes(p._1)).forall(p => p._1 == p._2)
+    }
+  }
+
   property("retentionCohorts == sequential cohort replay on random activity") = {
     val gen: Gen[List[(Long, Long)]] = for {
       n <- Gen.choose(0, 60)
