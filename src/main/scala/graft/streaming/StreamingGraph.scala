@@ -81,6 +81,57 @@ object StreamingGraph {
     next
   }
 
+  /** Dedup-family maintenance at ingest: near-dup PAIRS arrive per
+    * micro-batch (from [[StreamingDedup.nearDupCandidates]],
+    * [[StreamingDedup.fuzzyMatchAtIngest]], or a batch
+    * `nearDupPairsAgainst` over the day's documents) and the standing
+    * (node, canonical) family labeling refreshes via
+    * [[graft.operators.Dedup.resolveComponentsIncremental]] — star
+    * contraction over {standing star edges ∪ new pairs}, so the
+    * historical pair graph is NEVER re-read and convergence tracks only
+    * the new edges' chain depth. Artifact layout and replay-idempotence
+    * (`pairs/batch=N` slices, `components/v=N` versions, pre-state =
+    * latest version below the batch id) are exactly
+    * [[pageRankAtIngest]]'s.
+    */
+  def componentsAtIngest(stateDir: String): (DataFrame, Long) => Unit =
+    (batch, batchId) => { ingestPairs(batch, stateDir, batchId); () }
+
+  /** One micro-batch of pair ingest, idempotent in `batchId`. `newPairs`
+    * must carry long-castable `a_id`, `b_id`. Returns the refreshed
+    * labeling.
+    */
+  def ingestPairs(newPairs: DataFrame, stateDir: String,
+      batchId: Long): DataFrame = {
+    val spark = newPairs.sparkSession
+    newPairs
+      .select(col("a_id").cast("long").as("a_id"),
+        col("b_id").cast("long").as("b_id"))
+      .write.mode("overwrite").parquet(s"$stateDir/pairs/batch=$batchId")
+    val slice = spark.read.parquet(s"$stateDir/pairs/batch=$batchId")
+    val pre = standingComponents(spark, stateDir, below = Some(batchId))
+    val next = graft.operators.Dedup
+      .resolveComponentsIncremental(pre, slice, "a_id", "b_id")
+      .localCheckpoint(true)
+    next.write.mode("overwrite").parquet(s"$stateDir/components/v=$batchId")
+    next
+  }
+
+  /** The standing (node, canonical) labeling — versioned like
+    * [[standingRanks]]; empty two-column frame before the first refresh.
+    */
+  def standingComponents(spark: SparkSession, stateDir: String,
+      below: Option[Long] = None): DataFrame = {
+    val versions = artifactVersions(stateDir, "components")
+      .filter(v => below.forall(v < _))
+    versions.maxOption match {
+      case Some(v) => spark.read.parquet(s"$stateDir/components/v=$v")
+      case None => spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        StructType.fromDDL("node BIGINT, canonical BIGINT"))
+    }
+  }
+
   /** The standing rank artifact: the latest `ranks/v=N` with N below the
     * given bound (exclusive), or an empty (node, pr_rank) frame before
     * the first refresh. `below = None` reads the newest version — the
@@ -98,8 +149,11 @@ object StreamingGraph {
     }
   }
 
-  private def rankVersions(stateDir: String): Seq[Long] = {
-    val dir = Paths.get(stateDir, "ranks")
+  private def rankVersions(stateDir: String): Seq[Long] =
+    artifactVersions(stateDir, "ranks")
+
+  private def artifactVersions(stateDir: String, artifact: String): Seq[Long] = {
+    val dir = Paths.get(stateDir, artifact)
     if (!Files.isDirectory(dir)) Nil
     else {
       val it = Files.list(dir)

@@ -1223,6 +1223,41 @@ class StreamingOpsSpec extends SparkSpec {
     assert(streamed.contains(("ab", "cd", 2)), "zero-shared-gram short pair")
   }
 
+  test("components at ingest: standing families equal the full-history closure, replay-idempotent") {
+    // dedup-family maintenance: pairs arrive per batch, the standing
+    // (node, canonical) labeling refreshes incrementally — and must equal
+    // the batch components over ALL pairs ever seen (the star-collapse
+    // theorem), including a bridge pair that MERGES two standing families
+    import graft.operators.Dedup
+    import graft.streaming.StreamingGraph
+    val root = java.nio.file.Files.createTempDirectory("graft_cc_ingest").toString
+    val state = s"$root/state"
+    val b1 = Seq((1L, 2L), (2L, 3L), (10L, 11L)) // families {1,2,3}, {10,11}
+    val b2 = Seq((3L, 10L), (20L, 21L))          // bridge merges them; new family
+
+    val mem = MemoryStream[(Long, Long)]
+    val q = mem.toDF().toDF("a_id", "b_id").writeStream
+      .option("checkpointLocation", s"$root/ckpt")
+      .foreachBatch(StreamingGraph.componentsAtIngest(state))
+      .start()
+    try {
+      mem.addData(b1: _*); q.processAllAvailable()
+      mem.addData(b2: _*); q.processAllAvailable()
+    } finally q.stop()
+
+    val streamed = StreamingGraph.standingComponents(spark, state)
+      .as[(Long, Long)].collect().toMap
+    val full = Dedup.resolveComponentsStar((b1 ++ b2).toDF("a", "b"), "a", "b")
+      .as[(Long, Long)].collect().toMap
+    assert(streamed === full)
+    assert(streamed(11L) === 1L, "bridged families must share one canonical")
+
+    // replaying the last batch id re-derives from the same pre-state
+    StreamingGraph.ingestPairs(b2.toDF("a_id", "b_id"), state, batchId = 1L)
+    assert(StreamingGraph.standingComponents(spark, state)
+      .as[(Long, Long)].collect().toMap === streamed)
+  }
+
   test("quarantine guard: sustained failure aborts the batch instead of DLQing everything") {
     // the environmental case: EVERY sub-batch fails (sink down). The
     // harness must not reroute the whole healthy batch row-by-row into
