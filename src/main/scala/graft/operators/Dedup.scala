@@ -808,82 +808,191 @@ object Dedup {
     * product labels) that the token-set operators above are blind to
     * (one character edit barely moves Jaccard on characters and not at
     * all on word shingles). EXACT: every distinct-key pair within
-    * Levenshtein `maxDist` is returned, none invented — candidate
-    * generation is the q-gram PREFIX FILTER (Chaudhuri-Ganti-Kaushik
-    * SIGMOD'06 / Xiao et al. Ed-Join, all-public) and every candidate is
-    * verified with the codegen'd `levenshtein`.
+    * Levenshtein `maxDist` is returned, none invented — candidates come
+    * from one of two public filters, both verified with the codegen'd
+    * `levenshtein`, dispatched on `maxDist`:
     *
-    * Why it is complete: k edits alter at most k·q of a string's
-    * positional q-grams, so two strings within distance k share all but
-    * ≤ k·q grams from either side. Order all (gram, occurrence) keys by
-    * a global total order (document frequency ascending, gram/occ
-    * tie-break) and index only each string's k·q+1 SMALLEST keys: if the
-    * smallest shared gram x were outside a's prefix, a would own k·q+1
-    * grams below x, none shared (x is the smallest shared) —
-    * contradiction. So every true pair collides on both prefixes.
-    * Strings too short to own k·q+1 grams (length ≤ q·(k+1)-1) can be
-    * within distance k while sharing NO gram; they route through an
-    * all-pairs SHORT POOL against the length band |len diff| ≤ k
-    * (alphabet-bounded: there are only so many strings that short).
+    *  - `maxDist ≤ 2` → DELETION NEIGHBORHOODS ([[fuzzyPairsDeletes]],
+    *    FastSS / SymSpell): join strings on their ≤ k-deletion variants.
+    *    Far tighter buckets than any gram filter on repetitive-alphabet
+    *    keys (the zero-padded-id corpus: 1.5M candidates vs 10.4M for
+    *    the banded prefix filter at sf0.1 — 33 → 4 s end-to-end), at the
+    *    cost of ~(len+1)^k variants per string, which is only viable for
+    *    short keys and small k.
+    *  - `maxDist ≥ 3` → the q-gram PREFIX FILTER ([[fuzzyPairsPrefix]],
+    *    Chaudhuri-Ganti-Kaushik SIGMOD'06 / Xiao et al. Ed-Join), whose
+    *    index size is linear in k (k·q+1 rows per string).
     *
-    * Scale shape: everything runs on DISTINCT key strings (the entity
-    * vocabulary, orders of magnitude below row count); the prefix index
-    * carries k·q+1 rows per string regardless of how common its grams
-    * are — the hot-gram fanout a plain gram-inventory join suffers
-    * ("Customer#00000…" corpora share almost every bigram) is cut to the
-    * RAREST grams; candidates are verified by one narrow codegen'd
-    * `levenshtein` per pair, no cross join anywhere but the bounded
-    * short pool. Output: (name_a, name_b, dist), name_a < name_b, one
-    * row per distinct-string pair with dist ≤ maxDist.
+    * Output: (name_a, name_b, dist), name_a < name_b, one row per
+    * distinct-string pair with dist ≤ maxDist. `q` feeds the prefix
+    * path only.
     */
   def fuzzyKeyPairs(df: DataFrame, key: String, maxDist: Int,
       q: Int = 2): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     require(maxDist >= 1, s"need maxDist >= 1, got $maxDist")
     require(q >= 1, s"need q >= 1, got $q")
+    if (maxDist <= 2) fuzzyPairsDeletes(df, key, maxDist)
+    else fuzzyPairsPrefix(df, key, maxDist, q)
+  }
+
+  /** Deletion-neighborhood candidate filter (FastSS, Bocek et al. 2007;
+    * SymSpell — all public): two strings within edit distance k share a
+    * common string reachable from BOTH by ≤ k character deletions. Proof:
+    * fix an optimal alignment; deleting from `s` its substituted/deleted
+    * characters and from `t` its substituted/inserted characters (≤ k
+    * each) leaves both at the alignment's common subsequence. So joining
+    * every string's ≤ k-deletion variant set against itself catches every
+    * true pair; `levenshtein` then discards the false positives (shared
+    * variant but distance > k, e.g. "ab"/"ba" share "a" at k=1).
+    *
+    * Scale shape: runs on DISTINCT keys (the entity vocabulary); variants
+    * hash to 8 bytes before the self-join, so the shuffle carries
+    * ~(len+1)^k compact rows per string — and the variant buckets are
+    * near-unique even on corpora where every string shares every gram
+    * (the "Customer#00000…" pathology that defeats gram filters).
+    * Candidates dedup as hashed-id pairs BEFORE the verify (measured 3×:
+    * the duplicate factor of the variant join is the shared-variant
+    * count, and levenshtein inside the attach join re-runs per
+    * duplicate); names re-attach via a size-gated broadcast. The empty
+    * string is its own single variant, so zero-length and sub-q keys
+    * need no special pool here.
+    */
+  private[graft] def fuzzyPairsDeletes(df: DataFrame, key: String,
+      maxDist: Int): DataFrame = {
+    require(maxDist >= 1 && maxDist <= 2,
+      s"deletion neighborhoods need 1 <= maxDist <= 2, got $maxDist")
+    val names = df.select(col(key).cast("string").as("name"))
+      .filter(col("name").isNotNull).distinct()
+      .withColumn("len", length(col("name")))
+    // one deletion round; i = 0 deletes nothing (substring(v, 1, -1) = ""
+    // prefix + the whole string), so iterating k rounds yields the full
+    // <= k-deletion closure including the string itself
+    def delOnce(arr: String): String =
+      s"flatten(transform($arr, v -> transform(sequence(0, length(v)), " +
+        "i -> concat(substring(v, 1, i-1), substring(v, i+1, length(v)-i)))))"
+    val varsExpr = (1 to maxDist).foldLeft("array(name)")((a, _) => delOnce(a))
+    val vars = names
+      .select(portableHash64(col("name")).as("hid"), col("len"),
+        explode(expr(s"array_distinct($varsExpr)")).as("v"))
+      .select(portableHash64(col("v")).as("vh"), col("hid"), col("len"))
+    val cand = vars.select(col("vh"), col("hid").as("ha"), col("len").as("la"))
+      .join(vars.select(col("vh"), col("hid").as("hb"), col("len").as("lb")),
+        Seq("vh"))
+      .filter(col("ha") < col("hb") &&
+        abs(col("la") - col("lb")) <= maxDist)
+      .select("ha", "hb").distinct()
+    attachAndVerify(df, key, cand, maxDist)
+  }
+
+  /** q-gram prefix candidate filter (Chaudhuri-Ganti-Kaushik SIGMOD'06 /
+    * Xiao et al. Ed-Join, all-public) — the `maxDist ≥ 3` path, where
+    * deletion neighborhoods blow up combinatorially but the prefix index
+    * stays at k·q+1 rows per string.
+    *
+    * Why it is complete (Ed-Join's location-aware prefix filter): an
+    * optimal ≤ k-edit alignment preserves all but ≤ k·q of each side's
+    * positional gram INSTANCES, preserved instances are gram-equal with
+    * positions within k, and the alignment is monotone, so same-gram
+    * preserved instances pair up in positional order. Order every
+    * instance by (global gram frequency asc, gram, pos-within-string)
+    * and index each string's k·q+1 FIRST instances: take g* = the
+    * smallest gram with a preserved pair, and each side's EARLIEST
+    * preserved g*-instance — every instance ranked before it is
+    * destroyed (≤ k·q exist), so it sits inside the prefix, and by
+    * monotonicity the two earliest preserved g*-instances are partners
+    * of EACH OTHER. Hence every true pair collides on (gram, position
+    * band). Strings too short to own k·q+1 grams (length ≤ q·(k+1)-1)
+    * can be within distance k while sharing NO gram; they route through
+    * an all-pairs SHORT POOL against the length band |len diff| ≤ k
+    * (alphabet-bounded: there are only so many strings that short).
+    *
+    * Scale shape: runs on DISTINCT key strings; the prefix index carries
+    * k·q+1 rows per string regardless of how common its grams are — the
+    * hot-gram fanout a plain gram-inventory join suffers is cut to the
+    * RAREST grams — and the candidate join key is (gram, ⌊pos/(k+1)⌋)
+    * with one side replicated to the two neighbor bands, so instances of
+    * one gram at DISTANT positions never pair at all. Candidates dedup
+    * as 8-byte hashed-id pairs BEFORE the verify (the banded join's
+    * duplicate factor is small, but the verify's levenshtein rides the
+    * attach-join condition, so un-deduped candidates re-run it per
+    * duplicate — measured 3× on the customer corpus); no cross join
+    * anywhere but the bounded short pool.
+    */
+  private[graft] def fuzzyPairsPrefix(df: DataFrame, key: String,
+      maxDist: Int, q: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val prefixLen = maxDist * q + 1
     val shortMax = q * (maxDist + 1) - 1 // longest string owning <= kq grams
+    val bw = maxDist + 1 // position band width: |Δpos| ≤ k ⇒ bands differ ≤ 1
     val names = df.select(col(key).cast("string").as("name"))
       .filter(col("name").isNotNull).distinct()
       .withColumn("len", length(col("name")))
       .localCheckpoint(true) // consumed by the gram path + the short pool
-    // positional q-gram bag: (gram, occurrence index) so repeats count
+    // positional q-gram instances
     val bag = names
       .select(col("name"), col("len"),
         posexplode(expr(
           s"transform(sequence(1, greatest(len - ${q - 1}, 0)), i -> substring(name, i, $q))"))
           .as(Seq("pos", "g")))
-      .withColumn("occ",
-        row_number().over(Window.partitionBy("name", "g").orderBy("pos")))
-    // global rarity order over (gram, occ) keys — vocabulary-of-grams sized
-    val gdf = bag.groupBy("g", "occ").agg(count(lit(1)).as("gdf"))
-    val pref = bag.join(gdf, Seq("g", "occ"))
+    // global rarity order over grams — vocabulary-of-grams sized
+    val gdf = bag.groupBy("g").agg(count(lit(1)).as("gdf"))
+    val pref = bag.join(gdf, Seq("g"))
       .withColumn("r", row_number().over(
-        Window.partitionBy("name").orderBy(col("gdf"), col("g"), col("occ"))))
+        Window.partitionBy("name").orderBy(col("gdf"), col("g"), col("pos"))))
       .filter(col("r") <= prefixLen)
-      .select(col("g"), col("occ"), col("name"), col("len"))
+      .select(col("g"), col("pos"),
+        portableHash64(col("name")).as("hid"), col("len"))
       .localCheckpoint(true) // both sides of the candidate self-join
-    val candGram = pref.select(col("g"), col("occ"),
-        col("name").as("name_a"), col("len").as("la"))
-      .join(pref.select(col("g"), col("occ"),
-        col("name").as("name_b"), col("len").as("lb")), Seq("g", "occ"))
-      .filter(col("name_a") < col("name_b") &&
+    // banded candidate join: probe side replicated to its band ± 1, so a
+    // matching instance pair (|Δpos| ≤ k) lands in exactly one band key
+    val probe = pref.select(col("g"), explode(array(
+        (-1 to 1).map(o => floor(col("pos") / bw) + o): _*)).as("band"),
+      col("pos").as("pa"), col("hid").as("ha"), col("len").as("la"))
+    val build = pref.select(col("g"), floor(col("pos") / bw).as("band"),
+      col("pos").as("pb"), col("hid").as("hb"), col("len").as("lb"))
+    val candGram = probe.join(build, Seq("g", "band"))
+      .filter(col("ha") < col("hb") &&
+        abs(col("pa") - col("pb")) <= maxDist &&
         abs(col("la") - col("lb")) <= maxDist)
-      .select("name_a", "name_b")
+      .select("ha", "hb")
     // short pool: strings that may share zero grams with a true partner
     val shorts = names.filter(col("len") <= shortMax)
-    // either ORDER of a short/long pair must surface, so normalize with
-    // least/greatest instead of requiring the short side to sort first
     val candShort = broadcast(
-        shorts.select(col("name").as("_sa"), col("len").as("la")))
-      .join(names.select(col("name").as("_sb"), col("len").as("lb")),
+        shorts.select(portableHash64(col("name")).as("_sa"), col("len").as("la")))
+      .join(names.select(portableHash64(col("name")).as("_sb"),
+          col("len").as("lb")),
         col("_sa") =!= col("_sb") &&
           abs(col("la") - col("lb")) <= maxDist)
-      .select(least(col("_sa"), col("_sb")).as("name_a"),
-        greatest(col("_sa"), col("_sb")).as("name_b"))
-    candGram.union(candShort).distinct()
+      .select(least(col("_sa"), col("_sb")).as("ha"),
+        greatest(col("_sa"), col("_sb")).as("hb"))
+    attachAndVerify(df, key, candGram.union(candShort).distinct(), maxDist)
+  }
+
+  /** Shared tail of the fuzzy-pair paths: re-attach names to deduped
+    * hashed-id candidate pairs and verify with the codegen'd
+    * `levenshtein`. The attach lookup derives from the SOURCE frame, not
+    * a checkpoint: LogicalRDD stats are unknown (defaultSizeInBytes), so
+    * a checkpoint-derived side could never pass the broadcastIfSmall
+    * gate. The final distinct collapses 60-bit hash-collision artifacts
+    * (the attach join fans a collided id out to each colliding name).
+    */
+  private def attachAndVerify(df: DataFrame, key: String, cand: DataFrame,
+      maxDist: Int): DataFrame = {
+    val lookup = df.select(col(key).cast("string").as("name"))
+      .filter(col("name").isNotNull).distinct()
+      .select(portableHash64(col("name")).as("hid"), col("name"))
+    cand
+      .join(graft.plans.Hints.broadcastIfSmall(
+        lookup.withColumnRenamed("name", "_na")),
+        col("ha") === col("hid")).drop("hid")
+      .join(graft.plans.Hints.broadcastIfSmall(
+        lookup.withColumnRenamed("name", "_nb")),
+        col("hb") === col("hid")).drop("hid")
+      .select(least(col("_na"), col("_nb")).as("name_a"),
+        greatest(col("_na"), col("_nb")).as("name_b"))
       .withColumn("dist", levenshtein(col("name_a"), col("name_b")))
       .filter(col("dist") <= maxDist)
+      .distinct()
   }
 
   /** Entity canonicalization — the apply half of [[fuzzyKeyPairs]]:

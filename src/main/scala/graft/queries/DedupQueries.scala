@@ -363,9 +363,9 @@ object DedupQueries {
       }),
 
     // edit-distance near-identical keys (entity-resolution dedup): all
-    // distinct p_name pairs within Levenshtein 2 — q-gram prefix-filter
-    // candidates, codegen'd levenshtein verify. Oracle = brute force over
-    // the distinct-name vocabulary.
+    // distinct p_name pairs within Levenshtein 2 — deletion-neighborhood
+    // candidates (FastSS), codegen'd levenshtein verify. Oracle = brute
+    // force over the distinct-name vocabulary.
     Q("q_fuzzy_pairs", Some("""
       |WITH n AS (SELECT DISTINCT p_name AS name FROM part)
       |SELECT a.name AS name_a, b.name AS name_b,
@@ -376,9 +376,10 @@ object DedupQueries {
       (s, d) => Dedup.fuzzyKeyPairs(t(s, d, "part"), "p_name", maxDist = 2)),
 
     // the same operator on the pathological common-prefix corpus
-    // ('Customer#00000…' shares nearly every bigram with every other
-    // name): the rarity-ordered prefix index is what keeps candidates
-    // near the true-pair count instead of the all-pairs square.
+    // ('Customer#00000…' shares nearly every gram with every other name,
+    // the corpus that defeats gram-inventory filters): the deletion
+    // variants are near-unique bucket keys, so candidates stay near the
+    // true-pair count instead of the all-pairs square.
     Q("q_fuzzy_entities", Some("""
       |WITH n AS (SELECT DISTINCT c_name AS name FROM customer)
       |SELECT a.name AS name_a, b.name AS name_b,
@@ -386,7 +387,8 @@ object DedupQueries {
       |FROM n a JOIN n b ON a.name < b.name
       |WHERE levenshtein(a.name, b.name) <= 1
       |""".stripMargin.trim))(
-      (s, d) => Dedup.fuzzyKeyPairs(t(s, d, "customer"), "c_name", maxDist = 1)),
+      (s, d) => Dedup.fuzzyKeyPairs(t(s, d, "customer"), "c_name",
+        maxDist = 1)),
 
     // entity canonicalization: typo-variant pairs close into components
     // (large-star/small-star over hashed name ids), every name normalized

@@ -286,16 +286,32 @@ class DedupSpec extends SparkSpec {
     }
   }
 
-  test("fuzzyKeyPairs: short strings route through the all-pairs pool, still exact") {
-    // every string here is at or below the short-pool bound for k=2,q=2
-    // (len <= 5) — pairs may share ZERO bigrams yet be within distance 2
+  test("fuzzyKeyPairs: short strings exact on both candidate paths") {
+    // every string here is at or below the prefix path's short-pool bound
+    // for k=2,q=2 (len <= 5) — pairs may share ZERO bigrams yet be within
+    // distance 2; the deletes path needs no pool (variants reach "")
     val names = Seq("ab", "cd", "a", "abc", "xy", "xyz", "q")
     val df = names.zipWithIndex.map { case (n, i) => (i.toLong, n) }
       .toDF("id", "name")
-    val got = Dedup.fuzzyKeyPairs(df, "name", maxDist = 2)
+    val got = Dedup.fuzzyPairsDeletes(df, "name", maxDist = 2)
       .as[(String, String, Int)].collect().toSet
     assert(got === bruteFuzzy(names, 2))
     assert(got.contains(("ab", "cd", 2)), "zero-shared-gram pair must surface")
+    val gotPrefix = Dedup.fuzzyPairsPrefix(df, "name", maxDist = 2, q = 2)
+      .as[(String, String, Int)].collect().toSet
+    assert(gotPrefix === bruteFuzzy(names, 2))
+  }
+
+  test("fuzzyPairsPrefix: maxDist=3 equals brute force (the dispatch's gram path)") {
+    val rnd = new scala.util.Random(11)
+    val alphabet = "abcd"
+    val names = Seq.fill(90)(
+      (0 until (4 + rnd.nextInt(9))).map(_ => alphabet(rnd.nextInt(4))).mkString)
+    val df = names.zipWithIndex.map { case (n, i) => (i.toLong, n) }
+      .toDF("id", "name")
+    val got = Dedup.fuzzyKeyPairs(df, "name", maxDist = 3)
+      .as[(String, String, Int)].collect().toSet
+    assert(got === bruteFuzzy(names, 3))
   }
 
   test("resolveFuzzyEntities: transitive chains share one canonical; singletons self-map") {
@@ -317,9 +333,13 @@ class DedupSpec extends SparkSpec {
       (0 until (3 + rnd.nextInt(8))).map(_ => alphabet(rnd.nextInt(5))).mkString)
     val df = (names ++ names.take(30)) // row-level duplicates
       .zipWithIndex.map { case (n, i) => (i.toLong, n) }.toDF("id", "name")
-    val got = Dedup.fuzzyKeyPairs(df, "name", maxDist = 1, q = 2)
-      .as[(String, String, Int)].collect().toSeq
-    assert(got.size === got.distinct.size, "one row per distinct pair")
-    assert(got.toSet === bruteFuzzy(names, 1))
+    for (path <- Seq("deletes", "prefix")) {
+      val pairs = if (path == "deletes")
+        Dedup.fuzzyPairsDeletes(df, "name", maxDist = 1)
+      else Dedup.fuzzyPairsPrefix(df, "name", maxDist = 1, q = 2)
+      val got = pairs.as[(String, String, Int)].collect().toSeq
+      assert(got.size === got.distinct.size, s"[$path] one row per distinct pair")
+      assert(got.toSet === bruteFuzzy(names, 1), s"[$path] mismatch")
+    }
   }
 }

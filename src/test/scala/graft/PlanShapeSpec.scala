@@ -745,19 +745,18 @@ class PlanShapeSpec extends SparkSpec {
     assert(!formatted(df).contains("rangepartitioning"))
   }
 
-  test("fuzzy pairs: hash join on prefix gram keys; nested loop only for the bounded short pool") {
+  test("fuzzy pairs: equi-join on hashed deletion variants, no nested loop anywhere") {
     val df = q("q_fuzzy_entities")
     assert(countNodes(df, "CartesianProduct") === 0)
-    assert(countNodes(df, "SortMergeJoin") === 0)
-    // the candidate join is an equi-join on (gram, occ); the ONE nested
-    // loop is the short pool, whose broadcast side is length-filtered to
-    // the alphabet-bounded short strings
-    assert(countNodes(df, "BroadcastNestedLoopJoin") <= 1)
-    assert(hasNode(df, "BroadcastHashJoin"),
-      "prefix candidate generation regressed from the gram equi-join")
-    // the prefix index feeds both self-join sides from one checkpoint
-    assert(formatted(df).contains("ExistingRDD"),
-      "prefix index lost its materialize-once boundary")
+    // the candidate join is an equi-join on the 8-byte variant hash; the
+    // deletes path has no short pool, so no nested loop at all
+    assert(countNodes(df, "BroadcastNestedLoopJoin") === 0)
+    assert(hasNode(df, "BroadcastHashJoin") || hasNode(df, "SortMergeJoin") ||
+      hasNode(df, "ShuffledHashJoin"),
+      "variant candidate generation regressed from the equi-join")
+    // the verify is the codegen'd levenshtein, not a cross product
+    assert(formatted(df).contains("levenshtein"),
+      "verify stage lost its levenshtein gate")
   }
 
   test("funnel_window: event-type pushed to every stage scan, no window operator") {
