@@ -125,4 +125,96 @@ object Search {
       .filter(col("fused_rank") <= k)
       .select(col(id), col("fused_rank"), col("a_rank"), col("b_rank"))
   }
+
+  /** All-pairs document similarity join — every document pair whose
+    * TF-IDF-weighted cosine over word n-gram shingles clears
+    * `minSimNum/minSimDen` (Bayardo et al. WWW'07 "Scaling Up All Pairs
+    * Similarity Search", the inverted-index formulation — all public).
+    * The lexical complement of the embedding-space [[Similarity]]
+    * near-dup ops: catches paraphrase-level text reuse that exact-hash
+    * and containment modalities miss, with rare phrases weighted up.
+    *
+    * Exact-arithmetic house style: the idf is the QUANTIZED INTEGER
+    * rarity `ir(t) = 1 + floor(log2(N div df(t)))` — computed as
+    * `length(bin(N div df))`, a pure string/integer op both engines
+    * evaluate identically (the same libm-avoidance as BM25's rational
+    * idf; a float `ln` could not be hash-verified cross-engine).
+    * Weights are `w_t = tf_t · ir_t ∈ ℤ`; `dot = Σ w_a w_b`,
+    * `norm² = Σ w²` are exact integers, and `cos ≥ num/den` is decided
+    * by the cross-multiplied integer predicate
+    * `den²·dot² ≥ num²·norm_a²·norm_b²` in decimal(38,0) — headroom
+    * holds while `4096·L³ ≤ 10¹⁹` per document (L = tokens/doc, so
+    * L ≲ 10⁵; chunk longer docs first with [[Corpus]] chunking).
+    *
+    * Scale shape: ONE corpus scan → (doc, gram, tf) partial agg; ONE
+    * gram-keyed agg builds the inverted index with `capped_collect2`
+    * (exact df + the (doc, tf) posting bucket, NULL past `maxDf` — a
+    * billion-doc boilerplate gram moves ≤ maxDf postings per map
+    * partition and is dropped, the [[graft.functions.CappedCollect]]
+    * skew story). Norms and pair partial-products both derive from the
+    * checkpointed bucket table via NARROW explodes (pair fanout bounded
+    * at maxDf²/gram); similarity is judged over the KEPT (df ≤ maxDf)
+    * vocabulary, the same df-capped-exactness contract as
+    * [[Dedup.containmentPairs]]. Buckets are (doc, tf)-sorted, so the
+    * triangular in-bucket explode emits each pair once with
+    * id_a < id_b. Output: (id_a, id_b, dot, norm_a2, norm_b2),
+    * decimal(38,0), one row per qualifying pair.
+    */
+  def cosinePairs(docs: DataFrame, id: String, text: String,
+      shingleN: Int, minSimNum: Int, minSimDen: Int,
+      maxDf: Int): DataFrame = {
+    require(shingleN >= 1, s"need shingleN >= 1, got $shingleN")
+    require(minSimNum >= 1 && minSimDen >= minSimNum,
+      s"need 0 < minSimNum/minSimDen <= 1, got $minSimNum/$minSimDen")
+    require(maxDf >= 2, s"need maxDf >= 2 (df-1 grams cannot pair), got $maxDf")
+    // multiset shingles — NO array_distinct, tf is the multiplicity; the
+    // tokenization binds once through the lambda (Dedup.shingles pattern)
+    val gramsOf = element_at(
+      transform(array(split(lower(col(text)), "\\s+")), tk =>
+        when(size(tk) < shingleN, array(concat_ws(" ", tk)))
+          .otherwise(transform(sequence(lit(0), size(tk) - shingleN),
+            i => concat_ws(" ", slice(tk, i + lit(1), lit(shingleN)))))), 1)
+    val tf = docs
+      .select(col(id).cast("long").as("_cpDoc"), explode(gramsOf).as("_cpG0"))
+      .select(col("_cpDoc"), Dedup.portableHash64(col("_cpG0")).as("_cpG"))
+      .groupBy("_cpDoc", "_cpG").agg(count(lit(1)).as("_cpTf"))
+    val nRow = broadcast(docs.agg(count(lit(1)).as("_cpN")))
+    // the inverted index: exact df + skew-bounded (doc, tf) bucket in ONE
+    // partial agg; materialized once for the two consumers below
+    val buckets = tf.groupBy("_cpG")
+      .agg(count(lit(1)).as("_cpDf"),
+        call_function("capped_collect2",
+          col("_cpDoc"), col("_cpTf"), lit(maxDf)).as("_cpB"))
+      .filter(col("_cpB").isNotNull)
+      .crossJoin(nRow)
+      .select(col("_cpB"),
+        length(bin(expr("_cpN div _cpDf"))).cast("long").as("_cpIr"))
+      .localCheckpoint(true)
+    val norms = buckets
+      .select(explode(col("_cpB")).as("_cpE"), col("_cpIr"))
+      .select(col("_cpE.k").as("_cpDoc"),
+        (col("_cpE.v") * col("_cpIr")).as("_cpW"))
+      .groupBy("_cpDoc")
+      .agg(sum(col("_cpW").cast("decimal(38,0)") * col("_cpW")).as("_cpN2"))
+    val dots = buckets
+      .select(posexplode(col("_cpB")).as(Seq("_cpI", "_cpEa")),
+        col("_cpB"), col("_cpIr"))
+      .select(col("_cpEa"),
+        explode(expr("slice(_cpB, _cpI + 2, size(_cpB))")).as("_cpEb"),
+        col("_cpIr"))
+      .select(col("_cpEa.k").as("id_a"), col("_cpEb.k").as("id_b"),
+        ((col("_cpEa.v") * col("_cpIr")).cast("decimal(38,0)") *
+          (col("_cpEb.v") * col("_cpIr"))).as("_cpP"))
+      .groupBy("id_a", "id_b").agg(sum(col("_cpP")).as("dot"))
+    val num2 = lit(minSimNum.toLong * minSimNum).cast("decimal(38,0)")
+    val den2 = lit(minSimDen.toLong * minSimDen).cast("decimal(38,0)")
+    dots
+      .join(graft.plans.Hints.broadcastIfSmall(norms
+        .select(col("_cpDoc").as("id_a"), col("_cpN2").as("norm_a2"))), Seq("id_a"))
+      .join(graft.plans.Hints.broadcastIfSmall(norms
+        .select(col("_cpDoc").as("id_b"), col("_cpN2").as("norm_b2"))), Seq("id_b"))
+      .filter(den2 * col("dot") * col("dot") >=
+        num2 * col("norm_a2") * col("norm_b2"))
+      .select("id_a", "id_b", "dot", "norm_a2", "norm_b2")
+  }
 }

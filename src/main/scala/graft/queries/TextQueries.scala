@@ -599,6 +599,32 @@ object TextQueries {
         t(s, d, "documents"), col("source"), Seq(900, 100))
         .select("doc_id", "source", "split")),
 
+    // all-pairs TF-IDF cosine similarity join (Bayardo WWW'07 inverted-
+    // index shape): every doc pair with quantized-integer-idf cosine
+    // >= 2/5 over word trigrams, df-capped at 6. Quantized idf
+    // 1+floor(log2(N div df)) = length(bin(..)) — log-free, both engines
+    // bit-agree; predicate cross-multiplied in decimal(38,0)/HUGEINT.
+    Q("q_cosine_pairs", Some("""
+      |WITH toks AS (SELECT doc_id, regexp_split_to_array(lower(text), '\s+') AS tk FROM documents),
+      |sh AS (SELECT doc_id, CASE WHEN len(tk) < 3 THEN [array_to_string(tk, ' ')]
+      |  ELSE list_transform(range(1, len(tk) - 1), i -> array_to_string(tk[i:i+2], ' ')) END AS s FROM toks),
+      |ex AS (SELECT doc_id, ('0x' || substring(md5(unnest(s)), 1, 15))::BIGINT AS g FROM sh),
+      |tf AS (SELECT doc_id, g, count(*) AS tf FROM ex GROUP BY 1, 2),
+      |nn AS (SELECT count(*) AS n FROM documents),
+      |dft AS (SELECT g, count(*) AS df FROM tf GROUP BY 1 HAVING count(*) <= 6),
+      |wt AS (SELECT t.doc_id, t.g, t.tf * length(bin((SELECT n FROM nn) // d.df)) AS w
+      |       FROM tf t JOIN dft d USING (g)),
+      |nrm AS (SELECT doc_id, sum(CAST(w AS HUGEINT) * w) AS n2 FROM wt GROUP BY 1),
+      |dt AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, sum(CAST(a.w AS HUGEINT) * b.w) AS dot
+      |       FROM wt a JOIN wt b ON a.g = b.g AND a.doc_id < b.doc_id GROUP BY 1, 2)
+      |SELECT id_a, id_b, dot, na.n2 AS norm_a2, nb.n2 AS norm_b2
+      |FROM dt JOIN nrm na ON na.doc_id = dt.id_a JOIN nrm nb ON nb.doc_id = dt.id_b
+      |WHERE 25 * dot * dot >= 4 * na.n2 * nb.n2
+      |""".stripMargin.trim))(
+      (s, d) => graft.operators.Search.cosinePairs(
+        t(s, d, "documents"), "doc_id", "text",
+        shingleN = 3, minSimNum = 2, minSimDen = 5, maxDf = 6)),
+
     // BM25 lexical search (log-free rational idf — ln() is not bit-portable
     // across libm implementations): top-20 docs for a 3-term query. Scores
     // sum per-term in a fixed order; every input is an exact integer, so

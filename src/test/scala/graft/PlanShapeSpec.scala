@@ -759,6 +759,22 @@ class PlanShapeSpec extends SparkSpec {
       "verify stage lost its levenshtein gate")
   }
 
+  test("cosine pairs: bucket explodes + partial-agg dot, broadcast norms, no cartesian") {
+    val df = q("q_cosine_pairs")
+    assert(countNodes(df, "CartesianProduct") === 0)
+    assert(countNodes(df, "SortMergeJoin") === 0)
+    assert(countNodes(df, "Window") === 0)
+    // pair products partial-aggregate map-side before the one dot shuffle
+    assert(mentions(df, "partial_sum"),
+      "dot lost its map-side partial aggregation")
+    // the inverted-index bucket table is materialized once and feeds both
+    // the norms and the pair explode
+    assert(formatted(df).contains("ExistingRDD"),
+      "bucket table lost its materialize-once boundary")
+    assert(hasNode(df, "BroadcastHashJoin"),
+      "norm attach regressed from broadcast")
+  }
+
   test("funnel_window: event-type pushed to every stage scan, no window operator") {
     val df = q("q_funnel_window")
     val pushed = pushedFilters(df)

@@ -160,6 +160,57 @@ class TextAnalysisSpec extends SparkSpec {
     assert(st._5 === 1L && !st._6)
   }
 
+  test("cosinePairs equals brute-force quantized-idf cosine; df cap drops boilerplate grams") {
+    val docs = Seq(
+      (1L, "red fish blue fish red fish"),
+      (2L, "red fish blue fish green bird"),
+      (3L, "green bird green bird yellow cat"),
+      (4L, "the common filler the common filler"),
+      (5L, "the common filler red fish blue fish"),
+      (6L, "solo unique words nothing shared here"))
+    val df = docs.toDF("doc_id", "text")
+    val shingleN = 2
+    val maxDf = 4
+    val (num, den) = (3, 10)
+    // brute force with the operator's exact arithmetic
+    def grams(t: String): Seq[String] = {
+      val w = t.toLowerCase.split("\\s+").toSeq
+      if (w.size < shingleN) Seq(w.mkString(" "))
+      else w.sliding(shingleN).map(_.mkString(" ")).toSeq
+    }
+    val tfs = docs.map { case (i, t) => i -> grams(t).groupBy(identity).view.mapValues(_.size.toLong).toMap }.toMap
+    val n = docs.size.toLong
+    val dfs = tfs.values.flatMap(_.keys).groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val kept = dfs.filter(_._2 <= maxDf).keySet
+    val ir = kept.map(g => g -> (64 - java.lang.Long.numberOfLeadingZeros(n / dfs(g))).toLong).toMap
+    def w(d: Long): Map[String, Long] =
+      tfs(d).filter(e => kept(e._1)).map { case (g, tf) => g -> tf * ir(g) }
+    def norm2(d: Long): BigInt = w(d).values.map(x => BigInt(x) * x).sum
+    val expect = (for {
+      a <- docs.map(_._1); b <- docs.map(_._1) if a < b
+      dot = w(a).keySet.intersect(w(b).keySet).toSeq
+        .map(g => BigInt(w(a)(g)) * w(b)(g)).sum
+      if dot > 0 && BigInt(den) * den * dot * dot >= BigInt(num) * num * norm2(a) * norm2(b)
+    } yield (a, b, dot, norm2(a), norm2(b))).toSet
+    val got = graft.operators.Search.cosinePairs(df, "doc_id", "text",
+        shingleN, num, den, maxDf)
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        BigInt(r.getDecimal(2).toBigInteger), BigInt(r.getDecimal(3).toBigInteger),
+        BigInt(r.getDecimal(4).toBigInteger))).toSet
+    assert(got === expect)
+    assert(expect.nonEmpty, "test corpus must produce at least one pair")
+    // the boilerplate gram ('the common'/'common filler' df <= cap here,
+    // so instead verify a df-capped gram: raise the corpus df of one gram
+    // past the cap and see its pairs vanish
+    val noisy = df.union(Seq((7L, "red fish"), (8L, "red fish"), (9L, "red fish"),
+      (10L, "red fish")).toDF("doc_id", "text"))
+    val capped = graft.operators.Search.cosinePairs(noisy, "doc_id", "text",
+      shingleN, num, den, maxDf).collect()
+    // 'red fish' now has df 7 > 4: docs 7-10 hold ONLY that gram, so they
+    // cannot appear in any pair
+    assert(!capped.exists(r => r.getLong(0) >= 7L || r.getLong(1) >= 7L))
+  }
+
   test("quality score is bounded and favors clean prose") {
     val df = Seq(
       "the quick brown fox jumps over the lazy dog and that is it for now",
