@@ -155,6 +155,47 @@ object TextAnalysis {
   def fingerprint(c: Column): Column =
     md5(trim(regexp_replace(regexp_replace(lower(c), "[^a-z0-9 ]", ""), " +", " ")))
 
+  /** Winnowing fingerprints (Schleimer-Wilkerson-Aiken SIGMOD'03, the
+    * MOSS algorithm — all public): slide a window of `w` consecutive
+    * k-gram hashes over the lowercased text and keep each window's
+    * minimum (ties broken LEFTMOST — deterministic, and replayable by
+    * DuckDB's first-occurrence `list_position`). The selected set has
+    * the winnowing guarantee: any shared substring of length ≥ w+k-1
+    * yields a shared fingerprint, at expected density 2/(w+1) — the
+    * local-fingerprint robustness the single whole-document
+    * [[fingerprint]] lacks.
+    *
+    * Entirely NARROW: hashes, windows, minima, and the dedup all happen
+    * inside array expressions per row — zero shuffle; fingerprints hash
+    * through the portable 60-bit md5 prefix so the oracle replays them
+    * exactly. Texts shorter than k chars hash as one whole-string gram;
+    * fewer than w grams collapse to one whole-text window (both engines
+    * truncate slices identically). Returns
+    * `array<struct<fp: bigint, pos: bigint>>` — pos is the 1-based char
+    * offset of the selected k-gram.
+    */
+  def winnow(text: Column, k: Int, w: Int): Column = {
+    require(k >= 1, s"need k >= 1, got $k")
+    require(w >= 1, s"need w >= 1, got $w")
+    def h64(c: Column): Column =
+      conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+    // each binding (text → t, hashes → hh, window slice → s) goes through
+    // the singleton-array + transform trick so it evaluates once
+    element_at(transform(array(lower(text)), t => {
+      val hs = transform(
+        sequence(lit(1), greatest(length(t) - lit(k - 1), lit(1))),
+        i => h64(t.substr(i, lit(k))))
+      element_at(transform(array(hs), hh =>
+        array_distinct(transform(
+          sequence(lit(1), greatest(size(hh) - lit(w - 1), lit(1))),
+          j => element_at(transform(array(slice(hh, j, lit(w))), s =>
+            struct(array_min(s).as("fp"),
+              (j.cast("long") - lit(1L) +
+                call_function("array_position", s, array_min(s)))
+                .as("pos"))), 1)))), 1)
+    }), 1)
+  }
+
   /** PII scrub — the redaction pass every shared training corpus needs
     * before release: masks emails then phone numbers with typed
     * placeholders. Two codegen'd regexp_replace passes, narrow, no
@@ -216,6 +257,25 @@ object TextAnalysis {
     s"($n BETWEEN $minWords AND $maxWords AND 3 * $n <= $chars AND " +
       s"$chars <= 10 * $n AND 10 * $sym <= $n AND 5 * $alpha >= 4 * $n AND " +
       s"$stop >= 2)"
+
+  /** DuckDB twin of [[winnow]] — identical hash, window, and
+    * leftmost-min semantics via list lambdas, WITHOUT the per-row dedup
+    * (this DuckDB build cannot `list_distinct` a struct list): callers
+    * unnest and apply relational DISTINCT, which lands on the same rows
+    * as the engine's `array_distinct`.
+    */
+  def winnowSql(c: String, k: Int, w: Int): String = {
+    val h = (g: String) => s"('0x' || substring(md5($g), 1, 15))::BIGINT"
+    s"""list_transform([lower($c)], t ->
+       |  list_transform([list_transform(range(1, greatest(length(t) - ${k - 1}, 1) + 1),
+       |                                 i -> ${h(s"substring(t, i, $k)")})], hh ->
+       |    list_transform(range(1, greatest(len(hh) - ${w - 1}, 1) + 1),
+       |      j -> list_transform([list_slice(hh, j, j + ${w - 1})], s ->
+       |             {'fp': list_min(s),
+       |              'pos': CAST(j - 1 + list_position(s, list_min(s)) AS BIGINT)})[1])
+       |  )[1]
+       |)[1]""".stripMargin
+  }
 
   def fingerprintSql(c: String): String =
     s"md5(trim(regexp_replace(regexp_replace(lower($c), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')))"

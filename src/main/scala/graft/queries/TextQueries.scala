@@ -201,6 +201,22 @@ object TextQueries {
       (s, d) => t(s, d, "documents").select(
         col("doc_id"), fingerprint(col("text")).as("fp"))),
 
+    // winnowing fingerprints (MOSS): per doc the selected (min-hash,
+    // position) set over 8-char grams, window 10 — any shared substring
+    // of >= 17 chars yields a shared fingerprint at ~2/11 density. The
+    // whole selection is narrow array arithmetic (zero shuffle); the
+    // oracle replays hash, window minima, and leftmost tie-break, with
+    // relational DISTINCT standing in for the engine's array_distinct.
+    Q("q_winnow", Some(
+      s"""WITH ex AS (SELECT doc_id, unnest(${winnowSql("text", 8, 10)}) AS u
+         |  FROM documents)
+         |SELECT DISTINCT doc_id, u.fp AS fp, u.pos AS pos FROM ex
+         |""".stripMargin.trim))(
+      (s, d) => t(s, d, "documents")
+        .select(col("doc_id"),
+          explode(winnow(col("text"), 8, 10)).as("_wu"))
+        .select(col("doc_id"), col("_wu.fp").as("fp"), col("_wu.pos").as("pos"))),
+
     // rare-token share — corpus-frequency quality gate (the portable
     // unigram-LM filter): per doc, the fraction of tokens whose corpus
     // document frequency is under 1/10 of the corpus size. The threshold

@@ -211,6 +211,45 @@ class TextAnalysisSpec extends SparkSpec {
     assert(!capped.exists(r => r.getLong(0) >= 7L || r.getLong(1) >= 7L))
   }
 
+  test("winnow equals brute-force winnowing; guarantee holds for shared substrings") {
+    val k = 4; val w = 5
+    def h64(s: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.take(15), 16)
+    }
+    def brute(text: String): Set[(Long, Long)] = {
+      val t = text.toLowerCase
+      val hs = if (t.length < k) Seq(h64(t))
+        else (0 to t.length - k).map(i => h64(t.substring(i, i + k)))
+      val nw = math.max(hs.size - w + 1, 1)
+      (1 to nw).map { j =>
+        val s = hs.slice(j - 1, j - 1 + w)
+        val mn = s.min
+        (mn, (j - 1 + s.indexOf(mn) + 1).toLong)
+      }.toSet
+    }
+    val texts = Seq(
+      "the quick brown fox jumps over the lazy dog",
+      "a totally different sentence with the quick brown fox inside it",
+      "ab", "aaaaaaaaaa", "")
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("id", "t")
+    val got = df.select(col("id"), explode(TextAnalysis.winnow(col("t"), k, w)).as("u"))
+      .select(col("id"), col("u.fp"), col("u.pos"))
+      .as[(Long, Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(r => (r._2, r._3)).toSet).toMap
+    texts.zipWithIndex.foreach { case (t, i) =>
+      assert(got(i.toLong) === brute(t), s"doc $i mismatch")
+    }
+    // winnowing guarantee: docs 0 and 1 share "the quick brown fox"
+    // (19 chars >= w + k - 1 = 8) so they must share a fingerprint VALUE
+    assert(got(0L).map(_._1).intersect(got(1L).map(_._1)).nonEmpty,
+      "shared substring must yield a shared fingerprint")
+    // density: selected fingerprints are ~2/(w+1) of positions, never more
+    // than the window count
+    assert(got(0L).size <= texts(0).length - k + 1)
+  }
+
   test("quality score is bounded and favors clean prose") {
     val df = Seq(
       "the quick brown fox jumps over the lazy dog and that is it for now",
