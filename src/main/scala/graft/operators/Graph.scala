@@ -284,6 +284,54 @@ object Graph {
         coalesce(col("n_triangles"), lit(0L)).as("n_triangles"))
   }
 
+  /** Synchronous label-propagation community detection (Raghavan et al.
+    * 2007, all-public), made DETERMINISTIC the engine's way: `rounds`
+    * full synchronous sweeps where every node adopts the most frequent
+    * label among its in-neighbors, ties broken by the SMALLEST label —
+    * an exact integer recurrence with no randomness, so a recursive-CTE
+    * oracle replays it bit-for-bit (the async/random-order textbook
+    * variant converges faster but is unreplayable; fixed-round sync is
+    * the price of a provable answer). Communities are the label
+    * partition after round `rounds`; labels are node ids, so the result
+    * doubles as a canonical-member map. The DEDUP reading: where
+    * connected components merge everything touching (the transitive
+    * closure of near-dup pairs), label propagation splits a weakly
+    * bridged blob into its dense cores — the finer clustering a curation
+    * pipeline wants when chains over-merge.
+    *
+    * Scale shape: the Pregel shape of [[pageRankExact]] — edge list
+    * pre-partitioned by src ONCE; each round shuffles (1) the node-sized
+    * label frame to the edge partitioning, (2) map-side-combined
+    * (dst, lbl) counts, (3) a dst-keyed argmax whose input is bounded by
+    * the number of DISTINCT neighbor labels per node (≤ degree, collapses
+    * toward 1 as communities form). The argmax is `max(struct(count,
+    * -label))` — one aggregate, no window. Isolated or source-only nodes
+    * (no in-edges) keep their current label via the node-table left join
+    * (on a symmetrized graph every node has in-neighbors). Lineage cut
+    * per round. Output: (node, lbl) long, one row per node.
+    */
+  def labelPropagation(edges: DataFrame, rounds: Int): DataFrame = {
+    require(rounds >= 0, s"need rounds >= 0, got $rounds")
+    val e = edges.select(col("src").cast("long").as("src"),
+        col("dst").cast("long").as("dst"))
+      .repartition(col("src"))
+      .localCheckpoint(true)
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node")))
+      .distinct().repartition(col("node")).localCheckpoint(true)
+    val l0 = nodes.select(col("node"), col("node").as("lbl"))
+    (1 to rounds).foldLeft(l0.localCheckpoint(true)) { (labels, _) =>
+      val votes = e.join(labels.withColumnRenamed("node", "src"), "src")
+        .groupBy(col("dst"), col("lbl")).agg(count(lit(1)).as("_lpC"))
+      val next = votes.groupBy("dst")
+        .agg(max(struct(col("_lpC").as("c"), (-col("lbl")).as("nl"))).as("_lpM"))
+        .select(col("dst").as("node"), (-col("_lpM.nl")).as("_lpNew"))
+      labels.join(next, Seq("node"), "left")
+        .select(col("node"), coalesce(col("_lpNew"), col("lbl")).as("lbl"))
+        .localCheckpoint(true)
+    }
+  }
+
   private def rankLoop(edges: DataFrame, seeds: Option[DataFrame],
       standing: Option[DataFrame],
       iters: Int, scale: Long, dampNum: Long, dampDen: Long,

@@ -553,6 +553,33 @@ object ScaleQueries {
       |""".stripMargin.trim))(
       (s, d) => graft.operators.Graph.pageRankExact(tradeGraph(s, d), iters = 5)),
 
+    // synchronous deterministic label propagation (communities): 3 full
+    // sweeps where each node adopts its in-neighbors' most frequent
+    // label, ties to the SMALLEST — an exact integer recurrence (no
+    // randomness), so the recursive CTE replays the label partition
+    // bit-for-bit. The engine argmax is one max(struct(count, -label))
+    // aggregate; the oracle's struct-min mirrors it.
+    Q("q_communities", Some("""
+      |WITH RECURSIVE
+      |e0 AS (SELECT DISTINCT l_suppkey * 2 AS src, o_custkey * 2 + 1 AS dst
+      |       FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+      |edges AS (SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0),
+      |nodes AS (SELECT DISTINCT src AS node FROM edges),
+      |lp AS (
+      |  SELECT 0 AS i, node, CAST(node AS BIGINT) AS lbl FROM nodes
+      |  UNION ALL
+      |  SELECT i + 1, dst AS node, (min({'nc': -cnt, 'l': lbl})).l AS lbl FROM (
+      |    SELECT p.i AS i, e.dst AS dst, p.lbl AS lbl, count(*) AS cnt
+      |    FROM lp p JOIN edges e ON e.src = p.node
+      |    WHERE p.i < 3
+      |    GROUP BY 1, 2, 3) t
+      |  GROUP BY 1, 2
+      |)
+      |SELECT node, lbl FROM lp WHERE i = 3
+      |""".stripMargin.trim))(
+      (s, d) => graft.operators.Graph.labelPropagation(tradeGraph(s, d),
+        rounds = 3)),
+
     // personalized PageRank: teleport mass pinned to the supplier seed
     // set (even nodes) — the trusted-seed quality-propagation signal;
     // customers hold only link-received mass. Same integer recurrence,

@@ -205,6 +205,44 @@ class GraphSpec extends SparkSpec {
     assert(re === got)
   }
 
+  test("labelPropagation: two bridged triangles split into their cores; replay equals engine") {
+    val raw = Seq((1L, 2L), (2L, 3L), (1L, 3L), (4L, 5L), (5L, 6L), (4L, 6L), (3L, 4L))
+    val edges = (raw ++ raw.map(e => (e._2, e._1))).toDF("src", "dst")
+    val got = Graph.labelPropagation(edges, rounds = 3)
+      .as[(Long, Long)].collect().toMap
+    // the bridge does not merge the triangles: each keeps its own core label
+    assert(got(1L) === got(2L) && got(2L) === got(3L))
+    assert(got(4L) === got(5L) && got(5L) === got(6L))
+    assert(got(1L) !== got(4L), "bridged triangles must stay separate communities")
+  }
+
+  test("labelPropagation: randomized graphs equal the sequential synchronous replay") {
+    val rnd = new scala.util.Random(13)
+    for (trial <- 1 to 3) {
+      val n = 12 + rnd.nextInt(8)
+      val raw = Seq.fill(2 * n)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter(e => e._1 != e._2).distinct
+      val sym = (raw ++ raw.map(e => (e._2, e._1))).distinct
+      val rounds = 1 + rnd.nextInt(3)
+      // sequential synchronous replay: most frequent in-neighbor label,
+      // ties to smallest; nodes with no in-edges keep their label
+      val nodes = sym.flatMap(e => Seq(e._1, e._2)).distinct
+      var lbl = nodes.map(v => v -> v).toMap
+      for (_ <- 1 to rounds) {
+        val next = sym.groupBy(_._2).map { case (dst, es) =>
+          val cnts = es.map(e => lbl(e._1)).groupBy(identity).view
+            .mapValues(_.size).toMap
+          val best = cnts.toSeq.map { case (l, c) => (-c, l) }.min._2
+          dst -> best
+        }
+        lbl = lbl.map { case (v, l) => v -> next.getOrElse(v, l) }
+      }
+      val got = Graph.labelPropagation(sym.toDF("src", "dst"), rounds)
+        .as[(Long, Long)].collect().toMap
+      assert(got === lbl, s"trial $trial (n=$n rounds=$rounds) mismatch")
+    }
+  }
+
   test("pageRankExact enforces the static overflow bound when numNodes given") {
     val e = intercept[IllegalArgumentException] {
       Graph.pageRankExact(g.toDF("src", "dst"), iters = 1,
