@@ -4,7 +4,7 @@ import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{BloomAgg, BloomContains, BloomUnionAgg, BoundedTopK, CappedCollect, CappedCollectPairs, CosineSimilarity, GramMatrix, KmvAgg, LeadingZeros, NormalizeText, RandomHyperplaneBuckets}
+import graft.functions.{BloomAgg, BloomContains, BloomUnionAgg, BoundedTopK, CappedCollect, CappedCollectPairs, CosineSimilarity, GramMatrix, KmvAgg, LeadingZeros, NormalizeText, RandomHyperplaneBuckets, WinnowFingerprints}
 
 /** Engine extension installer: `spark.sql.extensions=graft.GraftExtensions`
   * (or `builder.withExtensions`) registers the engine's native expressions
@@ -57,6 +57,10 @@ object GraftExtensions {
     (FunctionIdentifier("capped_collect"),
       new ExpressionInfo(classOf[CappedCollect].getName, "capped_collect"),
       (children: Seq[Expression]) => CappedCollect(children.head, intLit(children(1)))),
+    (FunctionIdentifier("winnow_fps"),
+      new ExpressionInfo(classOf[WinnowFingerprints].getName, "winnow_fps"),
+      (children: Seq[Expression]) => WinnowFingerprints(
+        children.head, intLit(children(1)), intLit(children(2)))),
     (FunctionIdentifier("capped_collect2"),
       new ExpressionInfo(classOf[CappedCollectPairs].getName, "capped_collect2"),
       (children: Seq[Expression]) => CappedCollectPairs(

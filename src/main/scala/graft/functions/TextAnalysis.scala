@@ -166,34 +166,21 @@ object TextAnalysis {
     * [[fingerprint]] lacks.
     *
     * Entirely NARROW: hashes, windows, minima, and the dedup all happen
-    * inside array expressions per row — zero shuffle; fingerprints hash
-    * through the portable 60-bit md5 prefix so the oracle replays them
-    * exactly. Texts shorter than k chars hash as one whole-string gram;
-    * fewer than w grams collapse to one whole-text window (both engines
-    * truncate slices identically). Returns
-    * `array<struct<fp: bigint, pos: bigint>>` — pos is the 1-based char
-    * offset of the selected k-gram.
+    * inside one native expression per row
+    * ([[WinnowFingerprints]], an O(n) monotonic-deque loop — the
+    * composed transform/slice/array_min formulation is semantically
+    * identical but runs interpreted at O(n·w) and was the bench board's
+    * slowest row) — zero shuffle; fingerprints hash through the portable
+    * 60-bit md5 prefix so the oracle replays them exactly. Texts shorter
+    * than k chars hash as one whole-string gram; fewer than w grams
+    * collapse to one whole-text window (both engines truncate slices
+    * identically). Returns `array<struct<fp: bigint, pos: bigint>>` —
+    * pos is the 1-based character offset of the selected k-gram.
     */
   def winnow(text: Column, k: Int, w: Int): Column = {
     require(k >= 1, s"need k >= 1, got $k")
     require(w >= 1, s"need w >= 1, got $w")
-    def h64(c: Column): Column =
-      conv(substring(md5(c), 1, 15), 16, 10).cast("long")
-    // each binding (text → t, hashes → hh, window slice → s) goes through
-    // the singleton-array + transform trick so it evaluates once
-    element_at(transform(array(lower(text)), t => {
-      val hs = transform(
-        sequence(lit(1), greatest(length(t) - lit(k - 1), lit(1))),
-        i => h64(t.substr(i, lit(k))))
-      element_at(transform(array(hs), hh =>
-        array_distinct(transform(
-          sequence(lit(1), greatest(size(hh) - lit(w - 1), lit(1))),
-          j => element_at(transform(array(slice(hh, j, lit(w))), s =>
-            struct(array_min(s).as("fp"),
-              (j.cast("long") - lit(1L) +
-                call_function("array_position", s, array_min(s)))
-                .as("pos"))), 1)))), 1)
-    }), 1)
+    call_function("winnow_fps", text, lit(k), lit(w))
   }
 
   /** PII scrub — the redaction pass every shared training corpus needs

@@ -54,6 +54,17 @@ object Dedup {
       transform(array(split(lower(text), "\\s+")), tk => shinglesFromTokens(tk, n)),
       1)
 
+  /** MULTISET form of [[shingles]] — no `array_distinct`, so downstream
+    * counts are term frequencies (the cosine/TF-IDF family needs
+    * multiplicity; the set form is for Jaccard/containment).
+    */
+  def shinglesMultiset(text: Column, n: Int): Column =
+    element_at(
+      transform(array(split(lower(text), "\\s+")), tk =>
+        when(size(tk) < n, array(concat_ws(" ", tk)))
+          .otherwise(transform(sequence(lit(0), size(tk) - n),
+            i => concat_ws(" ", slice(tk, i + lit(1), lit(n)))))), 1)
+
   /** Exact dedup: group identical content (by full-bytes hash), keep the
     * smallest id as the survivor. Output: (content_hash, keep_id, n_dups).
     */

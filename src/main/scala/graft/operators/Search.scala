@@ -167,15 +167,9 @@ object Search {
     require(minSimNum >= 1 && minSimDen >= minSimNum,
       s"need 0 < minSimNum/minSimDen <= 1, got $minSimNum/$minSimDen")
     require(maxDf >= 2, s"need maxDf >= 2 (df-1 grams cannot pair), got $maxDf")
-    // multiset shingles — NO array_distinct, tf is the multiplicity; the
-    // tokenization binds once through the lambda (Dedup.shingles pattern)
-    val gramsOf = element_at(
-      transform(array(split(lower(col(text)), "\\s+")), tk =>
-        when(size(tk) < shingleN, array(concat_ws(" ", tk)))
-          .otherwise(transform(sequence(lit(0), size(tk) - shingleN),
-            i => concat_ws(" ", slice(tk, i + lit(1), lit(shingleN)))))), 1)
     val tf = docs
-      .select(col(id).cast("long").as("_cpDoc"), explode(gramsOf).as("_cpG0"))
+      .select(col(id).cast("long").as("_cpDoc"),
+        explode(Dedup.shinglesMultiset(col(text), shingleN)).as("_cpG0"))
       .select(col("_cpDoc"), Dedup.portableHash64(col("_cpG0")).as("_cpG"))
       .groupBy("_cpDoc", "_cpG").agg(count(lit(1)).as("_cpTf"))
     val nRow = broadcast(docs.agg(count(lit(1)).as("_cpN")))
@@ -216,5 +210,91 @@ object Search {
       .filter(den2 * col("dot") * col("dot") >=
         num2 * col("norm_a2") * col("norm_b2"))
       .select("id_a", "id_b", "dot", "norm_a2", "norm_b2")
+  }
+
+  /** Incremental (new-batch-vs-corpus) cosine similarity: each NEW
+    * document scored against EXISTING corpus documents — the
+    * daily-ingest twin of [[cosinePairs]], the same relationship
+    * [[Dedup.containmentPairsAgainst]] bears to
+    * [[Dedup.containmentPairs]]. Directed new→old only.
+    *
+    * Weights come from the CORPUS statistics (the standing inventory a
+    * production pipeline persists): N = corpus size, rarity from corpus
+    * df. A new-doc gram the corpus has NEVER seen gets the maximal
+    * rarity `length(bin(N))` (df treated as 1 — the doc itself would be
+    * its first occurrence): it cannot match any corpus doc, but it
+    * COUNTS toward the new doc's norm, so fresh content lowers
+    * similarity-to-corpus exactly as it should (the df-0 principle of
+    * the containment twin). Grams past `maxDf` are boilerplate on both
+    * sides: excluded from buckets, norms, and dots alike.
+    *
+    * Scale shape: the corpus shuffles ONCE into the inventory (exact df
+    * + `capped_collect2` (doc, tf) bucket, NULL past the cap — persist
+    * it per corpus release and feed batches against it; recomputed here
+    * to keep the API self-contained). Matching a batch is a batch-sized
+    * left join + narrow bucket explode (fanout ≤ maxDf per gram), so
+    * pair work is linear in batch size with a constant-bound hot key.
+    * Output: (new_id, old_id, dot, norm_new2, norm_old2), decimal(38,0).
+    */
+  def cosinePairsAgainst(newDocs: DataFrame, corpus: DataFrame, id: String,
+      text: String, shingleN: Int, minSimNum: Int, minSimDen: Int,
+      maxDf: Int): DataFrame = {
+    require(shingleN >= 1, s"need shingleN >= 1, got $shingleN")
+    require(minSimNum >= 1 && minSimDen >= minSimNum,
+      s"need 0 < minSimNum/minSimDen <= 1, got $minSimNum/$minSimDen")
+    require(maxDf >= 1, s"need maxDf >= 1, got $maxDf")
+    def tf(docs: DataFrame): DataFrame = docs
+      .select(col(id).cast("long").as("_cpDoc"),
+        explode(Dedup.shinglesMultiset(col(text), shingleN)).as("_cpG0"))
+      .select(col("_cpDoc"), Dedup.portableHash64(col("_cpG0")).as("_cpG"))
+      .groupBy("_cpDoc", "_cpG").agg(count(lit(1)).as("_cpTf"))
+    val nRow = broadcast(corpus.agg(count(lit(1)).as("_cpN")))
+    // ONE corpus-sided shuffle builds the standing inventory: exact df,
+    // skew-bounded posting bucket, and the quantized corpus rarity
+    val inv = tf(corpus).groupBy("_cpG")
+      .agg(count(lit(1)).as("_cpDf"),
+        call_function("capped_collect2",
+          col("_cpDoc"), col("_cpTf"), lit(maxDf)).as("_cpB"))
+      .crossJoin(nRow)
+      .select(col("_cpG"), col("_cpDf"), col("_cpB"),
+        length(bin(expr("_cpN div _cpDf"))).cast("long").as("_cpIr"))
+      .localCheckpoint(true)
+    // corpus norms from the kept buckets (df <= maxDf, non-NULL)
+    val oldNorms = inv.filter(col("_cpDf") <= maxDf && col("_cpB").isNotNull)
+      .select(explode(col("_cpB")).as("_cpE"), col("_cpIr"))
+      .select(col("_cpE.k").as("old_id"),
+        (col("_cpE.v") * col("_cpIr")).as("_cpW"))
+      .groupBy("old_id")
+      .agg(sum(col("_cpW").cast("decimal(38,0)") * col("_cpW")).as("norm_old2"))
+    // new-side grams: corpus-unseen grams keep max rarity and an empty
+    // bucket; corpus-boilerplate grams (df > maxDf) drop on both sides
+    val maxIr = length(bin(col("_cpN"))).cast("long")
+    val keptN = tf(newDocs).crossJoin(nRow)
+      .join(inv.select(col("_cpG"), col("_cpDf"), col("_cpB"),
+        col("_cpIr").as("_cpIrC")), Seq("_cpG"), "left")
+      .filter(coalesce(col("_cpDf"), lit(0L)) <= maxDf)
+      .select(col("_cpDoc").as("new_id"),
+        (col("_cpTf") * coalesce(col("_cpIrC"), maxIr)).as("_cpWn"),
+        coalesce(col("_cpB"),
+          array().cast("array<struct<k:bigint,v:bigint>>")).as("_cpB"),
+        coalesce(col("_cpIrC"), maxIr).as("_cpIr"))
+      .localCheckpoint(true)
+    val newNorms = keptN.groupBy("new_id")
+      .agg(sum(col("_cpWn").cast("decimal(38,0)") * col("_cpWn")).as("norm_new2"))
+    val dots = keptN
+      .select(col("new_id"), col("_cpWn"),
+        explode(col("_cpB")).as("_cpE"), col("_cpIr"))
+      .select(col("new_id"), col("_cpE.k").as("old_id"),
+        (col("_cpWn").cast("decimal(38,0)") *
+          (col("_cpE.v") * col("_cpIr"))).as("_cpP"))
+      .groupBy("new_id", "old_id").agg(sum(col("_cpP")).as("dot"))
+    val num2 = lit(minSimNum.toLong * minSimNum).cast("decimal(38,0)")
+    val den2 = lit(minSimDen.toLong * minSimDen).cast("decimal(38,0)")
+    dots
+      .join(graft.plans.Hints.broadcastIfSmall(newNorms), Seq("new_id"))
+      .join(graft.plans.Hints.broadcastIfSmall(oldNorms), Seq("old_id"))
+      .filter(den2 * col("dot") * col("dot") >=
+        num2 * col("norm_new2") * col("norm_old2"))
+      .select("new_id", "old_id", "dot", "norm_new2", "norm_old2")
   }
 }

@@ -641,6 +641,43 @@ object TextQueries {
         t(s, d, "documents"), "doc_id", "text",
         shingleN = 3, minSimNum = 2, minSimDen = 5, maxDf = 6)),
 
+    // incremental cosine: the % 10 "new batch" scored against the corpus
+    // inventory — weights from CORPUS statistics (unseen grams take the
+    // max rarity and dilute; corpus-boilerplate grams df > 6 drop on both
+    // sides). Directed new→old, batch-linear against the standing
+    // capped-bucket artifact.
+    Q("q_cosine_incremental", Some("""
+      |WITH toks AS (SELECT doc_id, regexp_split_to_array(lower(text), '\s+') AS tk FROM documents),
+      |sh AS (SELECT doc_id, CASE WHEN len(tk) < 3 THEN [array_to_string(tk, ' ')]
+      |  ELSE list_transform(range(1, len(tk) - 1), i -> array_to_string(tk[i:i+2], ' ')) END AS s FROM toks),
+      |ex AS (SELECT doc_id, ('0x' || substring(md5(unnest(s)), 1, 15))::BIGINT AS g FROM sh),
+      |tfn AS (SELECT doc_id, g, count(*) AS tf FROM ex WHERE doc_id % 10 = 0 GROUP BY 1, 2),
+      |tfo AS (SELECT doc_id, g, count(*) AS tf FROM ex WHERE doc_id % 10 != 0 GROUP BY 1, 2),
+      |nn AS (SELECT count(*) AS n FROM documents WHERE doc_id % 10 != 0),
+      |dft AS (SELECT g, count(*) AS df FROM tfo GROUP BY 1),
+      |wtn AS (SELECT t.doc_id, t.g,
+      |          t.tf * coalesce(length(bin((SELECT n FROM nn) // d.df)),
+      |                          length(bin((SELECT n FROM nn)))) AS w
+      |        FROM tfn t LEFT JOIN dft d USING (g) WHERE coalesce(d.df, 0) <= 6),
+      |wto AS (SELECT t.doc_id, t.g, t.tf * length(bin((SELECT n FROM nn) // d.df)) AS w
+      |        FROM tfo t JOIN dft d USING (g) WHERE d.df <= 6),
+      |nrmn AS (SELECT doc_id, sum(CAST(w AS HUGEINT) * w) AS n2 FROM wtn GROUP BY 1),
+      |nrmo AS (SELECT doc_id, sum(CAST(w AS HUGEINT) * w) AS n2 FROM wto GROUP BY 1),
+      |dt AS (SELECT a.doc_id AS new_id, b.doc_id AS old_id, sum(CAST(a.w AS HUGEINT) * b.w) AS dot
+      |       FROM wtn a JOIN wto b ON a.g = b.g GROUP BY 1, 2)
+      |SELECT new_id, old_id, dot, na.n2 AS norm_new2, nb.n2 AS norm_old2
+      |FROM dt JOIN nrmn na ON na.doc_id = dt.new_id JOIN nrmo nb ON nb.doc_id = dt.old_id
+      |WHERE 25 * dot * dot >= 4 * na.n2 * nb.n2
+      |""".stripMargin.trim))(
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        graft.operators.Search.cosinePairsAgainst(
+          docs.filter(col("doc_id") % 10 === 0),
+          docs.filter(col("doc_id") % 10 =!= 0),
+          "doc_id", "text", shingleN = 3, minSimNum = 2, minSimDen = 5,
+          maxDf = 6)
+      }),
+
     // BM25 lexical search (log-free rational idf — ln() is not bit-portable
     // across libm implementations): top-20 docs for a 3-term query. Scores
     // sum per-term in a fixed order; every input is an exact integer, so

@@ -1,0 +1,130 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+
+import graft.operators.Dedup
+
+/** Cosine similarity at ingest — the streaming twin of
+  * [[graft.operators.Search.cosinePairsAgainst]]: each document arriving
+  * on the stream is scored against a FROZEN corpus inventory ("is this
+  * arriving doc a paraphrase of something we already hold?"), the same
+  * door-check role [[StreamingDedup.fuzzyMatchAtIngest]] plays for
+  * entity keys.
+  *
+  * The artifact ([[CosineInventory]], trained in batch from a corpus
+  * release) carries per kept gram (corpus df ≤ maxDf) its quantized
+  * rarity and (old_id, weight) postings, each posting annotated with its
+  * document's norm²; plus the boilerplate-gram hash set (df > maxDf).
+  * That makes scoring STATELESS per record — tokenize, weight under the
+  * frozen statistics (corpus-unseen grams take the max rarity and
+  * dilute), accumulate per-old dots, decide the exact cross-multiplied
+  * integer predicate in BigInt — so matches are deterministic under any
+  * arrival order, batching, or retry, and equal the batch operator
+  * record-for-record (spec-pinned).
+  *
+  * Scale note: the artifact is (vocab × maxDf + matched-corpus) sized —
+  * the door-check service's working set, same dispensation as the frozen
+  * gram-rarity table. Re-scoring a 100 TB backlog is the batch
+  * operator's job against the persisted inventory table, not this path.
+  */
+object StreamingSearch {
+
+  final case class CosineMatch(new_id: Long, old_id: Long)
+
+  /** (old_id, weight, norm²-of-old-doc) posting. */
+  final case class Posting(oldId: Long, w: Long, norm2: BigInt)
+
+  final case class CosineInventory(
+      n: Long, shingleN: Int, maxDf: Int,
+      grams: Map[Long, (Long, Seq[Posting])], // gramHash -> (rarity, postings)
+      dropped: Set[Long]) { // boilerplate grams: df > maxDf, excluded both sides
+    /** Rarity of a corpus-unseen gram: df treated as 1. */
+    val maxIr: Long = 64L - java.lang.Long.numberOfLeadingZeros(math.max(n, 1L))
+  }
+
+  /** Train the frozen artifact from a corpus release — identical
+    * statistics to the batch operator's inventory (exact df, quantized
+    * rarity `1+floor(log2(N div df))`, per-doc norms over kept grams).
+    */
+  def buildCosineInventory(corpus: DataFrame, id: String, text: String,
+      shingleN: Int, maxDf: Int): CosineInventory = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val n = corpus.count()
+    val tf = corpus
+      .select(col(id).cast("long").as("d"),
+        explode(Dedup.shinglesMultiset(col(text), shingleN)).as("g0"))
+      .select(col("d"), Dedup.portableHash64(col("g0")).as("g"))
+      .groupBy("d", "g").agg(count(lit(1)).as("tf"))
+      .as[(Long, Long, Long)].collect()
+    val byGram = tf.groupBy(_._2)
+    val dropped = byGram.collect { case (g, rows) if rows.length > maxDf => g }.toSet
+    def ilog2len(x: Long): Long = 64L - java.lang.Long.numberOfLeadingZeros(x)
+    val irOf = byGram.collect { case (g, rows) if rows.length <= maxDf =>
+      g -> ilog2len(n / rows.length)
+    }
+    val norm2 = tf.filter(r => !dropped(r._2))
+      .groupBy(_._1).view.mapValues(_.map { case (_, g, t) =>
+        val w = BigInt(t * irOf(g)); w * w
+      }.sum).toMap
+    val grams = byGram.collect { case (g, rows) if rows.length <= maxDf =>
+      g -> (irOf(g), rows.toSeq.sortBy(_._1)
+        .map { case (d, _, t) => Posting(d, t * irOf(g), norm2(d)) })
+    }
+    CosineInventory(n, shingleN, maxDf, grams, dropped)
+  }
+
+  /** Score a stream of (id, text) documents against the frozen inventory;
+    * emits one [[CosineMatch]] per (new, old) pair whose exact quantized
+    * TF-IDF cosine clears `minSimNum/minSimDen`. Stateless — plain
+    * flatMap, no state store; works identically on batch frames.
+    */
+  def cosineMatchAtIngest(docs: DataFrame, id: String, text: String,
+      inv: CosineInventory, minSimNum: Int,
+      minSimDen: Int): Dataset[CosineMatch] = {
+    require(minSimNum >= 1 && minSimDen >= minSimNum,
+      s"need 0 < minSimNum/minSimDen <= 1, got $minSimNum/$minSimDen")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val shingleN = inv.shingleN
+    val num2 = BigInt(minSimNum.toLong * minSimNum)
+    val den2 = BigInt(minSimDen.toLong * minSimDen)
+    docs.select(col(id).cast("long").as("d"), col(text).cast("string").as("t"))
+      .as[(Long, String)]
+      .flatMap { case (newId, t) =>
+        val toks = t.toLowerCase.split("\\s+").toSeq
+        val gs = if (toks.size < shingleN) Seq(toks.mkString(" "))
+          else toks.sliding(shingleN).map(_.mkString(" ")).toSeq
+        val tf = gs.groupBy(hash64).view.mapValues(_.size.toLong)
+          .filter(e => !inv.dropped(e._1)).toMap
+        val w = tf.map { case (g, c) =>
+          g -> c * inv.grams.get(g).map(_._1).getOrElse(inv.maxIr)
+        }
+        val normNew2 = w.values.map(x => BigInt(x) * x).sum
+        val dots = collection.mutable.Map.empty[Long, (BigInt, BigInt)]
+        w.foreach { case (g, wn) =>
+          inv.grams.get(g).foreach { case (_, posts) =>
+            posts.foreach { p =>
+              val (d0, _) = dots.getOrElse(p.oldId, (BigInt(0), p.norm2))
+              dots(p.oldId) = (d0 + BigInt(wn) * p.w, p.norm2)
+            }
+          }
+        }
+        dots.toSeq.collect {
+          case (oldId, (dot, normOld2))
+              if dot > 0 && den2 * dot * dot >= num2 * normNew2 * normOld2 =>
+            CosineMatch(newId, oldId)
+        }.sortBy(m => (m.new_id, m.old_id))
+      }
+  }
+
+  /** JVM-side twin of [[Dedup.portableHash64]] (md5 first 15 hex chars,
+    * base 16) — state/artifact lookups run off-plan.
+    */
+  private def hash64(s: String): Long = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    java.lang.Long.parseLong(hex.take(15), 16)
+  }
+}

@@ -1223,6 +1223,51 @@ class StreamingOpsSpec extends SparkSpec {
     assert(streamed.contains(("ab", "cd", 2)), "zero-shared-gram short pair")
   }
 
+  test("cosine match at ingest: streamed docs equal the batch operator against the inventory corpus") {
+    // paraphrase check at the door: frozen corpus inventory trained in
+    // batch; arriving docs score statelessly against it. Streamed match
+    // set == batch cosinePairsAgainst over all streamed docs, including
+    // a doc with corpus-unseen grams (dilution) and a boilerplate-capped
+    // gram.
+    import graft.streaming.StreamingSearch
+    val corpus = Seq(
+      (10L, "red fish blue fish red fish"),
+      (11L, "red fish blue fish green bird"),
+      (12L, "green bird green bird yellow cat"),
+      (13L, "filler filler filler filler filler filler"),
+      (14L, "filler filler filler filler filler extra"),
+      (15L, "filler filler filler filler something else"),
+      (16L, "filler filler filler words beyond cap")).toDF("doc_id", "text")
+    val inv = StreamingSearch.buildCosineInventory(
+      corpus, "doc_id", "text", shingleN = 2, maxDf = 3)
+    // 'filler filler' appears in 4 corpus docs > maxDf=3: boilerplate
+    assert(inv.dropped.nonEmpty, "expected a df-capped gram in the corpus")
+    val mem = MemoryStream[(Long, String)]
+    val out = StreamingSearch.cosineMatchAtIngest(
+      mem.toDF().toDF("doc_id", "text"), "doc_id", "text", inv,
+      minSimNum = 3, minSimDen = 10)
+    val q = out.writeStream.format("memory").queryName("cos_sink")
+      .outputMode("append").start()
+    val batch1 = Seq((1L, "red fish blue fish"), (2L, "green bird yellow cat"))
+    val batch2 = Seq((3L, "red fish plus totally novel content"),
+      (4L, "nothing the corpus ever saw"),
+      (5L, "filler filler filler filler extra"))
+    try {
+      mem.addData(batch1: _*); q.processAllAvailable()
+      mem.addData(batch2: _*); q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.table("cos_sink")
+      .as[(Long, Long)].collect().toSet
+    val batch = graft.operators.Search.cosinePairsAgainst(
+        (batch1 ++ batch2).toDF("doc_id", "text"), corpus,
+        "doc_id", "text", shingleN = 2, minSimNum = 3, minSimDen = 10,
+        maxDf = 3)
+      .select("new_id", "old_id").as[(Long, Long)].collect().toSet
+    assert(streamed === batch)
+    assert(streamed.exists(_._1 == 1L), "close doc must match")
+    assert(!streamed.exists(_._1 == 4L), "all-unseen doc cannot match")
+  }
+
   test("components at ingest: standing families equal the full-history closure, replay-idempotent") {
     // dedup-family maintenance: pairs arrive per batch, the standing
     // (node, canonical) labeling refreshes incrementally — and must equal

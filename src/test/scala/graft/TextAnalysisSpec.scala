@@ -211,6 +211,56 @@ class TextAnalysisSpec extends SparkSpec {
     assert(!capped.exists(r => r.getLong(0) >= 7L || r.getLong(1) >= 7L))
   }
 
+  test("cosinePairsAgainst: corpus-statistic weights, unseen grams dilute, brute-force exact") {
+    val corpus = Seq(
+      (10L, "red fish blue fish red fish"),
+      (11L, "red fish blue fish green bird"),
+      (12L, "green bird green bird yellow cat"),
+      (13L, "totally disjoint content lives here"))
+    val fresh = Seq(
+      (1L, "red fish blue fish"),                      // close to 10/11
+      (2L, "red fish brand new unseen words"),         // unseen grams dilute
+      (3L, "never seen anything like this at all"))    // no corpus gram
+    val shingleN = 2; val maxDf = 3; val (num, den) = (3, 10)
+    def grams(t: String): Seq[String] = {
+      val w = t.toLowerCase.split("\\s+").toSeq
+      if (w.size < shingleN) Seq(w.mkString(" "))
+      else w.sliding(shingleN).map(_.mkString(" ")).toSeq
+    }
+    val cTf = corpus.map { case (i, t) => i -> grams(t).groupBy(identity).view.mapValues(_.size.toLong).toMap }.toMap
+    val nTf = fresh.map { case (i, t) => i -> grams(t).groupBy(identity).view.mapValues(_.size.toLong).toMap }.toMap
+    val n = corpus.size.toLong
+    val dfs = cTf.values.flatMap(_.keys).groupBy(identity).view.mapValues(_.size.toLong).toMap
+    def ilog2len(x: Long): Long = (64 - java.lang.Long.numberOfLeadingZeros(x)).toLong
+    val maxIr = ilog2len(n)
+    def irOf(g: String): Long = dfs.get(g) match {
+      case Some(d) => ilog2len(n / d)
+      case None => maxIr
+    }
+    def keptNew(i: Long): Map[String, Long] =
+      nTf(i).filter(e => dfs.getOrElse(e._1, 0L) <= maxDf)
+        .map { case (g, tf) => g -> tf * irOf(g) }
+    def keptOld(i: Long): Map[String, Long] =
+      cTf(i).filter(e => dfs(e._1) <= maxDf)
+        .map { case (g, tf) => g -> tf * irOf(g) }
+    def n2(w: Map[String, Long]): BigInt = w.values.map(x => BigInt(x) * x).sum
+    val expect = (for {
+      a <- fresh.map(_._1); b <- corpus.map(_._1)
+      wa = keptNew(a); wb = keptOld(b)
+      dot = wa.keySet.intersect(wb.keySet).toSeq.map(g => BigInt(wa(g)) * wb(g)).sum
+      if dot > 0 && BigInt(den) * den * dot * dot >= BigInt(num) * num * n2(wa) * n2(wb)
+    } yield (a, b, dot, n2(wa), n2(wb))).toSet
+    val got = graft.operators.Search.cosinePairsAgainst(
+        fresh.toDF("doc_id", "text"), corpus.toDF("doc_id", "text"),
+        "doc_id", "text", shingleN, num, den, maxDf)
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        BigInt(r.getDecimal(2).toBigInteger), BigInt(r.getDecimal(3).toBigInteger),
+        BigInt(r.getDecimal(4).toBigInteger))).toSet
+    assert(got === expect)
+    assert(expect.exists(_._1 == 1L), "close new doc must match")
+    assert(!expect.exists(_._1 == 3L), "all-unseen doc cannot match anything")
+  }
+
   test("winnow equals brute-force winnowing; guarantee holds for shared substrings") {
     val k = 4; val w = 5
     def h64(s: String): Long = {
