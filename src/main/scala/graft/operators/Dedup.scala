@@ -1006,6 +1006,82 @@ object Dedup {
       .distinct()
   }
 
+  /** EXACT Jaccard threshold self-join over word-shingle sets — the
+    * guaranteed-complete companion to the LSH path ([[nearDupPairs]]):
+    * banded MinHash can MISS a qualifying pair (recall is probabilistic
+    * in the band parameters); the AllPairs PREFIX FILTER (Bayardo et al.
+    * WWW'07 / Chaudhuri et al. SSJoin — all public) cannot. Every
+    * distinct-document pair with `J(A,B) ≥ minNum/minDen` is returned,
+    * none invented.
+    *
+    * Why it is complete: J(A,B) ≥ τ implies |A∩B| ≥ τ·|A∪B| ≥ τ·|A|, so
+    * the shared-gram count is ≥ ⌈τ·s_a⌉. Order all gram fingerprints by
+    * a global total order (document frequency ascending, fingerprint
+    * tie-break) and index each document's p = s − ⌈τ·s⌉ + 1 SMALLEST
+    * grams. Let x be the smallest SHARED gram: A holds at most
+    * s_a − ⌈τ·s_a⌉ = p_a − 1 grams strictly below x (none of them
+    * shared, and all shared grams are ≥ x), so x sits inside A's prefix
+    * — and symmetrically inside B's. Every true pair therefore collides
+    * on a (gram, gram) prefix join; a length filter
+    * (minNum·s_max ≤ minDen·s_min, since J ≥ τ forces
+    * s_min/s_max ≥ τ) prunes the rest before verification.
+    *
+    * Verification is EXACT set arithmetic, not a second heuristic: each
+    * doc's full sorted fingerprint array rides a size-gated broadcast
+    * onto the candidate pairs, `array_intersect` counts the overlap, and
+    * the integer cross-multiplied predicate
+    * `minDen·|A∩B| ≥ minNum·(s_a + s_b − |A∩B|)` decides — no floats,
+    * oracle-replayable. Scale shape: everything runs on 8-byte gram
+    * fingerprints; the prefix index carries s−⌈τs⌉+1 rows per doc (a
+    * 0.8-threshold join indexes ~20% of each doc's grams); candidate
+    * dedup happens BEFORE the array attach (the fuzzy-pairs lesson:
+    * verify work rides a join condition and re-runs per duplicate).
+    * Output: (id_a, id_b, n_common, n_a, n_b), id_a < id_b.
+    */
+  def jaccardPairs(docs: DataFrame, id: String, text: String,
+      shingleN: Int, minNum: Int, minDen: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(minNum >= 1 && minDen >= minNum,
+      s"need 0 < minNum/minDen <= 1, got $minNum/$minDen")
+    // distinct gram fingerprints per doc + set size
+    val ex = docs.select(col(id).cast("long").as("_jpD"),
+        explode(shingles(col(text), shingleN)).as("_jpG0"))
+      .select(col("_jpD"), portableHash64(col("_jpG0")).as("_jpG"))
+      .distinct()
+    val sized = ex.join(ex.groupBy("_jpD").agg(count(lit(1)).as("_jpS")), "_jpD")
+    // prefix = the s - ceil(tau*s) + 1 globally rarest grams per doc
+    val gdf = ex.groupBy("_jpG").agg(count(lit(1)).as("_jpDf"))
+    val pref = sized.join(gdf, Seq("_jpG"))
+      .withColumn("_jpR", row_number().over(
+        Window.partitionBy("_jpD").orderBy(col("_jpDf"), col("_jpG"))))
+      .filter(col("_jpR") <=
+        col("_jpS") - expr(s"(_jpS * $minNum + ${minDen - 1}) div $minDen") + 1)
+      .select(col("_jpG"), col("_jpD"), col("_jpS"))
+      .localCheckpoint(true) // both sides of the candidate self-join
+    val cand = pref.select(col("_jpG"), col("_jpD").as("_jpA"), col("_jpS").as("_jpSa"))
+      .join(pref.select(col("_jpG"), col("_jpD").as("_jpB"), col("_jpS").as("_jpSb")),
+        Seq("_jpG"))
+      .filter(col("_jpA") < col("_jpB") &&
+        lit(minNum) * greatest(col("_jpSa"), col("_jpSb")) <=
+          lit(minDen) * least(col("_jpSa"), col("_jpSb")))
+      .select(col("_jpA"), col("_jpB"))
+      .distinct()
+    // exact verify: full sorted fingerprint arrays attach per side
+    val sets = ex.groupBy("_jpD")
+      .agg(array_sort(collect_list(col("_jpG"))).as("_jpArr"))
+    cand
+      .join(graft.plans.Hints.broadcastIfSmall(
+        sets.select(col("_jpD").as("_jpA"), col("_jpArr").as("_jpAa"))), Seq("_jpA"))
+      .join(graft.plans.Hints.broadcastIfSmall(
+        sets.select(col("_jpD").as("_jpB"), col("_jpArr").as("_jpAb"))), Seq("_jpB"))
+      .select(col("_jpA").as("id_a"), col("_jpB").as("id_b"),
+        size(array_intersect(col("_jpAa"), col("_jpAb"))).cast("long").as("n_common"),
+        size(col("_jpAa")).cast("long").as("n_a"),
+        size(col("_jpAb")).cast("long").as("n_b"))
+      .filter(lit(minDen) * col("n_common") >=
+        lit(minNum) * (col("n_a") + col("n_b") - col("n_common")))
+  }
+
   /** Entity canonicalization — the apply half of [[fuzzyKeyPairs]]:
     * typo-variant pairs close into connected components
     * ([[resolveComponentsStar]] over 60-bit [[portableHash64]] name ids —

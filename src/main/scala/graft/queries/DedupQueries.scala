@@ -79,6 +79,25 @@ object DedupQueries {
         spread(s, d), "doc_id", "text", shingleN = 3,
         minNum = 4, minDen = 5)),
 
+    // EXACT Jaccard >= 1/2 self-join via the AllPairs prefix filter —
+    // guaranteed complete where banded LSH recall is probabilistic.
+    // Candidates from the rarity-ordered s-ceil(τs)+1 gram prefix +
+    // length filter; verify = exact array_intersect on fingerprint sets,
+    // integer cross-multiplied threshold. Oracle = brute force over the
+    // same portable fingerprints.
+    Q("q_jaccard_join", Some(shinglesSql +
+      """
+        |, hx AS (SELECT doc_id, list_distinct(list_transform(s,
+        |    g -> ('0x' || substring(md5(g), 1, 15))::BIGINT)) AS hs FROM sh)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  len(list_intersect(a.hs, b.hs)) AS n_common,
+        |  len(a.hs) AS n_a, len(b.hs) AS n_b
+        |FROM hx a JOIN hx b ON a.doc_id < b.doc_id
+        |WHERE 2 * len(list_intersect(a.hs, b.hs)) >=
+        |  (len(a.hs) + len(b.hs) - len(list_intersect(a.hs, b.hs)))""".stripMargin))(
+      (s, d) => Dedup.jaccardPairs(spread(s, d), "doc_id", "text",
+        shingleN = 3, minNum = 1, minDen = 2)),
+
     // n-gram Jaccard similarity on a deterministic linear pairing
     // (doc i vs doc i+1) — the exact-similarity primitive in isolation.
     Q("q_ngram_jaccard", Some(shinglesSql +

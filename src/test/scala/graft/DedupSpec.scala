@@ -314,6 +314,37 @@ class DedupSpec extends SparkSpec {
     assert(got === bruteFuzzy(names, 3))
   }
 
+  test("jaccardPairs: exact threshold join equals brute force, including low thresholds") {
+    val rnd = new scala.util.Random(23)
+    val words = Seq("red", "fish", "blue", "bird", "green", "cat", "dog", "run")
+    val base = Seq.fill(40)((0 until (4 + rnd.nextInt(10)))
+      .map(_ => words(rnd.nextInt(words.size))).mkString(" "))
+    // plant explicit near-dups: copy with one word changed
+    val planted = base.take(8).map(t => t.split(" ").updated(0, "swap").mkString(" "))
+    val docs = (base ++ planted).zipWithIndex.map { case (t, i) => (i.toLong, t) }
+    val df = docs.toDF("doc_id", "text")
+    def hset(t: String): Set[Long] = {
+      val w = t.toLowerCase.split("\\s+").toSeq
+      val sh = if (w.size < 3) Seq(w.mkString(" ")) else w.sliding(3).map(_.mkString(" ")).toSeq
+      sh.distinct.map { s =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        val hex = md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+        java.lang.Long.parseLong(hex.take(15), 16)
+      }.toSet
+    }
+    val sets = docs.map { case (i, t) => i -> hset(t) }.toMap
+    for ((num, den) <- Seq((1, 2), (3, 10), (4, 5))) {
+      val expect = (for {
+        a <- docs.map(_._1); b <- docs.map(_._1) if a < b
+        c = sets(a).intersect(sets(b)).size
+        if den * c >= num * (sets(a).size + sets(b).size - c)
+      } yield (a, b, c.toLong, sets(a).size.toLong, sets(b).size.toLong)).toSet
+      val got = Dedup.jaccardPairs(df, "doc_id", "text", 3, num, den)
+        .as[(Long, Long, Long, Long, Long)].collect().toSet
+      assert(got === expect, s"tau=$num/$den mismatch")
+    }
+  }
+
   test("resolveFuzzyEntities: transitive chains share one canonical; singletons self-map") {
     // aaaa—aaab—aabb chain under maxDist=1: the ends are distance 2 apart
     // yet must land in ONE component via the middle link
