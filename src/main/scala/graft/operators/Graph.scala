@@ -332,6 +332,82 @@ object Graph {
     }
   }
 
+  /** Unweighted single-source (really seed-SET) shortest paths: the
+    * minimum hop count from any seed, up to `rounds` hops — the
+    * crawl-frontier distance of a link-graph pipeline (how many clicks
+    * from a trusted seed is this page?), and the standard BFS building
+    * block. Exact and deterministic: distances are integers, the
+    * recurrence is `dist(v, r) = min(dist(v, r-1), 1 + min over
+    * in-neighbors u with dist(u) = r-1)`, so a recursive-CTE oracle
+    * replays it bit-for-bit. Seeds hold distance 0 even when they never
+    * appear in the edge list (an off-graph seed is still distance 0 from
+    * itself); nodes unreached within `rounds` hops are ABSENT, not NULL —
+    * the frame is a reachability certificate, not a node table.
+    *
+    * Scale shape: the [[pageRankExact]] Pregel discipline — the edge
+    * list is shuffled ONCE (pre-partitioned by src, checkpointed); each
+    * round joins only the FRONTIER (rows that gained their distance last
+    * round, the BFS invariant that makes per-round work proportional to
+    * newly-reached territory, not the whole reached set) against it,
+    * then folds candidates into the distance frame with one map-side-
+    * combined min aggregation over node-sized data. Lineage cut per
+    * round. Output: (node, dist) long.
+    */
+  def shortestPaths(edges: DataFrame, seeds: DataFrame, rounds: Int): DataFrame = {
+    require(rounds >= 0, s"need rounds >= 0, got $rounds")
+    val e = edges.select(col("src").cast("long").as("src"),
+        col("dst").cast("long").as("dst"))
+      .repartition(col("src"))
+      .localCheckpoint(true)
+    val d0 = seeds.select(col("node").cast("long").as("node")).distinct()
+      .select(col("node"), lit(0L).as("dist"))
+      .localCheckpoint(true)
+    (1 to rounds).foldLeft(d0) { (dist, r) =>
+      val frontier = dist.filter(col("dist") === lit(r - 1).cast("long"))
+      val cand = e.join(frontier.withColumnRenamed("node", "src"), "src")
+        .select(col("dst").as("node"), lit(r.toLong).as("dist"))
+      dist.union(cand)
+        .groupBy("node").agg(min(col("dist")).as("dist"))
+        .localCheckpoint(true)
+    }
+  }
+
+  /** Fixed-round k-core peeling on a SYMMETRIZED edge list (pass both
+    * directions; degree is then out-degree): `rounds` synchronous sweeps,
+    * each removing every node whose current degree is below `k` (and all
+    * its edges) SIMULTANEOUSLY — the dense-subgraph extractor of a
+    * curation pipeline (template farms and SEO link rings live in high
+    * cores; long-tail organic content peels away). Synchronous fixed-round
+    * semantics, like [[labelPropagation]], is the price of a provable
+    * answer: the peel is an exact set recurrence, so an unrolled SQL
+    * twin replays it bit-for-bit, and running it to the graph's
+    * degeneracy depth yields the true k-core (each round is monotone; a
+    * fixpoint round is idempotent, so overshooting `rounds` is safe).
+    *
+    * Scale shape: per round one partial-agg degree shuffle plus two
+    * edge-sized shuffle semi-joins (survivor set is node-sized but not
+    * bounded, so no forced broadcast); the surviving edge set only
+    * shrinks, so per-round cost is monotone non-increasing; lineage cut
+    * per round. Output: (node, deg) long — survivors after `rounds`
+    * sweeps with their in-core degree.
+    */
+  def kCore(edges: DataFrame, k: Int, rounds: Int): DataFrame = {
+    require(k >= 1 && rounds >= 0, s"need k >= 1 and rounds >= 0, got $k, $rounds")
+    val e0 = edges.select(col("src").cast("long").as("src"),
+        col("dst").cast("long").as("dst"))
+      .distinct().localCheckpoint(true)
+    val peeled = (1 to rounds).foldLeft(e0) { (e, _) =>
+      val keep = e.groupBy("src").agg(count(lit(1)).as("_kcD"))
+        .filter(col("_kcD") >= k).select("src")
+      e.join(keep, Seq("src"), "left_semi")
+        .join(keep.withColumnRenamed("src", "dst"), Seq("dst"), "left_semi")
+        .select("src", "dst")
+        .localCheckpoint(true)
+    }
+    peeled.groupBy(col("src").as("node"))
+      .agg(count(lit(1)).cast("long").as("deg"))
+  }
+
   private def rankLoop(edges: DataFrame, seeds: Option[DataFrame],
       standing: Option[DataFrame],
       iters: Int, scale: Long, dampNum: Long, dampDen: Long,

@@ -723,6 +723,59 @@ object ScaleQueries {
         graft.operators.Graph.triangleCounts(edges)
       }),
 
+    // seed-set BFS distances on the trade graph: min hops from the
+    // s_suppkey % 7 = 1 suppliers (a seed set present at every SF),
+    // 4 rounds — the crawl-frontier distance prior (customers land at
+    // odd hops, rival suppliers at even). Exact integer recurrence; the
+    // oracle's UNION recursion dedups (node, dist) pairs so its working
+    // set stays nodes x rounds. Engine joins only the FRONTIER per
+    // round against the once-shuffled edge list.
+    Q("q_sssp", Some("""
+      |WITH RECURSIVE
+      |e0 AS (SELECT DISTINCT l_suppkey * 2 AS src, o_custkey * 2 + 1 AS dst
+      |       FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+      |edges AS (SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0),
+      |bfs AS (
+      |  SELECT CAST(s_suppkey * 2 AS BIGINT) AS node, 0 AS i
+      |  FROM supplier WHERE s_suppkey % 7 = 1
+      |  UNION
+      |  SELECT CAST(e.dst AS BIGINT), b.i + 1
+      |  FROM bfs b JOIN edges e ON e.src = b.node
+      |  WHERE b.i < 4
+      |)
+      |SELECT node, CAST(min(i) AS BIGINT) AS dist FROM bfs GROUP BY node
+      |""".stripMargin.trim))(
+      (s, d) => graft.operators.Graph.shortestPaths(
+        tradeGraph(s, d),
+        t(s, d, "supplier").filter(col("s_suppkey") % 7 === 1)
+          .select((col("s_suppkey") * 2).as("node")),
+        rounds = 4)),
+
+    // fixed-round k-core peel (k=10, 3 sweeps) on the trade graph: each
+    // sweep drops every node with degree < 10 and its edges
+    // simultaneously — the dense-subgraph prior (link rings / template
+    // farms live in high cores). The oracle is the UNROLLED exact set
+    // recurrence, one (survivors, surviving-edges) CTE pair per sweep.
+    Q("q_kcore", Some("""
+      |WITH
+      |e0 AS (SELECT DISTINCT l_suppkey * 2 AS src, o_custkey * 2 + 1 AS dst
+      |       FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+      |edges AS (SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0),
+      |s1 AS (SELECT src FROM edges GROUP BY src HAVING count(*) >= 10),
+      |e1 AS (SELECT e.src, e.dst FROM edges e
+      |       JOIN s1 a ON a.src = e.src JOIN s1 b ON b.src = e.dst),
+      |s2 AS (SELECT src FROM e1 GROUP BY src HAVING count(*) >= 10),
+      |e2 AS (SELECT e.src, e.dst FROM e1 e
+      |       JOIN s2 a ON a.src = e.src JOIN s2 b ON b.src = e.dst),
+      |s3 AS (SELECT src FROM e2 GROUP BY src HAVING count(*) >= 10),
+      |e3 AS (SELECT e.src, e.dst FROM e2 e
+      |       JOIN s3 a ON a.src = e.src JOIN s3 b ON b.src = e.dst)
+      |SELECT CAST(src AS BIGINT) AS node, CAST(count(*) AS BIGINT) AS deg
+      |FROM e3 GROUP BY 1
+      |""".stripMargin.trim))(
+      (s, d) => graft.operators.Graph.kCore(tradeGraph(s, d),
+        k = 10, rounds = 3)),
+
     // AMS/F2 second moment of the event user-key: the self-join-size /
     // skew-mass estimate a planner wants BEFORE shuffling — 9 ±1-signed
     // lane sums (bit-l of the portable hash), exact decimal squares,

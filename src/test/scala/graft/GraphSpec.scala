@@ -243,6 +243,87 @@ class GraphSpec extends SparkSpec {
     }
   }
 
+  test("shortestPaths: BFS distances from a seed set; off-graph seeds at 0; " +
+      "rounds cap respected; unreached nodes absent") {
+    // 1→2→3→4 chain, branch 2→5, cycle back 4→1, isolated seed 9
+    val raw = Seq((1L, 2L), (2L, 3L), (3L, 4L), (2L, 5L), (4L, 1L))
+    val edges = raw.toDF("src", "dst")
+    val seeds = Seq(1L, 9L).toDF("node")
+    val got = Graph.shortestPaths(edges, seeds, rounds = 2)
+      .as[(Long, Long)].collect().toMap
+    assert(got === Map(1L -> 0L, 9L -> 0L, 2L -> 1L, 3L -> 2L, 5L -> 2L))
+    // full depth: node 4 appears at 3; the cycle never shrinks 1 below 0
+    val full = Graph.shortestPaths(edges, seeds, rounds = 6)
+      .as[(Long, Long)].collect().toMap
+    assert(full === Map(1L -> 0L, 9L -> 0L, 2L -> 1L, 3L -> 2L, 5L -> 2L, 4L -> 3L))
+    // rounds = 0: exactly the distinct seed set
+    val r0 = Graph.shortestPaths(edges, seeds.union(seeds), rounds = 0)
+      .as[(Long, Long)].collect().toMap
+    assert(r0 === Map(1L -> 0L, 9L -> 0L))
+  }
+
+  test("shortestPaths: randomized graphs equal sequential BFS at every depth") {
+    val rnd = new scala.util.Random(29)
+    for (trial <- 1 to 3) {
+      val n = 10 + rnd.nextInt(8)
+      val raw = Seq.fill(3 * n)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter(e => e._1 != e._2).distinct
+      val seeds = Seq.fill(2)(rnd.nextInt(n).toLong).distinct
+      val rounds = 1 + rnd.nextInt(4)
+      var dist = seeds.map(_ -> 0L).toMap
+      for (r <- 1 to rounds) {
+        val frontier = dist.filter(_._2 == r - 1).keySet
+        val cand = raw.filter(e => frontier(e._1)).map(_._2)
+        dist = dist ++ cand.filterNot(dist.contains).map(_ -> r.toLong)
+      }
+      val got = Graph.shortestPaths(raw.toDF("src", "dst"),
+          seeds.toDF("node"), rounds)
+        .as[(Long, Long)].collect().toMap
+      assert(got === dist, s"trial $trial (n=$n rounds=$rounds) mismatch")
+    }
+  }
+
+  test("kCore: path peels two endpoints per sweep (the cascade); clique is a fixpoint") {
+    // P6 path + disjoint 4-clique, symmetrized; k=2
+    val path = (1L to 5L).map(i => (i, i + 1))
+    val kq = for (a <- 11L to 14L; b <- 11L to 14L if a < b) yield (a, b)
+    val raw = path ++ kq
+    val edges = (raw ++ raw.map(e => (e._2, e._1))).toDF("src", "dst")
+    def surv(rounds: Int): Map[Long, Long] =
+      Graph.kCore(edges, k = 2, rounds = rounds)
+        .as[(Long, Long)].collect().toMap
+    // sweep 1 drops path endpoints 1,6; sweep 2 drops 2,5; sweep 3 drops 3,4
+    assert(surv(1).keySet === Set(2L, 3L, 4L, 5L, 11L, 12L, 13L, 14L))
+    assert(surv(2).keySet === Set(3L, 4L, 11L, 12L, 13L, 14L))
+    assert(surv(3).keySet === Set(11L, 12L, 13L, 14L))
+    // overshooting rounds is safe: the clique (degree 3 >= 2) is a fixpoint
+    assert(surv(8) === Map(11L -> 3L, 12L -> 3L, 13L -> 3L, 14L -> 3L))
+    // k above the clique degree empties the graph
+    assert(Graph.kCore(edges, k = 4, rounds = 8).count() === 0L)
+  }
+
+  test("kCore: randomized graphs equal the sequential synchronous peel") {
+    val rnd = new scala.util.Random(31)
+    for (trial <- 1 to 3) {
+      val n = 10 + rnd.nextInt(8)
+      val raw = Seq.fill(3 * n)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter(e => e._1 != e._2).distinct
+      val sym = (raw ++ raw.map(e => (e._2, e._1))).distinct
+      val k = 2 + rnd.nextInt(3)
+      val rounds = 1 + rnd.nextInt(4)
+      var es = sym.toSet
+      for (_ <- 1 to rounds) {
+        val deg = es.toSeq.groupBy(_._1).view.mapValues(_.size).toMap
+        val keep = deg.filter(_._2 >= k).keySet
+        es = es.filter(e => keep(e._1) && keep(e._2))
+      }
+      val expect = es.toSeq.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+      val got = Graph.kCore(sym.toDF("src", "dst"), k, rounds)
+        .as[(Long, Long)].collect().toMap
+      assert(got === expect, s"trial $trial (n=$n k=$k rounds=$rounds) mismatch")
+    }
+  }
+
   test("pageRankExact enforces the static overflow bound when numNodes given") {
     val e = intercept[IllegalArgumentException] {
       Graph.pageRankExact(g.toDF("src", "dst"), iters = 1,

@@ -642,7 +642,8 @@ class PlanShapeSpec extends SparkSpec {
     // ExistingRDD scan: no joins, no exchanges, and in particular no
     // replay of all `iters` rounds (the un-checkpointed form would show
     // iters× nested join/agg trees and re-run them on every action)
-    for (name <- Seq("q_pagerank", "q_ppr", "q_hits")) {
+    for (name <- Seq("q_pagerank", "q_ppr", "q_hits", "q_communities",
+        "q_sssp")) {
       val df = q(name)
       val fmt = formatted(df)
       assert(fmt.contains("ExistingRDD"),
@@ -650,6 +651,39 @@ class PlanShapeSpec extends SparkSpec {
       assert(countShuffles(df) === 0 && countNodes(df, "Join") === 0,
         s"final $name plan replays iteration lineage:\n$fmt")
     }
+  }
+
+  test("kcore: final degree agg reads the checkpointed peeled edges — one shuffle, no joins") {
+    val df = q("q_kcore")
+    val fmt = formatted(df)
+    assert(fmt.contains("ExistingRDD"),
+      "kcore lost its per-sweep checkpoint boundary")
+    assert(countShuffles(df) === 1 && countNodes(df, "Join") === 0,
+      s"final kcore plan replays peel lineage:\n$fmt")
+    assert(mentions(df, "partial_count"),
+      "degree count lost its map-side partial aggregation")
+  }
+
+  test("jaccard join: equi-join candidates, exact array verify, no cartesian") {
+    val df = q("q_jaccard_join")
+    assert(countNodes(df, "CartesianProduct") === 0)
+    assert(countNodes(df, "BroadcastNestedLoopJoin") === 0)
+    // exact verification is set arithmetic on attached fingerprint arrays
+    assert(formatted(df).contains("array_intersect"),
+      "verify stage lost its exact array_intersect")
+    // candidate prefixes come from the checkpointed prefix table
+    assert(formatted(df).contains("ExistingRDD"),
+      "prefix table lost its materialize-once boundary")
+    assert(!formatted(df).contains("rangepartitioning"))
+  }
+
+  test("winnow: the native expression runs in-line — no window, no explode-sort") {
+    val df = q("q_winnow")
+    assert(mentions(df, "winnow_fps"),
+      "winnow regressed from the native O(n) expression")
+    assert(countNodes(df, "Window") === 0)
+    assert(countNodes(df, "CartesianProduct") === 0)
+    assert(!formatted(df).contains("rangepartitioning"))
   }
 
   test("neighborhood: estimate reads the checkpointed registers — one agg, no join replay") {
