@@ -1044,16 +1044,24 @@ object Dedup {
     require(minNum >= 1 && minDen >= minNum,
       s"need 0 < minNum/minDen <= 1, got $minNum/$minDen")
     // distinct gram fingerprints per doc + set size
+    // materialized once: four consumers (sizes, df inventory, prefix
+    // index, verify arrays) would otherwise each re-run the explode +
+    // distinct shuffle
     val ex = docs.select(col(id).cast("long").as("_jpD"),
         explode(shingles(col(text), shingleN)).as("_jpG0"))
       .select(col("_jpD"), portableHash64(col("_jpG0")).as("_jpG"))
       .distinct()
-    val sized = ex.join(ex.groupBy("_jpD").agg(count(lit(1)).as("_jpS")), "_jpD")
-    // prefix = the s - ceil(tau*s) + 1 globally rarest grams per doc
+      .localCheckpoint(true)
+    // prefix = the s - ceil(tau*s) + 1 globally rarest grams per doc.
+    // Set size and prefix rank come from ONE doc-partitioned exchange
+    // (two Window ops, same partitioning) instead of a separate
+    // size-join shuffle of the exploded frame.
     val gdf = ex.groupBy("_jpG").agg(count(lit(1)).as("_jpDf"))
-    val pref = sized.join(gdf, Seq("_jpG"))
+    val byDoc = Window.partitionBy("_jpD")
+    val pref = ex.join(gdf, Seq("_jpG"))
+      .withColumn("_jpS", count(lit(1)).over(byDoc))
       .withColumn("_jpR", row_number().over(
-        Window.partitionBy("_jpD").orderBy(col("_jpDf"), col("_jpG"))))
+        byDoc.orderBy(col("_jpDf"), col("_jpG"))))
       .filter(col("_jpR") <=
         col("_jpS") - expr(s"(_jpS * $minNum + ${minDen - 1}) div $minDen") + 1)
       .select(col("_jpG"), col("_jpD"), col("_jpS"))

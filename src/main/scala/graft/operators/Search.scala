@@ -212,6 +212,44 @@ object Search {
       .select("id_a", "id_b", "dot", "norm_a2", "norm_b2")
   }
 
+  /** Per-document top-k TF-IDF keywords: the highest-scoring terms of
+    * each document under the engine's QUANTIZED INTEGER rarity
+    * `ir(t) = 1 + floor(log2(N div df(t)))` (= `length(bin(N div df))`,
+    * the same libm-free idf as [[cosinePairs]]/[[bm25TopK]]) — the
+    * document-tagging / index-summarization primitive (store k terms per
+    * document instead of the document). Score `tf · ir` is an exact
+    * integer; ties break on the term string, so the top-k is fully
+    * deterministic and oracle-replayable.
+    *
+    * Scale shape: one corpus scan → (doc, term, tf) partial agg; the
+    * rarity table is VOCABULARY-sized and joins tf on term (one hash
+    * shuffle); the per-doc top-k is the bounded `topk_agg` heap — k rows
+    * per doc per map partition cross the final exchange, never the full
+    * posting list (no window sort). Output: (<id>, rank, term, score),
+    * rank 1..k score-descending.
+    */
+  def keywordsTfIdf(docs: DataFrame, id: String, text: String,
+      k: Int): DataFrame = {
+    require(k >= 1, s"need k >= 1, got $k")
+    val tf = docs
+      .select(col(id).cast("long").as("_kwDoc"),
+        explode(split(lower(col(text)), "\\s+")).as("_kwT"))
+      .groupBy("_kwDoc", "_kwT").agg(count(lit(1)).as("_kwTf"))
+    val nRow = broadcast(docs.agg(count(lit(1)).as("_kwN")))
+    val rarity = tf.groupBy("_kwT").agg(count(lit(1)).as("_kwDf"))
+      .crossJoin(nRow)
+      .select(col("_kwT"),
+        length(bin(expr("_kwN div _kwDf"))).cast("long").as("_kwIr"))
+    val scored = tf.join(rarity, Seq("_kwT"))
+      .select(col("_kwDoc"), col("_kwT"),
+        (col("_kwTf") * col("_kwIr")).as("_kwS"))
+    Similarity.topKPerKey(scored, Seq("_kwDoc"),
+        struct((-col("_kwS")).as("ns"), col("_kwT").as("tm")), k)
+      .select(col("_kwDoc").as(id), posexplode(col("topk")))
+      .select(col(id), (col("pos") + 1).cast("long").as("rank"),
+        col("col.tm").as("term"), (-col("col.ns")).as("score"))
+  }
+
   /** Incremental (new-batch-vs-corpus) cosine similarity: each NEW
     * document scored against EXISTING corpus documents — the
     * daily-ingest twin of [[cosinePairs]], the same relationship

@@ -615,6 +615,28 @@ object TextQueries {
         t(s, d, "documents"), col("source"), Seq(900, 100))
         .select("doc_id", "source", "split")),
 
+    // per-document top-5 TF-IDF keywords: quantized integer rarity
+    // (length(bin(N div df)) = 1+floor(log2(N/df)), log-free), score =
+    // tf * ir exact BIGINT, term-string tie-break — top-k via the
+    // bounded topk_agg heap, never a posting-list window sort.
+    Q("q_keywords", Some("""
+      |WITH tok AS (SELECT doc_id, unnest(regexp_split_to_array(lower(text), '\s+')) AS term
+      |  FROM documents),
+      |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+      |nn AS (SELECT count(*) AS n FROM documents),
+      |r AS (SELECT term, CAST(length(bin((SELECT n FROM nn) // count(*))) AS BIGINT) AS ir
+      |  FROM tf GROUP BY term),
+      |s AS (SELECT tf.doc_id, tf.term, tf.tf * r.ir AS score
+      |  FROM tf JOIN r USING (term))
+      |SELECT doc_id, CAST(rk AS BIGINT) AS rank, term, CAST(score AS BIGINT) AS score
+      |FROM (SELECT doc_id, term, score,
+      |        row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, term) AS rk
+      |      FROM s)
+      |WHERE rk <= 5
+      |""".stripMargin.trim))(
+      (s, d) => graft.operators.Search.keywordsTfIdf(
+        t(s, d, "documents"), "doc_id", "text", k = 5)),
+
     // all-pairs TF-IDF cosine similarity join (Bayardo WWW'07 inverted-
     // index shape): every doc pair with quantized-integer-idf cosine
     // >= 2/5 over word trigrams, df-capped at 6. Quantized idf

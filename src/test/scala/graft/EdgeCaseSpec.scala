@@ -193,6 +193,17 @@ class EdgeCaseSpec extends SparkSpec {
         Seq.empty[Long].toDF("node"), iters = 2)
       .as[(Long, Long)].collect()
     assert(ppr.length === 2 && ppr.forall(_._2 === 0L))
+    // BFS on an empty graph: seeds survive at 0; empty seeds yield empty
+    val bfs = Graph.shortestPaths(empty, Seq(7L).toDF("node"), rounds = 3)
+      .as[(Long, Long)].collect().toMap
+    assert(bfs === Map(7L -> 0L))
+    assert(Graph.shortestPaths(one, Seq.empty[Long].toDF("node"),
+      rounds = 3).count() === 0)
+    // kCore: empty graph stays empty; k=1 keeps every non-isolated node
+    assert(Graph.kCore(empty, k = 1, rounds = 2).count() === 0)
+    val k1 = Graph.kCore(Seq((1L, 2L), (2L, 1L)).toDF("src", "dst"),
+      k = 1, rounds = 2).as[(Long, Long)].collect().toMap
+    assert(k1 === Map(1L -> 1L, 2L -> 1L))
   }
 
   test("tokenShift: absent corpus label yields all-zero gaps, ordered by token") {

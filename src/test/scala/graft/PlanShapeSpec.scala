@@ -677,6 +677,15 @@ class PlanShapeSpec extends SparkSpec {
     assert(!formatted(df).contains("rangepartitioning"))
   }
 
+  test("keywords: bounded topk_agg per doc — no window sort over posting lists") {
+    val df = q("q_keywords")
+    assert(mentions(df, "topk_agg"),
+      "per-doc top-k regressed from the bounded heap aggregate")
+    assert(countNodes(df, "Window") === 0)
+    assert(!formatted(df).contains("rangepartitioning"))
+    assert(countNodes(df, "CartesianProduct") === 0)
+  }
+
   test("winnow: the native expression runs in-line — no window, no explode-sort") {
     val df = q("q_winnow")
     assert(mentions(df, "winnow_fps"),

@@ -160,6 +160,33 @@ class TextAnalysisSpec extends SparkSpec {
     assert(st._5 === 1L && !st._6)
   }
 
+  test("keywordsTfIdf: top-k terms equal the brute-force ranking, term tie-break") {
+    val docs = Seq(
+      (1L, "red fish blue fish red fish rare"),
+      (2L, "the the the the common words here"),
+      (3L, "zebra apple zebra apple tie tie"),
+      (4L, "single"))
+    val df = docs.toDF("doc_id", "text")
+    val k = 3
+    val n = docs.size.toLong
+    val tfs = docs.map { case (i, t) =>
+      i -> t.toLowerCase.split("\\s+").toSeq.groupBy(identity).view
+        .mapValues(_.size.toLong).toMap
+    }.toMap
+    val dfs = tfs.values.flatMap(_.keys).groupBy(identity).view
+      .mapValues(_.size.toLong).toMap
+    def ir(t: String): Long =
+      (64 - java.lang.Long.numberOfLeadingZeros(n / dfs(t))).toLong
+    val expect = tfs.flatMap { case (d, tf) =>
+      tf.toSeq.map { case (t, f) => (t, f * ir(t)) }
+        .sortBy { case (t, s) => (-s, t) }.take(k).zipWithIndex
+        .map { case ((t, s), i) => (d, (i + 1).toLong, t, s) }
+    }.toSet
+    val got = graft.operators.Search.keywordsTfIdf(df, "doc_id", "text", k)
+      .as[(Long, Long, String, Long)].collect().toSet
+    assert(got === expect)
+  }
+
   test("cosinePairs equals brute-force quantized-idf cosine; df cap drops boilerplate grams") {
     val docs = Seq(
       (1L, "red fish blue fish red fish"),
