@@ -343,6 +343,45 @@ object Corpus {
     * stratum gate on [[approxQuantileThresholds]] instead (bounded
     * t-digest memory, same plan shape).
     */
+  /** Per-group robust outliers by MEDIAN / MAD (median absolute
+    * deviation) — the quality gate that survives the very outliers it
+    * hunts (a mean/stddev z-score moves with each extreme doc; the
+    * median and MAD do not). Flags rows with
+    * `|v − med| · den > mad · num` (strictly outside `num/den` MADs).
+    * Medians are the LOWER median — the exact ⌈n/2⌉-th order statistic,
+    * an element of the data — so every output column is an exact integer
+    * and the DuckDB twin replays it bit-for-bit (an interpolated even-n
+    * median would be a float with cross-engine rounding).
+    *
+    * Scale shape: two group-partitioned window passes (rank + group
+    * count in ONE exchange each; the k-th VALUE is well-defined under
+    * ties, so tie order inside row_number cannot change the output) and
+    * two group-keyed joins of a groups-sized frame back onto the data.
+    * Per-group sort is the honest cost of an exact order statistic; for
+    * extreme group sizes the sketch path is [[graft.functions.Sketches
+    * .histogramFixed]]/`histogramThreshold` (approximate, mergeable).
+    * Output: (input columns, med, mad) — flagged rows only.
+    */
+  def madOutliers(df: DataFrame, group: String, value: Column,
+      num: Int, den: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(num >= 1 && den >= 1, s"need num, den >= 1, got $num/$den")
+    val wg = Window.partitionBy(group)
+    def lowerMedian(in: DataFrame, v: Column, out: String): DataFrame =
+      in.withColumn("_moRn", row_number().over(wg.orderBy(v)))
+        .withColumn("_moCnt", count(lit(1)).over(wg))
+        .filter(col("_moRn") === expr("(_moCnt + 1) div 2"))
+        .select(col(group), v.as(out))
+    val base = df.withColumn("_moV", value.cast("long"))
+    val med = lowerMedian(base, col("_moV"), "med")
+    val dev = base.join(med, Seq(group))
+      .withColumn("_moDev", abs(col("_moV") - col("med")))
+    val mad = lowerMedian(dev, col("_moDev"), "mad")
+    dev.join(mad, Seq(group))
+      .filter(col("_moDev") * den > col("mad") * num)
+      .drop("_moV", "_moDev")
+  }
+
   def percentileGate(df: DataFrame, strata: Seq[String], score: Column,
       p: Double): DataFrame =
     if (strata.isEmpty)

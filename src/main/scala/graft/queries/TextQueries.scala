@@ -615,6 +615,28 @@ object TextQueries {
         t(s, d, "documents"), col("source"), Seq(900, 100))
         .select("doc_id", "source", "split")),
 
+    // per-source robust length outliers: lower-median / MAD gate, every
+    // column an exact integer order statistic (an element of the data),
+    // strictly-outside-3-MADs predicate cross-multiplied — the quality
+    // screen that does not move with the outliers it hunts.
+    Q("q_mad_outliers", Some("""
+      |WITH v AS (SELECT doc_id, source, CAST(length(text) AS BIGINT) AS len FROM documents),
+      |r AS (SELECT *, row_number() OVER (PARTITION BY source ORDER BY len) AS rn,
+      |             count(*) OVER (PARTITION BY source) AS cnt FROM v),
+      |med AS (SELECT source, len AS med FROM r WHERE rn = (cnt + 1) // 2),
+      |d AS (SELECT v.doc_id, v.source, v.len, med.med, abs(v.len - med.med) AS dev
+      |      FROM v JOIN med USING (source)),
+      |r2 AS (SELECT *, row_number() OVER (PARTITION BY source ORDER BY dev) AS rn,
+      |              count(*) OVER (PARTITION BY source) AS cnt FROM d),
+      |mad AS (SELECT source, dev AS mad FROM r2 WHERE rn = (cnt + 1) // 2)
+      |SELECT d.doc_id, d.source, d.len, d.med, mad.mad
+      |FROM d JOIN mad USING (source) WHERE d.dev * 1 > mad.mad * 3
+      |""".stripMargin.trim))(
+      (s, d) => graft.operators.Corpus.madOutliers(
+        t(s, d, "documents").select(col("doc_id"), col("source"),
+          length(col("text")).cast("long").as("len")),
+        "source", col("len"), num = 3, den = 1)),
+
     // per-document top-5 TF-IDF keywords: quantized integer rarity
     // (length(bin(N div df)) = 1+floor(log2(N/df)), log-free), score =
     // tf * ir exact BIGINT, term-string tie-break — top-k via the

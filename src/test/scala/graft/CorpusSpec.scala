@@ -704,4 +704,28 @@ class CorpusSpec extends SparkSpec {
       .as[(String, Long, Long, Double)].collect().toSeq
     assert(all === Seq(("z", 0L, 3L, 9.0), ("x", 2L, 1L, 5.0), ("y", 1L, 0L, 4.0)))
   }
+
+  test("madOutliers equals the sequential lower-median/MAD gate, even and odd groups, ties") {
+    val rnd = new scala.util.Random(41)
+    // groups of varied size incl. an even-size group and heavy ties
+    val rows = for {
+      g <- Seq("a", "b", "c", "d")
+      i <- 0 until (3 + rnd.nextInt(8))
+    } yield (g + "_" + i, g, if (rnd.nextBoolean()) 10L else rnd.nextInt(1000).toLong)
+    def lowerMedian(vs: Seq[Long]): Long = vs.sorted.apply((vs.size + 1) / 2 - 1)
+    def model(num: Int, den: Int) = rows.groupBy(_._2).flatMap { case (g, rs) =>
+      val med = lowerMedian(rs.map(_._3))
+      val mad = lowerMedian(rs.map(r => math.abs(r._3 - med)))
+      rs.filter(r => math.abs(r._3 - med) * den > mad * num)
+        .map(r => (g, r._1, r._3, med, mad)) // join key leads the output
+    }.toSet
+    for ((num, den) <- Seq((3, 2), (1, 1), (1000000, 1))) {
+      // at huge num only mad = 0 groups still flag (any deviation is
+      // infinitely many MADs there — the tie-heavy group exercises it)
+      val got = Corpus.madOutliers(rows.toDF("id", "g", "v"), "g", col("v"),
+          num, den)
+        .as[(String, String, Long, Long, Long)].collect().toSet
+      assert(got === model(num, den), s"num=$num den=$den")
+    }
+  }
 }
