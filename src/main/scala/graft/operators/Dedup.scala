@@ -1100,6 +1100,99 @@ object Dedup {
         lit(minNum) * (col("n_a") + col("n_b") - col("n_common")))
   }
 
+  /** Corpus shingle-fingerprint document frequencies — the frozen rarity
+    * artifact the at-ingest exact-Jaccard matcher
+    * ([[graft.streaming.StreamingDedup.jaccardMatchAtIngest]]) orders
+    * prefixes by. Output: (gram, df). Production head-caps this to the
+    * most frequent grams (absent grams tie at df 0, fingerprint
+    * tie-break — still one consistent total order, so prefix-filter
+    * completeness is unaffected).
+    */
+  def shingleDfTable(docs: DataFrame, id: String, text: String,
+      shingleN: Int): DataFrame = docs
+    .select(col(id).cast("long").as("_sdD"),
+      explode(shingles(col(text), shingleN)).as("_sdG0"))
+    .select(col("_sdD"), portableHash64(col("_sdG0")).as("gram"))
+    .distinct()
+    .groupBy("gram").agg(count(lit(1)).as("df"))
+
+  /** Incremental (new-batch-vs-corpus) exact Jaccard join: every
+    * (new, old) pair with `J ≥ minNum/minDen` — the daily-ingest twin of
+    * [[jaccardPairs]], completing the family symmetry of
+    * [[containmentPairsAgainst]] / [[graft.operators.Search
+    * .cosinePairsAgainst]]. Directed new→old only.
+    *
+    * The global gram order is the CORPUS rarity (corpus df ascending,
+    * fingerprint tie-break) — the standing inventory a production
+    * pipeline persists per release. Grams the corpus has never seen take
+    * df = 0, the rarest possible: they sort to the FRONT of a new doc's
+    * prefix. Completeness is unaffected — the AllPairs witness argument
+    * only needs each doc to hold at most `s − ⌈τs⌉` grams below the
+    * smallest shared gram, which holds under ANY consistent total order
+    * regardless of what the non-shared grams are (the same
+    * frozen-order-stays-complete reasoning as
+    * [[graft.streaming.StreamingDedup.fuzzyMatchAtIngest]]). The PPJoin
+    * positional filter of [[jaccardPairs]] applies verbatim: both ranks
+    * live in the same global order, so
+    * `overlap ≤ 1 + min(s_n − r_n, s_o − r_o)` at the witness row.
+    *
+    * Scale shape: corpus shuffles once into inventory (df table, prefix
+    * index, fingerprint arrays — persist per release); matching a batch
+    * is batch-prefix × corpus-prefix equi-join + the array verify on
+    * surviving candidates. Output: (new_id, old_id, n_common, n_new,
+    * n_old).
+    */
+  def jaccardPairsAgainst(newDocs: DataFrame, corpus: DataFrame,
+      id: String, text: String,
+      shingleN: Int, minNum: Int, minDen: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(minNum >= 1 && minDen >= minNum,
+      s"need 0 < minNum/minDen <= 1, got $minNum/$minDen")
+    def grams(docs: DataFrame): DataFrame = docs
+      .select(col(id).cast("long").as("_jpD"),
+        explode(shingles(col(text), shingleN)).as("_jpG0"))
+      .select(col("_jpD"), portableHash64(col("_jpG0")).as("_jpG"))
+      .distinct()
+      .localCheckpoint(true)
+    val exO = grams(corpus)
+    val exN = grams(newDocs)
+    val gdf = exO.groupBy("_jpG").agg(count(lit(1)).as("_jpDf"))
+    val byDoc = Window.partitionBy("_jpD")
+    def pref(e: DataFrame): DataFrame = e.join(gdf, Seq("_jpG"), "left")
+      .withColumn("_jpDfz", coalesce(col("_jpDf"), lit(0L)))
+      .withColumn("_jpS", count(lit(1)).over(byDoc))
+      .withColumn("_jpR", row_number().over(
+        byDoc.orderBy(col("_jpDfz"), col("_jpG"))))
+      .filter(col("_jpR") <=
+        col("_jpS") - expr(s"(_jpS * $minNum + ${minDen - 1}) div $minDen") + 1)
+      .select(col("_jpG"), col("_jpD"), col("_jpS"), col("_jpR"))
+    val cand = pref(exN)
+      .select(col("_jpG"), col("_jpD").as("_jpA"), col("_jpS").as("_jpSa"),
+        col("_jpR").as("_jpRa"))
+      .join(pref(exO).select(col("_jpG"), col("_jpD").as("_jpB"),
+        col("_jpS").as("_jpSb"), col("_jpR").as("_jpRb")), Seq("_jpG"))
+      .filter(
+        lit(minNum) * greatest(col("_jpSa"), col("_jpSb")) <=
+          lit(minDen) * least(col("_jpSa"), col("_jpSb")) &&
+        (lit(1) + least(col("_jpSa") - col("_jpRa"), col("_jpSb") - col("_jpRb"))) *
+          lit(minNum + minDen) >= lit(minNum) * (col("_jpSa") + col("_jpSb")))
+      .select(col("_jpA"), col("_jpB"))
+      .distinct()
+    def sets(e: DataFrame): DataFrame = e.groupBy("_jpD")
+      .agg(array_sort(collect_list(col("_jpG"))).as("_jpArr"))
+    cand
+      .join(sets(exN).select(col("_jpD").as("_jpA"), col("_jpArr").as("_jpAa")),
+        Seq("_jpA"))
+      .join(sets(exO).select(col("_jpD").as("_jpB"), col("_jpArr").as("_jpAb")),
+        Seq("_jpB"))
+      .select(col("_jpA").as("new_id"), col("_jpB").as("old_id"),
+        size(array_intersect(col("_jpAa"), col("_jpAb"))).cast("long").as("n_common"),
+        size(col("_jpAa")).cast("long").as("n_new"),
+        size(col("_jpAb")).cast("long").as("n_old"))
+      .filter(lit(minDen) * col("n_common") >=
+        lit(minNum) * (col("n_new") + col("n_old") - col("n_common")))
+  }
+
   /** Entity canonicalization — the apply half of [[fuzzyKeyPairs]]:
     * typo-variant pairs close into connected components
     * ([[resolveComponentsStar]] over 60-bit [[portableHash64]] name ids —

@@ -98,6 +98,29 @@ object DedupQueries {
       (s, d) => Dedup.jaccardPairs(spread(s, d), "doc_id", "text",
         shingleN = 3, minNum = 1, minDen = 2)),
 
+    // incremental exact Jaccard: the % 10 = 0 batch against the standing
+    // corpus under FROZEN corpus rarity (unseen grams take df = 0, the
+    // rarest slot — they can't match but they fill prefixes first).
+    // Oracle = directed brute force; the prefix + positional pruning must
+    // lose nothing.
+    Q("q_jaccard_incremental", Some(shinglesSql +
+      """
+        |, hx AS (SELECT doc_id, list_distinct(list_transform(s,
+        |    g -> ('0x' || substring(md5(g), 1, 15))::BIGINT)) AS hs FROM sh)
+        |SELECT n.doc_id AS new_id, o.doc_id AS old_id,
+        |  len(list_intersect(n.hs, o.hs)) AS n_common,
+        |  len(n.hs) AS n_new, len(o.hs) AS n_old
+        |FROM hx n JOIN hx o ON n.doc_id % 10 = 0 AND o.doc_id % 10 != 0
+        |WHERE 2 * len(list_intersect(n.hs, o.hs)) >=
+        |  (len(n.hs) + len(o.hs) - len(list_intersect(n.hs, o.hs)))""".stripMargin))(
+      (s, d) => {
+        val docs = spread(s, d)
+        Dedup.jaccardPairsAgainst(
+          docs.filter(col("doc_id") % 10 === 0),
+          docs.filter(col("doc_id") % 10 =!= 0),
+          "doc_id", "text", shingleN = 3, minNum = 1, minDen = 2)
+      }),
+
     // n-gram Jaccard similarity on a deterministic linear pairing
     // (doc i vs doc i+1) — the exact-similarity primitive in isolation.
     Q("q_ngram_jaccard", Some(shinglesSql +

@@ -345,6 +345,42 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("jaccardPairsAgainst: directed new-vs-corpus equals brute force; " +
+      "corpus-unseen grams fill prefixes without breaking completeness") {
+    val rnd = new scala.util.Random(37)
+    val words = Seq("red", "fish", "blue", "bird", "green", "cat", "dog", "run")
+    val corpus = Seq.fill(30)((0 until (4 + rnd.nextInt(10)))
+      .map(_ => words(rnd.nextInt(words.size))).mkString(" "))
+    // new docs: near-copies of corpus docs PLUS fresh never-seen tokens
+    // (df = 0 grams must sort to the prefix front and stay complete)
+    val fresh = corpus.take(6).map(t =>
+      (t.split(" ").take(6) ++ Seq("novel" + rnd.nextInt(100))).mkString(" "))
+    val oldDocs = corpus.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+    val newDocs = fresh.zipWithIndex.map { case (t, i) => (1000L + i, t) }
+    def hset(t: String): Set[Long] = {
+      val w = t.toLowerCase.split("\\s+").toSeq
+      val sh = if (w.size < 3) Seq(w.mkString(" ")) else w.sliding(3).map(_.mkString(" ")).toSeq
+      sh.distinct.map { s =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        val hex = md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+        java.lang.Long.parseLong(hex.take(15), 16)
+      }.toSet
+    }
+    val so = oldDocs.map { case (i, t) => i -> hset(t) }.toMap
+    val sn = newDocs.map { case (i, t) => i -> hset(t) }.toMap
+    for ((num, den) <- Seq((1, 2), (3, 10))) {
+      val expect = (for {
+        n <- newDocs.map(_._1); o <- oldDocs.map(_._1)
+        c = sn(n).intersect(so(o)).size
+        if den * c >= num * (sn(n).size + so(o).size - c)
+      } yield (n, o, c.toLong, sn(n).size.toLong, so(o).size.toLong)).toSet
+      val got = Dedup.jaccardPairsAgainst(newDocs.toDF("doc_id", "text"),
+          oldDocs.toDF("doc_id", "text"), "doc_id", "text", 3, num, den)
+        .as[(Long, Long, Long, Long, Long)].collect().toSet
+      assert(got === expect, s"tau=$num/$den mismatch")
+    }
+  }
+
   test("resolveFuzzyEntities: transitive chains share one canonical; singletons self-map") {
     // aaaa—aaab—aabb chain under maxDist=1: the ends are distance 2 apart
     // yet must land in ONE component via the middle link
