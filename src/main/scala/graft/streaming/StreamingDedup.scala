@@ -177,6 +177,107 @@ object StreamingDedup {
       }
   }
 
+  final case class JaccardMatch(new_id: Long, old_id: Long,
+      n_common: Long, n_new: Long, n_old: Long)
+
+  /** EXACT Jaccard matching at ingest — the streaming twin of
+    * [[Dedup.jaccardPairsAgainst]] ("is this arriving document a
+    * J ≥ τ near-copy of one we already hold?"), closing the family
+    * symmetry with [[fuzzyMatchAtIngest]] and
+    * [[graft.streaming.StreamingSearch.cosineMatchAtIngest]].
+    *
+    * Per arriving doc, the (s − ⌈τs⌉ + 1) rarest distinct shingle
+    * fingerprints under a FROZEN rarity artifact become the bucket keys
+    * (AllPairs prefix, Bayardo WWW'07); flatMapGroupsWithState keyed by
+    * fingerprint holds each bucket's (doc, sorted fingerprint array)
+    * members and verifies exact intersection against each, gated by the
+    * τ-compatible size band. Completeness needs only a CONSISTENT total
+    * gram order — the [[Dedup.jaccardPairsAgainst]] frozen-order
+    * argument — so the artifact may be head-capped to the most frequent
+    * grams: every absent gram ties at df 0 and breaks by fingerprint,
+    * still one total order over all grams any doc can produce. A true
+    * pair shares a gram inside both prefixes under that order, so no
+    * pair is lost; unseen-gram-heavy docs just carry rarer prefixes.
+    *
+    * State shape: a doc is stored in ≤ (1−τ)s+1 buckets with its full
+    * fingerprint array (what exact verify needs); bucket occupancy
+    * tracks gram rarity, not corpus size. A pair sharing several prefix
+    * grams can emit more than once — dedup downstream (the
+    * [[nearDupCandidates]] caveat). Duplicate arrivals of a doc id are
+    * absorbed; in-batch folds run in ascending id order so retries are
+    * deterministic.
+    */
+  def jaccardMatchAtIngest(docs: DataFrame, id: String, text: String,
+      rarity: Map[Long, Long], shingleN: Int,
+      minNum: Int, minDen: Int): Dataset[JaccardMatch] = {
+    require(minNum >= 1 && minDen >= minNum,
+      s"need 0 < minNum/minDen <= 1, got $minNum/$minDen")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val keyed = docs
+      .select(col(id).cast("long").as("i"), lower(col(text)).as("t"))
+      .filter(col("i").isNotNull && col("t").isNotNull)
+      .as[(Long, String)]
+      .flatMap { case (i, t) =>
+        val fps = shingleFpsLocal(t, shingleN)
+        val s = fps.length
+        val prefLen = s - (s * minNum + minDen - 1) / minDen + 1
+        fps.sortBy(g => (rarity.getOrElse(g, 0L), g))
+          .take(prefLen)
+          .map(g => (g, i, fps))
+      }
+    keyed.groupByKey(_._1)
+      .flatMapGroupsWithState[List[(Long, Array[Long])], JaccardMatch](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout) {
+        (_, rows, state) =>
+          var seen = state.getOption.getOrElse(Nil)
+          val out = Seq.newBuilder[JaccardMatch]
+          rows.toSeq.sortBy(_._2).foreach { case (_, i, fps) =>
+            if (!seen.exists(_._1 == i)) {
+              val sN = fps.length.toLong
+              seen.foreach { case (j, fpsJ) =>
+                val sO = fpsJ.length.toLong
+                if (minNum * math.max(sN, sO) <= minDen * math.min(sN, sO)) {
+                  val c = sortedIntersectCount(fps, fpsJ)
+                  if (minDen * c >= minNum * (sN + sO - c))
+                    out += JaccardMatch(i, j, c, sN, sO)
+                }
+              }
+              seen = (i, fps) :: seen
+            }
+          }
+          state.update(seen)
+          out.result().iterator
+      }
+  }
+
+  /** Local twin of `shingles` + `portableHash64`: distinct lowercase word
+    * n-gram MD5-prefix fingerprints, sorted ascending (the verify
+    * intersection walks two sorted arrays).
+    */
+  private def shingleFpsLocal(lowered: String, n: Int): Array[Long] = {
+    val toks = lowered.split("\\s+").toSeq
+    val sh =
+      if (toks.size < n) Seq(toks.mkString(" "))
+      else toks.sliding(n).map(_.mkString(" ")).toSeq
+    sh.distinct.map { g =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(g.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.take(15), 16)
+    }.distinct.sorted.toArray
+  }
+
+  private def sortedIntersectCount(a: Array[Long], b: Array[Long]): Long = {
+    var i = 0; var j = 0; var c = 0L
+    while (i < a.length && j < b.length) {
+      if (a(i) == b(j)) { c += 1; i += 1; j += 1 }
+      else if (a(i) < b(j)) i += 1
+      else j += 1
+    }
+    c
+  }
+
   /** Plain DP Levenshtein for in-state verification (the batch operator
     * uses the codegen'd expression; state folds run per bucket row).
     */

@@ -1223,6 +1223,58 @@ class StreamingOpsSpec extends SparkSpec {
     assert(streamed.contains(("ab", "cd", 2)), "zero-shared-gram short pair")
   }
 
+  test("jaccard match at ingest: streamed docs equal the batch self-join, " +
+      "including under a head-capped rarity artifact") {
+    // exact-Jaccard dedup at the door: frozen shingle-df artifact trained
+    // in batch; arriving docs prefix-indexed against it, in-bucket exact
+    // set intersection. Deduped stream output == batch jaccardPairs over
+    // all streamed docs — cross-batch pairs included — and stays equal
+    // when the artifact keeps only its most frequent half (absent grams
+    // tie at df 0: any consistent total order preserves completeness).
+    import graft.operators.Dedup
+    import graft.streaming.StreamingDedup
+    val rnd = new scala.util.Random(91)
+    val words = Seq("red", "fish", "blue", "bird", "green", "cat", "dog")
+    val base = Seq.fill(14)((0 until (5 + rnd.nextInt(8)))
+      .map(_ => words(rnd.nextInt(words.size))).mkString(" "))
+    val near = base.take(5).map(t =>
+      (t.split(" ").drop(1) :+ "tail").mkString(" "))
+    val all = (base ++ near).zipWithIndex.map { case (t, i) => (i.toLong, t) }
+    val train = all.take(10).toDF("doc_id", "text") // artifact sees a SUBSET
+    val full = Dedup.shingleDfTable(train, "doc_id", "text", shingleN = 3)
+      .as[(Long, Long)].collect().toMap
+    val capped = { // keep the most frequent half of the artifact
+      val cut = full.values.toSeq.sorted(Ordering[Long].reverse)
+        .take(math.max(1, full.size / 2)).min
+      full.filter(_._2 >= cut)
+    }
+    val batchExpect = Dedup.jaccardPairs(all.toDF("doc_id", "text"),
+        "doc_id", "text", shingleN = 3, minNum = 1, minDen = 2)
+      .as[(Long, Long, Long, Long, Long)].collect().toSet
+    assert(batchExpect.nonEmpty, "corpus must contain a true pair")
+    for ((rarity, tag) <- Seq((full, "full"), (capped, "capped"))) {
+      val mem = MemoryStream[(Long, String)]
+      val out = StreamingDedup.jaccardMatchAtIngest(
+        mem.toDF().toDF("doc_id", "text"), "doc_id", "text", rarity,
+        shingleN = 3, minNum = 1, minDen = 2)
+      val sink = s"jm_sink_$tag"
+      val q = out.writeStream.format("memory").queryName(sink)
+        .outputMode("append").start()
+      val (b1, b2) = all.splitAt(9) // near-dups of batch-1 docs arrive in batch 2
+      try {
+        mem.addData(b1: _*); q.processAllAvailable()
+        mem.addData(b2: _*); q.processAllAvailable()
+      } finally q.stop()
+      val streamed = spark.table(sink)
+        .as[(Long, Long, Long, Long, Long)].collect().toSet
+        .map { m: (Long, Long, Long, Long, Long) =>
+          val (n, o, c, sn, so) = m
+          if (o < n) (o, n, c, so, sn) else (n, o, c, sn, so)
+        }
+      assert(streamed === batchExpect, s"rarity=$tag")
+    }
+  }
+
   test("cosine match at ingest: streamed docs equal the batch operator against the inventory corpus") {
     // paraphrase check at the door: frozen corpus inventory trained in
     // batch; arriving docs score statelessly against it. Streamed match
