@@ -1,0 +1,206 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Distributed suffix-array construction over the token stream of a
+  * document corpus, by prefix doubling (Manber–Myers 1990; the sort/join
+  * recurrence is the standard bulk-synchronous formulation). The suffix
+  * array is the exact-substring dedup index: "Deduplicating Training
+  * Data Makes Language Models Better" (Lee et al. 2021) builds exactly
+  * this structure to find every substring of ≥ L tokens that occurs
+  * twice anywhere in the corpus — the granularity the sliding-gram
+  * matcher ([[Dedup.dupSpans]]) approximates with a fixed gram width,
+  * the suffix array answers for ALL widths at once: SA-adjacent
+  * suffixes + LCP enumerate every maximal repeat without an L-sweep.
+  *
+  * Suffixes are doc-local (token `off` to end of doc; repeats never
+  * phantom-cross document boundaries) but ranked GLOBALLY across the
+  * corpus, so cross-document repeats land adjacent. Out-of-range
+  * positions rank 0 — below every real token — which is the shared
+  * end-sentinel: a suffix that is a proper prefix of another sorts
+  * first. Exactly-equal suffixes of different docs share a rank (the
+  * rank is DENSE over full-suffix equivalence classes); the adjacency
+  * pass breaks those ties (doc, off) ascending.
+  *
+  * Scale shape: no global single-partition sort anywhere. Per doubling
+  * round: one doc-co-partitioned self-join shifts ranks by k, then the
+  * distinct (rank, rank₊ₖ) pair universe is dense-numbered by
+  * [[denseNumber]] (range repartition + per-partition window + a
+  * partition-count-row cumulated base broadcast — the
+  * [[Corpus.packGlobal]] prefix-sum shape) and joined back. Rounds are
+  * log₂(longest repeated span), not log of corpus size: the loop exits
+  * as soon as every rank class is a single suffix. Lineage is cut per
+  * round like the [[Graph]] loops.
+  *
+  * Token-order equivalence assumption (shared with the DuckDB twin):
+  * ranking compares token SEQUENCES; the oracle compares suffixes
+  * joined with ' ' and terminated by chr(1). The two orders agree when
+  * token bytes are all > 0x20 (true for whitespace-split text without
+  * control characters) — first differing byte decides both, and the
+  * prefix-token case resolves separator-vs-continuation in the same
+  * direction.
+  */
+object SuffixArray {
+
+  /** Order-preserving distributed dense numbering: `outCol` = the
+    * 1-based dense rank of `keys` (lexicographic over the list) across
+    * the whole frame. Range repartition co-locates equal keys and
+    * orders partitions, a per-partition window ranks locally, and the
+    * partition bases come from one deliberately-tiny cumulated window
+    * broadcast back — never a global single-partition sort.
+    */
+  private[graft] def denseNumber(df: DataFrame, keys: Seq[Column],
+      outCol: String, buckets: Int): DataFrame = {
+    val local = df.repartitionByRange(buckets, keys: _*)
+      .withColumn("_dnP", spark_partition_id())
+      .withColumn("_dnL", dense_rank().over(
+        Window.partitionBy(col("_dnP")).orderBy(keys: _*)).cast("long"))
+    val bases = local.groupBy("_dnP").agg(max(col("_dnL")).as("_dnN"))
+      .withColumn("_dnBase", coalesce(sum(col("_dnN")).over(
+        Window.partitionBy(graft.plans.Hints.onePartition(col("_dnP")))
+          .orderBy(col("_dnP"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("_dnP"), col("_dnBase"))
+    local.join(broadcast(bases), "_dnP")
+      .withColumn(outCol, col("_dnBase") + col("_dnL"))
+      .drop("_dnP", "_dnL", "_dnBase")
+  }
+
+  private def tokens(docs: DataFrame, id: String, text: String): DataFrame =
+    docs.filter(col(text).isNotNull)
+      .select(col(id).cast("long").as("doc"),
+        posexplode(split(lower(col(text)), "\\s+")).as(Seq("off", "_saW")))
+
+  /** Suffix ranks with every intermediate doubling level (the LCP walk
+    * needs them): `levels(j)` holds (doc, off, rank) where rank is dense
+    * over distinct 2^j-token prefixes; `full` is the converged table
+    * (rank dense over full-suffix classes).
+    */
+  private[graft] final case class Ranked(full: DataFrame,
+      levels: Seq[DataFrame], maxLen: Long)
+
+  private[graft] def suffixRanksAll(docs: DataFrame, id: String,
+      text: String, buckets: Int): Ranked = {
+    val tok = tokens(docs, id, text).localCheckpoint(true)
+    val n = tok.count()
+    val maxRow = tok.agg(max(col("off"))).head
+    val maxLen = if (maxRow.isNullAt(0)) 0L else maxRow.getInt(0).toLong + 1L
+    // level 0: dense rank of the token itself (vocabulary-sized sort)
+    val vocab = denseNumber(tok.select(col("_saW")).distinct(),
+      Seq(col("_saW")), "rank", buckets)
+    var cur = tok.join(vocab, Seq("_saW"))
+      .select(col("doc"), col("off"), col("rank"))
+      .repartition(buckets, col("doc"))
+      .localCheckpoint(true)
+    val levels = Seq.newBuilder[DataFrame]
+    levels += cur
+    var k = 1L
+    // ranks are DENSE, so max(rank) == row count ⟺ every class is a
+    // single suffix — a scan-only agg over the just-checkpointed frame,
+    // not a distinct shuffle
+    def allDistinct(df: DataFrame): Boolean =
+      n == 0 || df.agg(max(col("rank"))).head.getLong(0) == n
+    var done = allDistinct(cur)
+    while (k < maxLen && !done) {
+      // rank of the suffix at off+k, mapped onto base position off; the
+      // shift is a projection, so both join sides stay doc-partitioned
+      val nxt = cur.select(col("doc"), (col("off") - lit(k)).as("off"),
+        col("rank").as("_saR2"))
+      val j = cur.join(nxt, Seq("doc", "off"), "left")
+        .withColumn("_saR2z", coalesce(col("_saR2"), lit(0L)))
+        .select(col("doc"), col("off"), col("rank"), col("_saR2z"))
+      val pairRank = denseNumber(
+        j.select(col("rank"), col("_saR2z")).distinct(),
+        Seq(col("rank"), col("_saR2z")), "_saNew", buckets)
+      cur = j.join(pairRank, Seq("rank", "_saR2z"))
+        .select(col("doc"), col("off"), col("_saNew").as("rank"))
+        .repartition(buckets, col("doc"))
+        .localCheckpoint(true)
+      levels += cur
+      k *= 2
+      done = allDistinct(cur)
+    }
+    Ranked(cur, levels.result(), maxLen)
+  }
+
+  /** (doc_id, off, srank): the global rank of the suffix of `doc_id`
+    * starting at token `off` (0-based), 1-based DENSE over full-suffix
+    * equivalence classes in corpus-wide lexicographic token order.
+    */
+  def suffixRanks(docs: DataFrame, id: String, text: String,
+      buckets: Int = 32): DataFrame =
+    suffixRanksAll(docs, id, text, buckets).full
+      .select(col("doc").as("doc_id"), col("off").cast("long").as("off"),
+        col("rank").as("srank"))
+
+  /** Every maximal repeated token span of length ≥ `minLen`, reported as
+    * SA-adjacent suffix pairs with their EXACT token-level LCP:
+    * (doc_a, off_a, doc_b, off_b, lcp). Adjacency
+    * (not all-pairs) is the suffix-array economy: a phrase occurring m
+    * times yields m−1 adjacent rows, never m², yet every repeated region
+    * is witnessed. Ties between exactly-equal suffixes order (doc, off)
+    * ascending.
+    *
+    * The LCP of an adjacent pair is the classic descending doubling
+    * walk over the construction's own level tables: extend the agreed
+    * prefix by 2^j whenever the level-j ranks at the current agreed
+    * length match — log(cap) co-partitioned joins over the
+    * adjacent-pair frame, no token rescan. One correction the shared
+    * end-sentinel forces: equal suffixes SHORTER than a level's window
+    * still share that level's rank (their aligned out-of-range padding
+    * matches), so the walk can overshoot past end-of-doc — but an
+    * overshooting extension implies the suffixes are equal from the
+    * agreed point on, so capping at the remaining suffix lengths
+    * (`least(walk, len_a, len_b)`) restores the exact LCP in every
+    * case.
+    */
+  def repeatedSpans(docs: DataFrame, id: String, text: String,
+      minLen: Int, buckets: Int = 32): DataFrame = {
+    require(minLen >= 1, s"need minLen >= 1, got $minLen")
+    val ranked = suffixRanksAll(docs, id, text, buckets)
+    // total order: all (rank, doc, off) triples are distinct, so the
+    // dense numbering is the SA position permutation
+    val pos = denseNumber(ranked.full,
+      Seq(col("rank"), col("doc"), col("off")), "_saPos", buckets)
+      .localCheckpoint(true)
+    val adj = pos.select(col("doc").as("doc_a"), col("off").as("off_a"),
+        col("_saPos"))
+      .join(pos.select(col("doc").as("doc_b"), col("off").as("off_b"),
+        (col("_saPos") - 1).as("_saPos")), Seq("_saPos"))
+      .withColumn("lcp", lit(0L))
+    // walk levels high→low, skipping steps no real LCP can reach
+    // (step ≥ maxLen): kept capacity 2^(J'+1)−1 ≥ maxLen−1 ≥ every LCP
+    val walked = ranked.levels.zipWithIndex
+      .filter { case (_, j) => (1L << j) < math.max(ranked.maxLen, 2L) }
+      .reverse
+      .foldLeft(adj) { case (c, (lvl, j)) =>
+        val step = 1L << j
+        val ra = lvl.select(col("doc").as("doc_a"),
+          col("off").as("_saOa"), col("rank").as("_saRa"))
+        val rb = lvl.select(col("doc").as("doc_b"),
+          col("off").as("_saOb"), col("rank").as("_saRb"))
+        c.withColumn("_saOa", (col("off_a") + col("lcp")).cast("int"))
+          .join(ra, Seq("doc_a", "_saOa"), "left")
+          .withColumn("_saOb", (col("off_b") + col("lcp")).cast("int"))
+          .join(rb, Seq("doc_b", "_saOb"), "left")
+          .withColumn("lcp", when(
+            col("_saRa").isNotNull && col("_saRa") === col("_saRb"),
+            col("lcp") + lit(step)).otherwise(col("lcp")))
+          .drop("_saOa", "_saOb", "_saRa", "_saRb")
+      }
+    val docLen = ranked.full.groupBy(col("doc"))
+      .agg((max(col("off")) + 1).cast("long").as("_saLen"))
+    walked
+      .join(docLen.select(col("doc").as("doc_a"), col("_saLen").as("_saLa")),
+        Seq("doc_a"))
+      .join(docLen.select(col("doc").as("doc_b"), col("_saLen").as("_saLb")),
+        Seq("doc_b"))
+      .withColumn("lcp", least(col("lcp"),
+        col("_saLa") - col("off_a"), col("_saLb") - col("off_b")))
+      .filter(col("lcp") >= minLen)
+      .select(col("doc_a"), col("off_a").cast("long").as("off_a"),
+        col("doc_b"), col("off_b").cast("long").as("off_b"), col("lcp"))
+  }
+}

@@ -355,6 +355,48 @@ object DedupQueries {
       |""".stripMargin.trim))(
       (s, d) => Dedup.stripDupSpans(spread(s, d), "doc_id", "text", n = 8)),
 
+    // corpus-wide token suffix array by distributed prefix doubling
+    // (Manber–Myers; the Lee-et-al-2021 exact-substring dedup index).
+    // Rank is DENSE over full-suffix equivalence classes in global
+    // lexicographic token order; the oracle sorts the materialized
+    // suffix strings (joined with ' ', chr(1)-terminated so a shorter
+    // suffix orders before its extensions — byte-identical to the
+    // token-sequence order for whitespace-split text).
+    Q("q_suffix_ranks", Some("""
+      |WITH t AS (SELECT doc_id, regexp_split_to_array(lower(text), '\s+') AS tk FROM documents),
+      |s AS (SELECT doc_id, u.off, array_to_string(tk[off + 1:], ' ') || chr(1) AS suf
+      |  FROM t, unnest(range(len(tk))) AS u(off))
+      |SELECT doc_id, off, dense_rank() OVER (ORDER BY suf) AS srank FROM s
+      |""".stripMargin.trim))(
+      (s, d) => graft.operators.SuffixArray.suffixRanks(
+        spread(s, d), "doc_id", "text")),
+
+    // every maximal repeated token span >= 8 tokens, as SA-adjacent
+    // suffix pairs + exact token LCP: a phrase occurring m times costs
+    // m-1 rows (adjacency, never all-pairs), yet witnesses every
+    // repeated region at every width at once — what the fixed-width
+    // sliding-gram q_dup_spans approximates. Oracle prescreens on the
+    // 8-token prefix string, then counts equal token prefixes.
+    Q("q_repeated_spans", Some("""
+      |WITH t AS (SELECT doc_id, regexp_split_to_array(lower(text), '\s+') AS tk FROM documents),
+      |s AS (SELECT doc_id, u.off, tk[off + 1:] AS sufl,
+      |    array_to_string(tk[off + 1:], ' ') || chr(1) AS suf
+      |  FROM t, unnest(range(len(tk))) AS u(off)),
+      |r AS (SELECT doc_id, off, sufl, suf,
+      |  row_number() OVER (ORDER BY suf, doc_id, off) AS pos FROM s),
+      |adj AS (SELECT a.doc_id AS doc_a, a.off AS off_a, a.sufl AS la,
+      |    b.doc_id AS doc_b, b.off AS off_b, b.sufl AS lb
+      |  FROM r a JOIN r b ON b.pos = a.pos + 1
+      |  WHERE array_to_string(a.sufl[1:8], ' ') = array_to_string(b.sufl[1:8], ' ')
+      |    AND len(a.sufl) >= 8 AND len(b.sufl) >= 8)
+      |SELECT doc_a, off_a, doc_b, off_b,
+      |  len(list_filter(range(1, least(len(la), len(lb)) + 1),
+      |    i -> la[1:i] = lb[1:i])) AS lcp
+      |FROM adj
+      |""".stripMargin.trim))(
+      (s, d) => graft.operators.SuffixArray.repeatedSpans(
+        spread(s, d), "doc_id", "text", minLen = 8)),
+
     // asymmetric near-containment: (src, dst) where dst covers ≥ 1/2 of
     // src's distinctive (df ≤ 10) shingles — the quote/subset detector
     // Jaccard-banded LSH is blind to. Integer threshold, df-capped gram

@@ -1,0 +1,114 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.SuffixArray
+
+class SuffixArraySpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Brute-force suffix order: token sequences compared lexicographically
+    * with shorter-is-prefix first (the out-of-range-sorts-first sentinel),
+    * dense rank over full-suffix equivalence classes.
+    */
+  private def bruteRanks(docs: Seq[(Long, String)]): Map[(Long, Long), Long] = {
+    val sufs = for {
+      (d, t) <- docs
+      toks = t.toLowerCase.split("\\s+").toSeq
+      off <- toks.indices
+    } yield (d, off.toLong, toks.drop(off))
+    implicit val ord: Ordering[Seq[String]] = (a, b) => {
+      val c = a.zip(b).iterator.map { case (x, y) => x.compare(y) }
+        .find(_ != 0).getOrElse(0)
+      if (c != 0) c else a.size.compare(b.size)
+    }
+    val classes = sufs.map(_._3).distinct.sorted.zipWithIndex
+      .map { case (s, i) => s -> (i + 1L) }.toMap
+    sufs.map { case (d, o, s) => (d, o) -> classes(s) }.toMap
+  }
+
+  private def bruteSpans(docs: Seq[(Long, String)],
+      minLen: Int): Set[(Long, Long, Long, Long, Long)] = {
+    val sufs = (for {
+      (d, t) <- docs
+      toks = t.toLowerCase.split("\\s+").toSeq
+      off <- toks.indices
+    } yield (d, off.toLong, toks.drop(off)))
+    implicit val ord: Ordering[Seq[String]] = (a, b) => {
+      val c = a.zip(b).iterator.map { case (x, y) => x.compare(y) }
+        .find(_ != 0).getOrElse(0)
+      if (c != 0) c else a.size.compare(b.size)
+    }
+    val sorted = sufs.sortBy { case (d, o, s) => (s, d, o) }
+    sorted.zip(sorted.tail).flatMap { case ((da, oa, sa), (db, ob, sb)) =>
+      val lcp = sa.zip(sb).takeWhile { case (x, y) => x == y }.size.toLong
+      if (lcp >= minLen) Some((da, oa, db, ob, lcp)) else None
+    }.toSet
+  }
+
+  private def randomCorpus(seed: Int, nDocs: Int): Seq[(Long, String)] = {
+    val rnd = new scala.util.Random(seed)
+    val words = Seq("a", "b", "c", "ab", "ba", "cc") // prefix-token traps
+    val base = Seq.tabulate(nDocs)(i =>
+      (i.toLong, Seq.fill(3 + rnd.nextInt(12))(
+        words(rnd.nextInt(words.size))).mkString(" ")))
+    // planted repeats: a shared phrase inside two docs + one exact dup
+    val phrase = "c ab ba c a b cc"
+    base ++ Seq(
+      (1000L, s"b $phrase a"), (1001L, s"cc $phrase ba"),
+      (1002L, base.head._2))
+  }
+
+  test("suffixRanks equals brute-force dense suffix sort, ties included") {
+    val corpus = randomCorpus(5, 20)
+    val got = SuffixArray.suffixRanks(corpus.toDF("doc_id", "text"),
+        "doc_id", "text", buckets = 7)
+      .as[(Long, Long, Long)].collect()
+      .map { case (d, o, r) => (d, o) -> r }.toMap
+    assert(got === bruteRanks(corpus))
+  }
+
+  test("repeatedSpans equals brute-force adjacent-LCP at two thresholds, " +
+      "including equal-suffix overshoot capping") {
+    val corpus = randomCorpus(11, 25)
+    for (minLen <- Seq(2, 4)) {
+      val got = SuffixArray.repeatedSpans(corpus.toDF("doc_id", "text"),
+          "doc_id", "text", minLen = minLen, buckets = 7)
+        .as[(Long, Long, Long, Long, Long)].collect().toSet
+      assert(got === bruteSpans(corpus, minLen), s"minLen=$minLen")
+    }
+  }
+
+  test("equal whole docs: every suffix pair ties and spans cap at suffix length") {
+    val corpus = Seq((1L, "x y z x y"), (2L, "x y z x y"), (3L, "z x q"))
+    val spans = SuffixArray.repeatedSpans(corpus.toDF("doc_id", "text"),
+        "doc_id", "text", minLen = 1, buckets = 3)
+      .as[(Long, Long, Long, Long, Long)].collect().toSet
+    assert(spans === bruteSpans(corpus, 1))
+    // the full-doc tie: suffixes (1,0) and (2,0) are equal, lcp = 5 not 8
+    assert(spans.exists { case (da, oa, db, ob, l) =>
+      Set((da, oa), (db, ob)) == Set((1L, 0L), (2L, 0L)) && l == 5 })
+  }
+
+  test("denseNumber: order-preserving 1-based dense rank across range partitions") {
+    val rnd = new scala.util.Random(3)
+    val rows = Seq.fill(500)((rnd.nextInt(40).toLong, rnd.nextInt(5).toLong))
+    val df = rows.toDF("k1", "k2")
+    val got = SuffixArray.denseNumber(df, Seq(col("k1"), col("k2")), "dn", 6)
+      .as[(Long, Long, Long)].collect()
+    val expect = rows.distinct.sorted.zipWithIndex
+      .map { case (k, i) => k -> (i + 1L) }.toMap
+    assert(got.forall { case (a, b, dn) => expect((a, b)) == dn })
+    assert(got.length === rows.length)
+  }
+
+  test("empty and degenerate corpora") {
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    assert(SuffixArray.suffixRanks(empty, "doc_id", "text").count() === 0)
+    assert(SuffixArray.repeatedSpans(empty, "doc_id", "text", 1).count() === 0)
+    val one = Seq((7L, "solo")).toDF("doc_id", "text")
+    assert(SuffixArray.suffixRanks(one, "doc_id", "text")
+      .as[(Long, Long, Long)].collect().toSeq === Seq((7L, 0L, 1L)))
+    assert(SuffixArray.repeatedSpans(one, "doc_id", "text", 1).count() === 0)
+  }
+}
