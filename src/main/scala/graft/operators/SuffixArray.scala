@@ -26,10 +26,10 @@ import org.apache.spark.sql.functions._
   *
   * Scale shape: no global single-partition sort anywhere. Per doubling
   * round: one doc-co-partitioned self-join shifts ranks by k, then the
-  * distinct (rank, rank₊ₖ) pair universe is dense-numbered by
-  * [[denseNumber]] (range repartition + per-partition window + a
-  * partition-count-row cumulated base broadcast — the
-  * [[Corpus.packGlobal]] prefix-sum shape) and joined back. Rounds are
+  * (rank, rank₊ₖ) pairs are dense-numbered in place by [[denseNumber]]
+  * (range repartition + per-partition window + a partition-count-row
+  * cumulated base broadcast — the [[Corpus.packGlobal]] prefix-sum
+  * shape; dense_rank absorbs duplicates, so no distinct pass). Rounds are
   * log₂(longest repeated span), not log of corpus size: the loop exits
   * as soon as every rank class is a single suffix. Lineage is cut per
   * round like the [[Graph]] loops.
@@ -53,10 +53,16 @@ object SuffixArray {
     */
   private[graft] def denseNumber(df: DataFrame, keys: Seq[Column],
       outCol: String, buckets: Int): DataFrame = {
+    // materialized ONCE before fan-out: the bases aggregate and the
+    // final join would otherwise re-evaluate the range exchange, and a
+    // re-sampled boundary set (the input's partition-internal order is
+    // not deterministic for join outputs) would disagree with the first
+    // evaluation's partition ids — misaligning every base offset
     val local = df.repartitionByRange(buckets, keys: _*)
       .withColumn("_dnP", spark_partition_id())
       .withColumn("_dnL", dense_rank().over(
         Window.partitionBy(col("_dnP")).orderBy(keys: _*)).cast("long"))
+      .localCheckpoint(true)
     val bases = local.groupBy("_dnP").agg(max(col("_dnL")).as("_dnN"))
       .withColumn("_dnBase", coalesce(sum(col("_dnN")).over(
         Window.partitionBy(graft.plans.Hints.onePartition(col("_dnP")))
@@ -111,10 +117,11 @@ object SuffixArray {
       val j = cur.join(nxt, Seq("doc", "off"), "left")
         .withColumn("_saR2z", coalesce(col("_saR2"), lit(0L)))
         .select(col("doc"), col("off"), col("rank"), col("_saR2z"))
-      val pairRank = denseNumber(
-        j.select(col("rank"), col("_saR2z")).distinct(),
-        Seq(col("rank"), col("_saR2z")), "_saNew", buckets)
-      cur = j.join(pairRank, Seq("rank", "_saR2z"))
+      // dense-number the full frame directly — dense_rank absorbs the
+      // duplicate (rank, rank₊ₖ) pairs, so no distinct + join-back pass
+      // (two exchanges per round instead of five)
+      cur = denseNumber(j, Seq(col("rank"), col("_saR2z")), "_saNew",
+          buckets)
         .select(col("doc"), col("off"), col("_saNew").as("rank"))
         .repartition(buckets, col("doc"))
         .localCheckpoint(true)
