@@ -88,7 +88,7 @@ object SuffixArray {
       levels: Seq[DataFrame], maxLen: Long)
 
   private[graft] def suffixRanksAll(docs: DataFrame, id: String,
-      text: String, buckets: Int): Ranked = {
+      text: String, buckets: Int, maxPrefix: Long = Long.MaxValue): Ranked = {
     val tok = tokens(docs, id, text).localCheckpoint(true)
     val n = tok.count()
     val maxRow = tok.agg(max(col("off"))).head
@@ -109,7 +109,7 @@ object SuffixArray {
     def allDistinct(df: DataFrame): Boolean =
       n == 0 || df.agg(max(col("rank"))).head.getLong(0) == n
     var done = allDistinct(cur)
-    while (k < maxLen && !done) {
+    while (k < math.min(maxLen, maxPrefix) && !done) {
       // rank of the suffix at off+k, mapped onto base position off; the
       // shift is a projection, so both join sides stay doc-partitioned
       val nxt = cur.select(col("doc"), (col("off") - lit(k)).as("off"),
@@ -197,8 +197,7 @@ object SuffixArray {
             col("lcp") + lit(step)).otherwise(col("lcp")))
           .drop("_saOa", "_saOb", "_saRa", "_saRb")
       }
-    val docLen = ranked.full.groupBy(col("doc"))
-      .agg((max(col("off")) + 1).cast("long").as("_saLen"))
+    val docLen = docLens(ranked)
     walked
       .join(docLen.select(col("doc").as("doc_a"), col("_saLen").as("_saLa")),
         Seq("doc_a"))
@@ -209,5 +208,67 @@ object SuffixArray {
       .filter(col("lcp") >= minLen)
       .select(col("doc_a"), col("off_a").cast("long").as("off_a"),
         col("doc_b"), col("off_b").cast("long").as("off_b"), col("lcp"))
+  }
+
+  private def docLens(ranked: Ranked): DataFrame =
+    ranked.full.groupBy(col("doc"))
+      .agg((max(col("off")) + 1).cast("long").as("_saLen"))
+
+  /** Cross-corpus verbatim-window decontamination on the suffix-array
+    * index (the Lee et al. 2021 use: which `windowLen`-token test
+    * windows appear verbatim anywhere in training data?). Each
+    * position's window class is the O(1) power-of-two composition over
+    * the construction's own level tables —
+    * `(rank_j(off), rank_j(off + L − 2^j))`, `j = min(⌊log₂L⌋, top)` —
+    * two 8-byte keys whose equality ⟺ the L-token windows are
+    * identical, so the cross-corpus equi-join ships 16 bytes per
+    * position where an L-gram explode ships L-token strings. When the
+    * construction converged below ⌊log₂L⌋, every 2^top window is
+    * already unique, so no two positions can share any longer window
+    * either — the capped keys still join to exactly the true (empty)
+    * match set.
+    *
+    * Train positions collapse to one row per window class (count +
+    * lexicographically-least witness) BEFORE the join, so a boilerplate
+    * window shared by thousands of train docs costs one row, never a
+    * fanout. Output per contaminated test window: (doc_id, off,
+    * n_train, train_doc, train_off).
+    */
+  def contaminatedSpans(test: DataFrame, train: DataFrame, id: String,
+      text: String, windowLen: Int, buckets: Int = 32): DataFrame = {
+    require(windowLen >= 1, s"need windowLen >= 1, got $windowLen")
+    val txt = "_saTxt"
+    val lab = test.select((col(id).cast("long") * 2 + 1).as("_saDid"),
+        col(text).as(txt))
+      .unionByName(train.select((col(id).cast("long") * 2).as("_saDid"),
+        col(text).as(txt)))
+    // only levels up to ⌊log₂L⌋ are needed: cut construction there
+    // (⌈log₂L⌉ rounds, not log of the longest repeat)
+    val wantPrefix = java.lang.Long.highestOneBit(windowLen.toLong)
+    val ranked = suffixRanksAll(lab, "_saDid", txt, buckets, wantPrefix)
+    require(ranked.maxLen < (1L << 20),
+      s"witness packing needs docs under 2^20 tokens, got ${ranked.maxLen}")
+    val jj = math.min(
+      63 - java.lang.Long.numberOfLeadingZeros(windowLen.toLong),
+      ranked.levels.size - 1)
+    val shift = windowLen - (1L << jj)
+    val lvl = ranked.levels(jj)
+    val keys = lvl.select(col("doc"), col("off"), col("rank").as("_saC1"))
+      .join(lvl.select(col("doc"),
+        (col("off") - lit(shift)).cast("int").as("off"),
+        col("rank").as("_saC2")), Seq("doc", "off"))
+      .join(docLens(ranked), Seq("doc"))
+      .filter(col("off") + lit(windowLen.toLong) <= col("_saLen"))
+    val tr = keys.filter(col("doc") % 2 === 0)
+      .groupBy("_saC1", "_saC2")
+      .agg(count(lit(1)).as("n_train"),
+        min(expr("doc div 2") * lit(1048576L) + col("off")).as("_saWk"))
+    keys.filter(col("doc") % 2 === 1)
+      .select(expr("doc div 2").as("doc_id"),
+        col("off").cast("long").as("off"), col("_saC1"), col("_saC2"))
+      .join(tr, Seq("_saC1", "_saC2"))
+      .select(col("doc_id"), col("off"), col("n_train"),
+        expr("_saWk div 1048576").as("train_doc"),
+        (col("_saWk") % 1048576L).as("train_off"))
   }
 }

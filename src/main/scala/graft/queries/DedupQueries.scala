@@ -397,6 +397,30 @@ object DedupQueries {
       (s, d) => graft.operators.SuffixArray.repeatedSpans(
         spread(s, d), "doc_id", "text", minLen = 8)),
 
+    // cross-corpus verbatim-window decontamination on the suffix-array
+    // index (Lee et al. 2021): test windows (odd doc_id) occurring
+    // verbatim in train (even doc_id), located exactly. The engine joins
+    // two 8-byte level-rank keys per position (never L-token strings);
+    // the oracle replays with literal 8-gram strings. Witness = the
+    // lexicographically least (train_doc, train_off), packed.
+    Q("q_sa_contamination", Some("""
+      |WITH t AS (SELECT doc_id, regexp_split_to_array(lower(text), '\s+') AS tk FROM documents),
+      |g AS (SELECT doc_id, u.off, array_to_string(tk[off + 1:off + 8], ' ') AS w
+      |  FROM t, unnest(range(len(tk) - 7)) AS u(off) WHERE len(tk) >= 8),
+      |tr AS (SELECT w, count(*) AS n_train, min(doc_id * 1048576 + off) AS wk
+      |  FROM g WHERE doc_id % 2 = 0 GROUP BY w)
+      |SELECT g.doc_id, g.off, tr.n_train,
+      |  wk // 1048576 AS train_doc, wk % 1048576 AS train_off
+      |FROM g JOIN tr USING (w) WHERE g.doc_id % 2 = 1
+      |""".stripMargin.trim))(
+      (s, d) => {
+        val docs = spread(s, d)
+        graft.operators.SuffixArray.contaminatedSpans(
+          docs.filter(col("doc_id") % 2 === 1),
+          docs.filter(col("doc_id") % 2 === 0),
+          "doc_id", "text", windowLen = 8)
+      }),
+
     // asymmetric near-containment: (src, dst) where dst covers ≥ 1/2 of
     // src's distinctive (df ≤ 10) shingles — the quote/subset detector
     // Jaccard-banded LSH is blind to. Integer threshold, df-capped gram

@@ -102,6 +102,44 @@ class SuffixArraySpec extends SparkSpec {
     assert(got.length === rows.length)
   }
 
+  test("contaminatedSpans equals brute-force verbatim window matching, " +
+      "multiset counts and least witness included") {
+    val corpus = randomCorpus(23, 30)
+    val test0 = corpus.filter(_._1 % 2 == 1)
+    val train0 = corpus.filter(_._1 % 2 == 0)
+    for (l <- Seq(3, 4)) { // non-power-of-two and power-of-two widths
+      def wins(docs: Seq[(Long, String)]) = for {
+        (d, t) <- docs
+        toks = t.toLowerCase.split("\\s+").toSeq
+        off <- 0 to toks.size - l
+      } yield (d, off.toLong, toks.slice(off, off + l))
+      val trainW = wins(train0).groupBy(_._3).map { case (w, occ) =>
+        w -> (occ.size.toLong, occ.map { case (d, o, _) => d * 1048576L + o }.min)
+      }
+      val expect = wins(test0).flatMap { case (d, o, w) =>
+        trainW.get(w).map { case (n, wk) =>
+          (d, o, n, wk / 1048576L, wk % 1048576L) }
+      }.toSet
+      assert(expect.nonEmpty, s"planted overlap must contaminate at l=$l")
+      val got = graft.operators.SuffixArray.contaminatedSpans(
+          test0.toDF("doc_id", "text"), train0.toDF("doc_id", "text"),
+          "doc_id", "text", windowLen = l, buckets = 7)
+        .as[(Long, Long, Long, Long, Long)].collect().toSet
+      assert(got === expect, s"windowLen=$l")
+    }
+  }
+
+  test("contaminatedSpans: all-unique corpus converges early and yields empty") {
+    // every token distinct → construction converges at level 0/1, below
+    // ⌊log₂8⌋; the capped keys must still join to the true empty set
+    val test0 = Seq((1L, (0 until 20).map(i => s"t$i").mkString(" ")))
+    val train0 = Seq((2L, (100 until 120).map(i => s"t$i").mkString(" ")))
+    val got = graft.operators.SuffixArray.contaminatedSpans(
+      test0.toDF("doc_id", "text"), train0.toDF("doc_id", "text"),
+      "doc_id", "text", windowLen = 8, buckets = 3)
+    assert(got.count() === 0)
+  }
+
   test("empty and degenerate corpora") {
     val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
     assert(SuffixArray.suffixRanks(empty, "doc_id", "text").count() === 0)
