@@ -852,4 +852,52 @@ class PlanShapeSpec extends SparkSpec {
     assert(countShuffles(df) <= 3,
       s"token_shift grew extra exchanges:\n${formatted(df)}")
   }
+
+  test("suffix ranks: converged table is materialized — the query plan is a " +
+      "projection, every doubling round lives behind its checkpoint") {
+    val df = q("q_suffix_ranks")
+    assert(formatted(df).contains("ExistingRDD"),
+      "suffix ranks lost the per-round checkpoint boundary")
+    assert(countShuffles(df) === 0 && countNodes(df, "Join") === 0,
+      s"final suffix-rank plan replays construction lineage:\n${formatted(df)}")
+  }
+
+  test("repeated spans: LCP walk is equi-joins over checkpointed level " +
+      "tables — no cartesian, no window, no re-tokenization") {
+    val df = q("q_repeated_spans")
+    val fmt = formatted(df)
+    assert(fmt.contains("ExistingRDD"),
+      "spans lost the checkpointed SA-position boundary")
+    assert(countNodes(df, "CartesianProduct") === 0)
+    assert(countNodes(df, "BroadcastNestedLoopJoin") === 0)
+    assert(countNodes(df, "Window") === 0)
+    // the walk never rescans text: no parquet scan survives into the plan
+    assert(readSchemas(df).isEmpty, s"spans re-read the corpus:\n$fmt")
+  }
+
+  test("sa contamination: window classes join on 8-byte rank keys, train " +
+      "side collapsed map-side before the join") {
+    val df = q("q_sa_contamination")
+    val fmt = formatted(df)
+    assert(fmt.contains("ExistingRDD"),
+      "contamination lost the checkpointed level-table boundary")
+    assert(countNodes(df, "CartesianProduct") === 0)
+    assert(countNodes(df, "Window") === 0)
+    assert(mentions(df, "partial_count"),
+      "train-side window-class collapse lost its map-side partial agg")
+    assert(readSchemas(df).isEmpty,
+      s"contamination re-read the corpus instead of its rank keys:\n$fmt")
+  }
+
+  test("jaccard incremental: prefix equi-join + exact array verify from the " +
+      "checkpointed inventories, no cartesian") {
+    val df = q("q_jaccard_incremental")
+    assert(countNodes(df, "CartesianProduct") === 0)
+    assert(countNodes(df, "BroadcastNestedLoopJoin") === 0)
+    assert(formatted(df).contains("array_intersect"),
+      "verify stage lost its exact array_intersect")
+    assert(formatted(df).contains("ExistingRDD"),
+      "gram inventories lost their materialize-once boundary")
+    assert(!formatted(df).contains("rangepartitioning"))
+  }
 }
