@@ -4,7 +4,7 @@ import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{BloomAgg, BloomContains, BloomUnionAgg, BoundedTopK, CappedCollect, CappedCollectPairs, CosineSimilarity, GramMatrix, KmvAgg, LeadingZeros, NormalizeText, RandomHyperplaneBuckets, WinnowFingerprints}
+import graft.functions.{BloomAgg, BloomContains, BloomUnionAgg, BoundedTopK, CappedCollect, CappedCollectPairs, CosineSimilarity, GramMatrix, KmvAgg, LeadingZeros, MultiMatchCounts, NormalizeText, RandomHyperplaneBuckets, WinnowFingerprints}
 
 /** Engine extension installer: `spark.sql.extensions=graft.GraftExtensions`
   * (or `builder.withExtensions`) registers the engine's native expressions
@@ -64,7 +64,14 @@ object GraftExtensions {
     (FunctionIdentifier("capped_collect2"),
       new ExpressionInfo(classOf[CappedCollectPairs].getName, "capped_collect2"),
       (children: Seq[Expression]) => CappedCollectPairs(
-        children.head, children(1), intLit(children(2)))))
+        children.head, children(1), intLit(children(2)))),
+    (FunctionIdentifier("multi_match"),
+      new ExpressionInfo(classOf[MultiMatchCounts].getName, "multi_match"),
+      (children: Seq[Expression]) => MultiMatchCounts(
+        children.head, children.tail.map(strLit))))
+
+  private def strLit(e: Expression): String =
+    e.eval(null).asInstanceOf[org.apache.spark.unsafe.types.UTF8String].toString
 
   /** Idempotent in-session registration, for sessions created without the
     * extensions config (tests, the driver harness).

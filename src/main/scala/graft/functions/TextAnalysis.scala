@@ -183,6 +183,16 @@ object TextAnalysis {
     call_function("winnow_fps", text, lit(k), lit(w))
   }
 
+  /** Blocklist hit counts — ONE Aho–Corasick walk counts every
+    * (overlapping) occurrence of all `patterns` at once
+    * ([[MultiMatchCounts]]); returns `array<bigint>` aligned with the
+    * pattern order. Case handling is the caller's (pass `lower(c)` and
+    * lower-cased patterns for case-insensitive gating). Narrow, no
+    * shuffle — the banned-phrase gate pipelines into any scan.
+    */
+  def blocklistCounts(c: Column, patterns: Seq[String]): Column =
+    call_function("multi_match", (c +: patterns.map(lit)): _*)
+
   /** PII scrub — the redaction pass every shared training corpus needs
     * before release: masks emails then phone numbers with typed
     * placeholders. Two codegen'd regexp_replace passes, narrow, no

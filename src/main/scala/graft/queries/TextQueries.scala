@@ -1247,5 +1247,28 @@ object TextQueries {
         .withColumn("keep", gopherKeep(col("n_words"), col("word_chars"),
           col("alpha_words"), col("symbols"), col("stop_hits"),
           minWords = 10, maxWords = 100000))),
+
+    // blocklist / banned-phrase counts: ONE Aho–Corasick automaton walk
+    // per document counts every (overlapping) occurrence of K patterns
+    // at once — the native `multi_match` expression vs K regex passes.
+    // The oracle replays each pattern as a sliding substring count.
+    Q("q_blocklist", Some("""
+      |WITH p AS (SELECT unnest(['table table', 'value', 'spark a', 'a a']) AS pattern),
+      |d AS (SELECT doc_id, lower(text) AS t FROM documents)
+      |SELECT d.doc_id, p.pattern,
+      |  len(list_filter(range(1, length(t) - length(pattern) + 2),
+      |    i -> substring(t, i, length(pattern)) = pattern)) AS n_hits
+      |FROM d CROSS JOIN p
+      |""".stripMargin.trim))(
+      (s, d) => {
+        val pats = Seq("table table", "value", "spark a", "a a")
+        t(s, d, "documents")
+          .select(col("doc_id"),
+            posexplode(graft.functions.TextAnalysis.blocklistCounts(
+              lower(col("text")), pats)).as(Seq("_blI", "n_hits")))
+          .select(col("doc_id"),
+            element_at(lit(pats.toArray), col("_blI") + 1).as("pattern"),
+            col("n_hits"))
+      }),
   )
 }

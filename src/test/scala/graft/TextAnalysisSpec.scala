@@ -336,4 +336,23 @@ class TextAnalysisSpec extends SparkSpec {
     assert(clean > noise)
     assert(clean <= 1.0 && noise >= 0.0)
   }
+
+  test("blocklistCounts equals brute-force sliding counts, overlaps included") {
+    import graft.functions.TextAnalysis
+    val pats = Seq("aa", "ab", "aba", "b", "abab")
+    def brute(t: String): Seq[Long] = pats.map { p =>
+      (0 to t.length - p.length).count(i => t.regionMatches(i, p, 0, p.length)).toLong
+    }
+    // hand case first: overlaps ("aaaa" has 3 "aa"; "ababab" has 2 "abab")
+    assert(brute("aaaa")(0) == 3 && brute("ababab")(4) == 2)
+    val rnd = new scala.util.Random(17)
+    val rows = Seq("", "a", "aaaa", "ababab", "bbbb") ++
+      Seq.fill(60)(Seq.fill(3 + rnd.nextInt(40))(
+        if (rnd.nextBoolean()) 'a' else 'b').mkString)
+    val got = rows.toDF("t")
+      .select(TextAnalysis.blocklistCounts(col("t"), pats))
+      .as[Seq[Long]].collect()
+    rows.zip(got).foreach { case (t, g) =>
+      assert(g == brute(t), s"text '$t'") }
+  }
 }
