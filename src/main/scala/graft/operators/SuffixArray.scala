@@ -234,6 +234,71 @@ object SuffixArray {
     * fanout. Output per contaminated test window: (doc_id, off,
     * n_train, train_doc, train_off).
     */
+  /** (doc, off, _saC1, _saC2) for every position with ≥ `windowLen`
+    * tokens remaining: the two level-⌊log₂L⌋ ranks whose pair equality
+    * ⟺ the L-token windows are identical (construction cut at
+    * ⌈log₂L⌉ rounds via maxPrefix; the early-convergence cap is argued
+    * at [[contaminatedSpans]]).
+    */
+  private def windowClassKeys(docs: DataFrame, id: String, text: String,
+      windowLen: Int, buckets: Int): DataFrame = {
+    val wantPrefix = java.lang.Long.highestOneBit(windowLen.toLong)
+    val ranked = suffixRanksAll(docs, id, text, buckets, wantPrefix)
+    require(ranked.maxLen < (1L << 20),
+      s"witness packing needs docs under 2^20 tokens, got ${ranked.maxLen}")
+    val jj = math.min(
+      63 - java.lang.Long.numberOfLeadingZeros(windowLen.toLong),
+      ranked.levels.size - 1)
+    val shift = windowLen - (1L << jj)
+    val lvl = ranked.levels(jj)
+    lvl.select(col("doc"), col("off"), col("rank").as("_saC1"))
+      .join(lvl.select(col("doc"),
+        (col("off") - lit(shift)).cast("int").as("off"),
+        col("rank").as("_saC2")), Seq("doc", "off"))
+      .join(docLens(ranked), Seq("doc"))
+      .filter(col("off") + lit(windowLen.toLong) <= col("_saLen"))
+  }
+
+  /** Keep-first exact-substring dedup apply — the Lee et al. 2021
+    * removal policy, vs [[Dedup.stripDupSpans]] which cuts EVERY
+    * occurrence: each repeated `windowLen`-token window keeps its
+    * corpus-first witness (lexicographically least (doc, off)) and every
+    * LATER occurrence is cut; a token goes iff some non-witness
+    * occurrence window covers it. Window identity rides the same
+    * two-rank class keys as [[contaminatedSpans]] (16 bytes per position
+    * through the class agg, never L-token strings); the witness is the
+    * packed min over each class. Documents rebuild from surviving
+    * tokens: (doc_id, kept_tokens, cleaned_md5) — the
+    * [[Dedup.stripDupSpans]] output shape, so downstream wiring is
+    * shared. An exact duplicate pair keeps the lower-id copy intact and
+    * strips the other to its unshared remainder.
+    */
+  def stripRepeatedKeepFirst(docs: DataFrame, id: String, text: String,
+      windowLen: Int, buckets: Int = 32): DataFrame = {
+    require(windowLen >= 1, s"need windowLen >= 1, got $windowLen")
+    val prepped = docs.select(col(id).cast("long").as("_saDid"),
+      col(text).as("_saTxt"))
+    val keys = windowClassKeys(prepped, "_saDid", "_saTxt", windowLen, buckets)
+    val cls = keys.groupBy("_saC1", "_saC2")
+      .agg(count(lit(1)).as("_saN"),
+        min(col("doc") * lit(1048576L) + col("off")).as("_saWk"))
+      .filter(col("_saN") >= 2)
+    val cut = keys.join(cls, Seq("_saC1", "_saC2"))
+      .filter(col("doc") * lit(1048576L) + col("off") =!= col("_saWk"))
+      .groupBy(col("doc")).agg(collect_list(col("off")).as("_saCuts"))
+    docs.join(cut, col(id).cast("long") === cut("doc"), "left")
+      .withColumn("_saToks", split(lower(col(text)), "\\s+"))
+      .withColumn("_saKept", filter(
+        transform(sequence(lit(0), size(col("_saToks")) - 1),
+          i => struct(i.as("p"), element_at(col("_saToks"), i + 1).as("t"))),
+        s => !coalesce(exists(col("_saCuts"),
+          o => s.getField("p") >= o &&
+            s.getField("p") < o + lit(windowLen)), lit(false))))
+      .select(col(id), size(col("_saKept")).cast("long").as("kept_tokens"),
+        md5(array_join(transform(col("_saKept"), _.getField("t")), " "))
+          .as("cleaned_md5"))
+  }
+
   def contaminatedSpans(test: DataFrame, train: DataFrame, id: String,
       text: String, windowLen: Int, buckets: Int = 32): DataFrame = {
     require(windowLen >= 1, s"need windowLen >= 1, got $windowLen")
@@ -242,23 +307,7 @@ object SuffixArray {
         col(text).as(txt))
       .unionByName(train.select((col(id).cast("long") * 2).as("_saDid"),
         col(text).as(txt)))
-    // only levels up to ⌊log₂L⌋ are needed: cut construction there
-    // (⌈log₂L⌉ rounds, not log of the longest repeat)
-    val wantPrefix = java.lang.Long.highestOneBit(windowLen.toLong)
-    val ranked = suffixRanksAll(lab, "_saDid", txt, buckets, wantPrefix)
-    require(ranked.maxLen < (1L << 20),
-      s"witness packing needs docs under 2^20 tokens, got ${ranked.maxLen}")
-    val jj = math.min(
-      63 - java.lang.Long.numberOfLeadingZeros(windowLen.toLong),
-      ranked.levels.size - 1)
-    val shift = windowLen - (1L << jj)
-    val lvl = ranked.levels(jj)
-    val keys = lvl.select(col("doc"), col("off"), col("rank").as("_saC1"))
-      .join(lvl.select(col("doc"),
-        (col("off") - lit(shift)).cast("int").as("off"),
-        col("rank").as("_saC2")), Seq("doc", "off"))
-      .join(docLens(ranked), Seq("doc"))
-      .filter(col("off") + lit(windowLen.toLong) <= col("_saLen"))
+    val keys = windowClassKeys(lab, "_saDid", txt, windowLen, buckets)
     val tr = keys.filter(col("doc") % 2 === 0)
       .groupBy("_saC1", "_saC2")
       .agg(count(lit(1)).as("n_train"),

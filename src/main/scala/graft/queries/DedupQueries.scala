@@ -421,6 +421,31 @@ object DedupQueries {
           "doc_id", "text", windowLen = 8)
       }),
 
+    // keep-first exact-substring dedup apply (Lee et al. removal policy):
+    // each repeated 8-token window keeps its corpus-first occurrence;
+    // later occurrences are cut and documents rebuilt. Contrast
+    // q_dup_spans_apply, which removes EVERY occurrence.
+    Q("q_dedup_keep_first", Some("""
+      |WITH t AS (SELECT doc_id, regexp_split_to_array(lower(text), '\s+') AS tk FROM documents),
+      |g AS (SELECT doc_id, u.off, array_to_string(tk[off + 1:off + 8], ' ') AS w
+      |  FROM t, unnest(range(len(tk) - 7)) AS u(off) WHERE len(tk) >= 8),
+      |cls AS (SELECT w, min(doc_id * 1048576 + off) AS wk
+      |  FROM g GROUP BY w HAVING count(*) >= 2),
+      |cut AS (SELECT g.doc_id, g.off FROM g JOIN cls USING (w)
+      |  WHERE g.doc_id * 1048576 + g.off != wk),
+      |pos AS (SELECT doc_id, tk, unnest(range(0, len(tk))) AS p FROM t),
+      |kept AS (SELECT p.doc_id, p.p, p.tk[p.p + 1] AS tok FROM pos p
+      |  WHERE NOT EXISTS (SELECT 1 FROM cut c
+      |    WHERE c.doc_id = p.doc_id AND p.p >= c.off AND p.p < c.off + 8)),
+      |agg AS (SELECT doc_id, count(*) AS kept_tokens,
+      |  md5(string_agg(tok, ' ' ORDER BY p)) AS cleaned_md5 FROM kept GROUP BY doc_id)
+      |SELECT d.doc_id, coalesce(a.kept_tokens, 0) AS kept_tokens,
+      |  coalesce(a.cleaned_md5, md5('')) AS cleaned_md5
+      |FROM documents d LEFT JOIN agg a USING (doc_id)
+      |""".stripMargin.trim))(
+      (s, d) => graft.operators.SuffixArray.stripRepeatedKeepFirst(
+        spread(s, d), "doc_id", "text", windowLen = 8)),
+
     // asymmetric near-containment: (src, dst) where dst covers ≥ 1/2 of
     // src's distinctive (df ≤ 10) shingles — the quote/subset detector
     // Jaccard-banded LSH is blind to. Integer threshold, df-capped gram

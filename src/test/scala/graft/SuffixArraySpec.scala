@@ -140,6 +140,47 @@ class SuffixArraySpec extends SparkSpec {
     assert(got.count() === 0)
   }
 
+  test("stripRepeatedKeepFirst equals brute force: witness survives, later " +
+      "occurrences cut, short docs untouched") {
+    val corpus = randomCorpus(41, 25) ++ Seq(
+      (2000L, "zz"), // shorter than the window — must pass through whole
+      (2001L, randomCorpus(41, 25).head._2)) // exact dup of doc 0 (higher id)
+    val l = 4
+    def brute: Map[Long, (Long, String)] = {
+      val toks = corpus.map { case (d, t) =>
+        d -> t.toLowerCase.split("\\s+").toSeq }.toMap
+      val wins = for {
+        (d, tk) <- toks.toSeq; off <- 0 to tk.size - l
+      } yield (d, off, tk.slice(off, off + l))
+      val byW = wins.groupBy(_._3).filter(_._2.size >= 2)
+        .map { case (w, occ) =>
+          w -> occ.map { case (d, o, _) => d * 1048576L + o }.min }
+      val cuts = wins.filter { case (d, o, w) =>
+        byW.get(w).exists(_ != d * 1048576L + o) }
+        .groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+      corpus.map { case (d, _) =>
+        val tk = toks(d)
+        val kept = tk.indices.filterNot(p =>
+          cuts.getOrElse(d, Nil).exists(o => p >= o && p < o + l)).map(tk)
+        val md = java.security.MessageDigest.getInstance("MD5")
+        val hex = md.digest(kept.mkString(" ").getBytes("UTF-8"))
+          .map("%02x".format(_)).mkString
+        d -> (kept.size.toLong, hex)
+      }.toMap
+    }
+    val got = graft.operators.SuffixArray.stripRepeatedKeepFirst(
+        corpus.toDF("doc_id", "text"), "doc_id", "text",
+        windowLen = l, buckets = 7)
+      .as[(Long, Long, String)].collect()
+      .map { case (d, k, h) => d -> (k, h) }.toMap
+    assert(got === brute)
+    // the planted exact dup: doc 0 (witness) keeps everything
+    val doc0Len = corpus.head._2.split("\\s+").length.toLong
+    assert(got(corpus.head._1)._1 === doc0Len, "witness doc must survive intact")
+    assert(got(2001L)._1 < doc0Len, "the later exact copy must lose tokens")
+    assert(got(2000L)._1 === 1L, "sub-window doc passes through whole")
+  }
+
   test("empty and degenerate corpora") {
     val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
     assert(SuffixArray.suffixRanks(empty, "doc_id", "text").count() === 0)
