@@ -52,8 +52,20 @@ object SuffixArray {
     * broadcast back — never a global single-partition sort.
     */
   private[graft] def denseNumber(df: DataFrame, keys: Seq[Column],
-      outCol: String, buckets: Int): DataFrame = {
-    // materialized ONCE before fan-out: the bases aggregate and the
+      outCol: String, buckets: Int): DataFrame =
+    denseNumberCounted(df, keys, outCol, buckets)._1
+
+  /** [[denseNumber]] plus the total class count (the global max of
+    * `outCol`). The count falls out of the partition-bases pass the
+    * numbering already runs — per-partition class counts are ≤ `buckets`
+    * rows, so they are collected, cumulated on the driver, and joined
+    * back as a literal broadcast frame. Loop callers that gate on "every
+    * class is a singleton" ([[suffixRanksAll]]) get the convergence
+    * check for free instead of re-scanning the numbered output.
+    */
+  private[graft] def denseNumberCounted(df: DataFrame, keys: Seq[Column],
+      outCol: String, buckets: Int): (DataFrame, Long) = {
+    // materialized ONCE before fan-out: the bases collect and the
     // final join would otherwise re-evaluate the range exchange, and a
     // re-sampled boundary set (the input's partition-internal order is
     // not deterministic for join outputs) would disagree with the first
@@ -63,15 +75,16 @@ object SuffixArray {
       .withColumn("_dnL", dense_rank().over(
         Window.partitionBy(col("_dnP")).orderBy(keys: _*)).cast("long"))
       .localCheckpoint(true)
-    val bases = local.groupBy("_dnP").agg(max(col("_dnL")).as("_dnN"))
-      .withColumn("_dnBase", coalesce(sum(col("_dnN")).over(
-        Window.partitionBy(graft.plans.Hints.onePartition(col("_dnP")))
-          .orderBy(col("_dnP"))
-          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-      .select(col("_dnP"), col("_dnBase"))
-    local.join(broadcast(bases), "_dnP")
+    val perPart = local.groupBy("_dnP").agg(max(col("_dnL")).as("_dnN"))
+      .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+    var acc = 0L
+    val baseRows = perPart.map { case (p, nc) => val b = acc; acc += nc; (p, b) }
+    val bases = df.sparkSession.createDataFrame(baseRows.toSeq)
+      .toDF("_dnP", "_dnBase")
+    val out = local.join(broadcast(bases), "_dnP")
       .withColumn(outCol, col("_dnBase") + col("_dnL"))
       .drop("_dnP", "_dnL", "_dnBase")
+    (out, acc)
   }
 
   private def tokens(docs: DataFrame, id: String, text: String): DataFrame =
@@ -94,8 +107,8 @@ object SuffixArray {
     val maxRow = tok.agg(max(col("off"))).head
     val maxLen = if (maxRow.isNullAt(0)) 0L else maxRow.getInt(0).toLong + 1L
     // level 0: dense rank of the token itself (vocabulary-sized sort)
-    val vocab = denseNumber(tok.select(col("_saW")).distinct(),
-      Seq(col("_saW")), "rank", buckets)
+    val (vocab, nVocab) = denseNumberCounted(
+      tok.select(col("_saW")).distinct(), Seq(col("_saW")), "rank", buckets)
     var cur = tok.join(vocab, Seq("_saW"))
       .select(col("doc"), col("off"), col("rank"))
       .repartition(buckets, col("doc"))
@@ -103,12 +116,11 @@ object SuffixArray {
     val levels = Seq.newBuilder[DataFrame]
     levels += cur
     var k = 1L
-    // ranks are DENSE, so max(rank) == row count ⟺ every class is a
-    // single suffix — a scan-only agg over the just-checkpointed frame,
-    // not a distinct shuffle
-    def allDistinct(df: DataFrame): Boolean =
-      n == 0 || df.agg(max(col("rank"))).head.getLong(0) == n
-    var done = allDistinct(cur)
+    // ranks are DENSE, so class count == row count ⟺ every class is a
+    // single suffix; the count rides denseNumberCounted's bases pass —
+    // no convergence scan of the numbered frame. Level 0's class count
+    // is the vocabulary size (every token distinct ⟺ already converged).
+    var done = n == 0 || nVocab == n
     while (k < math.min(maxLen, maxPrefix) && !done) {
       // rank of the suffix at off+k, mapped onto base position off; the
       // shift is a projection, so both join sides stay doc-partitioned
@@ -120,14 +132,15 @@ object SuffixArray {
       // dense-number the full frame directly — dense_rank absorbs the
       // duplicate (rank, rank₊ₖ) pairs, so no distinct + join-back pass
       // (two exchanges per round instead of five)
-      cur = denseNumber(j, Seq(col("rank"), col("_saR2z")), "_saNew",
-          buckets)
+      val (numbered, classes) = denseNumberCounted(j,
+        Seq(col("rank"), col("_saR2z")), "_saNew", buckets)
+      cur = numbered
         .select(col("doc"), col("off"), col("_saNew").as("rank"))
         .repartition(buckets, col("doc"))
         .localCheckpoint(true)
       levels += cur
       k *= 2
-      done = allDistinct(cur)
+      done = classes == n
     }
     Ranked(cur, levels.result(), maxLen)
   }
@@ -167,15 +180,29 @@ object SuffixArray {
       minLen: Int, buckets: Int = 32): DataFrame = {
     require(minLen >= 1, s"need minLen >= 1, got $minLen")
     val ranked = suffixRanksAll(docs, id, text, buckets)
+    // prefilter level: lcp ≥ minLen forces equal level-⌊log₂ minLen⌋
+    // ranks (the 2^jPre-token prefixes tie), so adjacent pairs that
+    // differ there can never pass the minLen gate — dropping them BEFORE
+    // the walk sends only the genuinely-repeated pairs through the
+    // 2·log(L) level joins instead of one pair per corpus position
+    val jPre = math.min(
+      63 - java.lang.Long.numberOfLeadingZeros(minLen.toLong),
+      ranked.levels.size - 1).toInt
+    val lvlPre = ranked.levels(jPre)
     // total order: all (rank, doc, off) triples are distinct, so the
     // dense numbering is the SA position permutation
     val pos = denseNumber(ranked.full,
       Seq(col("rank"), col("doc"), col("off")), "_saPos", buckets)
+      .join(lvlPre.select(col("doc"), col("off"), col("rank").as("_saJ")),
+        Seq("doc", "off"))
       .localCheckpoint(true)
     val adj = pos.select(col("doc").as("doc_a"), col("off").as("off_a"),
-        col("_saPos"))
+        col("_saJ").as("_saJa"), col("_saPos"))
       .join(pos.select(col("doc").as("doc_b"), col("off").as("off_b"),
-        (col("_saPos") - 1).as("_saPos")), Seq("_saPos"))
+        col("_saJ").as("_saJb"), (col("_saPos") - 1).as("_saPos")),
+        Seq("_saPos"))
+      .filter(col("_saJa") === col("_saJb"))
+      .drop("_saJa", "_saJb")
       .withColumn("lcp", lit(0L))
     // walk levels high→low, skipping steps no real LCP can reach
     // (step ≥ maxLen): kept capacity 2^(J'+1)−1 ≥ maxLen−1 ≥ every LCP
