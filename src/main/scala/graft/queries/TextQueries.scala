@@ -107,6 +107,36 @@ object TextQueries {
           buckets = 128, strata = Seq("lang")),
         pNum = 1, pDen = 2, lo = 0, width = 8, strata = Seq("lang"))),
 
+    // EXACT per-group order statistic — the element itself, not a bucket
+    // (contrast q_hist_quantile): iterative histogram bisection, one scan
+    // per refinement round, per-round shuffle is (group, bucket) rows only.
+    // kth = smallest v with count(<= v) >= k, k = ceil(n/2) (lower median).
+    Q("q_exact_median", Some("""
+      |WITH o AS (SELECT lang, n_chars,
+      |    count(*) OVER (PARTITION BY lang ORDER BY n_chars) AS cum,
+      |    count(*) OVER (PARTITION BY lang) AS nn
+      |  FROM documents WHERE n_chars IS NOT NULL)
+      |SELECT lang, nn AS n, (nn + 1) // 2 AS k, min(n_chars) AS kth
+      |FROM o WHERE cum >= (nn + 1) // 2 GROUP BY lang, nn
+      |""".stripMargin.trim))(
+      (s, d) => graft.operators.Selection.exactKthByGroup(
+        t(s, d, "documents"), Seq("lang"), col("n_chars"), num = 1, den = 2)),
+
+    // exact p99 on two-column strata — multi-round refinement at a rank
+    // where bucket-granular answers are off by whole buckets
+    Q("q_exact_p99", Some("""
+      |WITH o AS (SELECT lang, source, n_chars,
+      |    count(*) OVER (PARTITION BY lang, source ORDER BY n_chars) AS cum,
+      |    count(*) OVER (PARTITION BY lang, source) AS nn
+      |  FROM documents WHERE n_chars IS NOT NULL)
+      |SELECT lang, source, nn AS n, (nn * 99 + 99) // 100 AS k,
+      |  min(n_chars) AS kth
+      |FROM o WHERE cum >= (nn * 99 + 99) // 100 GROUP BY lang, source, nn
+      |""".stripMargin.trim))(
+      (s, d) => graft.operators.Selection.exactKthByGroup(
+        t(s, d, "documents"), Seq("lang", "source"), col("n_chars"),
+        num = 99, den = 100)),
+
     // global concat-and-split packing (GPT-style): the shuffled corpus as
     // ONE token stream split into 2048-token training sequences, documents
     // crossing boundaries. Offsets are a distributed prefix sum over the
