@@ -97,6 +97,69 @@ object Multimodal {
       md5(resizedHex).as("resized_md5"))
   }
 
+  /** Content-defined chunking (Rabin-style CDC) over opaque binary
+    * payloads — the byte-level dedup primitive for multimodal corpora:
+    * identical media segments dedup across documents even when embedded
+    * at different offsets, because chunk boundaries depend only on LOCAL
+    * content. A boundary sits at byte offset p (`windowBytes` ≤ p <
+    * byte_len) iff the portable 60-bit hash of the `windowBytes`-byte
+    * window ending at p has its low `maskBits` bits zero — expected
+    * chunk length 2^maskBits bytes. The predicate is stateless per
+    * position (no sequential min/max-chunk clamps), which is what makes
+    * it shift-invariant AND fully relational: both engines replay every
+    * boundary exactly. A production deployment swaps the md5 window
+    * hash for a codegen'd gear/rolling-hash Expression (one pass per
+    * payload instead of one hash per position); the chunk assembly and
+    * dedup plumbing are identical.
+    *
+    * Chunks assemble without any per-doc array state: boundary rows ∪ a
+    * start-of-payload row, then `lead(start) over (partition by media
+    * order by start)` closes each chunk — one keyed shuffle, no
+    * collect_list. Empty payloads yield one zero-length chunk (md5 of
+    * the empty string, engine-portable). Output: (media_id, chunk_no,
+    * start, chunk_len, chunk_md5).
+    */
+  def cdcChunks(media: DataFrame, windowBytes: Int, maskBits: Int): DataFrame = {
+    require(windowBytes >= 1, s"need windowBytes >= 1, got $windowBytes")
+    require(maskBits >= 0 && maskBits <= 32, s"need 0 <= maskBits <= 32, got $maskBits")
+    val m = meta(media) // cheap projection; re-derived per consumer
+    val modulus = 1L << maskBits
+    // candidate positions explode (codegen'd md5 per position — the
+    // hex-plane window is the 2w chars ending at 2p)
+    val bounds = m.filter(col("byte_len") > windowBytes)
+      .select(col("media_id"),
+        explode(sequence(lit(windowBytes), col("byte_len") - 1)).as("start"))
+      .filter(graft.operators.Dedup.portableHash64(
+        col("hx").substr((col("start") - windowBytes) * 2 + 1,
+          lit(windowBytes * 2))) % modulus === 0)
+    val starts = m.select(col("media_id"), lit(0).as("start"))
+      .unionByName(bounds)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("media_id")).orderBy(col("start"))
+    starts.join(m.select(col("media_id"), col("byte_len"), col("hx")),
+        Seq("media_id"))
+      .withColumn("chunk_no", row_number().over(w).cast("long") - 1)
+      .withColumn("_mmEnd", coalesce(lead(col("start"), 1).over(w),
+        col("byte_len")))
+      .select(col("media_id"), col("chunk_no"),
+        col("start").cast("long").as("start"),
+        (col("_mmEnd") - col("start")).cast("long").as("chunk_len"),
+        md5(col("hx").substr(col("start") * 2 + 1,
+          (col("_mmEnd") - col("start")) * 2)).as("chunk_md5"))
+  }
+
+  /** Cross-document chunk dedup over [[cdcChunks]] output: every chunk
+    * digest occurring more than once, with its occurrence and document
+    * counts and the least witness — the "store each block once" CAS
+    * inventory. One partial-agg shuffle on the digest.
+    */
+  def cdcDedup(chunks: DataFrame): DataFrame =
+    chunks.groupBy("chunk_md5", "chunk_len")
+      .agg(count(lit(1)).as("n_copies"),
+        countDistinct(col("media_id")).as("n_docs"),
+        min(col("media_id")).as("keep_media"))
+      .filter(col("n_copies") >= 2)
+
   /** STUB feature extraction (see class doc): features[j] = Σ of unsigned
     * byte values at positions ≡ j (mod dim). Runs as a typed per-partition
     * batch transform — the exact execution shape a vectorized decoder

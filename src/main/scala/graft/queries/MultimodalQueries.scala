@@ -70,5 +70,51 @@ object MultimodalQueries {
         Multimodal.decodeFeaturesStub(media(s, d), dim = 8).toDF()
           .select(col("media_id").as("doc_id"), posexplode(col("features")))
           .select(col("doc_id"), col("pos").as("bucket"), col("col").as("byte_sum"))),
+
+    // content-defined chunking (Rabin-style CDC): boundary wherever the
+    // 8-byte window hash has 4 zero low bits (expected 16-byte chunks);
+    // stateless predicate = shift-invariant AND engine-replayable. Chunks
+    // close by lead() over boundary rows — no per-doc array assembly.
+    Q("q_cdc_chunks", Some(
+      """WITH b AS (SELECT doc_id, hex(encode(text)) AS hx,
+        |  octet_length(encode(text)) AS blen FROM documents),
+        |bd AS (SELECT doc_id, unnest(list_filter(range(8, blen),
+        |    p -> ('0x' || substring(md5(substring(hx, ((p - 8) * 2 + 1)::BIGINT, 16)), 1, 15))::BIGINT % 16 = 0)) AS p
+        |  FROM b WHERE blen > 8),
+        |st AS (SELECT doc_id, 0 AS p FROM b UNION ALL SELECT doc_id, p::INT AS p FROM bd),
+        |ch AS (SELECT st.doc_id, p,
+        |    row_number() OVER w - 1 AS chunk_no,
+        |    lead(p, 1, blen) OVER w AS e, hx
+        |  FROM st JOIN b USING (doc_id)
+        |  WINDOW w AS (PARTITION BY st.doc_id ORDER BY p))
+        |SELECT doc_id, chunk_no, CAST(p AS BIGINT) AS start,
+        |  CAST(e - p AS BIGINT) AS chunk_len,
+        |  md5(substring(hx, (p * 2 + 1)::BIGINT, ((e - p) * 2)::BIGINT)) AS chunk_md5
+        |FROM ch""".stripMargin))(
+      (s, d) =>
+        Multimodal.cdcChunks(media(s, d), windowBytes = 8, maskBits = 4)
+          .select(col("media_id").as("doc_id"), col("chunk_no"),
+            col("start"), col("chunk_len"), col("chunk_md5"))),
+
+    // cross-document chunk dedup: the store-each-block-once inventory —
+    // identical byte runs dedup even at different offsets (that's the
+    // CDC property; a fixed-grid chunker would miss shifted copies)
+    Q("q_cdc_dedup", Some(
+      """WITH b AS (SELECT doc_id, hex(encode(text)) AS hx,
+        |  octet_length(encode(text)) AS blen FROM documents),
+        |bd AS (SELECT doc_id, unnest(list_filter(range(8, blen),
+        |    p -> ('0x' || substring(md5(substring(hx, ((p - 8) * 2 + 1)::BIGINT, 16)), 1, 15))::BIGINT % 16 = 0)) AS p
+        |  FROM b WHERE blen > 8),
+        |st AS (SELECT doc_id, 0 AS p FROM b UNION ALL SELECT doc_id, p::INT AS p FROM bd),
+        |ch AS (SELECT st.doc_id, p, lead(p, 1, blen) OVER w AS e, hx
+        |  FROM st JOIN b USING (doc_id)
+        |  WINDOW w AS (PARTITION BY st.doc_id ORDER BY p))
+        |SELECT md5(substring(hx, (p * 2 + 1)::BIGINT, ((e - p) * 2)::BIGINT)) AS chunk_md5,
+        |  CAST(e - p AS BIGINT) AS chunk_len, count(*) AS n_copies,
+        |  count(DISTINCT doc_id) AS n_docs, min(doc_id) AS keep_media
+        |FROM ch GROUP BY 1, 2 HAVING count(*) >= 2""".stripMargin))(
+      (s, d) =>
+        Multimodal.cdcDedup(
+          Multimodal.cdcChunks(media(s, d), windowBytes = 8, maskBits = 4))),
   )
 }

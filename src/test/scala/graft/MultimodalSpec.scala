@@ -57,6 +57,74 @@ class MultimodalSpec extends SparkSpec {
     assert(resized(1)._2 === 1)
   }
 
+  // brute-force CDC in plain Scala: same boundary rule, same digests
+  private def bruteCdc(text: String, w: Int, maskBits: Int): Seq[(Long, Long, Long, String)] = {
+    def md5hex(s: String): String = java.security.MessageDigest
+      .getInstance("MD5").digest(s.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    val hx = text.getBytes("UTF-8").map("%02X".format(_)).mkString
+    val len = text.getBytes("UTF-8").length
+    val bounds = (w until len).filter { pp =>
+      java.lang.Long.parseLong(md5hex(hx.substring((pp - w) * 2, pp * 2)).take(15), 16) %
+        (1L << maskBits) == 0
+    }
+    val starts = 0 +: bounds
+    val ends = bounds :+ len
+    starts.zip(ends).zipWithIndex.map { case ((st, en), i) =>
+      (i.toLong, st.toLong, (en - st).toLong, md5hex(hx.substring(st * 2, en * 2)))
+    }
+  }
+
+  test("cdcChunks equals brute force; chunks tile the payload") {
+    val rnd = new scala.util.Random(13)
+    val docs = Seq.tabulate(30)(i =>
+      (i.toLong, Seq.fill(rnd.nextInt(400))(('a' + rnd.nextInt(4)).toChar).mkString))
+    val m = Multimodal.attachBlob(docs.toDF("doc_id", "text"), "doc_id", "text", "b")
+    val got = Multimodal.cdcChunks(m, windowBytes = 8, maskBits = 4)
+      .as[(Long, Long, Long, Long, String)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2).map(c => (c._2, c._3, c._4, c._5)).toSeq).toMap
+    docs.foreach { case (id, text) =>
+      assert(got(id) === bruteCdc(text, 8, 4), s"doc $id")
+      // tiling: starts/lengths partition [0, len)
+      val chs = got(id)
+      assert(chs.map(_._3).sum === text.getBytes("UTF-8").length.toLong)
+      chs.sliding(2).foreach {
+        case Seq(a, b) => assert(a._2 + a._3 === b._2); case _ =>
+      }
+    }
+  }
+
+  test("CDC is shift-invariant: a prefix insertion preserves downstream chunks") {
+    // non-repeating content so distinct digests measure true re-alignment
+    val rnd = new scala.util.Random(99)
+    val base = Seq.fill(3000)(('a' + rnd.nextInt(26)).toChar).mkString
+    val docs = Seq((1L, base), (2L, "XYZPREFIX-" + base))
+    val m = Multimodal.attachBlob(docs.toDF("doc_id", "text"), "doc_id", "text", "b")
+    val chunks = Multimodal.cdcChunks(m, windowBytes = 8, maskBits = 4)
+      .as[(Long, Long, Long, Long, String)].collect()
+    val d1 = chunks.filter(_._1 == 1L).map(_._5).toSet
+    val d2 = chunks.filter(_._1 == 2L).map(_._5).toSet
+    // all but the head chunk(s) re-align after the insertion
+    val shared = d1.intersect(d2).size.toDouble / d1.size
+    assert(shared > 0.8, s"only ${shared * 100}%% of chunks survived the shift")
+    // and the dedup inventory sees the cross-doc repeats
+    val dd = Multimodal.cdcDedup(Multimodal.cdcChunks(m, 8, 4))
+      .filter(col("n_docs") === 2).count()
+    assert(dd >= 1)
+  }
+
+  test("cdcChunks: empty payload is one zero-length chunk; short payload one whole chunk") {
+    val m = Multimodal.attachBlob(
+      Seq((1L, ""), (2L, "tiny")).toDF("doc_id", "text"), "doc_id", "text", "b")
+    val got = Multimodal.cdcChunks(m, windowBytes = 8, maskBits = 4)
+      .as[(Long, Long, Long, Long, String)].collect().sortBy(_._1)
+    assert(got.length === 2)
+    assert(got(0) === ((1L, 0L, 0L, 0L,
+      java.security.MessageDigest.getInstance("MD5")
+        .digest("".getBytes).map("%02x".format(_)).mkString)))
+    assert(got(1)._3 === 0L && got(1)._4 === 4L)
+  }
+
   test("decodeFeaturesStub: deterministic bucket sums of unsigned bytes") {
     val m = Multimodal.attachBlob(
       Seq((7L, "ab")).toDF("doc_id", "text"), "doc_id", "text", "text/plain")
