@@ -6,14 +6,14 @@ import org.apache.spark.sql.functions._
 /** Exact distributed order statistics by iterative histogram bisection —
   * the selection problem ("the exact k-th smallest per group") WITHOUT a
   * sort, the classic MPP refinement of Blum et al. selection: each round
-  * scans the data once, counts rows into ≤ `buckets` fixed-width integer
-  * buckets per still-unresolved group, and the driver narrows each
-  * group's [lo, hi] value window to the single bucket containing its
-  * target rank. Rounds = ⌈log_buckets(value range)⌉ — 2 for
-  * document-length-sized domains, ≤ 6 for a full 64-bit range — and the
-  * per-round shuffle is (group, bucket) partial-agg rows, never data
-  * rows, so the op is scan-bandwidth at any corpus size where a global
-  * or per-group sort would shuffle everything.
+  * scans the data once, counts rows (or sums weights) into ≤ `buckets`
+  * fixed-width integer buckets per still-unresolved group, and the
+  * driver narrows each group's [lo, hi] value window to the single
+  * bucket containing its target rank. Rounds = ⌈log_buckets(value
+  * range)⌉ — 2 for document-length-sized domains, ≤ 6 for a full 64-bit
+  * range — and the per-round shuffle is (group, bucket) partial-agg
+  * rows, never data rows, so the op is scan-bandwidth at any corpus
+  * size where a global or per-group sort would shuffle everything.
   *
   * Contrast [[graft.functions.Sketches.histogramThreshold]], which
   * answers at BUCKET granularity in one pass (approximate); this
@@ -37,28 +37,49 @@ object Selection {
     * strata ++ (n, k, kth), one row per group.
     */
   def exactKthByGroup(df: DataFrame, strata: Seq[String], value: Column,
-      num: Int, den: Int, buckets: Int = 4096): DataFrame = {
+      num: Int, den: Int, buckets: Int = 4096): DataFrame =
+    kthCore(df, strata, value, lit(1L), num, den, buckets, "n")
+
+  /** Weighted exact selection: the smallest value v such that the SUM of
+    * `weight` over rows with value ≤ v reaches ⌈W·num/den⌉ (W = the
+    * group's total weight) — e.g. value = doc length, weight = doc bytes
+    * gives "the length below which half the corpus bytes sit", the
+    * data-card cut a row-count median misstates under skewed lengths.
+    * Weights must be non-negative; NULL values or weights are excluded;
+    * all-zero-weight groups have no order statistic and are omitted.
+    * Output: strata ++ (w, k, kth).
+    */
+  def exactWeightedKthByGroup(df: DataFrame, strata: Seq[String],
+      value: Column, weight: Column, num: Int, den: Int,
+      buckets: Int = 4096): DataFrame =
+    kthCore(df, strata, value, weight, num, den, buckets, "w")
+
+  private def kthCore(df: DataFrame, strata: Seq[String], value: Column,
+      weight: Column, num: Int, den: Int, buckets: Int,
+      totalCol: String): DataFrame = {
     require(num >= 1 && den >= num,
       s"need 1 <= num <= den for a valid rank fraction, got $num/$den")
     require(buckets >= 2, s"need >= 2 buckets, got $buckets")
     val spark = df.sparkSession
     val gcols = strata.map(col)
     val v = value.cast("long")
-    // one pass: per-group extent + count; ranks are decided from n
-    val base = df.filter(v.isNotNull)
-      .select(gcols :+ v.as("_selV"): _*)
+    val wgt = weight.cast("long")
+    // one pass: per-group extent + total weight; ranks are decided from it
+    val base = df.filter(v.isNotNull && wgt.isNotNull)
+      .select(gcols ++ Seq(v.as("_selV"), wgt.as("_selG")): _*)
       .localCheckpoint(true) // scanned once per refinement round
     val ext = base.groupBy(gcols: _*)
       .agg(min(col("_selV")).as("_selLo"), max(col("_selV")).as("_selHi"),
-        count(lit(1)).as("_selN"))
+        sum(col("_selG")).as("_selN"))
       .collect()
-    // driver state: group key values -> (lo, hi, remaining rank k, n)
+    // driver state: group key values -> (lo, hi, remaining rank k, total)
     final case class St(key: Seq[Any], lo: Long, hi: Long, k: Long, n: Long)
-    var active = ext.toSeq.map { r =>
+    var active = ext.toSeq.flatMap { r =>
       val key = strata.indices.map(r.get)
       val n = r.getLong(strata.size + 2)
       val k = (n * num + den - 1) / den // ceil(n*num/den), n*num fits: n<2^60/den
-      St(key, r.getLong(strata.size), r.getLong(strata.size + 1), k, n)
+      if (n <= 0) None // all-zero-weight group: no order statistic
+      else Some(St(key, r.getLong(strata.size), r.getLong(strata.size + 1), k, n))
     }
     val resolved = Seq.newBuilder[(Seq[Any], Long, Long, Long)] // key, n, kOrig, kth
     val kOrig = active.map(s => s.key -> s.k).toMap
@@ -81,7 +102,7 @@ object Selection {
           .join(broadcast(bnd), "_selK")
           .filter(col("_selV").between(col("_selLo"), col("_selHi")))
           .withColumn("_selB", expr("(_selV - _selLo) div _selW"))
-          .groupBy("_selK", "_selB").agg(count(lit(1)).as("_selC"))
+          .groupBy("_selK", "_selB").agg(sum(col("_selG")).as("_selC"))
           .collect()
           .groupBy(_.getString(0))
           .map { case (kk, rows) =>
@@ -105,13 +126,13 @@ object Selection {
       }
     }
     val out = resolved.result()
-    val schemaCols = strata :+ "n" :+ "k" :+ "kth"
+    val schemaCols = strata :+ totalCol :+ "k" :+ "kth"
     val rows = out.map { case (key, n, k, kth) =>
       org.apache.spark.sql.Row.fromSeq(key ++ Seq(n, k, kth))
     }
     val proto = df.select(gcols: _*).schema
     val schema = org.apache.spark.sql.types.StructType(
-      proto.fields ++ Seq("n", "k", "kth").map(n =>
+      proto.fields ++ Seq(totalCol, "k", "kth").map(n =>
         org.apache.spark.sql.types.StructField(n,
           org.apache.spark.sql.types.LongType, nullable = false)))
     spark.createDataFrame(

@@ -137,6 +137,23 @@ object TextQueries {
         t(s, d, "documents"), Seq("lang", "source"), col("n_chars"),
         num = 99, den = 100)),
 
+    // weighted exact selection: the doc length below which half the
+    // corpus CHARACTERS sit (value = weight = n_chars) — the data-card
+    // cut a row-count median misstates under skewed lengths. DuckDB
+    // sum(BIGINT) widens to HUGEINT → cast the emitted totals.
+    Q("q_exact_wmedian", Some("""
+      |WITH o AS (SELECT source, n_chars,
+      |    sum(n_chars) OVER (PARTITION BY source ORDER BY n_chars) AS cumw,
+      |    sum(n_chars) OVER (PARTITION BY source) AS ww
+      |  FROM documents WHERE n_chars IS NOT NULL)
+      |SELECT source, CAST(ww AS BIGINT) AS w,
+      |  CAST((ww + 1) // 2 AS BIGINT) AS k, min(n_chars) AS kth
+      |FROM o WHERE cumw >= (ww + 1) // 2 GROUP BY source, ww
+      |""".stripMargin.trim))(
+      (s, d) => graft.operators.Selection.exactWeightedKthByGroup(
+        t(s, d, "documents"), Seq("source"), col("n_chars"),
+        col("n_chars"), num = 1, den = 2)),
+
     // global concat-and-split packing (GPT-style): the shuffled corpus as
     // ONE token stream split into 2048-token training sequences, documents
     // crossing boundaries. Offsets are a distributed prefix sum over the

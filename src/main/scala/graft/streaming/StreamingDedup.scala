@@ -109,6 +109,82 @@ object StreamingDedup {
       }
   }
 
+  final case class ChunkOut(media_id: Long, chunk_no: Long, start: Long,
+      chunk_len: Long, chunk_md5: String, is_new: Boolean)
+
+  /** Content-defined-chunk dedup at ingest — the streaming twin of
+    * [[graft.operators.Multimodal.cdcChunks]] + `cdcDedup`: each arriving
+    * payload is chunked LOCALLY (CDC boundaries are a pure function of
+    * the bytes — no shuffle, no state needed to chunk), then every chunk
+    * digest is classified against all chunks EVER seen via
+    * flatMapGroupsWithState keyed by digest. `is_new = true` means
+    * "store this block" — the content-addressable-store question a
+    * dedup ingest tier answers per record. First occurrence wins by
+    * (media_id, chunk_no) within a batch and by arrival across batches;
+    * state is one boolean per DISTINCT chunk digest, partitioned by
+    * digest hash across executors.
+    *
+    * The local chunker replays the batch operator's arithmetic exactly
+    * (uppercase-hex plane, md5 window hash, 15-hex-digit 60-bit
+    * boundary test), so the stream's kept-chunk inventory equals the
+    * batch inventory when ids arrive in ascending order — pinned by
+    * StreamingOpsSpec.
+    */
+  def cdcChunksAtIngest(docs: DataFrame, id: String, text: String,
+      windowBytes: Int, maskBits: Int): Dataset[ChunkOut] = {
+    require(windowBytes >= 1 && maskBits >= 0 && maskBits <= 32,
+      s"bad cdc params: windowBytes=$windowBytes maskBits=$maskBits")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val chunks = docs
+      .select(col(id).cast("long").as("media_id"), col(text).as("_t"))
+      .as[(Long, String)]
+      .flatMap { case (mid, t) =>
+        cdcChunksLocal(Option(t).getOrElse("").getBytes("UTF-8"),
+          windowBytes, maskBits).zipWithIndex.map { case ((st, ln, h), i) =>
+          (h, mid, i.toLong, st, ln)
+        }
+      }
+    chunks.groupByKey(_._1)
+      .flatMapGroupsWithState[Boolean, ChunkOut](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout) {
+        (_, rows, state) =>
+          var seen = state.getOption.getOrElse(false)
+          val out = rows.toSeq.sortBy(r => (r._2, r._3)).map {
+            case (h, mid, no, st, ln) =>
+              val isNew = !seen
+              seen = true
+              ChunkOut(mid, no, st, ln, h, isNew)
+          }
+          state.update(true)
+          out.iterator
+      }
+  }
+
+  /** Single-payload CDC: (start, len, md5) per chunk — byte-identical to
+    * the distributed [[graft.operators.Multimodal.cdcChunks]] arithmetic
+    * (boundary where the 60-bit hash of the window's uppercase-hex text
+    * has `maskBits` zero low bits; empty payload = one empty chunk).
+    */
+  private[graft] def cdcChunksLocal(bytes: Array[Byte], w: Int,
+      maskBits: Int): Seq[(Long, Long, String)] = {
+    def md5hex(s: String): String = java.security.MessageDigest
+      .getInstance("MD5").digest(s.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    val hx = bytes.map("%02X".format(_)).mkString
+    val len = bytes.length
+    val modulus = 1L << maskBits
+    val bounds = (w until len).filter { p =>
+      java.lang.Long.parseLong(
+        md5hex(hx.substring((p - w) * 2, p * 2)).take(15), 16) % modulus == 0
+    }
+    val starts = 0 +: bounds
+    val ends = bounds :+ len
+    starts.zip(ends).map { case (st, en) =>
+      (st.toLong, (en - st).toLong, md5hex(hx.substring(st * 2, en * 2)))
+    }
+  }
+
   final case class FuzzyMatch(name_a: String, name_b: String, dist: Int)
 
   /** Online edit-distance matching at ingest — the streaming twin of

@@ -889,6 +889,34 @@ class PlanShapeSpec extends SparkSpec {
       s"contamination re-read the corpus instead of its rank keys:\n$fmt")
   }
 
+  test("exact selection: scan-per-round bisection, no sort of data rows, " +
+      "driver-literal bounds broadcast") {
+    val df = q("q_exact_median")
+    val fmt = formatted(df)
+    // the result frame is driver-assembled (parallelized rows): no sort,
+    // no window, no shuffle of corpus rows survives into the output plan
+    assert(countNodes(df, "Sort") === 0, s"selection output plan sorts:\n$fmt")
+    assert(countNodes(df, "Window") === 0)
+    assert(countNodes(df, "Exchange") === 0)
+    assert(fmt.contains("Scan ExistingRDD"),
+      "exactKthByGroup should return a driver-literal result frame")
+  }
+
+  test("cdc chunks: boundary explode prunes to text columns; one keyed " +
+      "window exchange; dedup adds one partial agg shuffle") {
+    val chunks = q("q_cdc_chunks")
+    // only text+id reach the scan (payload derives from text)
+    assert(readSchemas(chunks).forall(s =>
+      s.contains("doc_id") && !s.contains("lang") && !s.contains("source")),
+      s"cdc scan reads unused columns: ${readSchemas(chunks)}")
+    assert(countNodes(chunks, "Generate") === 1,
+      "exactly one explode: the boundary-candidate positions")
+    assert(countNodes(chunks, "CartesianProduct") === 0)
+    val dedup = q("q_cdc_dedup")
+    assert(mentions(dedup, "partial_count"),
+      "chunk dedup lost its map-side partial aggregation")
+  }
+
   test("jaccard incremental: prefix equi-join + exact array verify from the " +
       "checkpointed inventories, no cartesian") {
     val df = q("q_jaccard_incremental")

@@ -73,6 +73,32 @@ class SelectionSpec extends SparkSpec {
       ("fr", "web") -> (2L, 1L, 5L)))
   }
 
+  test("weighted selection equals cumulative-weight brute force; zero-weight groups omitted") {
+    val rnd = new scala.util.Random(23)
+    val rows = Seq.tabulate(2000)(i =>
+      (s"g${i % 5}", rnd.nextInt(1000).toLong, rnd.nextInt(50).toLong)) ++
+      Seq(("z", 1L, 0L), ("z", 2L, 0L)) // all-zero-weight group
+    val df = spark.createDataFrame(rows).toDF("g", "v", "wt")
+    for ((num, den) <- Seq((1, 2), (9, 10))) {
+      val got = graft.operators.Selection.exactWeightedKthByGroup(
+        df, Seq("g"), col("v"), col("wt"), num, den, buckets = 16)
+        .collect().map(r => r.getString(0) ->
+          (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+      val want = rows.groupBy(_._1).flatMap { case (g, vs) =>
+        val wTot = vs.map(_._3).sum
+        if (wTot == 0) None
+        else {
+          val k = (wTot * num + den - 1) / den
+          val sorted = vs.map(v => (v._2, v._3)).sortBy(_._1)
+          var cum = 0L
+          val kth = sorted.find { case (_, w) => cum += w; cum >= k }.get._1
+          Some(g -> (wTot, k, kth))
+        }
+      }
+      assert(got === want, s"fraction $num/$den")
+    }
+  }
+
   test("empty input yields an empty result with the contract schema") {
     val df = spark.createDataFrame(Seq.empty[(String, Long)]).toDF("g", "v")
     val out = Selection.exactKthByGroup(df, Seq("g"), col("v"), 1, 2)

@@ -573,6 +573,43 @@ class StreamingOpsSpec extends SparkSpec {
       s"stream rebuild $rebuilt != batch $batch")
   }
 
+  test("streaming cdc chunks: digest state spans batches; inventory equals the batch operator") {
+    val docsAll = Seq(
+      (1L, Seq.fill(40)("shared boilerplate segment one two three. ").mkString),
+      (2L, "PREFIX-" + Seq.fill(40)("shared boilerplate segment one two three. ").mkString),
+      (3L, "wholly unrelated content with its own byte runs and words"))
+    val mem = MemoryStream[(Long, String)]
+    val out = graft.streaming.StreamingDedup.cdcChunksAtIngest(
+      mem.toDF().toDF("doc_id", "text"), "doc_id", "text",
+      windowBytes = 8, maskBits = 4)
+    val q = out.writeStream.format("memory").queryName("cdc_sink")
+      .outputMode("append").start()
+    try {
+      mem.addData(docsAll(0))
+      q.processAllAvailable()
+      mem.addData(docsAll(1), docsAll(2)) // doc 2 shares most chunks with 1
+      q.processAllAvailable()
+    } finally q.stop()
+    val sink = spark.table("cdc_sink")
+      .as[(Long, Long, Long, Long, String, Boolean)].collect()
+    // chunk tables agree row-for-row with the batch operator
+    val batchChunks = graft.operators.Multimodal.cdcChunks(
+      graft.operators.Multimodal.attachBlob(
+        docsAll.toDF("doc_id", "text"), "doc_id", "text", "b"),
+      windowBytes = 8, maskBits = 4)
+      .as[(Long, Long, Long, Long, String)].collect().toSet
+    assert(sink.map(r => (r._1, r._2, r._3, r._4, r._5)).toSet === batchChunks)
+    // is_new marks exactly one row per distinct digest, the arrival-first
+    val newOnes = sink.filter(_._6)
+    assert(newOnes.map(_._5).distinct.length === newOnes.length)
+    assert(newOnes.map(_._5).toSet === sink.map(_._5).toSet)
+    // doc 2's shared tail chunks are recognized as known (CDC shift-invariance
+    // across the stream boundary): most of doc 2 must NOT be new
+    val d2 = sink.filter(_._1 == 2L)
+    assert(d2.count(!_._6).toDouble / d2.length > 0.6,
+      s"expected most of doc 2's chunks known, got ${d2.count(!_._6)}/${d2.length}")
+  }
+
   test("streaming similarity: arriving vector matches an earlier near-identical one") {
     val mem = MemoryStream[(Long, Seq[Float])]
     val out = graft.streaming.StreamingSimilarity.matchesAtIngest(
