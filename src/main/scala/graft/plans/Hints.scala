@@ -77,14 +77,25 @@ object Hints {
     */
   def bloomGatedJoin(stream: DataFrame, build: DataFrame,
       streamKey: Column, buildKey: Column, joinType: String,
-      numBits: Int = 1 << 20, k: Int = 5): DataFrame = {
+      numBits: Int = -1, k: Int = 5): DataFrame = {
     val jt = joinType.toLowerCase.replace("_", "")
     require(jt == "inner" || jt == "leftsemi",
       s"bloom gate drops provably-unmatched stream rows — only inner/" +
         s"left_semi keep their semantics, got $joinType")
+    // auto-size to ~10 bits/key (fp ≈ 1% at k=5): a fixed-size filter
+    // SATURATES when the build side outgrows it — the gate then passes
+    // everything and only its own cost remains. The sizing count is one
+    // cheap agg against the savings of not shuffling the stream side.
+    val bits =
+      if (numBits > 0) numBits
+      else {
+        val n = build.select(buildKey).count()
+        val want = math.min(math.max(10L * math.max(n, 1L), 1L << 20), 1L << 27)
+        (((want + 63) / 64) * 64).toInt
+      }
     val blob = broadcast(build
       .select(buildKey.cast("string").as("_bgK"))
-      .agg(expr(s"bloom_agg(_bgK, $numBits, $k)").as("_bgF")))
+      .agg(expr(s"bloom_agg(_bgK, $bits, $k)").as("_bgF")))
     stream
       .withColumn("_bgS", streamKey.cast("string"))
       .crossJoin(blob)
