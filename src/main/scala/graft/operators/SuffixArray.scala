@@ -24,15 +24,21 @@ import org.apache.spark.sql.functions._
   * rank is DENSE over full-suffix equivalence classes); the adjacency
   * pass breaks those ties (doc, off) ascending.
   *
-  * Scale shape: no global single-partition sort anywhere. Per doubling
-  * round: one doc-co-partitioned self-join shifts ranks by k, then the
-  * (rank, rank₊ₖ) pairs are dense-numbered in place by [[denseNumber]]
-  * (range repartition + per-partition window + a partition-count-row
-  * cumulated base broadcast — the [[Corpus.packGlobal]] prefix-sum
-  * shape; dense_rank absorbs duplicates, so no distinct pass). Rounds are
-  * log₂(longest repeated span), not log of corpus size: the loop exits
-  * as soon as every rank class is a single suffix. Lineage is cut per
-  * round like the [[Graph]] loops.
+  * Scale shape: no global single-partition sort anywhere. Per RADIX-4
+  * round: three doc-co-partitioned rank-shift self-joins (chained SMJs —
+  * the left side keeps its (doc, off) order, so each extra shift is one
+  * right-side sort, never a re-exchange), then the
+  * (rank, rank₊ₖ, rank₊₂ₖ, rank₊₃ₖ) tuples are dense-numbered in place
+  * by [[denseNumber]] (range repartition + per-partition window + a
+  * partition-count-row cumulated base broadcast — the
+  * [[Corpus.packGlobal]] prefix-sum shape; dense_rank absorbs
+  * duplicates, so no distinct pass). Radix 4 over the classic radix-2
+  * recurrence trades 2 cheap joins per round for HALF the numbering
+  * rounds (a numbering = exchange + window + materialization + bases
+  * pass costs 2-3× a shifted join). Rounds are log₄(longest repeated
+  * span), not log of corpus size: the loop exits as soon as every rank
+  * class is a single suffix. Lineage is cut per round like the
+  * [[Graph]] loops.
   *
   * Token-order equivalence assumption (shared with the DuckDB twin):
   * ranking compares token SEQUENCES; the oracle compares suffixes
@@ -92,26 +98,48 @@ object SuffixArray {
       .select(col(id).cast("long").as("doc"),
         posexplode(split(lower(col(text)), "\\s+")).as(Seq("off", "_saW")))
 
-  /** Suffix ranks with every intermediate doubling level (the LCP walk
-    * needs them): `levels(j)` holds (doc, off, rank) where rank is dense
-    * over distinct 2^j-token prefixes; `full` is the converged table
-    * (rank dense over full-suffix classes).
+  /** Positions per range bucket when the caller lets the partition count
+    * float (`buckets = 0`): the construction reshuffles the full position
+    * frame ~log(L) times, so bucket count must scale with the corpus the
+    * way a real cluster's partition count does — a fixed constant is
+    * either 8× too many tasks at bench scale (pure scheduling overhead:
+    * the sf0.1 corpus is 270k positions, 32-task stages on 4 cores) or
+    * 1000× too few at 100 TB (spilling buckets). ~512k positions ≈ 14 MB
+    * a bucket keeps tasks meaningful yet memory-trivial; the floor is the
+    * scheduler's core count so small corpora still use the machine.
+    */
+  private def autoBuckets(n: Long, df: DataFrame): Int =
+    math.max(df.sparkSession.sparkContext.defaultParallelism,
+      math.min((n >> 19) + 1, 1 << 16).toInt)
+
+  /** Suffix ranks with every intermediate level (the LCP walk needs
+    * them): `levels(j)` holds (doc, off, rank) where rank is dense over
+    * distinct 4^j-token prefixes; `full` is the converged table (rank
+    * dense over full-suffix classes).
     */
   private[graft] final case class Ranked(full: DataFrame,
-      levels: Seq[DataFrame], maxLen: Long)
+      levels: Seq[DataFrame], maxLen: Long, buckets: Int) {
+    /** Prefix width of `levels(j)`. */
+    def step(j: Int): Long = 1L << (2 * j)
+  }
 
   private[graft] def suffixRanksAll(docs: DataFrame, id: String,
       text: String, buckets: Int, maxPrefix: Long = Long.MaxValue): Ranked = {
     val tok = tokens(docs, id, text).localCheckpoint(true)
     val n = tok.count()
+    val b = if (buckets > 0) buckets else autoBuckets(n, tok)
     val maxRow = tok.agg(max(col("off"))).head
     val maxLen = if (maxRow.isNullAt(0)) 0L else maxRow.getInt(0).toLong + 1L
     // level 0: dense rank of the token itself (vocabulary-sized sort)
     val (vocab, nVocab) = denseNumberCounted(
-      tok.select(col("_saW")).distinct(), Seq(col("_saW")), "rank", buckets)
+      tok.select(col("_saW")).distinct(), Seq(col("_saW")), "rank", b)
+    // each level is materialized doc-partitioned: the rank-shift
+    // self-join and the LCP walk read every level at least twice, and
+    // reading checkpoint blocks beats re-deriving the doc exchange under
+    // exchange reuse (measured: leaving levels lazy cost +40% at sf0.1)
     var cur = tok.join(vocab, Seq("_saW"))
       .select(col("doc"), col("off"), col("rank"))
-      .repartition(buckets, col("doc"))
+      .repartition(b, col("doc"))
       .localCheckpoint(true)
     val levels = Seq.newBuilder[DataFrame]
     levels += cur
@@ -122,27 +150,44 @@ object SuffixArray {
     // is the vocabulary size (every token distinct ⟺ already converged).
     var done = n == 0 || nVocab == n
     while (k < math.min(maxLen, maxPrefix) && !done) {
-      // rank of the suffix at off+k, mapped onto base position off; the
-      // shift is a projection, so both join sides stay doc-partitioned
-      val nxt = cur.select(col("doc"), (col("off") - lit(k)).as("off"),
-        col("rank").as("_saR2"))
-      val j = cur.join(nxt, Seq("doc", "off"), "left")
-        .withColumn("_saR2z", coalesce(col("_saR2"), lit(0L)))
-        .select(col("doc"), col("off"), col("rank"), col("_saR2z"))
+      // radix 4: one numbering round QUADRUPLES the agreed prefix by
+      // sorting on (rank(off), rank(off+k), rank(off+2k), rank(off+3k)).
+      // The numbering round (range exchange + window + materialization +
+      // bases pass) costs 2-3× a shifted self-join, so trading 2 extra
+      // doc-co-partitioned joins for HALF the rounds wins: construction
+      // measured 11.5 → 7.3 s at sf0.1, and at 100× the halved
+      // materializations dominate. The shifts are projections of the one
+      // checkpointed frame — chained SMJs keep the left side's
+      // (doc, off) order, so each extra shift adds one right-side sort,
+      // never a re-exchange. Padding rank 0 sorts below every real rank
+      // (the shared end-sentinel), exactly as in the radix-2 recurrence.
+      val shifted = (1 to 3).map { i =>
+        cur.select(col("doc"), (col("off") - lit(i * k)).as("off"),
+          col("rank").as(s"_saR$i"))
+      }
+      val j = shifted.zipWithIndex
+        .foldLeft(cur) { case (acc, (s, i)) =>
+          acc.join(s, Seq("doc", "off"), "left")
+            .withColumn(s"_saZ${i + 1}",
+              coalesce(col(s"_saR${i + 1}"), lit(0L)))
+            .drop(s"_saR${i + 1}")
+        }
+        .select(col("doc"), col("off"), col("rank"),
+          col("_saZ1"), col("_saZ2"), col("_saZ3"))
       // dense-number the full frame directly — dense_rank absorbs the
-      // duplicate (rank, rank₊ₖ) pairs, so no distinct + join-back pass
-      // (two exchanges per round instead of five)
+      // duplicate rank tuples, so no distinct + join-back pass
       val (numbered, classes) = denseNumberCounted(j,
-        Seq(col("rank"), col("_saR2z")), "_saNew", buckets)
+        Seq(col("rank"), col("_saZ1"), col("_saZ2"), col("_saZ3")),
+        "_saNew", b)
       cur = numbered
         .select(col("doc"), col("off"), col("_saNew").as("rank"))
-        .repartition(buckets, col("doc"))
+        .repartition(b, col("doc"))
         .localCheckpoint(true)
       levels += cur
-      k *= 2
+      k *= 4
       done = classes == n
     }
-    Ranked(cur, levels.result(), maxLen)
+    Ranked(cur, levels.result(), maxLen, b)
   }
 
   /** (doc_id, off, srank): the global rank of the suffix of `doc_id`
@@ -150,7 +195,7 @@ object SuffixArray {
     * equivalence classes in corpus-wide lexicographic token order.
     */
   def suffixRanks(docs: DataFrame, id: String, text: String,
-      buckets: Int = 32): DataFrame =
+      buckets: Int = 0): DataFrame =
     suffixRanksAll(docs, id, text, buckets).full
       .select(col("doc").as("doc_id"), col("off").cast("long").as("off"),
         col("rank").as("srank"))
@@ -163,66 +208,89 @@ object SuffixArray {
     * is witnessed. Ties between exactly-equal suffixes order (doc, off)
     * ascending.
     *
-    * The LCP of an adjacent pair is the classic descending doubling
-    * walk over the construction's own level tables: extend the agreed
-    * prefix by 2^j whenever the level-j ranks at the current agreed
-    * length match — log(cap) co-partitioned joins over the
-    * adjacent-pair frame, no token rescan. One correction the shared
-    * end-sentinel forces: equal suffixes SHORTER than a level's window
-    * still share that level's rank (their aligned out-of-range padding
-    * matches), so the walk can overshoot past end-of-doc — but an
-    * overshooting extension implies the suffixes are equal from the
-    * agreed point on, so capping at the remaining suffix lengths
+    * The LCP of an adjacent pair is the classic descending refinement
+    * walk over the construction's own level tables, generalized to the
+    * radix-4 recurrence: at level j (window 4^j), extend the agreed
+    * prefix by 4^j up to three times while the level-j ranks at the
+    * current agreed length match (remaining LCP entering level j is
+    * < 4^(j+1), and 3·4^j plus the lower levels' 4^j−1 covers exactly
+    * that) — O(log cap) co-partitioned joins over the adjacent-pair
+    * frame, no token rescan. One correction the shared end-sentinel
+    * forces: equal suffixes SHORTER than a level's window still share
+    * that level's rank (their aligned out-of-range padding matches), so
+    * the walk can overshoot past end-of-doc — but an overshooting
+    * extension implies the suffixes are equal from the agreed point on,
+    * so capping at the remaining suffix lengths
     * (`least(walk, len_a, len_b)`) restores the exact LCP in every
     * case.
     */
   def repeatedSpans(docs: DataFrame, id: String, text: String,
-      minLen: Int, buckets: Int = 32): DataFrame = {
+      minLen: Int, buckets: Int = 0): DataFrame = {
     require(minLen >= 1, s"need minLen >= 1, got $minLen")
     val ranked = suffixRanksAll(docs, id, text, buckets)
-    // prefilter level: lcp ≥ minLen forces equal level-⌊log₂ minLen⌋
-    // ranks (the 2^jPre-token prefixes tie), so adjacent pairs that
-    // differ there can never pass the minLen gate — dropping them BEFORE
-    // the walk sends only the genuinely-repeated pairs through the
-    // 2·log(L) level joins instead of one pair per corpus position
+    // prefilter: lcp ≥ minLen forces the composed minLen-token windows
+    // equal, witnessed by level-jPre ranks at offsets covering
+    // [0, minLen) (the windowClassKeys composition — necessary, and for
+    // ≤ 4 covering keys exact). Pairs failing it can never pass the
+    // minLen gate, so only genuinely-repeated pairs enter the level
+    // joins instead of one pair per corpus position.
     val jPre = math.min(
-      63 - java.lang.Long.numberOfLeadingZeros(minLen.toLong),
+      (63 - java.lang.Long.numberOfLeadingZeros(minLen.toLong)) / 2,
       ranked.levels.size - 1).toInt
+    val sPre = 1L << (2 * jPre)
+    val preOffs = ((0L until 3L).map(_ * sPre).filter(_ < minLen - sPre)
+      :+ (minLen - sPre)).distinct
     val lvlPre = ranked.levels(jPre)
     // total order: all (rank, doc, off) triples are distinct, so the
     // dense numbering is the SA position permutation
-    val pos = denseNumber(ranked.full,
-      Seq(col("rank"), col("doc"), col("off")), "_saPos", buckets)
-      .join(lvlPre.select(col("doc"), col("off"), col("rank").as("_saJ")),
-        Seq("doc", "off"))
+    val pos = preOffs.zipWithIndex
+      .foldLeft(denseNumber(ranked.full,
+        Seq(col("rank"), col("doc"), col("off")), "_saPos", ranked.buckets)) {
+        case (acc, (o, i)) =>
+          // offset 0 always resolves (every position has a rank); later
+          // offsets may fall off the doc — left-join NULL, which the
+          // adjacency filter treats as can't-qualify (a suffix shorter
+          // than minLen can never carry an lcp ≥ minLen pair)
+          acc.join(lvlPre.select(col("doc"),
+            (col("off") - lit(o)).cast("int").as("off"),
+            col("rank").as(s"_saJ$i")), Seq("doc", "off"), "left")
+      }
       .localCheckpoint(true)
-    val adj = pos.select(col("doc").as("doc_a"), col("off").as("off_a"),
-        col("_saJ").as("_saJa"), col("_saPos"))
-      .join(pos.select(col("doc").as("doc_b"), col("off").as("off_b"),
-        col("_saJ").as("_saJb"), (col("_saPos") - 1).as("_saPos")),
+    val jCols = preOffs.indices.map(i => s"_saJ$i")
+    val adj = pos.select((Seq(col("doc").as("doc_a"),
+        col("off").as("off_a"), col("_saPos")) ++
+        jCols.map(c => col(c).as(c + "a"))): _*)
+      .join(pos.select((Seq(col("doc").as("doc_b"), col("off").as("off_b"),
+        (col("_saPos") - 1).as("_saPos")) ++
+        jCols.map(c => col(c).as(c + "b"))): _*),
         Seq("_saPos"))
-      .filter(col("_saJa") === col("_saJb"))
-      .drop("_saJa", "_saJb")
+      .filter(jCols.map(c => col(c + "a") === col(c + "b"))
+        .reduce(_ && _))
+      .drop(jCols.flatMap(c => Seq(c + "a", c + "b")): _*)
       .withColumn("lcp", lit(0L))
     // walk levels high→low, skipping steps no real LCP can reach
-    // (step ≥ maxLen): kept capacity 2^(J'+1)−1 ≥ maxLen−1 ≥ every LCP
+    // (step ≥ maxLen); per level up to 3 probes, fewer when maxLen−1
+    // bounds the extensions a level can contribute
     val walked = ranked.levels.zipWithIndex
-      .filter { case (_, j) => (1L << j) < math.max(ranked.maxLen, 2L) }
+      .filter { case (_, j) => (1L << (2 * j)) < math.max(ranked.maxLen, 2L) }
       .reverse
-      .foldLeft(adj) { case (c, (lvl, j)) =>
-        val step = 1L << j
+      .foldLeft(adj) { case (c0, (lvl, j)) =>
+        val step = 1L << (2 * j)
+        val probes = math.min(3L, (math.max(ranked.maxLen, 2L) - 1) / step)
         val ra = lvl.select(col("doc").as("doc_a"),
           col("off").as("_saOa"), col("rank").as("_saRa"))
         val rb = lvl.select(col("doc").as("doc_b"),
           col("off").as("_saOb"), col("rank").as("_saRb"))
-        c.withColumn("_saOa", (col("off_a") + col("lcp")).cast("int"))
-          .join(ra, Seq("doc_a", "_saOa"), "left")
-          .withColumn("_saOb", (col("off_b") + col("lcp")).cast("int"))
-          .join(rb, Seq("doc_b", "_saOb"), "left")
-          .withColumn("lcp", when(
-            col("_saRa").isNotNull && col("_saRa") === col("_saRb"),
-            col("lcp") + lit(step)).otherwise(col("lcp")))
-          .drop("_saOa", "_saOb", "_saRa", "_saRb")
+        (1L to probes).foldLeft(c0) { (c, _) =>
+          c.withColumn("_saOa", (col("off_a") + col("lcp")).cast("int"))
+            .join(ra, Seq("doc_a", "_saOa"), "left")
+            .withColumn("_saOb", (col("off_b") + col("lcp")).cast("int"))
+            .join(rb, Seq("doc_b", "_saOb"), "left")
+            .withColumn("lcp", when(
+              col("_saRa").isNotNull && col("_saRa") === col("_saRb"),
+              col("lcp") + lit(step)).otherwise(col("lcp")))
+            .drop("_saOa", "_saOb", "_saRa", "_saRb")
+        }
       }
     val docLen = docLens(ranked)
     walked
@@ -244,13 +312,13 @@ object SuffixArray {
   /** Cross-corpus verbatim-window decontamination on the suffix-array
     * index (the Lee et al. 2021 use: which `windowLen`-token test
     * windows appear verbatim anywhere in training data?). Each
-    * position's window class is the O(1) power-of-two composition over
-    * the construction's own level tables —
-    * `(rank_j(off), rank_j(off + L − 2^j))`, `j = min(⌊log₂L⌋, top)` —
-    * two 8-byte keys whose equality ⟺ the L-token windows are
-    * identical, so the cross-corpus equi-join ships 16 bytes per
-    * position where an L-gram explode ships L-token strings. When the
-    * construction converged below ⌊log₂L⌋, every 2^top window is
+    * position's window class is the O(1) covering composition over the
+    * construction's own level tables — ⌈L/4^j⌉ ≤ 4 level-j ranks at
+    * offsets covering [0, L), `j = min(⌊log₄L⌋, top)` — a ≤ 32-byte key
+    * tuple whose equality ⟺ the L-token windows are identical, so the
+    * cross-corpus equi-join ships ≤ 32 bytes per position where an
+    * L-gram explode ships L-token strings. When the
+    * construction converged below ⌊log₄L⌋, every 4^top window is
     * already unique, so no two positions can share any longer window
     * either — the capped keys still join to exactly the true (empty)
     * match set.
@@ -262,28 +330,40 @@ object SuffixArray {
     * n_train, train_doc, train_off).
     */
   /** (doc, off, _saC1, _saC2) for every position with ≥ `windowLen`
-    * tokens remaining: the two level-⌊log₂L⌋ ranks whose pair equality
-    * ⟺ the L-token windows are identical (construction cut at
-    * ⌈log₂L⌉ rounds via maxPrefix; the early-convergence cap is argued
+    * tokens remaining: the covering level-⌊log₄L⌋ rank tuple whose
+    * equality ⟺ the L-token windows are identical (construction cut at
+    * ⌈log₄L⌉ rounds via maxPrefix; the early-convergence cap is argued
     * at [[contaminatedSpans]]).
     */
   private def windowClassKeys(docs: DataFrame, id: String, text: String,
       windowLen: Int, buckets: Int): DataFrame = {
-    val wantPrefix = java.lang.Long.highestOneBit(windowLen.toLong)
+    val jWant =
+      (63 - java.lang.Long.numberOfLeadingZeros(windowLen.toLong)) / 2
+    val wantPrefix = 1L << (2 * jWant)
     val ranked = suffixRanksAll(docs, id, text, buckets, wantPrefix)
     require(ranked.maxLen < (1L << 20),
       s"witness packing needs docs under 2^20 tokens, got ${ranked.maxLen}")
-    val jj = math.min(
-      63 - java.lang.Long.numberOfLeadingZeros(windowLen.toLong),
-      ranked.levels.size - 1)
-    val shift = windowLen - (1L << jj)
+    val jj = math.min(jWant, ranked.levels.size - 1).toInt
+    val s = 1L << (2 * jj)
+    // ⌈L/s⌉ level-jj ranks at offsets covering [0, L) (strides + one
+    // final overlap key): tuple equality ⟺ the L-token windows are
+    // identical — ≤ 4 keys at the radix-4 level spacing. Inner joins are
+    // safe: a position missing any covering offset can't fit a full
+    // window, and the length gate drops it anyway.
+    val m = ((windowLen + s - 1) / s).toInt
+    val offs = ((0 until m - 1).map(_.toLong * s) :+ (windowLen - s)).distinct
     val lvl = ranked.levels(jj)
-    lvl.select(col("doc"), col("off"), col("rank").as("_saC1"))
-      .join(lvl.select(col("doc"),
-        (col("off") - lit(shift)).cast("int").as("off"),
-        col("rank").as("_saC2")), Seq("doc", "off"))
+    val base = lvl.select(col("doc"), col("off"), col("rank").as("_saK0"))
+    offs.zipWithIndex.drop(1)
+      .foldLeft(base) { case (acc, (o, i)) =>
+        acc.join(lvl.select(col("doc"),
+          (col("off") - lit(o)).cast("int").as("off"),
+          col("rank").as(s"_saK$i")), Seq("doc", "off"))
+      }
+      .withColumn("_saCk", struct(offs.indices.map(i => col(s"_saK$i")): _*))
       .join(docLens(ranked), Seq("doc"))
       .filter(col("off") + lit(windowLen.toLong) <= col("_saLen"))
+      .select(col("doc"), col("off"), col("_saCk"))
   }
 
   /** Keep-first exact-substring dedup apply — the Lee et al. 2021
@@ -292,25 +372,25 @@ object SuffixArray {
     * corpus-first witness (lexicographically least (doc, off)) and every
     * LATER occurrence is cut; a token goes iff some non-witness
     * occurrence window covers it. Window identity rides the same
-    * two-rank class keys as [[contaminatedSpans]] (16 bytes per position
-    * through the class agg, never L-token strings); the witness is the
-    * packed min over each class. Documents rebuild from surviving
+    * covering rank-tuple class keys as [[contaminatedSpans]] (≤ 32 bytes
+    * per position through the class agg, never L-token strings); the
+    * witness is the packed min over each class. Documents rebuild from surviving
     * tokens: (doc_id, kept_tokens, cleaned_md5) — the
     * [[Dedup.stripDupSpans]] output shape, so downstream wiring is
     * shared. An exact duplicate pair keeps the lower-id copy intact and
     * strips the other to its unshared remainder.
     */
   def stripRepeatedKeepFirst(docs: DataFrame, id: String, text: String,
-      windowLen: Int, buckets: Int = 32): DataFrame = {
+      windowLen: Int, buckets: Int = 0): DataFrame = {
     require(windowLen >= 1, s"need windowLen >= 1, got $windowLen")
     val prepped = docs.select(col(id).cast("long").as("_saDid"),
       col(text).as("_saTxt"))
     val keys = windowClassKeys(prepped, "_saDid", "_saTxt", windowLen, buckets)
-    val cls = keys.groupBy("_saC1", "_saC2")
+    val cls = keys.groupBy("_saCk")
       .agg(count(lit(1)).as("_saN"),
         min(col("doc") * lit(1048576L) + col("off")).as("_saWk"))
       .filter(col("_saN") >= 2)
-    val cut = keys.join(cls, Seq("_saC1", "_saC2"))
+    val cut = keys.join(cls, Seq("_saCk"))
       .filter(col("doc") * lit(1048576L) + col("off") =!= col("_saWk"))
       .groupBy(col("doc")).agg(collect_list(col("off")).as("_saCuts"))
     docs.join(cut, col(id).cast("long") === cut("doc"), "left")
@@ -327,7 +407,7 @@ object SuffixArray {
   }
 
   def contaminatedSpans(test: DataFrame, train: DataFrame, id: String,
-      text: String, windowLen: Int, buckets: Int = 32): DataFrame = {
+      text: String, windowLen: Int, buckets: Int = 0): DataFrame = {
     require(windowLen >= 1, s"need windowLen >= 1, got $windowLen")
     val txt = "_saTxt"
     val lab = test.select((col(id).cast("long") * 2 + 1).as("_saDid"),
@@ -336,13 +416,13 @@ object SuffixArray {
         col(text).as(txt)))
     val keys = windowClassKeys(lab, "_saDid", txt, windowLen, buckets)
     val tr = keys.filter(col("doc") % 2 === 0)
-      .groupBy("_saC1", "_saC2")
+      .groupBy("_saCk")
       .agg(count(lit(1)).as("n_train"),
         min(expr("doc div 2") * lit(1048576L) + col("off")).as("_saWk"))
     keys.filter(col("doc") % 2 === 1)
       .select(expr("doc div 2").as("doc_id"),
-        col("off").cast("long").as("off"), col("_saC1"), col("_saC2"))
-      .join(tr, Seq("_saC1", "_saC2"))
+        col("off").cast("long").as("off"), col("_saCk"))
+      .join(tr, Seq("_saCk"))
       .select(col("doc_id"), col("off"), col("n_train"),
         expr("_saWk div 1048576").as("train_doc"),
         (col("_saWk") % 1048576L).as("train_off"))

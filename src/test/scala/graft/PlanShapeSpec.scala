@@ -551,15 +551,16 @@ class PlanShapeSpec extends SparkSpec {
       countNodes(df, "ShuffledHashJoin") >= 1, "the band match must be a hash/merge equi-join")
   }
 
-  test("bloom decontaminate: one constant-size blob broadcast, no gram equi-join") {
+  test("bloom decontaminate: driver-literal blob, no gram equi-join, no blob join") {
     val df = q("q_bloom_decontaminate")
     // exact contamination shuffles both gram sets to an equi-join; the
-    // bloom form joins ONLY the 1-row blob (nested-loop broadcast of a
-    // single row) and filters narrowly — no SortMergeJoin anywhere.
+    // bloom form embeds the constant-size blob as a LITERAL (a 1-row
+    // cross join would copy the bitset into every probe row's UnsafeRow)
+    // and filters narrowly — no join of any kind on the probe path.
     assert(countNodes(df, "SortMergeJoin") === 0,
       "bloom probe must not equi-join gram sets — that is the exact form")
-    assert(countNodes(df, "BroadcastNestedLoopJoin") === 1,
-      "exactly the single-row blob broadcast")
+    assert(countNodes(df, "BroadcastNestedLoopJoin") === 0,
+      "blob must ride as a literal, not a joined column")
     assert(mentions(df, "bloom_contains"),
       "probe must run through the codegen'd bloom_contains")
   }
