@@ -1249,4 +1249,115 @@ object Dedup {
         row_number().over(Window.partitionBy("name", "g").orderBy("pos")))
       .groupBy("g", "occ").agg(count(lit(1)).as("gdf"))
   }
+
+  /** Sorted-neighborhood candidate pairs (Hernández & Stolfo 1995, the
+    * merge/purge method) — the third classic blocking family beside gram
+    * inventories ([[fuzzyKeyPairs]]) and deletion neighborhoods
+    * ([[fuzzyKeyPairsDeletes]]): records sort once by a blocking key and
+    * every pair within `window` positions of the GLOBAL (key, id) order
+    * becomes a candidate. Coverage is positional, not lexical — two keys
+    * with no shared gram still pair if the sort puts them near each
+    * other — and cost is strictly n·(window−1) pairs regardless of how
+    * degenerate the key distribution gets (the failure mode that blows
+    * up every inventory filter).
+    *
+    * Distributed exactly, never a single-partition sort: global
+    * positions come from [[graft.operators.SuffixArray.denseNumber]]
+    * (range exchange + per-partition window + cumulated partition-base
+    * broadcast; (key, id) is duplicate-free, so the dense rank IS the
+    * row position), then each row fans out to its `window−1` successor
+    * positions and one hash equi-join on position attaches the
+    * neighbor — correct for any partition-size distribution, including
+    * windows that would straddle several range partitions. Shuffle
+    * volume is the (window−1)-fold position fanout of (id, key) pairs —
+    * output-sized, immune to key skew (the failure mode that blows up
+    * gram inventories is irrelevant to a positional join).
+    *
+    * Output: (id_a, key_a, id_b, key_b) with (key_a, id_a) earlier in
+    * the sort order, each global pair exactly once. Verification (edit
+    * distance, Jaccard, business rules) is the caller's second stage —
+    * SNM is the candidate generator.
+    */
+  /** Banded-minhash candidate RECALL against exact-Jaccard ground truth —
+    * "measure, don't guess" as an operator. LSH recall at a threshold is
+    * a formula under uniform-hash assumptions (1 − (1 − j^r)^b) but a
+    * MEASUREMENT on a real corpus, whose pair-similarity mass decides
+    * what the bands actually miss; tuning (numHashes, bands) from the
+    * formula alone is how silent under-deduplication ships. One row:
+    * (n_true, n_cand, n_found, recall_ppm) — exact integers, truth from
+    * [[jaccardPairs]] (complete by the AllPairs prefix-filter proof),
+    * candidates from an ENGINE-PORTABLE minhash (lane i =
+    * (h1 + i·h2) mod 2^59 over the md5 halves — the
+    * [[graft.functions.Bloom]] double-hash scheme, so the oracle replays
+    * the identical bands, misses included; the production generator
+    * [[candidatePairs]] speaks xxhash64, which no oracle reproduces).
+    *
+    * Scale shape: signatures reduce through one partial-agg shuffle
+    * (numHashes rows per doc), bands self-join on (band, lane-array)
+    * keys, and the report is three bounded counts — nothing output-sized
+    * survives past the semi-join.
+    */
+  def lshRecall(docs: DataFrame, id: String, text: String,
+      shingleN: Int = 3, minNum: Int = 1, minDen: Int = 2,
+      numHashes: Int = 12, bands: Int = 3): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    require(numHashes <= 16, "lane arithmetic overflows past i = 15")
+    val r = numHashes / bands
+    val m = 1L << 59
+    val ex = docs.select(col(id).cast("long").as("doc"),
+        explode(shingles(col(text), shingleN)).as("g"))
+      .select(col("doc"),
+        (conv(substring(md5(col("g")), 1, 15), 16, 10).cast("long") % m)
+          .as("h1"),
+        (conv(substring(md5(col("g")), 16, 15), 16, 10).cast("long") % m)
+          .as("h2"))
+    val lanes = ex
+      .select(col("doc"), col("h1"), col("h2"),
+        explode(sequence(lit(0), lit(numHashes - 1))).as("i"))
+      .groupBy("doc", "i")
+      .agg(min((col("h1") + col("i") * col("h2")) % m).as("lane"))
+    val keyed = lanes
+      .withColumn("band", expr(s"i div $r"))
+      .groupBy("doc", "band")
+      .agg(collect_list(struct(col("i"), col("lane"))).as("_lr0"))
+      .select(col("doc"), col("band"),
+        transform(array_sort(col("_lr0")), _.getField("lane")).as("bucket"))
+    val cand = keyed.select(col("band"), col("bucket"), col("doc").as("id_a"))
+      .join(keyed.select(col("band"), col("bucket"), col("doc").as("id_b")),
+        Seq("band", "bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+    val truth = jaccardPairs(docs, id, text, shingleN, minNum, minDen)
+      .select("id_a", "id_b")
+    truth.withColumn("_lrT", lit(1L))
+      .join(cand.withColumn("_lrC", lit(1L)), Seq("id_a", "id_b"),
+        "full_outer")
+      .agg(
+        coalesce(sum(col("_lrT")), lit(0L)).as("n_true"),
+        coalesce(sum(col("_lrC")), lit(0L)).as("n_cand"),
+        coalesce(sum(col("_lrT") * col("_lrC")), lit(0L)).as("n_found"))
+      .select(col("n_true"), col("n_cand"), col("n_found"),
+        expr("n_found * 1000000 div greatest(n_true, 1)").as("recall_ppm"))
+  }
+
+  def sortedNeighborhoodPairs(df: DataFrame, id: String, key: String,
+      window: Int, buckets: Int = 0): DataFrame = {
+    require(window >= 2, s"need window >= 2, got $window")
+    val spark = df.sparkSession
+    val base = df.select(col(id).cast("long").as("_snId"),
+      col(key).cast("string").as("_snK"))
+      .filter(col("_snK").isNotNull)
+    val b =
+      if (buckets > 0) buckets
+      else spark.sparkContext.defaultParallelism
+    val pos = graft.operators.SuffixArray.denseNumber(
+      base, Seq(col("_snK"), col("_snId")), "_snPos", b)
+    val probes = pos.select(col("_snId").as("id_a"),
+        col("_snK").as("key_a"),
+        explode(sequence(col("_snPos") + 1,
+          col("_snPos") + lit(window - 1))).as("_snPos"))
+    probes.join(pos, Seq("_snPos"))
+      .select(col("id_a"), col("key_a"),
+        col("_snId").as("id_b"), col("_snK").as("key_b"))
+  }
 }

@@ -427,4 +427,61 @@ object SuffixArray {
         expr("_saWk div 1048576").as("train_doc"),
         (col("_saWk") % 1048576L).as("train_off"))
   }
+
+  /** ∞-gram continuation counts over the suffix-array index (the
+    * "Infini-gram: Scaling Unbounded n-gram Language Models to a
+    * Trillion Tokens" use, Liu et al. 2024: the corpus IS the n-gram
+    * LM — P(next | context) read off exact occurrence counts, no model
+    * trained). For each distinct `n`-token pattern, every corpus
+    * occurrence is located and the token FOLLOWING each occurrence
+    * tallied; output = the top-`k` continuations per pattern by count
+    * (ties broken by token), i.e. (pattern, next_tok, cnt) — a document
+    * ending inside the window continues with the `</s>` sentinel.
+    *
+    * Scale shape: pattern docs ride the [[contaminatedSpans]] union
+    * (odd = pattern, even = corpus), so matching is the same ≤ 32-byte
+    * covering rank-key equi-join — never an n-gram string shuffle; the
+    * construction is cut at ⌈log₄ n⌉ rounds via maxPrefix. The
+    * next-token attach is one narrow co-partitioned join of match
+    * positions against the token explode, collapsed by a map-side
+    * partial (pattern, next) count before the top-k window (partitions
+    * = patterns, rows = distinct continuations — never match-sized).
+    */
+  def ngramContinuations(corpus: DataFrame, id: String, text: String,
+      patterns: DataFrame, ptext: String, n: Int, k: Int,
+      buckets: Int = 0): DataFrame = {
+    require(n >= 1 && k >= 1, s"need n, k >= 1, got n=$n k=$k")
+    // dense pattern ids: deterministic, and the union's doc-id packing
+    // needs a numeric id regardless of what the caller keys patterns by
+    val pats = denseNumber(patterns.select(col(ptext).as("_saPat")).distinct(),
+      Seq(col("_saPat")), "_saPid", 32)
+      .localCheckpoint(true)
+    val lab = corpus.select((col(id).cast("long") * 2).as("_saDid"),
+        col(text).as("_saTxt"))
+      .unionByName(pats.select((col("_saPid") * 2 + 1).as("_saDid"),
+        col("_saPat").as("_saTxt")))
+    val keys = windowClassKeys(lab, "_saDid", "_saTxt", n, buckets)
+    // a pattern doc's only full window is its own n-token prefix at
+    // off 0 — longer pattern strings would match on their first n tokens
+    val patKeys = keys.filter(col("doc") % 2 === 1 && col("off") === 0)
+      .select(expr("doc div 2").as("_saPid"), col("_saCk"))
+    val matches = keys.filter(col("doc") % 2 === 0)
+      .select(expr("doc div 2").as("_saCDoc"),
+        (col("off") + lit(n)).cast("int").as("_saNOff"), col("_saCk"))
+      .join(patKeys, Seq("_saCk"))
+    val toks = tokens(corpus, id, text)
+      .select(col("doc").as("_saCDoc"), col("off").as("_saNOff"),
+        col("_saW").as("_saNext"))
+    val counted = matches
+      .join(toks, Seq("_saCDoc", "_saNOff"), "left")
+      .groupBy(col("_saPid"),
+        coalesce(col("_saNext"), lit("</s>")).as("next_tok"))
+      .agg(count(lit(1)).as("cnt"))
+    counted
+      .withColumn("_saRk", row_number().over(Window.partitionBy("_saPid")
+        .orderBy(col("cnt").desc, col("next_tok"))))
+      .filter(col("_saRk") <= k)
+      .join(pats.select(col("_saPid"), col("_saPat").as("pattern")), Seq("_saPid"))
+      .select(col("pattern"), col("next_tok"), col("cnt"))
+  }
 }

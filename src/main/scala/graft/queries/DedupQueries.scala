@@ -79,6 +79,42 @@ object DedupQueries {
         spread(s, d), "doc_id", "text", shingleN = 3,
         minNum = 4, minDen = 5)),
 
+    // banded-minhash candidate recall vs exact-Jaccard ground truth —
+    // the LSH tuning loop as a first-class measurement: (n_true, n_cand,
+    // n_found, recall_ppm) at 12 hashes × 2 bands against τ = 1/2 truth
+    // (bands of 6 catch a j ≈ 0.9 pair with prob 1−(1−0.9⁶)² ≈ 0.78 —
+    // deliberately lossy, so the report shows REAL misses on this
+    // corpus, not a vacuous 100%).
+    // Lanes ride the portable md5 double-hash, so the oracle replays the
+    // identical bands — misses included — and the recall number itself
+    // hash-matches.
+    Q("q_lsh_recall", Some(shinglesSql +
+      """
+        |, ex AS (SELECT doc_id, ('0x' || substring(md5(g0), 1, 15))::BIGINT % 576460752303423488 AS h1,
+        |    ('0x' || substring(md5(g0), 16, 15))::BIGINT % 576460752303423488 AS h2
+        |  FROM (SELECT doc_id, unnest(s) AS g0 FROM sh)),
+        |ln AS (SELECT doc_id, i, min((h1 + i * h2) % 576460752303423488) AS lane
+        |  FROM ex, unnest(range(0, 12)) AS u(i) GROUP BY 1, 2),
+        |bk AS (SELECT doc_id, i // 6 AS band, array_agg(lane ORDER BY i) AS bucket
+        |  FROM ln GROUP BY 1, 2),
+        |cd AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM bk a JOIN bk b ON a.band = b.band AND a.bucket = b.bucket
+        |    AND a.doc_id < b.doc_id),
+        |hx AS (SELECT doc_id, list_distinct(list_transform(s,
+        |    g -> ('0x' || substring(md5(g), 1, 15))::BIGINT)) AS hs FROM sh),
+        |tr AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM hx a JOIN hx b ON a.doc_id < b.doc_id
+        |  WHERE 2 * len(list_intersect(a.hs, b.hs)) >=
+        |    (len(a.hs) + len(b.hs) - len(list_intersect(a.hs, b.hs)))),
+        |fd AS (SELECT count(*) AS c FROM tr JOIN cd USING (id_a, id_b))
+        |SELECT CAST((SELECT count(*) FROM tr) AS BIGINT) AS n_true,
+        |  CAST((SELECT count(*) FROM cd) AS BIGINT) AS n_cand,
+        |  CAST((SELECT c FROM fd) AS BIGINT) AS n_found,
+        |  CAST((SELECT c FROM fd) * 1000000 //
+        |    greatest((SELECT count(*) FROM tr), 1) AS BIGINT) AS recall_ppm""".stripMargin))(
+      (s, d) => Dedup.lshRecall(spread(s, d), "doc_id", "text",
+        shingleN = 3, minNum = 1, minDen = 2, numHashes = 12, bands = 2)),
+
     // EXACT Jaccard >= 1/2 self-join via the AllPairs prefix filter —
     // guaranteed complete where banded LSH recall is probabilistic.
     // Candidates from the rarity-ordered s-ceil(τs)+1 gram prefix +
@@ -446,6 +482,35 @@ object DedupQueries {
       (s, d) => graft.operators.SuffixArray.stripRepeatedKeepFirst(
         spread(s, d), "doc_id", "text", windowLen = 8)),
 
+    // ∞-gram continuations (Liu et al. 2024): the corpus as an exact
+    // n-gram LM — for each 4-token pattern (first 4 tokens of every
+    // 97th document), the top-3 next tokens by exact occurrence count.
+    // Matching rides the SA window-class keys (≤ 32-byte rank tuples,
+    // never gram-string shuffles); the oracle replays with literal
+    // 4-gram strings.
+    Q("q_infinigram", Some("""
+      |WITH t AS (SELECT doc_id, regexp_split_to_array(lower(text), '\s+') AS tk FROM documents),
+      |pat AS (SELECT DISTINCT array_to_string(tk[1:4], ' ') AS pattern
+      |  FROM t WHERE doc_id % 97 = 0 AND len(tk) >= 4),
+      |g AS (SELECT array_to_string(tk[off + 1:off + 4], ' ') AS w,
+      |    coalesce(tk[off + 5], '</s>') AS next_tok
+      |  FROM t, unnest(range(len(tk) - 3)) AS u(off) WHERE len(tk) >= 4),
+      |c AS (SELECT pattern, next_tok, count(*) AS cnt
+      |  FROM g JOIN pat ON g.w = pat.pattern GROUP BY 1, 2),
+      |r AS (SELECT pattern, next_tok, cnt, row_number() OVER (
+      |    PARTITION BY pattern ORDER BY cnt DESC, next_tok) AS rk FROM c)
+      |SELECT pattern, next_tok, CAST(cnt AS BIGINT) AS cnt FROM r WHERE rk <= 3
+      |""".stripMargin.trim))(
+      (s, d) => {
+        val docs = spread(s, d)
+        val pats = docs.filter(col("doc_id") % 97 === 0)
+          .select(split(lower(col("text")), "\\s+").as("tk"))
+          .filter(size(col("tk")) >= 4)
+          .select(array_join(slice(col("tk"), 1, 4), " ").as("pattern"))
+        graft.operators.SuffixArray.ngramContinuations(
+          docs, "doc_id", "text", pats, "pattern", n = 4, k = 3)
+      }),
+
     // asymmetric near-containment: (src, dst) where dst covers ≥ 1/2 of
     // src's distinctive (df ≤ 10) shingles — the quote/subset detector
     // Jaccard-banded LSH is blind to. Integer threshold, df-capped gram
@@ -548,6 +613,28 @@ object DedupQueries {
       |""".stripMargin.trim))(
       (s, d) => Dedup.resolveFuzzyEntities(t(s, d, "part"), "p_name",
         maxDist = 2)),
+
+    // sorted-neighborhood (merge/purge, Hernández & Stolfo 1995)
+    // candidate pairs on customer names, verified at edit distance ≤ 2:
+    // the POSITIONAL blocking family — coverage comes from sort
+    // adjacency, cost is fixed n·(w−1) pairs however degenerate the key
+    // distribution (the case that blows up gram inventories). Engine
+    // positions come from the distributed dense numbering; the oracle
+    // replays the identical window semantics with row_number + a banded
+    // self-join.
+    Q("q_snm_pairs", Some("""
+      |WITH o AS (SELECT c_custkey AS id, c_name AS k,
+      |  row_number() OVER (ORDER BY c_name, c_custkey) AS pos FROM customer)
+      |SELECT a.k AS name_a, b.k AS name_b,
+      |  CAST(levenshtein(a.k, b.k) AS BIGINT) AS dist
+      |FROM o a JOIN o b ON b.pos > a.pos AND b.pos <= a.pos + 9
+      |WHERE levenshtein(a.k, b.k) <= 2
+      |""".stripMargin.trim))(
+      (s, d) => Dedup.sortedNeighborhoodPairs(
+        t(s, d, "customer"), "c_custkey", "c_name", window = 10)
+        .filter(levenshtein(col("key_a"), col("key_b")) <= 2)
+        .select(col("key_a").as("name_a"), col("key_b").as("name_b"),
+          levenshtein(col("key_a"), col("key_b")).cast("long").as("dist"))),
   )
 
   /** Oracle-side SimHash over the portable hash: one row per (doc, token),

@@ -307,6 +307,47 @@ object ScaleQueries {
           strata = Seq("event_type")),
         p = 8, strata = Seq("event_type"))),
 
+    // sliding-window distinct users via per-window HLL register tables —
+    // the streaming-dashboard shape (distinct users in the last 2 h,
+    // refreshed hourly) at sketch cost: each event lands in its two
+    // hopping windows (explode, narrow), registers collapse map-side to
+    // ≤ 2^p rows per window, and adjacent windows merge by register max
+    // without rescanning events. Window math in integer microseconds
+    // (`div`), exact in both engines.
+    Q("q_hll_window", Some({
+      val c = graft.functions.Sketches.hllC(8)
+      s"""
+      |WITH e AS (SELECT user_id, epoch_ns(ts) // 1000 AS us FROM events),
+      |w AS (SELECT user_id, unnest([
+      |    (us // 3600000000) * 3600000000 - 3600000000,
+      |    (us // 3600000000) * 3600000000]) AS win_start FROM e),
+      |h AS (SELECT win_start,
+      |    ('0x' || substring(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT AS h
+      |  FROM w),
+      |r AS (SELECT win_start, h // 4503599627370496 AS bucket,
+      |  max(CASE WHEN h % 4503599627370496 = 0 THEN 53
+      |    ELSE position('1' IN lpad(bin(h % 4503599627370496), 52, '0')) END) AS rho
+      |  FROM h GROUP BY 1, 2),
+      |a AS (SELECT win_start, count(*) AS nb,
+      |  sum(CAST(power(2, 53 - rho) AS BIGINT)) AS sp FROM r GROUP BY 1)
+      |SELECT win_start, CAST(256 AS INT) AS m, CAST(256 - nb AS BIGINT) AS v,
+      |  CAST(sp + (256 - nb) * 9007199254740992 AS BIGINT) AS s,
+      |  CAST($c AS DOUBLE) / CAST(sp + (256 - nb) * 9007199254740992 AS DOUBLE) AS est
+      |FROM a
+      |""".stripMargin.trim}))(
+      (s, d) => {
+        val hour = 3600000000L
+        val ev = t(s, d, "events")
+          .select(col("user_id").cast("string").as("u"),
+            (expr(s"((ts div 1000) div $hour) * $hour").as("b")))
+          .select(col("u"),
+            explode(array(col("b") - hour, col("b"))).as("win_start"))
+        graft.functions.Sketches.hllEstimate(
+          graft.functions.Sketches.hllRegisters(
+            ev, col("u"), p = 8, strata = Seq("win_start")),
+          p = 8, strata = Seq("win_start"))
+      }),
+
     // weekly cohort retention: users bucketed by first-seen week; for
     // each (cohort, offset k), distinct users active k weeks later.
     // Shape: distinct (user, week) partial agg -> per-user min (cohort)

@@ -409,4 +409,27 @@ class DedupSpec extends SparkSpec {
       assert(got.toSet === bruteFuzzy(names, 1), s"[$path] mismatch")
     }
   }
+
+  test("sortedNeighborhoodPairs: equals brute-force sliding window over the " +
+      "global sort, once per pair, across partition boundaries") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val rows = Seq.tabulate(500)(i =>
+      (i.toLong, f"key#${rnd.nextInt(80)}%04d")) // heavy ties: ids break order
+    val w = 7
+    // tiny buckets force windows to straddle range partitions (500 rows /
+    // 16 partitions ≈ 31 rows, window 7 crosses every boundary; bucket
+    // count beyond row count also exercises near-empty partitions)
+    for (b <- Seq(3, 16, 200)) {
+      val got = graft.operators.Dedup.sortedNeighborhoodPairs(
+        rows.toDF("id", "k"), "id", "k", window = w, buckets = b)
+        .as[(Long, String, Long, String)].collect().toSet
+      val sorted = rows.sortBy { case (i, k) => (k, i) }
+      val brute = (for {
+        i <- sorted.indices
+        j <- (i + 1) until math.min(i + w, sorted.size)
+      } yield (sorted(i)._1, sorted(i)._2, sorted(j)._1, sorted(j)._2)).toSet
+      assert(got === brute, s"buckets=$b")
+    }
+  }
 }

@@ -190,4 +190,30 @@ class SuffixArraySpec extends SparkSpec {
       .as[(Long, Long, Long)].collect().toSeq === Seq((7L, 0L, 1L)))
     assert(SuffixArray.repeatedSpans(one, "doc_id", "text", 1).count() === 0)
   }
+
+  test("ngramContinuations equals brute-force next-token tally, " +
+      "sentinel at doc end, top-k tie order") {
+    val corpus = randomCorpus(97, 40)
+    val n = 2
+    val pats = Seq("c ab", "ab ba", "zz zz", "a b").toDF("pattern")
+    val got = SuffixArray.ngramContinuations(
+      corpus.toDF("doc_id", "text"), "doc_id", "text",
+      pats, "pattern", n = n, k = 2)
+      .as[(String, String, Long)].collect().toSet
+    // brute force: every n-window occurrence + following token
+    val occ = for {
+      (_, t) <- corpus
+      toks = t.toLowerCase.split("\\s+").toSeq
+      off <- 0 to toks.size - n
+      w = toks.slice(off, off + n).mkString(" ")
+      nx = if (off + n < toks.size) toks(off + n) else "</s>"
+    } yield (w, nx)
+    val brute = occ.groupBy(_._1).flatMap { case (w, xs) =>
+      xs.groupBy(_._2).map { case (nx, g) => (w, nx, g.size.toLong) }
+        .toSeq.sortBy { case (_, nx, c) => (-c, nx) }.take(2)
+    }.toSet[(String, String, Long)].filter(r =>
+      Set("c ab", "ab ba", "zz zz", "a b").contains(r._1))
+    assert(got === brute)
+    assert(!got.exists(_._1 == "zz zz"), "absent pattern yields no rows")
+  }
 }
