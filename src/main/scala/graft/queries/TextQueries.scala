@@ -901,6 +901,43 @@ object TextQueries {
 
     // BPE tokenizer training, round-0 statistic: frequency-weighted
     // adjacent character pairs over the word-frequency table — the counts
+    // BPE tokenizer APPLY, cross-engine exact: a fixed 4-merge chain
+    // (ch, ba, tch, batch — each rank consumes the previous rank's
+    // output, so rank order is load-bearing) replayed over every word.
+    // The engine runs the trained-tokenizer path (Bpe.tokenize, narrow
+    // typed map, stream-safe); the oracle replays each merge as a
+    // plain-string global replace over '#'-wrapped symbol strings
+    // ('#a##b#' → '#ab#' — double separators make adjacent merge sites
+    // non-overlapping, so left-to-right replace IS the greedy BPE scan).
+    Q("q_bpe_tokenize", Some("""
+      |WITH t AS (SELECT doc_id, regexp_split_to_array(lower(text), '\s+') AS tk FROM documents),
+      |w AS (SELECT doc_id, i, tk[i] AS wd
+      |  FROM t, unnest(range(1, len(tk) + 1)) AS u(i) WHERE tk[i] != ''),
+      |m AS (SELECT doc_id, i, string_split(trim(replace(replace(replace(replace(
+      |    '#' || array_to_string(string_split(wd, ''), '##') || '#',
+      |    '#c##h#', '#ch#'), '#b##a#', '#ba#'), '#t##ch#', '#tch#'),
+      |    '#ba##tch#', '#batch#'), '#'), '##') AS toks
+      |  FROM w),
+      |a AS (SELECT doc_id, sum(len(toks)) AS n_bpe,
+      |    md5(string_agg(array_to_string(toks, ' '), ' ' ORDER BY i)) AS toks_md5
+      |  FROM m GROUP BY doc_id)
+      |SELECT d.doc_id, CAST(coalesce(a.n_bpe, 0) AS BIGINT) AS n_bpe,
+      |  coalesce(a.toks_md5, md5('')) AS toks_md5
+      |FROM documents d LEFT JOIN a USING (doc_id)
+      |""".stripMargin.trim))(
+      (s, d) => {
+        val merges = Seq(
+          graft.operators.Bpe.Merge(0, "c", "h", 0L),
+          graft.operators.Bpe.Merge(1, "b", "a", 0L),
+          graft.operators.Bpe.Merge(2, "t", "ch", 0L),
+          graft.operators.Bpe.Merge(3, "ba", "tch", 0L))
+        graft.operators.Bpe.tokenize(
+          t(s, d, "documents"), "doc_id", "text", merges)
+          .select(col("doc_id"),
+            size(col("bpe_tokens")).cast("long").as("n_bpe"),
+            md5(concat_ws(" ", col("bpe_tokens"))).as("toks_md5"))
+      }),
+
     // the first merge argmaxes over (Bpe.train drives the full loop;
     // BpeSpec pins its deterministic merge sequence). Vocab-sized work
     // after one corpus-sized word count; integer output, exact compare.

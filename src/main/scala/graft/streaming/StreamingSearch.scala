@@ -127,4 +127,39 @@ object StreamingSearch {
     val hex = md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
     java.lang.Long.parseLong(hex.take(15), 16)
   }
+
+  /** ∞-gram continuation deltas at ingest — the streaming twin of
+    * [[graft.operators.SuffixArray.ngramContinuations]] for a FIXED
+    * watched pattern set (the served n-gram queries): each arriving
+    * document emits one (pattern, next_tok) row per occurrence of a
+    * watched n-gram (doc-end continues `</s>`), and a standing streaming
+    * count over those rows equals the batch tally over the union of all
+    * batches — the emission is a stateless narrow map per record, so
+    * counts are invariant to arrival order, batching, and retry
+    * (spec-pinned stream≡batch). The batch operator's SA index answers
+    * ARBITRARY patterns over a frozen corpus; this path keeps a bounded
+    * watched set's continuation distribution live as data lands.
+    */
+  def continuationDeltasAtIngest(docs: DataFrame, id: String, text: String,
+      patterns: Set[String], n: Int): DataFrame = {
+    require(n >= 1, s"need n >= 1, got $n")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val pats = patterns // bounded watched set, serialized with the closure
+    docs.select(col(id).cast("long"), lower(col(text)))
+      .as[(Long, String)]
+      .flatMap { case (_, t) =>
+        // identical tokenization to the batch path's tokens(): split on
+        // \s+ WITHOUT dropping empties, windows of n, sentinel at end
+        val toks = Option(t).toSeq.flatMap(_.split("\\s+").toSeq)
+        (0 to toks.size - n).iterator
+          .map { off =>
+            val w = toks.slice(off, off + n).mkString(" ")
+            val nx = if (off + n < toks.size) toks(off + n) else "</s>"
+            (w, nx)
+          }
+          .filter(p => pats.contains(p._1))
+      }
+      .toDF("pattern", "next_tok")
+  }
 }

@@ -876,8 +876,8 @@ class PlanShapeSpec extends SparkSpec {
     assert(readSchemas(df).isEmpty, s"spans re-read the corpus:\n$fmt")
   }
 
-  test("sa contamination: window classes join on 8-byte rank keys, train " +
-      "side collapsed map-side before the join") {
+  test("sa contamination: window classes join on covering rank-tuple keys, " +
+      "train side collapsed map-side before the join") {
     val df = q("q_sa_contamination")
     val fmt = formatted(df)
     assert(fmt.contains("ExistingRDD"),
@@ -943,5 +943,46 @@ class PlanShapeSpec extends SparkSpec {
     assert(formatted(df).contains("ExistingRDD"),
       "gram inventories lost their materialize-once boundary")
     assert(!formatted(df).contains("rangepartitioning"))
+  }
+
+  test("snm pairs: positional equi-join over the checkpointed numbering — " +
+      "no cartesian, no window in the output plan") {
+    val df = q("q_snm_pairs")
+    val fmt = formatted(df)
+    assert(countNodes(df, "CartesianProduct") === 0)
+    assert(countNodes(df, "BroadcastNestedLoopJoin") === 0)
+    // the dense numbering's window/sort live behind its checkpoint; the
+    // visible plan is fanout + one position equi-join + the verify filter
+    assert(countNodes(df, "Window") === 0, s"snm output plan windows:\n$fmt")
+    assert(fmt.contains("ExistingRDD"),
+      "positions lost their materialize-once boundary")
+    assert(fmt.contains("levenshtein"), "verify stage lost its edit gate")
+  }
+
+  test("infinigram: class-key equi-joins, map-side (pattern, next) collapse, " +
+      "no gram-string shuffle keys") {
+    val df = q("q_infinigram")
+    assert(countNodes(df, "CartesianProduct") === 0)
+    assert(countNodes(df, "BroadcastNestedLoopJoin") === 0)
+    assert(mentions(df, "partial_count"),
+      "(pattern, next) tally lost its map-side partial agg")
+  }
+
+  test("lsh recall: equi-only joins, map-side lane minima, bounded report") {
+    val df = q("q_lsh_recall")
+    assert(countNodes(df, "CartesianProduct") === 0)
+    assert(countNodes(df, "BroadcastNestedLoopJoin") === 0)
+    assert(mentions(df, "partial_min"),
+      "minhash lanes lost their map-side partial min")
+  }
+
+  test("hll window: no joins at all; registers collapse map-side") {
+    val df = q("q_hll_window")
+    assert(countNodes(df, "Join") === 0,
+      s"windowed sketch should be pure aggregation:\n${formatted(df)}")
+    assert(mentions(df, "partial_max"),
+      "register table lost its map-side partial max")
+    assert(countShuffles(df) <= 2,
+      s"windowed sketch grew extra exchanges:\n${formatted(df)}")
   }
 }

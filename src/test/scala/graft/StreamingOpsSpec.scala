@@ -1433,4 +1433,37 @@ class StreamingOpsSpec extends SparkSpec {
       Thread.sleep(50)
     assert(listener.snapshots.exists(_.numInputRows === 3))
   }
+
+  test("infinigram continuations at ingest equal the batch SA tally over " +
+      "the union of batches, any batching") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "the cat sat on the cat mat"),
+      (2L, "the cat sat"),
+      (3L, "a dog and the cat"),
+      (4L, "the cat"))
+    val pats = Set("the cat", "a dog")
+    val mem = MemoryStream[(Long, String)]
+    val counts = graft.streaming.StreamingSearch.continuationDeltasAtIngest(
+        mem.toDF().toDF("doc_id", "text"), "doc_id", "text", pats, n = 2)
+      .groupBy("pattern", "next_tok").count()
+    val q = counts.writeStream.format("memory").queryName("cont_counts")
+      .outputMode("complete").start()
+    try {
+      mem.addData(docs.take(1))
+      q.processAllAvailable()
+      mem.addData(docs.drop(1))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("cont_counts")
+      .as[(String, String, Long)].collect().toSet
+    // batch twin: the SA-indexed operator with k past any continuation
+    // fan-out returns the full tally
+    val batch = graft.operators.SuffixArray.ngramContinuations(
+        docs.toDF("doc_id", "text"), "doc_id", "text",
+        pats.toSeq.toDF("pattern"), "pattern", n = 2, k = 100)
+      .as[(String, String, Long)].collect().toSet
+    assert(got === batch)
+    assert(got.contains(("the cat", "</s>", 2L)), "doc-end sentinel rows")
+  }
 }
