@@ -251,4 +251,30 @@ class EdgeCaseSpec extends SparkSpec {
       .select(graft.queries.Tables.tsMillis(col("ts"))).as[Long].collect().toSeq
     assert(got === Seq(ms - 1, ms, ms, ms, ms + 1))
   }
+  test("round-7 sixth-session ops on empty / degenerate inputs") {
+    import graft.operators.SuffixArray
+    // continuations: empty corpus and empty pattern set both yield empty
+    val pats = Seq("a b").toDF("pattern")
+    assert(SuffixArray.ngramContinuations(
+      emptyDocs, "doc_id", "text", pats, "pattern", n = 2, k = 3).count() === 0)
+    assert(SuffixArray.ngramContinuations(
+      Seq((1L, "a b c")).toDF("doc_id", "text"), "doc_id", "text",
+      Seq.empty[String].toDF("pattern"), "pattern", n = 2, k = 3)
+      .count() === 0)
+    // SNM: corpus smaller than the window emits each pair once; singleton
+    // and empty emit none
+    val tiny = Seq((1L, "b"), (2L, "a")).toDF("id", "k")
+    assert(Dedup.sortedNeighborhoodPairs(tiny, "id", "k", window = 10)
+      .as[(Long, String, Long, String)].collect().toSeq ===
+      Seq((2L, "a", 1L, "b")))
+    assert(Dedup.sortedNeighborhoodPairs(
+      Seq((1L, "a")).toDF("id", "k"), "id", "k", window = 5).count() === 0)
+    assert(Dedup.sortedNeighborhoodPairs(
+      Seq.empty[(Long, String)].toDF("id", "k"), "id", "k", window = 5)
+      .count() === 0)
+    // lshRecall on an empty corpus: one all-zero report row, recall 0
+    val r = Dedup.lshRecall(emptyDocs, "doc_id", "text")
+      .as[(Long, Long, Long, Long)].collect()
+    assert(r.toSeq === Seq((0L, 0L, 0L, 0L)))
+  }
 }
