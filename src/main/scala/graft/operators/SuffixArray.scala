@@ -269,14 +269,20 @@ object SuffixArray {
       .drop(jCols.flatMap(c => Seq(c + "a", c + "b")): _*)
       .withColumn("lcp", lit(0L))
     // walk levels high→low, skipping steps no real LCP can reach
-    // (step ≥ maxLen); per level up to 3 probes, fewer when maxLen−1
-    // bounds the extensions a level can contribute
+    // (step > maxLen); per level up to 3 probes, fewer when maxLen
+    // bounds the extensions a level can contribute. The bounds use
+    // maxLen, NOT maxLen−1: a fully-equal suffix pair has lcp = its
+    // length, which can reach maxLen exactly — with maxLen a radix
+    // power the capacity of the strictly-below levels is maxLen−1 and
+    // the walk under-reported the full-doc tie by one (caught by the
+    // equal-docs-at-power-lengths regression case; with the maxLen
+    // bounds, capacity = ⌊maxLen/4^T⌋·4^T + 4^T − 1 ≥ maxLen always)
     val walked = ranked.levels.zipWithIndex
-      .filter { case (_, j) => (1L << (2 * j)) < math.max(ranked.maxLen, 2L) }
+      .filter { case (_, j) => (1L << (2 * j)) <= math.max(ranked.maxLen, 1L) }
       .reverse
       .foldLeft(adj) { case (c0, (lvl, j)) =>
         val step = 1L << (2 * j)
-        val probes = math.min(3L, (math.max(ranked.maxLen, 2L) - 1) / step)
+        val probes = math.min(3L, math.max(ranked.maxLen, 1L) / step)
         val ra = lvl.select(col("doc").as("doc_a"),
           col("off").as("_saOa"), col("rank").as("_saRa"))
         val rb = lvl.select(col("doc").as("doc_b"),

@@ -90,6 +90,23 @@ class SuffixArraySpec extends SparkSpec {
       Set((da, oa), (db, ob)) == Set((1L, 0L), (2L, 0L)) && l == 5 })
   }
 
+  test("equal docs at RADIX-POWER lengths: full-pair lcp reaches maxLen " +
+      "exactly (walk capacity regression)") {
+    // lcp = maxLen is reachable (fully-equal suffixes), and with maxLen a
+    // power of the walk radix the strictly-below levels cap at maxLen−1 —
+    // the walk must include the step == maxLen level to cover it
+    for (len <- Seq(1, 4, 16)) {
+      val t = (1 to len).map(i => s"w$i").mkString(" ")
+      val spans = SuffixArray.repeatedSpans(
+        Seq((1L, t), (2L, t)).toDF("doc_id", "text"),
+        "doc_id", "text", minLen = 1)
+        .as[(Long, Long, Long, Long, Long)].collect().toSet
+      assert(spans === bruteSpans(Seq((1L, t), (2L, t)), 1), s"len=$len")
+      assert(spans.exists(s => s._2 == 0 && s._4 == 0 && s._5 == len),
+        s"len=$len: full-doc tie must report lcp = $len")
+    }
+  }
+
   test("denseNumber: order-preserving 1-based dense rank across range partitions") {
     val rnd = new scala.util.Random(3)
     val rows = Seq.fill(500)((rnd.nextInt(40).toLong, rnd.nextInt(5).toLong))
