@@ -307,6 +307,31 @@ object ScaleQueries {
           strata = Seq("event_type")),
         p = 8, strata = Seq("event_type"))),
 
+    // event-type Markov transitions over per-user timelines: the
+    // next-event distribution product analytics reads paths from
+    // ("what follows a click?"). One user-keyed exchange, per-user
+    // ordered scan (lead), vocabulary²-sized output — the per-user
+    // window partitions by user_id, so no global sort exists anywhere;
+    // nanos tie-break on event_id keeps both engines' lead() identical.
+    Q("q_event_transitions", Some("""
+      |WITH s AS (SELECT user_id, event_type, lead(event_type) OVER (
+      |    PARTITION BY user_id ORDER BY epoch_ns(ts), event_id) AS next_type
+      |  FROM events)
+      |SELECT event_type, coalesce(next_type, '</s>') AS next_type,
+      |  count(*) AS n
+      |FROM s GROUP BY 1, 2
+      |""".stripMargin.trim))(
+      (s, d) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+        t(s, d, "events")
+          .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
+          .withColumn("next_type", lead(col("event_type"), 1).over(w))
+          .groupBy(col("event_type"),
+            coalesce(col("next_type"), lit("</s>")).as("next_type"))
+          .agg(count(lit(1)).as("n"))
+      }),
+
     // sliding-window distinct users via per-window HLL register tables —
     // the streaming-dashboard shape (distinct users in the last 2 h,
     // refreshed hourly) at sketch cost: each event lands in its two
