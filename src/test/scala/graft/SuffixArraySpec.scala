@@ -107,6 +107,28 @@ class SuffixArraySpec extends SparkSpec {
     }
   }
 
+  test("unary a^n corpus: the all-ties stress (every suffix is a prefix " +
+      "of every longer one) matches brute force end to end") {
+    // the classic suffix-array adversarial input: rank classes stay fat
+    // through every round (prefix-of ties + exact cross-doc duplicates),
+    // the shared end-sentinel decides every comparison, and every walk
+    // extension overshoots and relies on the remaining-length cap
+    val corpus = (1 to 12).map(k => (k.toLong, Seq.fill(k)("a").mkString(" "))) ++
+      Seq((100L, Seq.fill(7)("a").mkString(" ")),
+        (101L, Seq.fill(12)("a").mkString(" ")))
+    val ranks = SuffixArray.suffixRanks(corpus.toDF("doc_id", "text"),
+        "doc_id", "text")
+      .as[(Long, Long, Long)].collect()
+      .map { case (d, o, r) => (d, o) -> r }.toMap
+    assert(ranks === bruteRanks(corpus))
+    for (minLen <- Seq(1, 4, 8)) {
+      val spans = SuffixArray.repeatedSpans(corpus.toDF("doc_id", "text"),
+          "doc_id", "text", minLen = minLen)
+        .as[(Long, Long, Long, Long, Long)].collect().toSet
+      assert(spans === bruteSpans(corpus, minLen), s"minLen=$minLen")
+    }
+  }
+
   test("denseNumber: order-preserving 1-based dense rank across range partitions") {
     val rnd = new scala.util.Random(3)
     val rows = Seq.fill(500)((rnd.nextInt(40).toLong, rnd.nextInt(5).toLong))
