@@ -92,16 +92,25 @@ object Selection {
       resolved ++= done.map(s => (s.key, s.n, kOrig(s.key), s.lo))
       active = open
       if (active.nonEmpty) {
-        // fixed-width integer bucketing inside each group's open window;
-        // pure integer arithmetic (div, not /: Spark's long / long is a
-        // double divide and loses exactness past 2^53)
+        // fixed-width integer bucketing inside each group's open window.
+        // Width and bounds are computed in BigInt on the driver and the
+        // bucket index in DECIMAL(38,0) on the executors: a full 64-bit
+        // domain (lo near Long.MinValue, hi near Long.MaxValue) overflows
+        // both `hi - lo` and `v - lo` in long arithmetic — the scaladoc
+        // promises 64-bit exactness, so the window math must carry the
+        // 65-bit span. Width ≤ 2^64/buckets + 1 still fits a long for
+        // buckets ≥ 4; `div` (not /) because long / long in Spark is a
+        // double divide that loses exactness past 2^53.
+        def width(s: St): Long =
+          ((BigInt(s.hi) - BigInt(s.lo)) / buckets + 1).toLong
         val bnd = spark.createDataFrame(active.map(s =>
-            (keyOf(s.key), s.lo, s.hi, (s.hi - s.lo) / buckets + 1)))
+            (keyOf(s.key), s.lo, s.hi, width(s))))
           .toDF("_selK", "_selLo", "_selHi", "_selW")
         val counts = base.withColumn("_selK", keyCol)
           .join(broadcast(bnd), "_selK")
           .filter(col("_selV").between(col("_selLo"), col("_selHi")))
-          .withColumn("_selB", expr("(_selV - _selLo) div _selW"))
+          .withColumn("_selB", expr(
+            "CAST((CAST(_selV AS DECIMAL(38,0)) - CAST(_selLo AS DECIMAL(38,0))) div _selW AS BIGINT)"))
           .groupBy("_selK", "_selB").agg(sum(col("_selG")).as("_selC"))
           .collect()
           .groupBy(_.getString(0))
@@ -109,7 +118,7 @@ object Selection {
             kk -> rows.map(r => (r.getLong(1), r.getLong(2))).sortBy(_._1)
           }
         active = active.map { s =>
-          val w = (s.hi - s.lo) / buckets + 1
+          val w = width(s)
           var k = s.k
           // walk buckets in order until the one holding rank k
           val hist = counts.getOrElse(keyOf(s.key), Array.empty[(Long, Long)])
@@ -119,8 +128,8 @@ object Selection {
             if (k <= hist(i)._2) b = hist(i)._1 else { k -= hist(i)._2; i += 1 }
           }
           require(b >= 0, s"rank ${s.k} not found in window of ${s.key}")
-          val lo = s.lo + b * w
-          val hi = math.min(lo + w - 1, s.hi)
+          val lo = (BigInt(s.lo) + BigInt(b) * w).toLong
+          val hi = ((BigInt(lo) + (w - 1)) min BigInt(s.hi)).toLong
           St(s.key, lo, hi, k, s.n)
         }
       }

@@ -49,10 +49,25 @@ class SelectionSpec extends SparkSpec {
 
   test("wide 64-bit-ish windows refine over several rounds") {
     val rnd = new scala.util.Random(11)
-    val rows = Seq.tabulate(400)(_ =>
-      ("w", rnd.nextLong() / 4)) // quarter-range: no overflow in width math
+    val rows = Seq.tabulate(400)(_ => ("w", rnd.nextLong() / 4))
     check(rows, 1, 2)
     check(rows, 3, 4)
+  }
+
+  test("FULL 64-bit domain: extremes at Long.MinValue/MaxValue (span " +
+      "overflows long arithmetic) still select exactly") {
+    val rnd = new scala.util.Random(12)
+    val rows = Seq(("f", Long.MinValue), ("f", Long.MinValue + 1),
+      ("f", -3L), ("f", 0L), ("f", 7L),
+      ("f", Long.MaxValue - 1), ("f", Long.MaxValue)) ++
+      Seq.tabulate(300)(_ => ("f", rnd.nextLong()))
+    check(rows, 1, 2)
+    check(rows, 1, 100)
+    check(rows, 99, 100)
+    // a group that IS the two extremes alone
+    val tiny = Seq(("t", Long.MinValue), ("t", Long.MaxValue))
+    check(tiny, 1, 2)
+    check(tiny, 2, 2)
   }
 
   test("multi-column strata and null exclusion") {
