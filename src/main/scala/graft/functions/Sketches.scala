@@ -271,9 +271,14 @@ object Sketches {
       s"strata ${strata.mkString(",")} collide with the histogram's own columns ($reserved)")
     df.select(strata.map(col) :+ value.cast("long").as("_hbV"): _*)
       .filter(col("_hbV").isNotNull)
+      // the difference runs in DECIMAL(38,0): an open-ended-tail outlier
+      // at one long extreme with a bound of the opposite sign overflows
+      // plain BIGINT and clamps to the WRONG edge bucket (the Selection
+      // window-span lesson — 65-bit differences need the wide type)
       .withColumn("bucket",
-        least(greatest(expr(s"(_hbV - $lo) div $width"), lit(0L)),
-          lit(buckets - 1L)))
+        least(greatest(expr(
+          s"CAST((CAST(_hbV AS DECIMAL(38,0)) - $lo) div $width AS BIGINT)"),
+          lit(0L)), lit(buckets - 1L)))
       .groupBy(strata.map(col) :+ col("bucket"): _*)
       .agg(count(lit(1)).as("cnt"))
   }

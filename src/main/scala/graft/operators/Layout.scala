@@ -26,17 +26,24 @@ import org.apache.spark.sql.functions._
 object Layout {
 
   /** Equi-width bucket of `x` into [0, 2^bits): (x − min) div stride with
-    * stride = (max − min) div 2^bits + 1. Pure BIGINT ops (`div`
-    * truncates; operands are non-negative, so it equals floor and DuckDB's
-    * `//`) — no doubles anywhere, exact for full-range longs. Constant
-    * inputs (min = max) land every row in bucket 0.
+    * stride = (max − min) div 2^bits + 1. Exact integer arithmetic (`div`
+    * truncates; the differences are non-negative, so it equals floor and
+    * DuckDB's `//`) — no doubles anywhere, and the subtractions run in
+    * DECIMAL(38,0) because a domain spanning both long extremes
+    * (min < 0 ≤ max with max − min past 2^63) overflows plain BIGINT —
+    * the exact-for-full-range-longs contract has to carry the 65-bit
+    * span (the Selection window-width lesson). Stride still fits a long
+    * (≤ 2^64/2^bits + 1, bits ≥ 1). Constant inputs (min = max) land
+    * every row in bucket 0.
     */
   def linearBucket(x: Column, mn: Column, mx: Column, bits: Int): Column = {
     require(bits >= 1 && bits <= 31, s"need 1 <= bits <= 31, got $bits")
     val nb = lit(1L << bits)
+    def dec(c: Column) = c.cast("long").cast(
+      org.apache.spark.sql.types.DecimalType(38, 0))
     def idiv(a: Column, b: Column) = call_function("div", a, b) // IntegralDivide
-    val stride = idiv(mx.cast("long") - mn.cast("long"), nb) + lit(1L)
-    idiv(x.cast("long") - mn.cast("long"), stride).cast("long")
+    val stride = idiv(dec(mx) - dec(mn), nb).cast("long") + lit(1L)
+    idiv(dec(x) - dec(mn), stride).cast("long")
   }
 
   /** Morton interleave of two bucket ids (`bits` each, x in the even bit

@@ -21,6 +21,23 @@ class LayoutSpec extends SparkSpec {
     assert(lattice === Seq(1L, 2L, 3L, 12L))
   }
 
+  test("linearBucket: full 64-bit domain (MinValue..MaxValue span overflows " +
+      "plain BIGINT) buckets exactly and monotonically") {
+    import spark.implicits._
+    val xs = Seq(Long.MinValue, Long.MinValue + 1, -1L, 0L, 1L,
+      Long.MaxValue - 1, Long.MaxValue)
+    val got = xs.toDF("x")
+      .select(Layout.linearBucket(col("x"), lit(Long.MinValue),
+        lit(Long.MaxValue), bits = 8).as("b"))
+      .as[Long].collect().toSeq
+    // brute: stride = floor(2^64-1 / 256) + 1 computed in BigInt
+    val stride = ((BigInt(Long.MaxValue) - BigInt(Long.MinValue)) / 256 + 1)
+    val want = xs.map(x => ((BigInt(x) - BigInt(Long.MinValue)) / stride).toLong)
+    assert(got === want)
+    assert(got === got.sorted, "bucketing must be monotone in x")
+    assert(got.forall(b => b >= 0 && b < 256))
+  }
+
   test("linearBucket is exact past 2^53 where double math would round") {
     // stride = (2^62 - 0) div 2 + 1 = 2^61 + 1: values straddling the
     // boundary bucket exactly; a floor((x/range)·nb) double path cannot

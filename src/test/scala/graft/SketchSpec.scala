@@ -288,6 +288,16 @@ class SketchSpec extends SparkSpec {
     assert(edge(0L) === 2L, "below-lo values must land in bucket 0")
     assert(edge((buckets - 1).toLong) === 2L,
       "above-hi values must land in the last bucket")
+    // 65-bit tails: extreme outliers against an opposite-sign bound must
+    // clamp to the CORRECT edge (plain BIGINT differences overflow and
+    // used to flip Long.MaxValue into bucket 0)
+    val wild = Sketches.histogramFixed(
+      Seq(Long.MaxValue, Long.MinValue, 3L).toDF("v"), col("v"),
+      lo = -100L, width = 10L, buckets = 16)
+      .as[(Long, Long)].collect().toMap
+    assert(wild(15L) === 1L, "Long.MaxValue belongs in the top bucket")
+    assert(wild(0L) === 1L, "Long.MinValue belongs in bucket 0")
+    assert(wild(10L) === 1L, "(3 - -100) div 10 = 10")
   }
 
   test("KMV sketch: merge == whole, estimator in envelope, short sketch exact") {
