@@ -44,4 +44,26 @@ class BucketingSpec extends SparkSpec {
     spark.sql("DROP TABLE IF EXISTS b_orders")
     spark.sql("DROP TABLE IF EXISTS b_lineitem")
   }
+
+  test("hive-style partitionBy: a partition-key filter prunes at PLANNING " +
+      "time — PartitionFilters set, non-matching directories never scanned") {
+    // the third write-layout lever beside bucketing (join locality) and
+    // z-order (range locality): directory partitioning turns a
+    // partition-key predicate into file listing, not I/O — at 100 TB the
+    // difference between reading one source's directory and all of them
+    val dir = java.nio.file.Files.createTempDirectory("graft_part").toString
+    graft.queries.Tables.t(spark, sf, "documents")
+      .write.partitionBy("source").mode("overwrite").parquet(dir)
+    val read = spark.read.parquet(dir).filter(col("source") === "src0")
+    val fmt = read.queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode)
+    assert(fmt.contains("PartitionFilters") &&
+      fmt.matches("(?s).*PartitionFilters: \\[[^\\]]*src0[^\\]]*\\].*"),
+      s"source predicate must prune partitions at planning time:\n$fmt")
+    // the pruned read equals the filtered flat read, row for row
+    val want = graft.queries.Tables.t(spark, sf, "documents")
+      .filter(col("source") === "src0")
+    assert(read.count() === want.count() && read.count() > 0)
+    assert(read.select("doc_id").exceptAll(want.select("doc_id")).isEmpty)
+  }
 }
