@@ -302,14 +302,29 @@ object Bpe {
       merges: Seq[Merge]): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    val ranked = merges.sortBy(_.rank).map(m => (m.a, m.b))
+    val ranked = merges.sortBy(_.rank).map(m => (m.a, m.b, m.a + m.b)).toArray
     docs.select(col(id).cast("long"), lower(col(text)))
       .as[(Long, String)]
       .map { case (docId, t) =>
         val toks = t.split("\\s+").filter(_.nonEmpty).flatMap { w =>
-          ranked.foldLeft(w.split(""): Seq[String]) {
-            case (sym, (a, b)) => mergePair(sym, a, b)
+          // every symbol is a contiguous substring of the original word,
+          // so merge (a, b) can only ever fire if a+b occurs in w — one
+          // intrinsic contains() per merge skips the per-merge symbol
+          // rebuild for the (vast) majority of words, and the char split
+          // materializes only when some merge survives the screen
+          // (measured 38.2 → see SCALING.md at the 100× corpus); output
+          // byte-identical by construction (skipped merges were no-ops)
+          var sym: Seq[String] = null
+          var i = 0
+          while (i < ranked.length) {
+            val (a, b, ab) = ranked(i)
+            if (w.contains(ab)) {
+              if (sym == null) sym = w.split(""): Seq[String]
+              sym = mergePair(sym, a, b)
+            }
+            i += 1
           }
+          if (sym == null) w.split(""): Seq[String] else sym
         }
         (docId, toks)
       }
