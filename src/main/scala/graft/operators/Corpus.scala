@@ -592,9 +592,17 @@ object Corpus {
     Seq("_ilH", "_ilSh", "_ilLoc", "_ilN", "_ilBase", "_ilW", "dense", "ord")
       .foreach(c => require(!df.columns.contains(c),
         s"input already has a $c column — interleaveBySource would shadow it"))
-    def gcd(a: Long, b: Long): Long = if (b == 0) a else gcd(b, a % b)
-    val d = (weights.values.toSeq :+ defaultWeight)
-      .foldLeft(1L)((l, w) => l / gcd(l, w) * w)
+    // lcm in BigInt, then a LOUD bound: ord = (dense−1)·D div w must stay
+    // exact in 64 bits for corpus-sized dense positions (dense can reach
+    // billions of rows per stratum), and a long fold would overflow
+    // SILENTLY on near-coprime weights — D ≤ 2^31 keeps the product safe
+    // for any realistic stratum size and any weight table that passes
+    val dBig = (weights.values.toSeq :+ defaultWeight)
+      .foldLeft(BigInt(1))((l, w) => l / l.gcd(BigInt(w)) * w)
+    require(dBig <= (BigInt(1) << 31),
+      s"weight lcm $dBig exceeds 2^31: (dense−1)·lcm would overflow 64-bit " +
+        "position arithmetic on large strata — use weights with smaller lcm")
+    val d = dBig.toLong
     val h = Dedup.portableHash64(
       concat(lit(seed.toString), lit(":"), key.cast("string")))
     val base = df.withColumn("_ilH", h)
