@@ -158,7 +158,8 @@ object Search {
     * [[Dedup.containmentPairs]]. Buckets are (doc, tf)-sorted, so the
     * triangular in-bucket explode emits each pair once with
     * id_a < id_b. Output: (id_a, id_b, dot, norm_a2, norm_b2),
-    * decimal(38,0), one row per qualifying pair.
+    * bigint (predicate evaluated in decimal(38,0) headroom), one row
+    * per qualifying pair.
     */
   def cosinePairs(docs: DataFrame, id: String, text: String,
       shingleN: Int, minSimNum: Int, minSimDen: Int,
@@ -209,7 +210,14 @@ object Search {
         .select(col("_cpDoc").as("id_b"), col("_cpN2").as("norm_b2"))), Seq("id_b"))
       .filter(den2 * col("dot") * col("dot") >=
         num2 * col("norm_a2") * col("norm_b2"))
-      .select("id_a", "id_b", "dot", "norm_a2", "norm_b2")
+      // the PREDICATE needs the 38-digit headroom (den2·dot² ~ w⁴); the
+      // OUTPUT sums fit a long with room to spare (≤ maxDf·(tf·ir)² ~
+      // 4096·L³ at any plausible doc length), so surface bigint — the
+      // driver's hash is type-strict and the DuckDB twin casts the same
+      // three sums to BIGINT (the q_embed_gram template).
+      .select(col("id_a"), col("id_b"), col("dot").cast("long").as("dot"),
+        col("norm_a2").cast("long").as("norm_a2"),
+        col("norm_b2").cast("long").as("norm_b2"))
   }
 
   /** Per-document top-k TF-IDF keywords: the highest-scoring terms of
@@ -272,7 +280,8 @@ object Search {
     * to keep the API self-contained). Matching a batch is a batch-sized
     * left join + narrow bucket explode (fanout ≤ maxDf per gram), so
     * pair work is linear in batch size with a constant-bound hot key.
-    * Output: (new_id, old_id, dot, norm_new2, norm_old2), decimal(38,0).
+    * Output: (new_id, old_id, dot, norm_new2, norm_old2), bigint
+    * (predicate evaluated in decimal(38,0) headroom).
     */
   def cosinePairsAgainst(newDocs: DataFrame, corpus: DataFrame, id: String,
       text: String, shingleN: Int, minSimNum: Int, minSimDen: Int,
@@ -333,6 +342,9 @@ object Search {
       .join(graft.plans.Hints.broadcastIfSmall(oldNorms), Seq("old_id"))
       .filter(den2 * col("dot") * col("dot") >=
         num2 * col("norm_new2") * col("norm_old2"))
-      .select("new_id", "old_id", "dot", "norm_new2", "norm_old2")
+      // decimal predicate, bigint surface — see [[cosinePairs]].
+      .select(col("new_id"), col("old_id"), col("dot").cast("long").as("dot"),
+        col("norm_new2").cast("long").as("norm_new2"),
+        col("norm_old2").cast("long").as("norm_old2"))
   }
 }

@@ -724,7 +724,8 @@ object TextQueries {
       |nrm AS (SELECT doc_id, sum(CAST(w AS HUGEINT) * w) AS n2 FROM wt GROUP BY 1),
       |dt AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, sum(CAST(a.w AS HUGEINT) * b.w) AS dot
       |       FROM wt a JOIN wt b ON a.g = b.g AND a.doc_id < b.doc_id GROUP BY 1, 2)
-      |SELECT id_a, id_b, dot, na.n2 AS norm_a2, nb.n2 AS norm_b2
+      |SELECT id_a, id_b, CAST(dot AS BIGINT) AS dot,
+      |  CAST(na.n2 AS BIGINT) AS norm_a2, CAST(nb.n2 AS BIGINT) AS norm_b2
       |FROM dt JOIN nrm na ON na.doc_id = dt.id_a JOIN nrm nb ON nb.doc_id = dt.id_b
       |WHERE 25 * dot * dot >= 4 * na.n2 * nb.n2
       |""".stripMargin.trim))(
@@ -756,7 +757,8 @@ object TextQueries {
       |nrmo AS (SELECT doc_id, sum(CAST(w AS HUGEINT) * w) AS n2 FROM wto GROUP BY 1),
       |dt AS (SELECT a.doc_id AS new_id, b.doc_id AS old_id, sum(CAST(a.w AS HUGEINT) * b.w) AS dot
       |       FROM wtn a JOIN wto b ON a.g = b.g GROUP BY 1, 2)
-      |SELECT new_id, old_id, dot, na.n2 AS norm_new2, nb.n2 AS norm_old2
+      |SELECT new_id, old_id, CAST(dot AS BIGINT) AS dot,
+      |  CAST(na.n2 AS BIGINT) AS norm_new2, CAST(nb.n2 AS BIGINT) AS norm_old2
       |FROM dt JOIN nrmn na ON na.doc_id = dt.new_id JOIN nrmo nb ON nb.doc_id = dt.old_id
       |WHERE 25 * dot * dot >= 4 * na.n2 * nb.n2
       |""".stripMargin.trim))(

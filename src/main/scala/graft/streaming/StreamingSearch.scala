@@ -57,20 +57,31 @@ object StreamingSearch {
         explode(Dedup.shinglesMultiset(col(text), shingleN)).as("g0"))
       .select(col("d"), Dedup.portableHash64(col("g0")).as("g"))
       .groupBy("d", "g").agg(count(lit(1)).as("tf"))
-      .as[(Long, Long, Long)].collect()
-    val byGram = tf.groupBy(_._2)
-    val dropped = byGram.collect { case (g, rows) if rows.length > maxDf => g }.toSet
+    // ONE distributed gram-keyed agg — the batch inventory shape of
+    // [[graft.operators.Search.cosinePairsAgainst]]: exact df + the
+    // complete (doc, tf) bucket, `capped_collect2` nulling the bucket
+    // past maxDf. The driver therefore collects ONE postings-free row
+    // per boilerplate gram and ≤ maxDf postings per kept gram — the
+    // vocab + vocab×maxDf artifact working set — never the corpus-sized
+    // (doc, gram, tf) frame.
+    val agg = tf.groupBy("g")
+      .agg(count(lit(1)).as("df"),
+        call_function("capped_collect2", col("d"), col("tf"), lit(maxDf)).as("b"))
+      .localCheckpoint(true)
+    val dropped = agg.filter(col("b").isNull)
+      .select(col("g")).as[Long].collect().toSet
+    val kept = agg.filter(col("b").isNotNull)
+      .select(col("g"), col("df"), explode(col("b")).as("e"))
+      .select(col("g"), col("df"), col("e.k").as("d"), col("e.v").as("tf"))
+      .as[(Long, Long, Long, Long)].collect()
     def ilog2len(x: Long): Long = 64L - java.lang.Long.numberOfLeadingZeros(x)
-    val irOf = byGram.collect { case (g, rows) if rows.length <= maxDf =>
-      g -> ilog2len(n / rows.length)
-    }
-    val norm2 = tf.filter(r => !dropped(r._2))
-      .groupBy(_._1).view.mapValues(_.map { case (_, g, t) =>
-        val w = BigInt(t * irOf(g)); w * w
+    val norm2 = kept.groupBy(_._3).view.mapValues(_.map { case (_, df, _, t) =>
+        val w = BigInt(t * ilog2len(n / df)); w * w
       }.sum).toMap
-    val grams = byGram.collect { case (g, rows) if rows.length <= maxDf =>
-      g -> (irOf(g), rows.toSeq.sortBy(_._1)
-        .map { case (d, _, t) => Posting(d, t * irOf(g), norm2(d)) })
+    val grams = kept.groupBy(_._1).map { case (g, rows) =>
+      val ir = ilog2len(n / rows.head._2)
+      g -> (ir, rows.toSeq.sortBy(_._3)
+        .map { case (_, _, d, t) => Posting(d, t * ir, norm2(d)) })
     }
     CosineInventory(n, shingleN, maxDf, grams, dropped)
   }

@@ -291,6 +291,16 @@ class PlanShapeSpec extends SparkSpec {
     assert(countNodes(df, "Window") === 0)
   }
 
+  test("bpe tokenize: narrow per-doc merge replay — zero shuffles") {
+    // the substring-screened trained-tokenizer apply (Bpe.tokenize) is a
+    // typed map per document: no exchange, no join, no window may ever
+    // appear between the scan and the per-doc token output
+    val df = q("q_bpe_tokenize")
+    assert(countShuffles(df) === 0)
+    assert(countNodes(df, "Join") === 0)
+    assert(countNodes(df, "Window") === 0)
+  }
+
   test("source cap: bounded topk aggregate + semi-join back, no window sort") {
     val df = q("q_source_cap")
     assert(mentions(df, "topk_agg"))

@@ -222,8 +222,8 @@ class TextAnalysisSpec extends SparkSpec {
     val got = graft.operators.Search.cosinePairs(df, "doc_id", "text",
         shingleN, num, den, maxDf)
       .collect().map(r => (r.getLong(0), r.getLong(1),
-        BigInt(r.getDecimal(2).toBigInteger), BigInt(r.getDecimal(3).toBigInteger),
-        BigInt(r.getDecimal(4).toBigInteger))).toSet
+        BigInt(r.getLong(2)), BigInt(r.getLong(3)),
+        BigInt(r.getLong(4)))).toSet
     assert(got === expect)
     assert(expect.nonEmpty, "test corpus must produce at least one pair")
     // the boilerplate gram ('the common'/'common filler' df <= cap here,
@@ -281,8 +281,8 @@ class TextAnalysisSpec extends SparkSpec {
         fresh.toDF("doc_id", "text"), corpus.toDF("doc_id", "text"),
         "doc_id", "text", shingleN, num, den, maxDf)
       .collect().map(r => (r.getLong(0), r.getLong(1),
-        BigInt(r.getDecimal(2).toBigInteger), BigInt(r.getDecimal(3).toBigInteger),
-        BigInt(r.getDecimal(4).toBigInteger))).toSet
+        BigInt(r.getLong(2)), BigInt(r.getLong(3)),
+        BigInt(r.getLong(4)))).toSet
     assert(got === expect)
     assert(expect.exists(_._1 == 1L), "close new doc must match")
     assert(!expect.exists(_._1 == 3L), "all-unseen doc cannot match anything")

@@ -8,12 +8,100 @@ runs every oracle_sql.json query, and diffs against the Spark parquet dump
 (columns sorted by name, rows sorted, exact value equality with a small
 float tolerance report).
 """
-import json, math, sys
+import json, math, re, sys
 import duckdb
+import pyarrow as pa
 import pyarrow.parquet as pq
 import pandas as pd
 
 TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
+
+
+def arrow_canon(t: pa.DataType) -> str:
+    """Canonical type name for an arrow type (the Spark parquet side)."""
+    if pa.types.is_boolean(t):
+        return "bool"
+    if pa.types.is_integer(t):
+        return "int"
+    if pa.types.is_float32(t) or pa.types.is_float16(t):
+        return "float"
+    if pa.types.is_float64(t):
+        return "double"
+    if pa.types.is_decimal(t):
+        return f"decimal({t.precision},{t.scale})"
+    if pa.types.is_string(t) or pa.types.is_large_string(t):
+        return "string"
+    if pa.types.is_binary(t) or pa.types.is_large_binary(t):
+        return "binary"
+    if pa.types.is_date(t):
+        return "date"
+    if pa.types.is_timestamp(t):
+        return "timestamp"
+    if pa.types.is_list(t) or pa.types.is_large_list(t):
+        return f"list<{arrow_canon(t.value_type)}>"
+    if pa.types.is_struct(t):
+        inner = ",".join(f"{f.name}:{arrow_canon(f.type)}" for f in t)
+        return f"struct<{inner}>"
+    if pa.types.is_map(t):
+        return f"map<{arrow_canon(t.key_type)},{arrow_canon(t.item_type)}>"
+    return str(t)
+
+
+def duck_canon(t: str) -> str:
+    """Canonical type name for a DuckDB DESCRIBE column_type string.
+
+    HUGEINT deliberately does NOT canonicalize to int or decimal: the
+    driver's hash is type-strict, so an un-cast DuckDB HUGEINT sum vs a
+    Spark bigint/decimal output must FAIL here too (the q_profile /
+    q_pack_global / q_cosine_pairs class).
+    """
+    t = t.strip()
+    u = t.upper()
+    if u.endswith("[]"):
+        return f"list<{duck_canon(t[:-2])}>"
+    m = re.fullmatch(r"STRUCT\((.*)\)", t, re.IGNORECASE | re.DOTALL)
+    if m:
+        parts, depth, cur = [], 0, ""
+        for ch in m.group(1):
+            if ch == "," and depth == 0:
+                parts.append(cur); cur = ""
+            else:
+                depth += ch in "(<["
+                depth -= ch in ")>]"
+                cur += ch
+        parts.append(cur)
+        inner = []
+        for p in parts:
+            name, typ = p.strip().split(" ", 1)
+            nm = name.strip().strip('"')
+            inner.append(nm + ":" + duck_canon(typ))
+        return f"struct<{','.join(inner)}>"
+    m = re.fullmatch(r"MAP\((.*),\s*(.*)\)", t, re.IGNORECASE | re.DOTALL)
+    if m:
+        return f"map<{duck_canon(m.group(1))},{duck_canon(m.group(2))}>"
+    m = re.fullmatch(r"DECIMAL\((\d+),\s*(\d+)\)", u)
+    if m:
+        return f"decimal({m.group(1)},{m.group(2)})"
+    if u in ("TINYINT", "SMALLINT", "INTEGER", "INT", "BIGINT",
+             "UTINYINT", "USMALLINT", "UINTEGER", "UBIGINT"):
+        return "int"
+    if u == "HUGEINT":
+        return "hugeint"
+    if u in ("FLOAT", "REAL"):
+        return "float"
+    if u == "DOUBLE":
+        return "double"
+    if u in ("VARCHAR", "TEXT", "STRING"):
+        return "string"
+    if u == "BOOLEAN":
+        return "bool"
+    if u == "DATE":
+        return "date"
+    if u.startswith("TIMESTAMP"):
+        return "timestamp"
+    if u in ("BLOB", "BYTEA", "BINARY", "VARBINARY"):
+        return "binary"
+    return t
 
 def canon(df: pd.DataFrame) -> pd.DataFrame:
     df = df.reindex(sorted(df.columns), axis=1)
@@ -37,13 +125,17 @@ def main(sf_dir, out_dir):
     n_pass = n_fail = 0
     for name, sql in sorted(oracles.items()):
         try:
-            got = pq.read_table(f"{out_dir}/{name}").to_pandas()
+            tbl = pq.read_table(f"{out_dir}/{name}")
+            got = tbl.to_pandas()
         except Exception as e:
             print(f"FAIL {name}: spark output unreadable: {e}")
             n_fail += 1
             continue
         try:
-            exp = con.execute(sql).fetchdf()
+            rel = con.sql(sql)
+            duck_types = {c: duck_canon(str(t))
+                          for c, t in zip(rel.columns, rel.types)}
+            exp = rel.fetchdf()
         except Exception as e:
             print(f"FAIL {name}: oracle sql error: {e}")
             n_fail += 1
@@ -51,6 +143,17 @@ def main(sf_dir, out_dir):
         g, e = canon(got), canon(exp)
         if list(g.columns) != list(e.columns):
             print(f"FAIL {name}: columns spark={list(g.columns)} duckdb={list(e.columns)}")
+            n_fail += 1
+            continue
+        # type-strict: the driver hashes typed values, so canonical column
+        # types must agree (Decimal vs int/hugeint is a FAIL even when every
+        # value compares equal — the class that produced the r4/r6/r7 reds).
+        spark_types = {f.name: arrow_canon(f.type) for f in tbl.schema}
+        ty_bad = [(c, spark_types.get(c), duck_types.get(c))
+                  for c in g.columns if spark_types.get(c) != duck_types.get(c)]
+        if ty_bad:
+            c, st, dt = ty_bad[0]
+            print(f"FAIL {name}: col {c} type spark={st} duckdb={dt}")
             n_fail += 1
             continue
         if len(g) != len(e):
