@@ -179,7 +179,7 @@ object Bpe {
         // trigrams whose first or last 2-gram is a top pair: complete for
         // every query the simulation makes (zero-guards and deltas are
         // always keyed by an accepted — hence top — pair)
-        val keyList = topKeys.toSeq.map { case (x, y) => x + " " + y }
+        val keyList = topKeys.toSeq.map { case (x, y) => x + "\u0000" + y }
         val tri: Map[(String, String, String), Long] = vocab
           .flatMap { case (sym, f) =>
             if (sym.length < 3) Iterator.empty
@@ -187,8 +187,8 @@ object Bpe {
               .map(i => (sym(i), sym(i + 1), sym(i + 2), f))
           }
           .toDF("x", "y", "z", "f")
-          .filter(concat_ws(" ", col("x"), col("y")).isin(keyList: _*) ||
-            concat_ws(" ", col("y"), col("z")).isin(keyList: _*))
+          .filter(concat_ws("\u0000", col("x"), col("y")).isin(keyList: _*) ||
+            concat_ws("\u0000", col("y"), col("z")).isin(keyList: _*))
           .groupBy("x", "y", "z").agg(sum("f").as("t"))
           .as[(String, String, String, Long)].collect()
           .map(r => (r._1, r._2, r._3) -> r._4).toMap

@@ -124,7 +124,19 @@ object SuffixArray {
   }
 
   private[graft] def suffixRanksAll(docs: DataFrame, id: String,
-      text: String, buckets: Int, maxPrefix: Long = Long.MaxValue): Ranked = {
+      text: String, buckets: Int, maxPrefix: Long = Long.MaxValue): Ranked =
+    suffixRanksRadix(docs, id, text, buckets, maxPrefix, radix = 4)
+
+  /** Radix-parametrized construction core. Radix 4 is the production
+    * shape (every consumer of `Ranked.levels` assumes the 4^j level
+    * spacing); other radices exist for the measured construction probe
+    * ONLY (NOTES.md round 8: radix 8 = 7 chained shifts/round was
+    * predicted and measured slower) — their `full` ranks are identical
+    * (spec-pinned) but their levels MUST NOT feed the LCP walk.
+    */
+  private[graft] def suffixRanksRadix(docs: DataFrame, id: String,
+      text: String, buckets: Int, maxPrefix: Long, radix: Int): Ranked = {
+    require(radix >= 2, s"need radix >= 2, got $radix")
     val tok = tokens(docs, id, text).localCheckpoint(true)
     val n = tok.count()
     val b = if (buckets > 0) buckets else autoBuckets(n, tok)
@@ -161,7 +173,7 @@ object SuffixArray {
       // (doc, off) order, so each extra shift adds one right-side sort,
       // never a re-exchange. Padding rank 0 sorts below every real rank
       // (the shared end-sentinel), exactly as in the radix-2 recurrence.
-      val shifted = (1 to 3).map { i =>
+      val shifted = (1 until radix).map { i =>
         cur.select(col("doc"), (col("off") - lit(i * k)).as("off"),
           col("rank").as(s"_saR$i"))
       }
@@ -172,19 +184,19 @@ object SuffixArray {
               coalesce(col(s"_saR${i + 1}"), lit(0L)))
             .drop(s"_saR${i + 1}")
         }
-        .select(col("doc"), col("off"), col("rank"),
-          col("_saZ1"), col("_saZ2"), col("_saZ3"))
+        .select(col("doc") +: col("off") +: col("rank") +:
+          (1 until radix).map(i => col(s"_saZ$i")): _*)
       // dense-number the full frame directly — dense_rank absorbs the
       // duplicate rank tuples, so no distinct + join-back pass
       val (numbered, classes) = denseNumberCounted(j,
-        Seq(col("rank"), col("_saZ1"), col("_saZ2"), col("_saZ3")),
+        col("rank") +: (1 until radix).map(i => col(s"_saZ$i")),
         "_saNew", b)
       cur = numbered
         .select(col("doc"), col("off"), col("_saNew").as("rank"))
         .repartition(b, col("doc"))
         .localCheckpoint(true)
       levels += cur
-      k *= 4
+      k *= radix
       done = classes == n
     }
     Ranked(cur, levels.result(), maxLen, b)

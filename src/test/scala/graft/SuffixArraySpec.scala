@@ -68,6 +68,20 @@ class SuffixArraySpec extends SparkSpec {
     assert(got === bruteRanks(corpus))
   }
 
+  test("suffixRanksRadix: radix 8 (and 2) full ranks equal the radix-4 production ranks") {
+    // the probe-only radices must agree with production rank-for-rank —
+    // the doubling recurrence's fixed point is radix-independent
+    val corpus = randomCorpus(7, 22)
+    def ranks(radix: Int) = SuffixArray.suffixRanksRadix(
+        corpus.toDF("doc_id", "text"), "doc_id", "text",
+        buckets = 7, maxPrefix = Long.MaxValue, radix = radix)
+      .full.as[(Long, Long, Long)].collect()
+      .map { case (d, o, r) => (d, o) -> r }.toMap
+    val r4 = ranks(4)
+    assert(ranks(8) === r4)
+    assert(ranks(2) === r4)
+  }
+
   test("repeatedSpans equals brute-force adjacent-LCP at two thresholds, " +
       "including equal-suffix overshoot capping") {
     val corpus = randomCorpus(11, 25)

@@ -126,7 +126,7 @@ class TextAnalysisSpec extends SparkSpec {
 
   test("normalize_text is idempotent") {
     val docs = graft.queries.Tables.t(spark, sf, "documents")
-      .withColumn("m", concat(lit(" x\u0301  "), col("text"), lit(" ")))
+      .withColumn("m", concat(lit(" x\u0301  "), col("text"), lit("\u0001 ")))
     val once = docs.select(call_function("normalize_text", col("m")).as("n"))
     val twice = once.select(call_function("normalize_text", col("n")).as("n"))
     assert(once.exceptAll(twice).isEmpty && twice.exceptAll(once).isEmpty)
