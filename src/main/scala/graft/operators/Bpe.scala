@@ -306,29 +306,82 @@ object Bpe {
     docs.select(col(id).cast("long"), lower(col(text)))
       .as[(Long, String)]
       .map { case (docId, t) =>
-        val toks = t.split("\\s+").filter(_.nonEmpty).flatMap { w =>
-          // every symbol is a contiguous substring of the original word,
-          // so merge (a, b) can only ever fire if a+b occurs in w — one
-          // intrinsic contains() per merge skips the per-merge symbol
-          // rebuild for the (vast) majority of words, and the char split
-          // materializes only when some merge survives the screen
-          // (measured 38.2 → see SCALING.md at the 100× corpus); output
-          // byte-identical by construction (skipped merges were no-ops)
-          var sym: Seq[String] = null
-          var i = 0
-          while (i < ranked.length) {
-            val (a, b, ab) = ranked(i)
-            if (w.contains(ab)) {
-              if (sym == null) sym = w.split(""): Seq[String]
-              sym = mergePair(sym, a, b)
-            }
-            i += 1
-          }
-          if (sym == null) w.split(""): Seq[String] else sym
-        }
+        val toks = t.split("\\s+").filter(_.nonEmpty)
+          .flatMap(w => tokenizeWord(w, ranked))
         (docId, toks)
       }
       .toDF(id, "bpe_tokens")
+  }
+
+  /** One word through the trained merge table, with the substring
+    * screen: every symbol is a contiguous substring of the original
+    * word, so merge (a, b) can only ever fire if a+b occurs in w — one
+    * intrinsic contains() per merge skips the per-merge symbol rebuild
+    * for the (vast) majority of words, and the char split materializes
+    * only when some merge survives the screen (measured 38.2 → 3.93 s at
+    * the 100× corpus, SCALING.md); output byte-identical by construction
+    * (skipped merges were no-ops).
+    */
+  private def tokenizeWord(w: String,
+      ranked: Array[(String, String, String)]): Seq[String] = {
+    var sym: Seq[String] = null
+    var i = 0
+    while (i < ranked.length) {
+      val (a, b, ab) = ranked(i)
+      if (w.contains(ab)) {
+        if (sym == null) sym = w.split(""): Seq[String]
+        sym = mergePair(sym, a, b)
+      }
+      i += 1
+    }
+    if (sym == null) w.split(""): Seq[String] else sym
+  }
+
+  /** Tokenizer fertility / coverage report per group (source, language
+    * bucket, …): exact integer corpus statistics of a trained merge
+    * table — words, BPE tokens, characters, plus the two ratios every
+    * tokenizer evaluation quotes, `tokens_per_kword` (fertility ×1000)
+    * and `chars_per_token_ppm` (compression ×10⁶), both as exact `div`s
+    * so the report is bit-portable. The standard pre-training check
+    * ("which sources does this tokenizer serve badly?") — a source
+    * whose fertility is 2× the corpus mean gets its token budget halved
+    * by the tokenizer, before any quality filter runs.
+    *
+    * Scale shape: ONE narrow typed pass per document emits (group,
+    * words, tokens, chars) — no second scan, no join (the first cut
+    * joined [[tokenize]]'s output back to a stats projection; fusing
+    * the counts into the same per-row map removed a scan and an
+    * exchange) — then one partial agg collapses map-side to ≤ |groups|
+    * rows per task. Groups with zero words are dropped (their ratios
+    * are undefined), matching the word-level oracle. The group column
+    * surfaces as string. Output: (<group>, n_words, n_tokens, n_chars,
+    * tokens_per_kword, chars_per_token_ppm), one row per group.
+    */
+  def fertilityReport(docs: DataFrame, id: String, text: String,
+      merges: Seq[Merge], group: String): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val ranked = merges.sortBy(_.rank).map(m => (m.a, m.b, m.a + m.b)).toArray
+    docs.select(col(group).cast("string"), lower(col(text)))
+      .as[(String, String)]
+      .map { case (g, t) =>
+        val words = Option(t).getOrElse("").split("\\s+").filter(_.nonEmpty)
+        var nt = 0L
+        var nc = 0L
+        words.foreach { w =>
+          nc += w.length
+          nt += tokenizeWord(w, ranked).length
+        }
+        (g, words.length.toLong, nt, nc)
+      }
+      .toDF(group, "_ftNw", "_ftNt", "_ftNc")
+      .groupBy(col(group))
+      .agg(sum("_ftNw").as("n_words"), sum("_ftNt").as("n_tokens"),
+        sum("_ftNc").as("n_chars"))
+      .filter(col("n_words") > 0)
+      .select(col(group), col("n_words"), col("n_tokens"), col("n_chars"),
+        expr("n_tokens * 1000 div n_words").as("tokens_per_kword"),
+        expr("n_chars * 1000000 div n_tokens").as("chars_per_token_ppm"))
   }
 
   /** Left-to-right non-overlapping merge of adjacent (a, b) into a+b —

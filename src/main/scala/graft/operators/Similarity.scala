@@ -181,6 +181,43 @@ object Similarity {
       struct((-col("score")).as("ns"), col("neighbor_id").as("nid")), k)
   }
 
+  /** Multi-probe LSH ANN (the Hamming-1 ring of Lv et al., VLDB'07): the
+    * same hyperplane index as [[lshKnn]], but each query probes its exact
+    * bucket PLUS the `bits` buckets one sign-flip away in every table —
+    * the buckets a near-miss neighbor most likely fell into. Recall
+    * comparable to `(bits+1)·tables/t'` plain tables at `tables` tables:
+    * the CORPUS-side index — the expensive artifact at 100 TB (×tables
+    * rows shuffled, stored, and rebuilt per corpus release) — shrinks by
+    * the table factor, while the extra probes fan out only the QUERY side
+    * (broadcast, batch-sized). Candidates are exact-cosine re-ranked, so
+    * precision is exact and extra probes can only improve the answer.
+    * Output shape identical to [[lshKnn]]/[[bruteForceKnn]].
+    */
+  def lshKnnMultiprobe(
+      queries: DataFrame, corpus: DataFrame,
+      id: String, emb: String, k: Int,
+      tables: Int = 4, bits: Int = 8, dim: Int = 64): DataFrame = {
+    require(bits >= 1 && bits <= 30, s"need 1 <= bits <= 30, got $bits")
+    val c = corpus.select(col(id).as("neighbor_id"), col(emb).as("c_emb"))
+      .withColumn("_k", explode(lshKeys(col("c_emb"), tables, bits, dim)))
+      .select(col("neighbor_id"), col("c_emb"), col("_k.tbl"), col("_k.bucket"))
+    // query side: exact bucket + the bits Hamming-1 flips — (bits+1)×
+    // fanout on the small, broadcast side only
+    val q = queries.select(col(id).as("query_id"), col(emb).as("q_emb"))
+      .withColumn("_k", explode(lshKeys(col("q_emb"), tables, bits, dim)))
+      .select(col("query_id"), col("q_emb"), col("_k.tbl").as("tbl"),
+        explode(concat(array(col("_k.bucket")),
+          expr(s"transform(sequence(0, ${bits - 1}), " +
+            "b -> cast(_k.bucket ^ shiftleft(1, b) as int))"))).as("bucket"))
+    val cand = c.join(broadcast(q), Seq("tbl", "bucket"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("score", cosineSim(col("q_emb"), col("c_emb")))
+      .select(col("query_id"), col("score"), col("neighbor_id"))
+      .dropDuplicates("query_id", "neighbor_id")
+    rankedNeighbors(cand,
+      struct((-col("score")).as("ns"), col("neighbor_id").as("nid")), k)
+  }
+
   /** IVF (inverted-file) ANN: the corpus is coarsely quantized to `nlist`
     * centroid cells; a query probes only its `nprobe` nearest cells and
     * re-ranks exactly within them — the classic alternative scale path to

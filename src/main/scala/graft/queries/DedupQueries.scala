@@ -79,6 +79,35 @@ object DedupQueries {
         spread(s, d), "doc_id", "text", shingleN = 3,
         minNum = 4, minDen = 5)),
 
+    // cross-source duplication matrix: near-dup pairs (same generator
+    // and threshold as q_dedup_near) rolled up by unordered source pair
+    // — the "which crawls duplicate which" report that decides what a
+    // new source actually adds before it enters the mix. Rides the
+    // linear LSH pair plan; the source labels attach by doc-id equi-join
+    // (pair-sized), the rollup is a |sources|²-bounded agg.
+    Q("q_dup_matrix", Some(shinglesSql +
+      """
+        |SELECT least(da.source, db.source) AS src_a,
+        |  greatest(da.source, db.source) AS src_b,
+        |  count(*) AS n_pairs
+        |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |JOIN documents da ON da.doc_id = a.doc_id
+        |JOIN documents db ON db.doc_id = b.doc_id
+        |WHERE 5 * len(list_intersect(a.s, b.s)) >= 4 * len(list_distinct(list_concat(a.s, b.s)))
+        |GROUP BY 1, 2""".stripMargin))(
+      (s, d) => {
+        val src = t(s, d, "documents").select(col("doc_id"), col("source"))
+        Dedup.nearDupPairs(spread(s, d), "doc_id", "text", shingleN = 3,
+            minNum = 4, minDen = 5)
+          .join(src.select(col("doc_id").as("a_id"), col("source").as("_sa")),
+            Seq("a_id"))
+          .join(src.select(col("doc_id").as("b_id"), col("source").as("_sb")),
+            Seq("b_id"))
+          .groupBy(least(col("_sa"), col("_sb")).as("src_a"),
+            greatest(col("_sa"), col("_sb")).as("src_b"))
+          .agg(count(lit(1)).as("n_pairs"))
+      }),
+
     // banded-minhash candidate recall vs exact-Jaccard ground truth —
     // the LSH tuning loop as a first-class measurement: (n_true, n_cand,
     // n_found, recall_ppm) at 12 hashes × 2 bands against τ = 1/2 truth

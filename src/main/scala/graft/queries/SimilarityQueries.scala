@@ -153,6 +153,22 @@ object SimilarityQueries {
           tables = 16, bits = 4)
       }),
 
+    // multi-probe LSH on the seeded corpus: 4 tables where q_ann_lsh
+    // needs 16 — the Hamming-1 probes recover the recall while the
+    // corpus-side index shrinks 4×. Exact on the seeded geometry (every
+    // same-cell vector shares the EXACT bucket of every table, so the
+    // Hamming-0 probe alone already contains the true top-5 and the
+    // extra probes only add re-rank losers) — same brute-force oracle.
+    // Raw-embedding recall ≥ the plain-LSH recall at equal (tables,
+    // bits) is pinned in SimilaritySpec.
+    Q("q_ann_multiprobe", Some(seededCosineTop5Sql))(
+      (s, d) => {
+        val se = seededCorpus(s, d)
+        Similarity.lshKnnMultiprobe(
+          se.filter(col("vec_id") < 20), se, "vec_id", "emb", k = 5,
+          tables = 4, bits = 4)
+      }),
+
     // IVF ANN on the seeded corpus with the exact one-hot centroids (the
     // caller-provided-centroids production entry) — fully oracled, same
     // brute-force answer by construction. Raw-embedding recall ≥ 0.6

@@ -940,6 +940,39 @@ object TextQueries {
             md5(concat_ws(" ", col("bpe_tokens"))).as("toks_md5"))
       }),
 
+    // tokenizer fertility / coverage per source under the same fixed
+    // 4-merge chain as q_bpe_tokenize: exact integer words / BPE tokens /
+    // chars + the two standard ratios (tokens per 1000 words, chars per
+    // token ×10⁶) — the "which sources does this tokenizer serve badly?"
+    // pre-training report. Oracle replays the merge chain with the
+    // double-separator global replaces and aggregates at the word level.
+    Q("q_bpe_fertility", Some("""
+      |WITH t AS (SELECT doc_id, source, regexp_split_to_array(lower(text), '\s+') AS tk FROM documents),
+      |w AS (SELECT doc_id, source, tk[i] AS wd
+      |  FROM t, unnest(range(1, len(tk) + 1)) AS u(i) WHERE tk[i] != ''),
+      |m AS (SELECT doc_id, source, len(wd) AS nc, len(string_split(trim(replace(replace(replace(replace(
+      |    '#' || array_to_string(string_split(wd, ''), '##') || '#',
+      |    '#c##h#', '#ch#'), '#b##a#', '#ba#'), '#t##ch#', '#tch#'),
+      |    '#ba##tch#', '#batch#'), '#'), '##')) AS nt
+      |  FROM w),
+      |a AS (SELECT source, CAST(count(*) AS BIGINT) AS n_words,
+      |    CAST(sum(nt) AS BIGINT) AS n_tokens, CAST(sum(nc) AS BIGINT) AS n_chars
+      |  FROM m GROUP BY source)
+      |SELECT source, n_words, n_tokens, n_chars,
+      |  n_tokens * 1000 // n_words AS tokens_per_kword,
+      |  n_chars * 1000000 // n_tokens AS chars_per_token_ppm
+      |FROM a
+      |""".stripMargin.trim))(
+      (s, d) => {
+        val merges = Seq(
+          graft.operators.Bpe.Merge(0, "c", "h", 0L),
+          graft.operators.Bpe.Merge(1, "b", "a", 0L),
+          graft.operators.Bpe.Merge(2, "t", "ch", 0L),
+          graft.operators.Bpe.Merge(3, "ba", "tch", 0L))
+        graft.operators.Bpe.fertilityReport(
+          t(s, d, "documents"), "doc_id", "text", merges, "source")
+      }),
+
     // the first merge argmaxes over (Bpe.train drives the full loop;
     // BpeSpec pins its deterministic merge sequence). Vocab-sized work
     // after one corpus-sized word count; integer output, exact compare.

@@ -68,6 +68,23 @@ class BpeSpec extends SparkSpec {
       "doc_id", "text", merges).isStreaming)
   }
 
+  test("fertilityReport: exact hand-counted integers; zero-word groups drop") {
+    val merges = Seq(Bpe.Merge(0, "e", "s", 0L), Bpe.Merge(1, "es", "t", 0L))
+    val docs = Seq(
+      (1L, "srcA", "test best"),   // test→t,est(2) best→b,est(2): 4 toks, 8 ch
+      (2L, "srcA", "es"),          // es(1): 1 tok, 2 ch
+      (3L, "srcB", "xy"),          // x,y: 2 toks, 2 ch
+      (4L, "srcC", "  ")           // zero words → srcC must not appear
+    ).toDF("doc_id", "source", "text")
+    val got = Bpe.fertilityReport(docs, "doc_id", "text", merges, "source")
+      .as[(String, Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    // srcA: 3 words, 5 tokens, 10 chars → 5000/3=1666 t/kw, 2e6 ch/tok ppm
+    assert(got("srcA") === (("srcA", 3L, 5L, 10L, 1666L, 2000000L)))
+    assert(got("srcB") === (("srcB", 1L, 2L, 2L, 2000L, 1000000L)))
+    assert(!got.contains("srcC"))
+  }
+
   test("trainBatched is byte-identical to train across merge counts") {
     // the Sennrich corpus at every vocabulary size it supports
     for (m <- 1 to 8) {

@@ -291,6 +291,28 @@ class PlanShapeSpec extends SparkSpec {
     assert(countNodes(df, "Window") === 0)
   }
 
+  test("bpe fertility: one typed pass + one agg shuffle — no join, no window") {
+    val df = q("q_bpe_fertility")
+    assert(countShuffles(df) === 1)
+    assert(countNodes(df, "Join") === 0)
+    assert(countNodes(df, "Window") === 0)
+  }
+
+  test("ann multiprobe: query side broadcast (probe fanout), no cartesian") {
+    val df = q("q_ann_multiprobe")
+    assert(hasNode(df, "BroadcastHashJoin"))
+    assert(countNodes(df, "CartesianProduct") === 0)
+    assert(countNodes(df, "BroadcastNestedLoopJoin") === 0)
+    assert(mentions(df, "topk_agg"))
+    assert(countNodes(df, "Window") === 0)
+  }
+
+  test("dup matrix: rides the linear LSH pair plan — no cartesian, no window") {
+    val df = q("q_dup_matrix")
+    assert(countNodes(df, "CartesianProduct") === 0)
+    assert(countNodes(df, "Window") === 0)
+  }
+
   test("bpe tokenize: narrow per-doc merge replay — zero shuffles") {
     // the substring-screened trained-tokenizer apply (Bpe.tokenize) is a
     // typed map per document: no exchange, no join, no window may ever

@@ -68,6 +68,27 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.5, s"LSH recall $recall too low")
   }
 
+  test("multiprobe LSH: candidate superset of plain LSH at equal config; " +
+      "recall >= plain and >= 0.5 at a quarter of q_ann_lsh's tables") {
+    val emb = queries.Tables.t(spark, sf, "embeddings")
+    val q = emb.filter(col("vec_id") < 10)
+    val exact = Similarity.bruteForceKnn(q, emb, "vec_id", "embedding", 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    def recallOf(df: org.apache.spark.sql.DataFrame) = {
+      val got = df.select("query_id", "neighbor_id")
+        .as[(Long, Long)].collect().toSet
+      (exact & got).size.toDouble / exact.size
+    }
+    val plain = recallOf(Similarity.lshKnn(q, emb, "vec_id", "embedding", 5,
+      tables = 4, bits = 4))
+    val multi = recallOf(Similarity.lshKnnMultiprobe(q, emb, "vec_id",
+      "embedding", 5, tables = 4, bits = 4))
+    // Hamming-1 probes only ADD candidates; exact rerank keeps the best —
+    // recall can never drop below the plain form at the same index
+    assert(multi >= plain, s"multiprobe $multi < plain $plain")
+    assert(multi >= 0.5, s"multiprobe recall $multi too low at 4 tables")
+  }
+
   test("ivfKnn recall >= 0.6 vs brute force (one Lloyd step, 4/16 probes)") {
     val emb = queries.Tables.t(spark, sf, "embeddings")
     val q = emb.filter(col("vec_id") < 10)
