@@ -372,6 +372,39 @@ object Dedup {
       .select("new_id", "old_id", "n_common", "n_src")
   }
 
+  /** Per-document n-gram novelty vs a standing corpus: for each NEW
+    * document, how many of its DISTINCT shingles the corpus has never
+    * seen — the crawl-triage aggregate ("what does this batch actually
+    * add?") that decides whether a source enters the mix, upstream of
+    * any pairwise dedup. `novelty_ppm = n_unseen·10⁶ div n_grams` is an
+    * exact integer, so the report is bit-portable.
+    *
+    * Scale shape: the corpus collapses to its DISTINCT gram-hash set
+    * in one partial agg (the same persistable inventory the containment
+    * family keeps — feed batches against it per release); matching is a
+    * batch-sided left join on the gram hash + one per-doc agg. Corpus
+    * rows never shuffle per batch; no pair fanout exists at all.
+    * Output: (<id>, n_grams, n_unseen, novelty_ppm), one row per new
+    * doc (every doc has ≥ 1 shingle — [[shingles]] emits [""] for
+    * empty text — so the div is total).
+    */
+  def noveltyReport(newDocs: DataFrame, corpus: DataFrame,
+      id: String, text: String, shingleN: Int): DataFrame = {
+    def grams(df: DataFrame, idAs: String) =
+      df.select(col(id).cast("long").as(idAs),
+          explode(shingles(col(text), shingleN)).as("_nvG0"))
+        .select(col(idAs), portableHash64(col("_nvG0")).as("_nvG"))
+    val inv = grams(corpus, "_nvOld").select(col("_nvG")).distinct()
+      .withColumn("_nvSeen", lit(1))
+    grams(newDocs, id)
+      .join(inv, Seq("_nvG"), "left")
+      .groupBy(col(id))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("_nvSeen").isNull, 1L).otherwise(0L)).as("n_unseen"))
+      .select(col(id), col("n_grams"), col("n_unseen"),
+        expr("n_unseen * 1000000 div n_grams").as("novelty_ppm"))
+  }
+
   private val powers: Column = array((0 until 64).map(k => lit(1L << k)): _*)
 
   /** SimHash: 64-bit signature. Bit k is set iff the ±1 votes of bit k

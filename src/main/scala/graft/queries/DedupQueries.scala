@@ -108,6 +108,28 @@ object DedupQueries {
           .agg(count(lit(1)).as("n_pairs"))
       }),
 
+    // per-doc n-gram novelty of the %10 "new batch" vs the standing
+    // corpus gram inventory: distinct-3-gram counts, corpus-unseen
+    // counts, and exact novelty ppm — the crawl-triage aggregate that
+    // decides whether a source enters the mix, before any pairwise
+    // dedup runs. Grams join by the portable md5 hash on both sides.
+    Q("q_novelty", Some(shinglesSql +
+      """
+        |, ex AS (SELECT doc_id, ('0x' || substring(md5(unnest(s)), 1, 15))::BIGINT AS g FROM sh),
+        |o AS (SELECT DISTINCT g FROM ex WHERE doc_id % 10 != 0),
+        |a AS (SELECT e.doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+        |    CAST(sum(CASE WHEN o.g IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_unseen
+        |  FROM ex e LEFT JOIN o ON e.g = o.g WHERE e.doc_id % 10 = 0 GROUP BY 1)
+        |SELECT doc_id, n_grams, n_unseen,
+        |  n_unseen * 1000000 // n_grams AS novelty_ppm
+        |FROM a""".stripMargin))(
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        Dedup.noveltyReport(docs.filter(col("doc_id") % 10 === 0),
+          docs.filter(col("doc_id") % 10 =!= 0), "doc_id", "text",
+          shingleN = 3)
+      }),
+
     // banded-minhash candidate recall vs exact-Jaccard ground truth —
     // the LSH tuning loop as a first-class measurement: (n_true, n_cand,
     // n_found, recall_ppm) at 12 hashes × 2 bands against τ = 1/2 truth

@@ -239,6 +239,23 @@ class DedupSpec extends SparkSpec {
     assert(!got.exists(p => p._1 == 3L || p._2 == 3L))
   }
 
+  test("noveltyReport: hand-counted unseen-gram ppm; empty docs carry one gram") {
+    val corpus = Seq((1L, "a b c d"), (2L, "x y z w")).toDF("doc_id", "text")
+    val fresh = Seq(
+      (10L, "a b c d"),   // both 3-grams seen → novelty 0
+      (11L, "a b q"),     // one 3-gram "a b q", unseen → 1e6 ppm
+      (12L, "b c d x y"), // grams: bcd(seen), cdx, dxy, xyz? no — "c d x","d x y" unseen; "b c d" seen → 2/3
+      (13L, "")           // the [""] gram, corpus-unseen → 1e6 ppm
+    ).toDF("doc_id", "text")
+    val got = graft.operators.Dedup.noveltyReport(
+        fresh, corpus, "doc_id", "text", shingleN = 3)
+      .as[(Long, Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    assert(got(10L) === ((10L, 2L, 0L, 0L)))
+    assert(got(11L) === ((11L, 1L, 1L, 1000000L)))
+    assert(got(12L) === ((12L, 3L, 2L, 666666L)))
+    assert(got(13L) === ((13L, 1L, 1L, 1000000L)))
+  }
+
   test("containmentPairsAgainst: corpus-df distinctiveness, unseen grams dilute") {
     val corpus = Seq(
       (1L, "q w e r"),      // grams qw we er

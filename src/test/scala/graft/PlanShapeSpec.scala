@@ -307,6 +307,14 @@ class PlanShapeSpec extends SparkSpec {
     assert(countNodes(df, "Window") === 0)
   }
 
+  test("novelty: corpus collapses to distinct grams BEFORE the join; no window") {
+    val df = q("q_novelty")
+    assert(countNodes(df, "CartesianProduct") === 0)
+    assert(countNodes(df, "Window") === 0)
+    // inventory-sided agg + batch-sided agg — never a pair fanout
+    assert(countNodes(df, "HashAggregate") >= 4)
+  }
+
   test("dup matrix: rides the linear LSH pair plan — no cartesian, no window") {
     val df = q("q_dup_matrix")
     assert(countNodes(df, "CartesianProduct") === 0)
