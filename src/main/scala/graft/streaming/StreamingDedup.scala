@@ -327,6 +327,50 @@ object StreamingDedup {
       }
   }
 
+  final case class NoveltyScore(doc_id: Long, n_grams: Long,
+      n_unseen: Long, novelty_ppm: Long)
+
+  /** Per-doc n-gram novelty at ingest — the streaming twin of
+    * [[graft.operators.Dedup.noveltyReport]] ("how much of this
+    * arriving doc is genuinely new?"): each record is scored against a
+    * FROZEN inventory — the corpus's distinct gram-hash set, the same
+    * persistable artifact the batch operator builds (vocab-sized, the
+    * door-check working set dispensation). Stateless map per record, so
+    * scores are deterministic under any arrival order, batching, or
+    * retry, and equal the batch report record-for-record (spec-pinned).
+    * Every doc carries ≥ 1 gram (empty text shingles to [""]), so the
+    * ppm division is total.
+    */
+  def noveltyAtIngest(docs: DataFrame, id: String, text: String,
+      shingleN: Int, inventory: Set[Long]): Dataset[NoveltyScore] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col(id).cast("long").as("i"), lower(col(text)).as("t"))
+      .filter(col("i").isNotNull)
+      .as[(Long, String)]
+      .map { case (i, t) =>
+        val fps = shingleFpsLocal(Option(t).getOrElse(""), shingleN)
+        val n = fps.length.toLong
+        val unseen = fps.count(g => !inventory.contains(g)).toLong
+        NoveltyScore(i, n, unseen, unseen * 1000000L / n)
+      }
+  }
+
+  /** Train the frozen novelty inventory from a corpus release: the
+    * distributed distinct gram-hash set (ONE partial agg collapses the
+    * corpus; the driver collects only the vocabulary).
+    */
+  def buildNoveltyInventory(corpus: DataFrame, id: String, text: String,
+      shingleN: Int): Set[Long] = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    corpus
+      .select(explode(graft.operators.Dedup.shingles(col(text), shingleN))
+        .as("_nvG0"))
+      .select(graft.operators.Dedup.portableHash64(col("_nvG0")).as("_nvG"))
+      .distinct().as[Long].collect().toSet
+  }
+
   /** Local twin of `shingles` + `portableHash64`: distinct lowercase word
     * n-gram MD5-prefix fingerprints, sorted ascending (the verify
     * intersection walks two sorted arrays).

@@ -226,6 +226,33 @@ class EdgeCaseSpec extends SparkSpec {
       shingleN = 2, minNum = 1, minDen = 2, maxDf = 2).count() === 0)
   }
 
+  test("round-8 ops on degenerate inputs: empty corpus / empty batch / empty merges") {
+    import graft.operators.{Bpe, Dedup, Similarity}
+    // novelty vs an EMPTY corpus: everything is unseen, never an error
+    val nv = Dedup.noveltyReport(Seq((1L, "a b c")).toDF("doc_id", "text"),
+        emptyDocs, "doc_id", "text", 3)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(nv === Seq((1L, 1L, 1L, 1000000L)))
+    // empty batch against a real corpus: zero rows
+    assert(Dedup.noveltyReport(emptyDocs,
+      Seq((1L, "a b c")).toDF("doc_id", "text"), "doc_id", "text", 3)
+      .count() === 0)
+    // multiprobe ANN over an empty corpus: zero rows, no failure
+    val q = Seq((1L, Array.fill(64)(1.0f))).toDF("vec_id", "emb")
+    assert(Similarity.lshKnnMultiprobe(q,
+      Seq.empty[(Long, Array[Float])].toDF("vec_id", "emb"),
+      "vec_id", "emb", k = 3, tables = 2, bits = 4).count() === 0)
+    // fertility with an EMPTY merge table degrades to char counts
+    val f = Bpe.fertilityReport(Seq((1L, "s", "ab cd")).toDF("d", "source", "text"),
+        "d", "text", Seq.empty, "source")
+      .as[(String, Long, Long, Long, Long, Long)].collect().toSeq
+    assert(f === Seq(("s", 2L, 4L, 4L, 2000L, 1000000L)))
+    // fertility on an empty frame: zero rows
+    assert(Bpe.fertilityReport(
+      Seq.empty[(Long, String, String)].toDF("d", "source", "text"),
+      "d", "text", Seq.empty, "source").count() === 0)
+  }
+
   test("f2Estimate: empty input yields zero rows; singleton yields est_f2 = 1") {
     import graft.functions.Sketches
     import spark.implicits._

@@ -1060,6 +1060,43 @@ class StreamingOpsSpec extends SparkSpec {
     assert(streamed(2L)._1 > 0 && streamed(4L)._1 > 0)
   }
 
+  test("novelty at ingest: frozen gram inventory, scores equal the batch report") {
+    import graft.streaming.StreamingDedup
+    val corpus = Seq(
+      (100L, "a b c d e"), (101L, "x y z w v")).toDF("doc_id", "text")
+    val arrivals = Seq(
+      1L -> "a b c d",          // all seen
+      2L -> "a b q r s",        // mixed
+      3L -> "",                 // the [""] gram, unseen
+      4L -> "totally fresh words here")
+    val inv = StreamingDedup.buildNoveltyInventory(
+      corpus, "doc_id", "text", shingleN = 3)
+    val batch = graft.operators.Dedup.noveltyReport(
+        arrivals.toDF("doc_id", "text"), corpus, "doc_id", "text", 3)
+      .as[(Long, Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+
+    val mem = MemoryStream[(Long, String)]
+    val out = StreamingDedup.noveltyAtIngest(
+      mem.toDF().toDF("doc_id", "text"), "doc_id", "text", 3, inv)
+    assert(out.isStreaming, "the door check must stay a stateless streaming frame")
+    val q = out.writeStream.format("memory").queryName("novelty_sink")
+      .outputMode("append").start()
+    try {
+      mem.addData(arrivals.take(2): _*)
+      q.processAllAvailable()
+      mem.addData(arrivals.drop(2): _*) // second batch: order-invariance
+      q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.table("novelty_sink")
+      .as[(Long, Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    assert(streamed.keySet === batch.keySet)
+    streamed.foreach { case (id, row) =>
+      assert(row === batch(id), s"doc $id: stream score must equal batch")
+    }
+    assert(streamed(1L)._4 === 0L)
+    assert(streamed(4L)._4 === 1000000L)
+  }
+
   test("PPS sample at ingest: frozen total, membership equals the batch sample") {
     import graft.streaming.StreamingQuality
     val rows = (1L to 100L).map(i => (i, 10L + i % 7))
