@@ -389,14 +389,37 @@ object Dedup {
     * empty text — so the div is total).
     */
   def noveltyReport(newDocs: DataFrame, corpus: DataFrame,
+      id: String, text: String, shingleN: Int): DataFrame =
+    noveltyReportAgainst(newDocs,
+      noveltyInventory(corpus, text, shingleN), id, text, shingleN)
+
+  /** The standing inventory [[noveltyReport]] scores against: the corpus's
+    * DISTINCT gram-hash set as a DataFrame (column `_nvG`) — the
+    * PERSISTABLE release artifact (parquet round-trip via
+    * [[graft.state.Artifacts]]). Never collected: at 100 TB the distinct
+    * 3-gram set grows near-linearly with corpus tokens (billions of
+    * longs), so the artifact must stay a distributed table that batches
+    * JOIN, not a driver set — the one frozen-artifact family member the
+    * vocabulary-sized dispensation does NOT cover.
+    */
+  def noveltyInventory(corpus: DataFrame, text: String,
+      shingleN: Int): DataFrame =
+    corpus.select(explode(shingles(col(text), shingleN)).as("_nvG0"))
+      .select(portableHash64(col("_nvG0")).as("_nvG"))
+      .distinct()
+
+  /** [[noveltyReport]] against a pre-built (usually persisted) inventory —
+    * the form both the per-release batch triage and the at-ingest
+    * streaming twin ([[graft.streaming.StreamingDedup.noveltyAtIngest]])
+    * execute: batch-sided left join on the gram hash + one per-doc agg;
+    * inventory rows never reshuffle per batch.
+    */
+  def noveltyReportAgainst(newDocs: DataFrame, inventory: DataFrame,
       id: String, text: String, shingleN: Int): DataFrame = {
-    def grams(df: DataFrame, idAs: String) =
-      df.select(col(id).cast("long").as(idAs),
-          explode(shingles(col(text), shingleN)).as("_nvG0"))
-        .select(col(idAs), portableHash64(col("_nvG0")).as("_nvG"))
-    val inv = grams(corpus, "_nvOld").select(col("_nvG")).distinct()
-      .withColumn("_nvSeen", lit(1))
-    grams(newDocs, id)
+    val inv = inventory.select(col("_nvG")).withColumn("_nvSeen", lit(1))
+    newDocs.select(col(id).cast("long").as(id),
+        explode(shingles(col(text), shingleN)).as("_nvG0"))
+      .select(col(id), portableHash64(col("_nvG0")).as("_nvG"))
       .join(inv, Seq("_nvG"), "left")
       .groupBy(col(id))
       .agg(count(lit(1)).as("n_grams"),

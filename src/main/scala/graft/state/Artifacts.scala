@@ -1,0 +1,161 @@
+package graft.state
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.streaming.StreamingSearch.{CosineInventory, Posting}
+
+/** Persistence + size discipline for the frozen door-check artifacts —
+  * the tables/maps an ingest tier scores arriving records against
+  * (cosine inventory, fuzzy gram-rarity, jaccard shingle-df, novelty
+  * gram inventory, bloom blobs). A real release does not retrain these
+  * per process: it persists them with the corpus release and every
+  * ingest worker loads the same bytes — the same store-recovery
+  * discipline the reference applies to its state stores
+  * (`store/recoverable_store.go:24-48`: recover from the changelog
+  * before serving, never rebuild from scratch).
+  *
+  * Two rules, enforced here for the whole family:
+  *
+  *   - **Round-trip exactness**: `load(save(x)) ≡ x` — spec-pinned per
+  *     artifact, so a loaded artifact scores records bit-identically to
+  *     the trained one (and stream≡batch pins keep holding through a
+  *     persistence hop).
+  *   - **Ceilings, not OOMs**: every artifact that materializes on the
+  *     driver (rarity maps, cosine postings, bloom blobs) is guarded by
+  *     an explicit ceiling and REFUSES loudly when training data outgrows
+  *     it, instead of OOMing mid-build or silently degrading. The guard
+  *     uses `limit(ceiling + 1)` so the driver never holds more than
+  *     ceiling + 1 rows even while failing. The novelty inventory has NO
+  *     collected form at all — it grows near-linearly with corpus tokens,
+  *     so it only exists as a distributed DataFrame (see
+  *     [[graft.operators.Dedup.noveltyInventory]]).
+  */
+object Artifacts {
+
+  /** Loud ceiling check — the family's shared refusal message. */
+  def guardCeiling(actual: Long, ceiling: Long, what: String,
+      unit: String = "entries"): Unit =
+    require(actual <= ceiling,
+      s"$what needs $actual $unit, over the configured ceiling of " +
+        s"$ceiling $unit — refusing to materialize a driver-side " +
+        s"artifact this large; raise the ceiling explicitly or keep " +
+        s"the distributed (join) form")
+
+  /** Collect ≤ `ceiling` rows or refuse: the driver holds at most
+    * ceiling + 1 rows even on the failure path.
+    */
+  private[graft] def boundedCollect(df: DataFrame, ceiling: Int,
+      what: String): Array[org.apache.spark.sql.Row] = {
+    require(ceiling >= 1, s"need ceiling >= 1, got $ceiling")
+    val rows = df.limit(ceiling + 1).collect()
+    guardCeiling(if (rows.length > ceiling) ceiling + 1L else rows.length,
+      ceiling, what)
+    rows
+  }
+
+  // ------------------------------------------------------------------
+  // Novelty gram inventory — distributed-only (column `_nvG`)
+  // ------------------------------------------------------------------
+
+  def saveNoveltyInventory(inv: DataFrame, path: String): Unit =
+    inv.select(col("_nvG")).write.mode("overwrite").parquet(path)
+
+  def loadNoveltyInventory(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(path).select(col("_nvG"))
+
+  // ------------------------------------------------------------------
+  // Fuzzy (gram, occ) → frequency rarity map
+  // ([[graft.operators.Dedup.gramRarityTable]] output: g, occ, gdf)
+  // ------------------------------------------------------------------
+
+  def saveGramRarity(table: DataFrame, path: String): Unit =
+    table.select(col("g"), col("occ"), col("gdf"))
+      .write.mode("overwrite").parquet(path)
+
+  /** Driver map for [[graft.streaming.StreamingDedup.fuzzyMatchAtIngest]] —
+    * vocabulary-sized by construction (alphabet^q × within-string
+    * repeats), but the ceiling makes that a checked invariant.
+    */
+  def collectGramRarity(table: DataFrame,
+      ceiling: Int = 10000000): Map[(String, Int), Long] =
+    boundedCollect(table.select(col("g"), col("occ"), col("gdf")),
+      ceiling, "fuzzy gram-rarity map")
+      .map(r => (r.getString(0), r.getInt(1)) -> r.getLong(2)).toMap
+
+  def loadGramRarity(spark: SparkSession, path: String,
+      ceiling: Int = 10000000): Map[(String, Int), Long] =
+    collectGramRarity(spark.read.parquet(path), ceiling)
+
+  // ------------------------------------------------------------------
+  // Jaccard gram-hash → corpus df map
+  // ([[graft.operators.Dedup.shingleDfTable]] output: gram, df)
+  // ------------------------------------------------------------------
+
+  def saveShingleDf(table: DataFrame, path: String): Unit =
+    table.select(col("gram"), col("df"))
+      .write.mode("overwrite").parquet(path)
+
+  /** Driver map for [[graft.streaming.StreamingDedup.jaccardMatchAtIngest]].
+    * Completeness survives head-capping (absent grams tie at df 0 under
+    * the frozen total order), so a corpus whose FULL df table overflows
+    * the ceiling should persist its most frequent `ceiling` rows rather
+    * than raise it — cap BEFORE saving; this loader refuses, it does not
+    * silently truncate.
+    */
+  def collectShingleDf(table: DataFrame,
+      ceiling: Int = 10000000): Map[Long, Long] =
+    boundedCollect(table.select(col("gram"), col("df")),
+      ceiling, "jaccard shingle-df map")
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  def loadShingleDf(spark: SparkSession, path: String,
+      ceiling: Int = 10000000): Map[Long, Long] =
+    collectShingleDf(spark.read.parquet(path), ceiling)
+
+  // ------------------------------------------------------------------
+  // Cosine inventory ([[graft.streaming.StreamingSearch.CosineInventory]])
+  // ------------------------------------------------------------------
+
+  /** Layout: `path/meta` one row (n, shingle_n, max_df); `path/grams` one
+    * row per posting (g, rarity, old_id, w, norm2-as-string — norm² is a
+    * BigInt, exact at any document length); `path/dropped` one row per
+    * boilerplate gram hash.
+    */
+  def saveCosineInventory(inv: CosineInventory, path: String,
+      spark: SparkSession): Unit = {
+    import spark.implicits._
+    Seq((inv.n, inv.shingleN, inv.maxDf))
+      .toDF("n", "shingle_n", "max_df")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
+    inv.grams.toSeq.flatMap { case (g, (ir, posts)) =>
+      posts.map(p => (g, ir, p.oldId, p.w, p.norm2.toString))
+    }.toDF("g", "rarity", "old_id", "w", "norm2")
+      .write.mode("overwrite").parquet(s"$path/grams")
+    inv.dropped.toSeq.toDF("g")
+      .write.mode("overwrite").parquet(s"$path/dropped")
+  }
+
+  def loadCosineInventory(spark: SparkSession, path: String,
+      ceiling: Int = 10000000): CosineInventory = {
+    import spark.implicits._
+    val (n, shingleN, maxDf) = spark.read.parquet(s"$path/meta")
+      .select(col("n"), col("shingle_n"), col("max_df"))
+      .as[(Long, Int, Int)].head()
+    val posts = boundedCollect(
+      spark.read.parquet(s"$path/grams")
+        .select(col("g"), col("rarity"), col("old_id"), col("w"), col("norm2")),
+      ceiling, "cosine inventory postings")
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        BigInt(r.getString(4))))
+    val grams = posts.groupBy(_._1).map { case (g, rows) =>
+      g -> (rows.head._2,
+        rows.toSeq.sortBy(_._3).map(r => Posting(r._3, r._4, r._5)))
+    }
+    val dropped = boundedCollect(
+      spark.read.parquet(s"$path/dropped").select(col("g")),
+      ceiling, "cosine inventory dropped-gram set")
+      .map(_.getLong(0)).toSet
+    CosineInventory(n, shingleN, maxDf, grams, dropped)
+  }
+}

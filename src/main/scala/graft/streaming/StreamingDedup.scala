@@ -327,48 +327,92 @@ object StreamingDedup {
       }
   }
 
-  final case class NoveltyScore(doc_id: Long, n_grams: Long,
-      n_unseen: Long, novelty_ppm: Long)
-
-  /** Per-doc n-gram novelty at ingest — the streaming twin of
-    * [[graft.operators.Dedup.noveltyReport]] ("how much of this
-    * arriving doc is genuinely new?"): each record is scored against a
-    * FROZEN inventory — the corpus's distinct gram-hash set, the same
-    * persistable artifact the batch operator builds (vocab-sized, the
-    * door-check working set dispensation). Stateless map per record, so
-    * scores are deterministic under any arrival order, batching, or
-    * retry, and equal the batch report record-for-record (spec-pinned).
-    * Every doc carries ≥ 1 gram (empty text shingles to [""]), so the
-    * ppm division is total.
+  /** Per-doc n-gram novelty at ingest — the EXACT streaming twin of
+    * [[graft.operators.Dedup.noveltyReport]] ("how much of this arriving
+    * doc is genuinely new?"). Unlike the rest of the door-check family,
+    * the novelty inventory is NOT vocabulary-sized: a corpus's distinct
+    * 3-gram set grows near-linearly with its tokens, so at 100 TB it is
+    * billions of longs — never a driver set, never a task closure. Each
+    * micro-batch therefore runs the SAME distributed left join + per-doc
+    * agg the batch operator runs ([[Dedup.noveltyReportAgainst]]) against
+    * the PERSISTED inventory DataFrame, inside `foreachBatch`; scores are
+    * deterministic under any arrival order or batching and equal the
+    * batch report record-for-record (spec-pinned). The scored frame for
+    * each micro-batch goes to `sink` (write to the destination table
+    * there; foreachBatch replays the batch id on recovery, so an
+    * idempotent-by-batch-id sink keeps exactly-once).
+    *
+    * This is the production default. When the join's latency is too much
+    * for the door and a one-sided error is acceptable, use
+    * [[noveltyAtIngestBloom]] — a stateless per-record probe against a
+    * fixed-size blob (novelty_ppm becomes a lower bound).
     */
   def noveltyAtIngest(docs: DataFrame, id: String, text: String,
-      shingleN: Int, inventory: Set[Long]): Dataset[NoveltyScore] = {
-    val spark = docs.sparkSession
-    import spark.implicits._
-    docs.select(col(id).cast("long").as("i"), lower(col(text)).as("t"))
-      .filter(col("i").isNotNull)
-      .as[(Long, String)]
-      .map { case (i, t) =>
-        val fps = shingleFpsLocal(Option(t).getOrElse(""), shingleN)
-        val n = fps.length.toLong
-        val unseen = fps.count(g => !inventory.contains(g)).toLong
-        NoveltyScore(i, n, unseen, unseen * 1000000L / n)
+      shingleN: Int, inventory: DataFrame)(
+      sink: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        sink(Dedup.noveltyReportAgainst(
+          batch, inventory, id, text, shingleN), batchId)
       }
-  }
+      .start()
 
-  /** Train the frozen novelty inventory from a corpus release: the
-    * distributed distinct gram-hash set (ONE partial agg collapses the
-    * corpus; the driver collects only the vocabulary).
+  /** Bloom-gated novelty at ingest: the frozen inventory collapses to a
+    * fixed-size bloom blob ([[buildNoveltyBloom]] — `numBits/8` bytes
+    * REGARDLESS of corpus size), and scoring is a stateless codegen'd
+    * per-record fold, no join and no state store. One-sided error: false
+    * positives mark genuinely-new grams as seen, never the reverse, so
+    * `n_unseen` / `novelty_ppm` are LOWER BOUNDS on the exact report —
+    * the safe direction for novelty triage (a source is only ever
+    * under-credited, a stale source never scores novel). Output schema
+    * equals the batch report: (<id>, n_grams, n_unseen, novelty_ppm).
+    */
+  def noveltyAtIngestBloom(docs: DataFrame, id: String, text: String,
+      shingleN: Int, bloom: Array[Byte]): DataFrame =
+    docs
+      .select(col(id).cast("long").as(id),
+        Dedup.shingles(col(text), shingleN).as("_nvGs"))
+      .withColumn("n_grams", size(col("_nvGs")).cast("long"))
+      .withColumn("n_unseen",
+        size(filter(col("_nvGs"), g =>
+          !call_function("bloom_contains", lit(bloom), g))).cast("long"))
+      .select(col(id), col("n_grams"), col("n_unseen"),
+        expr("n_unseen * 1000000 div n_grams").as("novelty_ppm"))
+
+  /** The persistable novelty inventory (distinct gram hashes, column
+    * `_nvG`) — a distributed DataFrame, parquet round-tripped via
+    * [[graft.state.Artifacts]]; deliberately NEVER collected (see
+    * [[noveltyAtIngest]]).
     */
   def buildNoveltyInventory(corpus: DataFrame, id: String, text: String,
-      shingleN: Int): Set[Long] = {
-    val spark = corpus.sparkSession
-    import spark.implicits._
-    corpus
-      .select(explode(graft.operators.Dedup.shingles(col(text), shingleN))
-        .as("_nvG0"))
-      .select(graft.operators.Dedup.portableHash64(col("_nvG0")).as("_nvG"))
-      .distinct().as[Long].collect().toSet
+      shingleN: Int): DataFrame =
+    Dedup.noveltyInventory(corpus, text, shingleN)
+
+  /** The fixed-size blob for [[noveltyAtIngestBloom]]: the corpus's
+    * distinct gram STRINGS folded into one bloom bitset, auto-sized at
+    * `bitsPerItem` (default 10 bits/gram ≈ 1% fp at k=5, the
+    * [[graft.plans.Hints.bloomGatedJoin]] convention). `maxBytes` is the
+    * artifact ceiling: the build REFUSES (loudly, before folding) a
+    * corpus whose gram count would need a bigger blob, instead of
+    * silently saturating — a saturated filter scores everything as seen
+    * and the door reads "nothing is novel".
+    */
+  def buildNoveltyBloom(corpus: DataFrame, id: String, text: String,
+      shingleN: Int, bitsPerItem: Int = 10, k: Int = 5,
+      maxBytes: Long = 64L << 20): Array[Byte] = {
+    require(bitsPerItem >= 1 && k >= 1 && k <= 64,
+      s"bad bloom params: bitsPerItem=$bitsPerItem k=$k")
+    val gramSet = corpus
+      .select(explode(Dedup.shingles(col(text), shingleN)).as("g"))
+      .distinct()
+      .localCheckpoint(true) // counted for sizing, then folded once
+    val n = gramSet.count()
+    val want = math.max(bitsPerItem.toLong * math.max(n, 1L), 1L << 10)
+    val numBits = ((want + 63) / 64) * 64
+    graft.state.Artifacts.guardCeiling(
+      numBits / 8, maxBytes, "novelty bloom blob", "bytes")
+    gramSet.agg(expr(s"bloom_agg(g, $numBits, $k)").as("bf"))
+      .head().getAs[Array[Byte]]("bf")
   }
 
   /** Local twin of `shingles` + `portableHash64`: distinct lowercase word

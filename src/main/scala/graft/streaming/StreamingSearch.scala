@@ -48,7 +48,7 @@ object StreamingSearch {
     * rarity `1+floor(log2(N div df))`, per-doc norms over kept grams).
     */
   def buildCosineInventory(corpus: DataFrame, id: String, text: String,
-      shingleN: Int, maxDf: Int): CosineInventory = {
+      shingleN: Int, maxDf: Int, ceiling: Int = 10000000): CosineInventory = {
     val spark = corpus.sparkSession
     import spark.implicits._
     val n = corpus.count()
@@ -68,12 +68,18 @@ object StreamingSearch {
       .agg(count(lit(1)).as("df"),
         call_function("capped_collect2", col("d"), col("tf"), lit(maxDf)).as("b"))
       .localCheckpoint(true)
-    val dropped = agg.filter(col("b").isNull)
-      .select(col("g")).as[Long].collect().toSet
-    val kept = agg.filter(col("b").isNotNull)
-      .select(col("g"), col("df"), explode(col("b")).as("e"))
-      .select(col("g"), col("df"), col("e.k").as("d"), col("e.v").as("tf"))
-      .as[(Long, Long, Long, Long)].collect()
+    // ceiling-guarded collects ([[graft.state.Artifacts]] family rule):
+    // the driver refuses past `ceiling` rows instead of OOMing mid-build
+    val dropped = graft.state.Artifacts.boundedCollect(
+        agg.filter(col("b").isNull).select(col("g")),
+        ceiling, "cosine inventory dropped-gram set")
+      .map(_.getLong(0)).toSet
+    val kept = graft.state.Artifacts.boundedCollect(
+        agg.filter(col("b").isNotNull)
+          .select(col("g"), col("df"), explode(col("b")).as("e"))
+          .select(col("g"), col("df"), col("e.k").as("d"), col("e.v").as("tf")),
+        ceiling, "cosine inventory postings")
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
     def ilog2len(x: Long): Long = 64L - java.lang.Long.numberOfLeadingZeros(x)
     val norm2 = kept.groupBy(_._3).view.mapValues(_.map { case (_, df, _, t) =>
         val w = BigInt(t * ilog2len(n / df)); w * w

@@ -1,0 +1,97 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Dedup
+import graft.state.Artifacts
+import graft.streaming.StreamingSearch
+
+/** The door-check artifact family contract ([[graft.state.Artifacts]]):
+  * every frozen artifact parquet-round-trips exactly (load ≡ trained, so
+  * the stream≡batch pins survive a persistence hop), and every driver-side
+  * materialization refuses loudly at its ceiling instead of OOMing.
+  */
+class ArtifactsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmp(prefix: String): String =
+    java.nio.file.Files.createTempDirectory(prefix).toString
+
+  test("novelty inventory round-trips; loaded artifact reproduces the report exactly") {
+    val corpus = Seq((1L, "a b c d e"), (2L, "x y z")).toDF("doc_id", "text")
+    val batch = Seq((10L, "a b c"), (11L, "new stuff here")).toDF("doc_id", "text")
+    val path = tmp("graft_art_nov") + "/inv"
+    Artifacts.saveNoveltyInventory(
+      Dedup.noveltyInventory(corpus, "text", 3), path)
+    val loaded = Artifacts.loadNoveltyInventory(spark, path)
+    assert(loaded.as[Long].collect().toSet ===
+      Dedup.noveltyInventory(corpus, "text", 3).as[Long].collect().toSet)
+    val fresh = Dedup.noveltyReport(batch, corpus, "doc_id", "text", 3)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    val viaLoaded = Dedup.noveltyReportAgainst(batch, loaded, "doc_id", "text", 3)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(viaLoaded === fresh)
+  }
+
+  test("fuzzy gram-rarity map round-trips; ceiling refuses loudly") {
+    val train = Seq("kitten", "mitten", "sitting", "ab").toDF("name")
+    val table = Dedup.gramRarityTable(train, "name", q = 2)
+    val trained = Artifacts.collectGramRarity(table)
+    assert(trained.nonEmpty)
+    val path = tmp("graft_art_fuzzy") + "/rarity"
+    Artifacts.saveGramRarity(table, path)
+    assert(Artifacts.loadGramRarity(spark, path) === trained)
+    val e = intercept[IllegalArgumentException] {
+      Artifacts.collectGramRarity(table, ceiling = 1)
+    }
+    assert(e.getMessage.contains("ceiling"))
+  }
+
+  test("jaccard shingle-df map round-trips; ceiling refuses loudly") {
+    val docs = Seq((1L, "red fish blue fish"), (2L, "blue fish green bird"))
+      .toDF("doc_id", "text")
+    val table = Dedup.shingleDfTable(docs, "doc_id", "text", shingleN = 2)
+    val trained = Artifacts.collectShingleDf(table)
+    assert(trained.nonEmpty && trained.values.exists(_ > 1L))
+    val path = tmp("graft_art_jacc") + "/df"
+    Artifacts.saveShingleDf(table, path)
+    assert(Artifacts.loadShingleDf(spark, path) === trained)
+    val e = intercept[IllegalArgumentException] {
+      Artifacts.collectShingleDf(table, ceiling = 1)
+    }
+    assert(e.getMessage.contains("ceiling"))
+  }
+
+  test("cosine inventory round-trips field-exactly; loaded artifact matches identically; build ceiling refuses") {
+    val corpus = Seq(
+      (10L, "red fish blue fish red fish"),
+      (11L, "red fish blue fish green bird"),
+      (12L, "filler filler filler filler"),
+      (13L, "filler filler filler extra"),
+      (14L, "filler filler filler beyond"),
+      (15L, "filler filler filler cap")).toDF("doc_id", "text")
+    val inv = StreamingSearch.buildCosineInventory(
+      corpus, "doc_id", "text", shingleN = 2, maxDf = 3)
+    assert(inv.dropped.nonEmpty, "expect a boilerplate-capped gram")
+    val path = tmp("graft_art_cos")
+    Artifacts.saveCosineInventory(inv, path, spark)
+    val loaded = Artifacts.loadCosineInventory(spark, path)
+    assert(loaded.n === inv.n)
+    assert(loaded.shingleN === inv.shingleN)
+    assert(loaded.maxDf === inv.maxDf)
+    assert(loaded.dropped === inv.dropped)
+    assert(loaded.grams === inv.grams)
+    val probe = Seq((1L, "red fish blue fish"), (2L, "nothing seen here"))
+      .toDF("doc_id", "text")
+    def matches(i: StreamingSearch.CosineInventory) =
+      StreamingSearch.cosineMatchAtIngest(probe, "doc_id", "text", i, 3, 10)
+        .collect().map(m => (m.new_id, m.old_id)).toSet
+    assert(matches(loaded) === matches(inv))
+    assert(matches(inv).nonEmpty, "probe must actually match the corpus")
+    val e = intercept[IllegalArgumentException] {
+      StreamingSearch.buildCosineInventory(
+        corpus, "doc_id", "text", shingleN = 2, maxDf = 3, ceiling = 1)
+    }
+    assert(e.getMessage.contains("ceiling"))
+  }
+}

@@ -1060,7 +1060,7 @@ class StreamingOpsSpec extends SparkSpec {
     assert(streamed(2L)._1 > 0 && streamed(4L)._1 > 0)
   }
 
-  test("novelty at ingest: frozen gram inventory, scores equal the batch report") {
+  test("novelty at ingest: per-micro-batch join against the persisted inventory equals the batch report") {
     import graft.streaming.StreamingDedup
     val corpus = Seq(
       (100L, "a b c d e"), (101L, "x y z w v")).toDF("doc_id", "text")
@@ -1069,32 +1069,79 @@ class StreamingOpsSpec extends SparkSpec {
       2L -> "a b q r s",        // mixed
       3L -> "",                 // the [""] gram, unseen
       4L -> "totally fresh words here")
-    val inv = StreamingDedup.buildNoveltyInventory(
-      corpus, "doc_id", "text", shingleN = 3)
+    // persist + reload the inventory — the production artifact hop; the
+    // record path must hold NO full-vocabulary driver collection
+    val root = java.nio.file.Files.createTempDirectory("graft_novelty").toString
+    graft.state.Artifacts.saveNoveltyInventory(
+      StreamingDedup.buildNoveltyInventory(corpus, "doc_id", "text", 3),
+      s"$root/inv")
+    val inv = graft.state.Artifacts.loadNoveltyInventory(spark, s"$root/inv")
     val batch = graft.operators.Dedup.noveltyReport(
         arrivals.toDF("doc_id", "text"), corpus, "doc_id", "text", 3)
       .as[(Long, Long, Long, Long)].collect().map(r => r._1 -> r).toMap
 
     val mem = MemoryStream[(Long, String)]
-    val out = StreamingDedup.noveltyAtIngest(
-      mem.toDF().toDF("doc_id", "text"), "doc_id", "text", 3, inv)
-    assert(out.isStreaming, "the door check must stay a stateless streaming frame")
-    val q = out.writeStream.format("memory").queryName("novelty_sink")
-      .outputMode("append").start()
+    val got = collection.mutable.Map.empty[Long, (Long, Long, Long, Long)]
+    val q = StreamingDedup.noveltyAtIngest(
+      mem.toDF().toDF("doc_id", "text"), "doc_id", "text", 3, inv) {
+      (scored, _) =>
+        scored.as[(Long, Long, Long, Long)].collect()
+          .foreach(r => got(r._1) = r)
+    }
     try {
       mem.addData(arrivals.take(2): _*)
       q.processAllAvailable()
       mem.addData(arrivals.drop(2): _*) // second batch: order-invariance
       q.processAllAvailable()
     } finally q.stop()
-    val streamed = spark.table("novelty_sink")
-      .as[(Long, Long, Long, Long)].collect().map(r => r._1 -> r).toMap
-    assert(streamed.keySet === batch.keySet)
-    streamed.foreach { case (id, row) =>
+    assert(got.keySet === batch.keySet)
+    got.foreach { case (id, row) =>
       assert(row === batch(id), s"doc $id: stream score must equal batch")
     }
-    assert(streamed(1L)._4 === 0L)
-    assert(streamed(4L)._4 === 1000000L)
+    assert(got(1L)._4 === 0L)
+    assert(got(4L)._4 === 1000000L)
+  }
+
+  test("novelty at ingest, bloom form: stateless streaming frame, lower-bounds the exact report") {
+    import graft.streaming.StreamingDedup
+    val corpus = Seq(
+      (100L, "a b c d e"), (101L, "x y z w v")).toDF("doc_id", "text")
+    val arrivals = Seq(
+      1L -> "a b c d", 2L -> "a b q r s", 3L -> "",
+      4L -> "totally fresh words here")
+    val blob = StreamingDedup.buildNoveltyBloom(
+      corpus, "doc_id", "text", shingleN = 3)
+    val batch = graft.operators.Dedup.noveltyReport(
+        arrivals.toDF("doc_id", "text"), corpus, "doc_id", "text", 3)
+      .as[(Long, Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+
+    val mem = MemoryStream[(Long, String)]
+    val out = StreamingDedup.noveltyAtIngestBloom(
+      mem.toDF().toDF("doc_id", "text"), "doc_id", "text", 3, blob)
+    assert(out.isStreaming, "the bloom door check must stay a stateless streaming frame")
+    val q = out.writeStream.format("memory").queryName("novelty_bloom_sink")
+      .outputMode("append").start()
+    try {
+      mem.addData(arrivals: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.table("novelty_bloom_sink")
+      .as[(Long, Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    assert(streamed.keySet === batch.keySet)
+    streamed.foreach { case (id, (_, n, unseen, ppm)) =>
+      assert(n === batch(id)._2, s"doc $id: gram count is exact")
+      assert(unseen <= batch(id)._3,
+        s"doc $id: bloom n_unseen must lower-bound the exact count")
+      assert(ppm <= batch(id)._4)
+    }
+    // at 10 bits/gram over this corpus no false positive fires: exact
+    streamed.foreach { case (id, row) => assert(row === batch(id)) }
+    // ceiling: refuse to build a blob past maxBytes instead of saturating
+    val e = intercept[IllegalArgumentException] {
+      StreamingDedup.buildNoveltyBloom(
+        corpus, "doc_id", "text", shingleN = 3, maxBytes = 8L)
+    }
+    assert(e.getMessage.contains("ceiling"))
   }
 
   test("PPS sample at ingest: frozen total, membership equals the batch sample") {
@@ -1272,9 +1319,12 @@ class StreamingOpsSpec extends SparkSpec {
     import graft.operators.Dedup
     import graft.streaming.StreamingDedup
     val train = Seq("kitten", "mitten", "sitting", "ab").toDF("name")
-    val rarity = Dedup.gramRarityTable(train, "name", q = 2)
-      .as[(String, Int, Long)].collect()
-      .map { case (g, o, c) => (g, o) -> c }.toMap
+    // through the persistence hop: the production artifact path
+    val rarityPath = java.nio.file.Files
+      .createTempDirectory("graft_fuzzy_art").toString + "/rarity"
+    graft.state.Artifacts.saveGramRarity(
+      Dedup.gramRarityTable(train, "name", q = 2), rarityPath)
+    val rarity = graft.state.Artifacts.loadGramRarity(spark, rarityPath)
     val mem = MemoryStream[String]
     val out = StreamingDedup.fuzzyMatchAtIngest(
       mem.toDF().toDF("name"), "name", rarity, maxDist = 2)
@@ -1315,8 +1365,12 @@ class StreamingOpsSpec extends SparkSpec {
       (t.split(" ").drop(1) :+ "tail").mkString(" "))
     val all = (base ++ near).zipWithIndex.map { case (t, i) => (i.toLong, t) }
     val train = all.take(10).toDF("doc_id", "text") // artifact sees a SUBSET
-    val full = Dedup.shingleDfTable(train, "doc_id", "text", shingleN = 3)
-      .as[(Long, Long)].collect().toMap
+    // through the persistence hop: the production artifact path
+    val dfPath = java.nio.file.Files
+      .createTempDirectory("graft_jacc_art").toString + "/df"
+    graft.state.Artifacts.saveShingleDf(
+      Dedup.shingleDfTable(train, "doc_id", "text", shingleN = 3), dfPath)
+    val full = graft.state.Artifacts.loadShingleDf(spark, dfPath)
     val capped = { // keep the most frequent half of the artifact
       val cut = full.values.toSeq.sorted(Ordering[Long].reverse)
         .take(math.max(1, full.size / 2)).min
@@ -1364,8 +1418,13 @@ class StreamingOpsSpec extends SparkSpec {
       (14L, "filler filler filler filler filler extra"),
       (15L, "filler filler filler filler something else"),
       (16L, "filler filler filler words beyond cap")).toDF("doc_id", "text")
-    val inv = StreamingSearch.buildCosineInventory(
-      corpus, "doc_id", "text", shingleN = 2, maxDf = 3)
+    // through the persistence hop: the production artifact path
+    val cosPath = java.nio.file.Files
+      .createTempDirectory("graft_cos_art").toString
+    graft.state.Artifacts.saveCosineInventory(
+      StreamingSearch.buildCosineInventory(
+        corpus, "doc_id", "text", shingleN = 2, maxDf = 3), cosPath, spark)
+    val inv = graft.state.Artifacts.loadCosineInventory(spark, cosPath)
     // 'filler filler' appears in 4 corpus docs > maxDf=3: boilerplate
     assert(inv.dropped.nonEmpty, "expected a df-capped gram in the corpus")
     val mem = MemoryStream[(Long, String)]
