@@ -20,8 +20,11 @@ import org.apache.spark.sql.functions._
   *
   * This trains PLAIN character BPE (no end-of-word marker) — stated so
   * the oracle and the spec hand-computation are unambiguous. Symbols are
-  * Java chars (UTF-16 code units): fine for BMP scripts; a non-BMP
-  * code point would split into surrogates.
+  * Unicode CODE POINTS everywhere: Spark's `split(word, '')` and DuckDB's
+  * `string_split(word, '')` both split by code point, so the JVM-side
+  * apply/report paths iterate by code point too ([[codePointSymbols]]) —
+  * `String.split("")` would split a non-BMP code point into surrogate
+  * halves and the trained merges could never fire on it.
   */
 object Bpe {
 
@@ -329,12 +332,29 @@ object Bpe {
     while (i < ranked.length) {
       val (a, b, ab) = ranked(i)
       if (w.contains(ab)) {
-        if (sym == null) sym = w.split(""): Seq[String]
+        if (sym == null) sym = codePointSymbols(w)
         sym = mergePair(sym, a, b)
       }
       i += 1
     }
-    if (sym == null) w.split(""): Seq[String] else sym
+    if (sym == null) codePointSymbols(w) else sym
+  }
+
+  /** Code-point symbol split — the JVM twin of Spark's `split(word, '')`
+    * (and DuckDB's `string_split(word, '')`), both of which split by
+    * CODE POINT. `String.split("")` advances by UTF-16 unit on empty
+    * matches and would halve a non-BMP code point into surrogates,
+    * making apply inconsistent with training.
+    */
+  private[graft] def codePointSymbols(w: String): Seq[String] = {
+    val out = new scala.collection.mutable.ArrayBuffer[String](w.length)
+    var i = 0
+    while (i < w.length) {
+      val n = Character.charCount(w.codePointAt(i))
+      out += w.substring(i, i + n)
+      i += n
+    }
+    out.toSeq
   }
 
   /** Tokenizer fertility / coverage report per group (source, language
@@ -369,7 +389,9 @@ object Bpe {
         var nt = 0L
         var nc = 0L
         words.foreach { w =>
-          nc += w.length
+          // code points, not UTF-16 units — the oracle's len() and the
+          // symbol alphabet both count code points
+          nc += w.codePointCount(0, w.length)
           nt += tokenizeWord(w, ranked).length
         }
         (g, words.length.toLong, nt, nc)

@@ -214,11 +214,27 @@ object Search {
       // OUTPUT sums fit a long with room to spare (≤ maxDf·(tf·ir)² ~
       // 4096·L³ at any plausible doc length), so surface bigint — the
       // driver's hash is type-strict and the DuckDB twin casts the same
-      // three sums to BIGINT (the q_embed_gram template).
-      .select(col("id_a"), col("id_b"), col("dot").cast("long").as("dot"),
-        col("norm_a2").cast("long").as("norm_a2"),
-        col("norm_b2").cast("long").as("norm_b2"))
+      // three sums to BIGINT (the q_embed_gram template). Guarded: with
+      // ANSI off a plain cast would NULL past Long.MaxValue silently
+      // while the oracle's CAST(HUGEINT AS BIGINT) errors — checkedLong
+      // makes the engine error too, exactly where the bound breaks
+      // (~130k+ word docs).
+      .select(col("id_a"), col("id_b"), checkedLong(col("dot"), "dot"),
+        checkedLong(col("norm_a2"), "norm_a2"),
+        checkedLong(col("norm_b2"), "norm_b2"))
   }
+
+  /** decimal(38,0) → bigint that FAILS on overflow instead of the ANSI-off
+    * silent NULL, mirroring the oracle's CAST(HUGEINT AS BIGINT) error —
+    * the two engines must diverge loudly together, never silently apart.
+    */
+  private def checkedLong(c: Column, name: String): Column =
+    when(c.between(lit(Long.MinValue).cast("decimal(38,0)"),
+        lit(Long.MaxValue).cast("decimal(38,0)")), c.cast("long"))
+      .otherwise(raise_error(concat(
+        lit(s"$name overflows BIGINT (doc length past the 4096*L^3 " +
+          s"headroom argument): "), c.cast("string"))))
+      .as(name)
 
   /** Per-document top-k TF-IDF keywords: the highest-scoring terms of
     * each document under the engine's QUANTIZED INTEGER rarity
@@ -342,9 +358,9 @@ object Search {
       .join(graft.plans.Hints.broadcastIfSmall(oldNorms), Seq("old_id"))
       .filter(den2 * col("dot") * col("dot") >=
         num2 * col("norm_new2") * col("norm_old2"))
-      // decimal predicate, bigint surface — see [[cosinePairs]].
-      .select(col("new_id"), col("old_id"), col("dot").cast("long").as("dot"),
-        col("norm_new2").cast("long").as("norm_new2"),
-        col("norm_old2").cast("long").as("norm_old2"))
+      // decimal predicate, overflow-checked bigint surface — [[cosinePairs]].
+      .select(col("new_id"), col("old_id"), checkedLong(col("dot"), "dot"),
+        checkedLong(col("norm_new2"), "norm_new2"),
+        checkedLong(col("norm_old2"), "norm_old2"))
   }
 }

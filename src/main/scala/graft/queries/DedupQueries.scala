@@ -85,6 +85,18 @@ object DedupQueries {
     // new source actually adds before it enters the mix. Rides the
     // linear LSH pair plan; the source labels attach by doc-id equi-join
     // (pair-sized), the rollup is a |sources|²-bounded agg.
+    //
+    // Recall caveat, AMPLIFIED by the rollup: like q_dedup_near this
+    // compares LSH candidates (128×32 banding, ~4.6e-8 miss at J=0.8)
+    // against an exact all-pairs oracle — but here one missed
+    // threshold pair doesn't drop one output row, it decrements a
+    // MATRIX COUNT, flipping that whole (src_a, src_b) row's n_pairs on
+    // an unlucky corpus. Accepted under the repo's standing
+    // recall-envelope convention (the banding's miss probability at the
+    // test thresholds is orders below one expected miss on this
+    // corpus); a corpus-independent exact alternative is deriving the
+    // matrix from jaccardPairs (complete by the AllPairs proof) at the
+    // cost of the prefix-index join.
     Q("q_dup_matrix", Some(shinglesSql +
       """
         |SELECT least(da.source, db.source) AS src_a,

@@ -132,4 +132,27 @@ class BpeSpec extends SparkSpec {
       .as[(String, Long)].collect().toMap
     assert(vocab === Map("low" -> 5L, "newest" -> 6L))
   }
+
+  test("non-BMP text: symbols are code points end-to-end (train, tokenize, fertility)") {
+    // U+1D11E (musical G clef, outside the BMP) must be ONE symbol
+    // everywhere: Spark's split('') and DuckDB's string_split('') both
+    // split by code point, so the JVM apply/report twins must too —
+    // String.split("") halves it into surrogates and a trained merge
+    // involving it could never fire on the apply path.
+    val clef = new String(Character.toChars(0x1D11E))
+    val docs = Seq((1L, s"$clef${clef}a $clef${clef}a ${clef}b"))
+      .toDF("doc_id", "text")
+    // pair counts: (clef,clef)=2 ties (clef,a)=2; binary string order
+    // puts "a" below clef, so the first merge is (clef, a)
+    val seq = Bpe.train(docs, "text", merges = 1)
+    assert(seq === Seq(Bpe.Merge(0, clef, "a", 2L)))
+    val toks = Bpe.tokenize(docs, "doc_id", "text", seq)
+      .select("bpe_tokens").as[Seq[String]].head()
+    assert(toks === Seq(clef, clef + "a", clef, clef + "a", clef, "b"),
+      "the trained merge must fire on the JVM apply path for non-BMP symbols")
+    val rep = Bpe.fertilityReport(docs, "doc_id", "text", seq, "doc_id")
+      .as[(String, Long, Long, Long, Long, Long)].head()
+    // words 3; tokens 2+2+2; chars 3+3+2 CODE POINTS (UTF-16 length is 13)
+    assert(rep === (("1", 3L, 6L, 8L, 2000L, 1333333L)))
+  }
 }

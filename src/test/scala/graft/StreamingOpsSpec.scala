@@ -832,6 +832,44 @@ class StreamingOpsSpec extends SparkSpec {
       "streamed histogram after two micro-batches must equal the batch artifact")
   }
 
+  test("fertility report maintains incrementally on a stream") {
+    // pure partial agg over a stateless per-row map — fertilityReport's
+    // groupBy IS the streaming update, so the per-source tokenizer
+    // coverage artifact refreshes per micro-batch with no history
+    // rescan; at every micro-batch the standing totals equal the batch
+    // report over all data so far (the histogram/HLL pin pattern)
+    import graft.operators.Bpe
+    val merges = Seq(Bpe.Merge(0, "c", "h", 0L), Bpe.Merge(1, "b", "a", 0L),
+      Bpe.Merge(2, "t", "ch", 0L))
+    val docs = Seq(
+      (1L, "web", "the batch chest chant"), (2L, "books", "ba ba chat"),
+      (3L, "web", "catch a batch now"), (4L, "books", "zebra charm batch"))
+    def report(rows: Seq[(Long, String, String)]) = Bpe.fertilityReport(
+        rows.toDF("doc_id", "source", "text"), "doc_id", "text", merges, "source")
+      .as[(String, Long, Long, Long, Long, Long)].collect().toSet
+    val mem = MemoryStream[(Long, String, String)]
+    val out = Bpe.fertilityReport(
+      mem.toDF().toDF("doc_id", "source", "text"),
+      "doc_id", "text", merges, "source")
+    assert(out.isStreaming, "the report must stream as a standing aggregation")
+    val q = out.writeStream.format("memory").queryName("fert_sink")
+      .outputMode("complete").start()
+    try {
+      mem.addData(docs.take(2): _*)
+      q.processAllAvailable()
+      assert(spark.table("fert_sink")
+        .as[(String, Long, Long, Long, Long, Long)].collect().toSet ===
+        report(docs.take(2)),
+        "mid-stream totals must equal the batch report over data so far")
+      mem.addData(docs.drop(2): _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    assert(spark.table("fert_sink")
+      .as[(String, Long, Long, Long, Long, Long)].collect().toSet ===
+      report(docs),
+      "streamed fertility after two micro-batches must equal the batch report")
+  }
+
   test("export sharding at ingest: one batch equals the batch shuffle; ledger continues append-stably") {
     import graft.streaming.StreamingCorpus
     // single batch == Corpus.shuffleShards bit-for-bit

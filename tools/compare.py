@@ -16,12 +16,28 @@ import pandas as pd
 
 TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
 
+# Width-strict mode (GRAFT_WIDTH_STRICT=1): ALSO fail int-width mismatches
+# (int32 vs int64). Off by default because the driver's hash is measured
+# width-insensitive — see arrow_canon.
+import os
+WIDTH_STRICT = os.environ.get("GRAFT_WIDTH_STRICT", "") == "1"
+
 
 def arrow_canon(t: pa.DataType) -> str:
     """Canonical type name for an arrow type (the Spark parquet side)."""
     if pa.types.is_boolean(t):
         return "bool"
     if pa.types.is_integer(t):
+        # Int WIDTH is deliberately NOT distinguished by default: the
+        # driver's hash is width-INSENSITIVE across int widths — proven
+        # by 8 rounds of full hash-green on 20 queries whose Spark side
+        # is int32 (row_number/size outputs) against BIGINT oracles
+        # (q_ann_*, q_topn_per_group, q_media_*, ... — run with
+        # GRAFT_WIDTH_STRICT=1 to list them). HUGEINT vs int vs decimal
+        # REMAINS strict (the class that actually reds the driver).
+        if WIDTH_STRICT:
+            sign = "u" if pa.types.is_unsigned_integer(t) else ""
+            return f"{sign}int{t.bit_width}"
         return "int"
     if pa.types.is_float32(t) or pa.types.is_float16(t):
         return "float"
@@ -84,6 +100,12 @@ def duck_canon(t: str) -> str:
         return f"decimal({m.group(1)},{m.group(2)})"
     if u in ("TINYINT", "SMALLINT", "INTEGER", "INT", "BIGINT",
              "UTINYINT", "USMALLINT", "UINTEGER", "UBIGINT"):
+        if WIDTH_STRICT:
+            widths = {"TINYINT": "int8", "SMALLINT": "int16",
+                      "INTEGER": "int32", "INT": "int32", "BIGINT": "int64",
+                      "UTINYINT": "uint8", "USMALLINT": "uint16",
+                      "UINTEGER": "uint32", "UBIGINT": "uint64"}
+            return widths[u]
         return "int"
     if u == "HUGEINT":
         return "hugeint"
