@@ -33,6 +33,21 @@ object ScaleCheck {
     val srcDir = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
     val outDir = if (args.length > 1) args(1) else "target/scale10"
     val copies = if (args.length > 2) args(2).toInt else 10
+    // "fixed-axis" (default) keeps every copy on the ORIGINAL event time
+    // axis — the adversarial density case, where N× data packs N× events
+    // into each incident window and matched-pair output grows ~N².
+    // "extend-axis" shifts each copy's `ts` past the previous copy's
+    // span: a real corpus that grows 100× grows its TIME AXIS with it
+    // (more days of traffic, not denser seconds), so window densities
+    // are preserved and output grows linearly — the density-preserving
+    // twin SCALING.md's range-join demonstration measures.
+    val mode = if (args.length > 3) args(3) else "fixed-axis"
+    require(mode == "fixed-axis" || mode == "extend-axis",
+      s"mode must be fixed-axis | extend-axis, got $mode")
+    // SPARK_GRAFT_TABLES=events,orders restricts output (probe aid)
+    val tablesWanted = sys.env.get("SPARK_GRAFT_TABLES")
+      .map(_.split(",").toSet)
+    def wanted(n: String): Boolean = tablesWanted.forall(_.contains(n))
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -42,7 +57,7 @@ object ScaleCheck {
     spark.sparkContext.setLogLevel("WARN")
 
     def t(name: String): DataFrame = queries.Tables.t(spark, srcDir, name)
-    def write(name: String, df: DataFrame): Unit = {
+    def write(name: String, df: DataFrame): Unit = if (wanted(name)) {
       df.repartition(cpus.toInt)
         .write.mode("overwrite").parquet(s"$outDir/$name.parquet")
       println(s"[scale] $name -> $outDir (${spark.read.parquet(s"$outDir/$name.parquet").count()} rows)")
@@ -63,7 +78,18 @@ object ScaleCheck {
 
     write("orders", replicate(t("orders"), Seq("o_orderkey")))
     write("lineitem", replicate(t("lineitem"), Seq("l_orderkey")))
-    write("events", replicate(t("events"), Seq("event_id")))
+    val eventsDf =
+      if (mode == "extend-axis" && wanted("events")) {
+        // per-copy time-axis stride: the source span plus slack beyond
+        // the widest bench window (600 s), so no incident window ever
+        // crosses copies; ts is long nanos (nanosAsLong read)
+        val Seq(lo, hi) = t("events").agg(min(col("ts")), max(col("ts")))
+          .head.toSeq.map(_.asInstanceOf[Long])
+        val axisStride = (hi - lo) + 2L * 600L * 1000000000L
+        replicate(t("events"), Seq("event_id"),
+          d => d.withColumn("ts", col("ts") + col("_copy") * axisStride))
+      } else replicate(t("events"), Seq("event_id"))
+    write("events", eventsDf)
     // per-copy deterministic sign flips decorrelate the copies (expected
     // cross-copy cosine ~0) while preserving norms and the per-component
     // distribution, so the scale-up means "N× more unique vectors" — a

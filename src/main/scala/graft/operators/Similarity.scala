@@ -339,6 +339,76 @@ object Similarity {
     assignNarrow(corpus, emb, centroids, (v, c) => sqDist(v, c))
   }
 
+  /** Two-level (IVF-routed) nearest-centroid assignment — the scale path
+    * for CENTROID COUNTS THAT GROW WITH THE CORPUS. [[assignToCentroids]]
+    * is O(N·k) vector distances; when a deployment sizes k ∝ N to hold
+    * cell population constant (the SemDeDup / IVF discipline), brute
+    * force turns quadratic in N — measured as 132 s of a 130 s
+    * density-preserving semdedup run at N = 200k, k = 1501
+    * (ProbeDensityScale; SCALING.md). Route (the faiss-style IVF recipe
+    * applied to assignment): (1) cluster the k CENTROIDS into `groups`
+    * (default ⌈√k⌉) coarse groups — one k-means over the centroid table,
+    * k rows, never the corpus; (2) per vector, pick the `nprobe` nearest
+    * group representatives (O(√k)); (3) exact argmin over the probed
+    * groups' member centroids (O(nprobe·k/groups) expected). Both levels
+    * ride 1-row broadcast packs (reps; group→members map — combined
+    * payload = the same k centroids [[assignNarrow]] broadcasts), so the
+    * corpus is never shuffled, identical to the brute-force shape; works
+    * unchanged on a streaming frame.
+    *
+    * Recall contract (standard IVF): the result is the true nearest
+    * centroid iff that centroid's group is probed — `nprobe >= groups`
+    * is exhaustive and EXACT (spec-pinned equal to
+    * [[assignToCentroids]]); small nprobe trades exactness for the √k
+    * speedup, deterministically (group sort breaks ties on (dist,
+    * group id); member argmin on (dist, cell id)).
+    */
+  def assignToCentroidsIvf(corpus: DataFrame, emb: String,
+      centroids: DataFrame, nprobe: Int = 4, groups: Int = 0): DataFrame = {
+    require(nprobe >= 1, s"need nprobe >= 1, got $nprobe")
+    require(Seq("cell", "_sgGs", "_sgMap", "_sgP")
+        .forall(c => !corpus.columns.contains(c)),
+      "corpus already has a cell/_sg* column — the assignment would " +
+        "silently shadow it")
+    val k = centroids.count()
+    val g =
+      if (groups > 0) groups
+      else math.max(1, math.ceil(math.sqrt(k.toDouble)).toInt)
+    // coarse groups: k-means over the k-row CENTROID table (2 Lloyd
+    // steps; the table is k rows, so this never touches the corpus)
+    val reps = kMeansCentroids(
+      centroids.select(col("cell").as("_sgid"), col("c_emb").as("_sgv")),
+      "_sgid", "_sgv", k = g, iters = 2)
+      .localCheckpoint(true) // reused: membership assign + the rep pack
+    val members = assignToCentroids(
+      centroids.select(col("cell").as("_sgC"), col("c_emb")), "c_emb", reps)
+      .select(col("cell").as("_sgG"), col("_sgC"), col("c_emb"))
+      .localCheckpoint(true)
+    // only groups that WON a member are probe-able (a Lloyd step can
+    // empty a group; probing it would flatten a NULL map lookup)
+    val repsPacked = reps
+      .join(members.select(col("_sgG").as("cell")).distinct(), Seq("cell"),
+        "left_semi")
+      .agg(collect_list(struct(col("cell").as("g"), col("c_emb"))).as("_sgGs"))
+    val memberMap = members
+      .groupBy("_sgG")
+      .agg(collect_list(struct(col("_sgC").as("cell"), col("c_emb"))).as("_sgMs"))
+      .agg(map_from_entries(collect_list(struct(col("_sgG"), col("_sgMs"))))
+        .as("_sgMap"))
+    corpus.join(broadcast(repsPacked)).join(broadcast(memberMap))
+      .withColumn("_sgP", slice(array_sort(transform(col("_sgGs"),
+        r => struct(sqDist(col(emb), r.getField("c_emb")).as("k"),
+          r.getField("g").as("g")))), 1, nprobe))
+      .withColumn("cell",
+        array_min(transform(
+          flatten(transform(col("_sgP"),
+            p => element_at(col("_sgMap"), p.getField("g")))),
+          c => struct(sqDist(col(emb), c.getField("c_emb")).as("k"),
+            c.getField("cell").as("cell"))))
+          .getField("cell"))
+      .drop("_sgGs", "_sgMap", "_sgP")
+  }
+
   /** Narrow nearest-centroid core: the k (cell, c_emb) rows collapse into
     * ONE packed array row, broadcast and replicated to every corpus row
     * (1-row nested-loop build — no shuffle, no corpus replication), and
@@ -470,11 +540,25 @@ object Similarity {
   def semDedupSkewSafe(corpus: DataFrame, id: String, emb: String,
       centroids: DataFrame, minCosine: Double,
       maxCellSize: Long = 1L << 16, tables: Int = 8, bits: Int = 2,
+      dim: Int = 64): DataFrame =
+    semDedupSkewSafeAssigned(
+      assignToCentroids(corpus.select(col(id), col(emb)), emb, centroids),
+      id, emb, minCosine, maxCellSize, tables, bits, dim)
+
+  /** [[semDedupSkewSafe]] from a PRE-ASSIGNED (id, emb, cell) frame —
+    * the composition point for [[assignToCentroidsIvf]] when the
+    * centroid count scales with the corpus (brute-force assignment is
+    * then the quadratic term, not the pair verify — ProbeDensityScale),
+    * and for reusing a persisted assignment across dedup runs.
+    */
+  def semDedupSkewSafeAssigned(preAssigned: DataFrame, id: String,
+      emb: String, minCosine: Double,
+      maxCellSize: Long = 1L << 16, tables: Int = 8, bits: Int = 2,
       dim: Int = 64): DataFrame = {
     require(maxCellSize > 0, s"need maxCellSize > 0, got $maxCellSize")
     require(!Seq("cell", "kept").contains(id),
       s"id column '$id' collides with semDedup's output columns")
-    val assigned = assignToCentroids(corpus.select(col(id), col(emb)), emb, centroids)
+    val assigned = preAssigned.select(col(id), col(emb), col("cell"))
       .localCheckpoint(true) // reused by both routes and the flag join
     val sizes = assigned.groupBy("cell").agg(count(lit(1)).as("_n"))
     val sized = assigned.join(graft.plans.Hints.broadcastIfSmall(sizes), "cell")

@@ -369,6 +369,64 @@ class SimilaritySpec extends SparkSpec {
     assert(dropped.nonEmpty, "seeded corpus must contain same-cell near-dups at 0.9")
   }
 
+  test("assignToCentroidsIvf: exhaustive probing EQUALS brute force; default nprobe recalls the planted cells") {
+    // 60 centroids (one-hot pairs over 64 dims), corpus points = their
+    // centroid + small noise — the density-scaled assignment setting
+    // where brute force is O(N·k)
+    val cents = spark.range(60).select(col("id").cast("int").as("cell"),
+      transform(sequence(lit(0), lit(63)), i =>
+        (when(i === pmod(col("id"), lit(16)), lit(1.0)).otherwise(lit(0.0)) +
+          when(i === pmod(col("id"), lit(13)) + 16, lit(2.0)).otherwise(lit(0.0)))
+          .cast("float")).as("c_emb"))
+    val corpus = spark.range(600).select(col("id").as("vec_id"),
+      pmod(col("id"), lit(60)).cast("int").as("_pc"))
+      .select(col("vec_id"), col("_pc"), transform(sequence(lit(0), lit(63)), i =>
+        (when(i === pmod(col("_pc"), lit(16)), lit(1.0)).otherwise(lit(0.0)) +
+          when(i === pmod(col("_pc"), lit(13)) + 16, lit(2.0)).otherwise(lit(0.0)) +
+          when(i >= 32,
+            (pmod(graft.operators.Dedup.portableHash64(
+                (col("vec_id") * 64 + i).cast("string")), lit(1000L))
+              .cast("double") / 1000.0 - 0.5) * 0.2)
+            .otherwise(lit(0.0))).cast("float")).as("emb"))
+    val brute = Similarity.assignToCentroids(
+        corpus.select("vec_id", "emb"), "emb", cents)
+      .select("vec_id", "cell").as[(Long, Int)].collect().toMap
+    // noise amplitude 0.1 << the >= 1.0 inter-centroid gap: planted = true
+    brute.foreach { case (v, c) => assert(c === (v % 60).toInt) }
+    // exhaustive probing (nprobe >= groups) must equal brute force exactly
+    val exhaustive = Similarity.assignToCentroidsIvf(
+        corpus.select("vec_id", "emb"), "emb", cents,
+        nprobe = 60, groups = 8)
+      .select("vec_id", "cell").as[(Long, Int)].collect().toMap
+    assert(exhaustive === brute, "nprobe >= groups must be exact")
+    // small nprobe: standard IVF recall contract — measure, don't guess
+    val ivf = Similarity.assignToCentroidsIvf(
+        corpus.select("vec_id", "emb"), "emb", cents, nprobe = 4)
+      .select("vec_id", "cell").as[(Long, Int)].collect().toMap
+    val agree = ivf.count { case (v, c) => brute(v) == c }
+    assert(agree >= 540, s"expected >= 90% assignment recall, got $agree/600")
+    // determinism: second run bit-identical
+    val again = Similarity.assignToCentroidsIvf(
+        corpus.select("vec_id", "emb"), "emb", cents, nprobe = 4)
+      .select("vec_id", "cell").as[(Long, Int)].collect().toMap
+    assert(again === ivf)
+  }
+
+  test("semDedupSkewSafeAssigned composes: pre-assigned frame gives the same dedup as the fused form") {
+    val se = queries.SimilarityQueries.seededCorpus(spark, sf)
+    val cents = Similarity.kMeansCentroids(se, "vec_id", "emb", k = 16, iters = 1)
+    val fused = Similarity.semDedupSkewSafe(se, "vec_id", "emb", cents,
+        minCosine = 0.9, maxCellSize = 10, dim = 64)
+      .as[(Long, Int, Boolean)].collect().toSet
+    val assigned = Similarity.assignToCentroids(
+      se.select("vec_id", "emb"), "emb", cents)
+    val split = Similarity.semDedupSkewSafeAssigned(
+        assigned, "vec_id", "emb", minCosine = 0.9, maxCellSize = 10, dim = 64)
+      .as[(Long, Int, Boolean)].collect().toSet
+    assert(split === fused)
+    assert(split.exists(!_._3), "the seeded corpus must drop something")
+  }
+
   test("hardNegatives: same-label near-dup excluded, nearest other-label wins") {
     // anchor 1 (label 0) at e_x; vector 2 is nearly identical but SAME
     // label → must never appear; 3 (label 1) is the true hard negative;
