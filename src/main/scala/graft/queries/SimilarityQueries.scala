@@ -398,6 +398,25 @@ object SimilarityQueries {
             (floor(sum(abs(col("s") / col("c"))) * 1e4 + 0.5) / 1e4).as("centroid_l1"))
       }),
 
+    // two-level (IVF-routed) centroid assignment — the scale path for
+    // centroid counts that grow with the corpus, where brute-force
+    // assignment is the O(N·k) quadratic term (measured: SCALING.md
+    // round-9 density demonstration). Coarse groups come from one
+    // k-means over the CENTROID table (k rows, never the corpus), each
+    // vector probes its nprobe nearest group reps, exact argmin within
+    // the probed groups' members; both levels ride 1-row broadcast
+    // packs, the corpus is never shuffled. nprobe = groups is
+    // exhaustive-EXACT (spec-pinned ≡ assignToCentroids), so on the
+    // seeded corpus every vector provably lands in its own one-hot cell
+    // and DuckDB replays the assignment as vec_id % 16.
+    Q("q_assign_ivf", Some(seededSql +
+      """
+        |SELECT vec_id, CAST(vec_id % 16 AS INT) AS cell FROM se""".stripMargin))(
+      (s, d) => Similarity.assignToCentroidsIvf(
+          seededCorpus(s, d), "emb", seededCentroids(s),
+          nprobe = 4, groups = 4)
+        .select(col("vec_id"), col("cell"))),
+
     // the full production IVF story in one query: TRAIN the coarse
     // quantizer with k-means, then probe with it. On the seeded corpus the
     // trained centroids stay within eps of the one-hot axes (see q_kmeans),

@@ -1025,4 +1025,20 @@ class PlanShapeSpec extends SparkSpec {
     assert(countShuffles(df) <= 2,
       s"windowed sketch grew extra exchanges:\n${formatted(df)}")
   }
+
+  test("ivf assignment: corpus never shuffles; both levels ride 1-row broadcast packs") {
+    // assignToCentroidsIvf's corpus side must stay a narrow scan — the
+    // only exchanges belong to the centroid-table preparation (k rows:
+    // group k-means + the two packs), and the corpus attaches via 1-row
+    // BNLJ broadcasts (the assignNarrow pattern), never an equi-shuffle
+    val df = q("q_assign_ivf")
+    assert(countNodes(df, "BroadcastNestedLoopJoin") === 2,
+      s"expected the two 1-row pack joins:\n${formatted(df)}")
+    assert(countNodes(df, "SortMergeJoin") === 0)
+    assert(countNodes(df, "Window") === 0)
+    // the parquet (corpus) scan must not feed an Exchange: every shuffle
+    // in the plan is centroid-sided (ExistingRDD scans)
+    assert(countNodes(df, "Scan parquet") === 1,
+      s"expected one corpus scan:\n${formatted(df)}")
+  }
 }
