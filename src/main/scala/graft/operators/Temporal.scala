@@ -381,4 +381,46 @@ object Temporal {
         joinType)
       .drop("_rj_band", "_rj_iband")
   }
+
+  /** Interval × interval OVERLAP join without a nested loop: pair every
+    * (a, b) with `[loA, hiA] ∩ [loB, hiB] ≠ ∅` (inclusive longs — the
+    * session×incident / span×span question [[rangeJoin]] answers only
+    * for points). Same banding economy, generalized to two replicated
+    * sides: each interval fans out to the ⌈width/band⌉+1 bands it
+    * touches and the match is a hash equi-join on the band plus the
+    * residual overlap filter — never a BroadcastNestedLoopJoin.
+    *
+    * Exactly-once without a distinct pass: two overlapping intervals
+    * share EVERY band in `[max(lo), min(hi)]`, so the pair is claimed
+    * only at its FIRST shared band (`band == floor(max(loA, loB))`) —
+    * a filter, not a dedup shuffle; the output never carries the
+    * duplicate fanout downstream. Degenerate intervals (hi < lo) match
+    * nothing, as in [[rangeJoin]]. Both inputs must have disjoint
+    * column sets; `band` is the same selectivity dial (≈ the median
+    * interval width).
+    */
+  def intervalOverlapJoin(a: DataFrame, b: DataFrame,
+      loA: String, hiA: String, loB: String, hiB: String,
+      band: Long): DataFrame = {
+    require(band > 0, s"need band > 0, got $band")
+    val overlap = a.columns.toSet.intersect(b.columns.toSet)
+    require(overlap.isEmpty,
+      s"input columns must be disjoint, both have: $overlap")
+    val reserved = Seq("_ij_aband", "_ij_bband")
+    require((a.columns ++ b.columns).forall(!reserved.contains(_)),
+      s"inputs collide with internal columns $reserved")
+    def floorDiv(c: Column): Column =
+      ((c - pmod(c, lit(band))).cast("decimal(38,0)") / lit(band)).cast("long")
+    def banded(df: DataFrame, lo: String, hi: String, as: String) =
+      df.withColumn(as,
+        explode(when(col(hi) >= col(lo),
+          sequence(floorDiv(col(lo)), floorDiv(col(hi))))
+          .otherwise(array().cast("array<long>"))))
+    banded(a, loA, hiA, "_ij_aband")
+      .join(banded(b, loB, hiB, "_ij_bband"),
+        col("_ij_aband") === col("_ij_bband") &&
+          col(loA) <= col(hiB) && col(loB) <= col(hiA) &&
+          col("_ij_aband") === floorDiv(greatest(col(loA), col(loB))))
+      .drop("_ij_aband", "_ij_bband")
+  }
 }

@@ -161,6 +161,42 @@ object ScaleQueries {
             countDistinct("user_id").as("n_users"))
       }),
 
+    // interval × interval overlap join: error incidents ([ts, ts+600 s])
+    // against purchase windows ([ts, ts+300 s]) — which incidents
+    // overlapped a purchase in flight, and for how long. Both sides fan
+    // out to fixed-width bands and the match is a hash equi-join with
+    // each pair CLAIMED exactly once at its first shared band (a filter,
+    // not a dedup shuffle) — Spark would plan the naive overlap
+    // predicate as a nested loop. Integer micros end-to-end
+    // (ts div 1000 == epoch_ns // 1000 on the nonneg axis); overlap
+    // lengths sum exactly.
+    Q("q_interval_join", Some("""
+      |WITH e AS (SELECT event_id, epoch_ns(ts) // 1000 AS us, event_type FROM events),
+      |i AS (SELECT event_id AS incident_id, us AS i_lo, us + 600000000 AS i_hi
+      |  FROM e WHERE event_type = 'error'),
+      |s AS (SELECT event_id AS session_id, us AS s_lo, us + 300000000 AS s_hi
+      |  FROM e WHERE event_type = 'purchase')
+      |SELECT incident_id, count(*) AS n_overlap,
+      |  CAST(sum(least(i_hi, s_hi) - greatest(i_lo, s_lo)) AS BIGINT) AS total_overlap_us
+      |FROM i JOIN s ON i_lo <= s_hi AND s_lo <= i_hi
+      |GROUP BY 1
+      |""".stripMargin.trim))(
+      (s, d) => {
+        val ev = t(s, d, "events").withColumn("us", expr("ts div 1000"))
+        val inc = ev.filter(col("event_type") === "error")
+          .select(col("event_id").as("incident_id"), col("us").as("i_lo"),
+            (col("us") + 600000000L).as("i_hi"))
+        val ses = ev.filter(col("event_type") === "purchase")
+          .select(col("event_id").as("session_id"), col("us").as("s_lo"),
+            (col("us") + 300000000L).as("s_hi"))
+        Temporal.intervalOverlapJoin(inc, ses,
+            "i_lo", "i_hi", "s_lo", "s_hi", band = 300000000L)
+          .groupBy("incident_id")
+          .agg(count(lit(1)).as("n_overlap"),
+            sum(least(col("i_hi"), col("s_hi")) -
+              greatest(col("i_lo"), col("s_lo"))).as("total_overlap_us"))
+      }),
+
     // stream-table (KTable) point-in-time join: clicks enriched with the
     // user's purchase-props state AS OF the click (tombstoned by error
     // events). The reference's JoinKTable, implemented. Exact micros.

@@ -114,6 +114,28 @@ object Artifacts {
     collectShingleDf(spark.read.parquet(path), ceiling)
 
   // ------------------------------------------------------------------
+  // Bloom blobs (decontamination / novelty door filters — header-carrying
+  // bitsets from [[graft.functions.Bloom]])
+  // ------------------------------------------------------------------
+
+  /** One-row parquet: the blob IS the artifact (numBits/8 bytes by
+    * construction, so no ceiling is needed here — the BUILDERS refuse
+    * past their byte ceilings; a persisted blob is already bounded).
+    */
+  def saveBloomBlob(blob: Array[Byte], path: String,
+      spark: SparkSession): Unit = {
+    import spark.implicits._
+    Seq(Tuple1(blob)).toDF("blob")
+      .coalesce(1).write.mode("overwrite").parquet(path)
+  }
+
+  def loadBloomBlob(spark: SparkSession, path: String): Array[Byte] = {
+    val rows = spark.read.parquet(path).select(col("blob")).limit(2).collect()
+    require(rows.length == 1, s"expected exactly one blob row at $path")
+    rows.head.getAs[Array[Byte]](0)
+  }
+
+  // ------------------------------------------------------------------
   // Cosine inventory ([[graft.streaming.StreamingSearch.CosineInventory]])
   // ------------------------------------------------------------------
 

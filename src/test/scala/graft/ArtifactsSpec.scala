@@ -62,6 +62,29 @@ class ArtifactsSpec extends SparkSpec {
     assert(e.getMessage.contains("ceiling"))
   }
 
+  test("bloom blob round-trips byte-exactly; loader refuses a corrupt multi-row artifact") {
+    val corpus = Seq((1L, "a b c d e"), (2L, "x y z")).toDF("doc_id", "text")
+    val blob = graft.streaming.StreamingDedup.buildNoveltyBloom(
+      corpus, "doc_id", "text", shingleN = 3)
+    val path = tmp("graft_art_bloom") + "/blob"
+    Artifacts.saveBloomBlob(blob, path, spark)
+    val loaded = Artifacts.loadBloomBlob(spark, path)
+    assert(java.util.Arrays.equals(loaded, blob))
+    // a loaded blob scores identically to the freshly-built one
+    val probe = Seq((9L, "a b c"), (10L, "never seen")).toDF("doc_id", "text")
+    def scores(b: Array[Byte]) = graft.streaming.StreamingDedup
+      .noveltyAtIngestBloom(probe, "doc_id", "text", 3, b)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(scores(loaded) === scores(blob))
+    // refuse a corrupt (two-row) artifact instead of picking one silently
+    Seq(Tuple1(blob), Tuple1(blob)).toDF("blob")
+      .write.mode("overwrite").parquet(path + "2")
+    val e = intercept[IllegalArgumentException] {
+      Artifacts.loadBloomBlob(spark, path + "2")
+    }
+    assert(e.getMessage.contains("exactly one"))
+  }
+
   test("cosine inventory round-trips field-exactly; loaded artifact matches identically; build ceiling refuses") {
     val corpus = Seq(
       (10L, "red fish blue fish red fish"),

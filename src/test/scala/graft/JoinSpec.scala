@@ -122,4 +122,37 @@ class JoinSpec extends SparkSpec {
       .select("pid", "iid").as[(Long, Option[Long])].collect().toMap
     assert(out === Map(1L -> Some(1L), 2L -> None))
   }
+
+  test("interval overlap join equals the naive overlap join, exactly once, at any band width") {
+    import graft.operators.Temporal
+    // assorted widths, touching endpoints (inclusive), containment,
+    // identical intervals, negative coordinates (floor-division band
+    // arithmetic), and an inverted interval that matches nothing
+    val as = Seq(
+      (1L, 0L, 10L), (2L, 10L, 10L), (3L, 25L, 90L), (4L, -35L, -5L),
+      (5L, 40L, 30L), (6L, 7L, 8L))
+      .toDF("aid", "a_lo", "a_hi")
+    val bs = Seq(
+      (10L, 5L, 7L), (11L, 10L, 24L), (12L, 60L, 61L), (13L, -100L, -36L),
+      (14L, -6L, 2L), (15L, 25L, 90L), (16L, 31L, 39L))
+      .toDF("bid", "b_lo", "b_hi")
+    // the operator's contract: a degenerate (hi < lo) interval is EMPTY
+    // and matches nothing — the bare overlap formula alone would still
+    // pass (40,30)×(25,90), so the naive baseline filters them too
+    val naive = as.filter(col("a_hi") >= col("a_lo"))
+      .join(bs.filter(col("b_hi") >= col("b_lo")),
+        col("a_lo") <= col("b_hi") && col("b_lo") <= col("a_hi"))
+      .select("aid", "bid").as[(Long, Long)].collect().toSet
+    assert(naive.nonEmpty && !naive.exists(_._1 == 5L),
+      "inverted interval must match nothing")
+    assert(naive.contains((2L, 11L)), "touching endpoints must match")
+    assert(naive.contains((4L, 14L)), "negative-coordinate overlap must match")
+    for (band <- Seq(1L, 7L, 32L, 1000L)) {
+      val banded = Temporal.intervalOverlapJoin(
+          as, bs, "a_lo", "a_hi", "b_lo", "b_hi", band)
+        .select("aid", "bid").as[(Long, Long)].collect()
+      assert(banded.toSet === naive, s"band=$band diverges from naive")
+      assert(banded.length === naive.size, s"band=$band duplicated matches")
+    }
+  }
 }

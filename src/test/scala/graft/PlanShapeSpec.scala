@@ -1026,6 +1026,17 @@ class PlanShapeSpec extends SparkSpec {
       s"windowed sketch grew extra exchanges:\n${formatted(df)}")
   }
 
+  test("interval overlap join is an equi-join on the band, never a nested loop") {
+    val df = q("q_interval_join")
+    assert(countNodes(df, "BroadcastNestedLoopJoin") === 0,
+      s"overlap predicate must ride the band key:\n${formatted(df)}")
+    assert(countNodes(df, "CartesianProduct") === 0)
+    assert(hasNode(df, "BroadcastHashJoin") || hasNode(df, "SortMergeJoin"),
+      "band match must be a hash/merge equi-join")
+    assert(pushedFilters(df).exists(_.contains("event_type")),
+      "the event_type filters must reach the scan")
+  }
+
   test("ivf assignment: corpus never shuffles; both levels ride 1-row broadcast packs") {
     // assignToCentroidsIvf's corpus side must stay a narrow scan — the
     // only exchanges belong to the centroid-table preparation (k rows:

@@ -832,6 +832,81 @@ class StreamingOpsSpec extends SparkSpec {
       "streamed histogram after two micro-batches must equal the batch artifact")
   }
 
+  test("interval matching at ingest: range + overlap equal the batch banded joins") {
+    import graft.operators.Temporal
+    import graft.streaming.StreamingTemporal
+    val intervals = Seq((1L, 5L, 20L), (2L, 18L, 18L), (3L, 50L, 99L),
+      (4L, 70L, 60L)).toDF("iid", "lo", "hi")
+    // point probes
+    val points = (0L until 60L).map(i => (i, i * 7L % 100))
+    val batchPts = Temporal.rangeJoin(points.toDF("pid", "p"), intervals,
+        "p", "lo", "hi", band = 16L)
+      .select("pid", "iid").as[(Long, Long)].collect().toSet
+    val memP = MemoryStream[(Long, Long)]
+    val outP = StreamingTemporal.rangeMatchAtIngest(
+      memP.toDF().toDF("pid", "p"), intervals, "p", "lo", "hi", band = 16L)
+    assert(outP.isStreaming, "the range probe must stay a streaming frame")
+    val qP = outP.select("pid", "iid").writeStream.format("memory")
+      .queryName("range_ingest").outputMode("append").start()
+    try {
+      memP.addData(points.take(30): _*); qP.processAllAvailable()
+      memP.addData(points.drop(30): _*); qP.processAllAvailable()
+    } finally qP.stop()
+    assert(spark.table("range_ingest").as[(Long, Long)].collect().toSet
+      === batchPts)
+    // arriving spans vs the frozen interval artifact
+    val spans = Seq((10L, 0L, 6L), (11L, 17L, 23L), (12L, 95L, 120L),
+      (13L, 30L, 40L), (14L, 60L, 55L))
+    val batchSp = Temporal.intervalOverlapJoin(
+        spans.toDF("sid", "s_lo", "s_hi"), intervals,
+        "s_lo", "s_hi", "lo", "hi", band = 16L)
+      .select("sid", "iid").as[(Long, Long)].collect().toSet
+    assert(batchSp.nonEmpty && !batchSp.exists(_._1 == 14L))
+    val memS = MemoryStream[(Long, Long, Long)]
+    val outS = StreamingTemporal.overlapAtIngest(
+      memS.toDF().toDF("sid", "s_lo", "s_hi"), intervals,
+      "s_lo", "s_hi", "lo", "hi", band = 16L)
+    assert(outS.isStreaming, "the overlap probe must stay a streaming frame")
+    val qS = outS.select("sid", "iid").writeStream.format("memory")
+      .queryName("overlap_ingest").outputMode("append").start()
+    try {
+      memS.addData(spans.take(2): _*); qS.processAllAvailable()
+      memS.addData(spans.drop(2): _*); qS.processAllAvailable()
+    } finally qS.stop()
+    val streamed = spark.table("overlap_ingest").as[(Long, Long)].collect()
+    assert(streamed.toSet === batchSp)
+    assert(streamed.length === batchSp.size,
+      "each (span, interval) pair must emit exactly once")
+  }
+
+  test("IVF centroid assignment works unchanged on a streaming frame") {
+    import graft.operators.Similarity
+    // the scaladoc's claim, pinned: the two 1-row packs are static
+    // broadcast sides, so arriving vectors tag statelessly and equal the
+    // batch assignment
+    val cents = spark.range(12).select(col("id").cast("int").as("cell"),
+      transform(sequence(lit(0), lit(15)), i =>
+        when(i === col("id"), lit(1.0f)).otherwise(lit(0.0f))).as("c_emb"))
+    val vecs = (0L until 48L).map { v =>
+      (v, (0 until 16).map(i => if (i == (v % 12).toInt) 1.0f else 0.0f))
+    }
+    val batch = Similarity.assignToCentroidsIvf(
+        vecs.toDF("vec_id", "emb"), "emb", cents, nprobe = 2)
+      .select("vec_id", "cell").as[(Long, Int)].collect().toMap
+    val mem = MemoryStream[(Long, Seq[Float])]
+    val out = Similarity.assignToCentroidsIvf(
+      mem.toDF().toDF("vec_id", "emb"), "emb", cents, nprobe = 2)
+    assert(out.isStreaming, "assignment must stay a stateless streaming frame")
+    val q = out.select("vec_id", "cell").writeStream.format("memory")
+      .queryName("ivf_assign_ingest").outputMode("append").start()
+    try {
+      mem.addData(vecs.take(20): _*); q.processAllAvailable()
+      mem.addData(vecs.drop(20): _*); q.processAllAvailable()
+    } finally q.stop()
+    assert(spark.table("ivf_assign_ingest").as[(Long, Int)].collect().toMap
+      === batch)
+  }
+
   test("fertility report maintains incrementally on a stream") {
     // pure partial agg over a stateless per-row map — fertilityReport's
     // groupBy IS the streaming update, so the per-source tokenizer
