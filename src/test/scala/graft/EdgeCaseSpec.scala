@@ -304,4 +304,33 @@ class EdgeCaseSpec extends SparkSpec {
       .as[(Long, Long, Long, Long)].collect()
     assert(r.toSeq === Seq((0L, 0L, 0L, 0L)))
   }
+
+  test("round-9 ops on degenerate inputs: empty sides, empty centroid table, empty text") {
+    import graft.operators.{Similarity, Temporal}
+    // interval overlap: either side empty yields empty, never a failure
+    val ivs = Seq((1L, 5L, 20L)).toDF("iid", "lo", "hi")
+    val noIvs = Seq.empty[(Long, Long, Long)].toDF("sid", "s_lo", "s_hi")
+    assert(Temporal.intervalOverlapJoin(
+      noIvs, ivs, "s_lo", "s_hi", "lo", "hi", band = 8L).count() === 0)
+    assert(Temporal.intervalOverlapJoin(
+      ivs, noIvs, "lo", "hi", "s_lo", "s_hi", band = 8L).count() === 0)
+    // IVF assignment: empty corpus yields empty; empty centroid table
+    // yields null cells (the brute-force assignNarrow contract)
+    val cents = Seq((0, Seq(1f, 0f)), (1, Seq(0f, 1f))).toDF("cell", "c_emb")
+    val noVecs = Seq.empty[(Long, Seq[Float])].toDF("vec_id", "emb")
+    assert(Similarity.assignToCentroidsIvf(noVecs, "emb", cents).count() === 0)
+    val noCents = Seq.empty[(Int, Seq[Float])].toDF("cell", "c_emb")
+    val vecs = Seq((1L, Seq(1f, 0f))).toDF("vec_id", "emb")
+    val assignedEmpty = Similarity.assignToCentroidsIvf(vecs, "emb", noCents)
+      .select("vec_id", "cell").as[(Long, Option[Int])].collect().toMap
+    assert(assignedEmpty === Map(1L -> None))
+    // bloom novelty on empty text: the [""] gram — one total row, ppm
+    // defined (shingles emits [""], so the div never sees 0)
+    val blob = graft.streaming.StreamingDedup.buildNoveltyBloom(
+      Seq((1L, "a b c")).toDF("doc_id", "text"), "doc_id", "text", 3)
+    val scored = graft.streaming.StreamingDedup.noveltyAtIngestBloom(
+        Seq((9L, "")).toDF("doc_id", "text"), "doc_id", "text", 3, blob)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(scored === Seq((9L, 1L, 1L, 1000000L)))
+  }
 }
