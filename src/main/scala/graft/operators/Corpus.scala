@@ -224,6 +224,31 @@ object Corpus {
     * sort). Vocabulary-sized intermediates only — scales to any corpus.
     * Output: (token, cnt_a, cnt_b, shift), the k largest shifts.
     */
+  /** Frequency-of-frequencies: how many DISTINCT token types occur
+    * exactly f times, for f = 1..maxF, with one tail row at f = maxF+1
+    * aggregating everything rarer-than-common (its n_tokens still sums
+    * the TRUE frequencies, so the rows total the corpus exactly). The
+    * classic corpus diagnostic: N₁/N₂/… drive Good–Turing smoothing
+    * and unseen-mass estimates, the hapax share (N₁/V) flags boilerplate
+    * vs generative sources, and the head/tail balance is the integer
+    * Zipf check that needs no log-log fit. All exact integers.
+    *
+    * Plan: one token-keyed partial-agg shuffle builds the vocabulary
+    * count table; the bucketing is a second partial agg over VOCAB-sized
+    * rows into ≤ maxF+1 cells — nothing corpus-sized past the first
+    * shuffle. Output: (f, n_types, n_tokens), f ascending semantics
+    * (unsorted — the consumer orders).
+    */
+  def freqOfFreq(docs: DataFrame, text: Column, maxF: Int = 10): DataFrame = {
+    require(maxF >= 1, s"need maxF >= 1, got $maxF")
+    docs.select(explode(split(lower(text), "\\s+")).as("_ffT"))
+      .filter(length(col("_ffT")) > 0)
+      .groupBy("_ffT").agg(count(lit(1)).as("_ffF"))
+      .groupBy(when(col("_ffF") <= maxF, col("_ffF"))
+        .otherwise(lit(maxF + 1L)).as("f"))
+      .agg(count(lit(1)).as("n_types"), sum(col("_ffF")).as("n_tokens"))
+  }
+
   def tokenShift(docs: DataFrame, corpus: Column, text: Column,
       a: String, b: String, k: Int): DataFrame = {
     require(k > 0, s"need k > 0, got $k")

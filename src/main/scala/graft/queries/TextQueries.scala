@@ -901,6 +901,23 @@ object TextQueries {
           .select(col("t.tk").as("token"), (-col("t.nn")).as("n"))
       }),
 
+    // frequency-of-frequencies (Good–Turing / Zipf diagnostics): how
+    // many distinct types occur exactly f times, f = 1..10 + one tail
+    // row whose n_tokens keeps the TRUE frequencies, so the report sums
+    // to the corpus exactly. Two partial-agg shuffles, the second over
+    // vocabulary-sized rows into ≤ 11 cells. All exact integers.
+    Q("q_vocab_fof", Some("""
+      |WITH tok AS (
+      |  SELECT unnest(regexp_split_to_array(lower(text), '\s+')) AS t FROM documents),
+      |v AS (SELECT t, count(*) AS f FROM tok WHERE len(t) > 0 GROUP BY 1)
+      |SELECT CASE WHEN f <= 10 THEN f ELSE 11 END AS f,
+      |  CAST(count(*) AS BIGINT) AS n_types,
+      |  CAST(sum(f) AS BIGINT) AS n_tokens
+      |FROM v GROUP BY 1
+      |""".stripMargin.trim))(
+      (s, d) => graft.operators.Corpus.freqOfFreq(
+        t(s, d, "documents"), col("text"), maxF = 10)),
+
     // BPE tokenizer training, round-0 statistic: frequency-weighted
     // adjacent character pairs over the word-frequency table — the counts
     // BPE tokenizer APPLY, cross-engine exact: a fixed 4-merge chain

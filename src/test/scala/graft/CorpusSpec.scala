@@ -728,4 +728,19 @@ class CorpusSpec extends SparkSpec {
       assert(got === model(num, den), s"num=$num den=$den")
     }
   }
+
+  test("freqOfFreq: exact hand counts, tail row keeps true frequencies, totals = corpus") {
+    // a: 12× (tail), b: 2×, c: 2×, d e f: 1× each → N1=3, N2=2, tail 1 type/12 tokens
+    val docs = Seq(
+      (1L, ("a " * 12).trim + " b c d"),
+      (2L, "b c e f")).toDF("doc_id", "text")
+    val got = Corpus.freqOfFreq(docs, col("text"), maxF = 10)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got === Set((1L, 3L, 3L), (2L, 2L, 4L), (11L, 1L, 12L)))
+    // n_tokens across rows must total the corpus token count exactly
+    assert(got.toSeq.map(_._3).sum === 19L)
+    // empty corpus: no rows, not a failure
+    assert(Corpus.freqOfFreq(
+      Seq.empty[(Long, String)].toDF("doc_id", "text"), col("text")).count() === 0)
+  }
 }
