@@ -476,4 +476,77 @@ object Graph {
         .localCheckpoint(true)
     }
   }
+
+  /** Deterministic greedy matching by iterated MUTUAL best choice — the
+    * similar-document PAIRING step of similarity-ordered pretraining
+    * (Shi et al. 2023, "In-Context Pretraining": pack related documents
+    * adjacently so the context window carries real long-range signal;
+    * pairing near-dup-adjacent docs is the 2-chain core of that
+    * ordering). Input: an undirected weighted pair list (a, b, score —
+    * INTEGER scores, e.g. shared-shingle counts, for cross-engine
+    * exactness). Per round, every unmatched node picks its best
+    * available neighbor (score desc, partner id asc — a total order),
+    * and exactly the MUTUAL picks marry; matched nodes leave the pool.
+    * The classic parallel greedy: the globally best available edge is
+    * always mutual, so every round commits ≥ 1 pair and the loop
+    * terminates; `maxRounds` caps pathological preference chains and is
+    * part of the operator contract (an oracle replays the same K
+    * rounds, so capped and converged runs agree either way).
+    *
+    * Scale shape: rounds are Pregel-style — one partial-agg argmax over
+    * the available edges (map-side combined), one self-equi-join of the
+    * node-sized best table on (node, partner), two anti-joins to shrink
+    * the pool; per-round lineage cut, no window, no global sort.
+    * Matched output is node-sized; the edge frame is reused across
+    * rounds from one checkpoint. Output: (node_a, node_b, score),
+    * node_a < node_b, each node in at most one row.
+    */
+  def mutualBestMatching(pairs: DataFrame, a: String, b: String,
+      score: String, maxRounds: Int = 16): DataFrame = {
+    require(maxRounds >= 1, s"need maxRounds >= 1, got $maxRounds")
+    val half = pairs.select(col(a).cast("long").as("_mbN"),
+      col(b).cast("long").as("_mbM"), col(score).cast("long").as("_mbS"))
+    val edges = half
+      .unionByName(half.select(col("_mbM").as("_mbN"),
+        col("_mbN").as("_mbM"), col("_mbS")))
+      .filter(col("_mbN") =!= col("_mbM"))
+      .localCheckpoint(true)
+    var out: DataFrame = null
+    var matched: DataFrame = null
+    var round = 0
+    var done = false
+    while (round < maxRounds && !done) {
+      val avail =
+        if (matched == null) edges
+        else edges
+          .join(matched, Seq("_mbN"), "left_anti")
+          .join(matched.select(col("_mbN").as("_mbM")), Seq("_mbM"), "left_anti")
+      // best available partner per node: max (score, -partner) — the
+      // same total order the oracle replays as an integer pack
+      val best = avail.groupBy("_mbN")
+        .agg(max(struct(col("_mbS"), (-col("_mbM")).as("_mbG"))).as("_mbB"))
+        .select(col("_mbN"), (-col("_mbB._mbG")).as("_mbP"),
+          col("_mbB._mbS").as("_mbS"))
+        .localCheckpoint(true) // self-joined below
+      val mutual = best.select(col("_mbN").as("node_a"),
+          col("_mbP").as("node_b"), col("_mbS").as("score"))
+        .join(best.select(col("_mbP").as("node_a"), col("_mbN").as("node_b")),
+          Seq("node_a", "node_b"))
+        .filter(col("node_a") < col("node_b"))
+        .localCheckpoint(true)
+      if (mutual.isEmpty) {
+        done = true
+        if (out == null) out = mutual
+      } else {
+        out = if (out == null) mutual
+          else out.unionByName(mutual).localCheckpoint(true)
+        val newM = mutual.select(col("node_a").as("_mbN"))
+          .unionByName(mutual.select(col("node_b").as("_mbN")))
+        matched = (if (matched == null) newM
+          else matched.unionByName(newM)).localCheckpoint(true)
+        round += 1
+      }
+    }
+    out
+  }
 }

@@ -197,6 +197,55 @@ object DedupQueries {
       (s, d) => Dedup.jaccardPairs(spread(s, d), "doc_id", "text",
         shingleN = 3, minNum = 1, minDen = 2)),
 
+    // similar-document pairing for in-context packing (Shi et al. 2023):
+    // deterministic greedy matching by iterated MUTUAL best choice over
+    // the exact-Jaccard pair graph — each round every unmatched doc
+    // points at its best available partner (shared-shingle count desc,
+    // partner id asc), mutual picks marry, both leave the pool. The
+    // oracle replays the SAME 8 rounds as unrolled CTEs (the round cap
+    // is part of the operator contract, so capped and converged runs
+    // agree), with the (score, partner) argmax packed into one BIGINT
+    // (s·2^40 + (2^40−1−p)) so the tie-break is pure integer arithmetic
+    // in both engines.
+    Q("q_mutual_match", Some(shinglesSql +
+      """
+        |, hx AS (SELECT doc_id, list_distinct(list_transform(s,
+        |    g -> ('0x' || substring(md5(g), 1, 15))::BIGINT)) AS hs FROM sh)
+        |, pr AS MATERIALIZED (SELECT a.doc_id AS pa, b.doc_id AS pb,
+        |    len(list_intersect(a.hs, b.hs)) AS s
+        |  FROM hx a JOIN hx b ON a.doc_id < b.doc_id
+        |  WHERE 2 * len(list_intersect(a.hs, b.hs)) >=
+        |    (len(a.hs) + len(b.hs) - len(list_intersect(a.hs, b.hs))))
+        |, edges AS MATERIALIZED (SELECT pa AS n, pb AS p, s FROM pr
+        |    UNION ALL SELECT pb, pa, s FROM pr)
+        |, m_0 AS (SELECT CAST([] AS BIGINT[]) AS m)
+        |""".stripMargin +
+      (1 to 8).map { r =>
+        s"""|, best_$r AS (SELECT n,
+            |    max(s * 1099511627776 + (1099511627775 - p)) AS bp
+            |  FROM edges e, m_${r - 1} mm
+            |  WHERE NOT list_contains(mm.m, e.n)
+            |    AND NOT list_contains(mm.m, e.p)
+            |  GROUP BY n)
+            |, bestp_$r AS MATERIALIZED (
+            |  SELECT n, 1099511627775 - (bp % 1099511627776) AS p,
+            |    bp // 1099511627776 AS s FROM best_$r)
+            |, mutual_$r AS MATERIALIZED (SELECT x.n AS a, x.p AS b, x.s
+            |  FROM bestp_$r x JOIN bestp_$r y
+            |  ON x.p = y.n AND y.p = x.n AND x.n < x.p)
+            |, m_$r AS MATERIALIZED (SELECT mm.m || coalesce(
+            |    (SELECT flatten(list([a, b])) FROM mutual_$r),
+            |    CAST([] AS BIGINT[])) AS m FROM m_${r - 1} mm)
+            |""".stripMargin
+      }.mkString +
+      (1 to 8).map(r =>
+        s"SELECT a AS node_a, b AS node_b, CAST(s AS BIGINT) AS score FROM mutual_$r")
+        .mkString("", "\nUNION ALL\n", "")))(
+      (s, d) => graft.operators.Graph.mutualBestMatching(
+        graft.operators.Dedup.jaccardPairs(spread(s, d), "doc_id", "text",
+          shingleN = 3, minNum = 1, minDen = 2),
+        "id_a", "id_b", "n_common", maxRounds = 8)),
+
     // incremental exact Jaccard: the % 10 = 0 batch against the standing
     // corpus under FROZEN corpus rarity (unseen grams take df = 0, the
     // rarest slot — they can't match but they fill prefixes first).

@@ -331,4 +331,69 @@ class GraphSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("overflow"))
   }
+
+  /** Sequential model of [[Graph.mutualBestMatching]]'s round semantics. */
+  private def localMbm(pairs: Seq[(Long, Long, Long)],
+      maxRounds: Int): Set[(Long, Long, Long)] = {
+    val edges = pairs.flatMap { case (x, y, s) => Seq((x, y, s), (y, x, s)) }
+      .filter(e => e._1 != e._2)
+    var matched = Set.empty[Long]
+    var out = Set.empty[(Long, Long, Long)]
+    var round = 0
+    var go = true
+    while (round < maxRounds && go) {
+      val avail = edges.filter(e => !matched(e._1) && !matched(e._2))
+      val best = avail.groupBy(_._1).map { case (n, es) =>
+        val e = es.maxBy(x => (x._3, -x._2))
+        n -> ((e._2, e._3))
+      }
+      val mutual = best.collect {
+        case (n, (m, s)) if n < m && best.get(m).exists(_._1 == n) => (n, m, s)
+      }.toSet
+      if (mutual.isEmpty) go = false
+      else {
+        out ++= mutual
+        matched ++= mutual.flatMap(p => Seq(p._1, p._2))
+        round += 1
+      }
+    }
+    out
+  }
+
+  test("mutualBestMatching: hand case needs two rounds; each node matched at most once") {
+    // path 1-2-3-4: round 1 marries (2,3) (the mutual top edge; 1 and 4
+    // point at taken partners), round 2 marries the freed (1,4)
+    val pairs = Seq((1L, 2L, 9L), (2L, 3L, 10L), (3L, 4L, 8L), (1L, 4L, 1L))
+    val got = Graph.mutualBestMatching(
+        pairs.toDF("a", "b", "s"), "a", "b", "s")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got === Set((2L, 3L, 10L), (1L, 4L, 1L)))
+    // maxRounds = 1 stops after the first marriage (the oracle contract)
+    val one = Graph.mutualBestMatching(
+        pairs.toDF("a", "b", "s"), "a", "b", "s", maxRounds = 1)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(one === Set((2L, 3L, 10L)))
+    // empty input: empty output, right schema
+    val none = Graph.mutualBestMatching(
+      Seq.empty[(Long, Long, Long)].toDF("a", "b", "s"), "a", "b", "s")
+    assert(none.columns.toSeq === Seq("node_a", "node_b", "score"))
+    assert(none.count() === 0)
+  }
+
+  test("mutualBestMatching equals the sequential round model on randomized graphs") {
+    for (seed <- 1 to 4) {
+      val rnd = new scala.util.Random(seed)
+      val n = 24
+      val pairs = (0 until 60).map { _ =>
+        (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong, rnd.nextInt(12).toLong + 1)
+      }.distinct
+      val got = Graph.mutualBestMatching(
+          pairs.toDF("a", "b", "s"), "a", "b", "s")
+        .as[(Long, Long, Long)].collect().toSet
+      assert(got === localMbm(pairs, 16), s"seed=$seed")
+      // valid matching: no node appears twice
+      val nodes = got.toSeq.flatMap(p => Seq(p._1, p._2))
+      assert(nodes.distinct.size === nodes.size, s"seed=$seed not a matching")
+    }
+  }
 }
