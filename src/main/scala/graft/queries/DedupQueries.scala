@@ -27,6 +27,60 @@ object DedupQueries {
   private def spread(s: org.apache.spark.sql.SparkSession, d: String) =
     t(s, d, "documents").repartition(s.sparkContext.defaultParallelism)
 
+  /** The mutual-best-matching engine call shared by q_mutual_match /
+    * q_icp_order: exact-Jaccard pair graph at J ≥ 1/2, 8 rounds.
+    */
+  private def mutualMatch(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame =
+    graft.operators.Graph.mutualBestMatching(
+      graft.operators.Dedup.jaccardPairs(spread(s, d), "doc_id", "text",
+        shingleN = 3, minNum = 1, minDen = 2),
+      "id_a", "id_b", "n_common", maxRounds = 8)
+
+  /** Unrolled-round oracle of [[mutualMatch]] ending in a `matched(a, b,
+    * s)` CTE: DuckDB inlines plain CTEs (a first cut re-expanded the
+    * O(n²) pair join once per round and exhausted file handles), so the
+    * expensive frames are MATERIALIZED; the (score desc, partner asc)
+    * argmax is packed into one BIGINT (s·2^40 + (2^40−1−p)) so the
+    * tie-break is pure integer arithmetic in both engines; the 8-round
+    * cap is part of the operator contract (capped and converged runs
+    * agree).
+    */
+  private lazy val mbmSql: String = shinglesSql +
+    """
+      |, hx AS (SELECT doc_id, list_distinct(list_transform(s,
+      |    g -> ('0x' || substring(md5(g), 1, 15))::BIGINT)) AS hs FROM sh)
+      |, pr AS MATERIALIZED (SELECT a.doc_id AS pa, b.doc_id AS pb,
+      |    len(list_intersect(a.hs, b.hs)) AS s
+      |  FROM hx a JOIN hx b ON a.doc_id < b.doc_id
+      |  WHERE 2 * len(list_intersect(a.hs, b.hs)) >=
+      |    (len(a.hs) + len(b.hs) - len(list_intersect(a.hs, b.hs))))
+      |, edges AS MATERIALIZED (SELECT pa AS n, pb AS p, s FROM pr
+      |    UNION ALL SELECT pb, pa, s FROM pr)
+      |, m_0 AS (SELECT CAST([] AS BIGINT[]) AS m)
+      |""".stripMargin +
+    (1 to 8).map { r =>
+      s"""|, best_$r AS (SELECT n,
+          |    max(s * 1099511627776 + (1099511627775 - p)) AS bp
+          |  FROM edges e, m_${r - 1} mm
+          |  WHERE NOT list_contains(mm.m, e.n)
+          |    AND NOT list_contains(mm.m, e.p)
+          |  GROUP BY n)
+          |, bestp_$r AS MATERIALIZED (
+          |  SELECT n, 1099511627775 - (bp % 1099511627776) AS p,
+          |    bp // 1099511627776 AS s FROM best_$r)
+          |, mutual_$r AS MATERIALIZED (SELECT x.n AS a, x.p AS b, x.s
+          |  FROM bestp_$r x JOIN bestp_$r y
+          |  ON x.p = y.n AND y.p = x.n AND x.n < x.p)
+          |, m_$r AS MATERIALIZED (SELECT mm.m || coalesce(
+          |    (SELECT flatten(list([a, b])) FROM mutual_$r),
+          |    CAST([] AS BIGINT[])) AS m FROM m_${r - 1} mm)
+          |""".stripMargin
+    }.mkString +
+    ", matched AS MATERIALIZED (" +
+    (1 to 8).map(r => s"SELECT a, b, s FROM mutual_$r")
+      .mkString("", " UNION ALL ", ")\n")
+
   private val shinglesSql =
     """WITH toks AS (SELECT doc_id, regexp_split_to_array(lower(text), '\s+') AS tk FROM documents),
       |sh AS (SELECT doc_id, CASE WHEN len(tk) < 3 THEN [array_to_string(tk, ' ')]
@@ -207,44 +261,43 @@ object DedupQueries {
     // agree), with the (score, partner) argmax packed into one BIGINT
     // (s·2^40 + (2^40−1−p)) so the tie-break is pure integer arithmetic
     // in both engines.
-    Q("q_mutual_match", Some(shinglesSql +
+    Q("q_mutual_match", Some(mbmSql +
+      "SELECT a AS node_a, b AS node_b, CAST(s AS BIGINT) AS score FROM matched"))(
+      (s, d) => mutualMatch(s, d)),
+
+    // end-to-end in-context ORDERING: every document gets its training
+    // position, matched pairs adjacent (anchor = the pair's smaller id,
+    // partner right behind it), unmatched docs anchored at their own id —
+    // the order a packer consumes for related-docs-adjacent context
+    // windows. The position is a distributed dense numbering over the
+    // DISTINCT (anchor, within) keys (the denseNumber range-exchange
+    // shape — never a global single-partition sort); the oracle replays
+    // it as one row_number.
+    Q("q_icp_order", Some(mbmSql +
       """
-        |, hx AS (SELECT doc_id, list_distinct(list_transform(s,
-        |    g -> ('0x' || substring(md5(g), 1, 15))::BIGINT)) AS hs FROM sh)
-        |, pr AS MATERIALIZED (SELECT a.doc_id AS pa, b.doc_id AS pb,
-        |    len(list_intersect(a.hs, b.hs)) AS s
-        |  FROM hx a JOIN hx b ON a.doc_id < b.doc_id
-        |  WHERE 2 * len(list_intersect(a.hs, b.hs)) >=
-        |    (len(a.hs) + len(b.hs) - len(list_intersect(a.hs, b.hs))))
-        |, edges AS MATERIALIZED (SELECT pa AS n, pb AS p, s FROM pr
-        |    UNION ALL SELECT pb, pa, s FROM pr)
-        |, m_0 AS (SELECT CAST([] AS BIGINT[]) AS m)
-        |""".stripMargin +
-      (1 to 8).map { r =>
-        s"""|, best_$r AS (SELECT n,
-            |    max(s * 1099511627776 + (1099511627775 - p)) AS bp
-            |  FROM edges e, m_${r - 1} mm
-            |  WHERE NOT list_contains(mm.m, e.n)
-            |    AND NOT list_contains(mm.m, e.p)
-            |  GROUP BY n)
-            |, bestp_$r AS MATERIALIZED (
-            |  SELECT n, 1099511627775 - (bp % 1099511627776) AS p,
-            |    bp // 1099511627776 AS s FROM best_$r)
-            |, mutual_$r AS MATERIALIZED (SELECT x.n AS a, x.p AS b, x.s
-            |  FROM bestp_$r x JOIN bestp_$r y
-            |  ON x.p = y.n AND y.p = x.n AND x.n < x.p)
-            |, m_$r AS MATERIALIZED (SELECT mm.m || coalesce(
-            |    (SELECT flatten(list([a, b])) FROM mutual_$r),
-            |    CAST([] AS BIGINT[])) AS m FROM m_${r - 1} mm)
-            |""".stripMargin
-      }.mkString +
-      (1 to 8).map(r =>
-        s"SELECT a AS node_a, b AS node_b, CAST(s AS BIGINT) AS score FROM mutual_$r")
-        .mkString("", "\nUNION ALL\n", "")))(
-      (s, d) => graft.operators.Graph.mutualBestMatching(
-        graft.operators.Dedup.jaccardPairs(spread(s, d), "doc_id", "text",
-          shingleN = 3, minNum = 1, minDen = 2),
-        "id_a", "id_b", "n_common", maxRounds = 8)),
+        |, mm AS (SELECT a AS doc_id, a AS anchor, 0 AS w FROM matched
+        |    UNION ALL SELECT b, a, 1 FROM matched)
+        |, lab AS (SELECT d.doc_id, coalesce(mm.anchor, d.doc_id) AS anchor,
+        |    coalesce(mm.w, 0) AS w
+        |  FROM documents d LEFT JOIN mm USING (doc_id))
+        |SELECT doc_id, CAST(row_number() OVER (ORDER BY anchor, w) AS BIGINT)
+        |  AS icp_pos
+        |FROM lab""".stripMargin))(
+      (s, d) => {
+        val m = mutualMatch(s, d)
+        val lab = t(s, d, "documents").select(col("doc_id"))
+          .join(m.select(col("node_a").as("doc_id"),
+              col("node_a").as("_anchor"), lit(0L).as("_w"))
+            .unionByName(m.select(col("node_b").as("doc_id"),
+              col("node_a").as("_anchor"), lit(1L).as("_w"))),
+            Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            coalesce(col("_anchor"), col("doc_id")).as("_anchor"),
+            coalesce(col("_w"), lit(0L)).as("_w"))
+        graft.operators.SuffixArray.denseNumber(lab,
+            Seq(col("_anchor"), col("_w")), "icp_pos", 32)
+          .select("doc_id", "icp_pos")
+      }),
 
     // incremental exact Jaccard: the % 10 = 0 batch against the standing
     // corpus under FROZEN corpus rarity (unseen grams take df = 0, the
