@@ -496,4 +496,29 @@ object OperatorProperties extends Properties("graft.operators") {
         got == expected
       }
     }
+
+  private val intervalGen: Gen[List[(Long, Long, Long)]] = for {
+    n <- Gen.choose(0, 12)
+    ivs <- Gen.listOfN(n, for {
+      lo <- Gen.choose(-40L, 90L)
+      w <- Gen.choose(-3L, 25L) // negative widths: degenerate intervals
+    } yield (lo, lo + w))
+  } yield ivs.zipWithIndex.map { case ((lo, hi), i) => (i.toLong, lo, hi) }
+
+  property("intervalOverlapJoin == naive overlap over non-degenerate rows, exactly once, any band") =
+    forAll(intervalGen, intervalGen, Gen.oneOf(1L, 5L, 17L, 400L)) {
+      (as, bs, band) =>
+        val a = as.toDF("aid", "a_lo", "a_hi")
+        val b = bs.map { case (i, lo, hi) => (i + 1000L, lo, hi) }
+          .toDF("bid", "b_lo", "b_hi")
+        val got = Temporal.intervalOverlapJoin(
+            a, b, "a_lo", "a_hi", "b_lo", "b_hi", band)
+          .select("aid", "bid").as[(Long, Long)].collect()
+        val naive = for {
+          (ai, alo, ahi) <- as if ahi >= alo
+          (bi, blo, bhi) <- bs if bhi >= blo
+          if alo <= bhi && blo <= ahi
+        } yield (ai, bi + 1000L)
+        got.toSet == naive.toSet && got.length == naive.size
+    }
 }
