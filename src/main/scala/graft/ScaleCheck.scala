@@ -83,8 +83,11 @@ object ScaleCheck {
         // per-copy time-axis stride: the source span plus slack beyond
         // the widest bench window (600 s), so no incident window ever
         // crosses copies; ts is long nanos (nanosAsLong read)
-        val Seq(lo, hi) = t("events").agg(min(col("ts")), max(col("ts")))
-          .head.toSeq.map(_.asInstanceOf[Long])
+        val mm = t("events").agg(min(col("ts")), max(col("ts"))).head
+        require(!mm.isNullAt(0) && !mm.isNullAt(1),
+          s"extend-axis needs a non-empty events table at $srcDir — " +
+            "min/max(ts) came back null")
+        val Seq(lo, hi) = mm.toSeq.map(_.asInstanceOf[Long])
         val axisStride = (hi - lo) + 2L * 600L * 1000000000L
         replicate(t("events"), Seq("event_id"),
           d => d.withColumn("ts", col("ts") + col("_copy") * axisStride))

@@ -44,7 +44,12 @@ object DedupQueries {
     * argmax is packed into one BIGINT (s·2^40 + (2^40−1−p)) so the
     * tie-break is pure integer arithmetic in both engines; the 8-round
     * cap is part of the operator contract (capped and converged runs
-    * agree).
+    * agree). Headroom: the pack assumes partner doc_ids < 2^40 and
+    * scores (shared-shingle counts ≤ doc token count) < 2^23 — both
+    * hold with 10^7× slack at every bench SF (doc_id tops out ~10^5 at
+    * the 100× sweep; docs are ~100 tokens), and an id past 2^40 would
+    * make (2^40−1−p) negative, corrupting the tie-break silently, so
+    * the bound is stated here rather than guessed from the literal.
     */
   private lazy val mbmSql: String = shinglesSql +
     """

@@ -12,7 +12,7 @@ import graft.streaming.StreamingSearch.{CosineInventory, Posting}
   * per process: it persists them with the corpus release and every
   * ingest worker loads the same bytes — the same store-recovery
   * discipline the reference applies to its state stores
-  * (`store/recoverable_store.go:24-48`: recover from the changelog
+  * (`kstream/store/recoverable_store.go:24-48`: recover from the changelog
   * before serving, never rebuild from scratch).
   *
   * Two rules, enforced here for the whole family:

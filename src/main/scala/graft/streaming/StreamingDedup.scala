@@ -346,16 +346,29 @@ object StreamingDedup {
     * for the door and a one-sided error is acceptable, use
     * [[noveltyAtIngestBloom]] — a stateless per-record probe against a
     * fixed-size blob (novelty_ppm becomes a lower bound).
+    *
+    * The batch-id replay guarantee above requires a checkpoint: pass
+    * `checkpoint` (it is applied to the writer before `start()`), or set
+    * the session-wide `spark.sql.streaming.checkpointLocation` conf.
+    * Without either there is no recovery log and restarts re-deliver
+    * from the source's own position, not the last committed batch.
+    * `configure` exposes the writer for any further options
+    * (queryName, trigger) without widening this signature per-knob.
     */
   def noveltyAtIngest(docs: DataFrame, id: String, text: String,
-      shingleN: Int, inventory: DataFrame)(
-      sink: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.StreamingQuery =
-    docs.writeStream
+      shingleN: Int, inventory: DataFrame,
+      checkpoint: Option[String] = None,
+      configure: org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =>
+        org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = identity)(
+      sink: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.StreamingQuery = {
+    val base = docs.writeStream
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         sink(Dedup.noveltyReportAgainst(
           batch, inventory, id, text, shingleN), batchId)
       }
+    configure(checkpoint.fold(base)(p => base.option("checkpointLocation", p)))
       .start()
+  }
 
   /** Bloom-gated novelty at ingest: the frozen inventory collapses to a
     * fixed-size bloom blob ([[buildNoveltyBloom]] — `numBits/8` bytes

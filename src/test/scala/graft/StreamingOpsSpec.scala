@@ -1196,7 +1196,8 @@ class StreamingOpsSpec extends SparkSpec {
     val mem = MemoryStream[(Long, String)]
     val got = collection.mutable.Map.empty[Long, (Long, Long, Long, Long)]
     val q = StreamingDedup.noveltyAtIngest(
-      mem.toDF().toDF("doc_id", "text"), "doc_id", "text", 3, inv) {
+      mem.toDF().toDF("doc_id", "text"), "doc_id", "text", 3, inv,
+      checkpoint = Some(s"$root/ckpt")) {
       (scored, _) =>
         scored.as[(Long, Long, Long, Long)].collect()
           .foreach(r => got(r._1) = r)
