@@ -1226,4 +1226,65 @@ object Corpus {
       }
       .toDF(docId, chunkNo, tokensCol, "bin")
   }
+
+  /** In-context-pretraining consumption order from a matched pair graph
+    * (Shi et al. 2023, arXiv:2310.10638: pack related documents
+    * adjacently): every doc labels itself with (anchor, within) — a
+    * matched pair (a, b) puts a at (a, 0) and b at (a, 1), unmatched
+    * docs anchor to themselves — and the position is a distributed
+    * dense numbering over those labels (the denseNumber range-exchange
+    * shape; never a global single-partition sort). `pairs` is
+    * [[graft.operators.Graph.mutualBestMatching]] output (node_a <
+    * node_b, each node in ≤ 1 row), persistable via
+    * `graft.state.Artifacts.savePairGraph`. Output: (doc_id, anchor,
+    * icp_pos), positions dense from 1.
+    */
+  def icpOrder(docs: DataFrame, id: String, pairs: DataFrame): DataFrame = {
+    val lab = docs.select(col(id).cast("long").as("doc_id"))
+      .join(pairs.select(col("node_a").cast("long").as("doc_id"),
+          col("node_a").cast("long").as("_anchor"), lit(0L).as("_w"))
+        .unionByName(pairs.select(col("node_b").cast("long").as("doc_id"),
+          col("node_a").cast("long").as("_anchor"), lit(1L).as("_w"))),
+        Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("_anchor"), col("doc_id")).as("anchor"),
+        coalesce(col("_w"), lit(0L)).as("_w"))
+    SuffixArray.denseNumber(lab, Seq(col("anchor"), col("_w")), "icp_pos", 32)
+      .select(col("doc_id"), col("anchor"), col("icp_pos"))
+  }
+
+  /** Append arriving documents to a STANDING [[icpOrder]] — the batch
+    * form of the at-ingest attach (see
+    * `graft.streaming.StreamingCorpus.icpAttachAtIngest`; spec-pinned
+    * equal). `cands` carries the arriving docs LEFT-joined to their
+    * match candidates against the standing corpus — (doc_id, old_id
+    * nullable, score nullable), one row per candidate and at least one
+    * (null-candidate) row per doc — from whatever pairing door scored
+    * them (e.g. [[Dedup.jaccardPairsAgainst]]). Each doc anchors to its
+    * best candidate under the matching family's total order (score
+    * desc, old_id asc) among candidates PRESENT in `standingOrder`;
+    * docs with none anchor to themselves and sort last. Appended
+    * positions are `basePos` + a dense numbering by (anchor's standing
+    * position, doc_id) — already-issued positions NEVER renumber, the
+    * shard-ledger append-stability contract. Output: (doc_id, anchor,
+    * icp_pos).
+    */
+  def icpAttach(cands: DataFrame, standingOrder: DataFrame,
+      basePos: Long): DataFrame = {
+    val withPos = cands
+      .select(col("doc_id").cast("long"), col("old_id").cast("long"),
+        col("score").cast("long"))
+      .join(standingOrder.select(col("doc_id").cast("long").as("old_id"),
+        col("icp_pos").cast("long").as("_iaP")), Seq("old_id"), "left")
+    val best = withPos.groupBy("doc_id")
+      .agg(max(when(col("_iaP").isNotNull,
+        struct(col("score").as("_iaS"), (-col("old_id")).as("_iaG"),
+          col("_iaP").as("_iaP")))).as("_iaB"))
+      .select(col("doc_id"),
+        coalesce(-col("_iaB._iaG"), col("doc_id")).as("anchor"),
+        coalesce(col("_iaB._iaP"), lit(Long.MaxValue)).as("_iaK"))
+    SuffixArray.denseNumber(best, Seq(col("_iaK"), col("doc_id")), "_iaR", 32)
+      .select(col("doc_id"), col("anchor"),
+        (lit(basePos) + col("_iaR")).as("icp_pos"))
+  }
 }

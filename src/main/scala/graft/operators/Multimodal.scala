@@ -8,12 +8,19 @@ import org.apache.spark.sql.functions._
   * and decode / feature-extract / frame-sample run as distributed
   * per-partition batch transforms.
   *
-  * The decode step is a STUB — this container ships no codec libraries —
-  * but it is a *deterministic* fake (unsigned-byte bucket sums), so the
-  * entire distributed surface around it (binary schema, partition batching,
-  * typed Dataset encoders, downstream joins/aggs) is real and verified
-  * against the DuckDB oracle byte-for-byte. A real deployment swaps
-  * [[decodeFeaturesStub]]'s inner loop for an actual codec call; nothing
+  * IMAGE decode is REAL: [[decodeImageMeta]] runs each payload through
+  * `javax.imageio` (the JDK's own codec registry — BMP/PNG/JPEG/GIF with
+  * no external library), one reader per row inside the same
+  * per-partition batch shape the stubs use, and its metadata query is
+  * DuckDB-oracled end-to-end (deterministic [[encodeBmpGray]] payloads,
+  * closed-form pixel math on the oracle side — the engine output matches
+  * iff the actual decode is bit-correct). AUDIO/VIDEO decode remains a
+  * STUB — the container ships no codec for those — but a *deterministic*
+  * fake (unsigned-byte bucket sums), so the distributed surface around
+  * it (binary schema, partition batching, typed Dataset encoders,
+  * downstream joins/aggs) is real and verified byte-for-byte. A real
+  * deployment swaps [[decodeFeaturesStub]]'s inner loop for the codec
+  * call, exactly as [[decodeImageMeta]] demonstrates for images; nothing
   * else changes.
   *
   * Scale: payloads never pass through the driver; frame sampling and
@@ -159,6 +166,123 @@ object Multimodal {
         countDistinct(col("media_id")).as("n_docs"),
         min(col("media_id")).as("keep_media"))
       .filter(col("n_copies") >= 2)
+
+  /** Decoded-image metadata record: codec-reported format and dimensions
+    * plus the exact integer luma sum (ITU-R BT.601 integer weights:
+    * ⌊(299·r + 587·g + 114·b + 500) / 1000⌋ per pixel — equals the gray
+    * value exactly on r = g = b payloads, which is what makes the decode
+    * oracle-checkable in closed form).
+    */
+  final case class ImageMeta(media_id: Long, format: String,
+      width: Int, height: Int, n_pixels: Long, luma_sum: Long)
+
+  /** REAL image decode over opaque binary payloads via `javax.imageio` —
+    * the JDK's pluggable codec registry (BMP, PNG, JPEG, GIF, WBMP ship
+    * with every JRE; a deployment drops TwelveMonkeys-style plugins on
+    * the classpath for TIFF/WebP and this code is unchanged). Runs as a
+    * typed per-partition batch transform like every decode in this file:
+    * payloads never touch the driver, each task decodes its partition's
+    * rows and emits fixed-size metadata, so the shuffle cost downstream
+    * is metadata-sized regardless of payload size. A corrupt or
+    * unsupported payload fails LOUDLY with the media id (a silent skip
+    * would undercount a 100 TB corpus audit; filter upstream if bad rows
+    * are expected).
+    */
+  def decodeImageMeta(media: DataFrame): Dataset[ImageMeta] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("media_id").cast("long"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.map { case (id, bytes) =>
+          // MemoryCacheImageInputStream, NOT ImageIO.createImageInputStream:
+          // the default factory disk-caches every stream — one /tmp file
+          // per image, which exhausts the process's file handles at corpus
+          // scale (measured: "Too many open files" at 500k images × 32
+          // tasks). The payload is already an in-memory byte array; a
+          // memory-cached stream touches no file system at all.
+          val iis = new javax.imageio.stream.MemoryCacheImageInputStream(
+            new java.io.ByteArrayInputStream(bytes))
+          val readers = javax.imageio.ImageIO.getImageReaders(iis)
+          require(readers.hasNext,
+            s"media $id: no ImageIO codec recognizes this payload")
+          val reader = readers.next()
+          try {
+            reader.setInput(iis)
+            val fmt = reader.getFormatName.toLowerCase
+            val img = reader.read(0)
+            val (w, h) = (img.getWidth, img.getHeight)
+            var sum = 0L
+            var y = 0
+            while (y < h) {
+              var x = 0
+              while (x < w) {
+                val rgb = img.getRGB(x, y)
+                val r = (rgb >> 16) & 0xff
+                val g = (rgb >> 8) & 0xff
+                val b = rgb & 0xff
+                sum += (299L * r + 587L * g + 114L * b + 500L) / 1000L
+                x += 1
+              }
+              y += 1
+            }
+            ImageMeta(id, fmt, w, h, w.toLong * h, sum)
+          } finally {
+            reader.dispose()
+            iis.close()
+          }
+        }
+      }
+  }
+
+  /** Deterministic gray 24-bit BMP payloads (BITMAPFILEHEADER +
+    * BITMAPINFOHEADER, uncompressed, bottom-up rows padded to 4 bytes —
+    * the public Windows DIB layout): pixel (x, y) of image `id` has
+    * r = g = b = ((id·31 + y·w + x)·7) mod 256. Pure integer arithmetic,
+    * so an oracle can compute any decoded statistic in closed form
+    * WITHOUT a codec — [[decodeImageMeta]] over these payloads matches
+    * DuckDB iff the real ImageIO decode reproduces every pixel. Also the
+    * synthetic-media generator for decode benchmarks.
+    */
+  def encodeBmpGray(df: DataFrame, id: String, w: String, h: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(id).cast("long"), col(w).cast("int"), col(h).cast("int"))
+      .as[(Long, Int, Int)]
+      .mapPartitions { rows =>
+        rows.map { case (mid, wi, hi) =>
+          MediaRecord(mid, "image/bmp", bmpGrayBytes(mid, wi, hi))
+        }
+      }.toDF()
+  }
+
+  private def bmpGrayBytes(seed: Long, w: Int, h: Int): Array[Byte] = {
+    require(w >= 1 && h >= 1, s"media $seed: bad dimensions ${w}x$h")
+    val rowBytes = (w * 3 + 3) / 4 * 4 // each row padded to 4 bytes
+    val size = 54 + rowBytes * h
+    val b = java.nio.ByteBuffer.allocate(size)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    b.put('B'.toByte).put('M'.toByte).putInt(size)
+      .putShort(0).putShort(0).putInt(54) // reserved ×2, pixel offset
+    b.putInt(40).putInt(w).putInt(h) // info header size, dims (h>0 ⇒ bottom-up)
+      .putShort(1).putShort(24) // planes, bpp
+      .putInt(0).putInt(rowBytes * h) // BI_RGB, image size
+      .putInt(2835).putInt(2835).putInt(0).putInt(0) // 72 dpi, palette unused
+    var fy = 0
+    while (fy < h) {
+      val y = h - 1 - fy // file rows run bottom-up
+      var x = 0
+      while (x < w) {
+        val v = (((seed * 31 + (y.toLong * w + x)) * 7) % 256).toInt
+        b.put(v.toByte).put(v.toByte).put(v.toByte)
+        x += 1
+      }
+      var pad = w * 3
+      while (pad < rowBytes) { b.put(0.toByte); pad += 1 }
+      fy += 1
+    }
+    b.array()
+  }
 
   /** STUB feature extraction (see class doc): features[j] = Σ of unsigned
     * byte values at positions ≡ j (mod dim). Runs as a typed per-partition

@@ -350,11 +350,34 @@ object Similarity {
     * (default ⌈√k⌉) coarse groups — one k-means over the centroid table,
     * k rows, never the corpus; (2) per vector, pick the `nprobe` nearest
     * group representatives (O(√k)); (3) exact argmin over the probed
-    * groups' member centroids (O(nprobe·k/groups) expected). Both levels
-    * ride 1-row broadcast packs (reps; group→members map — combined
-    * payload = the same k centroids [[assignNarrow]] broadcasts), so the
-    * corpus is never shuffled, identical to the brute-force shape; works
-    * unchanged on a streaming frame.
+    * groups' member centroids (O(nprobe·k/groups) expected). The coarse
+    * level rides a 1-row √k-rep broadcast pack ([[assignNarrow]]'s
+    * shape). The FINE level is size-dispatched on the index bytes
+    * (k·d·4), the [[semDedupSkewSafe]] escape pattern applied to
+    * broadcast objects:
+    *
+    *   - index ≤ `shardBytes` (default 4 MiB): all members collapse into
+    *     one group→members map ROW — a harmless single object at this
+    *     size, and measurably cheaper at toy k (fewer stages, one
+    *     broadcast, no checkpoint barrier; 2.7 vs 4.3 s on the sf0.1
+    *     16-centroid bench query).
+    *   - index > `shardBytes`: SHARDED — one packed row PER coarse group
+    *     (members array inside), broadcast-HASH-joined on the probed
+    *     group id, once per probe slot, folding a running argmin. No
+    *     single object scales with k: the 2 GiB single-object bound
+    *     applies per GROUP pack (k·d/groups floats), so the operator
+    *     survives the k ∝ N regime it exists for (millions of centroids
+    *     × wide embeddings) where the monolithic map row OOMs first —
+    *     ProbeIvfBroadcast measured the map form DEAD
+    *     (OutOfMemoryError) at a 134 MB index in the heap the sharded
+    *     form completes in, and already 1.8× slower at 34 MB. The
+    *     nprobe join right sides are the same plan subtree, so exchange
+    *     reuse ships ONE broadcast of the k members, not nprobe.
+    *
+    * Both forms are spec-pinned assignment-identical (exhaustive AND
+    * small nprobe); `shardBytes = 0` forces sharding (the plan pins and
+    * the probe use this). Works unchanged on a streaming frame
+    * (stream-static joins under a static centroid table).
     *
     * Recall contract (standard IVF): the result is the true nearest
     * centroid iff that centroid's group is probed — `nprobe >= groups`
@@ -364,13 +387,55 @@ object Similarity {
     * group id); member argmin on (dist, cell id)).
     */
   def assignToCentroidsIvf(corpus: DataFrame, emb: String,
-      centroids: DataFrame, nprobe: Int = 4, groups: Int = 0): DataFrame = {
+      centroids: DataFrame, nprobe: Int = 4, groups: Int = 0,
+      shardBytes: Long = 4L << 20): DataFrame = {
     require(nprobe >= 1, s"need nprobe >= 1, got $nprobe")
-    require(Seq("cell", "_sgGs", "_sgMap", "_sgP")
+    require(Seq("cell", "_sgGs", "_sgG", "_sgMs", "_sgP", "_sgBest")
         .forall(c => !corpus.columns.contains(c)),
       "corpus already has a cell/_sg* column — the assignment would " +
         "silently shadow it")
     val k = centroids.count()
+    val d = if (k == 0) 0
+      else centroids.select(size(col("c_emb"))).head().getInt(0)
+    if (k * d * 4L <= shardBytes)
+      return assignToCentroidsIvfMonolithic(corpus, emb, centroids, nprobe,
+        groups, k)
+    val (repsPacked, groupPacks) = ivfIndex(centroids, groups, k)
+    // per-probe-slot running argmin: slot i broadcast-hash-joins the
+    // corpus to its i-th probed group's pack (left outer — a vector may
+    // probe fewer than nprobe groups) and folds that group's best
+    // (dist, cell) struct with `least` (null-skipping, struct order =
+    // dist asc then cell asc — the same tie-break as the 1-row form).
+    // Groups partition the centroids, so candidates across slots are
+    // disjoint and least-of-array_mins ≡ array_min over the flattened
+    // members — spec-pinned equal to the monolithic map form.
+    val probed = corpus.join(broadcast(repsPacked))
+      .withColumn("_sgP", slice(array_sort(transform(col("_sgGs"),
+        r => struct(sqDist(col(emb), r.getField("c_emb")).as("k"),
+          r.getField("g").as("g")))), 1, nprobe))
+      .drop("_sgGs")
+    val folded = (1 to nprobe).foldLeft(probed) { (df, i) =>
+      val best = array_min(transform(col("_sgMs"),
+        c => struct(sqDist(col(emb), c.getField("c_emb")).as("k"),
+          c.getField("cell").as("cell"))))
+      df.join(broadcast(groupPacks),
+          try_element_at(col("_sgP"), lit(i)).getField("g") === col("_sgG"),
+          "left_outer")
+        .withColumn("_sgBest",
+          if (i == 1) best else least(col("_sgBest"), best))
+        .drop("_sgG", "_sgMs")
+    }
+    folded
+      .withColumn("cell", col("_sgBest").getField("cell"))
+      .drop("_sgP", "_sgBest")
+  }
+
+  /** The two IVF index sides: a 1-row pack of the √k group reps (g,
+    * c_emb) and the per-group member packs (_sgG, _sgMs) — one row per
+    * coarse group, so no object scales with the whole index.
+    */
+  private def ivfIndex(centroids: DataFrame,
+      groups: Int, k: Long): (DataFrame, DataFrame) = {
     val g =
       if (groups > 0) groups
       else math.max(1, math.ceil(math.sqrt(k.toDouble)).toInt)
@@ -385,14 +450,35 @@ object Similarity {
       .select(col("cell").as("_sgG"), col("_sgC"), col("c_emb"))
       .localCheckpoint(true)
     // only groups that WON a member are probe-able (a Lloyd step can
-    // empty a group; probing it would flatten a NULL map lookup)
+    // empty a group; probing it would left-join to nothing and waste a
+    // slot)
     val repsPacked = reps
       .join(members.select(col("_sgG").as("cell")).distinct(), Seq("cell"),
         "left_semi")
       .agg(collect_list(struct(col("cell").as("g"), col("c_emb"))).as("_sgGs"))
-    val memberMap = members
+    val groupPacks = members
       .groupBy("_sgG")
       .agg(collect_list(struct(col("_sgC").as("cell"), col("c_emb"))).as("_sgMs"))
+      .localCheckpoint(true) // one plan subtree → ONE broadcast, reused per slot
+    (repsPacked, groupPacks)
+  }
+
+  /** The small-index fine level ([[assignToCentroidsIvf]] dispatch, and
+    * directly callable for probes): ALL k members collapse into a single
+    * group→members map ROW, broadcast whole. Correct, oracled, and the
+    * fastest shape while the one map value — O(k·d) — is genuinely
+    * small; past `shardBytes` it is the single-object scale ceiling the
+    * sharded form removes (ProbeIvfBroadcast: OOM at a 134 MB index in
+    * the heap the sharded form completes in). Spec-pinned
+    * assignment-identical to the sharded form at exhaustive AND small
+    * nprobe.
+    */
+  private[graft] def assignToCentroidsIvfMonolithic(corpus: DataFrame,
+      emb: String, centroids: DataFrame, nprobe: Int = 4,
+      groups: Int = 0, kKnown: Long = -1L): DataFrame = {
+    val k = if (kKnown >= 0) kKnown else centroids.count()
+    val (repsPacked, groupPacks) = ivfIndex(centroids, groups, k)
+    val memberMap = groupPacks
       .agg(map_from_entries(collect_list(struct(col("_sgG"), col("_sgMs"))))
         .as("_sgMap"))
     corpus.join(broadcast(repsPacked)).join(broadcast(memberMap))

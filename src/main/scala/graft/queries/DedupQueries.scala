@@ -55,15 +55,22 @@ object DedupQueries {
     """
       |, hx AS (SELECT doc_id, list_distinct(list_transform(s,
       |    g -> ('0x' || substring(md5(g), 1, 15))::BIGINT)) AS hs FROM sh)
-      |, pr AS MATERIALIZED (SELECT a.doc_id AS pa, b.doc_id AS pb,
-      |    len(list_intersect(a.hs, b.hs)) AS s
-      |  FROM hx a JOIN hx b ON a.doc_id < b.doc_id
-      |  WHERE 2 * len(list_intersect(a.hs, b.hs)) >=
-      |    (len(a.hs) + len(b.hs) - len(list_intersect(a.hs, b.hs))))
-      |, edges AS MATERIALIZED (SELECT pa AS n, pb AS p, s FROM pr
-      |    UNION ALL SELECT pb, pa, s FROM pr)
-      |, m_0 AS (SELECT CAST([] AS BIGINT[]) AS m)
-      |""".stripMargin +
+      |""".stripMargin + mbmMatchedSql("hx")
+
+  /** The matching rounds alone, reading shingle-hash sets from `$hx`
+    * (doc_id, hs) — reused by [[mbmSql]] (whole corpus) and
+    * q_icp_attach's oracle (standing docs only).
+    */
+  private def mbmMatchedSql(hx: String): String =
+    s"""|, pr AS MATERIALIZED (SELECT a.doc_id AS pa, b.doc_id AS pb,
+        |    len(list_intersect(a.hs, b.hs)) AS s
+        |  FROM $hx a JOIN $hx b ON a.doc_id < b.doc_id
+        |  WHERE 2 * len(list_intersect(a.hs, b.hs)) >=
+        |    (len(a.hs) + len(b.hs) - len(list_intersect(a.hs, b.hs))))
+        |, edges AS MATERIALIZED (SELECT pa AS n, pb AS p, s FROM pr
+        |    UNION ALL SELECT pb, pa, s FROM pr)
+        |, m_0 AS (SELECT CAST([] AS BIGINT[]) AS m)
+        |""".stripMargin +
     (1 to 8).map { r =>
       s"""|, best_$r AS (SELECT n,
           |    max(s * 1099511627776 + (1099511627775 - p)) AS bp
@@ -91,6 +98,59 @@ object DedupQueries {
       |sh AS (SELECT doc_id, CASE WHEN len(tk) < 3 THEN [array_to_string(tk, ' ')]
       |  ELSE list_distinct(list_transform(range(1, len(tk) - 1), i -> array_to_string(tk[i:i+2], ' '))) END AS s
       |  FROM toks)""".stripMargin
+
+  /** [[shinglesSql]]'s CTE chain ending in shingle-hash sets, with a doc
+    * filter and a CTE-name prefix (no leading WITH) — composed twice by
+    * q_icp_attach's oracle (standing vs arriving docs).
+    */
+  private def shingleHx(p: String, where: String): String =
+    s"""|${p}toks AS (SELECT doc_id, regexp_split_to_array(lower(text), '\\s+') AS tk
+        |  FROM documents $where),
+        |${p}sh AS (SELECT doc_id, CASE WHEN len(tk) < 3 THEN [array_to_string(tk, ' ')]
+        |  ELSE list_distinct(list_transform(range(1, len(tk) - 1), i -> array_to_string(tk[i:i+2], ' '))) END AS s
+        |  FROM ${p}toks),
+        |${p}hx AS (SELECT doc_id, list_distinct(list_transform(s,
+        |    g -> ('0x' || substring(md5(g), 1, 15))::BIGINT)) AS hs FROM ${p}sh)""".stripMargin
+
+  /** q_icp_attach oracle: the mbm rounds over STANDING docs anchor a
+    * row_number order; arriving docs take their best exact-Jaccard
+    * standing partner with the SAME bigint argmax pack as the matching
+    * oracle (score·2^40 + (2^40−1−old), bounds documented on [[mbmSql]])
+    * and append after the standing count, ordered by (anchor's standing
+    * position — self-anchored docs take LONG_MAX and sort last, doc_id).
+    */
+  private lazy val icpAttachSql: String =
+    "WITH " + shingleHx("s_", "WHERE doc_id % 10 != 0") + ",\n" +
+    shingleHx("a_", "WHERE doc_id % 10 = 0") + "\n" +
+    mbmMatchedSql("s_hx") +
+    """
+      |, mm AS (SELECT a AS doc_id, a AS anchor, 0 AS w FROM matched
+      |    UNION ALL SELECT b, a, 1 FROM matched)
+      |, lab AS (SELECT d.doc_id, coalesce(mm.anchor, d.doc_id) AS anchor,
+      |    coalesce(mm.w, 0) AS w
+      |  FROM (SELECT doc_id FROM documents WHERE doc_id % 10 != 0) d
+      |  LEFT JOIN mm USING (doc_id))
+      |, ord AS (SELECT doc_id, row_number() OVER (ORDER BY anchor, w) AS icp_pos
+      |  FROM lab)
+      |, cand AS (SELECT a.doc_id AS new_id, s.doc_id AS old_id,
+      |    len(list_intersect(a.hs, s.hs)) AS score
+      |  FROM a_hx a JOIN s_hx s
+      |  ON 2 * len(list_intersect(a.hs, s.hs)) >=
+      |    (len(a.hs) + len(s.hs) - len(list_intersect(a.hs, s.hs))))
+      |, best AS (SELECT new_id AS doc_id,
+      |    max(score * 1099511627776 + (1099511627775 - old_id)) AS bp
+      |  FROM cand GROUP BY 1)
+      |, anch AS (SELECT d.doc_id,
+      |    coalesce(1099511627775 - (b.bp % 1099511627776), d.doc_id) AS anchor
+      |  FROM (SELECT doc_id FROM documents WHERE doc_id % 10 = 0) d
+      |  LEFT JOIN best b USING (doc_id))
+      |, keyed AS (SELECT a.doc_id, a.anchor,
+      |    coalesce(o.icp_pos, 9223372036854775807) AS k
+      |  FROM anch a LEFT JOIN ord o ON a.anchor = o.doc_id)
+      |SELECT doc_id, anchor,
+      |  (SELECT count(*) FROM ord) + row_number() OVER (ORDER BY k, doc_id)
+      |    AS icp_pos
+      |FROM keyed""".stripMargin
 
   val all: Seq[Q] = Seq(
 
@@ -288,20 +348,37 @@ object DedupQueries {
         |SELECT doc_id, CAST(row_number() OVER (ORDER BY anchor, w) AS BIGINT)
         |  AS icp_pos
         |FROM lab""".stripMargin))(
+      (s, d) => graft.operators.Corpus.icpOrder(
+          t(s, d, "documents"), "doc_id", mutualMatch(s, d))
+        .select("doc_id", "icp_pos")),
+
+    // in-context ATTACH (round 10): the % 10 = 0 arrivals append to the
+    // STANDING in-context order (matching + order over the % 10 != 0
+    // docs only — the incremental-family split). Anchors come from the
+    // arrivals' exact-Jaccard matches against the standing corpus under
+    // the matching family's (score desc, old_id asc) total order;
+    // appended positions are standing-count + a dense numbering by
+    // (anchor's standing position, doc_id) — issued positions never
+    // renumber, the shard-ledger append contract. Streaming twin
+    // spec-pinned bit-identical (StreamingCorpus.icpAttachAtIngest).
+    Q("q_icp_attach", Some(icpAttachSql))(
       (s, d) => {
-        val m = mutualMatch(s, d)
-        val lab = t(s, d, "documents").select(col("doc_id"))
-          .join(m.select(col("node_a").as("doc_id"),
-              col("node_a").as("_anchor"), lit(0L).as("_w"))
-            .unionByName(m.select(col("node_b").as("doc_id"),
-              col("node_a").as("_anchor"), lit(1L).as("_w"))),
+        val docs = spread(s, d)
+        val standing = docs.filter(col("doc_id") % 10 =!= 0)
+        val arrivals = docs.filter(col("doc_id") % 10 === 0)
+        val pairs = graft.operators.Graph.mutualBestMatching(
+          Dedup.jaccardPairs(standing, "doc_id", "text",
+            shingleN = 3, minNum = 1, minDen = 2),
+          "id_a", "id_b", "n_common", maxRounds = 8)
+        val order = graft.operators.Corpus.icpOrder(standing, "doc_id", pairs)
+          .localCheckpoint(true) // reused: the attach join + basePos count
+        val cands = arrivals.select(col("doc_id"))
+          .join(Dedup.jaccardPairsAgainst(arrivals, standing, "doc_id",
+              "text", shingleN = 3, minNum = 1, minDen = 2)
+            .select(col("new_id").as("doc_id"), col("old_id"),
+              col("n_common").as("score")),
             Seq("doc_id"), "left")
-          .select(col("doc_id"),
-            coalesce(col("_anchor"), col("doc_id")).as("_anchor"),
-            coalesce(col("_w"), lit(0L)).as("_w"))
-        graft.operators.SuffixArray.denseNumber(lab,
-            Seq(col("_anchor"), col("_w")), "icp_pos", 32)
-          .select("doc_id", "icp_pos")
+        graft.operators.Corpus.icpAttach(cands, order, order.count())
       }),
 
     // incremental exact Jaccard: the % 10 = 0 batch against the standing

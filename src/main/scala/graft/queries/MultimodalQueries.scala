@@ -7,9 +7,11 @@ import graft.queries.Tables.t
 
 /** Multimodal-column queries: binary payloads (UTF-8 bytes of `documents.
   * text` stand in for encoded media) with typed metadata, frame sampling,
-  * and the stubbed-but-deterministic feature decode. Every query — the
-  * per-partition mapPartitions decoder included — is verified byte-exact
-  * against DuckDB (the stub's integer bucket sums are engine-portable).
+  * a REAL javax.imageio decode (deterministic BMP payloads, closed-form
+  * oracle — q_media_decode), and the stubbed-but-deterministic feature
+  * decode for the codec-less modalities. Every query — the per-partition
+  * mapPartitions decoders included — is verified byte-exact against
+  * DuckDB (integer pixel/bucket sums are engine-portable).
   */
 object MultimodalQueries {
 
@@ -70,6 +72,30 @@ object MultimodalQueries {
         Multimodal.decodeFeaturesStub(media(s, d), dim = 8).toDF()
           .select(col("media_id").as("doc_id"), posexplode(col("features")))
           .select(col("doc_id"), col("pos").as("bucket"), col("col").as("byte_sum"))),
+
+    // REAL image decode via javax.imageio (the JDK's own codec — no
+    // external library): deterministic gray BMPs are built per document
+    // (w = 4 + doc_id%5, h = 3 + doc_id%7, pixel = ((doc_id·31+i)·7)%256)
+    // and decoded through the actual ImageIO reader; the oracle computes
+    // width/height/luma in CLOSED FORM from the same integers, so the
+    // row hashes match iff the codec path reproduces every pixel. The
+    // per-pixel BT.601 luma of a gray pixel v is exactly v.
+    Q("q_media_decode", Some(
+      """WITH p AS (SELECT doc_id, 4 + doc_id % 5 AS w, 3 + doc_id % 7 AS h
+        |  FROM documents)
+        |SELECT doc_id, 'bmp' AS format, CAST(w AS INT) AS width,
+        |  CAST(h AS INT) AS height, CAST(w * h AS BIGINT) AS n_pixels,
+        |  CAST(list_sum(list_transform(range(w * h),
+        |    i -> ((doc_id * 31 + i) * 7) % 256)) AS BIGINT) AS luma_sum
+        |FROM p""".stripMargin))(
+      (s, d) =>
+        Multimodal.decodeImageMeta(Multimodal.encodeBmpGray(
+            t(s, d, "documents").select(col("doc_id"),
+              (lit(4) + pmod(col("doc_id"), lit(5))).as("w"),
+              (lit(3) + pmod(col("doc_id"), lit(7))).as("h")),
+            "doc_id", "w", "h")).toDF()
+          .select(col("media_id").as("doc_id"), col("format"),
+            col("width"), col("height"), col("n_pixels"), col("luma_sum"))),
 
     // content-defined chunking (Rabin-style CDC): boundary wherever the
     // 8-byte window hash has 4 zero low bits (expected 16-byte chunks);

@@ -65,6 +65,25 @@ object Artifacts {
     spark.read.parquet(path).select(col("_nvG"))
 
   // ------------------------------------------------------------------
+  // Matched pair graph ([[graft.operators.Graph.mutualBestMatching]]
+  // output: node_a, node_b, score — node-sized, each node in ≤ 1 row)
+  // ------------------------------------------------------------------
+
+  /** The pair graph anchors the standing in-context order
+    * ([[graft.operators.Corpus.icpOrder]]); persisting it is what lets
+    * ingest workers attach arriving docs to the SAME order across
+    * restarts (`StreamingCorpus.icpAttachAtIngest`). Distributed-only,
+    * like the novelty inventory: it is corpus-sized/2 at worst, so it
+    * has no collected form.
+    */
+  def savePairGraph(pairs: DataFrame, path: String): Unit =
+    pairs.select(col("node_a"), col("node_b"), col("score"))
+      .write.mode("overwrite").parquet(path)
+
+  def loadPairGraph(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(path).select(col("node_a"), col("node_b"), col("score"))
+
+  // ------------------------------------------------------------------
   // Fuzzy (gram, occ) → frequency rarity map
   // ([[graft.operators.Dedup.gramRarityTable]] output: g, occ, gdf)
   // ------------------------------------------------------------------

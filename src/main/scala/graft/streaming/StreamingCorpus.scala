@@ -112,6 +112,73 @@ object StreamingCorpus {
       }
   }
 
+  /** One appended in-context slot: the doc, the standing doc it anchored
+    * to (itself when unmatched), and its issued position.
+    */
+  final case class IcpSlot(doc_id: Long, anchor: Long, icp_pos: Long)
+
+  /** In-context packing at ingest — the streaming twin of
+    * [[graft.operators.Corpus.icpAttach]]: arriving documents append to
+    * the STANDING in-context order (built once by
+    * [[graft.operators.Corpus.icpOrder]] over the frozen pair-graph
+    * artifact — `graft.state.Artifacts.savePairGraph` — and persisted
+    * with the corpus release). `cands` is the arriving stream LEFT-joined
+    * to its match candidates against the standing corpus ((doc_id,
+    * old_id?, score?) — at least one row per doc); the join to
+    * `standingOrder` is stream-static under the frozen artifact, so the
+    * scoring stays distributed. Each doc anchors to its best candidate
+    * (score desc, old_id asc) among candidates present in the standing
+    * order, and positions issue from a ledger that CONTINUES across
+    * micro-batches starting at `basePos` (the standing order's max) —
+    * issued positions never renumber, the same append-stability contract
+    * as [[exportShardsAtIngest]].
+    *
+    * The ledger is deliberately ONE group: a dense global append order
+    * is a log, and a log has one tail. The per-record work there is a
+    * sort of one micro-batch's doc list and a counter bump — all
+    * scoring/joining runs distributed upstream. Within a micro-batch
+    * docs order by (anchor's standing position, doc_id) — exactly the
+    * batch operator's order, so ONE batch reproduces [[Corpus.icpAttach]]
+    * bit-for-bit and K batches equal K sequential batch applications
+    * (spec-pinned); across batches order is arrival order, as for any
+    * log.
+    */
+  def icpAttachAtIngest(cands: DataFrame, standingOrder: DataFrame,
+      basePos: Long): Dataset[IcpSlot] = {
+    val spark = cands.sparkSession
+    import spark.implicits._
+    cands
+      .select(col("doc_id").cast("long"), col("old_id").cast("long"),
+        col("score").cast("long"))
+      .join(standingOrder.select(col("doc_id").cast("long").as("old_id"),
+        col("icp_pos").cast("long").as("_iaP")), Seq("old_id"), "left")
+      .select(col("doc_id"), col("old_id"), col("score"), col("_iaP"))
+      .as[(Long, Option[Long], Option[Long], Option[Long])]
+      .groupByKey(_ => 0)
+      .flatMapGroupsWithState[Long, IcpSlot](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout) {
+        (_, rows, state) =>
+          var next = state.getOption.getOrElse(basePos)
+          val slots = rows.toSeq.groupBy(_._1).toSeq.map { case (docId, cs) =>
+            // best positioned candidate: max (score, -old_id), the
+            // matching family's total order
+            val best = cs.collect {
+              case (_, Some(o), Some(sc), Some(p)) => ((sc, -o), p, o)
+            }.sortBy(_._1).lastOption
+            best match {
+              case Some((_, p, o)) => (p, docId, o)
+              case None => (Long.MaxValue, docId, docId)
+            }
+          }.sortBy(t => (t._1, t._2))
+          val out = slots.map { case (_, docId, anchor) =>
+            next += 1
+            IcpSlot(docId, anchor, next)
+          }
+          state.update(next)
+          out.iterator
+      }
+  }
+
   def admitQuotaAtIngest(rows: DataFrame, stratum: String, key: String,
       seq: String, quota: Int): Dataset[Admitted] = {
     require(quota > 0, s"need quota > 0, got $quota")

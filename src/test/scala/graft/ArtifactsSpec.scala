@@ -33,6 +33,29 @@ class ArtifactsSpec extends SparkSpec {
     assert(viaLoaded === fresh)
   }
 
+  test("pair graph round-trips; loaded artifact anchors the same in-context order") {
+    import graft.operators.Corpus
+    val docs = (1L to 12L).toDF("doc_id")
+    // mutualBestMatching-shaped pairs: node_a < node_b, each node once
+    val pairs = Seq((2L, 7L, 9L), (3L, 11L, 5L), (6L, 10L, 5L))
+      .toDF("node_a", "node_b", "score")
+    val path = tmp("graft_art_pg") + "/pairs"
+    Artifacts.savePairGraph(pairs, path)
+    val loaded = Artifacts.loadPairGraph(spark, path)
+    assert(loaded.as[(Long, Long, Long)].collect().toSet ===
+      pairs.as[(Long, Long, Long)].collect().toSet)
+    val fresh = Corpus.icpOrder(docs, "doc_id", pairs)
+      .as[(Long, Long, Long)].collect().toSet
+    val viaLoaded = Corpus.icpOrder(docs, "doc_id", loaded)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(viaLoaded === fresh)
+    // order sanity: matched pairs sit adjacently, anchor first
+    val pos = fresh.map(r => r._1 -> r._3).toMap
+    for ((a, b, _) <- Seq((2L, 7L, 9L), (3L, 11L, 5L), (6L, 10L, 5L)))
+      assert(pos(b) === pos(a) + 1, s"pair ($a,$b) must pack adjacently")
+    assert(pos.values.toSeq.sorted === (1L to 12L))
+  }
+
   test("fuzzy gram-rarity map round-trips; ceiling refuses loudly") {
     val train = Seq("kitten", "mitten", "sitting", "ab").toDF("name")
     val table = Dedup.gramRarityTable(train, "name", q = 2)

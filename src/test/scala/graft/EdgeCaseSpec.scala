@@ -333,4 +333,33 @@ class EdgeCaseSpec extends SparkSpec {
       .as[(Long, Long, Long, Long)].collect().toSeq
     assert(scored === Seq((9L, 1L, 1L, 1000000L)))
   }
+
+  test("round-10 ops on degenerate inputs: empty pair graph, empty arrivals, 1x1 image") {
+    import graft.operators.{Corpus, Multimodal}
+    // icpOrder under an EMPTY pair graph: every doc self-anchors, the
+    // order is dense doc_id order
+    val docs = Seq(5L, 2L, 9L).toDF("doc_id")
+    val noPairs = Seq.empty[(Long, Long, Long)].toDF("node_a", "node_b", "score")
+    val order = Corpus.icpOrder(docs, "doc_id", noPairs)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(order === Set((2L, 2L, 1L), (5L, 5L, 2L), (9L, 9L, 3L)))
+    // icpAttach with NO arrivals: empty in, empty out, no numbering crash
+    val noCands = Seq.empty[(Long, Option[Long], Option[Long])]
+      .toDF("doc_id", "old_id", "score")
+    val ord = Corpus.icpOrder(docs, "doc_id", noPairs)
+    assert(Corpus.icpAttach(noCands, ord, 3L).count() === 0)
+    // arrivals whose every candidate is null: all self-anchored, doc order
+    val nullCands = Seq((20L, None, None), (19L, None, None))
+      .asInstanceOf[Seq[(Long, Option[Long], Option[Long])]]
+      .toDF("doc_id", "old_id", "score")
+    assert(Corpus.icpAttach(nullCands, ord, 3L)
+      .as[(Long, Long, Long)].collect().toSet ===
+      Set((19L, 19L, 4L), (20L, 20L, 5L)))
+    // 1x1 BMP decodes: one pixel, luma = closed form
+    val one = Multimodal.decodeImageMeta(Multimodal.encodeBmpGray(
+      Seq((3L, 1, 1)).toDF("doc_id", "w", "h"), "doc_id", "w", "h"))
+      .collect().head
+    assert((one.width, one.height, one.n_pixels) === ((1, 1, 1L)))
+    assert(one.luma_sum === (3L * 31 * 7) % 256)
+  }
 }

@@ -133,4 +133,53 @@ class MultimodalSpec extends SparkSpec {
     assert(f.n_bytes === 2)
     assert(f.features.toSeq === Seq('a'.toLong, 'b'.toLong, 0L, 0L, 0L, 0L, 0L, 0L))
   }
+
+  test("decodeImageMeta: real ImageIO decode of generated BMPs matches the closed form (all pad widths)") {
+    // w = 4..8 exercises every 4-byte row padding (pad 0,1,2,3); the
+    // closed-form luma of gray pixel v is v, so the decoded sum equals
+    // sum over i < w*h of ((id*31 + i)*7) % 256 — if ANY pixel, row
+    // order, or padding byte were misdecoded, some sum would differ
+    val dims = Seq((10L, 4, 3), (11L, 5, 4), (12L, 6, 5), (13L, 7, 2), (14L, 8, 1))
+    val media = Multimodal.encodeBmpGray(
+      dims.toDF("doc_id", "w", "h"), "doc_id", "w", "h")
+    val got = Multimodal.decodeImageMeta(media)
+      .collect().map(m => m.media_id -> m).toMap
+    for ((id, w, h) <- dims) {
+      val m = got(id)
+      assert(m.format === "bmp", s"media $id")
+      assert((m.width, m.height) === ((w, h)), s"media $id")
+      assert(m.n_pixels === w.toLong * h)
+      val expect = (0L until w.toLong * h).map(i => ((id * 31 + i) * 7) % 256).sum
+      assert(m.luma_sum === expect, s"media $id: decoded luma must equal closed form")
+    }
+  }
+
+  test("decodeImageMeta: format-agnostic — the same pixels as PNG decode to the same metadata") {
+    // route one image through a DIFFERENT codec: re-encode the BMP's
+    // pixels as PNG with ImageIO and decode through the same operator —
+    // proves decodeImageMeta drives the codec registry, not a BMP header
+    // walk (and that the luma sum is a property of the pixels, not the
+    // container format)
+    import spark.implicits._
+    val bmp = Multimodal.encodeBmpGray(
+      Seq((42L, 6, 5)).toDF("doc_id", "w", "h"), "doc_id", "w", "h")
+      .select("payload").as[Array[Byte]].head()
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bmp))
+    val baos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", baos)
+    val pngMedia = Seq((42L, "image/png", baos.toByteArray))
+      .toDF("media_id", "mime", "payload")
+    val m = Multimodal.decodeImageMeta(pngMedia).collect().head
+    assert(m.format === "png")
+    assert((m.width, m.height, m.n_pixels) === ((6, 5, 30L)))
+    val expect = (0L until 30L).map(i => ((42L * 31 + i) * 7) % 256).sum
+    assert(m.luma_sum === expect)
+    // corrupt payload fails loudly with the media id
+    val bad = Seq((7L, "x", Array[Byte](1, 2, 3))).toDF("media_id", "mime", "payload")
+    val e = intercept[org.apache.spark.SparkException] {
+      Multimodal.decodeImageMeta(bad).collect()
+    }
+    assert(e.getMessage.contains("media 7") ||
+      Option(e.getCause).exists(_.getMessage.contains("media 7")))
+  }
 }

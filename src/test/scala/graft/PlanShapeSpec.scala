@@ -1037,11 +1037,32 @@ class PlanShapeSpec extends SparkSpec {
       "the event_type filters must reach the scan")
   }
 
-  test("ivf assignment: corpus never shuffles; both levels ride 1-row broadcast packs") {
-    // assignToCentroidsIvf's corpus side must stay a narrow scan — the
-    // only exchanges belong to the centroid-table preparation (k rows:
-    // group k-means + the two packs), and the corpus attaches via 1-row
-    // BNLJ broadcasts (the assignNarrow pattern), never an equi-shuffle
+  test("media decode: one pruned scan, a narrow MapPartitions chain, zero shuffles") {
+    // encode→ImageIO-decode is per-row work: any Exchange here would be
+    // a payload-sized shuffle of opaque binaries for no algebraic reason
+    val df = q("q_media_decode")
+    assert(countShuffles(df) === 0,
+      s"decode must stay narrow:\n${formatted(df)}")
+    assert(countNodes(df, "Scan parquet") === 1)
+    val schema = readSchemas(df).head
+    assert(!schema.contains("text"),
+      s"decode reads only doc_id, not the text payload: $schema")
+    assert(countNodes(df, "MapPartitions") === 2, // encode + decode
+      s"expected the two typed batch transforms:\n${formatted(df)}")
+  }
+
+  test("icp attach: equi-joins only — candidate generation never goes quadratic") {
+    val df = q("q_icp_attach")
+    assert(countNodes(df, "CartesianProduct") === 0,
+      s"the jaccard candidate join must stay prefix-bucketed:\n${formatted(df)}")
+    assert(countNodes(df, "BroadcastNestedLoopJoin") === 0)
+  }
+
+  test("ivf assignment (small index): corpus never shuffles; both levels ride 1-row broadcast packs") {
+    // q_assign_ivf's 16×64-float index sits under the shardBytes
+    // dispatch, so the fine level is the single map row — the corpus
+    // attaches via two 1-row BNLJ broadcasts (the assignNarrow pattern),
+    // never an equi-shuffle
     val df = q("q_assign_ivf")
     assert(countNodes(df, "BroadcastNestedLoopJoin") === 2,
       s"expected the two 1-row pack joins:\n${formatted(df)}")
@@ -1051,5 +1072,44 @@ class PlanShapeSpec extends SparkSpec {
     // in the plan is centroid-sided (ExistingRDD scans)
     assert(countNodes(df, "Scan parquet") === 1,
       s"expected one corpus scan:\n${formatted(df)}")
+  }
+
+  test("ivf assignment (large index): fine level shards into per-group hash joins, group packs broadcast once") {
+    // past shardBytes the fine level is nprobe broadcast-HASH joins on
+    // the probed group id — no single broadcast object scales with the
+    // whole index; forced here with shardBytes = 0 on the same parquet
+    // corpus the query reads
+    import org.apache.spark.sql.functions._
+    val corpus = graft.queries.Tables.t(spark, sf, "embeddings")
+      .select(col("vec_id"), col("embedding").as("emb"))
+    val cents = spark.range(16).select(col("id").cast("int").as("cell"),
+      transform(sequence(lit(0), lit(63)), i =>
+        when(i === col("id"), lit(1.0f)).otherwise(lit(0.0f))).as("c_emb"))
+    val df = graft.operators.Similarity.assignToCentroidsIvf(
+      corpus, "emb", cents, nprobe = 4, groups = 4, shardBytes = 0L)
+    assert(countNodes(df, "BroadcastNestedLoopJoin") === 1,
+      s"expected exactly the 1-row rep-pack join:\n${formatted(df)}")
+    // 4 probe-slot LeftOuter joins on the corpus path + the centroid-prep
+    // LeftSemi (probe-able groups filter) = 5 hash joins total
+    assert(countNodes(df, "BroadcastHashJoin") === 5,
+      s"expected 4 probe-slot + 1 prep hash join:\n${formatted(df)}")
+    assert(formatted(df).linesIterator
+        .count(_.contains("BroadcastHashJoin LeftOuter")) === 4,
+      s"expected one LeftOuter hash join per probe slot:\n${formatted(df)}")
+    assert(countNodes(df, "SortMergeJoin") === 0)
+    assert(countNodes(df, "Window") === 0)
+    // the parquet (corpus) scan must not feed an Exchange
+    assert(countNodes(df, "Scan parquet") === 1,
+      s"expected one corpus scan:\n${formatted(df)}")
+    // RUNTIME shape: the four probe slots' right sides are the same
+    // checkpointed subtree, so AQE's stage cache must materialize the
+    // group-pack broadcast ONCE and reuse it — k·d bytes ship once, not
+    // nprobe times (the static plan can't show this; reuse happens at
+    // stage submission)
+    df.collect()
+    val finalPlan = df.queryExecution.executedPlan.toString
+    assert(finalPlan.contains("isFinalPlan=true"), "plan never finalized")
+    assert("ReusedExchange".r.findAllMatchIn(finalPlan).size >= 3,
+      s"group-pack broadcast must be shipped once and reused:\n$finalPlan")
   }
 }

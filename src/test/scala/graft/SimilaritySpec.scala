@@ -410,6 +410,24 @@ class SimilaritySpec extends SparkSpec {
         corpus.select("vec_id", "emb"), "emb", cents, nprobe = 4)
       .select("vec_id", "cell").as[(Long, Int)].collect().toMap
     assert(again === ivf)
+    // sharded fine level ≡ the monolithic map form, assignment-for-
+    // assignment — at EXHAUSTIVE probing and at small nprobe (same
+    // deterministic group k-means → same routing, so the only degree of
+    // freedom is the fine-level fold, which must not change a single
+    // cell). This index is tiny, so the default-dispatch results above
+    // exercised the map form; shardBytes = 0 forces the sharded plan.
+    val shardEx = Similarity.assignToCentroidsIvf(
+        corpus.select("vec_id", "emb"), "emb", cents, nprobe = 60, groups = 8,
+        shardBytes = 0L)
+      .select("vec_id", "cell").as[(Long, Int)].collect().toMap
+    assert(shardEx === exhaustive,
+      "sharded and monolithic must agree under exhaustive probing")
+    val shard4 = Similarity.assignToCentroidsIvf(
+        corpus.select("vec_id", "emb"), "emb", cents, nprobe = 4,
+        shardBytes = 0L)
+      .select("vec_id", "cell").as[(Long, Int)].collect().toMap
+    assert(shard4 === ivf,
+      "sharded and monolithic must agree at small nprobe")
   }
 
   test("semDedupSkewSafeAssigned composes: pre-assigned frame gives the same dedup as the fused form") {

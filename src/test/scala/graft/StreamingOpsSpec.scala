@@ -894,8 +894,12 @@ class StreamingOpsSpec extends SparkSpec {
         vecs.toDF("vec_id", "emb"), "emb", cents, nprobe = 2)
       .select("vec_id", "cell").as[(Long, Int)].collect().toMap
     val mem = MemoryStream[(Long, Seq[Float])]
+    // force the SHARDED fine level: its stream-static per-slot joins are
+    // the round-10 machinery worth pinning (the small-index map form is
+    // the round-9 1-row-broadcast shape, already proven streaming)
     val out = Similarity.assignToCentroidsIvf(
-      mem.toDF().toDF("vec_id", "emb"), "emb", cents, nprobe = 2)
+      mem.toDF().toDF("vec_id", "emb"), "emb", cents, nprobe = 2,
+      shardBytes = 0L)
     assert(out.isStreaming, "assignment must stay a stateless streaming frame")
     val q = out.select("vec_id", "cell").writeStream.format("memory")
       .queryName("ivf_assign_ingest").outputMode("append").start()
@@ -905,6 +909,105 @@ class StreamingOpsSpec extends SparkSpec {
     } finally q.stop()
     assert(spark.table("ivf_assign_ingest").as[(Long, Int)].collect().toMap
       === batch)
+  }
+
+  test("image decode at ingest: the ImageIO per-partition decode runs unchanged on a streaming frame") {
+    import graft.operators.Multimodal
+    // decode is stateless per record (one codec context per partition),
+    // so the SAME operator tags arriving media with no state store —
+    // the decodeFeaturesStub streaming contract, now with a real codec
+    val dims = Seq((1L, 4, 3), (2L, 7, 2), (3L, 5, 5))
+    val batch = Multimodal.decodeImageMeta(Multimodal.encodeBmpGray(
+        dims.toDF("doc_id", "w", "h"), "doc_id", "w", "h"))
+      .collect().map(m => m.media_id -> ((m.width, m.height, m.luma_sum))).toMap
+    val mem = MemoryStream[(Long, Int, Int)]
+    val out = Multimodal.decodeImageMeta(Multimodal.encodeBmpGray(
+      mem.toDF().toDF("doc_id", "w", "h"), "doc_id", "w", "h"))
+    assert(out.isStreaming, "decode must stay a stateless streaming frame")
+    val q = out.toDF().writeStream.format("memory").queryName("img_ingest")
+      .outputMode("append").start()
+    try {
+      mem.addData(dims.take(2): _*); q.processAllAvailable()
+      mem.addData(dims.drop(2): _*); q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.table("img_ingest")
+      .select("media_id", "width", "height", "luma_sum")
+      .as[(Long, Int, Int, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(streamed === batch)
+  }
+
+  test("in-context packing at ingest: arrivals append to the standing order through the persisted pair graph") {
+    import graft.operators.Corpus
+    import graft.streaming.StreamingCorpus
+    // standing corpus: 8 docs, pair graph (2,5) (3,7) — persisted and
+    // RELOADED (the production artifact hop), then the standing order
+    // derives from the LOADED graph
+    val docs = (1L to 8L).toDF("doc_id")
+    val pairs = Seq((2L, 5L, 9L), (3L, 7L, 4L)).toDF("node_a", "node_b", "score")
+    val root = java.nio.file.Files.createTempDirectory("graft_icp").toString
+    graft.state.Artifacts.savePairGraph(pairs, s"$root/pairs")
+    val order = Corpus.icpOrder(docs, "doc_id",
+        graft.state.Artifacts.loadPairGraph(spark, s"$root/pairs"))
+      .localCheckpoint(true)
+    val basePos = 8L
+    // arriving docs with their match candidates vs the standing corpus:
+    // 20 matches 5 (score 6) and 3 (score 2) -> anchors to 5 (higher);
+    // 21 matches 3 and 7 at EQUAL score -> old_id asc tie-break -> 3;
+    // 22's only candidate (99) is absent from the standing order -> self;
+    // 23 has no candidates at all -> self, sorts after anchored docs
+    val cands: Seq[(Long, Option[Long], Option[Long])] = Seq(
+      (20L, Some(5L), Some(6L)), (20L, Some(3L), Some(2L)),
+      (21L, Some(3L), Some(4L)), (21L, Some(7L), Some(4L)),
+      (22L, Some(99L), Some(8L)),
+      (23L, None, None))
+    def cdf(rows: Seq[(Long, Option[Long], Option[Long])]) =
+      rows.toDF("doc_id", "old_id", "score")
+    val batch = Corpus.icpAttach(cdf(cands), order, basePos)
+      .as[(Long, Long, Long)].collect().toSet
+    // anchored docs order by their anchor's standing position, then the
+    // unanchored; positions append after basePos and never renumber
+    val posOf = order.as[(Long, Long, Long)].collect()
+      .map(r => r._1 -> r._3).toMap
+    assert(posOf(3L) < posOf(5L) || posOf(5L) < posOf(3L)) // total order sanity
+    val expectOrder = Seq(
+      (if (posOf(3L) < posOf(5L)) Seq((21L, 3L), (20L, 5L))
+       else Seq((20L, 5L), (21L, 3L))) :+ (22L -> 22L) :+ (23L -> 23L)
+    ).flatten.zipWithIndex
+      .map { case ((doc, anc), i) => (doc, anc, basePos + i + 1) }.toSet
+    assert(batch === expectOrder)
+    // ONE micro-batch reproduces the batch operator bit-for-bit
+    val mem = MemoryStream[(Long, Option[Long], Option[Long])]
+    val out = StreamingCorpus.icpAttachAtIngest(
+      mem.toDF().toDF("doc_id", "old_id", "score"), order, basePos)
+    assert(out.isStreaming)
+    val q = out.writeStream.format("memory").queryName("icp_sink")
+      .outputMode("append").start()
+    try {
+      mem.addData(cands: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    assert(spark.table("icp_sink").as[(Long, Long, Long)].collect().toSet
+      === batch)
+    // TWO micro-batches equal two sequential batch applications: the
+    // ledger continues, issued positions never renumber
+    val mem2 = MemoryStream[(Long, Option[Long], Option[Long])]
+    val q2 = StreamingCorpus.icpAttachAtIngest(
+        mem2.toDF().toDF("doc_id", "old_id", "score"), order, basePos)
+      .writeStream.format("memory").queryName("icp_sink2")
+      .outputMode("append").start()
+    val (b1, b2) = (cands.take(3), cands.drop(3))
+    try {
+      mem2.addData(b1: _*); q2.processAllAvailable()
+      mem2.addData(b2: _*); q2.processAllAvailable()
+    } finally q2.stop()
+    val seq1 = Corpus.icpAttach(cdf(b1), order, basePos)
+      .as[(Long, Long, Long)].collect().toSet
+    val after1 = basePos + b1.map(_._1).distinct.size
+    val seq2 = Corpus.icpAttach(cdf(b2), order, after1)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(spark.table("icp_sink2").as[(Long, Long, Long)].collect().toSet
+      === (seq1 ++ seq2))
   }
 
   test("fertility report maintains incrementally on a stream") {
