@@ -701,6 +701,62 @@ object Corpus {
       .drop("_pgT", "_pgLoc", "_pgBase")
   }
 
+  /** [[packGlobal]] under an EXPLICIT total order instead of the hash
+    * permutation — the last step of similarity-ordered pretraining
+    * (Shi et al. 2023): documents concatenate in `pos` order (e.g.
+    * [[icpOrder]]'s `icp_pos`, so matched documents share training
+    * sequences) and split into fixed `seqLen` sequences, documents
+    * crossing boundaries. Same outputs as [[packGlobal]]
+    * (`global_start`, `first_seq`, `last_seq`).
+    *
+    * The prefix sum is distributed the way [[graft.operators.SuffixArray]]
+    * numbers ranks: `repartitionByRange` on `pos` (a range exchange — a
+    * distributed sort, never a single partition), a per-PARTITION window
+    * accumulates token counts, and the ≤ `buckets` per-partition totals
+    * collect to the driver, cumulate, and broadcast back as bases.
+    * Nothing corpus-sized crosses a second shuffle. `pos` must be
+    * unique per row (any dense or sparse total order works); token
+    * counts must be non-null and non-negative (fails loudly).
+    */
+  def packByOrder(ordered: DataFrame, pos: Column, tokens: Column,
+      seqLen: Int, buckets: Int = 32): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(seqLen > 0, s"need seqLen > 0, got $seqLen")
+    require(buckets > 0, s"need buckets > 0, got $buckets")
+    Seq("_pbT", "_pbP", "_pbLoc", "_pbTot", "_pbBase", "global_start",
+        "first_seq", "last_seq").foreach(c =>
+      require(!ordered.columns.contains(c),
+        s"input already has a $c column — packByOrder would shadow it"))
+    // materialized ONCE before the bases collect, for the same reason as
+    // denseNumberCounted: a re-sampled range boundary set would misalign
+    // every base offset
+    val local = ordered
+      .withColumn("_pbT",
+        when(assert_true(tokens.isNotNull && tokens >= 0,
+          lit("packByOrder needs non-null, non-negative token counts")).isNull,
+          tokens.cast("long")))
+      .repartitionByRange(buckets, pos)
+      .withColumn("_pbP", spark_partition_id())
+      .withColumn("_pbLoc",
+        coalesce(sum(col("_pbT")).over(
+          Window.partitionBy(col("_pbP")).orderBy(pos)
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .localCheckpoint(true)
+    val perPart = local.groupBy("_pbP").agg(sum(col("_pbT")).as("_pbTot"))
+      .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+    var acc = 0L
+    val baseRows = perPart.map { case (p, tot) => val b = acc; acc += tot; (p, b) }
+    val bases = ordered.sparkSession.createDataFrame(baseRows.toSeq)
+      .toDF("_pbP", "_pbBase")
+    local.join(broadcast(bases), "_pbP")
+      .withColumn("global_start", col("_pbBase") + col("_pbLoc"))
+      .withColumn("first_seq", expr(s"global_start div ${seqLen}"))
+      .withColumn("last_seq",
+        when(col("_pbT") === 0, col("first_seq"))
+          .otherwise(expr(s"(global_start + _pbT - 1) div ${seqLen}")))
+      .drop("_pbT", "_pbP", "_pbLoc", "_pbBase")
+  }
+
   /** Deterministic hash sampling: keep rows whose key hashes into
     * `num`/`den` of the hash space. Unlike `DataFrame.sample`, the
     * decision is a pure function of the key — stable across runs,

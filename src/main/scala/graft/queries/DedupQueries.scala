@@ -381,6 +381,44 @@ object DedupQueries {
         graft.operators.Corpus.icpAttach(cands, order, order.count())
       }),
 
+    // in-context PACKING (round 10): the ICP order concatenated into one
+    // token stream and split into fixed 2048-token training sequences,
+    // documents crossing boundaries — the GPT-style packGlobal layout
+    // under the similarity order instead of the hash permutation, so
+    // matched documents share training sequences (the point of Shi et
+    // al. 2023's ordering). Prefix sum = range exchange + per-partition
+    // window + ≤32 collected bases; never a single-partition sort.
+    Q("q_icp_pack", Some(mbmSql +
+      """
+        |, mm AS (SELECT a AS doc_id, a AS anchor, 0 AS w FROM matched
+        |    UNION ALL SELECT b, a, 1 FROM matched)
+        |, lab AS (SELECT d.doc_id, coalesce(mm.anchor, d.doc_id) AS anchor,
+        |    coalesce(mm.w, 0) AS w
+        |  FROM documents d LEFT JOIN mm USING (doc_id))
+        |, ord AS (SELECT doc_id,
+        |    row_number() OVER (ORDER BY anchor, w) AS icp_pos FROM lab)
+        |, st AS (SELECT o.doc_id, o.icp_pos, d.n_chars,
+        |    CAST(coalesce(sum(d.n_chars) OVER (ORDER BY o.icp_pos
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+        |      AS global_start
+        |  FROM ord o JOIN documents d USING (doc_id))
+        |SELECT doc_id, CAST(icp_pos AS BIGINT) AS icp_pos, n_chars,
+        |  global_start,
+        |  global_start // 2048 AS first_seq,
+        |  CASE WHEN n_chars = 0 THEN global_start // 2048
+        |    ELSE (global_start + n_chars - 1) // 2048 END AS last_seq
+        |FROM st""".stripMargin))(
+      (s, d) => {
+        val ordered = graft.operators.Corpus.icpOrder(
+            t(s, d, "documents"), "doc_id", mutualMatch(s, d))
+          .join(t(s, d, "documents").select(col("doc_id"), col("n_chars")),
+            Seq("doc_id"))
+        graft.operators.Corpus.packByOrder(ordered, col("icp_pos"),
+            col("n_chars"), seqLen = 2048)
+          .select(col("doc_id"), col("icp_pos"), col("n_chars"),
+            col("global_start"), col("first_seq"), col("last_seq"))
+      }),
+
     // incremental exact Jaccard: the % 10 = 0 batch against the standing
     // corpus under FROZEN corpus rarity (unseen grams take df = 0, the
     // rarest slot — they can't match but they fill prefixes first).

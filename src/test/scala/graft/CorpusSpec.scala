@@ -743,4 +743,41 @@ class CorpusSpec extends SparkSpec {
     assert(Corpus.freqOfFreq(
       Seq.empty[(Long, String)].toDF("doc_id", "text"), col("text")).count() === 0)
   }
+
+  test("packByOrder: exact prefix sums under an explicit order at any bucket count; zero-token docs; empty input") {
+    // randomized: positions sparse and shuffled, token counts include 0
+    val rnd = new scala.util.Random(11)
+    val rows = rnd.shuffle((0 until 257).toList).zipWithIndex.map {
+      case (p, i) => (i.toLong, p.toLong * 3 + 1, // sparse unique pos
+        if (i % 17 == 0) 0L else rnd.nextInt(500).toLong)
+    }
+    val df = rows.toDF("doc_id", "pos", "n_tok")
+    // sequential model: sort by pos, running exclusive sum
+    var acc = 0L
+    val expect = rows.sortBy(_._2).map { case (id, _, t) =>
+      val start = acc; acc += t
+      val first = start / 64
+      val last = if (t == 0) first else (start + t - 1) / 64
+      id -> ((start, first, last))
+    }.toMap
+    for (buckets <- Seq(1, 3, 32)) {
+      val got = Corpus.packByOrder(df, col("pos"), col("n_tok"),
+          seqLen = 64, buckets = buckets)
+        .select("doc_id", "global_start", "first_seq", "last_seq")
+        .as[(Long, Long, Long, Long)].collect()
+        .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+      assert(got === expect, s"buckets=$buckets")
+    }
+    // empty input: empty output, no numbering crash
+    assert(Corpus.packByOrder(
+      Seq.empty[(Long, Long, Long)].toDF("doc_id", "pos", "n_tok"),
+      col("pos"), col("n_tok"), seqLen = 64).count() === 0)
+    // negative token counts fail loudly
+    val bad = intercept[Exception] {
+      Corpus.packByOrder(Seq((1L, 1L, -2L)).toDF("doc_id", "pos", "n_tok"),
+        col("pos"), col("n_tok"), seqLen = 64).collect()
+    }
+    assert(bad.getMessage.contains("non-negative") ||
+      Option(bad.getCause).exists(_.getMessage.contains("non-negative")))
+  }
 }

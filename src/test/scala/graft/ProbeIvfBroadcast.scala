@@ -37,8 +37,10 @@ import org.apache.spark.sql.functions._
   * OutOfMemoryError trips Spark's uncaught-exception handler and kills
   * the process, so a mono OOM inside a combined run would take the
   * shard measurements down with it — and the mono form DOES OOM the
-  * default 4 GiB sbt heap at the 134 MB point (measured; the shard form
-  * completes there in the same heap, which is the probe's thesis).
+  * build's 8 GiB forked-JVM default heap at the 134 MB point (measured;
+  * the shard form completes there in the same heap, which is the
+  * probe's thesis, and the mono form given SPARK_DRIVER_MEM=32g is
+  * STILL 1.4× slower than the shard in a quarter of the memory).
   *
   *   sbt "Test/runMain graft.ProbeIvfBroadcast <mono|shard|both> <k,k,...>"
   */
