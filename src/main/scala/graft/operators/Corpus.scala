@@ -717,9 +717,15 @@ object Corpus {
     * Nothing corpus-sized crosses a second shuffle. `pos` must be
     * unique per row (any dense or sparse total order works); token
     * counts must be non-null and non-negative (fails loudly).
+    *
+    * `baseOffset` shifts the whole stream (sequences keep cutting at
+    * absolute `seqLen` boundaries) — the append hook: a standing corpus
+    * packed to total T continues at `baseOffset = T` for a new batch
+    * (`graft.streaming.StreamingCorpus.packAppendAtIngest` is the
+    * ledgered streaming twin; spec-pinned equal).
     */
   def packByOrder(ordered: DataFrame, pos: Column, tokens: Column,
-      seqLen: Int, buckets: Int = 32): DataFrame = {
+      seqLen: Int, buckets: Int = 32, baseOffset: Long = 0L): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(seqLen > 0, s"need seqLen > 0, got $seqLen")
     require(buckets > 0, s"need buckets > 0, got $buckets")
@@ -749,7 +755,7 @@ object Corpus {
     val bases = ordered.sparkSession.createDataFrame(baseRows.toSeq)
       .toDF("_pbP", "_pbBase")
     local.join(broadcast(bases), "_pbP")
-      .withColumn("global_start", col("_pbBase") + col("_pbLoc"))
+      .withColumn("global_start", lit(baseOffset) + col("_pbBase") + col("_pbLoc"))
       .withColumn("first_seq", expr(s"global_start div ${seqLen}"))
       .withColumn("last_seq",
         when(col("_pbT") === 0, col("first_seq"))

@@ -179,6 +179,59 @@ object StreamingCorpus {
       }
   }
 
+  /** One appended pack slot: the doc's global token offset and the
+    * training-sequence ids it lands in (the packGlobal outputs).
+    */
+  final case class PackSlot(doc_id: Long, global_start: Long,
+      first_seq: Long, last_seq: Long)
+
+  /** Concat-and-split packing at ingest — the streaming twin of
+    * [[graft.operators.Corpus.packByOrder]]'s append hook: arriving
+    * documents EXTEND the standing token stream (packed offline to
+    * total `baseOffset`) and keep cutting training sequences at
+    * absolute `seqLen` boundaries, so a training job can consume
+    * sequences while ingest appends (the exportShardsAtIngest
+    * append-stability contract: issued offsets never renumber).
+    *
+    * The ledger (the stream's running token total) is ONE long in ONE
+    * group — a token stream, like a log, has one tail; all per-record
+    * work upstream is stateless. Within a micro-batch docs order by
+    * (`pos`, doc_id) — so ONE batch reproduces
+    * `packByOrder(batch, pos, tokens, seqLen, baseOffset = ledger)`
+    * bit-for-bit (spec-pinned) and K batches equal K sequential batch
+    * applications; across batches order is arrival order. Token counts
+    * must be non-negative (zero-token docs land at their offset with a
+    * zero span, as in the batch form).
+    */
+  def packAppendAtIngest(rows: DataFrame, seqLen: Int,
+      baseOffset: Long): Dataset[PackSlot] = {
+    require(seqLen > 0, s"need seqLen > 0, got $seqLen")
+    val spark = rows.sparkSession
+    import spark.implicits._
+    rows
+      .select(col("doc_id").cast("long"), col("pos").cast("long"),
+        col("n_tok").cast("long"))
+      .as[(Long, Long, Long)]
+      .groupByKey(_ => 0)
+      .flatMapGroupsWithState[Long, PackSlot](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout) {
+        (_, it, state) =>
+          var off = state.getOption.getOrElse(baseOffset)
+          val out = it.toSeq.sortBy(r => (r._2, r._1)).map {
+            case (docId, _, t) =>
+              require(t >= 0,
+                s"packAppendAtIngest needs non-negative token counts, " +
+                  s"doc $docId has $t")
+              val start = off
+              off += t
+              PackSlot(docId, start, start / seqLen,
+                if (t == 0) start / seqLen else (start + t - 1) / seqLen)
+          }
+          state.update(off)
+          out.iterator
+      }
+  }
+
   def admitQuotaAtIngest(rows: DataFrame, stratum: String, key: String,
       seq: String, quota: Int): Dataset[Admitted] = {
     require(quota > 0, s"need quota > 0, got $quota")

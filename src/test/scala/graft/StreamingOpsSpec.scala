@@ -1010,6 +1010,55 @@ class StreamingOpsSpec extends SparkSpec {
       === (seq1 ++ seq2))
   }
 
+  test("pack append at ingest: arriving docs extend the standing token stream, offsets never renumber") {
+    import graft.operators.Corpus
+    import graft.streaming.StreamingCorpus
+    // standing corpus packed offline to total 1000; arrivals extend it
+    val basePos = 1000L
+    val rows = Seq( // (doc_id, pos, n_tok) — pos sparse + shuffled, a zero-token doc
+      (7L, 30L, 100L), (3L, 10L, 63L), (9L, 50L, 0L), (4L, 20L, 65L), (8L, 40L, 1L))
+    def rdf(rs: Seq[(Long, Long, Long)]) = rs.toDF("doc_id", "pos", "n_tok")
+    val batch = Corpus.packByOrder(rdf(rows), col("pos"), col("n_tok"),
+        seqLen = 64, baseOffset = basePos)
+      .select("doc_id", "global_start", "first_seq", "last_seq")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    // hand check: order 3,4,7,8,9 → starts 1000,1063,1128,1228,1229
+    assert(batch === Set((3L, 1000L, 15L, 16L), (4L, 1063L, 16L, 17L),
+      (7L, 1128L, 17L, 19L), (8L, 1228L, 19L, 19L), (9L, 1229L, 19L, 19L)))
+    // ONE micro-batch ≡ the batch operator; two batches ≡ two sequential
+    // batch applications with the ledger carried forward
+    for ((split, name) <- Seq(5 -> "one", 2 -> "two")) {
+      val mem = MemoryStream[(Long, Long, Long)]
+      val q = StreamingCorpus.packAppendAtIngest(
+          mem.toDF().toDF("doc_id", "pos", "n_tok"), seqLen = 64,
+          baseOffset = basePos)
+        .writeStream.format("memory").queryName(s"pack_ingest_$name")
+        .outputMode("append").start()
+      try {
+        mem.addData(rows.take(split): _*); q.processAllAvailable()
+        if (split < rows.size) {
+          mem.addData(rows.drop(split): _*); q.processAllAvailable()
+        }
+      } finally q.stop()
+      val got = spark.table(s"pack_ingest_$name")
+        .as[(Long, Long, Long, Long)].collect().toSet
+      val expect =
+        if (split == rows.size) batch
+        else {
+          val b1 = Corpus.packByOrder(rdf(rows.take(split)), col("pos"),
+            col("n_tok"), seqLen = 64, baseOffset = basePos)
+          val total = basePos + rows.take(split).map(_._3).sum
+          val b2 = Corpus.packByOrder(rdf(rows.drop(split)), col("pos"),
+            col("n_tok"), seqLen = 64, baseOffset = total)
+          (b1.select("doc_id", "global_start", "first_seq", "last_seq")
+              .as[(Long, Long, Long, Long)].collect() ++
+            b2.select("doc_id", "global_start", "first_seq", "last_seq")
+              .as[(Long, Long, Long, Long)].collect()).toSet
+        }
+      assert(got === expect, s"split=$split")
+    }
+  }
+
   test("fertility report maintains incrementally on a stream") {
     // pure partial agg over a stateless per-row map — fertilityReport's
     // groupBy IS the streaming update, so the per-source tokenizer
