@@ -517,6 +517,38 @@ object Similarity {
       .drop("_cents")
   }
 
+  /** Embedding-space decontamination: flag corpus vectors semantically
+    * too close (cosine ≥ `minCosine`) to ANY benchmark vector — the
+    * eval-leakage door the n-gram forms cannot close (a paraphrased or
+    * re-tokenized benchmark item shares no long n-gram with its source
+    * but sits near cosine 1 in embedding space; the lexical forms are
+    * [[graft.operators.Dedup.decontaminate]]-style gram joins, bloom
+    * gates, and SA scans). The benchmark packs into ONE broadcast row
+    * ([[assignNarrow]]'s shape — benchmark suites are index-sized,
+    * thousands to ~10^5 rows, never corpus-sized) and each corpus
+    * vector counts its hits in a narrow codegen'd pass: no shuffle, no
+    * explode, unchanged on a streaming frame. A benchmark too big to
+    * ride one row takes the bucketed-candidate route (the ANN family /
+    * [[assignToCentroidsIvf]]'s sharded packs); this is the exact form.
+    *
+    * Output: the corpus columns + `n_hits` (benchmark vectors at ≥
+    * `minCosine`) + `kept` (n_hits = 0) — integer/boolean outputs keep
+    * the cross-engine compare exact.
+    */
+  def embedDecontaminate(corpus: DataFrame, id: String, emb: String,
+      benchmark: DataFrame, bEmb: String, minCosine: Double): DataFrame = {
+    require(Seq("n_hits", "kept", "_edB").forall(c => !corpus.columns.contains(c)),
+      "corpus already has an n_hits/kept/_edB column — decontamination " +
+        "would silently shadow it")
+    val packed = benchmark.agg(collect_list(col(bEmb)).as("_edB"))
+    corpus.join(broadcast(packed))
+      .withColumn("n_hits",
+        size(filter(col("_edB"), b => cosineSim(col(emb), b) >= minCosine))
+          .cast("long"))
+      .withColumn("kept", col("n_hits") === 0)
+      .drop("_edB")
+  }
+
   /** Symmetric int8 quantization per vector: scale = 127 / max|xᵢ|, each
     * component mapped to floor(x·scale + 0.5) ∈ [−127, 127] (floor(+0.5)
     * rather than round() — round-half semantics differ between engines,

@@ -430,6 +430,46 @@ class SimilaritySpec extends SparkSpec {
       "sharded and monolithic must agree at small nprobe")
   }
 
+  test("embedDecontaminate: planted hits counted exactly; empty benchmark keeps everything; streams statelessly") {
+    // benchmark: e_x and e_y; corpus: near-e_x (1 hit), between x and y
+    // at ~0.707 each (2 hits), orthogonal e_z (0 hits)
+    val bench = Seq((900L, Seq(1f, 0f, 0f)), (901L, Seq(0f, 1f, 0f)))
+      .toDF("vec_id", "embedding")
+    val corpus = Seq(
+      (1L, Seq(0.99f, 0.1f, 0f)), // cos vs x ≈ 0.995 → 1 hit
+      (2L, Seq(1f, 1f, 0f)),      // cos ≈ 0.707 vs both → 2 hits
+      (3L, Seq(0f, 0f, 1f)))      // orthogonal → 0 hits
+      .toDF("vec_id", "embedding")
+    val got = Similarity.embedDecontaminate(
+        corpus, "vec_id", "embedding", bench, "embedding", minCosine = 0.6)
+      .select("vec_id", "n_hits", "kept")
+      .as[(Long, Long, Boolean)].collect().toSet
+    assert(got === Set((1L, 1L, false), (2L, 2L, false), (3L, 0L, true)))
+    // empty benchmark: nothing is contaminated, not a failure
+    val none = Similarity.embedDecontaminate(corpus, "vec_id", "embedding",
+        bench.filter(col("vec_id") < 0), "embedding", minCosine = 0.6)
+      .select("vec_id", "n_hits", "kept")
+      .as[(Long, Long, Boolean)].collect().toSet
+    assert(none === Set((1L, 0L, true), (2L, 0L, true), (3L, 0L, true)))
+    // stateless on a streaming frame: the benchmark pack is a static
+    // broadcast side — arriving vectors flag at the door
+    val mem = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, Seq[Float])](spark)
+    val out = Similarity.embedDecontaminate(
+      mem.toDF().toDF("vec_id", "embedding"), "vec_id", "embedding",
+      bench, "embedding", minCosine = 0.6)
+    assert(out.isStreaming, "decontamination must stream without state")
+    val q = out.select("vec_id", "n_hits", "kept").writeStream
+      .format("memory").queryName("embed_decon_sink").outputMode("append").start()
+    try {
+      mem.addData((1L, Seq(0.99f, 0.1f, 0f)), (3L, Seq(0f, 0f, 1f)))
+      q.processAllAvailable()
+    } finally q.stop()
+    assert(spark.table("embed_decon_sink")
+      .as[(Long, Long, Boolean)].collect().toSet ===
+      Set((1L, 1L, false), (3L, 0L, true)))
+  }
+
   test("semDedupSkewSafeAssigned composes: pre-assigned frame gives the same dedup as the fused form") {
     val se = queries.SimilarityQueries.seededCorpus(spark, sf)
     val cents = Similarity.kMeansCentroids(se, "vec_id", "emb", k = 16, iters = 1)
