@@ -536,10 +536,20 @@ object Similarity {
     * the cross-engine compare exact.
     */
   def embedDecontaminate(corpus: DataFrame, id: String, emb: String,
-      benchmark: DataFrame, bEmb: String, minCosine: Double): DataFrame = {
+      benchmark: DataFrame, bEmb: String, minCosine: Double,
+      maxPackBytes: Long = 256L << 20): DataFrame = {
     require(Seq("n_hits", "kept", "_edB").forall(c => !corpus.columns.contains(c)),
       "corpus already has an n_hits/kept/_edB column — decontamination " +
         "would silently shadow it")
+    // the pack is ONE row — refuse loudly past the byte ceiling instead
+    // of building a multi-GiB single object (the assignToCentroidsIvf
+    // lesson: single-object broadcasts OOM long before compute hurts);
+    // a benchmark past the ceiling belongs on the bucketed ANN route
+    val n = benchmark.count()
+    val d = if (n == 0) 0
+      else benchmark.select(size(col(bEmb))).head().getInt(0)
+    graft.state.Artifacts.guardCeiling(n * d * 4L, maxPackBytes,
+      "embedDecontaminate benchmark pack", "bytes")
     val packed = benchmark.agg(collect_list(col(bEmb)).as("_edB"))
     corpus.join(broadcast(packed))
       .withColumn("n_hits",

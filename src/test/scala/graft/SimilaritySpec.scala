@@ -451,6 +451,13 @@ class SimilaritySpec extends SparkSpec {
       .select("vec_id", "n_hits", "kept")
       .as[(Long, Long, Boolean)].collect().toSet
     assert(none === Set((1L, 0L, true), (2L, 0L, true), (3L, 0L, true)))
+    // a benchmark past the pack byte ceiling REFUSES loudly (the
+    // single-object-broadcast discipline) instead of building the row
+    val tooBig = intercept[IllegalArgumentException] {
+      Similarity.embedDecontaminate(corpus, "vec_id", "embedding",
+        bench, "embedding", minCosine = 0.6, maxPackBytes = 8L)
+    }
+    assert(tooBig.getMessage.contains("ceiling"))
     // stateless on a streaming frame: the benchmark pack is a static
     // broadcast side — arriving vectors flag at the door
     val mem = org.apache.spark.sql.execution.streaming.runtime
