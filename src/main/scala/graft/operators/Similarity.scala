@@ -356,11 +356,15 @@ object Similarity {
     * (k·d·4), the [[semDedupSkewSafe]] escape pattern applied to
     * broadcast objects:
     *
-    *   - index ≤ `shardBytes` (default 4 MiB): all members collapse into
+    *   - index ≤ `shardBytes` (default 1 MiB): all members collapse into
     *     one group→members map ROW — a harmless single object at this
     *     size, and measurably cheaper at toy k (fewer stages, one
     *     broadcast, no checkpoint barrier; 2.7 vs 4.3 s on the sf0.1
-    *     16-centroid bench query).
+    *     16-centroid 4 KB-index bench query). The crossover sits BELOW
+    *     2 MB: at a 2 MB index the sharded form already runs 1.8×
+    *     faster on a 500-row corpus (ProbeIvfBroadcast, d = 1024), and
+    *     bigger corpora amortize the extra join stages further, so the
+    *     1 MiB default is conservative toward the map form.
     *   - index > `shardBytes`: SHARDED — one packed row PER coarse group
     *     (members array inside), broadcast-HASH-joined on the probed
     *     group id, once per probe slot, folding a running argmin. No
@@ -388,7 +392,7 @@ object Similarity {
     */
   def assignToCentroidsIvf(corpus: DataFrame, emb: String,
       centroids: DataFrame, nprobe: Int = 4, groups: Int = 0,
-      shardBytes: Long = 4L << 20): DataFrame = {
+      shardBytes: Long = 1L << 20): DataFrame = {
     require(nprobe >= 1, s"need nprobe >= 1, got $nprobe")
     require(Seq("cell", "_sgGs", "_sgG", "_sgMs", "_sgP", "_sgBest")
         .forall(c => !corpus.columns.contains(c)),

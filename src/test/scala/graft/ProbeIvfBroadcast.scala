@@ -55,7 +55,9 @@ object ProbeIvfBroadcast {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     GraftExtensions.ensure(spark)
-    val d = 8192
+    // SPARK_GRAFT_PROBE_D narrows the vectors to place points near the
+    // shardBytes dispatch default (d=1024: k=512 → 2 MB, k=1024 → 4 MB)
+    val d = sys.env.getOrElse("SPARK_GRAFT_PROBE_D", "8192").toInt
     val n = 500L
 
     def noiseVec(seed: org.apache.spark.sql.Column) =
