@@ -713,8 +713,13 @@ object Corpus {
     * numbers ranks: `repartitionByRange` on `pos` (a range exchange — a
     * distributed sort, never a single partition), a per-PARTITION window
     * accumulates token counts, and the ≤ `buckets` per-partition totals
-    * collect to the driver, cumulate, and broadcast back as bases.
-    * Nothing corpus-sized crosses a second shuffle. `pos` must be
+    * collect to the driver, cumulate, and broadcast back as bases. The
+    * plan carries TWO corpus-sized exchanges (denseNumber's shape): the
+    * range exchange, then a hash exchange on `spark_partition_id()` for
+    * the window — Catalyst cannot prove the partition-id column aligns
+    * with the range partitioning, so it re-clusters; both are ordinary
+    * `buckets`-way hash/range shuffles, never a single-partition sort
+    * (plan-pinned in PlanShapeSpec). `pos` must be
     * unique per row (any dense or sparse total order works); token
     * counts must be non-null and non-negative (fails loudly).
     *
@@ -726,7 +731,6 @@ object Corpus {
     */
   def packByOrder(ordered: DataFrame, pos: Column, tokens: Column,
       seqLen: Int, buckets: Int = 32, baseOffset: Long = 0L): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     require(seqLen > 0, s"need seqLen > 0, got $seqLen")
     require(buckets > 0, s"need buckets > 0, got $buckets")
     Seq("_pbT", "_pbP", "_pbLoc", "_pbTot", "_pbBase", "global_start",
@@ -736,17 +740,7 @@ object Corpus {
     // materialized ONCE before the bases collect, for the same reason as
     // denseNumberCounted: a re-sampled range boundary set would misalign
     // every base offset
-    val local = ordered
-      .withColumn("_pbT",
-        when(assert_true(tokens.isNotNull && tokens >= 0,
-          lit("packByOrder needs non-null, non-negative token counts")).isNull,
-          tokens.cast("long")))
-      .repartitionByRange(buckets, pos)
-      .withColumn("_pbP", spark_partition_id())
-      .withColumn("_pbLoc",
-        coalesce(sum(col("_pbT")).over(
-          Window.partitionBy(col("_pbP")).orderBy(pos)
-            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+    val local = packByOrderLocal(ordered, pos, tokens, buckets)
       .localCheckpoint(true)
     val perPart = local.groupBy("_pbP").agg(sum(col("_pbT")).as("_pbTot"))
       .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
@@ -761,6 +755,27 @@ object Corpus {
         when(col("_pbT") === 0, col("first_seq"))
           .otherwise(expr(s"(global_start + _pbT - 1) div ${seqLen}")))
       .drop("_pbT", "_pbP", "_pbLoc", "_pbBase")
+  }
+
+  /** [[packByOrder]]'s pre-checkpoint stage (range exchange + the
+    * per-partition prefix window) — extracted so PlanShapeSpec can pin
+    * the exchange count on the REAL code path (the checkpoint truncates
+    * the visible plan of the composed operator).
+    */
+  private[graft] def packByOrderLocal(ordered: DataFrame, pos: Column,
+      tokens: Column, buckets: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    ordered
+      .withColumn("_pbT",
+        when(assert_true(tokens.isNotNull && tokens >= 0,
+          lit("packByOrder needs non-null, non-negative token counts")).isNull,
+          tokens.cast("long")))
+      .repartitionByRange(buckets, pos)
+      .withColumn("_pbP", spark_partition_id())
+      .withColumn("_pbLoc",
+        coalesce(sum(col("_pbT")).over(
+          Window.partitionBy(col("_pbP")).orderBy(pos)
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
   }
 
   /** Deterministic hash sampling: keep rows whose key hashes into
@@ -1334,8 +1349,11 @@ object Corpus {
   def icpAttach(cands: DataFrame, standingOrder: DataFrame,
       basePos: Long): DataFrame = {
     val withPos = cands
+      // scores compare as doubles (struct ordering is exact on them), NOT
+      // cast to long — a cosine/ratio-scored pairing door would have its
+      // (score desc) anchor tie-break truncated to 0 by an integer cast
       .select(col("doc_id").cast("long"), col("old_id").cast("long"),
-        col("score").cast("long"))
+        col("score").cast("double"))
       .join(standingOrder.select(col("doc_id").cast("long").as("old_id"),
         col("icp_pos").cast("long").as("_iaP")), Seq("old_id"), "left")
     val best = withPos.groupBy("doc_id")

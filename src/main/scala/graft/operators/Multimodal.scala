@@ -203,34 +203,35 @@ object Multimodal {
           // memory-cached stream touches no file system at all.
           val iis = new javax.imageio.stream.MemoryCacheImageInputStream(
             new java.io.ByteArrayInputStream(bytes))
-          val readers = javax.imageio.ImageIO.getImageReaders(iis)
-          require(readers.hasNext,
-            s"media $id: no ImageIO codec recognizes this payload")
-          val reader = readers.next()
           try {
-            reader.setInput(iis)
-            val fmt = reader.getFormatName.toLowerCase
-            val img = reader.read(0)
-            val (w, h) = (img.getWidth, img.getHeight)
-            var sum = 0L
-            var y = 0
-            while (y < h) {
-              var x = 0
-              while (x < w) {
-                val rgb = img.getRGB(x, y)
-                val r = (rgb >> 16) & 0xff
-                val g = (rgb >> 8) & 0xff
-                val b = rgb & 0xff
-                sum += (299L * r + 587L * g + 114L * b + 500L) / 1000L
-                x += 1
+            // reader lookup runs INSIDE the try so an unrecognized
+            // payload still closes the stream on its failure path
+            val readers = javax.imageio.ImageIO.getImageReaders(iis)
+            require(readers.hasNext,
+              s"media $id: no ImageIO codec recognizes this payload")
+            val reader = readers.next()
+            try {
+              reader.setInput(iis)
+              val fmt = reader.getFormatName.toLowerCase
+              val img = reader.read(0)
+              val (w, h) = (img.getWidth, img.getHeight)
+              var sum = 0L
+              var y = 0
+              while (y < h) {
+                var x = 0
+                while (x < w) {
+                  val rgb = img.getRGB(x, y)
+                  val r = (rgb >> 16) & 0xff
+                  val g = (rgb >> 8) & 0xff
+                  val b = rgb & 0xff
+                  sum += (299L * r + 587L * g + 114L * b + 500L) / 1000L
+                  x += 1
+                }
+                y += 1
               }
-              y += 1
-            }
-            ImageMeta(id, fmt, w, h, w.toLong * h, sum)
-          } finally {
-            reader.dispose()
-            iis.close()
-          }
+              ImageMeta(id, fmt, w, h, w.toLong * h, sum)
+            } finally reader.dispose()
+          } finally iis.close()
         }
       }
   }

@@ -394,7 +394,11 @@ object Similarity {
       centroids: DataFrame, nprobe: Int = 4, groups: Int = 0,
       shardBytes: Long = 1L << 20): DataFrame = {
     require(nprobe >= 1, s"need nprobe >= 1, got $nprobe")
-    require(Seq("cell", "_sgGs", "_sgG", "_sgMs", "_sgP", "_sgBest")
+    // "_sgMap" is only created by the monolithic dispatch target, but the
+    // guard must cover BOTH dispatch outcomes — a corpus carrying _sgMap
+    // would otherwise fail with an ambiguous-reference AnalysisException
+    // on the small-index path instead of this message
+    require(Seq("cell", "_sgGs", "_sgG", "_sgMs", "_sgP", "_sgBest", "_sgMap")
         .forall(c => !corpus.columns.contains(c)),
       "corpus already has a cell/_sg* column — the assignment would " +
         "silently shadow it")

@@ -1058,6 +1058,28 @@ class PlanShapeSpec extends SparkSpec {
     assert(countNodes(df, "BroadcastNestedLoopJoin") === 0)
   }
 
+  test("packByOrder prefix stage: exactly a range + a partition-id hash exchange, never SinglePartition") {
+    // the composed operator checkpoints this stage, so q_icp_pack's final
+    // plan can't show it — pin the extracted pre-checkpoint code path:
+    // repartitionByRange(pos) is one buckets-way range exchange, and the
+    // per-partition window re-clusters on spark_partition_id() (Catalyst
+    // cannot prove the id column aligns with the range partitioning) for
+    // a second HASH exchange; both are buckets-way — the claim that dies
+    // here is "the prefix sum regressed to a single-partition sort"
+    import org.apache.spark.sql.functions._
+    val rows = spark.range(1000).select(col("id").as("doc_id"),
+      (col("id") * 7 % 1000).as("pos"), (col("id") % 50).as("n_tok"))
+    val df = graft.operators.Corpus.packByOrderLocal(
+      rows, col("pos"), col("n_tok"), buckets = 32)
+    val fmt = formatted(df)
+    assert(countShuffles(df) === 2,
+      s"expected range + window hash exchange only:\n$fmt")
+    assert(fmt.contains("rangepartitioning(pos"), s"range exchange lost:\n$fmt")
+    assert(fmt.contains("hashpartitioning(_pbP"), s"window exchange lost:\n$fmt")
+    assert(!fmt.contains("SinglePartition"),
+      s"prefix sum must never collapse to one partition:\n$fmt")
+  }
+
   test("ivf assignment (small index): corpus never shuffles; both levels ride 1-row broadcast packs") {
     // q_assign_ivf's 16×64-float index sits under the shardBytes
     // dispatch, so the fine level is the single map row — the corpus
