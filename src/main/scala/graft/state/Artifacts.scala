@@ -55,6 +55,58 @@ object Artifacts {
   }
 
   // ------------------------------------------------------------------
+  // Versioned micro-batch artifacts (the StreamingGraph foreachBatch
+  // idiom: `<dir>/<prefix>=N` slices, idempotent per batch id, pre-state
+  // = the latest version BELOW the current id so a replayed batch
+  // re-derives from the same pre-state — exactly-once without a
+  // transactional store)
+  // ------------------------------------------------------------------
+
+  /** The numeric versions present under `dir` with the given layout
+    * prefix (`v` or `batch`). Listed through the Hadoop FileSystem API,
+    * so the same state dir works on local disk, HDFS, or an object
+    * store — a directory listing only, never data-sized driver work.
+    */
+  def listVersions(spark: SparkSession, dir: String,
+      prefix: String): Seq[Long] = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(p)) Nil
+    else fs.listStatus(p).toSeq.map(_.getPath.getName)
+      .collect { case s if s.startsWith(prefix + "=") =>
+        s.drop(prefix.length + 1).toLong }
+  }
+
+  /** A ledger is the degenerate versioned artifact: ONE long per batch
+    * (a running base — next position, running token total). This is all
+    * that crosses an at-ingest operator's single-writer tail; every
+    * per-record computation stays distributed in the batch operator the
+    * ledger parameterizes (`StreamingCorpus.ingestIcpBatch` etc.).
+    */
+  def writeLedger(spark: SparkSession, dir: String, batchId: Long,
+      value: Long): Unit = {
+    import spark.implicits._
+    Seq(Tuple1(value)).toDF("value")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/v=$batchId")
+  }
+
+  /** The ledger value at the latest version strictly below `below` (or
+    * the newest at all when `below` is None — the consumer-side read).
+    * None before the first batch.
+    */
+  def readLedger(spark: SparkSession, dir: String,
+      below: Option[Long] = None): Option[Long] = {
+    val versions = listVersions(spark, dir, "v")
+      .filter(v => below.forall(v < _))
+    versions.maxOption.map { v =>
+      val rows = spark.read.parquet(s"$dir/v=$v")
+        .select(col("value")).limit(2).collect()
+      require(rows.length == 1, s"expected exactly one ledger row at $dir/v=$v")
+      rows.head.getLong(0)
+    }
+  }
+
+  // ------------------------------------------------------------------
   // Novelty gram inventory — distributed-only (column `_nvG`)
   // ------------------------------------------------------------------
 

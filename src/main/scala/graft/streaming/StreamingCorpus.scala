@@ -1,10 +1,13 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.types.StructType
 
 import graft.operators.Corpus
+import graft.state.Artifacts
 
 /** Streaming context-window preparation at ingest — the deployment shape
   * of `Corpus.chunk` + `Corpus.packChunks`: documents arrive whole (one
@@ -22,8 +25,19 @@ import graft.operators.Corpus
   * operators use (`Corpus.tokenWindows` / `Corpus.greedyPackFold`), so
   * the two forms cannot drift; a test additionally pins them equal.
   *
-  * Output: (id, [keepCols...], chunk_no, chunk_tokens, chunk_md5, bin) —
-  * the batch pipeline's columns, one row per chunk.
+  * The LEDGERED operators further down (in-context attach, pack append,
+  * admission quota) are `foreachBatch` harnesses on the
+  * [[StreamingGraph]] versioned-artifact idiom: per micro-batch the
+  * DISTRIBUTED batch operator runs with its base read from a one-row
+  * ledger artifact, and only that running base crosses the append log's
+  * single-writer tail — one ledger row per BATCH, never per record. (A
+  * dense global append order is a log and a log has one tail, but that
+  * argument justifies a sequential COUNTER, not sequential per-row
+  * work: the pre-round-11 forms shuffled every arriving row of the
+  * batch to ONE `flatMapGroupsWithState` group and materialized it with
+  * `.toSeq` — a single-task memory/throughput funnel at exactly the
+  * continuous-ingest regime they were built for. ProbeLedgerTwins
+  * measures the two shapes against each other.)
   */
 object StreamingCorpus {
 
@@ -46,24 +60,6 @@ object StreamingCorpus {
           col("col.bin").as("bin")): _*)
   }
 
-  final case class Admitted(stratum: String, key: Long, seq: Long)
-
-  /** Per-stratum admission quota at ingest — the streaming face of
-    * [[graft.operators.Corpus.capPerStratum]]: admit rows first-come
-    * until each stratum's `quota` is filled, then drop. (Best-N-by-score
-    * is inherently retractive — a better late row would have to EVICT an
-    * already-emitted one, which append semantics cannot do — so the
-    * ingest-time contract is a quota, exactly how a crawl frontier or
-    * per-domain rate cap behaves; run the batch cap over the admitted
-    * corpus when best-N matters.)
-    *
-    * State per stratum is ONE long (the admitted count). Within a
-    * micro-batch rows are ordered by (`seq`, `key`) before admission —
-    * Spark does not guarantee per-group iterator order after the shuffle,
-    * so an explicit sort key is what makes admission deterministic and
-    * retry-stable (the snapshotEvery lesson); across batches admission
-    * order is arrival order, as for any quota.
-    */
   final case class Sharded(shard: Long, key: Long, seq: Long)
 
   /** Continuous export sharding at ingest — the streaming face of
@@ -84,7 +80,10 @@ object StreamingCorpus {
     * frozen corpus when the full permutation matters).
     *
     * State per shard is ONE long (the next seq); the in-batch sort is
-    * bounded by one shard's slice of one micro-batch.
+    * bounded by one SHARD's slice of one micro-batch — 1/numShards of
+    * the batch per task, parallel across shards, which is why this twin
+    * keeps the `flatMapGroupsWithState` shape the one-group ledgers
+    * below had to abandon.
     */
   def exportShardsAtIngest(rows: DataFrame, key: String, seed: Long,
       numShards: Int): Dataset[Sharded] = {
@@ -112,149 +111,226 @@ object StreamingCorpus {
       }
   }
 
-  /** One appended in-context slot: the doc, the standing doc it anchored
-    * to (itself when unmatched), and its issued position.
-    */
-  final case class IcpSlot(doc_id: Long, anchor: Long, icp_pos: Long)
+  // ------------------------------------------------------------------
+  // Ledgered at-ingest twins: foreachBatch harnesses, distributed
+  // per-batch work, one ledger row per batch
+  // ------------------------------------------------------------------
 
   /** In-context packing at ingest — the streaming twin of
     * [[graft.operators.Corpus.icpAttach]]: arriving documents append to
     * the STANDING in-context order (built once by
     * [[graft.operators.Corpus.icpOrder]] over the frozen pair-graph
-    * artifact — `graft.state.Artifacts.savePairGraph` — and persisted
-    * with the corpus release). `cands` is the arriving stream LEFT-joined
-    * to its match candidates against the standing corpus ((doc_id,
-    * old_id?, score?) — at least one row per doc); the join to
-    * `standingOrder` is stream-static under the frozen artifact, so the
-    * scoring stays distributed. Each doc anchors to its best candidate
-    * (score desc, old_id asc) among candidates present in the standing
-    * order, and positions issue from a ledger that CONTINUES across
-    * micro-batches starting at `basePos` (the standing order's max) —
-    * issued positions never renumber, the same append-stability contract
-    * as [[exportShardsAtIngest]].
+    * artifact — [[graft.state.Artifacts.savePairGraph]] — and persisted
+    * with the corpus release). The streamed frame is the arriving docs
+    * LEFT-joined to their match candidates against the standing corpus
+    * ((doc_id, old_id?, score?) — at least one row per doc).
     *
-    * The ledger is deliberately ONE group: a dense global append order
-    * is a log, and a log has one tail. The per-record work there is a
-    * sort of one micro-batch's doc list and a counter bump — all
-    * scoring/joining runs distributed upstream. Within a micro-batch
-    * docs order by (anchor's standing position, doc_id) — exactly the
-    * batch operator's order, so ONE batch reproduces [[Corpus.icpAttach]]
-    * bit-for-bit and K batches equal K sequential batch applications
-    * (spec-pinned); across batches order is arrival order, as for any
-    * log.
+    * Scale shape: each micro-batch runs the BATCH operator —
+    * candidate argmax, dense numbering via the
+    * [[graft.operators.SuffixArray]] range exchange, all distributed —
+    * with its position base read from the ledger; only that one long
+    * crosses the log's single-writer tail per batch. A 100× larger
+    * micro-batch spreads 100×/tasks more rows per task instead of
+    * landing whole in one task's heap.
+    *
+    * Artifact layout under `stateDir`, idempotent per batch id (pre-state
+    * = latest ledger version BELOW the id, so a replayed batch re-derives
+    * the same bytes — the [[StreamingGraph]] exactly-once discipline):
+    *   - `slots/batch=N` — (doc_id, anchor, icp_pos) appended by batch N
+    *   - `ledger/v=N` — the next-position base AFTER batch N
+    *
+    * Usage:
+    * {{{
+    * cands.writeStream.foreachBatch(
+    *     StreamingCorpus.icpAttachAtIngest(stateDir, order, basePos))
+    *   .option("checkpointLocation", dir).start()
+    * }}}
+    *
+    * Within a micro-batch docs order by (anchor's standing position,
+    * doc_id) — the batch operator's own order — so ONE batch reproduces
+    * [[Corpus.icpAttach]] bit-for-bit and K batches equal K sequential
+    * batch applications (spec-pinned); across batches order is arrival
+    * order, as for any log. Issued positions never renumber.
     */
-  def icpAttachAtIngest(cands: DataFrame, standingOrder: DataFrame,
-      basePos: Long): Dataset[IcpSlot] = {
+  def icpAttachAtIngest(stateDir: String, standingOrder: DataFrame,
+      basePos: Long): (DataFrame, Long) => Unit =
+    (cands, batchId) => {
+      ingestIcpBatch(cands, standingOrder, stateDir, batchId, basePos)
+      ()
+    }
+
+  /** One micro-batch of in-context attach, idempotent in `batchId`.
+    * Returns the slots this batch appended.
+    */
+  def ingestIcpBatch(cands: DataFrame, standingOrder: DataFrame,
+      stateDir: String, batchId: Long, basePos: Long): DataFrame = {
     val spark = cands.sparkSession
-    import spark.implicits._
-    cands
-      .select(col("doc_id").cast("long"), col("old_id").cast("long"),
-        col("score").cast("long"))
-      .join(standingOrder.select(col("doc_id").cast("long").as("old_id"),
-        col("icp_pos").cast("long").as("_iaP")), Seq("old_id"), "left")
-      .select(col("doc_id"), col("old_id"), col("score"), col("_iaP"))
-      .as[(Long, Option[Long], Option[Long], Option[Long])]
-      .groupByKey(_ => 0)
-      .flatMapGroupsWithState[Long, IcpSlot](
-        OutputMode.Append(), GroupStateTimeout.NoTimeout) {
-        (_, rows, state) =>
-          var next = state.getOption.getOrElse(basePos)
-          val slots = rows.toSeq.groupBy(_._1).toSeq.map { case (docId, cs) =>
-            // best positioned candidate: max (score, -old_id), the
-            // matching family's total order
-            val best = cs.collect {
-              case (_, Some(o), Some(sc), Some(p)) => ((sc, -o), p, o)
-            }.sortBy(_._1).lastOption
-            best match {
-              case Some((_, p, o)) => (p, docId, o)
-              case None => (Long.MaxValue, docId, docId)
-            }
-          }.sortBy(t => (t._1, t._2))
-          val out = slots.map { case (_, docId, anchor) =>
-            next += 1
-            IcpSlot(docId, anchor, next)
-          }
-          state.update(next)
-          out.iterator
-      }
+    val base = Artifacts.readLedger(spark, s"$stateDir/ledger",
+      below = Some(batchId)).getOrElse(basePos)
+    Corpus.icpAttach(cands, standingOrder, base)
+      .write.mode("overwrite").parquet(s"$stateDir/slots/batch=$batchId")
+    val slots = spark.read.parquet(s"$stateDir/slots/batch=$batchId")
+    // icpAttach emits exactly one row per arriving doc, so the ledger
+    // advances by the batch's slot count — derived from the WRITTEN
+    // artifact, never a second computation of the operator
+    Artifacts.writeLedger(spark, s"$stateDir/ledger", batchId,
+      base + slots.count())
+    slots.select("doc_id", "anchor", "icp_pos")
   }
 
-  /** One appended pack slot: the doc's global token offset and the
-    * training-sequence ids it lands in (the packGlobal outputs).
-    */
-  final case class PackSlot(doc_id: Long, global_start: Long,
-      first_seq: Long, last_seq: Long)
+  /** Every slot appended so far: (doc_id, anchor, icp_pos, batch). */
+  def standingIcpSlots(spark: SparkSession, stateDir: String): DataFrame =
+    standingSlices(spark, s"$stateDir/slots",
+      "doc_id BIGINT, anchor BIGINT, icp_pos BIGINT, batch BIGINT")
 
   /** Concat-and-split packing at ingest — the streaming twin of
     * [[graft.operators.Corpus.packByOrder]]'s append hook: arriving
-    * documents EXTEND the standing token stream (packed offline to
-    * total `baseOffset`) and keep cutting training sequences at
-    * absolute `seqLen` boundaries, so a training job can consume
-    * sequences while ingest appends (the exportShardsAtIngest
-    * append-stability contract: issued offsets never renumber).
+    * documents EXTEND the standing token stream (packed offline to total
+    * `baseOffset`) and keep cutting training sequences at absolute
+    * `seqLen` boundaries, so a training job can consume sequences while
+    * ingest appends (issued offsets never renumber). The streamed frame
+    * carries (doc_id, pos, n_tok); `pos` must be unique within a batch
+    * (the batch operator's own contract).
     *
-    * The ledger (the stream's running token total) is ONE long in ONE
-    * group — a token stream, like a log, has one tail; all per-record
-    * work upstream is stateless. Within a micro-batch docs order by
-    * (`pos`, doc_id) — so ONE batch reproduces
-    * `packByOrder(batch, pos, tokens, seqLen, baseOffset = ledger)`
-    * bit-for-bit (spec-pinned) and K batches equal K sequential batch
-    * applications; across batches order is arrival order. Token counts
+    * Scale shape: each micro-batch runs [[Corpus.packByOrder]] — the
+    * distributed prefix sum: range exchange, per-partition windows,
+    * ≤ buckets collected bases — at `baseOffset` = the ledger; only the
+    * running token total crosses the tail, one row per batch. The
+    * ledger advance is the batch's token sum, summed distributed from
+    * the written slice.
+    *
+    * Artifact layout under `stateDir` (idempotent per batch id):
+    *   - `slots/batch=N` — (doc_id, pos, n_tok, global_start, first_seq,
+    *     last_seq) for batch N's docs
+    *   - `ledger/v=N` — the running token total AFTER batch N
+    *
+    * Within a micro-batch docs order by `pos`, so ONE batch reproduces
+    * `packByOrder(batch, pos, n_tok, seqLen, baseOffset = ledger)`
+    * bit-for-bit and K batches equal K sequential batch applications
+    * (spec-pinned); across batches order is arrival order. Token counts
     * must be non-negative (zero-token docs land at their offset with a
-    * zero span, as in the batch form).
+    * zero span; negatives fail loudly inside the batch operator).
     */
-  def packAppendAtIngest(rows: DataFrame, seqLen: Int,
-      baseOffset: Long): Dataset[PackSlot] = {
+  def packAppendAtIngest(stateDir: String, seqLen: Int,
+      baseOffset: Long): (DataFrame, Long) => Unit =
+    (rows, batchId) => {
+      ingestPackBatch(rows, stateDir, batchId, seqLen, baseOffset)
+      ()
+    }
+
+  /** One micro-batch of pack append, idempotent in `batchId`. Returns
+    * the slots this batch appended.
+    */
+  def ingestPackBatch(rows: DataFrame, stateDir: String, batchId: Long,
+      seqLen: Int, baseOffset: Long): DataFrame = {
     require(seqLen > 0, s"need seqLen > 0, got $seqLen")
     val spark = rows.sparkSession
-    import spark.implicits._
-    rows
-      .select(col("doc_id").cast("long"), col("pos").cast("long"),
-        col("n_tok").cast("long"))
-      .as[(Long, Long, Long)]
-      .groupByKey(_ => 0)
-      .flatMapGroupsWithState[Long, PackSlot](
-        OutputMode.Append(), GroupStateTimeout.NoTimeout) {
-        (_, it, state) =>
-          var off = state.getOption.getOrElse(baseOffset)
-          val out = it.toSeq.sortBy(r => (r._2, r._1)).map {
-            case (docId, _, t) =>
-              require(t >= 0,
-                s"packAppendAtIngest needs non-negative token counts, " +
-                  s"doc $docId has $t")
-              val start = off
-              off += t
-              PackSlot(docId, start, start / seqLen,
-                if (t == 0) start / seqLen else (start + t - 1) / seqLen)
-          }
-          state.update(off)
-          out.iterator
-      }
+    val base = Artifacts.readLedger(spark, s"$stateDir/ledger",
+      below = Some(batchId)).getOrElse(baseOffset)
+    Corpus.packByOrder(
+        rows.select(col("doc_id").cast("long"), col("pos").cast("long"),
+          col("n_tok").cast("long")),
+        col("pos"), col("n_tok"), seqLen, baseOffset = base)
+      .write.mode("overwrite").parquet(s"$stateDir/slots/batch=$batchId")
+    val slots = spark.read.parquet(s"$stateDir/slots/batch=$batchId")
+    val total = slots.agg(coalesce(sum(col("n_tok")), lit(0L)).as("t"))
+      .head().getLong(0)
+    Artifacts.writeLedger(spark, s"$stateDir/ledger", batchId, base + total)
+    slots
   }
 
-  def admitQuotaAtIngest(rows: DataFrame, stratum: String, key: String,
-      seq: String, quota: Int): Dataset[Admitted] = {
+  /** Every pack slot appended so far: (doc_id, pos, n_tok, global_start,
+    * first_seq, last_seq, batch).
+    */
+  def standingPackSlots(spark: SparkSession, stateDir: String): DataFrame =
+    standingSlices(spark, s"$stateDir/slots",
+      "doc_id BIGINT, pos BIGINT, n_tok BIGINT, global_start BIGINT, " +
+        "first_seq BIGINT, last_seq BIGINT, batch BIGINT")
+
+  /** Per-stratum admission quota at ingest — the streaming face of
+    * [[graft.operators.Corpus.capPerStratum]]: admit rows first-come
+    * until each stratum's `quota` is filled, then drop. (Best-N-by-score
+    * is inherently retractive — a better late row would have to EVICT an
+    * already-emitted one, which append semantics cannot do — so the
+    * ingest-time contract is a quota, exactly how a crawl frontier or
+    * per-domain rate cap behaves; run the batch cap over the admitted
+    * corpus when best-N matters.)
+    *
+    * Scale shape: a distributed rank-then-filter per micro-batch —
+    * `row_number` per stratum by (`seq`, `key`) (the explicit sort keys
+    * that make admission deterministic and retry-stable), one join to
+    * the standing per-stratum counts, admit where count + rank ≤ quota.
+    * One STRATUM's batch slice sorts in one task (the window's natural
+    * unit, parallel across strata — never the whole batch), and the
+    * standing state is a distributed (stratum, admitted) frame versioned
+    * per batch, not a driver object.
+    *
+    * Artifact layout under `stateDir` (idempotent per batch id):
+    *   - `admitted/batch=N` — (stratum, key, seq) admitted by batch N
+    *   - `counts/v=N` — per-stratum admitted totals AFTER batch N
+    */
+  def admitQuotaAtIngest(stateDir: String, stratum: String, key: String,
+      seq: String, quota: Int): (DataFrame, Long) => Unit =
+    (rows, batchId) => {
+      ingestQuotaBatch(rows, stateDir, batchId, stratum, key, seq, quota)
+      ()
+    }
+
+  /** One micro-batch of quota admission, idempotent in `batchId`.
+    * Returns the rows this batch admitted.
+    */
+  def ingestQuotaBatch(rows: DataFrame, stateDir: String, batchId: Long,
+      stratum: String, key: String, seq: String, quota: Int): DataFrame = {
     require(quota > 0, s"need quota > 0, got $quota")
     val spark = rows.sparkSession
-    import spark.implicits._
+    val pre = standingQuotaCounts(spark, stateDir, below = Some(batchId))
     rows
-      .select(col(stratum).cast("string").as("_s"),
-        col(key).cast("long").as("_k"), col(seq).cast("long").as("_q"))
-      .as[(String, Long, Long)]
-      .groupByKey(_._1)
-      .flatMapGroupsWithState[Long, Admitted](
-        OutputMode.Append(), GroupStateTimeout.NoTimeout) {
-        (s, it, state) =>
-          var count = state.getOption.getOrElse(0L)
-          val out = Seq.newBuilder[Admitted]
-          it.toSeq.sortBy(r => (r._3, r._2)).foreach { case (_, k, q) =>
-            if (count < quota) {
-              out += Admitted(s, k, q)
-              count += 1
-            }
-          }
-          state.update(count)
-          out.result().iterator
-      }
+      .select(col(stratum).cast("string").as("stratum"),
+        col(key).cast("long").as("key"), col(seq).cast("long").as("seq"))
+      .withColumn("_aqR", row_number().over(
+        Window.partitionBy(col("stratum")).orderBy(col("seq"), col("key"))))
+      .join(pre, Seq("stratum"), "left")
+      .filter(coalesce(col("admitted"), lit(0L)) + col("_aqR") <= quota)
+      .select("stratum", "key", "seq")
+      .write.mode("overwrite").parquet(s"$stateDir/admitted/batch=$batchId")
+    val slice = spark.read.parquet(s"$stateDir/admitted/batch=$batchId")
+    pre.unionByName(
+        slice.groupBy("stratum").agg(count(lit(1)).as("admitted")))
+      .groupBy("stratum").agg(sum("admitted").as("admitted"))
+      .write.mode("overwrite").parquet(s"$stateDir/counts/v=$batchId")
+    slice
   }
+
+  /** The standing per-stratum admitted totals — the latest `counts/v=N`
+    * below the bound (exclusive; None reads the newest), or an empty
+    * (stratum, admitted) frame before the first batch.
+    */
+  def standingQuotaCounts(spark: SparkSession, stateDir: String,
+      below: Option[Long] = None): DataFrame = {
+    val versions = Artifacts.listVersions(spark, s"$stateDir/counts", "v")
+      .filter(v => below.forall(v < _))
+    versions.maxOption match {
+      case Some(v) => spark.read.parquet(s"$stateDir/counts/v=$v")
+      case None => spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        StructType.fromDDL("stratum STRING, admitted BIGINT"))
+    }
+  }
+
+  /** Every admitted row so far: (stratum, key, seq, batch). */
+  def standingAdmitted(spark: SparkSession, stateDir: String): DataFrame =
+    standingSlices(spark, s"$stateDir/admitted",
+      "stratum STRING, key BIGINT, seq BIGINT, batch BIGINT")
+
+  /** Union of every `batch=N` slice under `dir` (partition discovery
+    * surfaces the batch id as a column); an empty frame with the given
+    * schema before the first batch.
+    */
+  private def standingSlices(spark: SparkSession, dir: String,
+      ddl: String): DataFrame =
+    if (Artifacts.listVersions(spark, dir, "batch").isEmpty)
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        StructType.fromDDL(ddl))
+    else spark.read.parquet(dir).withColumn("batch", col("batch").cast("long"))
 }

@@ -1,7 +1,5 @@
 package graft.streaming
 
-import java.nio.file.{Files, Paths}
-
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.StructType
@@ -122,7 +120,8 @@ object StreamingGraph {
     */
   def standingComponents(spark: SparkSession, stateDir: String,
       below: Option[Long] = None): DataFrame = {
-    val versions = artifactVersions(stateDir, "components")
+    val versions = graft.state.Artifacts
+      .listVersions(spark, s"$stateDir/components", "v")
       .filter(v => below.forall(v < _))
     versions.maxOption match {
       case Some(v) => spark.read.parquet(s"$stateDir/components/v=$v")
@@ -139,7 +138,8 @@ object StreamingGraph {
     */
   def standingRanks(spark: SparkSession, stateDir: String,
       below: Option[Long] = None): DataFrame = {
-    val versions = rankVersions(stateDir)
+    val versions = graft.state.Artifacts
+      .listVersions(spark, s"$stateDir/ranks", "v")
       .filter(v => below.forall(v < _))
     versions.maxOption match {
       case Some(v) => spark.read.parquet(s"$stateDir/ranks/v=$v")
@@ -149,21 +149,4 @@ object StreamingGraph {
     }
   }
 
-  private def rankVersions(stateDir: String): Seq[Long] =
-    artifactVersions(stateDir, "ranks")
-
-  private def artifactVersions(stateDir: String, artifact: String): Seq[Long] = {
-    val dir = Paths.get(stateDir, artifact)
-    if (!Files.isDirectory(dir)) Nil
-    else {
-      val it = Files.list(dir)
-      try {
-        import scala.jdk.CollectionConverters._
-        it.iterator().asScala
-          .map(_.getFileName.toString)
-          .collect { case s if s.startsWith("v=") => s.drop(2).toLong }
-          .toList
-      } finally it.close()
-    }
-  }
 }

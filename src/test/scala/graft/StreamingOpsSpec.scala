@@ -976,26 +976,33 @@ class StreamingOpsSpec extends SparkSpec {
     ).flatten.zipWithIndex
       .map { case ((doc, anc), i) => (doc, anc, basePos + i + 1) }.toSet
     assert(batch === expectOrder)
-    // ONE micro-batch reproduces the batch operator bit-for-bit
+    // ONE micro-batch reproduces the batch operator bit-for-bit —
+    // through the foreachBatch harness and its versioned artifacts (the
+    // per-batch work itself IS the distributed batch operator; only the
+    // one-row ledger is sequential)
     val mem = MemoryStream[(Long, Option[Long], Option[Long])]
-    val out = StreamingCorpus.icpAttachAtIngest(
-      mem.toDF().toDF("doc_id", "old_id", "score"), order, basePos)
-    assert(out.isStreaming)
-    val q = out.writeStream.format("memory").queryName("icp_sink")
-      .outputMode("append").start()
+    val q = mem.toDF().toDF("doc_id", "old_id", "score").writeStream
+      .option("checkpointLocation", s"$root/ckpt1")
+      .foreachBatch(StreamingCorpus.icpAttachAtIngest(
+        s"$root/state1", order, basePos))
+      .start()
     try {
       mem.addData(cands: _*)
       q.processAllAvailable()
     } finally q.stop()
-    assert(spark.table("icp_sink").as[(Long, Long, Long)].collect().toSet
-      === batch)
+    assert(StreamingCorpus.standingIcpSlots(spark, s"$root/state1")
+      .select("doc_id", "anchor", "icp_pos")
+      .as[(Long, Long, Long)].collect().toSet === batch)
     // TWO micro-batches equal two sequential batch applications: the
-    // ledger continues, issued positions never renumber
+    // ledger continues, issued positions never renumber (doc 21 arrives
+    // in BOTH batches and is numbered afresh each time — an append log
+    // has no retractions)
     val mem2 = MemoryStream[(Long, Option[Long], Option[Long])]
-    val q2 = StreamingCorpus.icpAttachAtIngest(
-        mem2.toDF().toDF("doc_id", "old_id", "score"), order, basePos)
-      .writeStream.format("memory").queryName("icp_sink2")
-      .outputMode("append").start()
+    val state2 = s"$root/state2"
+    val q2 = mem2.toDF().toDF("doc_id", "old_id", "score").writeStream
+      .option("checkpointLocation", s"$root/ckpt2")
+      .foreachBatch(StreamingCorpus.icpAttachAtIngest(state2, order, basePos))
+      .start()
     val (b1, b2) = (cands.take(3), cands.drop(3))
     try {
       mem2.addData(b1: _*); q2.processAllAvailable()
@@ -1006,8 +1013,24 @@ class StreamingOpsSpec extends SparkSpec {
     val after1 = basePos + b1.map(_._1).distinct.size
     val seq2 = Corpus.icpAttach(cdf(b2), order, after1)
       .as[(Long, Long, Long)].collect().toSet
-    assert(spark.table("icp_sink2").as[(Long, Long, Long)].collect().toSet
-      === (seq1 ++ seq2))
+    val twoBatch = StreamingCorpus.standingIcpSlots(spark, state2)
+      .select("doc_id", "anchor", "icp_pos")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(twoBatch === (seq1 ++ seq2))
+    // the ledger carries ONE row per batch — the running next-position
+    val ledger = graft.state.Artifacts.readLedger(spark, s"$state2/ledger")
+    assert(ledger === Some(after1 + b2.map(_._1).distinct.size))
+    // replay the LAST batch id (the failure-recovery path): pre-state is
+    // the latest ledger BELOW the id, so the artifact re-derives the
+    // same bytes and nothing advances (exactly-once via versioning)
+    StreamingCorpus.ingestIcpBatch(cdf(b2), order, state2,
+      batchId = 1L, basePos = basePos)
+    assert(StreamingCorpus.standingIcpSlots(spark, state2)
+      .select("doc_id", "anchor", "icp_pos")
+      .as[(Long, Long, Long)].collect().toSet === twoBatch,
+      "batch replay must not renumber or duplicate slots")
+    assert(graft.state.Artifacts.readLedger(spark, s"$state2/ledger")
+      === ledger, "batch replay must not advance the ledger")
   }
 
   test("pack append at ingest: arriving docs extend the standing token stream, offsets never renumber") {
@@ -1026,21 +1049,26 @@ class StreamingOpsSpec extends SparkSpec {
     assert(batch === Set((3L, 1000L, 15L, 16L), (4L, 1063L, 16L, 17L),
       (7L, 1128L, 17L, 19L), (8L, 1228L, 19L, 19L), (9L, 1229L, 19L, 19L)))
     // ONE micro-batch ≡ the batch operator; two batches ≡ two sequential
-    // batch applications with the ledger carried forward
+    // batch applications with the ledger carried forward — through the
+    // foreachBatch harness (per-batch work is packByOrder's distributed
+    // prefix sum; the ledger is one row per batch)
+    val root = java.nio.file.Files.createTempDirectory("graft_pack").toString
     for ((split, name) <- Seq(5 -> "one", 2 -> "two")) {
+      val state = s"$root/state_$name"
       val mem = MemoryStream[(Long, Long, Long)]
-      val q = StreamingCorpus.packAppendAtIngest(
-          mem.toDF().toDF("doc_id", "pos", "n_tok"), seqLen = 64,
-          baseOffset = basePos)
-        .writeStream.format("memory").queryName(s"pack_ingest_$name")
-        .outputMode("append").start()
+      val q = mem.toDF().toDF("doc_id", "pos", "n_tok").writeStream
+        .option("checkpointLocation", s"$root/ckpt_$name")
+        .foreachBatch(StreamingCorpus.packAppendAtIngest(
+          state, seqLen = 64, baseOffset = basePos))
+        .start()
       try {
         mem.addData(rows.take(split): _*); q.processAllAvailable()
         if (split < rows.size) {
           mem.addData(rows.drop(split): _*); q.processAllAvailable()
         }
       } finally q.stop()
-      val got = spark.table(s"pack_ingest_$name")
+      val got = StreamingCorpus.standingPackSlots(spark, state)
+        .select("doc_id", "global_start", "first_seq", "last_seq")
         .as[(Long, Long, Long, Long)].collect().toSet
       val expect =
         if (split == rows.size) batch
@@ -1056,7 +1084,22 @@ class StreamingOpsSpec extends SparkSpec {
               .as[(Long, Long, Long, Long)].collect()).toSet
         }
       assert(got === expect, s"split=$split")
+      // the ledger ends at the standing total regardless of batching
+      assert(graft.state.Artifacts.readLedger(spark, s"$state/ledger")
+        === Some(basePos + rows.map(_._3).sum), s"split=$split")
     }
+    // replay the LAST batch id of the two-batch run: offsets re-derive
+    // from the same pre-state, nothing renumbers or advances
+    val state2 = s"$root/state_two"
+    val before = StreamingCorpus.standingPackSlots(spark, state2)
+      .select("doc_id", "global_start", "first_seq", "last_seq")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    StreamingCorpus.ingestPackBatch(rdf(rows.drop(2)), state2,
+      batchId = 1L, seqLen = 64, baseOffset = basePos)
+    assert(StreamingCorpus.standingPackSlots(spark, state2)
+      .select("doc_id", "global_start", "first_seq", "last_seq")
+      .as[(Long, Long, Long, Long)].collect().toSet === before,
+      "batch replay must not renumber offsets")
   }
 
   test("fertility report maintains incrementally on a stream") {
@@ -1147,11 +1190,14 @@ class StreamingOpsSpec extends SparkSpec {
 
   test("admission quota at ingest: first-come per stratum, seq-ordered within batch") {
     import graft.streaming.StreamingCorpus
+    val root = java.nio.file.Files.createTempDirectory("graft_quota").toString
+    val state = s"$root/state"
     val mem = MemoryStream[(String, Long, Long)]
-    val out = StreamingCorpus.admitQuotaAtIngest(
-      mem.toDF().toDF("src", "id", "seq"), "src", "id", "seq", quota = 2)
-    val q = out.writeStream.format("memory").queryName("quota_sink")
-      .outputMode("append").start()
+    val q = mem.toDF().toDF("src", "id", "seq").writeStream
+      .option("checkpointLocation", s"$root/ckpt")
+      .foreachBatch(StreamingCorpus.admitQuotaAtIngest(
+        state, "src", "id", "seq", quota = 2))
+      .start()
     try {
       // batch 1: stratum a arrives OUT of seq order — admission must
       // follow seq (20, then 30), not iterator order; b has one row
@@ -1162,10 +1208,23 @@ class StreamingOpsSpec extends SparkSpec {
       mem.addData(("a", 2L, 10L), ("b", 8L, 6L), ("b", 6L, 7L))
       q.processAllAvailable()
     } finally q.stop()
-    val admitted = spark.table("quota_sink")
-      .as[(String, Long, Long)].collect().map(r => (r._1, r._2)).toSet
+    val admitted = StreamingCorpus.standingAdmitted(spark, state)
+      .select("stratum", "key").as[(String, Long)].collect().toSet
     assert(admitted === Set(("a", 1L), ("a", 3L), ("b", 9L), ("b", 8L)),
       "quota must admit seq-first within the batch and count across batches")
+    // the standing state is a distributed per-stratum counts frame
+    assert(StreamingCorpus.standingQuotaCounts(spark, state)
+      .as[(String, Long)].collect().toMap === Map("a" -> 2L, "b" -> 2L))
+    // replaying the LAST batch id re-admits the same rows against the
+    // same pre-counts — artifacts unchanged
+    StreamingCorpus.ingestQuotaBatch(
+      Seq(("a", 2L, 10L), ("b", 8L, 6L), ("b", 6L, 7L)).toDF("src", "id", "seq"),
+      state, batchId = 1L, "src", "id", "seq", quota = 2)
+    assert(StreamingCorpus.standingAdmitted(spark, state)
+      .select("stratum", "key").as[(String, Long)].collect().toSet === admitted,
+      "batch replay must not re-admit or drop differently")
+    assert(StreamingCorpus.standingQuotaCounts(spark, state)
+      .as[(String, Long)].collect().toMap === Map("a" -> 2L, "b" -> 2L))
   }
 
   test("ingest pipeline composes: quality gate → decontaminate → chunk+pack, one query") {
