@@ -536,8 +536,9 @@ object Similarity {
     * thousands to ~10^5 rows, never corpus-sized) and each corpus
     * vector counts its hits in a narrow codegen'd pass: no shuffle, no
     * explode, unchanged on a streaming frame. A benchmark too big to
-    * ride one row takes the bucketed-candidate route (the ANN family /
-    * [[assignToCentroidsIvf]]'s sharded packs); this is the exact form.
+    * ride one row takes [[embedDecontaminateBucketed]] — the same
+    * verdict through sharded per-group packs (exact at exhaustive
+    * nprobe); this is the one-object exact form.
     *
     * Output: the corpus columns + `n_hits` (benchmark vectors at ≥
     * `minCosine`) + `kept` (n_hits = 0) — integer/boolean outputs keep
@@ -552,7 +553,7 @@ object Similarity {
     // the pack is ONE row — refuse loudly past the byte ceiling instead
     // of building a multi-GiB single object (the assignToCentroidsIvf
     // lesson: single-object broadcasts OOM long before compute hurts);
-    // a benchmark past the ceiling belongs on the bucketed ANN route
+    // a benchmark past the ceiling takes embedDecontaminateBucketed
     val n = benchmark.count()
     val d = if (n == 0) 0
       else benchmark.select(size(col(bEmb))).head().getInt(0)
@@ -565,6 +566,84 @@ object Similarity {
           .cast("long"))
       .withColumn("kept", col("n_hits") === 0)
       .drop("_edB")
+  }
+
+  /** Bucketed embedding-space decontamination — [[embedDecontaminate]]
+    * for benchmark packs past the single-row byte ceiling: the SAME
+    * (`n_hits`, `kept`) outputs, computed corpus × benchmark through the
+    * IVF candidate machinery ([[assignToCentroidsIvf]]'s sharded-pack
+    * shape) instead of one monolithic broadcast object. The benchmark
+    * clusters into `groups` (default ⌈√B⌉) coarse groups — one
+    * [[kMeansCentroids]] run over the BENCHMARK table, benchmark-sized,
+    * never the corpus; each corpus vector probes its `nprobe` nearest
+    * group representatives by cosine (the metric the verdict is in) and
+    * counts exact cosine ≥ `minCosine` hits inside the probed groups'
+    * member packs, summed across the disjoint slots. No single object
+    * scales with the benchmark: the rep pack is ~√B rows and each member
+    * pack ~B/√B vectors, broadcast-hash-joined per probe slot from ONE
+    * checkpointed subtree (exchange reuse ships the packs once).
+    *
+    * Recall contract (the standard IVF trade): a benchmark hit is
+    * counted iff its group is probed — `nprobe >= groups` probes every
+    * group and is EXACT (spec-pinned equal to [[embedDecontaminate]],
+    * and the oracled form); smaller nprobe trades exactness for the √B
+    * speedup deterministically (group order breaks ties on (cosine desc,
+    * group id)). `bId` names the benchmark's id column — it seeds the
+    * group k-means deterministically (smallest-id seeding, rerun-stable)
+    * and never appears in the output.
+    */
+  def embedDecontaminateBucketed(corpus: DataFrame, id: String, emb: String,
+      benchmark: DataFrame, bId: String, bEmb: String, minCosine: Double,
+      nprobe: Int, groups: Int = 0): DataFrame = {
+    require(nprobe >= 1, s"need nprobe >= 1, got $nprobe")
+    require(Seq("n_hits", "kept", "_bdGs", "_bdG", "_bdMs", "_bdP", "_bdH")
+        .forall(c => !corpus.columns.contains(c)),
+      "corpus already has an n_hits/kept/_bd* column — decontamination " +
+        "would silently shadow it")
+    val b = benchmark.count()
+    if (b == 0)
+      // an empty benchmark flags nothing — the broadcast form's contract
+      return corpus.withColumn("n_hits", lit(0L)).withColumn("kept", lit(true))
+    val g = if (groups > 0) groups
+      else math.max(1, math.ceil(math.sqrt(b.toDouble)).toInt)
+    val reps = kMeansCentroids(
+      benchmark.select(col(bId).as("_bdI"), col(bEmb).as("_bdV")),
+      "_bdI", "_bdV", k = g, iters = 2)
+      .localCheckpoint(true) // reused: member assignment + the rep pack
+    val members = assignToCentroids(
+        benchmark.select(col(bEmb).as("_bdV")), "_bdV", reps)
+      .select(col("cell").as("_bdG"), col("_bdV"))
+      .localCheckpoint(true)
+    // only groups that won a member are probe-able (the ivfIndex rule)
+    val repsPacked = reps
+      .join(members.select(col("_bdG").as("cell")).distinct(), Seq("cell"),
+        "left_semi")
+      .agg(collect_list(struct(col("cell").as("g"), col("c_emb"))).as("_bdGs"))
+    val groupPacks = members
+      .groupBy("_bdG").agg(collect_list(col("_bdV")).as("_bdMs"))
+      .localCheckpoint(true) // one plan subtree → ONE broadcast, reused per slot
+    val probed = corpus.join(broadcast(repsPacked))
+      .withColumn("_bdP", slice(array_sort(transform(col("_bdGs"),
+        r => struct((-cosineSim(col(emb), r.getField("c_emb"))).as("k"),
+          r.getField("g").as("g")))), 1, nprobe))
+      .drop("_bdGs")
+    // per-slot running hit count: groups partition the benchmark, so the
+    // slot counts are over disjoint vectors and their sum is the total
+    val folded = (1 to nprobe).foldLeft(probed) { (df, i) =>
+      val hits = when(col("_bdMs").isNull, lit(0L))
+        .otherwise(size(filter(col("_bdMs"),
+          m => cosineSim(col(emb), m) >= minCosine)).cast("long"))
+      df.join(broadcast(groupPacks),
+          try_element_at(col("_bdP"), lit(i)).getField("g") === col("_bdG"),
+          "left_outer")
+        .withColumn("_bdH",
+          if (i == 1) hits else col("_bdH") + hits)
+        .drop("_bdG", "_bdMs")
+    }
+    folded
+      .withColumn("n_hits", col("_bdH"))
+      .withColumn("kept", col("n_hits") === 0)
+      .drop("_bdP", "_bdH")
   }
 
   /** Symmetric int8 quantization per vector: scale = 127 / max|xᵢ|, each

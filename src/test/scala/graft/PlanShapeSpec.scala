@@ -1134,4 +1134,22 @@ class PlanShapeSpec extends SparkSpec {
     assert("ReusedExchange".r.findAllMatchIn(finalPlan).size >= 3,
       s"group-pack broadcast must be shipped once and reused:\n$finalPlan")
   }
+
+  test("bucketed decontamination: corpus unshuffled, one rep-pack join, per-slot hash joins, no object scales with the benchmark") {
+    // the oversized-benchmark route: √B-group packs broadcast-HASH-joined
+    // per probe slot (the sharded-IVF shape) — the corpus side must stay
+    // scan → narrow, and the benchmark side must never appear as a
+    // monolithic single-row pack (that is embedDecontaminate's form,
+    // refused past its ceiling)
+    val df = q("q_embed_decontaminate_bucketed")
+    assert(countNodes(df, "Scan parquet") === 1,
+      s"expected one corpus scan (benchmark side rides checkpoints):\n${formatted(df)}")
+    assert(countNodes(df, "BroadcastNestedLoopJoin") === 1,
+      s"expected exactly the 1-row rep-pack join:\n${formatted(df)}")
+    assert(formatted(df).linesIterator
+        .count(_.contains("BroadcastHashJoin LeftOuter")) === 10,
+      s"expected one LeftOuter hash join per probe slot:\n${formatted(df)}")
+    assert(countNodes(df, "SortMergeJoin") === 0)
+    assert(countNodes(df, "Window") === 0)
+  }
 }

@@ -477,6 +477,43 @@ class SimilaritySpec extends SparkSpec {
       Set((1L, 1L, false), (3L, 0L, true)))
   }
 
+  test("embedDecontaminateBucketed: exhaustive probing equals the broadcast form; misses only lose hits; empty benchmark keeps everything") {
+    // the bench query's own data and split, so the pin covers the
+    // oracled configuration exactly
+    val e = queries.Tables.t(spark, sf, "embeddings")
+    val corpus = e.filter(col("vec_id") >= 100).select("vec_id", "embedding")
+    val bench = e.filter(col("vec_id") < 100)
+    val exact = Similarity.embedDecontaminate(corpus, "vec_id", "embedding",
+        bench, "embedding", minCosine = 0.45)
+      .select("vec_id", "n_hits", "kept")
+      .as[(Long, Long, Boolean)].collect().toSet
+    assert(exact.exists(!_._3), "split must have real hits for the pin to bite")
+    val bucketedEx = Similarity.embedDecontaminateBucketed(
+        corpus, "vec_id", "embedding", bench, "vec_id", "embedding",
+        minCosine = 0.45, nprobe = 10, groups = 10)
+      .select("vec_id", "n_hits", "kept")
+      .as[(Long, Long, Boolean)].collect().toSet
+    assert(bucketedEx === exact,
+      "exhaustive probing must equal the one-object exact form")
+    // small nprobe: the IVF recall trade loses hits, never invents them —
+    // per-vector counts are bounded by the exact count
+    val exactMap = exact.map(r => r._1 -> r._2).toMap
+    val probed2 = Similarity.embedDecontaminateBucketed(
+        corpus, "vec_id", "embedding", bench, "vec_id", "embedding",
+        minCosine = 0.45, nprobe = 2, groups = 10)
+      .select("vec_id", "n_hits").as[(Long, Long)].collect()
+    assert(probed2.length === exactMap.size)
+    probed2.foreach { case (id, h) =>
+      assert(h <= exactMap(id), s"vec $id: probed count $h above exact") }
+    // empty benchmark: nothing is contaminated, not a failure
+    val none = Similarity.embedDecontaminateBucketed(
+        corpus.limit(3), "vec_id", "embedding",
+        bench.filter(col("vec_id") < 0), "vec_id", "embedding",
+        minCosine = 0.45, nprobe = 4)
+      .select("n_hits", "kept").as[(Long, Boolean)].collect()
+    assert(none.forall(r => r._1 == 0L && r._2))
+  }
+
   test("semDedupSkewSafeAssigned composes: pre-assigned frame gives the same dedup as the fused form") {
     val se = queries.SimilarityQueries.seededCorpus(spark, sf)
     val cents = Similarity.kMeansCentroids(se, "vec_id", "emb", k = 16, iters = 1)
