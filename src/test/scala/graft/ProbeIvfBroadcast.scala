@@ -58,7 +58,12 @@ object ProbeIvfBroadcast {
     // SPARK_GRAFT_PROBE_D narrows the vectors to place points near the
     // shardBytes dispatch default (d=1024: k=512 → 2 MB, k=1024 → 4 MB)
     val d = sys.env.getOrElse("SPARK_GRAFT_PROBE_D", "8192").toInt
-    val n = 500L
+    // SPARK_GRAFT_PROBE_N grows the CORPUS (the k ∝ N regime's left
+    // side): the default 500 keeps the original index-pressure-only
+    // geometry; the round-11 corpus-scale rows run 500→50000 at a fixed
+    // sharded-route index to show the probe-slot joins stay flat when
+    // the left side is no longer trivial
+    val n = sys.env.getOrElse("SPARK_GRAFT_PROBE_N", "500").toLong
 
     def noiseVec(seed: org.apache.spark.sql.Column) =
       transform(sequence(lit(0), lit(d - 1)), i =>
@@ -98,9 +103,21 @@ object ProbeIvfBroadcast {
             shardBytes = 0L)))
         if formWanted == "both" || formWanted == tag.trim) {
         val t0 = System.nanoTime()
-        run().write.format("noop").mode("overwrite").save()
+        if (sys.env.get("SPARK_GRAFT_PROBE_REUSE").contains("1")) {
+          // collect()-driven execution so the FINAL adaptive plan is
+          // inspectable: confirms the nprobe probe-slot right sides
+          // still collapse to ReusedExchange under AQE when the corpus
+          // side is real (df.write runs a different QueryExecution — the
+          // PlanShapeSpec lesson)
+          val df = run()
+          df.collect()
+          val fp = df.queryExecution.executedPlan.toString
+          println(s"[probe] pass=$pass k=$k n=$n $tag " +
+            s"reusedExchange=${"ReusedExchange".r.findAllMatchIn(fp).size} " +
+            s"final=${fp.contains("isFinalPlan=true")}")
+        } else run().write.format("noop").mode("overwrite").save()
         val sec = (System.nanoTime() - t0) / 1e9
-        println(f"[probe] pass=$pass k=$k $tag $sec%.2f s")
+        println(f"[probe] pass=$pass k=$k n=$n $tag $sec%.2f s")
         results(f"k=$k%5d $tag") =
           sec :: results.getOrElse(f"k=$k%5d $tag", Nil)
         spark.catalog.clearCache()
