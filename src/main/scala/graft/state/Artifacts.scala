@@ -106,6 +106,112 @@ object Artifacts {
     }
   }
 
+  /** The subset of [[listVersions]] whose parquet write completed
+    * (`_SUCCESS` present) — what crash-sensitive readers must trust: a
+    * compaction that died mid-write leaves a version directory whose
+    * data is partial, and counting it would serve a torn artifact.
+    */
+  def completedVersions(spark: SparkSession, dir: String,
+      prefix: String): Seq[Long] = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    listVersions(spark, dir, prefix).filter(v =>
+      fs.exists(new org.apache.hadoop.fs.Path(s"$dir/$prefix=$v/_SUCCESS")))
+  }
+
+  private def deleteDir(spark: SparkSession, path: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    fs.delete(p, true)
+    ()
+  }
+
+  /** Every standing row of a `batch=N` slice log: the newest COMPLETE
+    * compacted base (if any) plus the slices ABOVE its version, with
+    * the batch id as a long column; an empty frame with the given
+    * schema before the first batch. Slices at or below the base
+    * version are IGNORED even if still present — that is what makes
+    * [[compactSlices]] crash-safe without atomic renames (the
+    * write-base-then-delete window shows both, and this reader counts
+    * each row once).
+    */
+  def readSlices(spark: SparkSession, dir: String, ddl: String): DataFrame = {
+    val baseV = completedVersions(spark, s"${dir}_base", "v").maxOption
+    val base = baseV.map(v => spark.read.parquet(s"${dir}_base/v=$v"))
+    val live = listVersions(spark, dir, "batch").filter(n => baseV.forall(n > _))
+    val slices =
+      if (live.isEmpty) None
+      else Some(spark.read.parquet(dir)
+        .filter(col("batch") > baseV.getOrElse(Long.MinValue))
+        .withColumn("batch", col("batch").cast("long")))
+    (base, slices) match {
+      case (Some(b), Some(s)) => b.unionByName(s)
+      case (Some(b), None) => b
+      case (None, Some(s)) => s
+      case (None, None) => spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType.fromDDL(ddl))
+    }
+  }
+
+  /** Compact a `batch=N` slice log: fold every slice with id ≤ `upTo`
+    * (and any prior base) into one `<dir>_base/v=upTo` slice, then
+    * delete the folded slices and superseded bases — the log-compaction
+    * moment for long-running ingest, where one directory per
+    * micro-batch is correct but unbounded (at ~10^5 batches the file
+    * LISTING becomes the read cost — the classic small-files failure).
+    *
+    * Replay safety: structured streaming replays at most the LATEST
+    * batch id after a crash; earlier ids never re-fire once a later
+    * batch has committed. `upTo` must therefore stay strictly below the
+    * newest slice id (enforced loudly), so an overwrite-on-replay can
+    * never target a compacted-away slice.
+    *
+    * Crash safety: the new base is FULLY written (with `_SUCCESS`)
+    * before anything is deleted, and [[readSlices]] ignores slices at
+    * or below the newest complete base — a crash anywhere in the
+    * sequence leaves a readable, non-double-counting layout, and
+    * re-running compaction cleans the leftovers (idempotent).
+    */
+  def compactSlices(spark: SparkSession, dir: String, upTo: Long,
+      ddl: String): Unit = {
+    val slices = listVersions(spark, dir, "batch")
+    val newest = slices.maxOption.getOrElse(
+      sys.error(s"no batch slices under $dir — nothing to compact"))
+    require(upTo < newest,
+      s"compactSlices(upTo = $upTo) must stay strictly below the newest " +
+        s"slice id $newest — the latest batch may replay and must keep " +
+        s"its own overwritable slice")
+    val baseV = completedVersions(spark, s"${dir}_base", "v").maxOption
+    if (baseV.forall(upTo > _)) {
+      // fold base ∪ slices (base, upTo] into the new base
+      readSlices(spark, dir, ddl)
+        .filter(col("batch") <= upTo)
+        .write.mode("overwrite").parquet(s"${dir}_base/v=$upTo")
+    }
+    // cleanup is separate from (and ordered after) the base write so a
+    // re-run after any crash converges to the same layout
+    val keep = math.max(upTo, baseV.getOrElse(Long.MinValue))
+    slices.filter(_ <= keep)
+      .foreach(n => deleteDir(spark, s"$dir/batch=$n"))
+    completedVersions(spark, s"${dir}_base", "v").filter(_ < keep)
+      .foreach(v => deleteDir(spark, s"${dir}_base/v=$v"))
+  }
+
+  /** Keep only the newest `keep` versions of a `v=N` artifact (ledgers,
+    * standing-state frames) — the state-side companion of
+    * [[compactSlices]]. `keep` defaults to 2: a replayed LAST batch
+    * reads its pre-state from the version strictly below its id
+    * ([[readLedger]] `below`), so the newest version alone is not
+    * enough, and anything older can never be read again.
+    */
+  def pruneVersions(spark: SparkSession, dir: String, keep: Int = 2): Unit = {
+    require(keep >= 2,
+      s"need keep >= 2 (latest + the replay pre-state), got $keep")
+    listVersions(spark, dir, "v").sorted.dropRight(keep)
+      .foreach(v => deleteDir(spark, s"$dir/v=$v"))
+  }
+
   // ------------------------------------------------------------------
   // Novelty gram inventory — distributed-only (column `_nvG`)
   // ------------------------------------------------------------------

@@ -322,15 +322,13 @@ object StreamingCorpus {
     standingSlices(spark, s"$stateDir/admitted",
       "stratum STRING, key BIGINT, seq BIGINT, batch BIGINT")
 
-  /** Union of every `batch=N` slice under `dir` (partition discovery
-    * surfaces the batch id as a column); an empty frame with the given
-    * schema before the first batch.
+  /** Union of every standing `batch=N` slice under `dir` (the batch id
+    * rides as a long column); an empty frame with the given schema
+    * before the first batch. Compaction-aware — long-running ingest
+    * folds old slices with [[graft.state.Artifacts.compactSlices]] and
+    * this reader keeps returning the identical standing rows.
     */
   private def standingSlices(spark: SparkSession, dir: String,
       ddl: String): DataFrame =
-    if (Artifacts.listVersions(spark, dir, "batch").isEmpty)
-      spark.createDataFrame(
-        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-        StructType.fromDDL(ddl))
-    else spark.read.parquet(dir).withColumn("batch", col("batch").cast("long"))
+    Artifacts.readSlices(spark, dir, ddl)
 }

@@ -68,7 +68,11 @@ object StreamingGraph {
     newEdges
       .select(col("src").cast("long").as("src"), col("dst").cast("long").as("dst"))
       .write.mode("overwrite").parquet(s"$stateDir/edges/batch=$batchId")
-    val allEdges = spark.read.parquet(s"$stateDir/edges")
+    // compaction-aware: a long-running crawl folds old edge slices with
+    // Artifacts.compactSlices(spark, s"$stateDir/edges", upTo, ...) and
+    // this read keeps returning the identical standing edge set
+    val allEdges = graft.state.Artifacts.readSlices(spark,
+        s"$stateDir/edges", "src BIGINT, dst BIGINT, batch BIGINT")
       .select("src", "dst")
     val pre = standingRanks(spark, stateDir, below = Some(batchId))
     val next = Graph.pageRankRounds(allEdges, pre, rounds,

@@ -140,4 +140,75 @@ class ArtifactsSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("ceiling"))
   }
+
+  test("slice compaction: standing rows identical, crash window never double-counts, replay slice protected") {
+    val ddl = "k BIGINT, v BIGINT, batch BIGINT"
+    def slice(dir: String, n: Long, rows: Seq[(Long, Long)]): Unit =
+      rows.toDF("k", "v").write.mode("overwrite").parquet(s"$dir/batch=$n")
+    def standing(dir: String) = Artifacts.readSlices(spark, dir, ddl)
+      .as[(Long, Long, Long)].collect().toSet
+
+    val dir = tmp("graft_compact") + "/slots"
+    // empty log reads as an empty frame with the declared schema
+    assert(standing(dir).isEmpty)
+    slice(dir, 0, Seq((1L, 10L), (2L, 20L)))
+    slice(dir, 1, Seq((3L, 30L)))
+    slice(dir, 2, Seq((4L, 40L)))
+    val before = standing(dir)
+    assert(before === Set((1L, 10L, 0L), (2L, 20L, 0L), (3L, 30L, 1L), (4L, 40L, 2L)))
+
+    // compacting at/above the newest slice refuses — the latest batch
+    // may replay and must keep its own overwritable slice
+    val guard = intercept[IllegalArgumentException] {
+      Artifacts.compactSlices(spark, dir, upTo = 2, ddl = ddl)
+    }
+    assert(guard.getMessage.contains("strictly below"))
+
+    Artifacts.compactSlices(spark, dir, upTo = 1, ddl = ddl)
+    assert(standing(dir) === before,
+      "compaction must preserve the standing rows bit-for-bit")
+    assert(Artifacts.listVersions(spark, dir, "batch") === Seq(2L),
+      "folded slices must be deleted, the replayable one kept")
+    assert(Artifacts.completedVersions(spark, s"${dir}_base", "v") === Seq(1L))
+
+    // crash window: a stale slice AT the base version reappears (the
+    // delete never ran) — the reader must ignore it, not double-count
+    slice(dir, 1, Seq((3L, 30L)))
+    assert(standing(dir) === before,
+      "a stale slice at/below the base version must not double-count")
+    // re-running compaction (same upTo) converges: cleans the leftover
+    Artifacts.compactSlices(spark, dir, upTo = 1, ddl = ddl)
+    assert(Artifacts.listVersions(spark, dir, "batch") === Seq(2L))
+    assert(standing(dir) === before)
+
+    // an INCOMPLETE base (no _SUCCESS) is invisible to readers
+    val p = new org.apache.hadoop.fs.Path(s"${dir}_base/v=5/_torn.parquet")
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    fs.mkdirs(p.getParent)
+    assert(Artifacts.completedVersions(spark, s"${dir}_base", "v") === Seq(1L))
+    assert(standing(dir) === before)
+    fs.delete(p.getParent, true)
+
+    // second-level compaction folds the existing base with newer slices
+    slice(dir, 3, Seq((5L, 50L)))
+    Artifacts.compactSlices(spark, dir, upTo = 2, ddl = ddl)
+    assert(standing(dir) === before + ((5L, 50L, 3L)))
+    assert(Artifacts.listVersions(spark, dir, "batch") === Seq(3L))
+    assert(Artifacts.completedVersions(spark, s"${dir}_base", "v") === Seq(2L),
+      "superseded bases must be deleted")
+  }
+
+  test("ledger/version pruning keeps the replay pre-state readable") {
+    val dir = tmp("graft_prune") + "/ledger"
+    (0L to 5L).foreach(v => Artifacts.writeLedger(spark, dir, v, 100L + v))
+    Artifacts.pruneVersions(spark, dir)
+    assert(Artifacts.listVersions(spark, dir, "v").sorted === Seq(4L, 5L))
+    // the consumer read and the replayed-last-batch pre-state both work
+    assert(Artifacts.readLedger(spark, dir) === Some(105L))
+    assert(Artifacts.readLedger(spark, dir, below = Some(5L)) === Some(104L))
+    val e = intercept[IllegalArgumentException] {
+      Artifacts.pruneVersions(spark, dir, keep = 1)
+    }
+    assert(e.getMessage.contains("keep >= 2"))
+  }
 }

@@ -512,6 +512,30 @@ class SimilaritySpec extends SparkSpec {
         minCosine = 0.45, nprobe = 4)
       .select("n_hits", "kept").as[(Long, Boolean)].collect()
     assert(none.forall(r => r._1 == 0L && r._2))
+    // stateless on a streaming frame: the group index builds once from
+    // the static benchmark (k-means + packs are checkpointed statics)
+    // and arriving vectors ride the same per-slot stream-static
+    // broadcast joins — the at-the-door deployment, like the broadcast
+    // form
+    val mem = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, Seq[Float])](spark)
+    val out = Similarity.embedDecontaminateBucketed(
+      mem.toDF().toDF("vec_id", "embedding"), "vec_id", "embedding",
+      bench, "vec_id", "embedding", minCosine = 0.45,
+      nprobe = 10, groups = 10)
+    assert(out.isStreaming, "bucketed decontamination must stream without state")
+    val streamIds = corpus.limit(40).select("vec_id", "embedding")
+      .as[(Long, Seq[Float])].collect()
+    val q = out.select("vec_id", "n_hits", "kept").writeStream
+      .format("memory").queryName("embed_bd_sink").outputMode("append").start()
+    try {
+      mem.addData(streamIds.toIndexedSeq: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.table("embed_bd_sink")
+      .as[(Long, Long, Boolean)].collect().toSet
+    assert(streamed === exact.filter(r => streamIds.map(_._1).contains(r._1)),
+      "streamed verdicts must equal the exhaustive batch form")
   }
 
   test("semDedupSkewSafeAssigned composes: pre-assigned frame gives the same dedup as the fused form") {

@@ -1100,6 +1100,24 @@ class StreamingOpsSpec extends SparkSpec {
       .select("doc_id", "global_start", "first_seq", "last_seq")
       .as[(Long, Long, Long, Long)].collect().toSet === before,
       "batch replay must not renumber offsets")
+    // long-running-ingest maintenance composes with the harness: compact
+    // the slice log below the replayable tip + prune the ledger, then
+    // the standing rows are identical AND the last batch still replays
+    // idempotently against its preserved pre-state
+    graft.state.Artifacts.compactSlices(spark, s"$state2/slots", upTo = 0L,
+      ddl = "doc_id BIGINT, pos BIGINT, n_tok BIGINT, global_start BIGINT, " +
+        "first_seq BIGINT, last_seq BIGINT, batch BIGINT")
+    graft.state.Artifacts.pruneVersions(spark, s"$state2/ledger")
+    assert(StreamingCorpus.standingPackSlots(spark, state2)
+      .select("doc_id", "global_start", "first_seq", "last_seq")
+      .as[(Long, Long, Long, Long)].collect().toSet === before,
+      "compaction must preserve the standing pack layout")
+    StreamingCorpus.ingestPackBatch(rdf(rows.drop(2)), state2,
+      batchId = 1L, seqLen = 64, baseOffset = basePos)
+    assert(StreamingCorpus.standingPackSlots(spark, state2)
+      .select("doc_id", "global_start", "first_seq", "last_seq")
+      .as[(Long, Long, Long, Long)].collect().toSet === before,
+      "replay after compaction must still re-derive the same bytes")
   }
 
   test("fertility report maintains incrementally on a stream") {
