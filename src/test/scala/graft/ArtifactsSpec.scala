@@ -198,6 +198,26 @@ class ArtifactsSpec extends SparkSpec {
       "superseded bases must be deleted")
   }
 
+  test("ledgered harness on an empty micro-batch: no slots, ledger carries the base forward") {
+    // rare but real (a trigger can fire with nothing to read): the
+    // batch operator runs on zero rows, the slice is empty-but-present,
+    // and the ledger advances by zero — the next batch's base is intact
+    import graft.streaming.StreamingCorpus
+    val state = tmp("graft_empty_batch") + "/state"
+    val empty = Seq.empty[(Long, Long, Long)].toDF("doc_id", "pos", "n_tok")
+    StreamingCorpus.ingestPackBatch(empty, state, batchId = 0L,
+      seqLen = 64, baseOffset = 1000L)
+    assert(StreamingCorpus.standingPackSlots(spark, state).count() === 0L)
+    assert(Artifacts.readLedger(spark, s"$state/ledger") === Some(1000L))
+    StreamingCorpus.ingestPackBatch(
+      Seq((7L, 1L, 30L)).toDF("doc_id", "pos", "n_tok"), state,
+      batchId = 1L, seqLen = 64, baseOffset = 1000L)
+    assert(StreamingCorpus.standingPackSlots(spark, state)
+      .select("doc_id", "global_start").as[(Long, Long)].collect().toSeq
+      === Seq((7L, 1000L)),
+      "the batch after an empty one must continue from the carried base")
+  }
+
   test("ledger/version pruning keeps the replay pre-state readable") {
     val dir = tmp("graft_prune") + "/ledger"
     (0L to 5L).foreach(v => Artifacts.writeLedger(spark, dir, v, 100L + v))
