@@ -256,14 +256,21 @@ object StreamingCorpus {
     * per-domain rate cap behaves; run the batch cap over the admitted
     * corpus when best-N matters.)
     *
-    * Scale shape: a distributed rank-then-filter per micro-batch —
-    * `row_number` per stratum by (`seq`, `key`) (the explicit sort keys
-    * that make admission deterministic and retry-stable), one join to
-    * the standing per-stratum counts, admit where count + rank ≤ quota.
-    * One STRATUM's batch slice sorts in one task (the window's natural
-    * unit, parallel across strata — never the whole batch), and the
-    * standing state is a distributed (stratum, admitted) frame versioned
-    * per batch, not a driver object.
+    * Scale shape: a TWO-PHASE rank-then-filter per micro-batch. Phase
+    * one is [[graft.operators.Corpus.capPerStratum]]'s bounded
+    * `topk_agg` — a partial-merging aggregate, so a SKEWED stratum (one
+    * domain = most of the batch) collapses map-side and at most `quota`
+    * rows per stratum survive; a plain per-stratum window here would
+    * re-create the single-task funnel this file's ledgers abandoned,
+    * just keyed by the hot stratum instead of a constant. Phase two
+    * ranks the ≤ quota survivors exactly (`row_number` by (`seq`,
+    * `key`) — the explicit sort keys that make admission deterministic
+    * and retry-stable; the top-quota set is an order prefix, so
+    * survivor rank ≡ full-slice rank), joins the standing per-stratum
+    * counts, and admits where count + rank ≤ quota. The standing state
+    * is a distributed (stratum, admitted) frame versioned per batch,
+    * not a driver object. `key` must be unique within a micro-batch
+    * (it is the record id — capPerStratum's semi-join contract).
     *
     * Artifact layout under `stateDir` (idempotent per batch id):
     *   - `admitted/batch=N` — (stratum, key, seq) admitted by batch N
@@ -284,9 +291,13 @@ object StreamingCorpus {
     require(quota > 0, s"need quota > 0, got $quota")
     val spark = rows.sparkSession
     val pre = standingQuotaCounts(spark, stateDir, below = Some(batchId))
-    rows
+    val batch = rows
       .select(col(stratum).cast("string").as("stratum"),
         col(key).cast("long").as("key"), col(seq).cast("long").as("seq"))
+    // phase one: bounded skew-safe top-quota per stratum (rows beyond
+    // the quota prefix can never admit at ANY prior count)
+    Corpus.capPerStratum(batch, Seq("stratum"),
+        struct(col("seq"), col("key")), "key", quota)
       .withColumn("_aqR", row_number().over(
         Window.partitionBy(col("stratum")).orderBy(col("seq"), col("key"))))
       .join(pre, Seq("stratum"), "left")

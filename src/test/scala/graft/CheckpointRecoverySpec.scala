@@ -48,4 +48,41 @@ class CheckpointRecoverySpec extends SparkSpec {
     val rows = spark.read.parquet(s"$dir/out").as[KRecord].collect().sortBy(_.ord)
     assert(rows.map(r => (r.ord, r.value)).toSeq === Seq((1L, "x"), (3L, "y")))
   }
+
+  test("ledgered foreachBatch harness resumes from checkpoint: batch ids continue, offsets stay append-stable") {
+    // the versioned-artifact twins' recovery story run for REAL: stop a
+    // checkpointed ingest query, restart it from the same checkpoint,
+    // and the continuation batch reads its base from the ledger written
+    // before the restart — already-issued offsets never renumber
+    import graft.streaming.StreamingCorpus
+    val dir = Files.createTempDirectory("graft_ckpt_pack").toString
+    val state = s"$dir/state"
+    val mem = MemoryStream[(Long, Long, Long)]
+    def start() = mem.toDF().toDF("doc_id", "pos", "n_tok").writeStream
+      .option("checkpointLocation", s"$dir/ckpt")
+      .foreachBatch(StreamingCorpus.packAppendAtIngest(
+        state, seqLen = 64, baseOffset = 1000L))
+      .start()
+
+    val q1 = start()
+    try {
+      mem.addData((3L, 10L, 63L), (4L, 20L, 65L))
+      q1.processAllAvailable()
+    } finally q1.stop()
+    val afterB1 = StreamingCorpus.standingPackSlots(spark, state)
+      .select("doc_id", "global_start").as[(Long, Long)].collect().toSet
+    assert(afterB1 === Set((3L, 1000L), (4L, 1063L)))
+
+    val q2 = start()
+    try {
+      mem.addData((7L, 30L, 100L))
+      q2.processAllAvailable()
+    } finally q2.stop()
+    val all = StreamingCorpus.standingPackSlots(spark, state)
+      .select("doc_id", "global_start").as[(Long, Long)].collect().toSet
+    assert(all === afterB1 + ((7L, 1128L)),
+      "the post-restart batch must continue from the pre-restart ledger")
+    assert(graft.state.Artifacts.readLedger(spark, s"$state/ledger")
+      === Some(1228L))
+  }
 }

@@ -1243,6 +1243,21 @@ class StreamingOpsSpec extends SparkSpec {
       "batch replay must not re-admit or drop differently")
     assert(StreamingCorpus.standingQuotaCounts(spark, state)
       .as[(String, Long)].collect().toMap === Map("a" -> 2L, "b" -> 2L))
+
+    // SKEWED batch: one mega-stratum carries 10k of 10_003 rows — the
+    // bounded phase-one cap must yield exactly the quota smallest (seq,
+    // key) rows, identical to the sequential definition (the funnel fix
+    // is a shape change, never a semantics change)
+    val skewState = s"$root/skew_state"
+    val mega = (1L to 10000L).map(i => ("hot", i, 20000L - i)) ++
+      Seq(("cold", 50000L, 1L), ("cold", 50001L, 2L), ("cold", 50002L, 3L))
+    StreamingCorpus.ingestQuotaBatch(mega.toDF("src", "id", "seq"),
+      skewState, batchId = 0L, "src", "id", "seq", quota = 3)
+    val got = StreamingCorpus.standingAdmitted(spark, skewState)
+      .select("stratum", "key").as[(String, Long)].collect().toSet
+    // hot's smallest seqs are 20000-i for the LARGEST i: ids 10000, 9999, 9998
+    assert(got === Set(("hot", 10000L), ("hot", 9999L), ("hot", 9998L),
+      ("cold", 50000L), ("cold", 50001L), ("cold", 50002L)))
   }
 
   test("ingest pipeline composes: quality gate → decontaminate → chunk+pack, one query") {
