@@ -83,7 +83,11 @@ object StreamingCorpus {
     * bounded by one SHARD's slice of one micro-batch — 1/numShards of
     * the batch per task, parallel across shards, which is why this twin
     * keeps the `flatMapGroupsWithState` shape the one-group ledgers
-    * below had to abandon.
+    * below had to abandon. (Export shard counts are large by
+    * construction — a training job reads hundreds to thousands of
+    * shards — so a shard slice stays task-sized; if a deployment ran
+    * few shards against huge micro-batches, the foreachBatch ledger
+    * family below is the shape to copy.)
     */
   def exportShardsAtIngest(rows: DataFrame, key: String, seed: Long,
       numShards: Int): Dataset[Sharded] = {

@@ -521,4 +521,39 @@ object OperatorProperties extends Properties("graft.operators") {
         } yield (ai, bi + 1000L)
         got.toSet == naive.toSet && got.length == naive.size
     }
+
+  property("slice-log compaction: standing rows invariant under any slice split and fold point") = {
+    val gen = for {
+      n <- Gen.choose(1, 14)
+      rows = (0 until n).map(i => (i.toLong, i.toLong * 7))
+      cuts <- Gen.listOf(Gen.choose(1, math.max(1, n - 1))).map(_.distinct.sorted)
+    } yield (rows, cuts)
+    forAll(gen) { case (rows, cuts) =>
+      import graft.state.Artifacts
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft_prop_compact").toString + "/slots"
+      val ddl = "k BIGINT, v BIGINT, batch BIGINT"
+      // split the rows at the generated cut points → one slice per segment
+      val bounds = (0 +: cuts :+ rows.size).distinct.sorted
+      val slices = bounds.zip(bounds.tail).zipWithIndex.map {
+        case ((lo, hi), i) => i.toLong -> rows.slice(lo, hi)
+      }
+      slices.foreach { case (i, rs) =>
+        rs.toDF("k", "v").write.mode("overwrite").parquet(s"$dir/batch=$i")
+      }
+      val expected = slices.flatMap { case (i, rs) =>
+        rs.map { case (k, v) => (k, v, i) } }.toSet
+      def standing() = Artifacts.readSlices(spark, dir, ddl)
+        .as[(Long, Long, Long)].collect().toSet
+      val pre = standing() == expected
+      // fold at EVERY legal point in sequence (repeated maintenance) —
+      // the standing rows must never change
+      val folds = slices.map(_._1).dropRight(1)
+      val posts = folds.map { upTo =>
+        Artifacts.compactSlices(spark, dir, upTo, ddl)
+        standing() == expected
+      }
+      pre && posts.forall(identity)
+    }
+  }
 }
