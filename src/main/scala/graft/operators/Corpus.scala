@@ -757,6 +757,46 @@ object Corpus {
       .drop("_pbT", "_pbP", "_pbLoc", "_pbBase")
   }
 
+  /** The consumer side of the concat-and-split packers
+    * ([[packGlobal]] / [[packByOrder]] / the at-ingest append twin):
+    * one row per (document, training sequence) intersection — which
+    * piece of which document composes each fixed-`seqLen` sequence.
+    * This is the table a data loader and a loss-masking step actually
+    * read (documents cross sequence boundaries by design, so sequence
+    * assembly and attention/loss boundaries need exactly these spans);
+    * the packers emit the per-document view, this emits the
+    * per-sequence view.
+    *
+    * Input: any frame carrying the packer outputs (`global_start`,
+    * `first_seq`, `last_seq`) plus the token count column. Output: the
+    * input's columns + `seq_id`, `doc_off` (offset of the piece inside
+    * the document), `seq_off` (offset inside the sequence), `len`
+    * (piece length ≥ 1). Zero-token documents occupy no tokens and are
+    * absent. Per sequence, pieces tile [0, seqLen) exactly (the final
+    * sequence tiles up to the stream total) — spec-pinned; everything
+    * is a NARROW per-row explode over at most
+    * ⌈tokens/seqLen⌉ + 1 sequences per document, no shuffle.
+    */
+  def sequenceManifest(packed: DataFrame, tokens: Column,
+      seqLen: Int): DataFrame = {
+    require(seqLen > 0, s"need seqLen > 0, got $seqLen")
+    Seq("seq_id", "doc_off", "seq_off", "len", "_smA").foreach(c =>
+      require(!packed.columns.contains(c),
+        s"input already has a $c column — sequenceManifest would shadow it"))
+    packed
+      .filter(tokens > 0)
+      .withColumn("seq_id",
+        explode(sequence(col("first_seq"), col("last_seq"))))
+      .withColumn("_smA",
+        greatest(col("global_start"), col("seq_id") * seqLen))
+      .withColumn("doc_off", col("_smA") - col("global_start"))
+      .withColumn("seq_off", col("_smA") - col("seq_id") * seqLen)
+      .withColumn("len",
+        least(col("global_start") + tokens.cast("long"),
+          (col("seq_id") + 1) * seqLen) - col("_smA"))
+      .drop("_smA")
+  }
+
   /** [[packByOrder]]'s pre-checkpoint stage (range exchange + the
     * per-partition prefix window) — extracted so PlanShapeSpec can pin
     * the exchange count on the REAL code path (the checkpoint truncates

@@ -419,6 +419,38 @@ object DedupQueries {
             col("global_start"), col("first_seq"), col("last_seq"))
       }),
 
+    // the packer's CONSUMER view (round 11): one row per (document,
+    // training sequence) intersection — the spans a data loader and a
+    // loss mask actually read, since documents cross the fixed
+    // seqLen boundaries by design. Pack order = doc_id (any explicit
+    // total order works; the ICP order is q_icp_pack's subject), then a
+    // narrow per-row explode; the oracle replays the identical prefix
+    // sum and tiles each doc over generate_series.
+    Q("q_pack_manifest", Some("""
+      |WITH st AS (SELECT doc_id, n_chars,
+      |    CAST(coalesce(sum(n_chars) OVER (ORDER BY doc_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+      |      AS global_start
+      |  FROM documents),
+      |m AS (SELECT doc_id, n_chars, global_start,
+      |    CAST(unnest(generate_series(global_start // 2048,
+      |      (global_start + n_chars - 1) // 2048)) AS BIGINT) AS seq_id
+      |  FROM st WHERE n_chars > 0)
+      |SELECT doc_id, seq_id,
+      |  greatest(global_start, seq_id * 2048) - global_start AS doc_off,
+      |  greatest(global_start, seq_id * 2048) - seq_id * 2048 AS seq_off,
+      |  least(global_start + n_chars, (seq_id + 1) * 2048)
+      |    - greatest(global_start, seq_id * 2048) AS len
+      |FROM m""".stripMargin.trim))(
+      (s, d) => {
+        val packed = graft.operators.Corpus.packByOrder(
+          t(s, d, "documents").select(col("doc_id"), col("n_chars")),
+          col("doc_id"), col("n_chars"), seqLen = 2048)
+        graft.operators.Corpus.sequenceManifest(packed, col("n_chars"), 2048)
+          .select(col("doc_id"), col("seq_id"), col("doc_off"),
+            col("seq_off"), col("len"))
+      }),
+
     // incremental exact Jaccard: the % 10 = 0 batch against the standing
     // corpus under FROZEN corpus rarity (unseen grams take df = 0, the
     // rarest slot — they can't match but they fill prefixes first).

@@ -780,4 +780,47 @@ class CorpusSpec extends SparkSpec {
     assert(bad.getMessage.contains("non-negative") ||
       Option(bad.getCause).exists(_.getMessage.contains("non-negative")))
   }
+
+  test("sequenceManifest: hand spans; pieces tile every sequence exactly; per-doc lengths re-total") {
+    // L = 4; docs in pos order: a(3) [0,3), b(6) [3,9), c(0), d(1) [9,10)
+    // seq 0 = a[0..3) + b[0..1); seq 1 = b[1..5); seq 2 = b[5..6) + d
+    val df = Seq((10L, 1L, 3L), (11L, 2L, 6L), (12L, 3L, 0L), (13L, 4L, 1L))
+      .toDF("doc_id", "pos", "n_tok")
+    val packed = Corpus.packByOrder(df, col("pos"), col("n_tok"), seqLen = 4)
+    val got = Corpus.sequenceManifest(packed, col("n_tok"), seqLen = 4)
+      .select("doc_id", "seq_id", "doc_off", "seq_off", "len")
+      .as[(Long, Long, Long, Long, Long)].collect().toSet
+    assert(got === Set(
+      (10L, 0L, 0L, 0L, 3L), (11L, 0L, 0L, 3L, 1L),
+      (11L, 1L, 1L, 0L, 4L),
+      (11L, 2L, 5L, 0L, 1L), (13L, 2L, 0L, 1L, 1L)),
+      "zero-token doc 12 must be absent; spans must match the hand tiling")
+
+    // randomized tiling invariants at a bigger scale: every sequence's
+    // pieces cover [0, L) exactly once (the last up to the total), and
+    // each doc's piece lengths re-total its token count
+    val rnd2 = new scala.util.Random(7)
+    val rows2 = (0 until 300).map(i =>
+      (i.toLong, i.toLong, if (i % 13 == 0) 0L else rnd2.nextInt(150).toLong))
+    val m = Corpus.sequenceManifest(
+        Corpus.packByOrder(rows2.toDF("doc_id", "pos", "n_tok"),
+          col("pos"), col("n_tok"), seqLen = 64),
+        col("n_tok"), seqLen = 64)
+      .select("doc_id", "seq_id", "seq_off", "len")
+      .as[(Long, Long, Long, Long)].collect()
+    val total = rows2.map(_._3).sum
+    m.groupBy(_._2).foreach { case (seq, pieces) =>
+      val want = math.min(64L, total - seq * 64)
+      val sorted = pieces.sortBy(_._3)
+      assert(sorted.map(_._4).sum === want, s"seq $seq must tile $want tokens")
+      // contiguous, non-overlapping: offsets chain exactly
+      sorted.foldLeft(0L) { (off, p) =>
+        assert(p._3 === off, s"seq $seq has a gap/overlap at ${p._3}"); off + p._4
+      }
+    }
+    val perDoc = m.groupBy(_._1).view.mapValues(_.map(_._4).sum).toMap
+    rows2.filter(_._3 > 0).foreach { case (id, _, t) =>
+      assert(perDoc(id) === t, s"doc $id pieces must re-total $t") }
+    assert(!perDoc.keySet.exists(id => rows2.exists(r => r._1 == id && r._3 == 0L)))
+  }
 }

@@ -1135,6 +1135,19 @@ class PlanShapeSpec extends SparkSpec {
       s"group-pack broadcast must be shipped once and reused:\n$finalPlan")
   }
 
+  test("pack manifest: one narrow Generate over the packed frame — no new shuffle, no window") {
+    // the consumer-side explode must ride the packer's existing layout:
+    // checkpointed pack scan → broadcast bases join → Generate; the
+    // zero-token filter sits BELOW the Generate so absent docs never
+    // explode
+    val df = q("q_pack_manifest")
+    assert(countNodes(df, "Generate") === 1, s"${formatted(df)}")
+    assert(countNodes(df, "Window") === 0)
+    assert(countNodes(df, "SortMergeJoin") === 0)
+    assert(!formatted(df).contains("Exchange hashpartitioning"),
+      s"manifest must not add a shuffle:\n${formatted(df)}")
+  }
+
   test("bucketed decontamination: corpus unshuffled, one rep-pack join, per-slot hash joins, no object scales with the benchmark") {
     // the oversized-benchmark route: √B-group packs broadcast-HASH-joined
     // per probe slot (the sharded-IVF shape) — the corpus side must stay
