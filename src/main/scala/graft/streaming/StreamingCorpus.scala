@@ -155,13 +155,24 @@ object StreamingCorpus {
     * [[Corpus.icpAttach]] bit-for-bit and K batches equal K sequential
     * batch applications (spec-pinned); across batches order is arrival
     * order, as for any log. Issued positions never renumber.
+    *
+    * `compactEvery` (0 = off) runs [[graft.state.Artifacts.maybeCompact]]
+    * after every K-th batch — slice-log fold + ledger prune as ingest
+    * policy, so a long-running stream never degrades into the
+    * small-files listing regime the compaction probe measures.
     */
   def icpAttachAtIngest(stateDir: String, standingOrder: DataFrame,
-      basePos: Long): (DataFrame, Long) => Unit =
+      basePos: Long, compactEvery: Int = 0): (DataFrame, Long) => Unit =
     (cands, batchId) => {
       ingestIcpBatch(cands, standingOrder, stateDir, batchId, basePos)
+      Artifacts.maybeCompact(cands.sparkSession, batchId, compactEvery,
+        sliceDirs = Seq(s"$stateDir/slots" -> IcpSlotsDdl),
+        versionDirs = Seq(s"$stateDir/ledger"))
       ()
     }
+
+  private val IcpSlotsDdl =
+    "doc_id BIGINT, anchor BIGINT, icp_pos BIGINT, batch BIGINT"
 
   /** One micro-batch of in-context attach, idempotent in `batchId`.
     * Returns the slots this batch appended.
@@ -171,21 +182,23 @@ object StreamingCorpus {
     val spark = cands.sparkSession
     val base = Artifacts.readLedger(spark, s"$stateDir/ledger",
       below = Some(batchId)).getOrElse(basePos)
-    Corpus.icpAttach(cands, standingOrder, base)
-      .write.mode("overwrite").parquet(s"$stateDir/slots/batch=$batchId")
-    val slots = spark.read.parquet(s"$stateDir/slots/batch=$batchId")
     // icpAttach emits exactly one row per arriving doc, so the ledger
-    // advances by the batch's slot count — derived from the WRITTEN
-    // artifact, never a second computation of the operator
+    // advances by the batch's slot count — observed IN the write job
+    // (one aggregate riding the plan that writes), never a second job
+    // that re-reads the written artifact just to count it
+    val obs = org.apache.spark.sql.Observation()
+    Corpus.icpAttach(cands, standingOrder, base)
+      .observe(obs, count(lit(1)).as("n"))
+      .write.mode("overwrite").parquet(s"$stateDir/slots/batch=$batchId")
     Artifacts.writeLedger(spark, s"$stateDir/ledger", batchId,
-      base + slots.count())
-    slots.select("doc_id", "anchor", "icp_pos")
+      base + obs.get("n").asInstanceOf[Long])
+    spark.read.parquet(s"$stateDir/slots/batch=$batchId")
+      .select("doc_id", "anchor", "icp_pos")
   }
 
   /** Every slot appended so far: (doc_id, anchor, icp_pos, batch). */
   def standingIcpSlots(spark: SparkSession, stateDir: String): DataFrame =
-    standingSlices(spark, s"$stateDir/slots",
-      "doc_id BIGINT, anchor BIGINT, icp_pos BIGINT, batch BIGINT")
+    standingSlices(spark, s"$stateDir/slots", IcpSlotsDdl)
 
   /** Concat-and-split packing at ingest — the streaming twin of
     * [[graft.operators.Corpus.packByOrder]]'s append hook: arriving
@@ -216,11 +229,18 @@ object StreamingCorpus {
     * zero span; negatives fail loudly inside the batch operator).
     */
   def packAppendAtIngest(stateDir: String, seqLen: Int,
-      baseOffset: Long): (DataFrame, Long) => Unit =
+      baseOffset: Long, compactEvery: Int = 0): (DataFrame, Long) => Unit =
     (rows, batchId) => {
       ingestPackBatch(rows, stateDir, batchId, seqLen, baseOffset)
+      Artifacts.maybeCompact(rows.sparkSession, batchId, compactEvery,
+        sliceDirs = Seq(s"$stateDir/slots" -> PackSlotsDdl),
+        versionDirs = Seq(s"$stateDir/ledger"))
       ()
     }
+
+  private val PackSlotsDdl =
+    "doc_id BIGINT, pos BIGINT, n_tok BIGINT, global_start BIGINT, " +
+      "first_seq BIGINT, last_seq BIGINT, batch BIGINT"
 
   /** One micro-batch of pack append, idempotent in `batchId`. Returns
     * the slots this batch appended.
@@ -231,25 +251,26 @@ object StreamingCorpus {
     val spark = rows.sparkSession
     val base = Artifacts.readLedger(spark, s"$stateDir/ledger",
       below = Some(batchId)).getOrElse(baseOffset)
+    // the ledger advance is the batch's token sum — observed IN the
+    // write job (one aggregate riding the plan that writes), not a
+    // second full job over the re-read slice
+    val obs = org.apache.spark.sql.Observation()
     Corpus.packByOrder(
         rows.select(col("doc_id").cast("long"), col("pos").cast("long"),
           col("n_tok").cast("long")),
         col("pos"), col("n_tok"), seqLen, baseOffset = base)
+      .observe(obs, coalesce(sum(col("n_tok")), lit(0L)).as("t"))
       .write.mode("overwrite").parquet(s"$stateDir/slots/batch=$batchId")
-    val slots = spark.read.parquet(s"$stateDir/slots/batch=$batchId")
-    val total = slots.agg(coalesce(sum(col("n_tok")), lit(0L)).as("t"))
-      .head().getLong(0)
-    Artifacts.writeLedger(spark, s"$stateDir/ledger", batchId, base + total)
-    slots
+    Artifacts.writeLedger(spark, s"$stateDir/ledger", batchId,
+      base + obs.get("t").asInstanceOf[Long])
+    spark.read.parquet(s"$stateDir/slots/batch=$batchId")
   }
 
   /** Every pack slot appended so far: (doc_id, pos, n_tok, global_start,
     * first_seq, last_seq, batch).
     */
   def standingPackSlots(spark: SparkSession, stateDir: String): DataFrame =
-    standingSlices(spark, s"$stateDir/slots",
-      "doc_id BIGINT, pos BIGINT, n_tok BIGINT, global_start BIGINT, " +
-        "first_seq BIGINT, last_seq BIGINT, batch BIGINT")
+    standingSlices(spark, s"$stateDir/slots", PackSlotsDdl)
 
   /** Per-stratum admission quota at ingest — the streaming face of
     * [[graft.operators.Corpus.capPerStratum]]: admit rows first-come
@@ -281,11 +302,16 @@ object StreamingCorpus {
     *   - `counts/v=N` — per-stratum admitted totals AFTER batch N
     */
   def admitQuotaAtIngest(stateDir: String, stratum: String, key: String,
-      seq: String, quota: Int): (DataFrame, Long) => Unit =
+      seq: String, quota: Int, compactEvery: Int = 0): (DataFrame, Long) => Unit =
     (rows, batchId) => {
       ingestQuotaBatch(rows, stateDir, batchId, stratum, key, seq, quota)
+      Artifacts.maybeCompact(rows.sparkSession, batchId, compactEvery,
+        sliceDirs = Seq(s"$stateDir/admitted" -> AdmittedDdl),
+        versionDirs = Seq(s"$stateDir/counts"))
       ()
     }
+
+  private val AdmittedDdl = "stratum STRING, key BIGINT, seq BIGINT, batch BIGINT"
 
   /** One micro-batch of quota admission, idempotent in `batchId`.
     * Returns the rows this batch admitted.
@@ -334,8 +360,7 @@ object StreamingCorpus {
 
   /** Every admitted row so far: (stratum, key, seq, batch). */
   def standingAdmitted(spark: SparkSession, stateDir: String): DataFrame =
-    standingSlices(spark, s"$stateDir/admitted",
-      "stratum STRING, key BIGINT, seq BIGINT, batch BIGINT")
+    standingSlices(spark, s"$stateDir/admitted", AdmittedDdl)
 
   /** Union of every standing `batch=N` slice under `dir` (the batch id
     * rides as a long column); an empty frame with the given schema

@@ -46,13 +46,22 @@ object StreamingGraph {
     * edges.writeStream.foreachBatch(
     *   StreamingGraph.pageRankAtIngest(stateDir, roundsPerBatch = 2)).start()
     * }}}
+    * `compactEvery` (0 = off) folds the edge log and prunes superseded
+    * rank versions every K batches ([[graft.state.Artifacts.maybeCompact]]) —
+    * a long-running crawl otherwise accretes one directory per
+    * micro-batch and the per-refresh edge read degrades into the
+    * small-files listing regime.
     */
   def pageRankAtIngest(stateDir: String, roundsPerBatch: Int,
       scale: Long = 1000000000L, dampNum: Long = 17L,
-      dampDen: Long = 20L): (DataFrame, Long) => Unit =
+      dampDen: Long = 20L, compactEvery: Int = 0): (DataFrame, Long) => Unit =
     (batch, batchId) => {
       ingestBatch(batch, stateDir, batchId, roundsPerBatch,
         scale, dampNum, dampDen)
+      graft.state.Artifacts.maybeCompact(batch.sparkSession, batchId,
+        compactEvery,
+        sliceDirs = Seq(s"$stateDir/edges" -> "src BIGINT, dst BIGINT, batch BIGINT"),
+        versionDirs = Seq(s"$stateDir/ranks"))
       ()
     }
 
@@ -96,8 +105,16 @@ object StreamingGraph {
     * latest version below the batch id) are exactly
     * [[pageRankAtIngest]]'s.
     */
-  def componentsAtIngest(stateDir: String): (DataFrame, Long) => Unit =
-    (batch, batchId) => { ingestPairs(batch, stateDir, batchId); () }
+  def componentsAtIngest(stateDir: String,
+      compactEvery: Int = 0): (DataFrame, Long) => Unit =
+    (batch, batchId) => {
+      ingestPairs(batch, stateDir, batchId)
+      graft.state.Artifacts.maybeCompact(batch.sparkSession, batchId,
+        compactEvery,
+        sliceDirs = Seq(s"$stateDir/pairs" -> "a_id BIGINT, b_id BIGINT, batch BIGINT"),
+        versionDirs = Seq(s"$stateDir/components"))
+      ()
+    }
 
   /** One micro-batch of pair ingest, idempotent in `batchId`. `newPairs`
     * must carry long-castable `a_id`, `b_id`. Returns the refreshed

@@ -218,6 +218,65 @@ class ArtifactsSpec extends SparkSpec {
       "the batch after an empty one must continue from the carried base")
   }
 
+  test("state-dir hardening: stray names skipped, torn newest ledger falls back, markerless compaction refuses before deleting, completedOnly hides torn slices") {
+    val fs = new org.apache.hadoop.fs.Path(tmp("graft_hard"))
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    def mkdir(p: String): Unit = { fs.mkdirs(new org.apache.hadoop.fs.Path(p)); () }
+
+    // a stray non-numeric version directory (v=tmp left by a human or a
+    // tool) is skipped, not a NumberFormatException on every read
+    val led = tmp("graft_hard_led") + "/ledger"
+    Artifacts.writeLedger(spark, led, 0L, 42L)
+    mkdir(s"$led/v=tmp")
+    assert(Artifacts.listVersions(spark, led, "v") === Seq(0L))
+    assert(Artifacts.readLedger(spark, led) === Some(42L))
+
+    // torn newest ledger version (crash mid-writeLedger: directory, no
+    // committed data): the consumer read falls back to the newest
+    // COMPLETE version instead of failing until replay
+    Artifacts.writeLedger(spark, led, 1L, 43L)
+    mkdir(s"$led/v=2")
+    assert(Artifacts.readLedger(spark, led) === Some(43L))
+    // ...and the replay pre-state read is unaffected
+    assert(Artifacts.readLedger(spark, led, below = Some(1L)) === Some(42L))
+
+    // markerless committer (marksuccessfuljobs=false): compaction must
+    // refuse BEFORE deleting — readSlices would never recognize the new
+    // base and every folded row would silently vanish
+    val ddl = "k BIGINT, v BIGINT, batch BIGINT"
+    val dir = tmp("graft_hard_cmp") + "/slots"
+    Seq((1L, 10L)).toDF("k", "v").write.parquet(s"$dir/batch=0")
+    Seq((2L, 20L)).toDF("k", "v").write.parquet(s"$dir/batch=1")
+    val before = Artifacts.readSlices(spark, dir, ddl)
+      .as[(Long, Long, Long)].collect().toSet
+    val hconf = spark.sparkContext.hadoopConfiguration
+    hconf.set("mapreduce.fileoutputcommitter.marksuccessfuljobs", "false")
+    try {
+      val e = intercept[IllegalArgumentException] {
+        Artifacts.compactSlices(spark, dir, upTo = 0L, ddl = ddl)
+      }
+      assert(e.getMessage.contains("_SUCCESS"))
+    } finally hconf.unset("mapreduce.fileoutputcommitter.marksuccessfuljobs")
+    assert(Artifacts.listVersions(spark, dir, "batch").sorted === Seq(0L, 1L),
+      "a refused compaction must leave every slice in place")
+    assert(Artifacts.readSlices(spark, dir, ddl)
+      .as[(Long, Long, Long)].collect().toSet === before)
+    // with markers restored the same call converges
+    Artifacts.compactSlices(spark, dir, upTo = 0L, ddl = ddl)
+    assert(Artifacts.readSlices(spark, dir, ddl)
+      .as[(Long, Long, Long)].collect().toSet === before)
+
+    // completedOnly: a torn in-flight slice (partial file, no _SUCCESS)
+    // is invisible to consumer-facing standing reads
+    val tornFile = new org.apache.hadoop.fs.Path(s"$dir/batch=7/part-00000.parquet")
+    fs.mkdirs(tornFile.getParent)
+    fs.create(tornFile).close() // zero bytes: not even a parquet footer
+    assert(Artifacts.readSlices(spark, dir, ddl, completedOnly = true)
+      .as[(Long, Long, Long)].collect().toSet === before,
+      "a torn live slice must not be opened by a completedOnly read")
+    fs.delete(tornFile.getParent, true)
+  }
+
   test("ledger/version pruning keeps the replay pre-state readable") {
     val dir = tmp("graft_prune") + "/ledger"
     (0L to 5L).foreach(v => Artifacts.writeLedger(spark, dir, v, 100L + v))

@@ -1120,6 +1120,105 @@ class StreamingOpsSpec extends SparkSpec {
       "replay after compaction must still re-derive the same bytes")
   }
 
+  test("compactEvery policy: compaction fires mid-stream inside the harnesses, standing rows identical, replay intact") {
+    import graft.operators.Corpus
+    import graft.streaming.StreamingCorpus
+    import graft.state.Artifacts
+    val root = java.nio.file.Files.createTempDirectory("graft_cmp_pol").toString
+    val rows = Seq((3L, 10L, 63L), (4L, 20L, 65L), (7L, 30L, 100L),
+      (8L, 40L, 1L), (9L, 50L, 0L))
+    def rdf(rs: Seq[(Long, Long, Long)]) = rs.toDF("doc_id", "pos", "n_tok")
+    // three batches through the PACK harness with compactEvery = 2:
+    // compaction fires INSIDE the stream at batch 2
+    val state = s"$root/pack"
+    val mem = MemoryStream[(Long, Long, Long)]
+    val q = mem.toDF().toDF("doc_id", "pos", "n_tok").writeStream
+      .option("checkpointLocation", s"$root/ckpt_pack")
+      .foreachBatch(StreamingCorpus.packAppendAtIngest(
+        state, seqLen = 64, baseOffset = 1000L, compactEvery = 2))
+      .start()
+    try {
+      mem.addData(rows.take(2): _*); q.processAllAvailable()
+      mem.addData(rows.slice(2, 4): _*); q.processAllAvailable()
+      mem.addData(rows.drop(4): _*); q.processAllAvailable()
+    } finally q.stop()
+    // the policy fired at batch 2: slices 0..1 folded into a base, the
+    // replayable tip kept live, the ledger pruned to (pre-state, latest)
+    assert(Artifacts.completedVersions(spark, s"$state/slots_base", "v")
+      === Seq(1L), "batches 0..1 must be folded into a v=1 base")
+    assert(Artifacts.listVersions(spark, s"$state/slots", "batch").sorted
+      === Seq(2L), "only the replayable tip slice stays live")
+    assert(Artifacts.listVersions(spark, s"$state/ledger", "v").sorted
+      === Seq(1L, 2L), "the ledger keeps latest + the replay pre-state")
+    // standing rows ≡ three sequential batch applications
+    val t1 = 1000L + 63L + 65L
+    val t2 = t1 + 100L + 1L
+    val expect = (
+      Corpus.packByOrder(rdf(rows.take(2)), col("pos"), col("n_tok"), 64, baseOffset = 1000L)
+        .select("doc_id", "global_start").as[(Long, Long)].collect() ++
+      Corpus.packByOrder(rdf(rows.slice(2, 4)), col("pos"), col("n_tok"), 64, baseOffset = t1)
+        .select("doc_id", "global_start").as[(Long, Long)].collect() ++
+      Corpus.packByOrder(rdf(rows.drop(4)), col("pos"), col("n_tok"), 64, baseOffset = t2)
+        .select("doc_id", "global_start").as[(Long, Long)].collect()).toSet
+    def standing() = StreamingCorpus.standingPackSlots(spark, state)
+      .select("doc_id", "global_start").as[(Long, Long)].collect().toSet
+    assert(standing() === expect)
+    // the LAST batch still replays idempotently against its preserved
+    // pre-state, with compaction having fired mid-stream
+    StreamingCorpus.ingestPackBatch(rdf(rows.drop(4)), state,
+      batchId = 2L, seqLen = 64, baseOffset = 1000L)
+    assert(standing() === expect, "replay after in-stream compaction must re-derive the same bytes")
+
+    // the QUOTA harness: same policy over its admitted log + counts
+    val qstate = s"$root/quota"
+    val qmem = MemoryStream[(String, Long, Long)]
+    val qq = qmem.toDF().toDF("stratum", "key", "seq").writeStream
+      .option("checkpointLocation", s"$root/ckpt_quota")
+      .foreachBatch(StreamingCorpus.admitQuotaAtIngest(
+        qstate, "stratum", "key", "seq", quota = 2, compactEvery = 2))
+      .start()
+    try {
+      qmem.addData(("a", 1L, 1L), ("a", 2L, 2L)); qq.processAllAvailable()
+      qmem.addData(("a", 3L, 3L), ("b", 4L, 4L)); qq.processAllAvailable()
+      qmem.addData(("b", 5L, 5L)); qq.processAllAvailable()
+    } finally qq.stop()
+    assert(Artifacts.listVersions(spark, s"$qstate/admitted", "batch").sorted
+      === Seq(2L))
+    assert(Artifacts.listVersions(spark, s"$qstate/counts", "v").sorted
+      === Seq(1L, 2L))
+    assert(StreamingCorpus.standingAdmitted(spark, qstate)
+      .select("stratum", "key").as[(String, Long)].collect().toSet
+      === Set(("a", 1L), ("a", 2L), ("b", 4L), ("b", 5L)),
+      "quota admission must be unchanged by in-stream compaction")
+
+    // the PAGERANK harness: edge-log fold + rank prune, ranks identical
+    // to the uncompacted arm
+    import graft.streaming.StreamingGraph
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (1L, 3L), (3L, 2L), (2L, 1L))
+    def runPr(name: String, compactEvery: Int): Set[(Long, Long)] = {
+      val st = s"$root/pr_$name"
+      val m = MemoryStream[(Long, Long)]
+      val pq = m.toDF().toDF("src", "dst").writeStream
+        .option("checkpointLocation", s"$root/ckpt_pr_$name")
+        .foreachBatch(StreamingGraph.pageRankAtIngest(
+          st, roundsPerBatch = 2, compactEvery = compactEvery))
+        .start()
+      try {
+        edges.grouped(2).foreach { b => m.addData(b: _*); pq.processAllAvailable() }
+      } finally pq.stop()
+      StreamingGraph.standingRanks(spark, st)
+        .as[(Long, Long)].collect().toSet
+    }
+    val plain = runPr("plain", 0)
+    val compacted = runPr("cmp", 2)
+    assert(compacted === plain,
+      "in-stream edge-log compaction must not change the standing ranks")
+    assert(Artifacts.completedVersions(spark, s"$root/pr_cmp/edges_base", "v")
+      === Seq(1L))
+    assert(Artifacts.listVersions(spark, s"$root/pr_cmp/ranks", "v").sorted
+      === Seq(1L, 2L), "superseded rank versions must be pruned")
+  }
+
   test("fertility report maintains incrementally on a stream") {
     // pure partial agg over a stateless per-row map — fertilityReport's
     // groupBy IS the streaming update, so the per-source tokenizer
