@@ -97,6 +97,33 @@ object MultimodalQueries {
           .select(col("media_id").as("doc_id"), col("format"),
             col("width"), col("height"), col("n_pixels"), col("luma_sum"))),
 
+    // REAL audio decode via javax.sound.sampled (the JDK's own audio
+    // codec registry — no external library): deterministic mono 16-bit
+    // PCM WAVs are built per document (n = 500 + doc_id%257 samples at
+    // 8/12/16 kHz, sample i = ((doc_id·31+i)·7)%65536 − 32768) and
+    // decoded through the actual AudioSystem reader; the oracle computes
+    // frame count and the exact signed sample sum in CLOSED FORM from
+    // the same integers, so the row hashes match iff the codec path
+    // reproduces every sample.
+    Q("q_audio_decode", Some(
+      """WITH p AS (SELECT doc_id, 500 + doc_id % 257 AS n,
+        |  8000 + (doc_id % 3) * 4000 AS sr FROM documents)
+        |SELECT doc_id, 'wave' AS container, 'PCM_SIGNED' AS encoding,
+        |  CAST(sr AS INT) AS sample_rate, 1 AS channels, 16 AS bits,
+        |  CAST(n AS BIGINT) AS n_frames,
+        |  CAST(list_sum(list_transform(range(n),
+        |    i -> (doc_id * 31 + i) * 7 % 65536 - 32768)) AS BIGINT) AS sample_sum
+        |FROM p""".stripMargin))(
+      (s, d) =>
+        Multimodal.decodeAudioMeta(Multimodal.encodeWavPcm(
+            t(s, d, "documents").select(col("doc_id"),
+              (lit(500) + pmod(col("doc_id"), lit(257))).as("n"),
+              (lit(8000) + pmod(col("doc_id"), lit(3)) * 4000).as("sr")),
+            "doc_id", "n", "sr")).toDF()
+          .select(col("media_id").as("doc_id"), col("container"),
+            col("encoding"), col("sample_rate"), col("channels"),
+            col("bits"), col("n_frames"), col("sample_sum"))),
+
     // content-defined chunking (Rabin-style CDC): boundary wherever the
     // 8-byte window hash has 4 zero low bits (expected 16-byte chunks);
     // stateless predicate = shift-invariant AND engine-replayable. Chunks

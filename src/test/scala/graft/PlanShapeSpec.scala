@@ -1051,6 +1051,21 @@ class PlanShapeSpec extends SparkSpec {
       s"expected the two typed batch transforms:\n${formatted(df)}")
   }
 
+  test("audio decode: one pruned scan, a narrow MapPartitions chain, zero shuffles") {
+    // encode→AudioSystem-decode is per-row work, exactly the image
+    // decode's shape: any Exchange would shuffle opaque payloads for no
+    // algebraic reason
+    val df = q("q_audio_decode")
+    assert(countShuffles(df) === 0,
+      s"decode must stay narrow:\n${formatted(df)}")
+    assert(countNodes(df, "Scan parquet") === 1)
+    val schema = readSchemas(df).head
+    assert(!schema.contains("text"),
+      s"decode reads only doc_id, not the text payload: $schema")
+    assert(countNodes(df, "MapPartitions") === 2, // encode + decode
+      s"expected the two typed batch transforms:\n${formatted(df)}")
+  }
+
   test("icp attach: equi-joins only — candidate generation never goes quadratic") {
     val df = q("q_icp_attach")
     assert(countNodes(df, "CartesianProduct") === 0,
