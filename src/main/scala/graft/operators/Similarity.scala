@@ -591,11 +591,30 @@ object Similarity {
     * group id)). `bId` names the benchmark's id column — it seeds the
     * group k-means deterministically (smallest-id seeding, rerun-stable)
     * and never appears in the output.
+    *
+    * Plan-depth bound: the per-slot fold emits ONE BroadcastHashJoin per
+    * probe slot, so the plan is `nprobe` joins deep — fine at the small
+    * `nprobe` this route exists for, but `nprobe >= groups` (the exact
+    * contract) on a benchmark large enough to NEED this route (B ≈ 10⁵ ⇒
+    * groups ≈ 316) would build a ~316-join plan and die in
+    * analysis/codegen long before any data cost. `maxProbeJoins` refuses
+    * loudly past that regime: exact-at-scale needs either the one-object
+    * [[embedDecontaminate]] (benchmark pack ≤ its byte ceiling) or a new
+    * explode-probes + single-hash-join + re-aggregate form (one
+    * corpus×nprobe shuffle) if a real need appears.
     */
   def embedDecontaminateBucketed(corpus: DataFrame, id: String, emb: String,
       benchmark: DataFrame, bId: String, bEmb: String, minCosine: Double,
-      nprobe: Int, groups: Int = 0): DataFrame = {
+      nprobe: Int, groups: Int = 0, maxProbeJoins: Int = 32): DataFrame = {
     require(nprobe >= 1, s"need nprobe >= 1, got $nprobe")
+    require(nprobe <= maxProbeJoins,
+      s"nprobe = $nprobe exceeds maxProbeJoins = $maxProbeJoins: this " +
+        s"route builds ONE broadcast join per probe slot, so large nprobe " +
+        s"is a plan-depth (analysis/codegen) blowup, not a data cost. For " +
+        s"an exact verdict use embedDecontaminate (single broadcast pack, " +
+        s"refuses past its byte ceiling); keep nprobe small here for the " +
+        s"IVF recall trade, or raise maxProbeJoins explicitly if the plan " +
+        s"depth was measured acceptable")
     require(Seq("n_hits", "kept", "_bdGs", "_bdG", "_bdMs", "_bdP", "_bdH")
         .forall(c => !corpus.columns.contains(c)),
       "corpus already has an n_hits/kept/_bd* column — decontamination " +

@@ -536,6 +536,16 @@ class SimilaritySpec extends SparkSpec {
       .as[(Long, Long, Boolean)].collect().toSet
     assert(streamed === exact.filter(r => streamIds.map(_._1).contains(r._1)),
       "streamed verdicts must equal the exhaustive batch form")
+    // plan-depth guard: one broadcast join per probe slot means large
+    // nprobe is an analysis/codegen blowup, not a data cost — refuse
+    // loudly and point at the exact alternatives instead of hanging
+    val deep = intercept[IllegalArgumentException] {
+      Similarity.embedDecontaminateBucketed(
+        corpus, "vec_id", "embedding", bench, "vec_id", "embedding",
+        minCosine = 0.45, nprobe = 316)
+    }
+    assert(deep.getMessage.contains("maxProbeJoins"))
+    assert(deep.getMessage.contains("embedDecontaminate"))
   }
 
   test("semDedupSkewSafeAssigned composes: pre-assigned frame gives the same dedup as the fused form") {
