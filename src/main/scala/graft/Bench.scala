@@ -40,6 +40,32 @@ object Bench {
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
     val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
+    // ---- machine-state calibration (VERDICT r11 task 3): same-code
+    // bench drift used to need a cross-round forensic NOTES table each
+    // time; record the evidence IN the artifact instead. loadavg at
+    // start+end, plus a fixed 3-query canary run before AND after the
+    // sweep — canaries disagreeing >20% flag the sweep as contended in
+    // the JSON itself. Full sweeps only (a SPARK_GRAFT_ONLY profiling
+    // run is not an artifact anyone adjudicates).
+    def loadavg(): String =
+      try scala.io.Source.fromFile("/proc/loadavg").mkString.trim
+      catch { case _: Throwable => "" }
+    val canaryNames = Seq("q1_pricing_summary", "q_filter", "q_dedup_best")
+    def runCanaries(): Map[String, Double] =
+      if (only.isDefined) Map.empty
+      else canaryNames.flatMap(n => SparkEntry.queries.get(n).map { fn =>
+        val t0 = System.nanoTime()
+        fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        spark.catalog.clearCache()
+        spark.sparkContext.getPersistentRDDs.values
+          .foreach(_.unpersist(blocking = true))
+        n -> (System.nanoTime() - t0) / 1e9
+      }).toMap
+    val loadStart = loadavg()
+    // one throwaway canary pass warms the JVM so canary_pre measures the
+    // machine, not first-plan JIT/codegen compilation
+    runCanaries()
+    val canaryPre = runCanaries()
     // warmup pass (JIT, codegen cache, parquet footers), then a timed
     // pass; each query records the MIN of the two. The environment's
     // noise is strictly one-sided (a shared disk measured swinging 3.3×
@@ -81,9 +107,24 @@ object Bench {
       if (stat == "min_of_2" && singleSample.nonEmpty)
         s""""single_sample":${singleSample.map(n => s""""$n"""").mkString("[", ",", "]")},"""
       else ""
+    val canaryPost = runCanaries()
+    val calibrationJson = if (only.isDefined) "" else {
+      def cj(m: Map[String, Double]) = m.toSeq.sortBy(_._1)
+        .map { case (k, v) => "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
+      // contended iff any canary moved >20% between the pre and post runs
+      val contended = canaryNames.exists(n =>
+        (canaryPre.get(n), canaryPost.get(n)) match {
+          case (Some(a), Some(b)) if math.min(a, b) > 0 =>
+            math.max(a, b) / math.min(a, b) > 1.2
+          case _ => false
+        })
+      s""""calibration":{"loadavg_start":"$loadStart",""" +
+        s""""loadavg_end":"${loadavg()}","canary_pre":${cj(canaryPre)},""" +
+        s""""canary_post":${cj(canaryPost)},"contended":$contended},"""
+    }
     val fullJson =
       s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},""" +
-        s""""queries":${qjson(results)},"failed":$failedJson,$singleJson"stat":"$stat","sf":"$sfDir"}"""
+        s""""queries":${qjson(results)},"failed":$failedJson,$singleJson$calibrationJson"stat":"$stat","sf":"$sfDir"}"""
     // restricted runs (SPARK_GRAFT_ONLY) are profiling aids — they must
     // not clobber the canonical full-suite artifact (a scale sweep once
     // overwrote BENCH_FULL.json with a 3-query run and the truncated
