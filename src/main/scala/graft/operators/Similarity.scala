@@ -598,10 +598,10 @@ object Similarity {
     * contract) on a benchmark large enough to NEED this route (B ≈ 10⁵ ⇒
     * groups ≈ 316) would build a ~316-join plan and die in
     * analysis/codegen long before any data cost. `maxProbeJoins` refuses
-    * loudly past that regime: exact-at-scale needs either the one-object
-    * [[embedDecontaminate]] (benchmark pack ≤ its byte ceiling) or a new
-    * explode-probes + single-hash-join + re-aggregate form (one
-    * corpus×nprobe shuffle) if a real need appears.
+    * loudly past that regime: exact-at-scale needs take
+    * [[embedDecontaminateSharded]] (flat plan — √B hash-sharded pack
+    * rows, one re-aggregation — at any benchmark size) or the one-object
+    * [[embedDecontaminate]] (benchmark pack ≤ its byte ceiling).
     */
   def embedDecontaminateBucketed(corpus: DataFrame, id: String, emb: String,
       benchmark: DataFrame, bId: String, bEmb: String, minCosine: Double,
@@ -611,7 +611,8 @@ object Similarity {
       s"nprobe = $nprobe exceeds maxProbeJoins = $maxProbeJoins: this " +
         s"route builds ONE broadcast join per probe slot, so large nprobe " +
         s"is a plan-depth (analysis/codegen) blowup, not a data cost. For " +
-        s"an exact verdict use embedDecontaminate (single broadcast pack, " +
+        s"an exact verdict use embedDecontaminateSharded (flat plan at any " +
+        s"benchmark size) or embedDecontaminate (single broadcast pack, " +
         s"refuses past its byte ceiling); keep nprobe small here for the " +
         s"IVF recall trade, or raise maxProbeJoins explicitly if the plan " +
         s"depth was measured acceptable")
@@ -663,6 +664,60 @@ object Similarity {
       .withColumn("n_hits", col("_bdH"))
       .withColumn("kept", col("n_hits") === 0)
       .drop("_bdP", "_bdH")
+  }
+
+  /** EXACT embedding-space decontamination at oversized-benchmark scale —
+    * the route [[embedDecontaminateBucketed]]'s `maxProbeJoins` guard
+    * points at: the SAME (`n_hits`, `kept`) verdict as
+    * [[embedDecontaminate]], with the benchmark pack split into ⌈√B⌉
+    * HASH shards (no k-means — an exact scan visits every shard, so the
+    * grouping needs no geometry, only determinism) that broadcast as
+    * √B ROWS of ~B/√B vectors each. No single object scales with the
+    * benchmark (the r11 sharded-IVF lesson: total broadcast bytes are
+    * identical to the one-row pack, but the LARGEST OBJECT is
+    * benchmark/√B — the one-row form OOMs on serialization long before
+    * the bytes matter), and the plan is FLAT: one broadcast
+    * nested-loop join (corpus × √B pack rows), per-shard hit counts,
+    * one partial-agg re-aggregation on `id` — corpus×√B transient rows
+    * collapse map-side because each corpus row's shard outputs are
+    * task-adjacent, so the only shuffle is corpus-sized. Contrast the
+    * bucketed form's one-join-PER-SLOT plan, whose exact mode
+    * (`nprobe = groups`) blows up in plan depth at exactly the
+    * benchmark sizes this route exists for.
+    *
+    * Contract: `id` must be unique per corpus row (it is the document
+    * key a decontamination audit reports on — the [[graft.operators
+    * .Corpus.capPerStratum]] key discipline); rows sharing an id would
+    * merge their hit counts. Empty benchmark keeps everything, like
+    * both siblings.
+    */
+  def embedDecontaminateSharded(corpus: DataFrame, id: String, emb: String,
+      benchmark: DataFrame, bId: String, bEmb: String, minCosine: Double,
+      shards: Int = 0): DataFrame = {
+    require(Seq("n_hits", "kept", "_edsG", "_edsMs", "_edsH")
+        .forall(c => !corpus.columns.contains(c)),
+      "corpus already has an n_hits/kept/_eds* column — decontamination " +
+        "would silently shadow it")
+    val b = benchmark.count()
+    if (b == 0)
+      return corpus.withColumn("n_hits", lit(0L)).withColumn("kept", lit(true))
+    val g = if (shards > 0) shards
+      else math.max(1, math.ceil(math.sqrt(b.toDouble)).toInt)
+    val packs = benchmark
+      .select(pmod(graft.operators.Dedup.portableHash64(
+          col(bId).cast("string")), lit(g.toLong)).as("_edsG"),
+        col(bEmb).as("_edsV"))
+      .groupBy("_edsG").agg(collect_list(col("_edsV")).as("_edsMs"))
+    val aggs = corpus.columns.filterNot(_ == id)
+      .map(c => first(col(c)).as(c)) :+ sum(col("_edsH")).as("n_hits")
+    corpus.join(broadcast(packs))
+      .withColumn("_edsH",
+        size(filter(col("_edsMs"), m => cosineSim(col(emb), m) >= minCosine))
+          .cast("long"))
+      .groupBy(col(id))
+      .agg(aggs.head, aggs.tail: _*)
+      .select((corpus.columns.map(col) :+ col("n_hits")): _*)
+      .withColumn("kept", col("n_hits") === 0)
   }
 
   /** Symmetric int8 quantization per vector: scale = 127 / max|xᵢ|, each

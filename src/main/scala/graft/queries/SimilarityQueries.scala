@@ -302,6 +302,33 @@ object SimilarityQueries {
           .select(col("vec_id"), col("n_hits"), col("kept"))
       }),
 
+    // sharded EXACT decontamination (round 12): the flat-plan route for
+    // benchmark packs past the one-object ceiling — √B HASH shards (no
+    // k-means: an exact scan visits every shard, so the grouping needs
+    // only determinism) broadcast as rows, one BNLJ, per-shard counts
+    // re-aggregated on the document id. Exact at ANY benchmark size with
+    // constant plan depth — the identical left-join hit-count oracle.
+    Q("q_embed_decontaminate_sharded", Some(cosineSql +
+      """
+        |, b AS (SELECT vec_id, embedding, nrm FROM e WHERE vec_id < 100)
+        |, c AS (SELECT vec_id, embedding, nrm FROM e WHERE vec_id >= 100)
+        |, h AS (SELECT c.vec_id, CAST(count(b.vec_id) AS BIGINT) AS n_hits
+        |  FROM c LEFT JOIN b
+        |  ON list_sum(list_transform(range(1, 65), i ->
+        |       c.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE))
+        |     / (c.nrm * b.nrm) >= 0.45
+        |  GROUP BY c.vec_id)
+        |SELECT vec_id, n_hits, n_hits = 0 AS kept FROM h""".stripMargin))(
+      (s, d) => {
+        val e = t(s, d, "embeddings")
+        Similarity.embedDecontaminateSharded(
+            e.filter(col("vec_id") >= 100).select("vec_id", "embedding"),
+            "vec_id", "embedding",
+            e.filter(col("vec_id") < 100), "vec_id", "embedding",
+            minCosine = 0.45, shards = 10)
+          .select(col("vec_id"), col("n_hits"), col("kept"))
+      }),
+
     // SemDeDup: cluster (16 one-hot caller centroids — the production
     // entry takes kMeansCentroids), drop within-cluster cosine near-dups
     // keeping the min id. Oracle replays the identical L2 argmin (same

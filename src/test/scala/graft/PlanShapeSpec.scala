@@ -1066,6 +1066,23 @@ class PlanShapeSpec extends SparkSpec {
       s"expected the two typed batch transforms:\n${formatted(df)}")
   }
 
+  test("sharded exact decontamination: flat plan — one BNLJ over √B pack rows, no per-slot join chain, bounded shuffles") {
+    // the route embedDecontaminateBucketed's maxProbeJoins guard points
+    // at: plan depth must NOT scale with the benchmark (the bucketed
+    // exact mode's failure), and the corpus side must re-aggregate in
+    // one partial-agg shuffle
+    val df = q("q_embed_decontaminate_sharded")
+    assert(countNodes(df, "BroadcastNestedLoopJoin") === 1,
+      s"one corpus × pack-rows broadcast join:\n${formatted(df)}")
+    assert(countNodes(df, "BroadcastHashJoin") === 0,
+      "no per-slot join chain")
+    assert(countNodes(df, "SortMergeJoin") === 0)
+    assert(countNodes(df, "CartesianProduct") === 0)
+    assert(countShuffles(df) <= 2, // pack build (benchmark-sized) + id re-agg
+      s"shuffles must be the pack build + the id re-agg:\n${formatted(df)}")
+    assert(hasNode(df, "HashAggregate"), "hit counts re-aggregate map-side")
+  }
+
   test("icp attach: equi-joins only — candidate generation never goes quadratic") {
     val df = q("q_icp_attach")
     assert(countNodes(df, "CartesianProduct") === 0,

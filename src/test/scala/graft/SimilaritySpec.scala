@@ -548,6 +548,35 @@ class SimilaritySpec extends SparkSpec {
     assert(deep.getMessage.contains("embedDecontaminate"))
   }
 
+  test("embedDecontaminateSharded: exact at any shard count, empty benchmark keeps everything") {
+    val e = queries.Tables.t(spark, sf, "embeddings")
+    val corpus = e.filter(col("vec_id") >= 100).select("vec_id", "embedding")
+    val bench = e.filter(col("vec_id") < 100)
+    val exact = Similarity.embedDecontaminate(corpus, "vec_id", "embedding",
+        bench, "embedding", minCosine = 0.45)
+      .select("vec_id", "n_hits", "kept")
+      .as[(Long, Long, Boolean)].collect().toSet
+    assert(exact.exists(!_._3), "split must have real hits for the pin to bite")
+    // hash sharding carries no geometry: EVERY shard count gives the
+    // one-object exact verdict (1 = degenerate single pack, 3 = uneven
+    // shards, 10 = the oracled configuration)
+    for (sh <- Seq(1, 3, 10)) {
+      val got = Similarity.embedDecontaminateSharded(corpus, "vec_id",
+          "embedding", bench, "vec_id", "embedding", minCosine = 0.45,
+          shards = sh)
+        .select("vec_id", "n_hits", "kept")
+        .as[(Long, Long, Boolean)].collect().toSet
+      assert(got === exact, s"shards=$sh must equal the one-object exact form")
+    }
+    // empty benchmark: nothing is contaminated, not a failure
+    val none = Similarity.embedDecontaminateSharded(corpus.limit(3), "vec_id",
+        "embedding", bench.filter(col("vec_id") < 0), "vec_id", "embedding",
+        minCosine = 0.45)
+      .select("n_hits", "kept").as[(Long, Boolean)].collect()
+    assert(none.length === 3)
+    assert(none.forall(r => r._1 == 0L && r._2))
+  }
+
   test("semDedupSkewSafeAssigned composes: pre-assigned frame gives the same dedup as the fused form") {
     val se = queries.SimilarityQueries.seededCorpus(spark, sf)
     val cents = Similarity.kMeansCentroids(se, "vec_id", "emb", k = 16, iters = 1)
