@@ -102,6 +102,11 @@ object Artifacts {
     val p = new org.apache.hadoop.fs.Path(s"$dir/v=$batchId")
     val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
     fs.mkdirs(p)
+    // a REPLAY overwrites this version: retract the marker before
+    // touching the value file, so the rewrite window is torn-WITHOUT-
+    // marker (readLedger falls back to the pre-state) rather than
+    // torn-with-marker (a concurrent consumer could read a prefix)
+    fs.delete(new org.apache.hadoop.fs.Path(p, "_SUCCESS"), false)
     val out = fs.create(new org.apache.hadoop.fs.Path(p, "value"), true)
     try out.write(java.lang.Long.toString(value).getBytes("UTF-8"))
     finally out.close()
@@ -135,9 +140,7 @@ object Artifacts {
     versions.find(v =>
         fs.exists(new org.apache.hadoop.fs.Path(s"$dir/v=$v/_SUCCESS")))
       .orElse(versions.headOption).map { v =>
-      val p = new org.apache.hadoop.fs.Path(s"$dir/v=$v/value")
-      val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
-      val in = fs.open(p)
+      val in = fs.open(new org.apache.hadoop.fs.Path(s"$dir/v=$v/value"))
       val text =
         try new String(in.readAllBytes(), "UTF-8").trim
         finally in.close()

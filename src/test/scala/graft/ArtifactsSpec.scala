@@ -239,6 +239,15 @@ class ArtifactsSpec extends SparkSpec {
     assert(Artifacts.readLedger(spark, led) === Some(43L))
     // ...and the replay pre-state read is unaffected
     assert(Artifacts.readLedger(spark, led, below = Some(1L)) === Some(42L))
+    // a MARKED version with a corrupt value fails loudly rather than
+    // misreading (the toLongOption guard behind the _SUCCESS protocol)
+    val vp = new org.apache.hadoop.fs.Path(s"$led/v=3/value")
+    fs.mkdirs(vp.getParent)
+    val o = fs.create(vp, true); o.write("12x".getBytes("UTF-8")); o.close()
+    fs.create(new org.apache.hadoop.fs.Path(s"$led/v=3/_SUCCESS"), true).close()
+    val corrupt = intercept[RuntimeException] { Artifacts.readLedger(spark, led) }
+    assert(corrupt.getMessage.contains("corrupt ledger"))
+    fs.delete(vp.getParent, true)
 
     // markerless committer (marksuccessfuljobs=false): compaction must
     // refuse BEFORE deleting — readSlices would never recognize the new
