@@ -325,79 +325,155 @@ object Multimodal {
     * readers directly, and keeps a move-to-front hint so a homogeneous
     * corpus pays one probe per row with zero registry traffic.
     */
+  /** One per-partition audio decode context: the SPI reader list (see
+    * [[decodeAudioMeta]]'s registry note) plus a move-to-front probe
+    * hint, and the shared exact PCM sample decode. Instantiate ONE per
+    * partition — never per row (the registry scan) and never shared
+    * across tasks (the hint is unsynchronized by design).
+    */
+  private final class AudioDecoder {
+    import javax.sound.sampled.{AudioFormat, AudioInputStream}
+    import javax.sound.sampled.spi.AudioFileReader
+    private val readers = {
+      val it = java.util.ServiceLoader.load(classOf[AudioFileReader],
+        classOf[AudioFileReader].getClassLoader).iterator()
+      val buf = scala.collection.mutable.ArrayBuffer.empty[AudioFileReader]
+      while (it.hasNext) buf += it.next()
+      buf.toArray
+    }
+    private var preferred = 0
+
+    /** (container type, open stream) from the first recognizing reader,
+      * preferred-first; both parses on the SAME reader so the type can
+      * never disagree with the stream.
+      */
+    def open(id: Long, bytes: Array[Byte]): (String, AudioInputStream) = {
+      var i = 0
+      while (i < readers.length) {
+        val r = readers((preferred + i) % readers.length)
+        try {
+          val t = r.getAudioFileFormat(
+            new java.io.ByteArrayInputStream(bytes)).getType.toString
+          val ais = r.getAudioInputStream(
+            new java.io.ByteArrayInputStream(bytes))
+          preferred = (preferred + i) % readers.length
+          return (t.toLowerCase, ais)
+        } catch {
+          case _: javax.sound.sampled.UnsupportedAudioFileException => ()
+        }
+        i += 1
+      }
+      throw new IllegalArgumentException(
+        s"media $id: no javax.sound codec recognizes this payload")
+    }
+
+    /** Decode every PCM sample (all channels, stream order) to exact
+      * integers. 8-bit (signed/unsigned) and 16-bit (either endianness)
+      * only; anything else refuses loudly — a silent skip or a float
+      * approximation would corrupt a corpus audit.
+      */
+    def samples(id: Long, ais: AudioInputStream): Array[Int] = {
+      val f = ais.getFormat
+      val bits = f.getSampleSizeInBits
+      val enc = f.getEncoding
+      val signed = enc == AudioFormat.Encoding.PCM_SIGNED
+      require(signed || enc == AudioFormat.Encoding.PCM_UNSIGNED,
+        s"media $id: encoding $enc is not PCM — refusing the exact " +
+          s"sample math rather than approximating")
+      require(bits == 8 || bits == 16,
+        s"media $id: $bits-bit PCM is outside the exact sample math")
+      val data = ais.readAllBytes()
+      if (bits == 8) {
+        val out = new Array[Int](data.length)
+        var i = 0
+        while (i < data.length) {
+          out(i) = if (signed) data(i).toInt else data(i) & 0xff
+          i += 1
+        }
+        out
+      } else {
+        require(data.length % 2 == 0,
+          s"media $id: torn 16-bit frame (${data.length} bytes)")
+        val (lo, hi) = if (f.isBigEndian) (1, 0) else (0, 1)
+        val out = new Array[Int](data.length / 2)
+        var i = 0
+        while (i < data.length) {
+          val u = ((data(i + hi) & 0xff) << 8) | (data(i + lo) & 0xff)
+          out(i / 2) = if (signed) u.toShort.toInt else u
+          i += 2
+        }
+        out
+      }
+    }
+  }
+
   def decodeAudioMeta(media: DataFrame): Dataset[AudioMeta] = {
     val spark = media.sparkSession
     import spark.implicits._
     media.select(col("media_id").cast("long"), col("payload"))
       .as[(Long, Array[Byte])]
       .mapPartitions { rows =>
-        import javax.sound.sampled.{AudioFormat, AudioInputStream}
-        import javax.sound.sampled.spi.AudioFileReader
-        val readers = {
-          val it = java.util.ServiceLoader.load(classOf[AudioFileReader],
-            classOf[AudioFileReader].getClassLoader).iterator()
-          val buf = scala.collection.mutable.ArrayBuffer.empty[AudioFileReader]
-          while (it.hasNext) buf += it.next()
-          buf.toArray
-        }
-        var preferred = 0
-        // (container type, open stream) from the first recognizing
-        // reader, preferred-first; both parses on the SAME reader so the
-        // type can never disagree with the stream
-        def open(id: Long, bytes: Array[Byte]): (String, AudioInputStream) = {
-          var i = 0
-          while (i < readers.length) {
-            val r = readers((preferred + i) % readers.length)
-            try {
-              val t = r.getAudioFileFormat(
-                new java.io.ByteArrayInputStream(bytes)).getType.toString
-              val ais = r.getAudioInputStream(
-                new java.io.ByteArrayInputStream(bytes))
-              preferred = (preferred + i) % readers.length
-              return (t.toLowerCase, ais)
-            } catch {
-              case _: javax.sound.sampled.UnsupportedAudioFileException => ()
-            }
-            i += 1
-          }
-          throw new IllegalArgumentException(
-            s"media $id: no javax.sound codec recognizes this payload")
-        }
+        val dec = new AudioDecoder
         rows.map { case (id, bytes) =>
-          val (container, ais) = open(id, bytes)
+          val (container, ais) = dec.open(id, bytes)
           try {
             val f = ais.getFormat
-            val bits = f.getSampleSizeInBits
-            val enc = f.getEncoding
-            val signed = enc == AudioFormat.Encoding.PCM_SIGNED
-            require(signed || enc == AudioFormat.Encoding.PCM_UNSIGNED,
-              s"media $id: encoding $enc is not PCM — refusing the exact " +
-                s"sample math rather than approximating")
-            require(bits == 8 || bits == 16,
-              s"media $id: $bits-bit PCM is outside the exact sample math")
-            val data = ais.readAllBytes()
+            val s = dec.samples(id, ais)
             var sum = 0L
-            if (bits == 8) {
-              var i = 0
-              while (i < data.length) {
-                sum += (if (signed) data(i).toLong else (data(i) & 0xff).toLong)
-                i += 1
-              }
-            } else {
-              require(data.length % 2 == 0,
-                s"media $id: torn 16-bit frame (${data.length} bytes)")
-              val (lo, hi) = if (f.isBigEndian) (1, 0) else (0, 1)
-              var i = 0
-              while (i < data.length) {
-                val u = ((data(i + hi) & 0xff) << 8) | (data(i + lo) & 0xff)
-                sum += (if (signed) u.toShort.toLong else u.toLong)
-                i += 2
-              }
-            }
-            AudioMeta(id, container, enc.toString,
-              math.round(f.getSampleRate), f.getChannels, bits,
-              ais.getFrameLength, sum)
+            var i = 0
+            while (i < s.length) { sum += s(i); i += 1 }
+            AudioMeta(id, container, f.getEncoding.toString,
+              math.round(f.getSampleRate), f.getChannels,
+              f.getSampleSizeInBits, ais.getFrameLength, sum)
           } finally ais.close()
+        }
+      }
+  }
+
+  /** Per-window exact sample statistics over decoded PCM — the audio
+    * QUALITY GATE primitives for a training corpus: windows whose
+    * `sum_sq` (energy) sits near zero are silence, windows whose
+    * `peak_abs` pins the sample range are clipped, and both verdicts
+    * are pure integers (sum of 16-bit squares over a window of W ≤ 2^20
+    * frames fits a long with > 20 bits to spare), so the whole gate is
+    * engine-portable and oracle-checkable — no float RMS. One row per
+    * (media, window of `windowFrames` samples, channels interleaved in
+    * stream order; the tail window is short). Runs in the same
+    * per-partition decode shape as [[decodeAudioMeta]] with the SAME
+    * per-partition codec context — fixed-size rows out, payloads never
+    * shuffle.
+    */
+  final case class AudioWindow(media_id: Long, window_no: Long,
+      n_samples: Int, sample_sum: Long, sum_sq: Long, peak_abs: Int)
+
+  def audioWindowStats(media: DataFrame, windowFrames: Int): Dataset[AudioWindow] = {
+    require(windowFrames >= 1, s"need windowFrames >= 1, got $windowFrames")
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("media_id").cast("long"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        val dec = new AudioDecoder
+        rows.flatMap { case (id, bytes) =>
+          val (_, ais) = dec.open(id, bytes)
+          val s = try dec.samples(id, ais) finally ais.close()
+          (0 until s.length by windowFrames).iterator.map { start =>
+            val end = math.min(start + windowFrames, s.length)
+            var sum = 0L
+            var sq = 0L
+            var peak = 0
+            var i = start
+            while (i < end) {
+              val v = s(i)
+              sum += v
+              sq += v.toLong * v
+              val a = math.abs(v)
+              if (a > peak) peak = a
+              i += 1
+            }
+            AudioWindow(id, start.toLong / windowFrames, end - start,
+              sum, sq, peak)
+          }
         }
       }
   }

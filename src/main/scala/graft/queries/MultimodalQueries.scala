@@ -124,6 +124,35 @@ object MultimodalQueries {
             col("encoding"), col("sample_rate"), col("channels"),
             col("bits"), col("n_frames"), col("sample_sum"))),
 
+    // per-window exact sample statistics over the decoded PCM — the
+    // audio quality gate (silence = near-zero energy, clipping = peak
+    // pinned to the sample range), all integers: window sums, sums of
+    // squares, and peak |sample| recomputed in closed form by the
+    // oracle, so the hashes match iff the codec + the window fold
+    // reproduce every sample exactly. 128-frame windows, short tail.
+    Q("q_audio_windows", Some(
+      """WITH p AS (SELECT doc_id, 500 + doc_id % 257 AS n FROM documents),
+        |w AS (SELECT doc_id, n, unnest(range((n + 127) // 128)) AS wno FROM p)
+        |SELECT doc_id, CAST(wno AS BIGINT) AS window_no,
+        |  CAST(least(128, n - wno * 128) AS INT) AS n_samples,
+        |  CAST(list_sum(list_transform(range(wno * 128, least(n, wno * 128 + 128)),
+        |    i -> (doc_id * 31 + i) * 7 % 65536 - 32768)) AS BIGINT) AS sample_sum,
+        |  CAST(list_sum(list_transform(range(wno * 128, least(n, wno * 128 + 128)),
+        |    i -> ((doc_id * 31 + i) * 7 % 65536 - 32768)
+        |       * ((doc_id * 31 + i) * 7 % 65536 - 32768))) AS BIGINT) AS sum_sq,
+        |  CAST(list_max(list_transform(range(wno * 128, least(n, wno * 128 + 128)),
+        |    i -> abs((doc_id * 31 + i) * 7 % 65536 - 32768))) AS INT) AS peak_abs
+        |FROM w""".stripMargin))(
+      (s, d) =>
+        Multimodal.audioWindowStats(Multimodal.encodeWavPcm(
+            t(s, d, "documents").select(col("doc_id"),
+              (lit(500) + pmod(col("doc_id"), lit(257))).as("n"),
+              lit(16000).as("sr")),
+            "doc_id", "n", "sr"), windowFrames = 128).toDF()
+          .select(col("media_id").as("doc_id"), col("window_no"),
+            col("n_samples"), col("sample_sum"), col("sum_sq"),
+            col("peak_abs"))),
+
     // content-defined chunking (Rabin-style CDC): boundary wherever the
     // 8-byte window hash has 4 zero low bits (expected 16-byte chunks);
     // stateless predicate = shift-invariant AND engine-replayable. Chunks

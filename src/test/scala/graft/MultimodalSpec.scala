@@ -255,6 +255,32 @@ class MultimodalSpec extends SparkSpec {
     assert(e.getMessage.contains("media 7") ||
       Option(e.getCause).exists(_.getMessage.contains("media 7")))
 
+    // per-window stats: windows tile the stream exactly and every
+    // integer (sum, energy, peak) matches the closed form — the audio
+    // quality-gate primitives (silence = near-zero sum_sq, clipping =
+    // peak_abs pinned) are decode-exact, not approximations
+    val wMedia = Multimodal.encodeWavPcm(
+      Seq((9L, 300, 8000)).toDF("doc_id", "n", "sr"), "doc_id", "n", "sr")
+    val ws = Multimodal.audioWindowStats(wMedia, windowFrames = 128)
+      .collect().sortBy(_.window_no)
+    assert(ws.map(_.n_samples).toSeq === Seq(128, 128, 44),
+      "windows must tile the stream with a short tail")
+    def v(i: Long) = (((9L * 31 + i) * 7) % 65536 - 32768).toInt
+    for (w <- ws) {
+      val r = (w.window_no * 128) until (w.window_no * 128 + w.n_samples)
+      assert(w.sample_sum === r.map(v(_).toLong).sum, s"window ${w.window_no}")
+      assert(w.sum_sq === r.map(i => v(i).toLong * v(i)).sum, s"window ${w.window_no}")
+      assert(w.peak_abs === r.map(i => math.abs(v(i))).max, s"window ${w.window_no}")
+    }
+    assert(ws.map(_.sample_sum).sum ===
+      Multimodal.decodeAudioMeta(wMedia).collect().head.sample_sum,
+      "window sums must re-aggregate to the whole-stream decode sum")
+    // zero-sample payload emits no windows (and decodeAudioMeta's meta
+    // row, not this operator, is where an empty stream is visible)
+    assert(Multimodal.audioWindowStats(Multimodal.encodeWavPcm(
+      Seq((1L, 0, 8000)).toDF("doc_id", "n", "sr"), "doc_id", "n", "sr"),
+      windowFrames = 128).collect().isEmpty)
+
     // stateless on a streaming frame: the at-the-door deployment — the
     // typed per-partition decode needs no state store or watermark
     val dims = Seq((20L, 64, 8000), (21L, 65, 16000))

@@ -1066,6 +1066,16 @@ class PlanShapeSpec extends SparkSpec {
       s"expected the two typed batch transforms:\n${formatted(df)}")
   }
 
+  test("audio window stats: one pruned scan, narrow MapPartitions chain, zero shuffles") {
+    // the quality-gate windows are per-row decode work like the decode
+    // itself — fixed-size stat rows out, payloads never shuffle
+    val df = q("q_audio_windows")
+    assert(countShuffles(df) === 0, s"windows must stay narrow:\n${formatted(df)}")
+    assert(countNodes(df, "Scan parquet") === 1)
+    assert(!readSchemas(df).head.contains("text"))
+    assert(countNodes(df, "MapPartitions") === 2) // encode + window fold
+  }
+
   test("sharded exact decontamination: flat plan — one BNLJ over √B pack rows, no per-slot join chain, bounded shuffles") {
     // the route embedDecontaminateBucketed's maxProbeJoins guard points
     // at: plan depth must NOT scale with the benchmark (the bucketed
