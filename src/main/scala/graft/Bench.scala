@@ -53,13 +53,24 @@ object Bench {
     val canaryNames = Seq("q1_pricing_summary", "q_filter", "q_dedup_best")
     def runCanaries(): Map[String, Double] =
       if (only.isDefined) Map.empty
-      else canaryNames.flatMap(n => SparkEntry.queries.get(n).map { fn =>
-        val t0 = System.nanoTime()
-        fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-        spark.catalog.clearCache()
-        spark.sparkContext.getPersistentRDDs.values
-          .foreach(_.unpersist(blocking = true))
-        n -> (System.nanoTime() - t0) / 1e9
+      else canaryNames.flatMap(n => SparkEntry.queries.get(n).flatMap { fn =>
+        // a canary failure is recorded as absent, NOT thrown: the main
+        // sweep loop survives per-query failures, and a broken canary
+        // aborting the whole 200+-query artifact would invert the
+        // calibration's purpose (the sweep still runs; the contended
+        // flag just loses that canary's vote)
+        try {
+          val t0 = System.nanoTime()
+          fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+          spark.catalog.clearCache()
+          spark.sparkContext.getPersistentRDDs.values
+            .foreach(_.unpersist(blocking = true))
+          Some(n -> (System.nanoTime() - t0) / 1e9)
+        } catch {
+          case e: Throwable =>
+            System.err.println(s"[bench] canary $n FAILED: ${e.getMessage}")
+            None
+        }
       }).toMap
     val loadStart = loadavg()
     // one throwaway canary pass warms the JVM so canary_pre measures the
@@ -108,16 +119,16 @@ object Bench {
         s""""single_sample":${singleSample.map(n => s""""$n"""").mkString("[", ",", "]")},"""
       else ""
     val canaryPost = runCanaries()
+    // contended iff any canary moved >20% between the pre and post runs
+    val contended = !only.isDefined && canaryNames.exists(n =>
+      (canaryPre.get(n), canaryPost.get(n)) match {
+        case (Some(a), Some(b)) if math.min(a, b) > 0 =>
+          math.max(a, b) / math.min(a, b) > 1.2
+        case _ => false
+      })
     val calibrationJson = if (only.isDefined) "" else {
       def cj(m: Map[String, Double]) = m.toSeq.sortBy(_._1)
         .map { case (k, v) => "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
-      // contended iff any canary moved >20% between the pre and post runs
-      val contended = canaryNames.exists(n =>
-        (canaryPre.get(n), canaryPost.get(n)) match {
-          case (Some(a), Some(b)) if math.min(a, b) > 0 =>
-            math.max(a, b) / math.min(a, b) > 1.2
-          case _ => false
-        })
       s""""calibration":{"loadavg_start":"$loadStart",""" +
         s""""loadavg_end":"${loadavg()}","canary_pre":${cj(canaryPre)},""" +
         s""""canary_post":${cj(canaryPost)},"contended":$contended},"""
@@ -130,8 +141,20 @@ object Bench {
     // overwrote BENCH_FULL.json with a 3-query run and the truncated
     // artifact got committed). SPARK_GRAFT_ARTIFACT names the output
     // explicitly — the standing 100× sweep writes BENCH_100x.json with it
-    val artifact = sys.env.getOrElse("SPARK_GRAFT_ARTIFACT",
+    val named = sys.env.getOrElse("SPARK_GRAFT_ARTIFACT",
       if (only.isDefined) "BENCH_PARTIAL.json" else "BENCH_FULL.json")
+    // a sweep the artifact itself disavows must not BECOME the canonical
+    // artifact: a contended run targeting BENCH_FULL.json is diverted to
+    // BENCH_CONTENDED.json so the standing numbers stay machine-clean.
+    // SPARK_GRAFT_ALLOW_CONTENDED=1 overrides (emergencies only)
+    val artifact =
+      if (named == "BENCH_FULL.json" && contended &&
+          sys.env.getOrElse("SPARK_GRAFT_ALLOW_CONTENDED", "0") != "1") {
+        System.err.println("[bench] sweep flagged CONTENDED — refusing to " +
+          "overwrite BENCH_FULL.json; writing BENCH_CONTENDED.json " +
+          "(SPARK_GRAFT_ALLOW_CONTENDED=1 overrides)")
+        "BENCH_CONTENDED.json"
+      } else named
     val out = new java.io.PrintWriter(artifact)
     try out.println(fullJson) finally out.close()
     // "slowest", not "queries": the stdout map is truncated to 20 entries,

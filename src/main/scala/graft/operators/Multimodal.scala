@@ -343,21 +343,43 @@ object Multimodal {
     }
     private var preferred = 0
 
+    /** Container type from the payload's magic bytes — replaces a full
+      * second header parse for every container the JDK ships a reader
+      * for (wave/au/aiff/aifc; names match the JDK
+      * `AudioFileFormat.Type.toString.toLowerCase` this code always
+      * reported). None for anything else — a third-party SPI container
+      * falls back to asking the reader that accepted the stream, so the
+      * reported type can never disagree with the codec that decodes it.
+      */
+    private def sniff(bytes: Array[Byte]): Option[String] = {
+      def ascii(off: Int, s: String): Boolean =
+        bytes.length >= off + s.length &&
+          (0 until s.length).forall(i => bytes(off + i) == s.charAt(i).toByte)
+      if (ascii(0, "RIFF") && ascii(8, "WAVE")) Some("wave")
+      else if (ascii(0, ".snd")) Some("au")
+      else if (ascii(0, "FORM") && ascii(8, "AIFF")) Some("aiff")
+      else if (ascii(0, "FORM") && ascii(8, "AIFC")) Some("aiff-c")
+      else None
+    }
+
     /** (container type, open stream) from the first recognizing reader,
-      * preferred-first; both parses on the SAME reader so the type can
-      * never disagree with the stream.
+      * preferred-first. ONE codec header parse per row
+      * (`getAudioInputStream`); the container type comes from the
+      * 12-byte magic sniff, with the reader's own `getAudioFileFormat`
+      * as the rare-container fallback — on the SAME reader, so the type
+      * can never disagree with the stream.
       */
     def open(id: Long, bytes: Array[Byte]): (String, AudioInputStream) = {
       var i = 0
       while (i < readers.length) {
         val r = readers((preferred + i) % readers.length)
         try {
-          val t = r.getAudioFileFormat(
-            new java.io.ByteArrayInputStream(bytes)).getType.toString
           val ais = r.getAudioInputStream(
             new java.io.ByteArrayInputStream(bytes))
           preferred = (preferred + i) % readers.length
-          return (t.toLowerCase, ais)
+          val t = sniff(bytes).getOrElse(r.getAudioFileFormat(
+            new java.io.ByteArrayInputStream(bytes)).getType.toString.toLowerCase)
+          return (t, ais)
         } catch {
           case _: javax.sound.sampled.UnsupportedAudioFileException => ()
         }
@@ -503,6 +525,15 @@ object Multimodal {
 
   private def wavPcmBytes(seed: Long, n: Int, sampleRate: Int): Array[Byte] = {
     require(n >= 0, s"media $seed: bad sample count $n")
+    // header is 44 bytes; past this, `44 + n * 2` overflows Int and the
+    // allocate would fail with an unrelated NegativeArraySizeException
+    require(n <= (Int.MaxValue - 44) / 2,
+      s"media $seed: sample count $n exceeds the single-buffer WAV cap")
+    // the documented closed form ((seed*31+i)*7) % 65536 - 32768 assumes a
+    // nonnegative seed: a negative one drives the signed % below -32768
+    // and the toShort silently wraps, diverging from what an oracle
+    // computes from the formula
+    require(seed >= 0, s"media $seed: seed must be nonnegative")
     require(sampleRate >= 1, s"media $seed: bad sample rate $sampleRate")
     val dataSize = n * 2
     val b = java.nio.ByteBuffer.allocate(44 + dataSize)

@@ -120,12 +120,19 @@ object Artifacts {
     * Torn-newest safety: a crash mid-[[writeLedger]] leaves a `v=N`
     * directory with no committed data (no `_SUCCESS`). Only the NEWEST
     * version can be torn — every earlier batch committed before the
-    * stream advanced — so this read prefers the newest COMPLETE version
-    * and falls back to the raw newest only when no version carries a
-    * marker at all (a committer configured with
-    * `mapreduce.fileoutputcommitter.marksuccessfuljobs=false` writes no
-    * markers anywhere; skipping everything there would misread an
-    * initial base as the pre-state).
+    * stream advanced — so this read takes the newest COMPLETE version
+    * and IGNORES markerless directories outright: every writer (the old
+    * parquet-job form via Spark's committer, the current raw-FS form
+    * explicitly) commits a `_SUCCESS`, so a marker-free `v=N` can only
+    * be a torn write, and parsing its `value` file could silently
+    * return a flushed PREFIX of the real number ('4' of '42'). A torn
+    * FIRST-ever write therefore reads as None — the pre-state — and the
+    * replay rewrites it.
+    *
+    * Format migration: a state dir written before round 12 holds the
+    * ledger as a 1-row parquet under `v=N` (no `value` file); that
+    * shape is detected and read through a bounded Spark job. The next
+    * [[writeLedger]] writes the raw-value format forward.
     */
   def readLedger(spark: SparkSession, dir: String,
       below: Option[Long] = None): Option[Long] = {
@@ -139,14 +146,24 @@ object Artifacts {
     // otherwise turn every read O(versions) in fs.exists calls)
     versions.find(v =>
         fs.exists(new org.apache.hadoop.fs.Path(s"$dir/v=$v/_SUCCESS")))
-      .orElse(versions.headOption).map { v =>
-      val in = fs.open(new org.apache.hadoop.fs.Path(s"$dir/v=$v/value"))
-      val text =
-        try new String(in.readAllBytes(), "UTF-8").trim
-        finally in.close()
-      text.toLongOption.getOrElse(sys.error(
-        s"corrupt ledger value '$text' at $dir/v=$v"))
-    }
+      .map { v =>
+        val valuePath = new org.apache.hadoop.fs.Path(s"$dir/v=$v/value")
+        if (fs.exists(valuePath)) {
+          val in = fs.open(valuePath)
+          val text =
+            try new String(in.readAllBytes(), "UTF-8").trim
+            finally in.close()
+          text.toLongOption.getOrElse(sys.error(
+            s"corrupt ledger value '$text' at $dir/v=$v"))
+        } else {
+          // legacy (pre-FS-ledger) layout: 1-row parquet, `value` column
+          val rows = spark.read.parquet(s"$dir/v=$v")
+            .select(col("value")).limit(2).collect()
+          require(rows.length == 1,
+            s"expected exactly one ledger row at legacy $dir/v=$v")
+          rows.head.getLong(0)
+        }
+      }
   }
 
   /** The subset of [[listVersions]] whose parquet write completed

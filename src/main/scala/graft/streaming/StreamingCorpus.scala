@@ -367,8 +367,14 @@ object StreamingCorpus {
     * before the first batch. Compaction-aware — long-running ingest
     * folds old slices with [[graft.state.Artifacts.compactSlices]] and
     * this reader keeps returning the identical standing rows.
+    *
+    * Reads COMMITTED slices only (`_SUCCESS` present): these are the
+    * consumer-facing standing views, and a read concurrent with an
+    * in-flight micro-batch must not open the torn slice's partial
+    * files. The harnesses' own in-batch reads are unaffected — they
+    * run after their slice write committed.
     */
   private def standingSlices(spark: SparkSession, dir: String,
       ddl: String): DataFrame =
-    Artifacts.readSlices(spark, dir, ddl)
+    Artifacts.readSlices(spark, dir, ddl, completedOnly = true)
 }

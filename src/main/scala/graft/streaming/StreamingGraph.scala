@@ -79,9 +79,12 @@ object StreamingGraph {
       .write.mode("overwrite").parquet(s"$stateDir/edges/batch=$batchId")
     // compaction-aware: a long-running crawl folds old edge slices with
     // Artifacts.compactSlices(spark, s"$stateDir/edges", upTo, ...) and
-    // this read keeps returning the identical standing edge set
+    // this read keeps returning the identical standing edge set.
+    // completedOnly: this batch's slice just committed above, and a
+    // sibling torn slice (crashed writer) must not leak partial edges
     val allEdges = graft.state.Artifacts.readSlices(spark,
-        s"$stateDir/edges", "src BIGINT, dst BIGINT, batch BIGINT")
+        s"$stateDir/edges", "src BIGINT, dst BIGINT, batch BIGINT",
+        completedOnly = true)
       .select("src", "dst")
     val pre = standingRanks(spark, stateDir, below = Some(batchId))
     val next = Graph.pageRankRounds(allEdges, pre, rounds,

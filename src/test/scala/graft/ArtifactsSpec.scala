@@ -249,6 +249,27 @@ class ArtifactsSpec extends SparkSpec {
     assert(corrupt.getMessage.contains("corrupt ledger"))
     fs.delete(vp.getParent, true)
 
+    // torn FIRST-ever write (single version, no marker): the pre-state is
+    // None — a markerless value file could be a flushed PREFIX of the
+    // real number ('4' of '42') and must never be parsed
+    val led2 = tmp("graft_hard_led2") + "/ledger"
+    mkdir(s"$led2/v=0")
+    val tp = fs.create(new org.apache.hadoop.fs.Path(s"$led2/v=0/value"), true)
+    tp.write("4".getBytes("UTF-8")); tp.close() // torn prefix of '42'
+    assert(Artifacts.readLedger(spark, led2) === None,
+      "a markerless-only ledger version must read as the pre-state")
+
+    // legacy (pre-FS-ledger) layout: 1-row parquet under v=N with a
+    // `value` column, _SUCCESS from the Spark committer — read once,
+    // written forward in the raw format by the next writeLedger
+    val led3 = tmp("graft_hard_led3") + "/ledger"
+    Seq(Tuple1(77L)).toDF("value")
+      .coalesce(1).write.mode("overwrite").parquet(s"$led3/v=0")
+    assert(Artifacts.readLedger(spark, led3) === Some(77L))
+    Artifacts.writeLedger(spark, led3, 1L, 78L)
+    assert(Artifacts.readLedger(spark, led3) === Some(78L))
+    assert(Artifacts.readLedger(spark, led3, below = Some(1L)) === Some(77L))
+
     // markerless committer (marksuccessfuljobs=false): compaction must
     // refuse BEFORE deleting — readSlices would never recognize the new
     // base and every folded row would silently vanish
