@@ -686,12 +686,28 @@ object Dedup {
   def simHashPairs(
       docs: DataFrame, id: String, tokens: Column,
       maxHamming: Int, bands: Int = 8,
-      hash: Column => Column = xxhash64(_)): DataFrame = {
+      hash: Column => Column = xxhash64(_)): DataFrame =
+    hammingPairs(
+      simHashAgg(docs, id, tokens, hash), "doc", "simhash",
+      maxHamming, bands)
+
+  /** Near-duplicate pairs within `maxHamming` over ANY precomputed
+    * 64-bit signature column — the banded-block engine behind
+    * [[simHashPairs]] (text SimHash) and
+    * [[Multimodal.imageNearDupPairs]] (perceptual image dHash): the
+    * signature kind is a parameter, the candidate generation + exact
+    * Hamming verify are one shared shape. Soundness is [[simHashPairs]]'
+    * pigeonhole argument: exact ≡ brute force whenever
+    * `maxHamming < bands`. Output: (a_id, b_id, hamming), a_id < b_id.
+    */
+  def hammingPairs(
+      sigs0: DataFrame, id: String, sig: String,
+      maxHamming: Int, bands: Int = 8): DataFrame = {
     require(64 % bands == 0, "bands must divide 64")
     val blockBits = 64 / bands
     val mask = if (blockBits == 64) -1L else (1L << blockBits) - 1
-    val sigs = simHashAgg(docs, id, tokens, hash)
-      .select(col("doc").as("doc_id"), col("simhash").as("sig"))
+    val sigs = sigs0
+      .select(col(id).cast("long").as("doc_id"), col(sig).as("sig"))
       .localCheckpoint(true) // both self-join sides read the signatures
     val banded = sigs.select(col("doc_id"), col("sig"),
       posexplode(array((0 until bands).map(b =>

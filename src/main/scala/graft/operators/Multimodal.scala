@@ -17,14 +17,17 @@ import org.apache.spark.sql.functions._
   * DuckDB-oracled end-to-end (deterministic [[encodeBmpGray]] /
   * [[encodeWavPcm]] payloads, closed-form pixel/sample math on the
   * oracle side — the engine output matches iff the actual decode is
-  * bit-correct). VIDEO decode remains a STUB — no video codec ships in
-  * the JDK or this container — but a *deterministic* fake
-  * (unsigned-byte bucket sums), so the distributed surface around it
-  * (binary schema, partition batching, typed Dataset encoders,
-  * downstream joins/aggs) is real and verified byte-for-byte. A real
-  * deployment swaps [[decodeFeaturesStub]]'s inner loop for the codec
-  * call, exactly as the image/audio decoders demonstrate; nothing
-  * else changes.
+  * bit-correct). VIDEO has no JDK codec (none ships in `java.desktop`,
+  * none in this container), so [[decodeVideoMeta]] is SPI-PLUGGABLE:
+  * a deployment drops a jar implementing [[Multimodal.VideoDecoderSpi]]
+  * (standard `java.util.ServiceLoader` discovery) and gets real decode
+  * through the same per-partition registry discipline as audio; with
+  * no provider the decode REFUSES loudly, naming the mechanism.
+  * [[decodeFeaturesStub]] remains the codec-free *deterministic* fake
+  * (unsigned-byte bucket sums), so the distributed surface around
+  * video (binary schema, partition batching, typed Dataset encoders,
+  * downstream joins/aggs) is real and verified byte-for-byte even
+  * codec-less.
   *
   * Scale: payloads never pass through the driver; frame sampling and
   * feature extraction are narrow per-row/per-partition ops, so the only
@@ -239,6 +242,112 @@ object Multimodal {
       }
   }
 
+  /** One difference-hash row per image: 64-bit perceptual signature +
+    * decoded dimensions. */
+  final case class ImageDHash(media_id: Long, width: Int, height: Int,
+      dhash: Long)
+
+  /** Perceptual 64-bit difference hash (dHash) over decoded pixels —
+    * the image-modality entry into the dedup family: a re-encoded
+    * (PNG↔BMP↔JPEG-lossless) or pixel-replicated resized duplicate
+    * hashes identically or within a few bits, where every byte-level
+    * signature (CDC chunks, md5) sees unrelated payloads.
+    *
+    * All integer arithmetic, so the signature is engine-portable and
+    * closed-form oracle-able over [[encodeBmpGray]] payloads:
+    *   1. decode; per-pixel luma = (299r + 587g + 114b + 500) / 1000
+    *      (the [[decodeImageMeta]] rounding);
+    *   2. integer box-downscale to a 9×8 grid — cell (cx, cy) covers
+    *      x ∈ [cx·w/9, (cx+1)·w/9), y ∈ [cy·h/8, (cy+1)·h/8) (floor
+    *      division; w ≥ 9, h ≥ 8 keeps every box nonempty), carrying
+    *      the exact SUM and COUNT, never a rounded average;
+    *   3. bit cy·8+cx (cx ∈ 0..7) set iff cell (cx+1, cy)'s mean
+    *      exceeds cell (cx, cy)'s — compared cross-multiplied
+    *      (sumR·cntL > sumL·cntR), exact for ragged box sizes.
+    *
+    * Same per-partition decode shape as [[decodeImageMeta]]: payloads
+    * never shuffle, fixed-size rows out, corrupt payloads fail loudly
+    * with the media id.
+    */
+  def imageDHash(media: DataFrame): Dataset[ImageDHash] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("media_id").cast("long"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.map { case (id, bytes) =>
+          val iis = new javax.imageio.stream.MemoryCacheImageInputStream(
+            new java.io.ByteArrayInputStream(bytes))
+          try {
+            val readers = javax.imageio.ImageIO.getImageReaders(iis)
+            require(readers.hasNext,
+              s"media $id: no ImageIO codec recognizes this payload")
+            val reader = readers.next()
+            try {
+              reader.setInput(iis)
+              val img = reader.read(0)
+              val (w, h) = (img.getWidth, img.getHeight)
+              require(w >= 9 && h >= 8,
+                s"media $id: ${w}x$h is below the 9x8 dHash grid — a " +
+                  s"thumbnail this small has no gradient structure to hash")
+              // per-cell exact sums: each pixel visited once, boxes
+              // partition the image
+              val sums = new Array[Long](72)
+              val cnts = new Array[Long](72)
+              var cy = 0
+              while (cy < 8) {
+                val y0 = cy * h / 8; val y1 = (cy + 1) * h / 8
+                var cx = 0
+                while (cx < 9) {
+                  val x0 = cx * w / 9; val x1 = (cx + 1) * w / 9
+                  var s = 0L
+                  var y = y0
+                  while (y < y1) {
+                    var x = x0
+                    while (x < x1) {
+                      val rgb = img.getRGB(x, y)
+                      val r = (rgb >> 16) & 0xff
+                      val g = (rgb >> 8) & 0xff
+                      val b = rgb & 0xff
+                      s += (299L * r + 587L * g + 114L * b + 500L) / 1000L
+                      x += 1
+                    }
+                    y += 1
+                  }
+                  val c = cy * 9 + cx
+                  sums(c) = s
+                  cnts(c) = (x1 - x0).toLong * (y1 - y0)
+                  cx += 1
+                }
+                cy += 1
+              }
+              var sig = 0L
+              var b = 0
+              while (b < 64) {
+                val l = (b / 8) * 9 + b % 8
+                if (sums(l + 1) * cnts(l) > sums(l) * cnts(l + 1))
+                  sig |= 1L << b
+                b += 1
+              }
+              ImageDHash(id, w, h, sig)
+            } finally reader.dispose()
+          } finally iis.close()
+        }
+      }
+  }
+
+  /** Perceptual image near-duplicate pairs: [[imageDHash]] signatures
+    * through [[Dedup.hammingPairs]]'s banded-block engine — one decode
+    * pass (zero shuffles, payloads stay put), then the candidate join
+    * runs over 8-byte signatures only. Exact ≡ brute force for
+    * `maxHamming < bands` (the pigeonhole argument); output
+    * (a_id, b_id, hamming) with a_id < b_id.
+    */
+  def imageNearDupPairs(media: DataFrame, maxHamming: Int,
+      bands: Int = 4): DataFrame =
+    graft.operators.Dedup.hammingPairs(
+      imageDHash(media).toDF(), "media_id", "dhash", maxHamming, bands)
+
   /** Deterministic gray 24-bit BMP payloads (BITMAPFILEHEADER +
     * BITMAPINFOHEADER, uncompressed, bottom-up rows padded to 4 bytes —
     * the public Windows DIB layout): pixel (x, y) of image `id` has
@@ -260,32 +369,94 @@ object Multimodal {
       }.toDF()
   }
 
-  private def bmpGrayBytes(seed: Long, w: Int, h: Int): Array[Byte] = {
+  private def bmpGrayBytes(seed: Long, w: Int, h: Int,
+      scale: Int = 1): Array[Byte] = {
     require(w >= 1 && h >= 1, s"media $seed: bad dimensions ${w}x$h")
-    val rowBytes = (w * 3 + 3) / 4 * 4 // each row padded to 4 bytes
-    val size = 54 + rowBytes * h
+    require(scale >= 1, s"media $seed: bad scale $scale")
+    val (sw, sh) = (w * scale, h * scale)
+    val rowBytes = (sw * 3 + 3) / 4 * 4 // each row padded to 4 bytes
+    val size = 54 + rowBytes * sh
     val b = java.nio.ByteBuffer.allocate(size)
       .order(java.nio.ByteOrder.LITTLE_ENDIAN)
     b.put('B'.toByte).put('M'.toByte).putInt(size)
       .putShort(0).putShort(0).putInt(54) // reserved ×2, pixel offset
-    b.putInt(40).putInt(w).putInt(h) // info header size, dims (h>0 ⇒ bottom-up)
+    b.putInt(40).putInt(sw).putInt(sh) // info header size, dims (h>0 ⇒ bottom-up)
       .putShort(1).putShort(24) // planes, bpp
-      .putInt(0).putInt(rowBytes * h) // BI_RGB, image size
+      .putInt(0).putInt(rowBytes * sh) // BI_RGB, image size
       .putInt(2835).putInt(2835).putInt(0).putInt(0) // 72 dpi, palette unused
     var fy = 0
-    while (fy < h) {
-      val y = h - 1 - fy // file rows run bottom-up
+    while (fy < sh) {
+      val y = sh - 1 - fy // file rows run bottom-up
       var x = 0
-      while (x < w) {
-        val v = (((seed * 31 + (y.toLong * w + x)) * 7) % 256).toInt
+      while (x < sw) {
+        // scale > 1 is a pixel-replicated upscale of the base pattern —
+        // the closed form stays ((seed·31 + (y/s)·w + x/s)·7) mod 256
+        val v = (((seed * 31 +
+          ((y / scale).toLong * w + x / scale)) * 7) % 256).toInt
         b.put(v.toByte).put(v.toByte).put(v.toByte)
         x += 1
       }
-      var pad = w * 3
+      var pad = sw * 3
       while (pad < rowBytes) { b.put(0.toByte); pad += 1 }
       fy += 1
     }
     b.array()
+  }
+
+  /** [[encodeBmpGray]]'s pixel-replicated `scale`× upscale: image
+    * (scale·w)×(scale·h) whose pixel (x, y) carries the base pattern's
+    * value at (x/scale, y/scale) — a deterministic stand-in for a
+    * RESIZED duplicate (same picture, more pixels, different bytes),
+    * still fully closed-form for the oracle.
+    */
+  def encodeBmpGrayScaled(df: DataFrame, id: String, w: String, h: String,
+      scale: Int): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(id).cast("long"), col(w).cast("int"), col(h).cast("int"))
+      .as[(Long, Int, Int)]
+      .mapPartitions { rows =>
+        rows.map { case (mid, wi, hi) =>
+          MediaRecord(mid, "image/bmp", bmpGrayBytes(mid, wi, hi, scale))
+        }
+      }.toDF()
+  }
+
+  /** The same deterministic gray pattern RE-ENCODED as PNG through the
+    * JDK's ImageIO writer — a true re-encoded duplicate: byte-level
+    * dedup (CDC, md5) sees an unrelated payload, while any
+    * pixel-derived signature ([[imageDHash]]) must match the BMP twin
+    * exactly. Pixels are written r = g = b = v into a TYPE_INT_RGB
+    * raster (NOT TYPE_BYTE_GRAY: gray→sRGB conversion in `getRGB` is
+    * color-managed and would bend the values; an RGB raster round-trips
+    * every channel byte-exactly through the lossless PNG path).
+    */
+  def encodePngGray(df: DataFrame, id: String, w: String, h: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(id).cast("long"), col(w).cast("int"), col(h).cast("int"))
+      .as[(Long, Int, Int)]
+      .mapPartitions { rows =>
+        rows.map { case (mid, wi, hi) =>
+          require(wi >= 1 && hi >= 1, s"media $mid: bad dimensions ${wi}x$hi")
+          val img = new java.awt.image.BufferedImage(
+            wi, hi, java.awt.image.BufferedImage.TYPE_INT_RGB)
+          var y = 0
+          while (y < hi) {
+            var x = 0
+            while (x < wi) {
+              val v = (((mid * 31 + (y.toLong * wi + x)) * 7) % 256).toInt
+              img.setRGB(x, y, (v << 16) | (v << 8) | v)
+              x += 1
+            }
+            y += 1
+          }
+          val out = new java.io.ByteArrayOutputStream()
+          require(javax.imageio.ImageIO.write(img, "png", out),
+            s"media $mid: no PNG writer on this JVM")
+          MediaRecord(mid, "image/png", out.toByteArray)
+        }
+      }.toDF()
   }
 
   /** Decoded-audio metadata record: container type and codec-reported
@@ -500,6 +671,74 @@ object Multimodal {
       }
   }
 
+  /** Per-media audio quality VERDICT — the gate decision over
+    * [[audioWindowStats]]'s primitives, folded per media INSIDE the same
+    * per-partition decode pass (no shuffle, no streaming state): a
+    * window is SILENT iff its energy is at most
+    * `silenceEnergyPerSample · n_samples` (cross-multiplied, exact; the
+    * default 0 means digital silence), the media is CLIPPED iff any
+    * window's `peak_abs` reaches `peakCeiling` (32767 pins the 16-bit
+    * range), and `keep` holds iff silent windows stay within
+    * `maxSilencePpm` parts-per-million of all windows
+    * (`n_silent · 10⁶ ≤ maxSilencePpm · n_windows` — integer
+    * cross-multiplication, no float ratio) AND nothing clipped. A
+    * zero-sample payload emits one row with `n_windows = 0` and
+    * `keep = true` (the silence bound is vacuous; [[decodeAudioMeta]]'s
+    * meta row, not the gate, is where emptiness is visible).
+    *
+    * Stateless per record, so the SAME call is the streaming at-ingest
+    * deployment — see `StreamingQuality.audioGateAtIngest`.
+    */
+  final case class AudioGate(media_id: Long, n_windows: Long,
+      n_silent: Long, n_clipped: Long, peak_abs: Int, keep: Boolean)
+
+  def audioGate(media: DataFrame, windowFrames: Int,
+      maxSilencePpm: Long, peakCeiling: Int,
+      silenceEnergyPerSample: Long = 0L): Dataset[AudioGate] = {
+    require(windowFrames >= 1, s"need windowFrames >= 1, got $windowFrames")
+    require(maxSilencePpm >= 0 && maxSilencePpm <= 1000000L,
+      s"maxSilencePpm is parts-per-million, got $maxSilencePpm")
+    require(peakCeiling >= 1, s"need peakCeiling >= 1, got $peakCeiling")
+    require(silenceEnergyPerSample >= 0,
+      s"need silenceEnergyPerSample >= 0, got $silenceEnergyPerSample")
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("media_id").cast("long"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        val dec = new AudioDecoder
+        rows.map { case (id, bytes) =>
+          val (_, ais) = dec.open(id, bytes)
+          val s = try dec.samples(id, ais) finally ais.close()
+          var nWin = 0L
+          var nSilent = 0L
+          var nClipped = 0L
+          var peakAll = 0
+          var start = 0
+          while (start < s.length) {
+            val end = math.min(start + windowFrames, s.length)
+            var sq = 0L
+            var peak = 0
+            var i = start
+            while (i < end) {
+              val v = s(i)
+              sq += v.toLong * v
+              val a = math.abs(v)
+              if (a > peak) peak = a
+              i += 1
+            }
+            nWin += 1
+            if (sq <= silenceEnergyPerSample * (end - start)) nSilent += 1
+            if (peak >= peakCeiling) nClipped += 1
+            if (peak > peakAll) peakAll = peak
+            start = end
+          }
+          AudioGate(id, nWin, nSilent, nClipped, peakAll,
+            nSilent * 1000000L <= maxSilencePpm * nWin && nClipped == 0L)
+        }
+      }
+  }
+
   /** Deterministic mono 16-bit PCM WAV payloads (RIFF + `fmt ` + `data`
     * chunks, little-endian samples — the public canonical WAV layout):
     * sample i of audio `id` is ((id·31 + i)·7) mod 65536 − 32768. Pure
@@ -556,8 +795,75 @@ object Multimodal {
     b.array()
   }
 
-  /** STUB feature extraction (see class doc — the VIDEO stand-in; image
-    * and audio decode are real): features[j] = Σ of unsigned
+  /** Decoded-video metadata record — the contract a [[VideoDecoderSpi]]
+    * provider fills: container name, frame geometry, frame count, and
+    * the exact integer luma sum over every decoded frame (the video
+    * analogue of [[AudioMeta]]'s `sample_sum` / the image dHash's pixel
+    * sums — a bit-correctness witness, not a float approximation).
+    */
+  final case class VideoMeta(media_id: Long, container: String,
+      width: Int, height: Int, n_frames: Long, luma_sum: Long)
+
+  /** Video-codec service-provider interface: the JDK ships NO video
+    * codec (unlike `javax.imageio` / `javax.sound.sampled`, which back
+    * the real image/audio decodes), so video decode is PLUGGABLE by the
+    * standard `java.util.ServiceLoader` mechanism — a deployment drops
+    * a jar exposing an implementation via
+    * `META-INF/services/graft.operators.Multimodal$VideoDecoderSpi`
+    * and [[decodeVideoMeta]] decodes for real with no code change,
+    * through the same per-partition registry discipline as the audio
+    * path (providers resolved ONCE per partition — the synchronized
+    * JDK-registry lesson, measured 30× under 32 threads).
+    */
+  trait VideoDecoderSpi {
+    /** Whether this provider decodes payloads of the given MIME type. */
+    def supports(mime: String): Boolean
+    /** Decode one payload; implementations must throw (not return
+      * garbage) on corrupt payloads, naming the media id. */
+    def decode(mediaId: Long, mime: String, payload: Array[Byte]): VideoMeta
+  }
+
+  /** Decode video payloads through whatever [[VideoDecoderSpi]]
+    * providers the classpath carries. With no provider claiming a
+    * payload's MIME type this fails LOUDLY, naming the plug mechanism —
+    * never a silent skip or a fake row; [[decodeFeaturesStub]] remains
+    * the codec-free deterministic stand-in for pipeline plumbing tests.
+    * Same shape as the real image/audio decodes: one pruned scan, a
+    * narrow per-partition typed transform, payloads never shuffle.
+    */
+  def decodeVideoMeta(media: DataFrame): Dataset[VideoMeta] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("media_id").cast("long"), col("mime"), col("payload"))
+      .as[(Long, String, Array[Byte])]
+      .mapPartitions { rows =>
+        // provider list resolved once per partition, not per row
+        val loader = Option(Thread.currentThread.getContextClassLoader)
+          .getOrElse(classOf[VideoDecoderSpi].getClassLoader)
+        val providers = {
+          val it = java.util.ServiceLoader
+            .load(classOf[VideoDecoderSpi], loader).iterator()
+          val b = Array.newBuilder[VideoDecoderSpi]
+          while (it.hasNext) b += it.next()
+          b.result()
+        }
+        rows.map { case (id, mime, bytes) =>
+          providers.find(_.supports(mime)).fold[VideoMeta](
+            sys.error(s"media $id: no VideoDecoderSpi provider on the " +
+              s"classpath supports '$mime' — video decode is pluggable: " +
+              "ship a codec jar exposing graft.operators.Multimodal$" +
+              "VideoDecoderSpi via META-INF/services (the image/audio " +
+              "decoders ride the JDK's own registries the same way); " +
+              "decodeFeaturesStub is the codec-free stand-in")
+          )(_.decode(id, mime, bytes))
+        }
+      }
+  }
+
+  /** STUB feature extraction (see class doc — the codec-free VIDEO
+    * stand-in; image and audio decode are real, and [[decodeVideoMeta]]
+    * decodes video for real when a [[VideoDecoderSpi]] jar is on the
+    * classpath): features[j] = Σ of unsigned
     * byte values at positions ≡ j (mod dim). Runs as a typed per-partition
     * batch transform — the exact execution shape a vectorized decoder
     * (one codec context per partition, rows streamed through it) would use.

@@ -153,6 +153,41 @@ object MultimodalQueries {
             col("n_samples"), col("sample_sum"), col("sum_sq"),
             col("peak_abs"))),
 
+    // the per-media audio GATE verdict over the window primitives —
+    // silence (zero-energy windows) bounded at 100000 ppm, clipping =
+    // any window whose peak |sample| pins the 16-bit range (32767; the
+    // closed form emits -32768 whenever (doc_id·31+i)·7 ≡ 0 mod 65536,
+    // so a real clipped population exists). The oracle re-folds every
+    // window AND the keep decision in closed form — integer
+    // cross-multiplication, no float ratio.
+    Q("q_audio_gate", Some(
+      """WITH p AS (SELECT doc_id, 500 + doc_id % 257 AS n FROM documents),
+        |w AS (SELECT doc_id, n, unnest(range((n + 127) // 128)) AS wno FROM p),
+        |s AS (SELECT doc_id,
+        |  list_sum(list_transform(range(wno * 128, least(n, wno * 128 + 128)),
+        |    i -> ((doc_id * 31 + i) * 7 % 65536 - 32768)
+        |       * ((doc_id * 31 + i) * 7 % 65536 - 32768))) AS sq,
+        |  list_max(list_transform(range(wno * 128, least(n, wno * 128 + 128)),
+        |    i -> abs((doc_id * 31 + i) * 7 % 65536 - 32768))) AS pk
+        |  FROM w)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_windows,
+        |  CAST(sum(CASE WHEN sq = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_silent,
+        |  CAST(sum(CASE WHEN pk >= 32767 THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped,
+        |  CAST(max(pk) AS INT) AS peak_abs,
+        |  (sum(CASE WHEN sq = 0 THEN 1 ELSE 0 END) * 1000000 <= 100000 * count(*)
+        |    AND sum(CASE WHEN pk >= 32767 THEN 1 ELSE 0 END) = 0) AS keep
+        |FROM s GROUP BY doc_id""".stripMargin))(
+      (s, d) =>
+        Multimodal.audioGate(Multimodal.encodeWavPcm(
+            t(s, d, "documents").select(col("doc_id"),
+              (lit(500) + pmod(col("doc_id"), lit(257))).as("n"),
+              lit(16000).as("sr")),
+            "doc_id", "n", "sr"), windowFrames = 128,
+          maxSilencePpm = 100000L, peakCeiling = 32767).toDF()
+          .select(col("media_id").as("doc_id"), col("n_windows"),
+            col("n_silent"), col("n_clipped"), col("peak_abs"),
+            col("keep"))),
+
     // content-defined chunking (Rabin-style CDC): boundary wherever the
     // 8-byte window hash has 4 zero low bits (expected 16-byte chunks);
     // stateless predicate = shift-invariant AND engine-replayable. Chunks
@@ -198,5 +233,95 @@ object MultimodalQueries {
       (s, d) =>
         Multimodal.cdcDedup(
           Multimodal.cdcChunks(media(s, d), windowBytes = 8, maskBits = 4))),
+
+    // perceptual 64-bit dHash over REAL ImageIO decodes of deterministic
+    // BMP payloads — the oracle recomputes the whole chain in closed
+    // form (pixel values, integer 9×8 box sums, cross-multiplied mean
+    // comparisons, signed bit packing), so the hash matches iff the
+    // codec + downscale + comparator reproduce every pixel decision.
+    Q("q_image_dhash", Some(
+      """WITH p AS (SELECT doc_id, 9 + doc_id % 24 AS w, 8 + doc_id % 16 AS h
+        |  FROM documents),
+        |c AS (SELECT doc_id, w, h,
+        |  list_transform(range(72), c -> {
+        |    's': list_sum(flatten(list_transform(range((c // 9) * h // 8, (c // 9 + 1) * h // 8), y ->
+        |          list_transform(range((c % 9) * w // 9, (c % 9 + 1) * w // 9), x ->
+        |            (doc_id * 31 + y * w + x) * 7 % 256)))),
+        |    'n': ((c // 9 + 1) * h // 8 - (c // 9) * h // 8) * ((c % 9 + 1) * w // 9 - (c % 9) * w // 9)
+        |  }) AS cells FROM p),
+        |b AS (SELECT doc_id, w, h,
+        |  list_transform(range(64), b ->
+        |    CASE WHEN cells[(b // 8) * 9 + (b % 8) + 2]['s'] * cells[(b // 8) * 9 + (b % 8) + 1]['n']
+        |            > cells[(b // 8) * 9 + (b % 8) + 1]['s'] * cells[(b // 8) * 9 + (b % 8) + 2]['n']
+        |      THEN 1 ELSE 0 END) AS bits FROM c)
+        |SELECT doc_id, CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+        |  CAST(list_sum(list_transform(range(64), i ->
+        |    CASE WHEN bits[CAST(i AS INT) + 1] = 1 THEN
+        |      CASE WHEN i = 63 THEN -9223372036854775807 - 1
+        |           ELSE (1::BIGINT << CAST(i AS INT)) END
+        |    ELSE 0 END)) AS BIGINT) AS dhash
+        |FROM b""".stripMargin))(
+      (s, d) =>
+        Multimodal.imageDHash(Multimodal.encodeBmpGray(
+            t(s, d, "documents").select(col("doc_id"),
+              (lit(9) + pmod(col("doc_id"), lit(24))).as("w"),
+              (lit(8) + pmod(col("doc_id"), lit(16))).as("h")),
+            "doc_id", "w", "h")).toDF()
+          .select(col("media_id").as("doc_id"), col("width"),
+            col("height"), col("dhash"))),
+
+    // image near-dup over a corpus with PLANTED duplicates the byte
+    // layer cannot see: every 5th image re-encoded as PNG (identical
+    // pixels, unrelated bytes → Hamming 0) and every 7th re-sized 2×
+    // (pixel-replicated upscale → Hamming small). Banded 4×16-bit
+    // candidates + exact verify ≡ the oracle's brute-force O(n²) pair
+    // join by pigeonhole (3 < 4 bands). The oracle re-derives every
+    // signature closed-form across all three populations.
+    Q("q_image_neardup", Some(
+      """WITH docs AS (SELECT doc_id, 9 + doc_id % 24 AS w, 8 + doc_id % 16 AS h
+        |  FROM documents),
+        |pop AS (
+        |  SELECT doc_id AS media_id, doc_id AS seed, w, h, 1 AS s FROM docs
+        |  UNION ALL
+        |  SELECT doc_id + 10000, doc_id, w, h, 1 FROM docs WHERE doc_id % 5 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 20000, doc_id, w, h, 2 FROM docs WHERE doc_id % 7 = 0),
+        |c AS (SELECT media_id,
+        |  list_transform(range(72), c -> {
+        |    's': list_sum(flatten(list_transform(range((c // 9) * (h * s) // 8, (c // 9 + 1) * (h * s) // 8), y ->
+        |          list_transform(range((c % 9) * (w * s) // 9, (c % 9 + 1) * (w * s) // 9), x ->
+        |            (seed * 31 + (y // s) * w + (x // s)) * 7 % 256)))),
+        |    'n': ((c // 9 + 1) * (h * s) // 8 - (c // 9) * (h * s) // 8) * ((c % 9 + 1) * (w * s) // 9 - (c % 9) * (w * s) // 9)
+        |  }) AS cells FROM pop),
+        |b AS (SELECT media_id,
+        |  list_transform(range(64), b ->
+        |    CASE WHEN cells[(b // 8) * 9 + (b % 8) + 2]['s'] * cells[(b // 8) * 9 + (b % 8) + 1]['n']
+        |            > cells[(b // 8) * 9 + (b % 8) + 1]['s'] * cells[(b // 8) * 9 + (b % 8) + 2]['n']
+        |      THEN 1 ELSE 0 END) AS bits FROM c),
+        |sigs AS (SELECT media_id, CAST(list_sum(list_transform(range(64), i ->
+        |    CASE WHEN bits[CAST(i AS INT) + 1] = 1 THEN
+        |      CASE WHEN i = 63 THEN -9223372036854775807 - 1
+        |           ELSE (1::BIGINT << CAST(i AS INT)) END
+        |    ELSE 0 END)) AS BIGINT) AS dhash FROM b)
+        |SELECT a.media_id AS a_id, b.media_id AS b_id,
+        |  CAST(bit_count(xor(a.dhash, b.dhash)) AS INT) AS hamming
+        |FROM sigs a JOIN sigs b ON a.media_id < b.media_id
+        |WHERE bit_count(xor(a.dhash, b.dhash)) <= 3""".stripMargin))(
+      (s, d) => {
+        val docs = t(s, d, "documents").select(col("doc_id"),
+          (lit(9) + pmod(col("doc_id"), lit(24))).as("w"),
+          (lit(8) + pmod(col("doc_id"), lit(16))).as("h"))
+        val base = Multimodal.encodeBmpGray(docs, "doc_id", "w", "h")
+        val png = Multimodal.encodePngGray(
+            docs.filter(pmod(col("doc_id"), lit(5)) === 0), "doc_id", "w", "h")
+          .withColumn("media_id", col("media_id") + 10000)
+        val resized = Multimodal.encodeBmpGrayScaled(
+            docs.filter(pmod(col("doc_id"), lit(7)) === 0),
+            "doc_id", "w", "h", scale = 2)
+          .withColumn("media_id", col("media_id") + 20000)
+        Multimodal.imageNearDupPairs(
+          base.unionByName(png).unionByName(resized),
+          maxHamming = 3, bands = 4)
+      }),
   )
 }

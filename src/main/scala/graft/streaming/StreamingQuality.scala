@@ -114,6 +114,24 @@ object StreamingQuality {
       .drop("_thr")
   }
 
+  /** Audio quality gate at ingest — the streaming twin of
+    * [[graft.operators.Multimodal.audioGate]], completing the gate
+    * family: every arriving media row is decoded and classified from its
+    * per-window exact integer statistics (silence within `maxSilencePpm`
+    * parts-per-million of windows, no window's peak at `peakCeiling`) in
+    * the SAME per-partition typed decode pass the batch operator uses —
+    * stateless per record, so it runs unchanged on a `readStream` frame:
+    * no state store, no watermark, append-safe, checkpoint-restart-safe
+    * (re-decoding a replayed payload is deterministic). The per-media
+    * fold happens inside the decode, so payloads never shuffle and the
+    * stream never needs a streaming aggregation.
+    */
+  def audioGateAtIngest(media: DataFrame, windowFrames: Int,
+      maxSilencePpm: Long, peakCeiling: Int,
+      silenceEnergyPerSample: Long = 0L): DataFrame =
+    graft.operators.Multimodal.audioGate(media, windowFrames,
+      maxSilencePpm, peakCeiling, silenceEnergyPerSample).toDF()
+
   /** Benchmark decontamination at ingest — the streaming twin of
     * [[graft.operators.Corpus.contamination]]: count each arriving
     * document's DISTINCT word n-grams that collide with a frozen

@@ -305,4 +305,167 @@ class MultimodalSpec extends SparkSpec {
     assert(streamed === batchRows,
       "streamed decode must equal the batch decode row-for-row")
   }
+
+  test("decodeVideoMeta: a classpath SPI provider decodes for real; no provider refuses loudly") {
+    import spark.implicits._
+    // TestVideoDecoder is registered via META-INF/services exactly as a
+    // deployment's codec jar would be — this runs the REAL ServiceLoader
+    // per-partition plug path, not a mock
+    val frames = Array.tabulate(48)(_.toByte) // 3 frames of 4×4 gray
+    val got = Multimodal.decodeVideoMeta(
+      Seq((1L, "video/x-graft-raw", frames))
+        .toDF("media_id", "mime", "payload")).head()
+    assert(got === Multimodal.VideoMeta(1L, "x-graft-raw", 4, 4, 3L,
+      (0 until 48).sum.toLong))
+
+    // a MIME no provider claims refuses loudly, naming the media id AND
+    // the plug mechanism — never a silent skip or a fake row
+    val e = intercept[org.apache.spark.SparkException] {
+      Multimodal.decodeVideoMeta(
+        Seq((9L, "video/mp4", Array[Byte](1, 2, 3)))
+          .toDF("media_id", "mime", "payload")).collect()
+    }
+    val msg = e.getMessage + Option(e.getCause).map(_.getMessage).getOrElse("")
+    assert(msg.contains("media 9") && msg.contains("VideoDecoderSpi"),
+      s"refusal must name the media and the SPI mechanism: $msg")
+
+    // a corrupt payload fails in the PROVIDER, with the media id
+    val c = intercept[org.apache.spark.SparkException] {
+      Multimodal.decodeVideoMeta(
+        Seq((7L, "video/x-graft-raw", Array[Byte](1, 2, 3)))
+          .toDF("media_id", "mime", "payload")).collect()
+    }
+    val cmsg = c.getMessage + Option(c.getCause).map(_.getMessage).getOrElse("")
+    assert(cmsg.contains("media 7"), s"corrupt decode must name the media: $cmsg")
+  }
+
+  test("audioGate: silence/clipping verdicts, ≡ window-stats refold, stream ≡ batch") {
+    import spark.implicits._
+    // 16-bit mono PCM WAV from explicit samples (the public RIFF layout)
+    def wav16(samples: Array[Int]): Array[Byte] = {
+      val b = java.nio.ByteBuffer.allocate(44 + samples.length * 2)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      b.put("RIFF".getBytes("US-ASCII")).putInt(36 + samples.length * 2)
+        .put("WAVE".getBytes("US-ASCII"))
+      b.put("fmt ".getBytes("US-ASCII")).putInt(16).putShort(1).putShort(1)
+        .putInt(8000).putInt(16000).putShort(2).putShort(16)
+      b.put("data".getBytes("US-ASCII")).putInt(samples.length * 2)
+      samples.foreach(s => b.putShort(s.toShort))
+      b.array()
+    }
+    // media 1: 256 silent + 128 loud samples → 2 of 3 windows silent;
+    // media 2: one -32768 sample pins |sample| at 32768 ≥ 32767 → clipped;
+    // media 3: all moderate → keep
+    val rows = Seq(
+      (1L, "audio/wav", wav16(Array.fill(256)(0) ++ Array.fill(128)(1000))),
+      (2L, "audio/wav", wav16(Array.fill(127)(5) :+ -32768)),
+      (3L, "audio/wav", wav16(Array.tabulate(200)(i => (i % 100) - 50))))
+    val media = rows.toDF("media_id", "mime", "payload")
+    val g = Multimodal.audioGate(media, windowFrames = 128,
+        maxSilencePpm = 500000L, peakCeiling = 32767)
+      .collect().map(r => r.media_id -> r).toMap
+    assert((g(1L).n_windows, g(1L).n_silent, g(1L).n_clipped) === ((3L, 2L, 0L)))
+    assert(!g(1L).keep, "2/3 silent windows exceed 500000 ppm")
+    assert((g(2L).n_windows, g(2L).n_clipped, g(2L).peak_abs) === ((1L, 1L, 32768)))
+    assert(!g(2L).keep, "a pinned peak must fail the gate")
+    assert(g(3L).keep && g(3L).n_silent === 0L && g(3L).n_clipped === 0L)
+    assert(g(3L).peak_abs === 50)
+
+    // verdict ≡ refolding audioWindowStats (same decode, same integers)
+    val refold = Multimodal.audioWindowStats(media, windowFrames = 128)
+      .collect().groupBy(_.media_id).map { case (id, ws) =>
+        id -> ((ws.length.toLong, ws.count(_.sum_sq == 0L).toLong,
+          ws.count(_.peak_abs >= 32767).toLong, ws.map(_.peak_abs).max))
+      }
+    refold.foreach { case (id, (nw, ns, nc, pk)) =>
+      assert((g(id).n_windows, g(id).n_silent, g(id).n_clipped,
+        g(id).peak_abs) === ((nw, ns, nc, pk)), s"media $id")
+    }
+
+    // zero-sample payload: one row, vacuous silence bound, keep
+    val empty = Multimodal.audioGate(
+      Seq((4L, "audio/wav", wav16(Array.empty[Int])))
+        .toDF("media_id", "mime", "payload"),
+      windowFrames = 128, maxSilencePpm = 0L, peakCeiling = 32767).head()
+    assert((empty.n_windows, empty.keep) === ((0L, true)))
+
+    // at-ingest twin: stateless on a streaming frame, stream ≡ batch
+    val batchRows = streaming.StreamingQuality.audioGateAtIngest(
+      media, 128, 500000L, 32767).collect().toSet
+    val mem = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, String, Array[Byte])](spark)
+    val out = streaming.StreamingQuality.audioGateAtIngest(
+      mem.toDF().toDF("media_id", "mime", "payload"), 128, 500000L, 32767)
+    assert(out.isStreaming, "the audio gate must stream without state")
+    val q = out.writeStream.format("memory")
+      .queryName("audio_gate_sink").outputMode("append").start()
+    try {
+      mem.addData(rows: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.table("audio_gate_sink").collect().toSet
+    assert(streamed === batchRows,
+      "streamed gate verdicts must equal the batch gate row-for-row")
+  }
+
+  test("imageDHash: closed form, re-encode/resize invariance, pairs ≡ brute force, tiny image refuses") {
+    import spark.implicits._
+    // closed-form pins (independently computed): if any pixel, box
+    // boundary, comparator, or bit position drifted, these constants break
+    val dims = Seq((42L, 20, 12), (7L, 9, 8)).toDF("doc_id", "w", "h")
+    val sigs = Multimodal.imageDHash(
+        Multimodal.encodeBmpGray(dims, "doc_id", "w", "h"))
+      .collect().map(s => s.media_id -> s).toMap
+    assert(sigs(42L).dhash === -6953558950075707457L)
+    assert((sigs(42L).width, sigs(42L).height) === ((20, 12)))
+    assert(sigs(7L).dhash === -17179869189L)
+
+    // RE-ENCODE invariance: the PNG twin's payload shares no bytes with
+    // the BMP, but the decoded pixels are identical — dHash must match
+    // exactly (this is the duplicate CDC/md5 dedup can never see)
+    val png = Multimodal.imageDHash(
+        Multimodal.encodePngGray(dims, "doc_id", "w", "h"))
+      .collect().map(s => s.media_id -> s.dhash).toMap
+    assert(png === sigs.view.mapValues(_.dhash).toMap,
+      "PNG re-encode must hash identically to its BMP twin")
+
+    // RESIZE: a pixel-replicated 2× upscale with grid-divisible dims
+    // scales every box sum and count by 4 — comparisons, and so the
+    // hash, are unchanged (18 = 2·9, 16 = 2·8 divide the grid exactly)
+    val divisible = Seq((42L, 18, 16)).toDF("doc_id", "w", "h")
+    val base = Multimodal.imageDHash(
+      Multimodal.encodeBmpGray(divisible, "doc_id", "w", "h")).head()
+    val up = Multimodal.imageDHash(
+      Multimodal.encodeBmpGrayScaled(divisible, "doc_id", "w", "h", 2)).head()
+    assert((up.width, up.height) === ((36, 32)))
+    assert(up.dhash === base.dhash,
+      "a grid-divisible 2x upscale must hash identically")
+
+    // pairs ≡ brute force on a mixed corpus (pigeonhole: 3 < 4 bands)
+    val docs = (0L until 60L).map(d => (d, (9 + d % 24).toInt, (8 + d % 16).toInt))
+      .toDF("doc_id", "w", "h")
+    val media = Multimodal.encodeBmpGray(docs, "doc_id", "w", "h")
+      .unionByName(Multimodal.encodePngGray(
+          docs.filter(pmod(col("doc_id"), lit(5)) === 0), "doc_id", "w", "h")
+        .withColumn("media_id", col("media_id") + 1000))
+    val got = Multimodal.imageNearDupPairs(media, maxHamming = 3, bands = 4)
+      .as[(Long, Long, Int)].collect().toSet
+    val all = Multimodal.imageDHash(media).collect()
+    val brute = (for {
+      a <- all; b <- all if a.media_id < b.media_id
+      ham = java.lang.Long.bitCount(a.dhash ^ b.dhash) if ham <= 3
+    } yield (a.media_id, b.media_id, ham)).toSet
+    assert(got === brute, "banded pairs must equal the brute-force join")
+    assert((0L until 60L by 5).forall(d => got.contains((d, d + 1000L, 0))),
+      "every planted PNG re-encode must surface at Hamming 0")
+
+    // below the 9×8 grid there is no gradient structure — refuse loudly
+    val tiny = Multimodal.encodeBmpGray(
+      Seq((3L, 8, 8)).toDF("doc_id", "w", "h"), "doc_id", "w", "h")
+    val e = intercept[org.apache.spark.SparkException] {
+      Multimodal.imageDHash(tiny).collect()
+    }
+    assert(e.getMessage.contains("media 3") ||
+      Option(e.getCause).exists(_.getMessage.contains("media 3")))
+  }
 }

@@ -133,6 +133,27 @@ class PlanShapeSpec extends SparkSpec {
     assert(countNodes(df, "Window") === 0)
   }
 
+  test("image dHash: one pruned scan, narrow MapPartitions chain, zero shuffles") {
+    // encode→ImageIO-decode→9×8 box fold is per-row work; fixed 8-byte
+    // signatures out, payloads never shuffle
+    val df = q("q_image_dhash")
+    assert(countShuffles(df) === 0, s"dhash must stay narrow:\n${formatted(df)}")
+    assert(countNodes(df, "Scan parquet") === 1)
+    assert(!readSchemas(df).head.contains("text"),
+      "dhash reads only doc_id, never the text payload")
+    assert(countNodes(df, "MapPartitions") === 2) // encode + dhash
+  }
+
+  test("image near-dup pairs: candidate join is equi on (band, block) over 8-byte signatures") {
+    // the decode half is truncated behind the signatures' localCheckpoint;
+    // the visible pair plan must be the banded equi-join — no nested
+    // loop, no cartesian, no window sort, payloads long gone
+    val df = q("q_image_neardup")
+    assert(countNodes(df, "BroadcastNestedLoopJoin") === 0)
+    assert(countNodes(df, "CartesianProduct") === 0)
+    assert(countNodes(df, "Window") === 0)
+  }
+
   test("top-N per group uses the bounded aggregate, not a window sort") {
     val df = q("q_topn_per_group")
     assert(countNodes(df, "Window") === 0)
@@ -1074,6 +1095,20 @@ class PlanShapeSpec extends SparkSpec {
     assert(countNodes(df, "Scan parquet") === 1)
     assert(!readSchemas(df).head.contains("text"))
     assert(countNodes(df, "MapPartitions") === 2) // encode + window fold
+  }
+
+  test("audio gate: per-media verdict folds inside the decode — zero shuffles, no aggregation") {
+    // the gate is a per-row classification, NOT a groupBy over window
+    // rows: the fold happens inside the per-partition decode, so the
+    // plan has no Exchange and no HashAggregate — the property that
+    // makes the at-ingest twin stateless
+    val df = q("q_audio_gate")
+    assert(countShuffles(df) === 0, s"gate must stay narrow:\n${formatted(df)}")
+    assert(countNodes(df, "Scan parquet") === 1)
+    assert(!readSchemas(df).head.contains("text"))
+    assert(countNodes(df, "HashAggregate") === 0,
+      s"the verdict must not re-aggregate window rows:\n${formatted(df)}")
+    assert(countNodes(df, "MapPartitions") === 2) // encode + gate fold
   }
 
   test("sharded exact decontamination: flat plan — one BNLJ over √B pack rows, no per-slot join chain, bounded shuffles") {
