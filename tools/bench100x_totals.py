@@ -66,12 +66,46 @@ lines.append("")
 md = splice("BENCH_DENSITY", "\n".join(lines), md)
 
 old = md_path.read_text()
+
+# ---- SURVEY/NOTES artifact-count lines (round-13 VERDICT task 4) -------
+# Hand-transcribed totals drifted three rounds running (r7, r8, r12:
+# "96 rows" vs 98, "282.1 s / 215" vs the committed 299.9 / 217). The
+# CURRENT round's sections carry ARTIFACT_COUNTS markers instead; the
+# body is derived here from BENCH_100x.json + BENCH_FULL.json, so a
+# seeded wrong count inside the markers fails --check. Historical round
+# sections are frozen text (no markers) — they were checked when
+# written and their artifacts are superseded.
+full = json.loads((root / "BENCH_FULL.json").read_text())
+contended = full.get("calibration", {}).get("contended", None)
+counts_body = (
+    f"BENCH_100x at {n} rows ({total:.1f} s total); committed "
+    f"BENCH_FULL {full['value']:.1f} s / {full['n_queries']} queries"
+    + ("" if contended is None
+       else f", contended: {str(contended).lower()}"))
+marked = []  # (path, new_text, old_text)
+for fname in ("SURVEY.md", "NOTES.md"):
+    p = root / fname
+    t = p.read_text()
+    if f"<!-- ARTIFACT_COUNTS -->" in t:
+        t2 = splice("ARTIFACT_COUNTS", counts_body, t)
+        marked.append((p, t2, t))
+
 if "--check" in sys.argv:
     if md != old:
         sys.exit("SCALING.md derived blocks are stale — run "
                  "tools/bench100x_totals.py")
+    for p, t2, t in marked:
+        if t2 != t:
+            sys.exit(f"{p.name} ARTIFACT_COUNTS block is stale/hand-edited "
+                     f"— run tools/bench100x_totals.py")
     print(f"SCALING.md derived blocks current: {totals_msg}; "
-          f"{sum(len(s['rows']) for s in dens['modes'].values())} density rows")
+          f"{sum(len(s['rows']) for s in dens['modes'].values())} density rows"
+          + (f"; {len(marked)} ARTIFACT_COUNTS block(s) current"
+             if marked else ""))
 else:
     md_path.write_text(md)
-    print(f"SCALING.md derived blocks set: {totals_msg}")
+    for p, t2, t in marked:
+        if t2 != t:
+            p.write_text(t2)
+    print(f"SCALING.md derived blocks set: {totals_msg}; "
+          f"ARTIFACT_COUNTS: {counts_body}")
