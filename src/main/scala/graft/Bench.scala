@@ -73,10 +73,6 @@ object Bench {
         }
       }).toMap
     val loadStart = loadavg()
-    // one throwaway canary pass warms the JVM so canary_pre measures the
-    // machine, not first-plan JIT/codegen compilation
-    runCanaries()
-    val canaryPre = runCanaries()
     // warmup pass (JIT, codegen cache, parquet footers), then a timed
     // pass; each query records the MIN of the two. The environment's
     // noise is strictly one-sided (a shared disk measured swinging 3.3×
@@ -92,6 +88,17 @@ object Bench {
         failed.clear() // only the timed pass decides the machine-readable marker
         usable
       } else Map.empty
+    // canary_pre is sampled AFTER the warmup pass, so both canary
+    // samples bracket the timed pass at the SAME JVM maturity. The
+    // original pre-sweep placement (even behind a throwaway canary
+    // pass) measured JIT/page-cache warm-up, not weather: every r12/r13
+    // sweep — including ones launched at loadavg 0.1 on an idle box —
+    // read pre≈2×post across all three canaries and self-flagged
+    // contended, making the refusal gate unsatisfiable. With no warmup
+    // pass (SPARK_GRAFT_WARMUP=0) a throwaway canary pass stands in as
+    // the warmer, as before.
+    if (warm.isEmpty) runCanaries()
+    val canaryPre = runCanaries()
     // queries missing from `warm` under min_of_2 (they failed warmup) carry
     // a SINGLE cold sample despite the global stat — declared per query so
     // a comparator doesn't trust them as noise-resistant minima

@@ -739,6 +739,75 @@ object Multimodal {
       }
   }
 
+  /** Per-media 64-bit audio fingerprint: the ENERGY-PROFILE difference
+    * hash — [[imageDHash]]'s gradient trick in the time domain. The
+    * first 65 windows of `windowFrames` samples each yield 64 exact
+    * integer energies e_w = Σ sample² (the [[audioWindowStats]]
+    * primitive); bit w is set iff e_{w+1} > e_w. Because uniform volume
+    * scaling multiplies EVERY energy by the same c², the comparisons —
+    * and so the fingerprint — are invariant under volume normalization,
+    * and a re-encoded (WAV↔AU↔AIFF) duplicate decodes to the same PCM
+    * and hashes identically: the duplicates byte-level dedup (CDC, md5)
+    * can never see. All integer arithmetic — closed-form oracle-able
+    * over [[encodeWavPcmQuiet]] payloads. `n_windows` reports the FULL
+    * window count (context for the caller); media shorter than 65
+    * windows refuse loudly (no gradient structure to hash — the audio
+    * analogue of the image 9×8 floor).
+    */
+  final case class AudioFingerprint(media_id: Long, n_windows: Long, fp: Long)
+
+  def audioFingerprint(media: DataFrame,
+      windowFrames: Int): Dataset[AudioFingerprint] = {
+    require(windowFrames >= 1, s"need windowFrames >= 1, got $windowFrames")
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("media_id").cast("long"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        val dec = new AudioDecoder
+        rows.map { case (id, bytes) =>
+          val (_, ais) = dec.open(id, bytes)
+          val s = try dec.samples(id, ais) finally ais.close()
+          val nWin = (s.length.toLong + windowFrames - 1) / windowFrames
+          require(nWin >= 65,
+            s"media $id: $nWin windows of $windowFrames samples is below " +
+              "the 65-window energy fingerprint — shrink windowFrames or " +
+              "gate short media out upstream")
+          val e = new Array[Long](65)
+          var w = 0
+          while (w < 65) {
+            var sq = 0L
+            var i = w * windowFrames
+            val end = math.min(i + windowFrames, s.length)
+            while (i < end) { sq += s(i).toLong * s(i); i += 1 }
+            e(w) = sq
+            w += 1
+          }
+          var fp = 0L
+          var b = 0
+          while (b < 64) {
+            if (e(b + 1) > e(b)) fp |= 1L << b
+            b += 1
+          }
+          AudioFingerprint(id, nWin, fp)
+        }
+      }
+  }
+
+  /** Audio near-duplicate pairs: [[audioFingerprint]] signatures through
+    * [[Dedup.hammingPairs]]'s banded-block engine — the THIRD client of
+    * the shared candidate machinery (text SimHash, image dHash, audio
+    * energy-hash), so text/image/audio dedup all scale the same way:
+    * one decode pass (zero shuffles, payloads stay put), candidates by
+    * (band, block) equi-join over 8-byte signatures, exact Hamming
+    * verify, exact ≡ brute force for `maxHamming < bands`.
+    */
+  def audioNearDupPairs(media: DataFrame, windowFrames: Int,
+      maxHamming: Int, bands: Int = 4): DataFrame =
+    graft.operators.Dedup.hammingPairs(
+      audioFingerprint(media, windowFrames).toDF(),
+      "media_id", "fp", maxHamming, bands)
+
   /** Deterministic mono 16-bit PCM WAV payloads (RIFF + `fmt ` + `data`
     * chunks, little-endian samples — the public canonical WAV layout):
     * sample i of audio `id` is ((id·31 + i)·7) mod 65536 − 32768. Pure
@@ -762,16 +831,58 @@ object Multimodal {
       }.toDF()
   }
 
-  private def wavPcmBytes(seed: Long, n: Int, sampleRate: Int): Array[Byte] = {
+  private def wavPcmBytes(seed: Long, n: Int, sampleRate: Int): Array[Byte] =
+    wav16Bytes(seed, n, sampleRate,
+      i => ((((seed * 31 + i) * 7) % 65536L) - 32768L).toInt)
+
+  /** [[encodeWavPcm]]'s QUIET sibling scaled by an integer volume
+    * factor: sample i = ((((id+1)·(i+7) mod 65536)·2654435761)
+    * mod 16384 − 8192) · scale, scale ∈ 1..4 (the full range stays
+    * inside 16-bit PCM: |−8192·4| = 32768 = the signed floor). The
+    * product term makes the per-sample STEP seed-dependent and the
+    * Knuth-constant scramble decorrelates consecutive samples, so
+    * window energies — and [[audioFingerprint]] bits — vary
+    * pseudo-randomly PER SEED: distinct streams get distinct
+    * fingerprints, unlike [[encodeWavPcm]]'s slope-7 sawtooth whose
+    * energy envelope is phase-only (hundreds of near-identical
+    * fingerprints across seeds — a synthetic-density trap for any
+    * pair query over it; a phase-and-step mix measured 3041 spurious
+    * Hamming-≤3 pairs over 600 media where this form yields only the
+    * planted ones). Every intermediate stays far below 2⁶³ at any
+    * benchmark scale. A `scale > 1` payload is a deterministic
+    * stand-in for a VOLUME-NORMALIZED duplicate — every window energy
+    * multiplies by scale², so [[audioFingerprint]] must hash it
+    * identically to its scale-1 twin while every byte-level signature
+    * sees an unrelated payload. Still fully closed-form for the oracle.
+    */
+  def encodeWavPcmQuiet(df: DataFrame, id: String, n: String,
+      sampleRate: String, scale: Int): DataFrame = {
+    require(scale >= 1 && scale <= 4,
+      s"scale $scale is outside 1..4 (|-8192*4| = 32768 is the 16-bit floor)")
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(id).cast("long"), col(n).cast("int"),
+        col(sampleRate).cast("int"))
+      .as[(Long, Int, Int)]
+      .mapPartitions { rows =>
+        rows.map { case (mid, ni, sr) =>
+          MediaRecord(mid, "audio/wav", wav16Bytes(mid, ni, sr,
+            i => (((mid + 1) * (i + 7) % 65536L * 2654435761L % 16384L)
+              - 8192L).toInt * scale))
+        }
+      }.toDF()
+  }
+
+  private def wav16Bytes(seed: Long, n: Int, sampleRate: Int,
+      sample: Long => Int): Array[Byte] = {
     require(n >= 0, s"media $seed: bad sample count $n")
     // header is 44 bytes; past this, `44 + n * 2` overflows Int and the
     // allocate would fail with an unrelated NegativeArraySizeException
     require(n <= (Int.MaxValue - 44) / 2,
       s"media $seed: sample count $n exceeds the single-buffer WAV cap")
-    // the documented closed form ((seed*31+i)*7) % 65536 - 32768 assumes a
-    // nonnegative seed: a negative one drives the signed % below -32768
-    // and the toShort silently wraps, diverging from what an oracle
-    // computes from the formula
+    // the documented closed forms assume a nonnegative seed: a negative
+    // one drives the signed % below the range floor and the toShort
+    // silently wraps, diverging from what an oracle computes
     require(seed >= 0, s"media $seed: seed must be nonnegative")
     require(sampleRate >= 1, s"media $seed: bad sample rate $sampleRate")
     val dataSize = n * 2
@@ -789,7 +900,7 @@ object Multimodal {
     b.put("data".getBytes("US-ASCII")).putInt(dataSize)
     var i = 0L
     while (i < n) {
-      b.putShort(((((seed * 31 + i) * 7) % 65536L) - 32768L).toShort)
+      b.putShort(sample(i).toShort)
       i += 1
     }
     b.array()

@@ -690,6 +690,11 @@ object Similarity {
     * .Corpus.capPerStratum]] key discipline); rows sharing an id would
     * merge their hit counts. Empty benchmark keeps everything, like
     * both siblings.
+    *
+    * Sizing: with `shards = 0` (auto) this runs ONE small driver job —
+    * `benchmark.count()` — to pick ⌈√B⌉; bounded (it scans the
+    * benchmark side, never the corpus), but callers that know B, or
+    * call in a loop, should pass `shards` explicitly and skip it.
     */
   def embedDecontaminateSharded(corpus: DataFrame, id: String, emb: String,
       benchmark: DataFrame, bId: String, bEmb: String, minCosine: Double,

@@ -188,6 +188,71 @@ object MultimodalQueries {
             col("n_silent"), col("n_clipped"), col("peak_abs"),
             col("keep"))),
 
+    // 64-bit energy-profile audio fingerprint (the time-domain dHash):
+    // 65 windows of 7 samples, bit w set iff energy(w+1) > energy(w) —
+    // the oracle recomputes every sample, window energy, comparison,
+    // and the signed bit packing in closed form, so the hash matches
+    // iff codec + window fold + comparator are all exact.
+    Q("q_audio_fingerprint", Some(
+      """WITH p AS (SELECT doc_id, 500 + doc_id % 257 AS n FROM documents),
+        |e AS (SELECT doc_id, n, list_transform(range(65), w ->
+        |  list_sum(list_transform(range(w * 7, least(n, w * 7 + 7)),
+        |    i -> ((doc_id * 31 + i) * 7 % 65536 - 32768)
+        |       * ((doc_id * 31 + i) * 7 % 65536 - 32768)))) AS es FROM p)
+        |SELECT doc_id, CAST((n + 6) // 7 AS BIGINT) AS n_windows,
+        |  CAST(list_sum(list_transform(range(64), b ->
+        |    CASE WHEN es[CAST(b AS INT) + 2] > es[CAST(b AS INT) + 1] THEN
+        |      CASE WHEN b = 63 THEN -9223372036854775807 - 1
+        |           ELSE (1::BIGINT << CAST(b AS INT)) END
+        |    ELSE 0 END)) AS BIGINT) AS fp
+        |FROM e""".stripMargin))(
+      (s, d) =>
+        Multimodal.audioFingerprint(Multimodal.encodeWavPcm(
+            t(s, d, "documents").select(col("doc_id"),
+              (lit(500) + pmod(col("doc_id"), lit(257))).as("n"),
+              lit(16000).as("sr")),
+            "doc_id", "n", "sr"), windowFrames = 7).toDF()
+          .select(col("media_id").as("doc_id"), col("n_windows"), col("fp"))),
+
+    // audio near-dup over a corpus with PLANTED volume-normalized
+    // duplicates: every 5th stream re-encoded at 2× volume (every
+    // window energy ×4 → identical fingerprint, unrelated bytes).
+    // Banded 4×16-bit candidates + exact verify ≡ the oracle's
+    // brute-force O(n²) pair join by pigeonhole (3 < 4 bands); the
+    // oracle re-derives every fingerprint closed-form.
+    Q("q_audio_neardup", Some(
+      """WITH docs AS (SELECT doc_id, 500 + doc_id % 257 AS n FROM documents),
+        |pop AS (
+        |  SELECT doc_id AS media_id, doc_id AS seed, n, 1 AS s FROM docs
+        |  UNION ALL
+        |  SELECT doc_id + 10000, doc_id, n, 2 FROM docs WHERE doc_id % 5 = 0),
+        |e AS (SELECT media_id, list_transform(range(65), w ->
+        |  list_sum(list_transform(range(w * 7, least(n, w * 7 + 7)),
+        |    i -> ((seed + 1) * (i + 7) % 65536 * 2654435761 % 16384 - 8192) * s
+        |       * ((seed + 1) * (i + 7) % 65536 * 2654435761 % 16384 - 8192) * s))) AS es FROM pop),
+        |sigs AS (SELECT media_id, CAST(list_sum(list_transform(range(64), b ->
+        |    CASE WHEN es[CAST(b AS INT) + 2] > es[CAST(b AS INT) + 1] THEN
+        |      CASE WHEN b = 63 THEN -9223372036854775807 - 1
+        |           ELSE (1::BIGINT << CAST(b AS INT)) END
+        |    ELSE 0 END)) AS BIGINT) AS fp FROM e)
+        |SELECT a.media_id AS a_id, b.media_id AS b_id,
+        |  CAST(bit_count(xor(a.fp, b.fp)) AS INT) AS hamming
+        |FROM sigs a JOIN sigs b ON a.media_id < b.media_id
+        |WHERE bit_count(xor(a.fp, b.fp)) <= 3""".stripMargin))(
+      (s, d) => {
+        val docs = t(s, d, "documents").select(col("doc_id"),
+          (lit(500) + pmod(col("doc_id"), lit(257))).as("n"),
+          lit(16000).as("sr"))
+        val base = Multimodal.encodeWavPcmQuiet(docs, "doc_id", "n", "sr",
+          scale = 1)
+        val loud = Multimodal.encodeWavPcmQuiet(
+            docs.filter(pmod(col("doc_id"), lit(5)) === 0),
+            "doc_id", "n", "sr", scale = 2)
+          .withColumn("media_id", col("media_id") + 10000)
+        Multimodal.audioNearDupPairs(base.unionByName(loud),
+          windowFrames = 7, maxHamming = 3, bands = 4)
+      }),
+
     // content-defined chunking (Rabin-style CDC): boundary wherever the
     // 8-byte window hash has 4 zero low bits (expected 16-byte chunks);
     // stateless predicate = shift-invariant AND engine-replayable. Chunks

@@ -408,6 +408,83 @@ class MultimodalSpec extends SparkSpec {
       "streamed gate verdicts must equal the batch gate row-for-row")
   }
 
+  test("audioFingerprint: closed form, volume/container invariance, pairs ≡ brute force, short refuses") {
+    import spark.implicits._
+    // closed form: expected fp computed from the generator formula in
+    // the test — matches only if encode + real codec decode + window
+    // energies + comparator all agree
+    def vq(seed: Long, i: Long, s: Int) =
+      ((seed + 1) * (i + 7) % 65536L * 2654435761L % 16384L - 8192L).toInt * s
+    def fpOf(seed: Long, n: Int, s: Int): Long = {
+      val e = (0 until 65).map { w =>
+        ((w * 7) until math.min(n, w * 7 + 7)).map { i =>
+          val v = vq(seed, i, s); v.toLong * v
+        }.sum
+      }
+      (0 until 64).foldLeft(0L)((acc, b) =>
+        if (e(b + 1) > e(b)) acc | (1L << b) else acc)
+    }
+    val dims = Seq((42L, 500, 8000)).toDF("doc_id", "n", "sr")
+    val base = Multimodal.audioFingerprint(
+      Multimodal.encodeWavPcmQuiet(dims, "doc_id", "n", "sr", 1),
+      windowFrames = 7).head()
+    assert(base.fp === fpOf(42L, 500, 1))
+    assert(base.n_windows === (500L + 6) / 7)
+
+    // VOLUME invariance: 2× and 4× payloads share no bytes with the
+    // base, but every window energy scales by the same factor — the
+    // fingerprint must be identical (the duplicate byte dedup can't see)
+    for (s <- Seq(2, 4)) {
+      val scaled = Multimodal.audioFingerprint(
+        Multimodal.encodeWavPcmQuiet(dims, "doc_id", "n", "sr", s),
+        windowFrames = 7).head()
+      assert(scaled.fp === base.fp, s"volume x$s must not move the fingerprint")
+    }
+
+    // CONTAINER invariance: the same samples re-encoded as AU
+    // (big-endian) decode to the same PCM → same fingerprint
+    import javax.sound.sampled.{AudioFileFormat, AudioSystem}
+    val wavBytes = Multimodal.encodeWavPcmQuiet(dims, "doc_id", "n", "sr", 1)
+      .select("payload").as[Array[Byte]].head()
+    val ais = AudioSystem.getAudioInputStream(
+      new java.io.ByteArrayInputStream(wavBytes))
+    val baos = new java.io.ByteArrayOutputStream()
+    try AudioSystem.write(ais, AudioFileFormat.Type.AU, baos)
+    finally ais.close()
+    val au = Multimodal.audioFingerprint(
+      Seq((42L, "audio/basic", baos.toByteArray))
+        .toDF("media_id", "mime", "payload"), windowFrames = 7).head()
+    assert(au.fp === base.fp, "an AU re-encode must hash identically")
+
+    // pairs ≡ brute force on a mixed corpus (pigeonhole: 3 < 4 bands)
+    val docs = (0L until 60L).map(d => (d, 500 + (d % 257).toInt, 8000))
+      .toDF("doc_id", "n", "sr")
+    val media = Multimodal.encodeWavPcmQuiet(docs, "doc_id", "n", "sr", 1)
+      .unionByName(Multimodal.encodeWavPcmQuiet(
+          docs.filter(pmod(col("doc_id"), lit(5)) === 0),
+          "doc_id", "n", "sr", 2)
+        .withColumn("media_id", col("media_id") + 1000))
+    val got = Multimodal.audioNearDupPairs(media, windowFrames = 7,
+      maxHamming = 3, bands = 4).as[(Long, Long, Int)].collect().toSet
+    val all = Multimodal.audioFingerprint(media, windowFrames = 7).collect()
+    val brute = (for {
+      a <- all; b <- all if a.media_id < b.media_id
+      ham = java.lang.Long.bitCount(a.fp ^ b.fp) if ham <= 3
+    } yield (a.media_id, b.media_id, ham)).toSet
+    assert(got === brute, "banded pairs must equal the brute-force join")
+    assert((0L until 60L by 5).forall(d => got.contains((d, d + 1000L, 0))),
+      "every planted volume-normalized dup must surface at Hamming 0")
+
+    // below 65 windows there is no energy profile to hash — refuse loudly
+    val e = intercept[org.apache.spark.SparkException] {
+      Multimodal.audioFingerprint(Multimodal.encodeWavPcmQuiet(
+        Seq((3L, 64, 8000)).toDF("doc_id", "n", "sr"),
+        "doc_id", "n", "sr", 1), windowFrames = 1).collect()
+    }
+    assert(e.getMessage.contains("media 3") ||
+      Option(e.getCause).exists(_.getMessage.contains("media 3")))
+  }
+
   test("imageDHash: closed form, re-encode/resize invariance, pairs ≡ brute force, tiny image refuses") {
     import spark.implicits._
     // closed-form pins (independently computed): if any pixel, box

@@ -154,6 +154,23 @@ class PlanShapeSpec extends SparkSpec {
     assert(countNodes(df, "Window") === 0)
   }
 
+  test("audio fingerprint: one pruned scan, narrow MapPartitions chain, zero shuffles") {
+    // encode→decode→65-window energy fold is per-row work; fixed 8-byte
+    // signatures out, payloads never shuffle
+    val df = q("q_audio_fingerprint")
+    assert(countShuffles(df) === 0, s"fingerprint must stay narrow:\n${formatted(df)}")
+    assert(countNodes(df, "Scan parquet") === 1)
+    assert(!readSchemas(df).head.contains("text"))
+    assert(countNodes(df, "MapPartitions") === 2) // encode + fingerprint
+  }
+
+  test("audio near-dup pairs: banded equi-join over 8-byte signatures, no brute force") {
+    val df = q("q_audio_neardup")
+    assert(countNodes(df, "BroadcastNestedLoopJoin") === 0)
+    assert(countNodes(df, "CartesianProduct") === 0)
+    assert(countNodes(df, "Window") === 0)
+  }
+
   test("top-N per group uses the bounded aggregate, not a window sort") {
     val df = q("q_topn_per_group")
     assert(countNodes(df, "Window") === 0)
