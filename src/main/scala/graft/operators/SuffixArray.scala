@@ -29,10 +29,13 @@ import org.apache.spark.sql.functions._
   * the left side keeps its (doc, off) order, so each extra shift is one
   * right-side sort, never a re-exchange), then the
   * (rank, rank₊ₖ, rank₊₂ₖ, rank₊₃ₖ) tuples are dense-numbered in place
-  * by [[denseNumber]] (range repartition + per-partition window + a
-  * partition-count-row cumulated base broadcast — the
-  * [[Corpus.packGlobal]] prefix-sum shape; dense_rank absorbs
-  * duplicates, so no distinct pass). Radix 4 over the classic radix-2
+  * by [[denseNumberDenseCounted]] (ONE arithmetic-bucket hash exchange —
+  * the leading key is the previous round's dense rank, so bucket =
+  * ⌊(rank−1)·nb/classes⌋ replaces the generic form's sampled range
+  * exchange + window re-exchange — then a per-bucket window and a
+  * bucket-count-row cumulated base broadcast, the [[Corpus.packGlobal]]
+  * prefix-sum shape; dense_rank absorbs duplicates, so no distinct
+  * pass). Radix 4 over the classic radix-2
   * recurrence trades 2 cheap joins per round for HALF the numbering
   * rounds (a numbering = exchange + window + materialization + bases
   * pass costs 2-3× a shifted join). Rounds are log₄(longest repeated
@@ -71,16 +74,84 @@ object SuffixArray {
     */
   private[graft] def denseNumberCounted(df: DataFrame, keys: Seq[Column],
       outCol: String, buckets: Int): (DataFrame, Long) = {
-    // materialized ONCE before fan-out: the bases collect and the
-    // final join would otherwise re-evaluate the range exchange, and a
-    // re-sampled boundary set (the input's partition-internal order is
-    // not deterministic for join outputs) would disagree with the first
-    // evaluation's partition ids — misaligning every base offset
-    val local = df.repartitionByRange(buckets, keys: _*)
-      .withColumn("_dnP", spark_partition_id())
+    denseNumberCountedImpl(df, keys, outCol, buckets)
+  }
+
+  /** [[denseNumberCounted]] for inputs whose FIRST sort key is already a
+    * dense 1-based long rank with a known class count `primaryClasses` —
+    * the construction loop's case, where each round re-numbers tuples
+    * headed by the previous round's dense rank. The bucket is then pure
+    * arithmetic, `(primary−1)·nb div primaryClasses`, instead of a sampled
+    * range exchange, which removes TWO per-round costs of the generic
+    * form (bench §r13, guide §2.4):
+    *
+    *  1. the RangePartitioner's boundary-sampling pass, which EXECUTES the
+    *     un-materialized input subtree once before the real exchange runs
+    *     it again — in the construction loop that subtree is the round's
+    *     whole 3-join rank-shift chain;
+    *  2. the window's second corpus-sized Exchange: the generic form
+    *     windows by `spark_partition_id()`, which Catalyst cannot tie to
+    *     the range partitioning, so it re-clusters; here the data is
+    *     hash-repartitioned ON `_dnP` itself, so the window's
+    *     ClusteredDistribution(_dnP) is satisfied by construction — ONE
+    *     exchange total (plan-pinned in PlanShapeSpec).
+    *
+    * Order preservation (what makes the result IDENTICAL to the range
+    * form): bucket = ⌊(primary−1)·nb/C⌋ is monotone in `primary` and
+    * never splits a primary value, and `primary` heads the lexicographic
+    * key order, so tuple_a < tuple_b ⟹ bucket_a ≤ bucket_b and equal
+    * tuples share a bucket; cumulating per-bucket dense-class counts in
+    * bucket order therefore yields the same global dense rank. Buckets
+    * are 8× finer than the partition count because hashing bucket ids
+    * into partitions is balls-into-bins — finer buckets smooth the
+    * per-partition load that a 1:1 assignment would leave ~37% idle.
+    */
+  private[graft] def denseNumberDenseCounted(df: DataFrame, primary: Column,
+      primaryClasses: Long, keys: Seq[Column], outCol: String,
+      buckets: Int): (DataFrame, Long) =
+    denseNumberCountedImpl(df, keys, outCol, buckets,
+      densePrimary = Some((primary, primaryClasses)))
+
+  /** The pre-checkpoint stage of the dense-primary numbering (bucket
+    * column + local dense rank) — extracted so PlanShapeSpec can pin the
+    * one-exchange shape on the real code path (the checkpoint truncates
+    * the composed operator's visible plan).
+    */
+  private[graft] def denseNumberDenseLocal(df: DataFrame, primary: Column,
+      primaryClasses: Long, keys: Seq[Column], buckets: Int): DataFrame = {
+    val c = math.max(primaryClasses, 1L)
+    val nb = math.max(math.min(8L * buckets, c), 1L)
+    // integer div, NOT `/` (which is a double divide and loses exactness
+    // past 2^53 — reachable by rank·nb at corpus scale)
+    df.withColumn("_dnW", (primary.cast("long") - lit(1L)) * lit(nb))
+      .withColumn("_dnP", expr(s"_dnW div ${c}L").cast("int"))
+      .drop("_dnW")
+      .repartition(buckets, col("_dnP"))
       .withColumn("_dnL", dense_rank().over(
         Window.partitionBy(col("_dnP")).orderBy(keys: _*)).cast("long"))
-      .localCheckpoint(true)
+  }
+
+  private def denseNumberCountedImpl(df: DataFrame, keys: Seq[Column],
+      outCol: String, buckets: Int,
+      densePrimary: Option[(Column, Long)] = None): (DataFrame, Long) = {
+    // materialized ONCE before fan-out: the bases collect and the
+    // final join would otherwise re-evaluate the exchange, and (range
+    // form) a re-sampled boundary set (the input's partition-internal
+    // order is not deterministic for join outputs) would disagree with
+    // the first evaluation's partition ids — misaligning every base
+    // offset. Bases cumulate in _dnP order, which is the key-range order
+    // in BOTH forms: range partition ids ascend with the keys, and the
+    // dense-primary bucket is monotone in the leading key.
+    val staged = densePrimary match {
+      case Some((primary, c)) =>
+        denseNumberDenseLocal(df, primary, c, keys, buckets)
+      case None =>
+        df.repartitionByRange(buckets, keys: _*)
+          .withColumn("_dnP", spark_partition_id())
+          .withColumn("_dnL", dense_rank().over(
+            Window.partitionBy(col("_dnP")).orderBy(keys: _*)).cast("long"))
+    }
+    val local = staged.localCheckpoint(true)
     val perPart = local.groupBy("_dnP").agg(max(col("_dnL")).as("_dnN"))
       .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
     var acc = 0L
@@ -118,7 +189,8 @@ object SuffixArray {
     * dense over full-suffix classes).
     */
   private[graft] final case class Ranked(full: DataFrame,
-      levels: Seq[DataFrame], maxLen: Long, buckets: Int) {
+      levels: Seq[DataFrame], maxLen: Long, buckets: Int,
+      nClasses: Long) {
     /** Prefix width of `levels(j)`. */
     def step(j: Int): Long = 1L << (2 * j)
   }
@@ -161,6 +233,10 @@ object SuffixArray {
     // no convergence scan of the numbered frame. Level 0's class count
     // is the vocabulary size (every token distinct ⟺ already converged).
     var done = n == 0 || nVocab == n
+    // the class count entering each round: ranks are dense 1..prevClasses,
+    // which is what lets the round's numbering bucket arithmetically
+    // (denseNumberDenseCounted) instead of paying a sampled range exchange
+    var prevClasses = nVocab
     while (k < math.min(maxLen, maxPrefix) && !done) {
       // radix 4: one numbering round QUADRUPLES the agreed prefix by
       // sorting on (rank(off), rank(off+k), rank(off+2k), rank(off+3k)).
@@ -187,8 +263,12 @@ object SuffixArray {
         .select(col("doc") +: col("off") +: col("rank") +:
           (1 until radix).map(i => col(s"_saZ$i")): _*)
       // dense-number the full frame directly — dense_rank absorbs the
-      // duplicate rank tuples, so no distinct + join-back pass
-      val (numbered, classes) = denseNumberCounted(j,
+      // duplicate rank tuples, so no distinct + join-back pass; the
+      // leading key is the previous round's dense rank, so the bucketing
+      // is arithmetic (one exchange, no boundary-sampling re-execution
+      // of the join chain — see denseNumberDenseCounted)
+      val (numbered, classes) = denseNumberDenseCounted(j,
+        col("rank"), prevClasses,
         col("rank") +: (1 until radix).map(i => col(s"_saZ$i")),
         "_saNew", b)
       cur = numbered
@@ -197,9 +277,10 @@ object SuffixArray {
         .localCheckpoint(true)
       levels += cur
       k *= radix
+      prevClasses = classes
       done = classes == n
     }
-    Ranked(cur, levels.result(), maxLen, b)
+    Ranked(cur, levels.result(), maxLen, b, prevClasses)
   }
 
   /** (doc_id, off, srank): the global rank of the suffix of `doc_id`
@@ -254,10 +335,13 @@ object SuffixArray {
       :+ (minLen - sPre)).distinct
     val lvlPre = ranked.levels(jPre)
     // total order: all (rank, doc, off) triples are distinct, so the
-    // dense numbering is the SA position permutation
+    // dense numbering is the SA position permutation; ranks are dense
+    // 1..nClasses from construction, so the arithmetic bucketing applies
     val pos = preOffs.zipWithIndex
-      .foldLeft(denseNumber(ranked.full,
-        Seq(col("rank"), col("doc"), col("off")), "_saPos", ranked.buckets)) {
+      .foldLeft(denseNumberDenseCounted(ranked.full, col("rank"),
+        ranked.nClasses,
+        Seq(col("rank"), col("doc"), col("off")), "_saPos",
+        ranked.buckets)._1) {
         case (acc, (o, i)) =>
           // offset 0 always resolves (every position has a rank); later
           // offsets may fall off the doc — left-join NULL, which the

@@ -1174,6 +1174,32 @@ class PlanShapeSpec extends SparkSpec {
       s"prefix sum must never collapse to one partition:\n$fmt")
   }
 
+  test("dense-primary numbering stage: ONE hash exchange, no range exchange, " +
+      "window reuses the bucket partitioning") {
+    // the SA construction loop's per-round numbering (r13): the leading
+    // key is the previous round's dense rank, so the bucket is arithmetic
+    // and the window's ClusteredDistribution(_dnP) is satisfied by the
+    // repartition itself — the claims that die here are "the sampled
+    // range exchange came back" (it re-executes the un-materialized join
+    // chain as a boundary-sampling pass) and "the window re-clusters for
+    // a second corpus-sized exchange"
+    import org.apache.spark.sql.functions._
+    val rows = spark.range(1000).select(
+      (col("id") % 40 + 1).as("rank"), (col("id") % 7).as("z1"),
+      (col("id") % 3).as("z2"))
+    val df = graft.operators.SuffixArray.denseNumberDenseLocal(
+      rows, col("rank"), 40L,
+      Seq(col("rank"), col("z1"), col("z2")), buckets = 32)
+    val fmt = formatted(df)
+    assert(countShuffles(df) === 1,
+      s"expected exactly the one bucket hash exchange:\n$fmt")
+    assert(fmt.contains("hashpartitioning(_dnP"), s"bucket exchange lost:\n$fmt")
+    assert(!fmt.contains("rangepartitioning"),
+      s"the sampled range exchange crept back:\n$fmt")
+    assert(!fmt.contains("SinglePartition"),
+      s"numbering must never collapse to one partition:\n$fmt")
+  }
+
   test("ivf assignment (small index): corpus never shuffles; both levels ride 1-row broadcast packs") {
     // q_assign_ivf's 16×64-float index sits under the shardBytes
     // dispatch, so the fine level is the single map row — the corpus

@@ -155,6 +155,36 @@ class SuffixArraySpec extends SparkSpec {
     assert(got.length === rows.length)
   }
 
+  test("denseNumberDenseCounted: identical ranks and class count to the " +
+      "range form when the leading key is a dense 1-based rank") {
+    val rnd = new scala.util.Random(7)
+    // dense primary in 1..C with zipf-ish duplication + tie-breaking keys —
+    // the construction loop's tuple shape
+    val c = 37L
+    val rows = Seq.fill(800)((1L + rnd.nextInt(c.toInt).toLong,
+      rnd.nextInt(6).toLong, rnd.nextInt(3).toLong))
+    val df = rows.toDF("k1", "k2", "k3")
+    val keys = Seq(col("k1"), col("k2"), col("k3"))
+    val (rangeDf, rangeN) =
+      SuffixArray.denseNumberCounted(df, keys, "dn", 6)
+    val (denseDf, denseN) =
+      SuffixArray.denseNumberDenseCounted(df, col("k1"), c, keys, "dn", 6)
+    assert(denseN === rangeN)
+    val want = rangeDf.as[(Long, Long, Long, Long)].collect().toSet
+    val got = denseDf.as[(Long, Long, Long, Long)].collect().toSet
+    assert(got === want)
+    // degenerate class counts: one class, classes < buckets, empty frame
+    val one = Seq((1L, 0L, 0L), (1L, 0L, 0L)).toDF("k1", "k2", "k3")
+    val (oneDf, oneN) =
+      SuffixArray.denseNumberDenseCounted(one, col("k1"), 1L, keys, "dn", 6)
+    assert(oneN === 1L && oneDf.select("dn").as[Long].collect().toSeq ===
+      Seq(1L, 1L))
+    val (emptyDf, emptyN) = SuffixArray.denseNumberDenseCounted(
+      spark.emptyDataset[(Long, Long, Long)].toDF("k1", "k2", "k3"),
+      col("k1"), 0L, keys, "dn", 6)
+    assert(emptyN === 0L && emptyDf.isEmpty)
+  }
+
   test("contaminatedSpans equals brute-force verbatim window matching, " +
       "multiset counts and least witness included") {
     val corpus = randomCorpus(23, 30)
