@@ -147,9 +147,11 @@ object Graph {
     // one pre-partitioned copy per join side, materialized once — without
     // them every half-round re-shuffles the EDGE list (the only
     // edge-sized frame in the loop); with them only the node-sized state
-    // moves per half-round
+    // moves per half-round. The dst copy derives from the CHECKPOINTED
+    // src copy, not from `e` — otherwise the caller's un-materialized
+    // edge subtree executes twice (r13, guide §1.2-1)
     val eBySrc = e.repartition(col("src")).localCheckpoint(true)
-    val eByDst = e.repartition(col("dst")).localCheckpoint(true)
+    val eByDst = eBySrc.repartition(col("dst")).localCheckpoint(true)
     // exact ⌊(raw·scale)/mx⌋: strip the remainder so the decimal divide is
     // of an exact multiple (the Corpus.ceilDivExact trick, floor flavor)
     def norm(raw: Column, mx: Column): Column = {
@@ -208,8 +210,12 @@ object Graph {
     */
   def neighborhoodSizes(edges: DataFrame, radius: Int, p: Int = 4): DataFrame = {
     require(radius >= 0, s"need radius >= 0, got $radius")
+    // materialized once: the node-distinct (two scans) and the closed
+    // edge list below would otherwise each re-execute the caller's
+    // un-materialized edge subtree (r13, guide §1.2-1)
     val e = edges.select(col("src").cast("long").as("src"),
       col("dst").cast("long").as("dst"))
+      .localCheckpoint(true)
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node"))).distinct()
       .localCheckpoint(true)
@@ -432,10 +438,13 @@ object Graph {
       .localCheckpoint(true)
     // warm-start mode widens the universe with standing nodes (a page
     // ranked in an earlier refresh stays ranked even if the current edge
-    // slice never mentions it)
+    // slice never mentions it). Nodes derive from the CHECKPOINTED eOut
+    // (same edge set — the degree join is inner on src and every edge
+    // has a degree): deriving them from `e` would execute the caller's
+    // un-materialized edge subtree two more times (r13, guide §1.2-1)
     val graphNodes = standing.foldLeft(
-        e.select(col("src").as("node"))
-          .union(e.select(col("dst").as("node")))) { (g, st) =>
+        eOut.select(col("src").as("node"))
+          .union(eOut.select(col("dst").as("node")))) { (g, st) =>
       g.union(st.select(col("node").cast("long").as("node")))
     }.distinct()
     // seed mode: teleport targets are flagged; off-graph seeds still hold
@@ -504,13 +513,18 @@ object Graph {
   def mutualBestMatching(pairs: DataFrame, a: String, b: String,
       score: String, maxRounds: Int = 16): DataFrame = {
     require(maxRounds >= 1, s"need maxRounds >= 1, got $maxRounds")
+    // materialized BEFORE the symmetrizing union: `pairs` is usually an
+    // expensive candidate-verify subtree (jaccardPairs), and the union's
+    // two branches would each execute it (r13, guide §1.2-1). The union
+    // itself stays a view — two cached scans + a filter per consumer is
+    // cheaper than double-storing the edge list
     val half = pairs.select(col(a).cast("long").as("_mbN"),
       col(b).cast("long").as("_mbM"), col(score).cast("long").as("_mbS"))
+      .localCheckpoint(true)
     val edges = half
       .unionByName(half.select(col("_mbM").as("_mbN"),
         col("_mbN").as("_mbM"), col("_mbS")))
       .filter(col("_mbN") =!= col("_mbM"))
-      .localCheckpoint(true)
     var out: DataFrame = null
     var matched: DataFrame = null
     var round = 0
@@ -527,7 +541,9 @@ object Graph {
         .agg(max(struct(col("_mbS"), (-col("_mbM")).as("_mbG"))).as("_mbB"))
         .select(col("_mbN"), (-col("_mbB._mbG")).as("_mbP"),
           col("_mbB._mbS").as("_mbS"))
-        .localCheckpoint(true) // self-joined below
+        .localCheckpoint(true) // self-joined below; measured r13: an
+        // un-materialized best re-executes avail's anti-joins per side
+        // and regressed q_icp_attach 11.7 → 27 s — keep the checkpoint
       val mutual = best.select(col("_mbN").as("node_a"),
           col("_mbP").as("node_b"), col("_mbS").as("score"))
         .join(best.select(col("_mbP").as("node_a"), col("_mbN").as("node_b")),
