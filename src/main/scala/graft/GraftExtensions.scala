@@ -4,7 +4,7 @@ import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{BloomAgg, BloomContains, BloomUnionAgg, BoundedTopK, CappedCollect, CappedCollectPairs, CosineSimilarity, GramMatrix, KmvAgg, LeadingZeros, MultiMatchCounts, NormalizeText, RandomHyperplaneBuckets, WinnowFingerprints}
+import graft.functions.{BloomAgg, BloomContains, BloomUnionAgg, BoundedTopK, CappedCollect, CappedCollectPairs, CdcChunks, CosineSimilarity, GramMatrix, KmvAgg, LeadingZeros, MultiMatchCounts, NormalizeText, RandomHyperplaneBuckets, WinnowFingerprints}
 
 /** Engine extension installer: `spark.sql.extensions=graft.GraftExtensions`
   * (or `builder.withExtensions`) registers the engine's native expressions
@@ -65,6 +65,10 @@ object GraftExtensions {
       new ExpressionInfo(classOf[CappedCollectPairs].getName, "capped_collect2"),
       (children: Seq[Expression]) => CappedCollectPairs(
         children.head, children(1), intLit(children(2)))),
+    (FunctionIdentifier("cdc_chunks"),
+      new ExpressionInfo(classOf[CdcChunks].getName, "cdc_chunks"),
+      (children: Seq[Expression]) => CdcChunks(
+        children.head, intLit(children(1)), intLit(children(2)))),
     (FunctionIdentifier("multi_match"),
       new ExpressionInfo(classOf[MultiMatchCounts].getName, "multi_match"),
       (children: Seq[Expression]) => MultiMatchCounts(

@@ -120,45 +120,32 @@ object Multimodal {
     * chunk length 2^maskBits bytes. The predicate is stateless per
     * position (no sequential min/max-chunk clamps), which is what makes
     * it shift-invariant AND fully relational: both engines replay every
-    * boundary exactly. A production deployment swaps the md5 window
-    * hash for a codegen'd gear/rolling-hash Expression (one pass per
-    * payload instead of one hash per position); the chunk assembly and
-    * dedup plumbing are identical.
+    * boundary exactly.
     *
-    * Chunks assemble without any per-doc array state: boundary rows ∪ a
-    * start-of-payload row, then `lead(start) over (partition by media
-    * order by start)` closes each chunk — one keyed shuffle, no
-    * collect_list. Empty payloads yield one zero-length chunk (md5 of
+    * Boundary scan AND chunk assembly run as ONE native pass per payload
+    * ([[graft.functions.CdcChunks]], r13): the per-position md5 window
+    * predicate and the per-chunk md5 are one JVM loop over the hex
+    * bytes — bit-identical digests to the former exploded
+    * `substr`+`md5` Column chain (the oracle replays the same formula),
+    * with the per-byte-position row explode, the boundary∪start union,
+    * the payload re-join, and the per-media window shuffle all gone: the
+    * query plan is scan → project → posexplode, ZERO exchanges
+    * (plan-pinned). Empty payloads yield one zero-length chunk (md5 of
     * the empty string, engine-portable). Output: (media_id, chunk_no,
     * start, chunk_len, chunk_md5).
     */
   def cdcChunks(media: DataFrame, windowBytes: Int, maskBits: Int): DataFrame = {
     require(windowBytes >= 1, s"need windowBytes >= 1, got $windowBytes")
     require(maskBits >= 0 && maskBits <= 32, s"need 0 <= maskBits <= 32, got $maskBits")
-    val m = meta(media) // cheap projection; re-derived per consumer
-    val modulus = 1L << maskBits
-    // candidate positions explode (codegen'd md5 per position — the
-    // hex-plane window is the 2w chars ending at 2p)
-    val bounds = m.filter(col("byte_len") > windowBytes)
+    graft.GraftExtensions.ensure(media.sparkSession)
+    meta(media)
       .select(col("media_id"),
-        explode(sequence(lit(windowBytes), col("byte_len") - 1)).as("start"))
-      .filter(graft.operators.Dedup.portableHash64(
-        col("hx").substr((col("start") - windowBytes) * 2 + 1,
-          lit(windowBytes * 2))) % modulus === 0)
-    val starts = m.select(col("media_id"), lit(0).as("start"))
-      .unionByName(bounds)
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("media_id")).orderBy(col("start"))
-    starts.join(m.select(col("media_id"), col("byte_len"), col("hx")),
-        Seq("media_id"))
-      .withColumn("chunk_no", row_number().over(w).cast("long") - 1)
-      .withColumn("_mmEnd", coalesce(lead(col("start"), 1).over(w),
-        col("byte_len")))
-      .select(col("media_id"), col("chunk_no"),
-        col("start").cast("long").as("start"),
-        (col("_mmEnd") - col("start")).cast("long").as("chunk_len"),
-        md5(col("hx").substr(col("start") * 2 + 1,
-          (col("_mmEnd") - col("start")) * 2)).as("chunk_md5"))
+        posexplode(call_function("cdc_chunks",
+          col("hx"), lit(windowBytes), lit(maskBits)))
+          .as(Seq("_mmNo", "_mmC")))
+      .select(col("media_id"), col("_mmNo").cast("long").as("chunk_no"),
+        col("_mmC.start").as("start"), col("_mmC.chunk_len").as("chunk_len"),
+        col("_mmC.chunk_md5").as("chunk_md5"))
   }
 
   /** Cross-document chunk dedup over [[cdcChunks]] output: every chunk
