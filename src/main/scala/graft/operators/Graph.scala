@@ -431,8 +431,16 @@ object Graph {
     val e = edges.select(col("src").cast("long").as("src"),
       col("dst").cast("long").as("dst"))
     // out-degrees ride along with every edge so the per-round join is
-    // rank-to-edge only; pre-partitioned by src so each round's rank join
-    // reuses this exchange instead of re-shuffling the edge list
+    // rank-to-edge only. Checkpointed, and measured-preferred over
+    // persist() (r13): a localCheckpoint's LogicalRDD reports
+    // UnknownPartitioning on this Spark (plan-verified), so each round
+    // DOES re-exchange the cached edge rows — but the persist()
+    // alternative, whose InMemoryRelation would keep the hash(src)
+    // partitioning and skip those exchanges, measured WORSE
+    // (q_pagerank/q_ppr/q_hits/q_neighborhood batch 21.7 → 27.1 s at
+    // sf0.1: the columnar cache build + per-round scan conversion cost
+    // more than the saved exchanges). Raw checkpoint blocks re-shuffle
+    // cheaper than a columnar cache reads.
     val eOut = e.join(e.groupBy("src").agg(count(lit(1)).as("_prD")), "src")
       .repartition(col("src"))
       .localCheckpoint(true)
@@ -450,10 +458,8 @@ object Graph {
     // seed mode: teleport targets are flagged; off-graph seeds still hold
     // mass, so the node universe is the union. The seed set is node-sized
     // at most and usually tiny — plain distinct+outer-join, no new shape.
-    // pre-partitioned by node: the per-round left join against the
-    // dst-keyed contributions then reuses this exchange instead of
-    // re-shuffling the node table every round (checkpoints preserve
-    // partitioning)
+    // node table, checkpointed once (same persist-vs-checkpoint
+    // measurement as eOut)
     val nodes = seeds.fold(
         graphNodes.select(col("node"), lit(true).as("_prT"))) { sd =>
       graphNodes.join(

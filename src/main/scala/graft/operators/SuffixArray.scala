@@ -25,9 +25,11 @@ import org.apache.spark.sql.functions._
   * pass breaks those ties (doc, off) ascending.
   *
   * Scale shape: no global single-partition sort anywhere. Per RADIX-4
-  * round: three doc-co-partitioned rank-shift self-joins (chained SMJs —
-  * the left side keeps its (doc, off) order, so each extra shift is one
-  * right-side sort, never a re-exchange), then the
+  * round: the three rank shifts are WINDOW LEADS over the checkpointed
+  * doc-partitioned level (offsets are dense per doc, so rank(off+i·k) ≡
+  * lead(rank, i·k) — zero joins, zero exchanges; r13, formerly three
+  * (doc, off)-keyed self-joins that Spark ≥3.3 re-exchanged per shift),
+  * then the
   * (rank, rank₊ₖ, rank₊₂ₖ, rank₊₃ₖ) tuples are dense-numbered in place
   * by [[denseNumberDenseCounted]] (ONE arithmetic-bucket hash exchange —
   * the leading key is the previous round's dense rank, so bucket =
@@ -36,9 +38,9 @@ import org.apache.spark.sql.functions._
   * bucket-count-row cumulated base broadcast, the [[Corpus.packGlobal]]
   * prefix-sum shape; dense_rank absorbs duplicates, so no distinct
   * pass). Radix 4 over the classic radix-2
-  * recurrence trades 2 cheap joins per round for HALF the numbering
-  * rounds (a numbering = exchange + window + materialization + bases
-  * pass costs 2-3× a shifted join). Rounds are log₄(longest repeated
+  * recurrence trades 2 cheap window leads per round for HALF the
+  * numbering rounds (a numbering = exchange + window + materialization +
+  * bases pass costs far more than a lead). Rounds are log₄(longest repeated
   * span), not log of corpus size: the loop exits as soon as every rank
   * class is a single suffix. Lineage is cut per round like the
   * [[Graph]] loops.
@@ -217,13 +219,15 @@ object SuffixArray {
     // level 0: dense rank of the token itself (vocabulary-sized sort)
     val (vocab, nVocab) = denseNumberCounted(
       tok.select(col("_saW")).distinct(), Seq(col("_saW")), "rank", b)
-    // each level is materialized doc-partitioned: the rank-shift
-    // self-join and the LCP walk read every level at least twice, and
-    // reading checkpoint blocks beats re-deriving the doc exchange under
-    // exchange reuse (measured: leaving levels lazy cost +40% at sf0.1)
+    // each level is materialized once: the shift window and the LCP walk
+    // read every level at least twice, and reading checkpoint blocks
+    // beats re-deriving it (measured: leaving levels lazy cost +40% at
+    // sf0.1). NOT pre-partitioned or pre-sorted (r13): on this Spark a
+    // localCheckpoint's LogicalRDD reports UnknownPartitioning — plan-
+    // verified — so every consumer re-exchanges regardless and a
+    // repartition/sort before the checkpoint is a pure extra exchange
     var cur = tok.join(vocab, Seq("_saW"))
       .select(col("doc"), col("off"), col("rank"))
-      .repartition(b, col("doc"))
       .localCheckpoint(true)
     val levels = Seq.newBuilder[DataFrame]
     levels += cur
@@ -240,28 +244,30 @@ object SuffixArray {
     while (k < math.min(maxLen, maxPrefix) && !done) {
       // radix 4: one numbering round QUADRUPLES the agreed prefix by
       // sorting on (rank(off), rank(off+k), rank(off+2k), rank(off+3k)).
-      // The numbering round (range exchange + window + materialization +
-      // bases pass) costs 2-3× a shifted self-join, so trading 2 extra
-      // doc-co-partitioned joins for HALF the rounds wins: construction
-      // measured 11.5 → 7.3 s at sf0.1, and at 100× the halved
-      // materializations dominate. The shifts are projections of the one
-      // checkpointed frame — chained SMJs keep the left side's
-      // (doc, off) order, so each extra shift adds one right-side sort,
-      // never a re-exchange. Padding rank 0 sorts below every real rank
-      // (the shared end-sentinel), exactly as in the radix-2 recurrence.
-      val shifted = (1 until radix).map { i =>
-        cur.select(col("doc"), (col("off") - lit(i * k)).as("off"),
-          col("rank").as(s"_saR$i"))
-      }
-      val j = shifted.zipWithIndex
-        .foldLeft(cur) { case (acc, (s, i)) =>
-          acc.join(s, Seq("doc", "off"), "left")
-            .withColumn(s"_saZ${i + 1}",
-              coalesce(col(s"_saR${i + 1}"), lit(0L)))
-            .drop(s"_saR${i + 1}")
-        }
-        .select(col("doc") +: col("off") +: col("rank") +:
-          (1 until radix).map(i => col(s"_saZ$i")): _*)
+      // The numbering round (exchange + window + materialization + bases
+      // pass) costs 2-3× a shift, so trading 2 extra shifts for HALF the
+      // rounds wins. The shifts are WINDOW LEADS, not self-joins (r13):
+      // token offsets are dense 0..len−1 per doc (posexplode), so
+      // rank(off + i·k) ≡ lead(rank, i·k) over (partition doc, order
+      // off) — ONE window pass computes all radix−1 shifts with zero
+      // joins. The former (doc, off)-keyed self-joins were re-exchanging
+      // BOTH doc-partitioned sides per shift on Spark 3.3+
+      // (requireAllClusterKeysForCoPartition defaults true: subset
+      // partitioning no longer counts as co-partitioned), i.e. 6
+      // corpus-sized exchanges per round where the window needs none —
+      // cur is checkpointed hash(doc)-partitioned, which satisfies the
+      // window's ClusteredDistribution(doc) exactly. An off-the-end lead
+      // is NULL → coalesce 0, the shared end-sentinel, exactly as the
+      // left joins produced.
+      val byDoc = Window.partitionBy(col("doc")).orderBy(col("off"))
+      val j = cur.select(Seq(col("doc"), col("off"), col("rank")) ++
+        (1 until radix).map { i =>
+          val sh = i.toLong * k
+          // a shift past any real doc length can only yield the sentinel
+          (if (sh <= Int.MaxValue && sh < maxLen)
+            coalesce(lead(col("rank"), sh.toInt).over(byDoc), lit(0L))
+          else lit(0L)).as(s"_saZ$i")
+        }: _*)
       // dense-number the full frame directly — dense_rank absorbs the
       // duplicate rank tuples, so no distinct + join-back pass; the
       // leading key is the previous round's dense rank, so the bucketing
@@ -273,7 +279,6 @@ object SuffixArray {
         "_saNew", b)
       cur = numbered
         .select(col("doc"), col("off"), col("_saNew").as("rank"))
-        .repartition(b, col("doc"))
         .localCheckpoint(true)
       levels += cur
       k *= radix
@@ -333,24 +338,28 @@ object SuffixArray {
     val sPre = 1L << (2 * jPre)
     val preOffs = ((0L until 3L).map(_ * sPre).filter(_ < minLen - sPre)
       :+ (minLen - sPre)).distinct
-    val lvlPre = ranked.levels(jPre)
+    // covering level-jPre ranks via window leads over the level (the r13
+    // dense-offset rewrite — zero per-offset joins); an offset falling
+    // off the doc leads to NULL, which the adjacency filter treats as
+    // can't-qualify (a suffix shorter than minLen can never carry an
+    // lcp ≥ minLen pair)
+    val leadW = Window.partitionBy(col("doc")).orderBy(col("off"))
+    val preKeys = ranked.levels(jPre).select(
+      Seq(col("doc"), col("off")) ++
+        preOffs.zipWithIndex.map { case (o, i) =>
+          (if (o == 0L) col("rank")
+          else lead(col("rank"), o.toInt).over(leadW)).as(s"_saJ$i")
+        }: _*)
     // total order: all (rank, doc, off) triples are distinct, so the
     // dense numbering is the SA position permutation; ranks are dense
-    // 1..nClasses from construction, so the arithmetic bucketing applies
-    val pos = preOffs.zipWithIndex
-      .foldLeft(denseNumberDenseCounted(ranked.full, col("rank"),
+    // 1..nClasses from construction, so the arithmetic bucketing applies.
+    // ONE (doc, off) join attaches the covering keys (both frames hold
+    // exactly one row per position)
+    val pos = denseNumberDenseCounted(ranked.full, col("rank"),
         ranked.nClasses,
         Seq(col("rank"), col("doc"), col("off")), "_saPos",
-        ranked.buckets)._1) {
-        case (acc, (o, i)) =>
-          // offset 0 always resolves (every position has a rank); later
-          // offsets may fall off the doc — left-join NULL, which the
-          // adjacency filter treats as can't-qualify (a suffix shorter
-          // than minLen can never carry an lcp ≥ minLen pair)
-          acc.join(lvlPre.select(col("doc"),
-            (col("off") - lit(o)).cast("int").as("off"),
-            col("rank").as(s"_saJ$i")), Seq("doc", "off"), "left")
-      }
+        ranked.buckets)._1
+      .join(preKeys, Seq("doc", "off"), "left")
       .localCheckpoint(true)
     val jCols = preOffs.indices.map(i => s"_saJ$i")
     val adj = pos.select((Seq(col("doc").as("doc_a"),
@@ -373,6 +382,14 @@ object SuffixArray {
     // the walk under-reported the full-doc tie by one (caught by the
     // equal-docs-at-power-lengths regression case; with the maxLen
     // bounds, capacity = ⌊maxLen/4^T⌋·4^T + 4^T − 1 ≥ maxLen always)
+    // the walk reads the construction's hash(doc)-partitioned levels
+    // directly. Measured and REJECTED (r13): (doc, off)-re-keyed sorted
+    // walk copies — which would let every probe SMJ skip the level-side
+    // exchange+sort — cost 4 extra corpus-sized materializations and
+    // read repeated_spans 12.6 → 16-18 s at sf0.1; the probe joins'
+    // level-side exchanges are deduped by ReusedExchange within the one
+    // walk query, so only the sorts remain, and they are cheaper than
+    // the checkpoints
     val walked = ranked.levels.zipWithIndex
       .filter { case (_, j) => (1L << (2 * j)) <= math.max(ranked.maxLen, 1L) }
       .reverse
@@ -449,22 +466,31 @@ object SuffixArray {
     val s = 1L << (2 * jj)
     // ⌈L/s⌉ level-jj ranks at offsets covering [0, L) (strides + one
     // final overlap key): tuple equality ⟺ the L-token windows are
-    // identical — ≤ 4 keys at the radix-4 level spacing. Inner joins are
-    // safe: a position missing any covering offset can't fit a full
-    // window, and the length gate drops it anyway.
+    // identical — ≤ 4 keys at the radix-4 level spacing. The covering
+    // ranks are WINDOW LEADS over the doc-partitioned level (offsets are
+    // dense per doc — the same r13 rewrite as the construction shifts;
+    // formerly one (doc, off)-keyed join per covering offset, each
+    // re-exchanging both sides under Spark ≥3.3 co-partition rules), and
+    // the doc length rides the same partitioning as an unordered count
+    // window instead of a groupBy + join. For every position passing the
+    // length gate all covering leads land inside the doc, so the lead
+    // form equals the former inner-join form row for row.
     val m = ((windowLen + s - 1) / s).toInt
     val offs = ((0 until m - 1).map(_.toLong * s) :+ (windowLen - s)).distinct
     val lvl = ranked.levels(jj)
-    val base = lvl.select(col("doc"), col("off"), col("rank").as("_saK0"))
-    offs.zipWithIndex.drop(1)
-      .foldLeft(base) { case (acc, (o, i)) =>
-        acc.join(lvl.select(col("doc"),
-          (col("off") - lit(o)).cast("int").as("off"),
-          col("rank").as(s"_saK$i")), Seq("doc", "off"))
-      }
-      .withColumn("_saCk", struct(offs.indices.map(i => col(s"_saK$i")): _*))
-      .join(docLens(ranked), Seq("doc"))
+    val leadW = Window.partitionBy(col("doc")).orderBy(col("off"))
+    // the doc length rides the SAME window spec (full-partition frame),
+    // so Spark plans ONE WindowExec per side instead of two
+    lvl.select(Seq(col("doc"), col("off"),
+        count(lit(1)).over(leadW.rowsBetween(
+          Window.unboundedPreceding, Window.unboundedFollowing))
+          .as("_saLen")) ++
+        offs.zipWithIndex.map { case (o, i) =>
+          (if (o == 0L) col("rank")
+          else lead(col("rank"), o.toInt).over(leadW)).as(s"_saK$i")
+        }: _*)
       .filter(col("off") + lit(windowLen.toLong) <= col("_saLen"))
+      .withColumn("_saCk", struct(offs.indices.map(i => col(s"_saK$i")): _*))
       .select(col("doc"), col("off"), col("_saCk"))
   }
 

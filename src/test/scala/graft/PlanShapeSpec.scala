@@ -954,14 +954,23 @@ class PlanShapeSpec extends SparkSpec {
     assert(readSchemas(df).isEmpty, s"spans re-read the corpus:\n$fmt")
   }
 
-  test("sa contamination: window classes join on covering rank-tuple keys, " +
-      "train side collapsed map-side before the join") {
+  test("sa contamination: window classes are LEADS over the checkpointed " +
+      "level (no per-offset joins), train side collapsed map-side before " +
+      "the class join") {
     val df = q("q_sa_contamination")
     val fmt = formatted(df)
     assert(fmt.contains("ExistingRDD"),
       "contamination lost the checkpointed level-table boundary")
     assert(countNodes(df, "CartesianProduct") === 0)
-    assert(countNodes(df, "Window") === 0)
+    // r13: the covering rank tuple is window leads over the
+    // doc-partitioned level — the only joins left are the one
+    // test-vs-train class join (plus its agg); the former one-join-per-
+    // covering-offset shape re-exchanged both sides per offset
+    assert(countNodes(df, "Window") <= 2,
+      s"windowClassKeys should be one lead window per side:\n$fmt")
+    assert(countNodes(df, "SortMergeJoin") + countNodes(df, "ShuffledHashJoin") +
+      countNodes(df, "BroadcastHashJoin") <= 1,
+      s"expected only the test-vs-train class join:\n$fmt")
     assert(mentions(df, "partial_count"),
       "train-side window-class collapse lost its map-side partial agg")
     assert(readSchemas(df).isEmpty,
@@ -981,15 +990,22 @@ class PlanShapeSpec extends SparkSpec {
       "exactKthByGroup should return a driver-literal result frame")
   }
 
-  test("cdc chunks: boundary explode prunes to text columns; one keyed " +
-      "window exchange; dedup adds one partial agg shuffle") {
+  test("cdc chunks: ONE native pass per payload — scan, project, " +
+      "posexplode; zero exchanges; dedup adds one partial agg shuffle") {
     val chunks = q("q_cdc_chunks")
     // only text+id reach the scan (payload derives from text)
     assert(readSchemas(chunks).forall(s =>
       s.contains("doc_id") && !s.contains("lang") && !s.contains("source")),
       s"cdc scan reads unused columns: ${readSchemas(chunks)}")
     assert(countNodes(chunks, "Generate") === 1,
-      "exactly one explode: the boundary-candidate positions")
+      "exactly one explode: the per-payload chunk array")
+    // r13: boundary scan + chunk assembly fused into cdc_chunks — the
+    // per-byte-position explode, the start∪boundary union, the payload
+    // re-join, and the per-media window shuffle are all gone
+    assert(countShuffles(chunks) === 0,
+      s"cdc chunking must be shuffle-free:\n${formatted(chunks)}")
+    assert(countNodes(chunks, "Window") === 0)
+    assert(countNodes(chunks, "Join") === 0)
     assert(countNodes(chunks, "CartesianProduct") === 0)
     val dedup = q("q_cdc_dedup")
     assert(mentions(dedup, "partial_count"),
