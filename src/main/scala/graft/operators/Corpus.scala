@@ -290,15 +290,28 @@ object Corpus {
       minCount: Int = 2): DataFrame = {
     require(k > 0, s"need k > 0, got $k")
     require(minCount >= 1, s"need minCount >= 1, got $minCount")
-    val tk = split(lower(text), "\\s+")
-    val pairs = docs.select(explode(when(size(tk) >= 2,
-        transform(sequence(lit(1), size(tk) - 1), i =>
-          struct(element_at(tk, i).as("w1"), element_at(tk, i + 1).as("w2"))))
+    // tokenization is PROJECTED once per row before the pair lambda
+    // (r13): expressions inside a higher-order-function lambda are not
+    // common-subexpression-eliminated, so inlining `split` in the
+    // element_at calls re-tokenized the document per element —
+    // O(tokens²·len) per doc (CollapseProject keeps the projection: the
+    // alias is non-cheap and multiply referenced)
+    val toks = docs.select(split(lower(text), "\\s+").as("_clT"))
+    val tkc = col("_clT")
+    val pairs = toks.select(explode(when(size(tkc) >= 2,
+        transform(sequence(lit(1), size(tkc) - 1), i =>
+          struct(element_at(tkc, i).as("w1"),
+            element_at(tkc, i + 1).as("w2"))))
       .otherwise(expr("array()")
         .cast("array<struct<w1:string,w2:string>>"))).as("_clP"))
       .select(col("_clP.w1").as("w1"), col("_clP.w2").as("w2"))
-    val uni = docs.select(explode(tk).as("w"))
+    // materialized once (r13): both score joins (cnt_x, cnt_y) consume
+    // it, and plan inspection showed exchange reuse does NOT fire across
+    // the w1/w2 branches — un-materialized, the corpus-wide token
+    // explode + count ran twice
+    val uni = toks.select(explode(tkc).as("w"))
       .groupBy("w").agg(count(lit(1)).as("c"))
+      .localCheckpoint(true)
     val bi = pairs.groupBy("w1", "w2").agg(count(lit(1)).as("cnt_xy"))
       .filter(col("cnt_xy") >= minCount)
     val num = col("cnt_xy").cast("decimal(38,0)") * col("cnt_xy") * lit(1000000L)

@@ -144,14 +144,12 @@ object Graph {
     require(scale > 0, s"need scale > 0, got $scale")
     val e = edges.select(col("src").cast("long").as("src"),
       col("dst").cast("long").as("dst"))
-    // one pre-partitioned copy per join side, materialized once — without
-    // them every half-round re-shuffles the EDGE list (the only
-    // edge-sized frame in the loop); with them only the node-sized state
-    // moves per half-round. The dst copy derives from the CHECKPOINTED
-    // src copy, not from `e` — otherwise the caller's un-materialized
-    // edge subtree executes twice (r13, guide §1.2-1)
-    val eBySrc = e.repartition(col("src")).localCheckpoint(true)
-    val eByDst = eBySrc.repartition(col("dst")).localCheckpoint(true)
+    // ONE edge checkpoint serves both half-round join sides (r13): a
+    // localCheckpoint's LogicalRDD reports UnknownPartitioning on this
+    // Spark (plan-verified), so pre-partitioned per-side copies bought
+    // nothing — every half-round join re-exchanges the cached rows
+    // either way, and the second materialization was pure cost
+    val eCk = e.localCheckpoint(true)
     // exact ⌊(raw·scale)/mx⌋: strip the remainder so the decimal divide is
     // of an exact multiple (the Corpus.ceilDivExact trick, floor flavor)
     def norm(raw: Column, mx: Column): Column = {
@@ -160,15 +158,14 @@ object Graph {
       ((a - pmod(a, b)) / b).cast("long")
     }
     def halfRound(state: DataFrame, joinKey: String, outKey: String): DataFrame = {
-      val side = if (joinKey == "src") eBySrc else eByDst
-      val raw = side.join(state.withColumnRenamed("node", joinKey), joinKey)
+      val raw = eCk.join(state.withColumnRenamed("node", joinKey), joinKey)
         .groupBy(col(outKey).as("node")).agg(sum(col("score")).as("_hRaw"))
       val mx = raw.agg(max(col("_hRaw")).as("_hMx"))
       raw.crossJoin(broadcast(mx))
         .select(col("node"), norm(col("_hRaw"), col("_hMx")).as("score"))
         .localCheckpoint(true)
     }
-    val hubs0 = eBySrc.select(col("src").as("node")).distinct()
+    val hubs0 = eCk.select(col("src").as("node")).distinct()
       .select(col("node"), lit(scale).as("score"))
       .localCheckpoint(true)
     val (auths, hubs) = (1 to iters).foldLeft((hubs0, hubs0)) {
@@ -219,9 +216,11 @@ object Graph {
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node"))).distinct()
       .localCheckpoint(true)
+    // no pre-partitioning before the checkpoint (r13): the per-round
+    // join re-exchanges the cached rows regardless (UnknownPartitioning
+    // from the checkpoint), so the repartition was a pure extra exchange
     val eplus = e
       .union(nodes.select(col("node").as("src"), col("node").as("dst")))
-      .repartition(col("dst"))
       .localCheckpoint(true)
     val regs0 = graft.functions.Sketches.hllRegisters(
       nodes, col("node").cast("string"), p, strata = Seq("node"))
@@ -318,13 +317,14 @@ object Graph {
     */
   def labelPropagation(edges: DataFrame, rounds: Int): DataFrame = {
     require(rounds >= 0, s"need rounds >= 0, got $rounds")
+    // no pre-partitioning before the checkpoints (r13, as in rankLoop):
+    // checkpoint partitioning is not visible downstream on this Spark
     val e = edges.select(col("src").cast("long").as("src"),
         col("dst").cast("long").as("dst"))
-      .repartition(col("src"))
       .localCheckpoint(true)
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node")))
-      .distinct().repartition(col("node")).localCheckpoint(true)
+      .distinct().localCheckpoint(true)
     val l0 = nodes.select(col("node"), col("node").as("lbl"))
     (1 to rounds).foldLeft(l0.localCheckpoint(true)) { (labels, _) =>
       val votes = e.join(labels.withColumnRenamed("node", "src"), "src")
@@ -363,7 +363,6 @@ object Graph {
     require(rounds >= 0, s"need rounds >= 0, got $rounds")
     val e = edges.select(col("src").cast("long").as("src"),
         col("dst").cast("long").as("dst"))
-      .repartition(col("src"))
       .localCheckpoint(true)
     val d0 = seeds.select(col("node").cast("long").as("node")).distinct()
       .select(col("node"), lit(0L).as("dist"))
@@ -442,7 +441,6 @@ object Graph {
     // more than the saved exchanges). Raw checkpoint blocks re-shuffle
     // cheaper than a columnar cache reads.
     val eOut = e.join(e.groupBy("src").agg(count(lit(1)).as("_prD")), "src")
-      .repartition(col("src"))
       .localCheckpoint(true)
     // warm-start mode widens the universe with standing nodes (a page
     // ranked in an earlier refresh stays ranked even if the current edge
@@ -467,7 +465,7 @@ object Graph {
             .distinct(),
           Seq("node"), "full_outer")
         .select(col("node"), coalesce(col("_prT"), lit(false)).as("_prT"))
-    }.repartition(col("node")).localCheckpoint(true)
+    }.localCheckpoint(true)
     val base = scale * (dampDen - dampNum) / dampDen
     val baseCol = when(col("_prT"), lit(base)).otherwise(lit(0L))
     val coldR0 = when(col("_prT"), lit(scale)).otherwise(lit(0L))
