@@ -150,20 +150,28 @@ object Bench {
     // explicitly — the standing 100× sweep writes BENCH_100x.json with it
     val named = sys.env.getOrElse("SPARK_GRAFT_ARTIFACT",
       if (only.isDefined) "BENCH_PARTIAL.json" else "BENCH_FULL.json")
-    // a sweep the artifact itself disavows must not BECOME the canonical
-    // artifact: a contended run targeting BENCH_FULL.json is diverted to
-    // BENCH_CONTENDED.json so the standing numbers stay machine-clean.
-    // SPARK_GRAFT_ALLOW_CONTENDED=1 overrides (emergencies only)
-    val artifact =
-      if (named == "BENCH_FULL.json" && contended &&
-          sys.env.getOrElse("SPARK_GRAFT_ALLOW_CONTENDED", "0") != "1") {
-        System.err.println("[bench] sweep flagged CONTENDED — refusing to " +
-          "overwrite BENCH_FULL.json; writing BENCH_CONTENDED.json " +
-          "(SPARK_GRAFT_ALLOW_CONTENDED=1 overrides)")
-        "BENCH_CONTENDED.json"
-      } else named
-    val out = new java.io.PrintWriter(artifact)
-    try out.println(fullJson) finally out.close()
+    // r13 lesson: the caller-named artifact ALWAYS gets the full per-query
+    // JSON. The old refusal gate diverted a contended sweep targeting
+    // BENCH_FULL.json to BENCH_CONTENDED.json — which hid the r13 driver's
+    // own 32-core per-query data from the adjudicator (its 8-core sweep
+    // then overwrote the diverted copy too). The contended verdict is
+    // recorded INSIDE the JSON (calibration.contended), so the reader can
+    // judge the sweep; protection of the git-committed canonical copy is
+    // git's job, not a data-custody divert's. A contended full-suite sweep
+    // additionally mirrors to BENCH_CONTENDED.json so a later clean run
+    // can overwrite BENCH_FULL.json without losing the flagged evidence.
+    val artifact = named
+    def writeArtifact(path: String): Unit = {
+      val out = new java.io.PrintWriter(path)
+      try out.println(fullJson) finally out.close()
+    }
+    writeArtifact(artifact)
+    if (named == "BENCH_FULL.json" && contended) {
+      System.err.println("[bench] sweep flagged CONTENDED — " +
+        "BENCH_FULL.json written with calibration.contended=true; " +
+        "flagged mirror kept at BENCH_CONTENDED.json")
+      writeArtifact("BENCH_CONTENDED.json")
+    }
     // "slowest", not "queries": the stdout map is truncated to 20 entries,
     // and reusing the full-map field name would let an old parser silently
     // read partial data — the complete map lives in BENCH_FULL.json

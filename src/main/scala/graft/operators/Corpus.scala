@@ -1379,6 +1379,12 @@ object Corpus {
       .select(col("doc_id"),
         coalesce(col("_anchor"), col("doc_id")).as("anchor"),
         coalesce(col("_w"), lit(0L)).as("_w"))
+    // NOT checkpointed (r14 denseNumber call-site audit, measured): the
+    // range numbering's sampling pass does re-execute this docs⋈pairs
+    // subtree once, but pairs is node-sized and checkpointed by the
+    // caller, so the re-execution is a pruned scan + broadcast join —
+    // cheaper than materializing a corpus-sized 3-column frame
+    // (checkpointing it read q_icp_pack 6.20 → 7.04 s isolated)
     SuffixArray.denseNumber(lab, Seq(col("anchor"), col("_w")), "icp_pos", 32)
       .select(col("doc_id"), col("anchor"), col("icp_pos"))
   }
@@ -1416,6 +1422,10 @@ object Corpus {
       .select(col("doc_id"),
         coalesce(-col("_iaB._iaG"), col("doc_id")).as("anchor"),
         coalesce(col("_iaB._iaP"), lit(Long.MaxValue)).as("_iaK"))
+      // arrivals-sized; materialized so the range numbering's sampling
+      // pass re-reads a block instead of re-running the candidate join +
+      // argmax agg (the denseNumber call-site audit, r14)
+      .localCheckpoint(true)
     SuffixArray.denseNumber(best, Seq(col("_iaK"), col("doc_id")), "_iaR", 32)
       .select(col("doc_id"), col("anchor"),
         (lit(basePos) + col("_iaR")).as("icp_pos"))

@@ -131,8 +131,12 @@ object Multimodal {
     * the payload re-join, and the per-media window shuffle all gone: the
     * query plan is scan → project → posexplode, ZERO exchanges
     * (plan-pinned). Empty payloads yield one zero-length chunk (md5 of
-    * the empty string, engine-portable). Output: (media_id, chunk_no,
-    * start, chunk_len, chunk_md5).
+    * the empty string, engine-portable). NULL payloads yield NO rows —
+    * `cdc_chunks(null)` is null and posexplode drops the media (r13
+    * advisory: the pre-r13 relational form emitted one all-NULL chunk row
+    * per null-payload media; this drop-null contract is the operator's
+    * documented behavior — filter upstream if null media must survive).
+    * Output: (media_id, chunk_no, start, chunk_len, chunk_md5).
     */
   def cdcChunks(media: DataFrame, windowBytes: Int, maskBits: Int): DataFrame = {
     require(windowBytes >= 1, s"need windowBytes >= 1, got $windowBytes")

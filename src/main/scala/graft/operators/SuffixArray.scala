@@ -122,7 +122,14 @@ object SuffixArray {
   private[graft] def denseNumberDenseLocal(df: DataFrame, primary: Column,
       primaryClasses: Long, keys: Seq[Column], buckets: Int): DataFrame = {
     val c = math.max(primaryClasses, 1L)
-    val nb = math.max(math.min(8L * buckets, c), 1L)
+    // nb is additionally clamped so (c−1)·nb can never overflow Long
+    // (r13 advisory): at 100 TB scale c is corpus-position-sized (~1e12)
+    // and an unclamped 8·buckets could push the product past 2^63,
+    // wrapping negative and silently breaking bucket monotonicity. The
+    // clamp only coarsens bucket granularity when c·buckets approaches
+    // 2^63 — ordering is unaffected (bucket = ⌊(primary−1)·nb/c⌋ stays
+    // monotone for any nb ≥ 1).
+    val nb = math.max(math.min(math.min(8L * buckets, c), Long.MaxValue / c), 1L)
     // integer div, NOT `/` (which is a double divide and loses exactness
     // past 2^53 — reachable by rank·nb at corpus scale)
     df.withColumn("_dnW", (primary.cast("long") - lit(1L)) * lit(nb))
@@ -216,9 +223,15 @@ object SuffixArray {
     val b = if (buckets > 0) buckets else autoBuckets(n, tok)
     val maxRow = tok.agg(max(col("off"))).head
     val maxLen = if (maxRow.isNullAt(0)) 0L else maxRow.getInt(0).toLong + 1L
-    // level 0: dense rank of the token itself (vocabulary-sized sort)
+    // level 0: dense rank of the token itself (vocabulary-sized sort).
+    // The distinct is materialized FIRST (r14): the range form's
+    // boundary-sampling pass executes its input subtree once before the
+    // real exchange runs it again — un-materialized, that was one extra
+    // full distinct-aggregation over the corpus token frame; checkpointed,
+    // the sampling re-reads a vocabulary-sized block instead.
     val (vocab, nVocab) = denseNumberCounted(
-      tok.select(col("_saW")).distinct(), Seq(col("_saW")), "rank", b)
+      tok.select(col("_saW")).distinct().localCheckpoint(true),
+      Seq(col("_saW")), "rank", b)
     // each level is materialized once: the shift window and the LCP walk
     // read every level at least twice, and reading checkpoint blocks
     // beats re-deriving it (measured: leaving levels lazy cost +40% at
@@ -254,11 +267,12 @@ object SuffixArray {
       // BOTH doc-partitioned sides per shift on Spark 3.3+
       // (requireAllClusterKeysForCoPartition defaults true: subset
       // partitioning no longer counts as co-partitioned), i.e. 6
-      // corpus-sized exchanges per round where the window needs none —
-      // cur is checkpointed hash(doc)-partitioned, which satisfies the
-      // window's ClusteredDistribution(doc) exactly. An off-the-end lead
-      // is NULL → coalesce 0, the shared end-sentinel, exactly as the
-      // left joins produced.
+      // corpus-sized exchanges per round. The window is NOT free — cur is
+      // a localCheckpoint whose LogicalRDD reports UnknownPartitioning on
+      // this Spark (plan-verified, ProbeSortedCheckpoint), so the window
+      // pays ONE hash(doc) exchange per round — but one exchange replaces
+      // the former six. An off-the-end lead is NULL → coalesce 0, the
+      // shared end-sentinel, exactly as the left joins produced.
       val byDoc = Window.partitionBy(col("doc")).orderBy(col("off"))
       val j = cur.select(Seq(col("doc"), col("off"), col("rank")) ++
         (1 until radix).map { i =>

@@ -398,6 +398,38 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("JaccardIndex overloads: jaccardPairs(index) and jaccardPairsAgainst(new, index) " +
+      "equal the direct two-frame forms row for row") {
+    // the r14 gram-sharing overloads (q_icp_attach tokenizes the standing
+    // corpus ONCE) must be pure plan sharing — identical output to the
+    // direct forms on a corpus with near-dups, fresh unseen tokens, and
+    // docs shorter than the shingle width
+    val rnd = new scala.util.Random(59)
+    val words = Seq("red", "fish", "blue", "bird", "green", "cat", "dog", "run")
+    val corpus = Seq.fill(35)((0 until (2 + rnd.nextInt(12)))
+      .map(_ => words(rnd.nextInt(words.size))).mkString(" "))
+    val fresh = corpus.take(7).map(t =>
+      (t.split(" ").take(6) ++ Seq("novel" + rnd.nextInt(100))).mkString(" "))
+    val oldDocs = corpus.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    val newDocs = fresh.zipWithIndex.map { case (t, i) => (1000L + i, t) }
+      .toDF("doc_id", "text")
+    for ((num, den) <- Seq((1, 2), (3, 10))) {
+      val idx = Dedup.jaccardIndex(oldDocs, "doc_id", "text", 3, num, den)
+      val selfDirect = Dedup.jaccardPairs(oldDocs, "doc_id", "text", 3, num, den)
+        .as[(Long, Long, Long, Long, Long)].collect().toSet
+      val selfIdx = Dedup.jaccardPairs(idx)
+        .as[(Long, Long, Long, Long, Long)].collect().toSet
+      assert(selfIdx === selfDirect, s"self-join tau=$num/$den mismatch")
+      val agDirect = Dedup.jaccardPairsAgainst(newDocs, oldDocs,
+          "doc_id", "text", 3, num, den)
+        .as[(Long, Long, Long, Long, Long)].collect().toSet
+      val agIdx = Dedup.jaccardPairsAgainst(newDocs, idx, "doc_id", "text", 3)
+        .as[(Long, Long, Long, Long, Long)].collect().toSet
+      assert(agIdx === agDirect, s"against tau=$num/$den mismatch")
+    }
+  }
+
   test("resolveFuzzyEntities: transitive chains share one canonical; singletons self-map") {
     // aaaa—aaab—aabb chain under maxDist=1: the ends are distance 2 apart
     // yet must land in ONE component via the middle link

@@ -185,6 +185,25 @@ class SuffixArraySpec extends SparkSpec {
     assert(emptyN === 0L && emptyDf.isEmpty)
   }
 
+  test("denseNumberDenseCounted: corpus-position-scale class counts do not " +
+      "overflow the bucket product (r13 advisory clamp)") {
+    // c·nb would exceed Long.MaxValue unclamped: c ~ 2^61 with buckets = 6
+    // gives 8·6·2^61 ≫ 2^63, wrapping _dnW negative and breaking bucket
+    // monotonicity. With the clamp nb = min(8·buckets, c, MaxValue/c)
+    // (here: 4) the ranks must still be exact.
+    val c = Long.MaxValue / 4 // forces nb ≤ 4 via the MaxValue/c clamp
+    val sparse = Seq(1L, 2L, c / 2, c - 1L, c) // dense-in-principle ids, huge span
+    val rows = sparse.flatMap(p => Seq((p, 0L), (p, 1L)))
+    val df = rows.toDF("k1", "k2")
+    val keys = Seq(col("k1"), col("k2"))
+    val (got, n) = SuffixArray.denseNumberDenseCounted(df, col("k1"), c, keys, "dn", 6)
+    val expect = rows.distinct.sorted.zipWithIndex
+      .map { case (k, i) => k -> (i + 1L) }.toMap
+    val out = got.as[(Long, Long, Long)].collect()
+    assert(n === rows.distinct.size.toLong)
+    assert(out.forall { case (a, b, dn) => expect((a, b)) == dn })
+  }
+
   test("contaminatedSpans equals brute-force verbatim window matching, " +
       "multiset counts and least witness included") {
     val corpus = randomCorpus(23, 30)

@@ -44,6 +44,16 @@ python3 tools/compare.py "$SF_DIR" "$OUT_DIR" || fail=1
 step "bench100x_totals.py --check"
 python3 tools/bench100x_totals.py --check || fail=1
 
+# r13 verdict #8: the bench's two JSON surfaces (stdout line + artifact)
+# are the driver's only machine numbers — round-trip the standing
+# artifact so a format drift is caught here, not in an adjudication
+step "check_bench_json.py BENCH_FULL.json"
+if [[ -f BENCH_FULL.json ]]; then
+  python3 tools/check_bench_json.py BENCH_FULL.json || fail=1
+else
+  echo "BENCH_FULL.json absent — skipped"
+fi
+
 step "git status --porcelain"
 dirty="$(git status --porcelain)"
 if [[ -n "$dirty" ]]; then
