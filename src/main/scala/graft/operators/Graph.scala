@@ -534,6 +534,18 @@ object Graph {
     var round = 0
     var done = false
     while (round < maxRounds && !done) {
+      // full-edges anti-joins per round, NOT a shrinking materialized
+      // pool: the shrinking-avail variant (anti-join the standing avail
+      // against only the round's matches, checkpoint per round — the r13
+      // deferred probe #4) was measured and REJECTED at BOTH scale
+      // points (r14, back-to-back min_of_2): sf0.1 q_mutual_match
+      // 6.15 → 6.08 reverted-vs-shrinking same-window (neutral) and
+      // 10× scale10 q_mutual_match 15.00 → 15.61 / q_icp_attach
+      // 24.51 → 26.93 (worse) — the per-round edge-sized checkpoint
+      // write never repays the two anti-joins it saves; those plan as
+      // hash probes of the static checkpointed edge list against
+      // node-sized match tables and shrink their OUTPUT (not their
+      // input) as the pool empties
       val avail =
         if (matched == null) edges
         else edges

@@ -108,11 +108,19 @@ object SuffixArray {
     * into partitions is balls-into-bins — finer buckets smooth the
     * per-partition load that a 1:1 assignment would leave ~37% idle.
     */
+  /** `keep` (dense form only): project the staged frame down to these
+    * columns (plus the numbering internals) BEFORE the checkpoint — the
+    * sort keys are dead once the local dense rank is computed, and the
+    * construction loop's radix tuples would otherwise materialize
+    * radix+1 corpus-sized long columns per round that nothing reads
+    * back (guide §2.3: shuffle/materialize fewer bytes). Empty = keep
+    * every input column (the generic contract).
+    */
   private[graft] def denseNumberDenseCounted(df: DataFrame, primary: Column,
       primaryClasses: Long, keys: Seq[Column], outCol: String,
-      buckets: Int): (DataFrame, Long) =
+      buckets: Int, keep: Seq[Column] = Nil): (DataFrame, Long) =
     denseNumberCountedImpl(df, keys, outCol, buckets,
-      densePrimary = Some((primary, primaryClasses)))
+      densePrimary = Some((primary, primaryClasses)), keep = keep)
 
   /** The pre-checkpoint stage of the dense-primary numbering (bucket
     * column + local dense rank) — extracted so PlanShapeSpec can pin the
@@ -142,7 +150,8 @@ object SuffixArray {
 
   private def denseNumberCountedImpl(df: DataFrame, keys: Seq[Column],
       outCol: String, buckets: Int,
-      densePrimary: Option[(Column, Long)] = None): (DataFrame, Long) = {
+      densePrimary: Option[(Column, Long)] = None,
+      keep: Seq[Column] = Nil): (DataFrame, Long) = {
     // materialized ONCE before fan-out: the bases collect and the
     // final join would otherwise re-evaluate the exchange, and (range
     // form) a re-sampled boundary set (the input's partition-internal
@@ -151,7 +160,7 @@ object SuffixArray {
     // offset. Bases cumulate in _dnP order, which is the key-range order
     // in BOTH forms: range partition ids ascend with the keys, and the
     // dense-primary bucket is monotone in the leading key.
-    val staged = densePrimary match {
+    val staged0 = densePrimary match {
       case Some((primary, c)) =>
         denseNumberDenseLocal(df, primary, c, keys, buckets)
       case None =>
@@ -160,6 +169,8 @@ object SuffixArray {
           .withColumn("_dnL", dense_rank().over(
             Window.partitionBy(col("_dnP")).orderBy(keys: _*)).cast("long"))
     }
+    val staged = if (keep.isEmpty) staged0
+      else staged0.select(keep :+ col("_dnP") :+ col("_dnL"): _*)
     val local = staged.localCheckpoint(true)
     val perPart = local.groupBy("_dnP").agg(max(col("_dnL")).as("_dnN"))
       .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
@@ -286,11 +297,19 @@ object SuffixArray {
       // duplicate rank tuples, so no distinct + join-back pass; the
       // leading key is the previous round's dense rank, so the bucketing
       // is arithmetic (one exchange, no boundary-sampling re-execution
-      // of the join chain — see denseNumberDenseCounted)
+      // of the join chain — see denseNumberDenseCounted).
+      // keep = (doc, off): the radix sort keys are dead after the local
+      // rank, so the numbering's internal materialization carries 4
+      // narrow columns instead of radix+3 (r14, guide §2.3). The level
+      // itself stays a CHECKPOINT: a view over the numbering's blocks
+      // was measured WORSE (q_suffix_ranks 6.84 → 8.11 s isolated) —
+      // the construction reads each level ≥ 2× (shift window + next
+      // numbering) and the walk ~6×, so re-paying the bases broadcast
+      // join + project per read costs more than the narrow second write
       val (numbered, classes) = denseNumberDenseCounted(j,
         col("rank"), prevClasses,
         col("rank") +: (1 until radix).map(i => col(s"_saZ$i")),
-        "_saNew", b)
+        "_saNew", b, keep = Seq(col("doc"), col("off")))
       cur = numbered
         .select(col("doc"), col("off"), col("_saNew").as("rank"))
         .localCheckpoint(true)
@@ -372,7 +391,7 @@ object SuffixArray {
     val pos = denseNumberDenseCounted(ranked.full, col("rank"),
         ranked.nClasses,
         Seq(col("rank"), col("doc"), col("off")), "_saPos",
-        ranked.buckets)._1
+        ranked.buckets, keep = Seq(col("doc"), col("off")))._1
       .join(preKeys, Seq("doc", "off"), "left")
       .localCheckpoint(true)
     val jCols = preOffs.indices.map(i => s"_saJ$i")
@@ -396,14 +415,24 @@ object SuffixArray {
     // the walk under-reported the full-doc tie by one (caught by the
     // equal-docs-at-power-lengths regression case; with the maxLen
     // bounds, capacity = ⌊maxLen/4^T⌋·4^T + 4^T − 1 ≥ maxLen always)
-    // the walk reads the construction's hash(doc)-partitioned levels
-    // directly. Measured and REJECTED (r13): (doc, off)-re-keyed sorted
-    // walk copies — which would let every probe SMJ skip the level-side
-    // exchange+sort — cost 4 extra corpus-sized materializations and
-    // read repeated_spans 12.6 → 16-18 s at sf0.1; the probe joins'
-    // level-side exchanges are deduped by ReusedExchange within the one
-    // walk query, so only the sorts remain, and they are cheaper than
-    // the checkpoints
+    // the walk reads the construction's levels directly, and the probes
+    // stay sort-merge joins. Measured and REJECTED variants:
+    //  - (r13) (doc, off)-re-keyed sorted walk copies — which would let
+    //    every probe SMJ skip the level-side exchange+sort — cost 4
+    //    extra corpus-sized materializations and read repeated_spans
+    //    12.6 → 16-18 s at sf0.1; the probe joins' level-side exchanges
+    //    are deduped by ReusedExchange within the one walk query.
+    //  - (r14, the verdict's bigger-SF re-probe) SHUFFLE_HASH hints on
+    //    the level sides — the idea being the pair frame (whose key
+    //    off+lcp changes per probe, so its sort is never reusable)
+    //    would stream with no sort while the level side hash-builds.
+    //    REJECTED at BOTH scale points, back-to-back min_of_2:
+    //    sf0.1 ~12 → 16.1 s, 10× scale10 46.8 → 55.7 s. The level-side
+    //    hash build per probe (rebuilt per probe — only exchanges are
+    //    reused, not hash relations) costs more than the sorts it
+    //    saves. The walk-copies crossover question is settled the same
+    //    way: the level side is NOT the bottleneck; the pair-side
+    //    per-probe re-sort is inherent to the changing key.
     val walked = ranked.levels.zipWithIndex
       .filter { case (_, j) => (1L << (2 * j)) <= math.max(ranked.maxLen, 1L) }
       .reverse
@@ -506,6 +535,12 @@ object SuffixArray {
       .filter(col("off") + lit(windowLen.toLong) <= col("_saLen"))
       .withColumn("_saCk", struct(offs.indices.map(i => col(s"_saK$i")): _*))
       .select(col("doc"), col("off"), col("_saCk"))
+      // every caller (keep-first, contamination, ∞-gram) consumes the
+      // class keys TWICE (class agg + position side), and only the
+      // exchange below the window is reusable — un-materialized, the
+      // sort + WindowExec + lead pass ran once per consumer (r14). The
+      // checkpoint is ≤ (doc, off, 4 longs) per qualifying position.
+      .localCheckpoint(true)
   }
 
   /** Keep-first exact-substring dedup apply — the Lee et al. 2021

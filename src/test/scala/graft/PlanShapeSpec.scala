@@ -1216,6 +1216,39 @@ class PlanShapeSpec extends SparkSpec {
       s"numbering must never collapse to one partition:\n$fmt")
   }
 
+  test("jaccard index: both consumers read ONLY the index's checkpoints — " +
+      "the standing corpus is tokenized once, at index build") {
+    // the r14 q_icp_attach fix: jaccardPairs(idx) + jaccardPairsAgainst(
+    // arrivals, idx) share one gram inventory. The claims that die here:
+    // "a consumer re-derives grams from the raw corpus" (a Generate/
+    // explode or parquet scan would appear in its plan instead of the
+    // checkpoint scans) and "an index artifact is a lazy view" (its plan
+    // would be a derivation subtree, re-executed per consumer, instead
+    // of one ExistingRDD block scan).
+    import org.apache.spark.sql.functions._
+    val docs = graft.queries.Tables.t(spark, sf, "documents")
+      .limit(200).localCheckpoint(true)
+    val arrivals = docs.filter(col("doc_id") % 10 === 0)
+    val idx = graft.operators.Dedup.jaccardIndex(
+      docs.filter(col("doc_id") % 10 =!= 0), "doc_id", "text", 3, 1, 2)
+    for ((art, n) <- Seq(idx.grams -> "grams", idx.gdf -> "gdf",
+        idx.pref -> "pref", idx.sets -> "sets")) {
+      val fmt = formatted(art)
+      assert(countNodes(art, "Scan ExistingRDD") === 1 &&
+        countNodes(art, "Generate") === 0 && countShuffles(art) === 0,
+        s"index.$n is not a materialized checkpoint:\n$fmt")
+    }
+    val self = graft.operators.Dedup.jaccardPairs(idx)
+    assert(countNodes(self, "Generate") === 0 &&
+      countNodes(self, "Scan parquet") === 0,
+      s"self-join re-tokenizes:\n${formatted(self)}")
+    val ag = graft.operators.Dedup.jaccardPairsAgainst(
+      arrivals, idx, "doc_id", "text", 3)
+    assert(countNodes(ag, "Generate") === 0 &&
+      countNodes(ag, "Scan parquet") === 0,
+      s"against-join re-tokenizes:\n${formatted(ag)}")
+  }
+
   test("ivf assignment (small index): corpus never shuffles; both levels ride 1-row broadcast packs") {
     // q_assign_ivf's 16×64-float index sits under the shardBytes
     // dispatch, so the fine level is the single map row — the corpus
