@@ -210,7 +210,7 @@ object SuffixArray {
     */
   private[graft] final case class Ranked(full: DataFrame,
       levels: Seq[DataFrame], maxLen: Long, buckets: Int,
-      nClasses: Long) {
+      nClasses: Long, positions: Long) {
     /** Prefix width of `levels(j)`. */
     def step(j: Int): Long = 1L << (2 * j)
   }
@@ -318,7 +318,7 @@ object SuffixArray {
       prevClasses = classes
       done = classes == n
     }
-    Ranked(cur, levels.result(), maxLen, b, prevClasses)
+    Ranked(cur, levels.result(), maxLen, b, prevClasses, n)
   }
 
   /** (doc_id, off, srank): the global rank of the suffix of `doc_id`
@@ -433,25 +433,77 @@ object SuffixArray {
     //    saves. The walk-copies crossover question is settled the same
     //    way: the level side is NOT the bottleneck; the pair-side
     //    per-probe re-sort is inherent to the changing key.
+    // The per-level extension runs in one of two MEASURED-equivalent
+    // shapes, picked by corpus size (r14; both spec-pinned against brute
+    // force, crossover measured back-to-back min_of_2 at both SFs):
+    //
+    //  - LEAD form (big corpora): probe i of a level compares the level
+    //    ranks at offset off+lcp+i·step ≡ lead(rank, i·step) over the
+    //    doc-dense offsets — the same identity the construction shifts
+    //    ride — so ONE join per level and side replaces the ~3
+    //    sequential probe SMJs, and the sequential probes are EXACTLY
+    //    the consecutive-match count (after a failed probe the remaining
+    //    probes of that level re-join at the unchanged lcp and
+    //    deterministically fail the same comparison). 10× scale10:
+    //    50.8 → 43.2 s (1.17×) — the walk is stage-latency-bound there,
+    //    so the 2 saved driver-sequenced stages per level dominate.
+    //  - SEQUENTIAL form (small corpora): the lead form's two full-level
+    //    window sorts per level cost more than the saved stages when the
+    //    level fits a few tasks — sf0.1: 11.9 → 13.5 s the wrong way.
+    //
+    // The switch is input-derived (positions ≥ ~1M ⇒ lead), overridable
+    // via spark.graft.sa.walkLeadMinPositions for tests/deployments; at
+    // the 100 TB target the lead form is always selected.
+    val leadThreshold = docs.sparkSession.conf
+      .getOption("spark.graft.sa.walkLeadMinPositions")
+      .map(_.toLong).getOrElse(1L << 20)
+    val useLead = ranked.positions >= leadThreshold
     val walked = ranked.levels.zipWithIndex
       .filter { case (_, j) => (1L << (2 * j)) <= math.max(ranked.maxLen, 1L) }
       .reverse
       .foldLeft(adj) { case (c0, (lvl, j)) =>
         val step = 1L << (2 * j)
-        val probes = math.min(3L, math.max(ranked.maxLen, 1L) / step)
-        val ra = lvl.select(col("doc").as("doc_a"),
-          col("off").as("_saOa"), col("rank").as("_saRa"))
-        val rb = lvl.select(col("doc").as("doc_b"),
-          col("off").as("_saOb"), col("rank").as("_saRb"))
-        (1L to probes).foldLeft(c0) { (c, _) =>
-          c.withColumn("_saOa", (col("off_a") + col("lcp")).cast("int"))
-            .join(ra, Seq("doc_a", "_saOa"), "left")
+        val probes = math.min(3L, math.max(ranked.maxLen, 1L) / step).toInt
+        if (useLead) {
+          val leadW = Window.partitionBy(col("doc")).orderBy(col("off"))
+          def sided(side: String) = lvl.select(
+            Seq(col("doc").as(s"doc_$side"), col("off").as(s"_saO$side")) ++
+              (0 until probes).map { i =>
+                val sh = i.toLong * step
+                // a shift past any real doc can only miss: NULL, like
+                // the former off-the-end join miss
+                (if (sh == 0L) col("rank")
+                else if (sh <= Int.MaxValue && sh < ranked.maxLen)
+                  lead(col("rank"), sh.toInt).over(leadW)
+                else lit(null).cast("long")).as(s"_saR$side$i")
+              }: _*)
+          def m(i: Int): Column =
+            col(s"_saRa$i").isNotNull && col(s"_saRa$i") === col(s"_saRb$i")
+          def ext(i: Int): Column =
+            if (i >= probes) lit(0L)
+            else when(m(i), lit(1L) + ext(i + 1)).otherwise(lit(0L))
+          c0.withColumn("_saOa", (col("off_a") + col("lcp")).cast("int"))
+            .join(sided("a"), Seq("doc_a", "_saOa"), "left")
             .withColumn("_saOb", (col("off_b") + col("lcp")).cast("int"))
-            .join(rb, Seq("doc_b", "_saOb"), "left")
-            .withColumn("lcp", when(
-              col("_saRa").isNotNull && col("_saRa") === col("_saRb"),
-              col("lcp") + lit(step)).otherwise(col("lcp")))
-            .drop("_saOa", "_saOb", "_saRa", "_saRb")
+            .join(sided("b"), Seq("doc_b", "_saOb"), "left")
+            .withColumn("lcp", col("lcp") + lit(step) * ext(0))
+            .drop(Seq("_saOa", "_saOb") ++
+              (0 until probes).flatMap(i => Seq(s"_saRa$i", s"_saRb$i")): _*)
+        } else {
+          val ra = lvl.select(col("doc").as("doc_a"),
+            col("off").as("_saOa"), col("rank").as("_saRa"))
+          val rb = lvl.select(col("doc").as("doc_b"),
+            col("off").as("_saOb"), col("rank").as("_saRb"))
+          (1 to probes).foldLeft(c0) { (c, _) =>
+            c.withColumn("_saOa", (col("off_a") + col("lcp")).cast("int"))
+              .join(ra, Seq("doc_a", "_saOa"), "left")
+              .withColumn("_saOb", (col("off_b") + col("lcp")).cast("int"))
+              .join(rb, Seq("doc_b", "_saOb"), "left")
+              .withColumn("lcp", when(
+                col("_saRa").isNotNull && col("_saRa") === col("_saRb"),
+                col("lcp") + lit(step)).otherwise(col("lcp")))
+              .drop("_saOa", "_saOb", "_saRa", "_saRb")
+          }
         }
       }
     val docLen = docLens(ranked)

@@ -93,6 +93,40 @@ class SuffixArraySpec extends SparkSpec {
     }
   }
 
+  test("repeatedSpans LEAD walk form (the big-corpus variant) equals brute " +
+      "force and the sequential form on every walk stress case") {
+    // spark.graft.sa.walkLeadMinPositions = 0 forces the lead-probe walk
+    // the production 100 TB path takes; it must match brute force on the
+    // same corpora the sequential form is pinned on — including the
+    // all-ties unary stress and the radix-power full-doc ties
+    spark.conf.set("spark.graft.sa.walkLeadMinPositions", "0")
+    try {
+      val corpus = randomCorpus(11, 25)
+      for (minLen <- Seq(2, 4)) {
+        val got = SuffixArray.repeatedSpans(corpus.toDF("doc_id", "text"),
+            "doc_id", "text", minLen = minLen, buckets = 7)
+          .as[(Long, Long, Long, Long, Long)].collect().toSet
+        assert(got === bruteSpans(corpus, minLen), s"minLen=$minLen")
+      }
+      val unary = (1 to 12).map(k =>
+        (k.toLong, Seq.fill(k)("a").mkString(" ")))
+      for (minLen <- Seq(1, 4, 8)) {
+        val spans = SuffixArray.repeatedSpans(unary.toDF("doc_id", "text"),
+            "doc_id", "text", minLen = minLen)
+          .as[(Long, Long, Long, Long, Long)].collect().toSet
+        assert(spans === bruteSpans(unary, minLen), s"unary minLen=$minLen")
+      }
+      for (len <- Seq(4, 16)) {
+        val t = (1 to len).map(i => s"w$i").mkString(" ")
+        val spans = SuffixArray.repeatedSpans(
+          Seq((1L, t), (2L, t)).toDF("doc_id", "text"),
+          "doc_id", "text", minLen = 1)
+          .as[(Long, Long, Long, Long, Long)].collect().toSet
+        assert(spans === bruteSpans(Seq((1L, t), (2L, t)), 1), s"len=$len")
+      }
+    } finally spark.conf.unset("spark.graft.sa.walkLeadMinPositions")
+  }
+
   test("equal whole docs: every suffix pair ties and spans cap at suffix length") {
     val corpus = Seq((1L, "x y z x y"), (2L, "x y z x y"), (3L, "z x q"))
     val spans = SuffixArray.repeatedSpans(corpus.toDF("doc_id", "text"),
