@@ -126,11 +126,17 @@ object Bench {
         s""""single_sample":${singleSample.map(n => s""""$n"""").mkString("[", ",", "]")},"""
       else ""
     val canaryPost = runCanaries()
-    // contended iff any canary moved >20% between the pre and post runs
+    // contended iff any canary got >20% SLOWER from pre to post. One-sided
+    // on purpose (r14): external contention slows the canaries down,
+    // while continued JIT maturation across a 200+-query sweep makes the
+    // post canaries reliably FASTER than pre — the old symmetric
+    // |Δ|>20% rule flagged every clean full sweep on this box as
+    // contended (both r14 full sweeps: post ≈ pre/1.4 with an improving
+    // canary on an idle machine), which is the same unsatisfiable-gate
+    // failure mode the warmup-bracketing fix addressed
     val contended = !only.isDefined && canaryNames.exists(n =>
       (canaryPre.get(n), canaryPost.get(n)) match {
-        case (Some(a), Some(b)) if math.min(a, b) > 0 =>
-          math.max(a, b) / math.min(a, b) > 1.2
+        case (Some(a), Some(b)) if a > 0 => b / a > 1.2
         case _ => false
       })
     val calibrationJson = if (only.isDefined) "" else {

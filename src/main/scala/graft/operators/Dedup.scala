@@ -952,6 +952,14 @@ object Dedup {
     val names = df.select(col(key).cast("string").as("name"))
       .filter(col("name").isNotNull).distinct()
       .withColumn("len", length(col("name")))
+    // NOT checkpointed, although the variant self-join executes the
+    // vocabulary distinct on both sides (unlike fuzzyPairsPrefix, which
+    // shares its names frame three ways): measured r14 back-to-back
+    // min_of_2, checkpointing read the family q_fuzzy_entities/pairs/
+    // resolve 8.09 → 9.77 s at sf0.1 (the LogicalRDD's unknown stats
+    // demote the static broadcast variant join) against only
+    // 11.37 → 10.63 one decade up at the 10× replica — the local loss
+    // outweighs the marginal at-scale win
     // one deletion round; i = 0 deletes nothing (substring(v, 1, -1) = ""
     // prefix + the whole string), so iterating k rounds yields the full
     // <= k-deletion closure including the string itself

@@ -570,6 +570,15 @@ object Graph {
         done = true
         if (out == null) out = mutual
       } else {
+        // the growing out/matched unions are RE-CHECKPOINTED each round
+        // on purpose: keeping them as views over the per-round mutual
+        // checkpoints (saving 2 node-sized materialization jobs/round)
+        // was measured and REJECTED (r14, isolated back-to-back
+        // min_of_2 at sf0.1: icp family 23.6 → 27.2 s; q_icp_attach
+        // 7.75 → 9.01, q_icp_pack 6.06 → 7.20, q_mutual_match
+        // 4.76 → 5.31) — matched is probed twice per round and a
+        // union-of-k-scans right side re-pays k scans + an exchange per
+        // probe, losing more than the one compact write saves
         out = if (out == null) mutual
           else out.unionByName(mutual).localCheckpoint(true)
         val newM = mutual.select(col("node_a").as("_mbN"))
