@@ -29,6 +29,12 @@ import org.apache.spark.unsafe.types.UTF8String
   * zero-length chunk (md5 of the empty string). Null payloads yield
   * null (the callers attach non-null blobs).
   */
+// CodegenFallback is deliberate (r13 verdict note): the rolling-digest
+// loop IS the work here, so interpreted eval costs nothing measurable —
+// but it does block whole-stage-codegen fusion of the SURROUNDING
+// project. Currently irrelevant (the plan around it is two codegen'd
+// projects); revisit only if this expression ever lands inside a wider
+// codegen'd pipeline.
 case class CdcChunks(child: Expression, windowBytes: Int, maskBits: Int)
     extends UnaryExpression with CodegenFallback {
 
